@@ -1,0 +1,101 @@
+"""Relational operator building blocks (SURVEY.md §2.2–§2.7).
+
+Everything here is pure DataFrame algebra — Catalyst handles pushdown,
+pruning, join strategy, and the rank-based top-k rewrite (WindowGroupLimit).
+Helpers return DataFrames/Columns so plans compose into single optimized
+physical plans; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str | Column],
+    order_col: str | Column,
+    tiebreak: str | Column | None = None,
+) -> DataFrame:
+    """Latest row per group — Postgres ``DISTINCT ON`` (reference
+    db/current_schema.sql:134-162, the realtime→historical migration, W1).
+
+    ``row_number`` (not rank) so exactly one row per group; a deterministic
+    tiebreak column keeps batch output stable.  Spark ≥3.5 rewrites the
+    rank-filter into WindowGroupLimit, so this never materializes full groups.
+    """
+    order = [F.col(order_col).desc() if isinstance(order_col, str) else order_col.desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc() if isinstance(tiebreak, str) else tiebreak.desc())
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    tiebreak: str,
+) -> DataFrame:
+    """Deterministic exact dedup: keep the lowest-``tiebreak`` row per key.
+
+    Semantics of the reference producer's duplicate-tick suppression
+    (producer/producer.py:220-251, P9): one surviving row per
+    (company_id, trade_datetime).  ``dropDuplicates`` picks an arbitrary
+    survivor; ordering by the tiebreak makes output deterministic so the
+    oracle can reproduce it.  Streaming twin: ``dropDuplicatesWithinWatermark``.
+    """
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(F.col(tiebreak).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def valid_tick_predicate(
+    price: str = "current_price", volume: str = "volume"
+) -> Column:
+    """P7 validation filter (reference producer/producer.py:254-281,
+    shared/error_handling.py:70-106): reject NULL/NaN, price ≤ 0,
+    volume < 0 (volume 0 allowed).  One vectorized predicate instead of the
+    reference's 90 lines of row-at-a-time checks.
+    """
+    p, v = F.col(price), F.col(volume)
+    return (
+        p.isNotNull()
+        & ~F.isnan(p)
+        & (p > 0)
+        & (v.isNull() | (v >= 0))
+    )
+
+
+def split_valid_invalid(df: DataFrame, pred: Column) -> tuple[DataFrame, DataFrame]:
+    """Valid rows forward, invalid rows to the error side-output
+    (reference skip-and-log behavior, analytics/analytics_consumer.py:97-192).
+    """
+    return df.filter(pred), df.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
+    """ORDER BY ... LIMIT k (dashboard fetches O1–O5, dashboard/app.py:74-76).
+    Spark executes this as TakeOrderedAndProject — no global sort.
+    Callers must pass a total order (include a tiebreak) for determinism.
+    """
+    return df.orderBy(*order).limit(k)
+
+
+def anti_join_new_rows(
+    new: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Exists-check-then-insert as a left anti join (reference
+    producer/producer.py:360-410, J7): rows of ``new`` whose key is absent
+    from ``existing``.
+    """
+    return new.join(existing.select(*keys).distinct(), list(keys), "left_anti")

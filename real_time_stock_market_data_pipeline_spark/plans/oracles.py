@@ -1,0 +1,168 @@
+"""DuckDB oracle SQL twins for plans/queries.py.
+
+Written to be *bit-identical* to the Spark plans on doubles:
+  * the floor-based rounding / decimal-sum conventions of
+    functions/scalars.py (same IEEE-754 op sequence in both engines);
+  * float literals always cast ``::DOUBLE`` (DuckDB parses bare decimals as
+    DECIMAL);
+  * integer SUMs cast back to BIGINT (DuckDB widens to HUGEINT, Spark keeps
+    LongType);
+  * every LIMIT repeats the Spark plan's total order.
+"""
+
+from __future__ import annotations
+
+from ..functions.scalars import dsum_sql, r6_sql
+
+# events → tick-stream mapping, FIXTURES.md §2 (same as sources.readers).
+TICKS_CTE = """
+ticks AS (
+  SELECT e.event_id AS tick_id,
+         e.user_id AS company_id,
+         e.event_type,
+         e.ts AS trade_datetime,
+         e.value AS current_price,
+         CAST(json_extract_string(e.props, '$.k') AS BIGINT) AS volume
+  FROM events e
+)
+"""
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["p7_validated_ticks"] = f"""
+WITH {TICKS_CTE}
+SELECT * FROM ticks
+WHERE current_price IS NOT NULL AND NOT isnan(current_price)
+  AND current_price > 0 AND (volume IS NULL OR volume >= 0)
+"""
+
+ORACLES["p9_dedup_ticks"] = f"""
+WITH {TICKS_CTE}
+SELECT * FROM ticks
+QUALIFY row_number() OVER (
+  PARTITION BY company_id, trade_datetime ORDER BY tick_id ASC) = 1
+"""
+
+ORACLES["p3_time_window_filter"] = f"""
+WITH {TICKS_CTE}
+SELECT * FROM ticks
+WHERE trade_datetime >=
+  (SELECT max(trade_datetime) FROM ticks) - INTERVAL 24 HOURS
+"""
+
+ORACLES["j1_tick_dashboard"] = f"""
+WITH {TICKS_CTE}
+SELECT t.tick_id, t.company_id, c.c_name AS company_name,
+       t.trade_datetime, t.current_price, t.volume
+FROM ticks t JOIN customer c ON t.company_id = c.c_custkey
+WHERE t.trade_datetime >=
+  (SELECT max(trade_datetime) FROM ticks) - INTERVAL 24 HOURS
+ORDER BY t.trade_datetime DESC, t.tick_id DESC
+LIMIT 1000
+"""
+
+ORACLES["j6_region_revenue"] = f"""
+SELECT r_name AS region_name, n_name AS nation_name,
+       {dsum_sql("l_extendedprice * (1.0::DOUBLE - l_discount)")} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+ORACLES["j7_orders_without_big_lineitems"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+"""
+
+ORACLES["j8_industry_rollup"] = """
+SELECT n_name AS industry_name,
+       COUNT(c_custkey) AS n_companies,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+GROUP BY 1
+"""
+
+ORACLES["a1_grouped_max"] = f"""
+WITH {TICKS_CTE}
+SELECT company_id, max(trade_datetime) AS last_trade_datetime
+FROM ticks GROUP BY 1
+"""
+
+ORACLES["a2_global_max"] = f"""
+WITH {TICKS_CTE}
+SELECT max(trade_datetime) AS max_trade_datetime FROM ticks
+"""
+
+ORACLES["a3_active_series"] = f"""
+WITH {TICKS_CTE}
+SELECT company_id, COUNT(*) AS n_ticks,
+       min(trade_datetime) AS first_ts, max(trade_datetime) AS last_ts
+FROM ticks GROUP BY 1 HAVING COUNT(*) >= 50
+"""
+
+ORACLES["a4_daily_summary"] = f"""
+WITH {TICKS_CTE}
+SELECT company_id, CAST(trade_datetime AS DATE) AS trade_date,
+       {r6_sql(dsum_sql("current_price") + " / COUNT(current_price)")} AS avg_price,
+       max(current_price) AS max_price,
+       min(current_price) AS min_price,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       COUNT(*) AS n_ticks
+FROM ticks GROUP BY 1, 2
+"""
+
+ORACLES["a6_hourly_counts"] = f"""
+WITH {TICKS_CTE}
+SELECT date_trunc('hour', trade_datetime) AS hour, COUNT(*) AS n_events
+FROM ticks GROUP BY 1
+"""
+
+ORACLES["a7_dup_detection"] = f"""
+WITH {TICKS_CTE}
+SELECT company_id, trade_datetime, COUNT(*) AS n_dups
+FROM ticks GROUP BY 1, 2 HAVING COUNT(*) > 1
+"""
+
+_Q1_DISC = "l_extendedprice * (1.0::DOUBLE - l_discount)"
+_Q1_CHARGE = f"({_Q1_DISC}) * (1.0::DOUBLE + l_tax)"
+ORACLES["q1_pricing_summary"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_sql("l_quantity")} AS sum_qty,
+       {dsum_sql("l_extendedprice")} AS sum_base_price,
+       {dsum_sql(_Q1_DISC)} AS sum_disc_price,
+       {dsum_sql(_Q1_CHARGE)} AS sum_charge,
+       {r6_sql(dsum_sql("l_quantity") + " / COUNT(l_quantity)")} AS avg_qty,
+       {r6_sql(dsum_sql("l_extendedprice") + " / COUNT(l_extendedprice)")} AS avg_price,
+       {r6_sql(dsum_sql("l_discount") + " / COUNT(l_discount)")} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY 1, 2
+"""
+
+ORACLES["w1_latest_per_day"] = f"""
+WITH {TICKS_CTE}
+SELECT company_id, CAST(trade_datetime AS DATE) AS trade_date, trade_datetime,
+       current_price AS close_price, volume
+FROM ticks
+QUALIFY row_number() OVER (
+  PARTITION BY company_id, CAST(trade_datetime AS DATE)
+  ORDER BY trade_datetime DESC, tick_id DESC) = 1
+"""
+
+ORACLES["o1_top_events"] = f"""
+WITH {TICKS_CTE}
+SELECT tick_id, company_id, trade_datetime, current_price
+FROM ticks ORDER BY current_price DESC, tick_id ASC LIMIT 100
+"""
+
+ORACLES["d1_distinct_event_types"] = """
+SELECT DISTINCT event_type FROM events
+"""

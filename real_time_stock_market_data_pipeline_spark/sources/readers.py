@@ -1,0 +1,49 @@
+"""Batch readers over the driver's parquet testdata (TESTDATA.md).
+
+``ticks_from_events`` applies the FIXTURES.md §2 mapping: the ``events``
+stream table plays the reference's tick stream (``stock_prices_realtime``,
+reference db/current_schema.sql:23-33) with
+
+    user_id        → company_id / ticker_symbol (entity key)
+    ts             → trade_datetime
+    value          → current_price
+    props ->> 'k'  → volume (semi-structured JSON extraction, SURVEY §2.8)
+
+All plans select columns explicitly so Catalyst prunes the parquet scan to
+exactly the referenced columns (check ``ReadSchema`` in ``.explain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is parquet TIMESTAMP(NANOS): with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as LongType; truncate to
+    # microseconds exactly like DuckDB casts nanos → its native µs TIMESTAMP.
+    for f in df.schema.fields:
+        if name == "events" and f.name == "ts" and f.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def ticks_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → tick-stream view (FIXTURES.md §2 row 1)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("tick_id"),
+        F.col("user_id").alias("company_id"),
+        F.col("event_type"),
+        F.col("ts").alias("trade_datetime"),
+        F.col("value").alias("current_price"),
+        F.get_json_object("props", "$.k").cast("long").alias("volume"),
+    )

@@ -1,0 +1,54 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline_spark.operators.relational import (
+    anti_join_new_rows,
+    dedup_keep_first,
+    latest_per_group,
+    split_valid_invalid,
+    valid_tick_predicate,
+)
+
+
+def _ticks(spark):
+    rows = [
+        # (tick_id, company_id, trade_datetime, current_price, volume)
+        (1, "A", dt.datetime(2024, 1, 1, 10, 0), 10.0, 5),
+        (2, "A", dt.datetime(2024, 1, 1, 10, 0), 10.0, 5),   # exact dup ts
+        (3, "A", dt.datetime(2024, 1, 1, 11, 0), 11.0, 0),   # volume 0 allowed
+        (4, "A", dt.datetime(2024, 1, 2, 9, 0), -1.0, 5),    # invalid price
+        (5, "B", dt.datetime(2024, 1, 1, 10, 30), 20.0, -3), # invalid volume
+        (6, "B", dt.datetime(2024, 1, 1, 12, 0), float("nan"), 1),  # NaN
+        (7, "B", dt.datetime(2024, 1, 1, 13, 0), 21.0, None),
+    ]
+    return spark.createDataFrame(
+        rows, "tick_id long, company_id string, trade_datetime timestamp, "
+        "current_price double, volume long"
+    )
+
+
+def test_valid_tick_predicate(spark):
+    valid, invalid = split_valid_invalid(_ticks(spark), valid_tick_predicate())
+    assert sorted(r.tick_id for r in valid.collect()) == [1, 2, 3, 7]
+    assert sorted(r.tick_id for r in invalid.collect()) == [4, 5, 6]
+
+
+def test_dedup_keep_first(spark):
+    out = dedup_keep_first(_ticks(spark), ["company_id", "trade_datetime"], "tick_id")
+    assert sorted(r.tick_id for r in out.collect()) == [1, 3, 4, 5, 6, 7]
+
+
+def test_latest_per_group(spark):
+    t = _ticks(spark).withColumn("d", F.to_date("trade_datetime"))
+    out = latest_per_group(t, ["company_id", "d"], "trade_datetime", "tick_id")
+    assert sorted(r.tick_id for r in out.collect()) == [3, 4, 7]
+
+
+def test_anti_join(spark):
+    new = _ticks(spark)
+    existing = new.filter(F.col("tick_id") <= 3).select("company_id", "trade_datetime")
+    out = anti_join_new_rows(new, existing, ["company_id", "trade_datetime"])
+    assert sorted(r.tick_id for r in out.collect()) == [4, 5, 6, 7]
