@@ -90,15 +90,17 @@ def sma_col(spec: SeriesSpec, period: int) -> Column:
 def _ema_over_buffer(buf_col: str, period: int) -> Column:
     """Seeded recursion ema = x*m + ema*(1-m) over a collected buffer.
 
-    The multiplier is written as the expression ``2.0/(p+1)`` so Spark and
-    any SQL oracle parse the identical double.  IEEE doubles make the fold
-    bit-reproducible across engines given the same expression shape.
+    The multiplier is written as ``CAST(2.0 AS DOUBLE)/CAST(p+1 AS DOUBLE)``
+    — bare decimal literals are DECIMAL in Spark SQL (and DuckDB), and decimal
+    division would silently truncate the multiplier to 6 digits.  With double
+    ops throughout, IEEE-754 makes the fold bit-reproducible across engines
+    given the same expression shape.
     """
-    m = f"(2.0/{period + 1}.0)"
+    m = f"(CAST(2.0 AS DOUBLE) / CAST({period + 1}.0 AS DOUBLE))"
     return F.expr(
         f"aggregate(slice({buf_col}, 2, size({buf_col}) - 1), "
         f"cast(element_at({buf_col}, 1) as double), "
-        f"(acc, x) -> x * {m} + acc * (1.0 - {m}))"
+        f"(acc, x) -> x * {m} + acc * (CAST(1.0 AS DOUBLE) - {m}))"
     )
 
 

@@ -1,0 +1,455 @@
+"""Oracle-checked indicator queries (SURVEY.md §2.5 W2–W9, T6 alerts, P8).
+
+Strategy: each query is ONE SQL body rendered for two dialects (Spark SQL and
+DuckDB) that differ only in three primitives:
+
+  * ``fold``        — Spark ``aggregate(...)`` vs DuckDB ``list_reduce(...)``
+  * ``collected``   — Spark ``collect_list`` (skips NULLs) vs DuckDB
+                      ``list(...)`` wrapped in ``list_filter`` to match
+  * ``jsonk``       — ``get_json_object`` vs ``json_extract_string``
+
+Everything else — window specs, CASE gates, the floor-based rounding, the
+seeded-EMA recursion — is the *same text*, so both engines execute the same
+IEEE-754 op sequence and produce bit-identical doubles.  Built-in window
+AVG/STDDEV are deliberately avoided here: DuckDB evaluates sliding frames
+with segment trees (different summation order), which breaks exact hashing;
+sequential list folds do not.  The engine's fast path (operators/indicators)
+keeps the built-ins; tests cross-check the two within 1e-9.
+
+Reference semantics per indicator are documented in operators/indicators.py
+(population std, simple-mean RSI, EMA seeded at the visible buffer head,
+MACD signal=line, null gates; technical_indicators.py:39-196).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_table
+from .queries import QUERIES
+
+# Shared window text (per-symbol series ordered by time, deterministic tiebreak)
+WIN = "PARTITION BY company_id ORDER BY trade_datetime ASC, tick_id ASC"
+BUFFER = 1000  # reference deque maxlen (shared/config.py:135)
+
+D = "CAST({v} AS DOUBLE)"
+
+
+def _d(v: str) -> str:
+    return D.format(v=v)
+
+
+def r6t(e: str) -> str:
+    """Shared-text deterministic rounding (see functions/scalars.r6)."""
+    m = _d("1000000.0")
+    return (
+        f"CASE WHEN isnan({e}) THEN {e} "
+        f"ELSE floor(({e}) * {m} + {_d('0.5')}) / {m} END"
+    )
+
+
+def fold(dialect: str, lst: str, body: str, init: str | None = None) -> str:
+    """Left fold with explicit init (default 0.0): identical order both engines."""
+    init = init or _d("0.0")
+    if dialect == "spark":
+        return f"aggregate({lst}, {init}, (acc, x) -> {body})"
+    return f"list_reduce(list_concat([{init}], {lst}), (acc, x) -> {body})"
+
+
+def seeded_fold(dialect: str, lst: str, body: str) -> str:
+    """Fold seeded with the list head — the reference EMA recursion shape."""
+    if dialect == "spark":
+        return (
+            f"aggregate(slice({lst}, 2, size({lst}) - 1), "
+            f"CAST(element_at({lst}, 1) AS DOUBLE), (acc, x) -> {body})"
+        )
+    return f"list_reduce({lst}, (acc, x) -> {body})"
+
+
+def collected(dialect: str, col: str, preceding: int) -> str:
+    """Ordered frame list; NULL elements dropped in both engines."""
+    frame = f"ROWS BETWEEN {preceding} PRECEDING AND CURRENT ROW"
+    if dialect == "spark":
+        return f"collect_list({col}) OVER ({WIN} {frame})"
+    return f"list_filter(list({col}) OVER ({WIN} {frame}), y -> y IS NOT NULL)"
+
+
+def list_len(dialect: str, lst: str) -> str:
+    return f"size({lst})" if dialect == "spark" else f"len({lst})"
+
+
+def jsonk(dialect: str, col: str, key: str) -> str:
+    if dialect == "spark":
+        return f"get_json_object({col}, '$.{key}')"
+    return f"json_extract_string({col}, '$.{key}')"
+
+
+def ticks_cte(dialect: str) -> str:
+    """events → validated tick stream (FIXTURES.md §2 + P7 filter: the
+    reference only admits valid prices into the indicator buffer)."""
+    return f"""
+raw_ticks AS (
+  SELECT e.event_id AS tick_id,
+         e.user_id AS company_id,
+         e.ts AS trade_datetime,
+         e.value AS current_price,
+         CAST({jsonk(dialect, 'e.props', 'k')} AS BIGINT) AS volume
+  FROM events e
+),
+ticks AS (
+  SELECT * FROM raw_ticks
+  WHERE current_price IS NOT NULL AND NOT isnan(current_price)
+    AND current_price > 0 AND (volume IS NULL OR volume >= 0)
+)
+"""
+
+
+def ema_expr(dialect: str, lst: str, period: int) -> str:
+    m = f"({_d('2.0')} / {_d(f'{period + 1}.0')})"
+    body = f"x * {m} + acc * ({_d('1.0')} - {m})"
+    return seeded_fold(dialect, lst, body)
+
+
+def mean_var_exprs(dialect: str, lst: str, n: str) -> tuple[str, str]:
+    """(mean, variance) via sequential folds: sum and sum-of-squares.
+    Population variance = s2/n − mean²; clamped ≥ 0 for fp safety."""
+    s1 = fold(dialect, lst, "acc + x")
+    s2 = fold(dialect, lst, "acc + x * x")
+    mean = f"({s1}) / {n}"
+    var = f"greatest(({s2}) / {n} - (({s1}) / {n}) * (({s1}) / {n}), {_d('0.0')})"
+    return mean, var
+
+
+# ---------------------------------------------------------------------------
+# Query bodies.  Each returns SQL text for the given dialect; the Spark side
+# is executed via spark.sql over a registered `events` temp view so the two
+# texts stay visibly parallel.
+# ---------------------------------------------------------------------------
+
+
+def sql_sma(dialect: str) -> str:
+    mean20 = fold(dialect, "buf20", "acc + x") + f" / {_d('20.0')}"
+    mean50 = fold(dialect, "buf50", "acc + x") + f" / {_d('50.0')}"
+    return f"""
+WITH {ticks_cte(dialect)},
+s AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         {collected(dialect, 'current_price', 19)} AS buf20,
+         {collected(dialect, 'current_price', 49)} AS buf50
+  FROM ticks
+)
+SELECT tick_id, company_id, trade_datetime, current_price,
+       CASE WHEN rn >= 20 THEN {r6t(mean20)} END AS sma_20,
+       CASE WHEN rn >= 50 THEN {r6t(mean50)} END AS sma_50
+FROM s
+"""
+
+
+def sql_ema(dialect: str) -> str:
+    e12 = ema_expr(dialect, "buf", 12)
+    e26 = ema_expr(dialect, "buf", 26)
+    return f"""
+WITH {ticks_cte(dialect)},
+s AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         {collected(dialect, 'current_price', BUFFER - 1)} AS buf
+  FROM ticks
+)
+SELECT tick_id, company_id, trade_datetime, current_price,
+       CASE WHEN rn >= 12 THEN {r6t(e12)} END AS ema_12,
+       CASE WHEN rn >= 26 THEN {r6t(e26)} END AS ema_26
+FROM s
+"""
+
+
+def sql_rsi(dialect: str) -> str:
+    gains = fold(dialect, "dbuf", f"acc + (CASE WHEN x > {_d('0.0')} THEN x ELSE {_d('0.0')} END)")
+    losses = fold(dialect, "dbuf", f"acc + (CASE WHEN x < {_d('0.0')} THEN -x ELSE {_d('0.0')} END)")
+    ag = f"({gains}) / {_d('14.0')}"
+    al = f"({losses}) / {_d('14.0')}"
+    rsi = (
+        f"CASE WHEN ({al}) = {_d('0.0')} THEN {_d('100.0')} "
+        f"ELSE {_d('100.0')} - {_d('100.0')} / ({_d('1.0')} + ({ag}) / ({al})) END"
+    )
+    return f"""
+WITH {ticks_cte(dialect)},
+s1 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         current_price - lag(current_price, 1) OVER ({WIN}) AS delta
+  FROM ticks
+),
+s2 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {collected(dialect, 'delta', 13)} AS dbuf
+  FROM s1
+)
+SELECT tick_id, company_id, trade_datetime, current_price,
+       CASE WHEN rn >= 15 THEN {r6t(rsi)} END AS rsi_14
+FROM s2
+"""
+
+
+def sql_bollinger(dialect: str) -> str:
+    mean, var = mean_var_exprs(dialect, "buf20", _d("20.0"))
+    std = f"sqrt({var})"
+    upper = f"({mean}) + {_d('2.0')} * {std}"
+    lower = f"({mean}) - {_d('2.0')} * {std}"
+    return f"""
+WITH {ticks_cte(dialect)},
+s AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         {collected(dialect, 'current_price', 19)} AS buf20
+  FROM ticks
+)
+SELECT tick_id, company_id, trade_datetime, current_price,
+       CASE WHEN rn >= 20 THEN {r6t(upper)} END AS bb_upper,
+       CASE WHEN rn >= 20 THEN {r6t(lower)} END AS bb_lower,
+       CASE WHEN rn >= 20 THEN {r6t(mean)} END AS bb_middle
+FROM s
+"""
+
+
+def sql_macd(dialect: str) -> str:
+    line = f"({ema_expr(dialect, 'buf', 12)}) - ({ema_expr(dialect, 'buf', 26)})"
+    gate = "rn >= 35"  # slow(26) + signal(9), technical_indicators.py:165
+    return f"""
+WITH {ticks_cte(dialect)},
+s AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         {collected(dialect, 'current_price', BUFFER - 1)} AS buf
+  FROM ticks
+)
+SELECT tick_id, company_id, trade_datetime, current_price,
+       CASE WHEN {gate} THEN {r6t(line)} END AS macd,
+       CASE WHEN {gate} THEN {r6t(line)} END AS macd_signal,
+       CASE WHEN {gate} THEN {_d('0.0')} END AS macd_histogram
+FROM s
+"""
+
+
+def sql_volatility(dialect: str) -> str:
+    n = _d(f"{list_len(dialect, 'rbuf')}")
+    mean, var = mean_var_exprs(dialect, "rbuf", n)
+    vol = f"sqrt({var}) * sqrt({_d('252.0')})"
+    return f"""
+WITH {ticks_cte(dialect)},
+s1 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         (current_price - lag(current_price, 1) OVER ({WIN}))
+           / lag(current_price, 1) OVER ({WIN}) AS ret
+  FROM ticks
+),
+s2 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
+  FROM s1
+)
+SELECT tick_id, company_id, trade_datetime, current_price,
+       CASE WHEN rn >= 21 THEN {r6t(vol)} END AS volatility
+FROM s2
+"""
+
+
+def sql_price_change(dialect: str) -> str:
+    pct = (
+        f"(current_price - lag(current_price, 1) OVER ({WIN}))"
+        f" / lag(current_price, 1) OVER ({WIN}) * {_d('100.0')}"
+    )
+    return f"""
+WITH {ticks_cte(dialect)}
+SELECT tick_id, company_id, trade_datetime, current_price,
+       {r6t(pct)} AS price_change_percent
+FROM ticks
+"""
+
+
+def sql_ml_features(dialect: str) -> str:
+    """W9 — sliding feature window (size 5) + next-price label
+    (ml/train_linear_regression.py:36-42), as lag/lead columns."""
+    lags = ",\n         ".join(
+        f"lag(current_price, {i}) OVER ({WIN}) AS x{6 - i}" for i in range(5, 0, -1)
+    )
+    return f"""
+WITH {ticks_cte(dialect)},
+s AS (
+  SELECT tick_id, company_id, trade_datetime,
+         {lags},
+         lead(current_price, 1) OVER ({WIN}) AS label
+  FROM ticks
+)
+SELECT * FROM s WHERE x1 IS NOT NULL AND label IS NOT NULL
+"""
+
+
+def _rsi_vol_cte(dialect: str) -> str:
+    """Shared scaffold for alert/extreme queries: rsi_14 + volatility."""
+    gains = fold(dialect, "dbuf", f"acc + (CASE WHEN x > {_d('0.0')} THEN x ELSE {_d('0.0')} END)")
+    losses = fold(dialect, "dbuf", f"acc + (CASE WHEN x < {_d('0.0')} THEN -x ELSE {_d('0.0')} END)")
+    ag, al = f"({gains}) / {_d('14.0')}", f"({losses}) / {_d('14.0')}"
+    rsi = (
+        f"CASE WHEN ({al}) = {_d('0.0')} THEN {_d('100.0')} "
+        f"ELSE {_d('100.0')} - {_d('100.0')} / ({_d('1.0')} + ({ag}) / ({al})) END"
+    )
+    n = _d(f"{list_len(dialect, 'rbuf')}")
+    _, var = mean_var_exprs(dialect, "rbuf", n)
+    vol = f"sqrt({var}) * sqrt({_d('252.0')})"
+    return f"""
+{ticks_cte(dialect)},
+s1 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         current_price - lag(current_price, 1) OVER ({WIN}) AS delta,
+         (current_price - lag(current_price, 1) OVER ({WIN}))
+           / lag(current_price, 1) OVER ({WIN}) AS ret
+  FROM ticks
+),
+s2 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {collected(dialect, 'delta', 13)} AS dbuf,
+         {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
+  FROM s1
+),
+ind AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         CASE WHEN rn >= 15 THEN {r6t(rsi)} END AS rsi_14,
+         CASE WHEN rn >= 21 THEN {r6t(vol)} END AS volatility
+  FROM s2
+)
+"""
+
+
+def sql_alerts(dialect: str) -> str:
+    """T6 — threshold alerting (analytics_consumer.py:226-302): RSI>70 →
+    RSI_OVERBOUGHT/HIGH, elif RSI<30 → RSI_OVERSOLD/HIGH; volatility>0.05 →
+    HIGH_VOLATILITY/MEDIUM (thresholds shared/config.py:104-110).  One input
+    row can emit both an RSI and a volatility alert → UNION ALL."""
+    t = _d("70.0")
+    t2 = _d("30.0")
+    t3 = _d("0.05")
+    return f"""
+WITH {_rsi_vol_cte(dialect)}
+SELECT tick_id, company_id, trade_datetime,
+       CASE WHEN rsi_14 > {t} THEN 'RSI_OVERBOUGHT' ELSE 'RSI_OVERSOLD' END AS alert_type,
+       rsi_14 AS indicator_value,
+       CASE WHEN rsi_14 > {t} THEN {t} ELSE {t2} END AS threshold_value,
+       'HIGH' AS severity
+FROM ind
+WHERE rsi_14 IS NOT NULL AND (rsi_14 > {t} OR rsi_14 < {t2})
+UNION ALL
+SELECT tick_id, company_id, trade_datetime,
+       'HIGH_VOLATILITY' AS alert_type,
+       volatility AS indicator_value,
+       {t3} AS threshold_value,
+       'MEDIUM' AS severity
+FROM ind
+WHERE volatility IS NOT NULL AND volatility > {t3}
+"""
+
+
+def sql_extreme_filter(dialect: str) -> str:
+    """P8 — extreme-value gate (analytics_consumer.py:77-95): drop rows whose
+    RSI is exactly 0/100 or volatility exactly 0 (non-trading-hour artifacts);
+    rows with NULL indicators pass through untouched."""
+    return f"""
+WITH {_rsi_vol_cte(dialect)}
+SELECT tick_id, company_id, trade_datetime, current_price, rsi_14, volatility
+FROM ind
+WHERE NOT (coalesce(rsi_14 = {_d('0.0')} OR rsi_14 = {_d('100.0')}, FALSE)
+        OR coalesce(volatility = {_d('0.0')}, FALSE))
+"""
+
+
+def sql_all_indicators(dialect: str) -> str:
+    """The full analytics row (§1.1 derived table) in one plan — every
+    indicator over a single per-symbol window chain."""
+    mean20, var20 = mean_var_exprs(dialect, "buf20", _d("20.0"))
+    std20 = f"sqrt({var20})"
+    mean50 = fold(dialect, "buf50", "acc + x") + f" / {_d('50.0')}"
+    e12 = ema_expr(dialect, "buf", 12)
+    e26 = ema_expr(dialect, "buf", 26)
+    macd_line = f"({e12}) - ({e26})"
+    gains = fold(dialect, "dbuf", f"acc + (CASE WHEN x > {_d('0.0')} THEN x ELSE {_d('0.0')} END)")
+    losses = fold(dialect, "dbuf", f"acc + (CASE WHEN x < {_d('0.0')} THEN -x ELSE {_d('0.0')} END)")
+    ag, al = f"({gains}) / {_d('14.0')}", f"({losses}) / {_d('14.0')}"
+    rsi = (
+        f"CASE WHEN ({al}) = {_d('0.0')} THEN {_d('100.0')} "
+        f"ELSE {_d('100.0')} - {_d('100.0')} / ({_d('1.0')} + ({ag}) / ({al})) END"
+    )
+    nret = _d(f"{list_len(dialect, 'rbuf')}")
+    _, varv = mean_var_exprs(dialect, "rbuf", nret)
+    vol = f"sqrt({varv}) * sqrt({_d('252.0')})"
+    pct = f"(current_price - prev_price) / prev_price * {_d('100.0')}"
+    return f"""
+WITH {ticks_cte(dialect)},
+s1 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, volume,
+         row_number() OVER ({WIN}) AS rn,
+         lag(current_price, 1) OVER ({WIN}) AS prev_price,
+         current_price - lag(current_price, 1) OVER ({WIN}) AS delta,
+         (current_price - lag(current_price, 1) OVER ({WIN}))
+           / lag(current_price, 1) OVER ({WIN}) AS ret,
+         {collected(dialect, 'current_price', 19)} AS buf20,
+         {collected(dialect, 'current_price', 49)} AS buf50,
+         {collected(dialect, 'current_price', BUFFER - 1)} AS buf
+  FROM ticks
+),
+s2 AS (
+  SELECT *, {collected(dialect, 'delta', 13)} AS dbuf,
+         {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
+  FROM s1
+)
+SELECT tick_id, company_id, trade_datetime, current_price, volume,
+       CASE WHEN rn >= 15 THEN {r6t(rsi)} END AS rsi_14,
+       CASE WHEN rn >= 20 THEN {r6t(mean20)} END AS sma_20,
+       CASE WHEN rn >= 50 THEN {r6t(mean50)} END AS sma_50,
+       CASE WHEN rn >= 12 THEN {r6t(e12)} END AS ema_12,
+       CASE WHEN rn >= 26 THEN {r6t(e26)} END AS ema_26,
+       CASE WHEN rn >= 20 THEN {r6t(f"({mean20}) + {_d('2.0')} * {std20}")} END AS bb_upper,
+       CASE WHEN rn >= 20 THEN {r6t(f"({mean20}) - {_d('2.0')} * {std20}")} END AS bb_lower,
+       CASE WHEN rn >= 20 THEN {r6t(mean20)} END AS bb_middle,
+       CASE WHEN rn >= 35 THEN {r6t(macd_line)} END AS macd,
+       CASE WHEN rn >= 35 THEN {r6t(macd_line)} END AS macd_signal,
+       CASE WHEN rn >= 35 THEN {_d('0.0')} END AS macd_histogram,
+       CASE WHEN rn >= 21 THEN {r6t(vol)} END AS volatility,
+       {r6t(pct)} AS price_change_percent
+FROM s2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registration: Spark side = spark.sql(text) over the events temp view.
+# ---------------------------------------------------------------------------
+
+_BODIES = {
+    "w2_sma": sql_sma,
+    "w3_ema": sql_ema,
+    "w4_rsi": sql_rsi,
+    "w5_bollinger": sql_bollinger,
+    "w6_macd": sql_macd,
+    "w7_volatility": sql_volatility,
+    "w8_price_change": sql_price_change,
+    "w9_ml_features": sql_ml_features,
+    "t6_alerts": sql_alerts,
+    "p8_extreme_filter": sql_extreme_filter,
+    "w_all_indicators": sql_all_indicators,
+}
+
+INDICATOR_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
+
+
+def _make_query(body):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+        return spark.sql(body("spark"))
+
+    return fn
+
+
+for _name, _body in _BODIES.items():
+    QUERIES[_name] = _make_query(_body)
