@@ -1,0 +1,183 @@
+"""Deduplication operators for corpus preparation, as DataFrame pipelines.
+
+Five families (all mirrored by oracle-checked plans in plans/text_parity /
+plans/embedding_parity):
+
+  exact          — hash-groupBy, canonical survivor = min id
+  n-gram Jaccard — shingle explode → shared-shingle candidate join → verify
+  MinHash + LSH  — shingle→minhash signature→band buckets→bucket join
+  SimHash        — bitwise-majority token-hash signature, collision groups
+  embedding      — hyperplane-sign LSH buckets + exact cosine verify
+                   (operators/similarity.py)
+
+Scale shape: every stage is either per-row (signatures) or a shuffle on a
+high-selectivity key (shingle hash, band signature, bucket id).  Nothing
+crosses the full corpus; candidate sets stay near-linear for non-degenerate
+data.  Skewed keys (a shingle shared by millions of docs) should be dropped
+as stop-shingles before the join — ``max_shingle_freq`` does that cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import P_MOD, tokens_col
+
+# Deterministic MinHash parameters — same series as plans/text_parity.
+N_HASHES = 16
+BAND_SIZE = 4
+MINHASH_PARAMS = [
+    ((i * 2654435761 + 1) % P_MOD, (i * 40503 * 65537 + 7) % P_MOD)
+    for i in range(1, N_HASHES + 1)
+]
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical key tuple (P9 generalized)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+
+def shingle_hashes(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sh) — distinct token-n-gram shingle hashes per document.
+
+    The polynomial shingle hash matches dialect.tok_hash, so results are
+    comparable with the SQL plans and any external engine.
+    """
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(gram)).alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "aggregate(transform(sequence(1, length(shingle)), "
+                "i -> ascii(substr(shingle, CAST(i AS INT), 1))), "
+                f"CAST(7 AS BIGINT), (acc, x) -> (acc * 131 + x) % {P_MOD})"
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.05,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, n_common, jaccard) for pairs over the threshold.
+
+    Candidates = pairs sharing ≥1 shingle (shuffle key = shingle hash);
+    ``max_shingle_freq`` drops stop-shingles to bound candidate fan-out at
+    corpus scale.
+    """
+    sh = shingle_hashes(df, id_col, text, n).cache()
+    if max_shingle_freq:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq)
+        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, h1..h16) MinHash signatures over the shingle set."""
+    sh = shingle_hashes(df, id_col, text, n)
+    aggs = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(P_MOD)).alias(f"h{i + 1}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) — LSH banding over the signatures:
+    4 bands × 4 rows; any shared band makes a candidate pair."""
+    sigs = minhash_signatures(df, id_col, text, n)
+    bands = None
+    for band in range(N_HASHES // BAND_SIZE):
+        cols = [f"h{band * BAND_SIZE + j}" for j in range(1, BAND_SIZE + 1)]
+        part = sigs.select(
+            F.col(id_col),
+            F.lit(band).alias("band_id"),
+            F.concat_ws(":", *[F.col(c).cast("string") for c in cols]).alias("band_sig"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 16
+) -> DataFrame:
+    """(id, simhash) — bitwise-majority signature over token hashes."""
+    toks = tokens_col(text)
+    th = F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t)),
+                lambda i: F.ascii(t.substr(i.cast("int"), F.lit(1))),
+            ),
+            F.lit(7).cast("bigint"),
+            lambda acc, x: (acc * 131 + x) % F.lit(P_MOD),
+        ),
+    )
+    df = df.select(F.col(id_col), th.alias("thashes"))
+
+    def bit_merge(j: int):
+        def merge(acc, x):
+            return acc + F.when(
+                F.shiftright(x, j) % 2 == 1, F.lit(1).cast("bigint")
+            ).otherwise(F.lit(-1).cast("bigint"))
+
+        return merge
+
+    sig = None
+    for j in range(bits):
+        bitsum = F.aggregate(F.col("thashes"), F.lit(0).cast("bigint"), bit_merge(j))
+        term = F.when(bitsum > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,113 @@
+"""Text-analysis operators as reusable DataFrame transformations.
+
+Two tiers, matching plans/text_parity semantics exactly:
+  * Column-expression tier (JVM, whole-stage codegen) for tokenization,
+    stats, quality, language-ID — zero Python in the hot path.
+  * Arrow-batched pandas tier (``mapInPandas``) for hashing-heavy work
+    (fingerprints, token hashes) where a numpy loop beats nested SQL
+    lambda folds on very long documents.
+
+Both are embarrassingly parallel per document — no shuffle, no state — so
+they scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+P_MOD = 1_000_000_007
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "es": ["el", "la", "de", "los"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "les", "et", "une"],
+}
+
+
+def tokens_col(text: Column | str = "text") -> Column:
+    """Whitespace tokens with empties dropped (single-space normalized)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    toks = tokens_col(text)
+    n = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("n_chars_actual", F.length(text))
+        .withColumn("mean_token_len", total_len / n.cast("double"))
+    )
+
+
+def stopword_ratio_col(text: str = "text", stopwords: list[str] | None = None) -> Column:
+    toks = tokens_col(text)
+    stops = F.size(F.filter(toks, lambda t: t.isin(*(stopwords or EN_STOPWORDS))))
+    return stops.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score_col(text: str = "text") -> Column:
+    """0.5·min(1, n_tokens/50) + 0.5·min(1, stop_ratio/0.4) — the corpus
+    quality heuristic of plans/text_parity.sql_quality."""
+    toks = tokens_col(text)
+    n = F.size(toks).cast("double")
+    len_score = F.least(F.lit(1.0), n / F.lit(50.0))
+    stop_score = F.least(F.lit(1.0), stopword_ratio_col(text) / F.lit(0.4))
+    return F.lit(0.5) * len_score + F.lit(0.5) * stop_score
+
+
+def predicted_lang_col(text: str = "text") -> Column:
+    """Marker-stopword language ID, deterministic tie-break en>es>de>fr."""
+    toks = tokens_col(text)
+    hits = {
+        code: F.size(F.filter(toks, lambda t, m=markers: t.isin(*m)))
+        for code, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*hits.values())
+    out = F.when(best == 0, F.lit("und"))
+    for code in LANG_MARKERS:  # insertion order = priority
+        out = out.when(hits[code] == best, F.lit(code))
+    return out
+
+
+def _poly_hash(token: str, mod: int = P_MOD) -> int:
+    """Engine-neutral polynomial hash — same integers as dialect.tok_hash."""
+    acc = 7
+    for ch in token:
+        acc = (acc * 131 + ord(ch)) % mod
+    return acc
+
+
+def _fingerprint(text: str, mod: int = P_MOD) -> int:
+    acc = 0
+    for tok in text.split(" "):
+        if tok:
+            acc = (acc * 31 + _poly_hash(tok, mod)) % mod
+    return acc
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    """Rolling-hash document fingerprint via mapInPandas (Arrow batches;
+    per-partition, shuffle-free).  Matches plans/text_parity.sql_fingerprint
+    bit-for-bit (tests/test_text_dedup.py)."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, fingerprint bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["fingerprint"] = pdf[text].map(_fingerprint)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

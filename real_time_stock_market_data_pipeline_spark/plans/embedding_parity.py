@@ -1,0 +1,142 @@
+"""Similarity-search queries over the ``embeddings`` table (64-dim float
+vectors): brute-force cosine top-k, per-label centroids, and sign-bucketed
+(SimHash-style LSH) near-duplicate pairs.  Dual-dialect like the other
+parity modules — dot products are sequential index folds with explicit
+DOUBLE casts, so both engines produce bit-identical similarity values.
+
+Scale design:
+  * brute-force KNN is the correctness baseline: |Q| × |C| pairs — fine for
+    a bounded query set, quadratic otherwise.  The scale path is EMB3's
+    bucketing (hyperplane-sign LSH): candidates meet only inside a bucket,
+    so the join shuffles on the bucket key instead of crossing everything.
+  * per-dim centroid aggregation shuffles once on (label, dim) with exact
+    decimal accumulation — partial aggregation makes it map-combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_table
+from .dialect import d, elem, fold, list_len, r6t, seq
+from .queries import QUERIES
+
+N_QUERY_VECS = 5
+TOP_K = 10
+
+
+def _dot(dialect: str, a: str, b: str) -> str:
+    prods = (
+        f"{'transform' if dialect == 'spark' else 'list_transform'}"
+        f"({seq(dialect, '1', list_len(dialect, a))}, i -> "
+        f"CAST({elem(dialect, a, 'CAST(i AS INT)')} AS DOUBLE) * "
+        f"CAST({elem(dialect, b, 'CAST(i AS INT)')} AS DOUBLE))"
+    )
+    return fold(dialect, prods, "acc + x")
+
+
+def _cosine(dialect: str, a: str, b: str) -> str:
+    return (
+        f"({_dot(dialect, a, b)}) / "
+        f"(sqrt({_dot(dialect, a, a)}) * sqrt({_dot(dialect, b, b)}))"
+    )
+
+
+def sql_knn(dialect: str) -> str:
+    """EMB1 — brute-force cosine top-k: query vecs (vec_id < 5) × all
+    candidates, rank by rounded similarity with vec_id tie-break (total
+    order → deterministic top-k in both engines)."""
+    cos = _cosine(dialect, "q.embedding", "c.embedding")
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, c.label,
+         {r6t(cos)} AS cosine_sim
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, label, cosine_sim, rk
+FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
+def sql_centroids(dialect: str) -> str:
+    """EMB2 — per-label centroids in long form (label, dim, centroid):
+    one shuffle on (label, dim), exact decimal accumulation."""
+    dims = seq(dialect, "1", list_len(dialect, "embedding"))
+    if dialect == "spark":
+        exploded = (
+            f"SELECT label, dim, CAST(element_at(embedding, dim) AS DOUBLE) AS val "
+            f"FROM embeddings LATERAL VIEW explode({dims}) _e AS dim"
+        )
+    else:
+        exploded = (
+            f"SELECT label, unnest({dims}) AS dim, NULL AS val FROM embeddings"
+        )
+        # DuckDB: unnest once, then index — rewrite with a positional join
+        exploded = (
+            "SELECT e.label, i.dim, CAST(e.embedding[i.dim] AS DOUBLE) AS val "
+            "FROM embeddings e CROSS JOIN "
+            "(SELECT unnest(generate_series(1, 64)) AS dim) i "
+            "WHERE i.dim <= len(e.embedding)"
+        )
+    return f"""
+WITH vals AS ({exploded})
+SELECT label, dim,
+       {r6t("CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(val)")}
+         AS centroid,
+       COUNT(val) AS n_vectors
+FROM vals
+GROUP BY label, dim
+"""
+
+
+def sql_bucketed_near_dup(dialect: str) -> str:
+    """EMB3 — hyperplane-sign LSH near-dup: bucket = sign pattern of the
+    first 16 dims (a 16-bit key); exact cosine verified only inside buckets.
+    The bucket join is the sole shuffle — the 100 TB path, traded against
+    recall for pairs straddling a sign boundary."""
+    bits = " + ".join(
+        f"(CASE WHEN CAST({elem(dialect, 'embedding', str(i))} AS DOUBLE) > {d('0.0')} "
+        f"THEN {2 ** (i - 1)} ELSE 0 END)"
+        for i in range(1, 17)
+    )
+    cos = _cosine(dialect, "a.embedding", "b.embedding")
+    return f"""
+WITH keyed AS (
+  SELECT vec_id, label, embedding, {bits} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         {r6t(cos)} AS cosine_sim
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, bucket, cosine_sim
+FROM pairs WHERE cosine_sim >= {d('0.2')}
+"""
+
+
+_BODIES = {
+    "emb1_knn_cosine": sql_knn,
+    "emb2_label_centroids": sql_centroids,
+    "emb3_lsh_near_dup": sql_bucketed_near_dup,
+}
+
+EMBEDDING_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
+
+
+def _make_query(body):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+        return spark.sql(body("spark"))
+
+    return fn
+
+
+for _name, _body in _BODIES.items():
+    QUERIES[_name] = _make_query(_body)

@@ -26,62 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from .dialect import collected as _collected
+from .dialect import d as _d
+from .dialect import fold, jsonk, list_len, r6t, seeded_fold
 from .queries import QUERIES
 
 # Shared window text (per-symbol series ordered by time, deterministic tiebreak)
 WIN = "PARTITION BY company_id ORDER BY trade_datetime ASC, tick_id ASC"
 BUFFER = 1000  # reference deque maxlen (shared/config.py:135)
 
-D = "CAST({v} AS DOUBLE)"
-
-
-def _d(v: str) -> str:
-    return D.format(v=v)
-
-
-def r6t(e: str) -> str:
-    """Shared-text deterministic rounding (see functions/scalars.r6)."""
-    m = _d("1000000.0")
-    return (
-        f"CASE WHEN isnan({e}) THEN {e} "
-        f"ELSE floor(({e}) * {m} + {_d('0.5')}) / {m} END"
-    )
-
-
-def fold(dialect: str, lst: str, body: str, init: str | None = None) -> str:
-    """Left fold with explicit init (default 0.0): identical order both engines."""
-    init = init or _d("0.0")
-    if dialect == "spark":
-        return f"aggregate({lst}, {init}, (acc, x) -> {body})"
-    return f"list_reduce(list_concat([{init}], {lst}), (acc, x) -> {body})"
-
-
-def seeded_fold(dialect: str, lst: str, body: str) -> str:
-    """Fold seeded with the list head — the reference EMA recursion shape."""
-    if dialect == "spark":
-        return (
-            f"aggregate(slice({lst}, 2, size({lst}) - 1), "
-            f"CAST(element_at({lst}, 1) AS DOUBLE), (acc, x) -> {body})"
-        )
-    return f"list_reduce({lst}, (acc, x) -> {body})"
-
 
 def collected(dialect: str, col: str, preceding: int) -> str:
-    """Ordered frame list; NULL elements dropped in both engines."""
-    frame = f"ROWS BETWEEN {preceding} PRECEDING AND CURRENT ROW"
-    if dialect == "spark":
-        return f"collect_list({col}) OVER ({WIN} {frame})"
-    return f"list_filter(list({col}) OVER ({WIN} {frame}), y -> y IS NOT NULL)"
-
-
-def list_len(dialect: str, lst: str) -> str:
-    return f"size({lst})" if dialect == "spark" else f"len({lst})"
-
-
-def jsonk(dialect: str, col: str, key: str) -> str:
-    if dialect == "spark":
-        return f"get_json_object({col}, '$.{key}')"
-    return f"json_extract_string({col}, '$.{key}')"
+    return _collected(dialect, col, preceding, WIN)
 
 
 def ticks_cte(dialect: str) -> str:

@@ -1,0 +1,329 @@
+"""Text-analysis & document-dedup queries over the ``documents`` table —
+the training-data-pipeline extension surface (token stats, quality scoring,
+language-ID, fingerprinting, exact / n-gram-Jaccard / MinHash-LSH / SimHash
+dedup).  Same dual-dialect scheme as indicator_parity: one SQL body per
+query, engine-specific primitives injected from plans/dialect.
+
+The reference pipeline has no document processing; these operators extend its
+engine to the corpus-preparation workload (SURVEY.md §7.2 step 8).  All
+hashes are engine-neutral polynomial folds (dialect.tok_hash) — Spark
+xxhash64 / DuckDB hash() would never agree across engines, and a hash that
+only one engine can compute cannot be oracle-checked.
+
+Scale notes (100 TB thinking):
+  * every query is embarrassingly parallel per document except the candidate
+    joins, which shuffle on (shingle | band | bucket) keys — the standard
+    LSH layout: band keys are low-cardinality-safe because signatures spread
+    uniformly; the explode factor is bounded (n_shingles ≈ n_tokens).
+  * the nested char-fold hashes are O(doc length) JVM-side codegen — no
+    Python in the hot path.  For very long documents the pandas scale path
+    in operators/text.py hashes with numpy instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_table
+from .dialect import (
+    arr_distinct,
+    d,
+    elem,
+    explode_from,
+    fold,
+    list_len,
+    map_fold_sum,
+    r6t,
+    seq,
+    shiftright,
+    split_ws,
+    tok_hash,
+    transform,
+)
+from .queries import QUERIES
+
+P_MOD = 1_000_000_007
+
+# Deterministic MinHash parameters (no RNG: fixed multiplicative-mix series).
+N_HASHES = 16
+BAND_SIZE = 4  # → 4 bands
+MINHASH_PARAMS = [
+    ((i * 2654435761 + 1) % P_MOD, (i * 40503 * 65537 + 7) % P_MOD)
+    for i in range(1, N_HASHES + 1)
+]
+
+EN_STOP = "('the','a','of','and','to','in','is','on','for','with')"
+LANG_MARKERS = {
+    "en": "('the','a','of','and')",
+    "es": "('el','la','de','los')",
+    "de": "('der','die','und','das')",
+    "fr": "('le','les','et','une')",
+}
+
+
+def docs_cte(dialect: str) -> str:
+    toks = split_ws(dialect, "text")
+    return f"""
+docs AS (
+  SELECT doc_id, text, lang, source, n_chars, {toks} AS toks
+  FROM documents
+)
+"""
+
+
+def sql_token_stats(dialect: str) -> str:
+    """TXT1 — token counting: n_tokens, byte/char length, mean token length."""
+    n = list_len(dialect, "toks")
+    lens = transform(dialect, "toks", d("length(x)"))
+    mean_len = f"({fold(dialect, lens, 'acc + x')}) / {d(n)}"
+    return f"""
+WITH {docs_cte(dialect)}
+SELECT doc_id, lang, source,
+       {n} AS n_tokens,
+       length(text) AS n_chars_actual,
+       {r6t(mean_len)} AS mean_token_len
+FROM docs
+"""
+
+
+def sql_quality(dialect: str) -> str:
+    """TXT2 — quality scoring: stopword ratio + length score composite.
+
+    quality = 0.5 * min(1, n_tokens/50) + 0.5 * min(1, stop_ratio/0.4)
+    (an explicit, documented heuristic — the corpus-filtering analogue of the
+    reference's P7/P8 validity gates).
+    """
+    n = d(list_len(dialect, "toks"))
+    stops = map_fold_sum(
+        dialect, "toks",
+        f"CASE WHEN x IN {EN_STOP} THEN {d('1.0')} ELSE {d('0.0')} END",
+    )
+    stop_ratio = f"({stops}) / {n}"
+    len_score = f"least({d('1.0')}, {n} / {d('50.0')})"
+    stop_score = f"least({d('1.0')}, ({stop_ratio}) / {d('0.4')})"
+    quality = f"{d('0.5')} * ({len_score}) + {d('0.5')} * ({stop_score})"
+    return f"""
+WITH {docs_cte(dialect)}
+SELECT doc_id, lang,
+       {r6t(stop_ratio)} AS stopword_ratio,
+       {r6t(quality)} AS quality_score
+FROM docs
+"""
+
+
+def sql_langid(dialect: str) -> str:
+    """TXT3 — n-gram/stopword language ID with deterministic tie-break
+    (priority en > es > de > fr; 'und' when no marker hits)."""
+    hits = {
+        code: map_fold_sum(
+            dialect, "toks",
+            f"CASE WHEN x IN {markers} THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END",
+            init="CAST(0 AS BIGINT)",
+        )
+        for code, markers in LANG_MARKERS.items()
+    }
+    best = " , ".join(f"{code}_hits" for code in LANG_MARKERS)
+    return f"""
+WITH {docs_cte(dialect)},
+scored AS (
+  SELECT doc_id, lang,
+         {hits['en']} AS en_hits,
+         {hits['es']} AS es_hits,
+         {hits['de']} AS de_hits,
+         {hits['fr']} AS fr_hits
+  FROM docs
+)
+SELECT doc_id, lang AS labeled_lang, en_hits, es_hits, de_hits, fr_hits,
+       CASE
+         WHEN greatest({best}) = 0 THEN 'und'
+         WHEN en_hits = greatest({best}) THEN 'en'
+         WHEN es_hits = greatest({best}) THEN 'es'
+         WHEN de_hits = greatest({best}) THEN 'de'
+         ELSE 'fr'
+       END AS predicted_lang
+FROM scored
+"""
+
+
+def sql_fingerprint(dialect: str) -> str:
+    """TXT4 — document fingerprint: rolling polynomial hash over token
+    hashes (order-sensitive, whitespace-normalized)."""
+    th = transform(dialect, "toks", tok_hash(dialect, "x"))
+    fp = fold(
+        dialect, "thashes", f"(acc * 31 + x) % {P_MOD}",
+        init="CAST(0 AS BIGINT)",
+    )
+    return f"""
+WITH {docs_cte(dialect)},
+hashed_docs AS (
+  SELECT doc_id, {th} AS thashes FROM docs
+)
+SELECT doc_id, {fp} AS fingerprint
+FROM hashed_docs
+"""
+
+
+def sql_exact_dedup(dialect: str) -> str:
+    """DD1 — exact dedup: canonical survivor (min doc_id) per identical
+    text; n_copies > 1 marks duplicate clusters.  At scale this groups on a
+    64-char prefix + hash, not raw text; here text is small."""
+    return """
+SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents
+GROUP BY text
+"""
+
+
+def shingles_cte(dialect: str) -> str:
+    """Distinct token-3-gram shingles per doc, with engine-neutral hashes."""
+    tri = transform(
+        dialect,
+        seq(dialect, "1", f"{list_len(dialect, 'toks')} - 2"),
+        f"concat({elem(dialect, 'toks', 'CAST(i AS INT)')}, ' ', "
+        f"{elem(dialect, 'toks', 'CAST(i AS INT) + 1')}, ' ', "
+        f"{elem(dialect, 'toks', 'CAST(i AS INT) + 2')})",
+        var="i",
+    )
+    exploded = explode_from(dialect, "sh_docs", "shingles", "shingle", "doc_id")
+    sh_hash = tok_hash(dialect, "shingle")
+    return f"""
+{docs_cte(dialect)},
+sh_docs AS (
+  SELECT doc_id, {arr_distinct(dialect, tri)} AS shingles
+  FROM docs
+  WHERE {list_len(dialect, 'toks')} >= 3
+),
+doc_shingles AS ({exploded}),
+hashed AS (
+  SELECT doc_id, {sh_hash} AS sh FROM doc_shingles
+)
+"""
+
+
+def sql_ngram_jaccard(dialect: str) -> str:
+    """DD2 — n-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
+    (the shuffle key), Jaccard = |∩| / |a ∪ b| ≥ 0.05, a < b."""
+    return f"""
+WITH {shingles_cte(dialect)},
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id
+),
+pairs AS (
+  SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b, count(*) AS n_common
+  FROM hashed h1 JOIN hashed h2 ON h1.sh = h2.sh AND h1.doc_id < h2.doc_id
+  GROUP BY h1.doc_id, h2.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_common,
+       {r6t(f"{d('p.n_common')} / {d('(sa.n_sh + sb.n_sh - p.n_common)')}")} AS jaccard
+FROM pairs p
+JOIN sizes sa ON p.doc_a = sa.doc_id
+JOIN sizes sb ON p.doc_b = sb.doc_id
+WHERE {d('p.n_common')} / {d('(sa.n_sh + sb.n_sh - p.n_common)')} >= {d('0.05')}
+"""
+
+
+def _minhash_sig_cte(dialect: str) -> str:
+    hp_rows = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS hash_id, CAST({a} AS BIGINT) AS a, "
+        f"CAST({b} AS BIGINT) AS b"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    mh_cols = ",\n         ".join(
+        f"min(CASE WHEN hash_id = {i} THEN mh END) AS h{i}"
+        for i in range(1, N_HASHES + 1)
+    )
+    return f"""
+{shingles_cte(dialect)},
+hp AS ({hp_rows}),
+mins AS (
+  SELECT h.doc_id, hp.hash_id, min((hp.a * h.sh + hp.b) % {P_MOD}) AS mh
+  FROM hashed h CROSS JOIN hp
+  GROUP BY h.doc_id, hp.hash_id
+),
+sigs AS (
+  SELECT doc_id,
+         {mh_cols}
+  FROM mins GROUP BY doc_id
+)
+"""
+
+
+def sql_minhash_signatures(dialect: str) -> str:
+    """DD3 — MinHash signatures (16 permutation-hashes over shingle sets).
+    The per-doc signature is the LSH index record; banding happens in DD4."""
+    cols = ", ".join(f"h{i}" for i in range(1, N_HASHES + 1))
+    return f"WITH {_minhash_sig_cte(dialect)} SELECT doc_id, {cols} FROM sigs"
+
+
+def sql_minhash_candidates(dialect: str) -> str:
+    """DD4 — LSH banding: 4 bands × 4 rows; docs sharing any band signature
+    become candidate near-dup pairs (the bucket-join is the only shuffle)."""
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [f"h{b * BAND_SIZE + j}" for j in range(1, BAND_SIZE + 1)]
+        sig = " || ':' || ".join(f"CAST({c} AS STRING)" for c in cols)
+        bands.append(
+            f"SELECT doc_id, {b} AS band_id, {sig} AS band_sig FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    return f"""
+WITH {_minhash_sig_cte(dialect)},
+bands AS ({bands_sql})
+SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands b1
+JOIN bands b2 ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
+            AND b1.doc_id < b2.doc_id
+GROUP BY b1.doc_id, b2.doc_id
+"""
+
+
+def sql_simhash(dialect: str) -> str:
+    """DD5 — 16-bit SimHash: per bit, sum ±1 over token hashes; bit set when
+    the sum is positive.  Collisions (same signature, different doc) are the
+    near-dup candidates; signatures alone are the checkable artifact."""
+    th = transform(dialect, "toks", tok_hash(dialect, "x"))
+    bit_terms = []
+    for j in range(16):
+        bitsum = fold(
+            dialect, "thashes",
+            f"acc + (CASE WHEN ({shiftright(dialect, 'x', str(j))}) % 2 = 1 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)",
+            init="CAST(0 AS BIGINT)",
+        )
+        bit_terms.append(f"(CASE WHEN ({bitsum}) > 0 THEN {2 ** j} ELSE 0 END)")
+    sig = " + ".join(bit_terms)
+    return f"""
+WITH {docs_cte(dialect)},
+hashed_docs AS (
+  SELECT doc_id, {th} AS thashes FROM docs
+)
+SELECT doc_id, {sig} AS simhash16
+FROM hashed_docs
+"""
+
+
+_BODIES = {
+    "txt1_token_stats": sql_token_stats,
+    "txt2_quality": sql_quality,
+    "txt3_langid": sql_langid,
+    "txt4_fingerprint": sql_fingerprint,
+    "dd1_exact_dedup": sql_exact_dedup,
+    "dd2_ngram_jaccard": sql_ngram_jaccard,
+    "dd3_minhash_signatures": sql_minhash_signatures,
+    "dd4_minhash_candidates": sql_minhash_candidates,
+    "dd5_simhash": sql_simhash,
+}
+
+TEXT_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
+
+
+def _make_query(body):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+        return spark.sql(body("spark"))
+
+    return fn
+
+
+for _name, _body in _BODIES.items():
+    QUERIES[_name] = _make_query(_body)
