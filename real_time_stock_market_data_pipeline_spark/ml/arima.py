@@ -1,0 +1,173 @@
+"""Per-symbol ARIMA forecasting as a grouped map (reference U2:
+ml/arima_forecasting.py).
+
+Reference behavior: per symbol, grid-search (p ≤ 5, d ∈ ADF-candidates,
+q ≤ 5) by AIC with statsmodels, gate ≥ 50 observations, forecast k steps
+with confidence intervals, AIC→confidence transform downstream.
+
+Spark-first reshaping: ``applyInPandas`` per symbol — model fitting is
+per-key work that parallelizes across symbols; each group is bounded by the
+reference's own 1000-tick cache.  statsmodels is not in this environment, so
+the estimator is a self-contained numpy ARIMA:
+
+  * difference the series d times (d ∈ {0,1,2} — the reference's ADF step
+    picks d; we grid it and let AIC decide, same selection criterion);
+  * AR(p) via conditional least squares;
+  * MA(q) via Hannan–Rissanen: long-AR residuals become regressors;
+  * AIC = n·ln(SSE/n) + 2(p+q+1), minimized over the grid in deterministic
+    (p, d, q) iteration order (ties → first wins, like the reference's loop
+    order, arima_forecasting.py:108-110);
+  * k-step recursive forecast, undifferenced back; 95% intervals from the
+    residual std (widening with √horizon).
+
+Everything is deterministic: no RNG, fixed iteration order, closed-form
+solves.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MIN_OBSERVATIONS = 50  # reference arima_forecasting.py:45
+MAX_P, MAX_D, MAX_Q = 3, 2, 2  # reduced from (5,2,5): CSS grid, same criterion
+Z95 = 1.959963984540054
+
+
+def _css_fit(x: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndarray, float] | None:
+    """Conditional-least-squares ARMA(p,q) fit on a (differenced) series.
+
+    Returns (coefs [c, ar..., ma...], residuals, sse) or None if the system
+    is degenerate.  Hannan–Rissanen: residual proxies from a long AR fit.
+    """
+    n = len(x)
+    long_p = min(max(p + q + 2, 5), n // 3)
+    if n - long_p <= p + q + 1 or long_p < 1:
+        return None
+    # stage 1: long AR for residual proxies
+    A = np.hstack(
+        [np.ones((n - long_p, 1))]
+        + [x[long_p - k : n - k, None] for k in range(1, long_p + 1)]
+    )
+    yv = x[long_p:]
+    beta, *_ = np.linalg.lstsq(A, yv, rcond=None)
+    eps = np.zeros(n)
+    eps[long_p:] = yv - A @ beta
+    # stage 2: regress on p lags of x and q lags of eps
+    m = max(p, q, long_p)
+    rows = n - m
+    if rows <= p + q + 1:
+        return None
+    cols = [np.ones((rows, 1))]
+    cols += [x[m - k : n - k, None] for k in range(1, p + 1)]
+    cols += [eps[m - k : n - k, None] for k in range(1, q + 1)]
+    A2 = np.hstack(cols)
+    y2 = x[m:]
+    coefs, *_ = np.linalg.lstsq(A2, y2, rcond=None)
+    resid = y2 - A2 @ coefs
+    sse = float(resid @ resid)
+    if not math.isfinite(sse) or sse <= 0:
+        return None
+    return coefs, resid, sse
+
+
+def _fit_best(x: np.ndarray) -> dict | None:
+    """AIC grid search in deterministic (p, d, q) order."""
+    best = None
+    for p in range(MAX_P + 1):
+        for d in range(MAX_D + 1):
+            for q in range(MAX_Q + 1):
+                if p == 0 and q == 0:
+                    continue
+                xd = np.diff(x, n=d) if d else x
+                if len(xd) < MIN_OBSERVATIONS // 2:
+                    continue
+                fit = _css_fit(xd, p, q)
+                if fit is None:
+                    continue
+                coefs, resid, sse = fit
+                nn = len(resid)
+                k = p + q + 1
+                aic = nn * math.log(sse / nn) + 2 * k
+                if best is None or aic < best["aic"] - 1e-12:
+                    best = {
+                        "p": p, "d": d, "q": q, "coefs": coefs,
+                        "resid": resid, "sse": sse, "aic": aic,
+                    }
+    return best
+
+
+def _forecast(x: np.ndarray, best: dict, steps: int) -> tuple[np.ndarray, float]:
+    p, d, q = best["p"], best["d"], best["q"]
+    coefs = best["coefs"]
+    xd = np.diff(x, n=d) if d else x.copy()
+    hist = list(xd)
+    eps_hist = list(best["resid"][-max(q, 1):]) if q else []
+    sigma = math.sqrt(best["sse"] / len(best["resid"]))
+    out = []
+    for _ in range(steps):
+        val = coefs[0]
+        for k in range(1, p + 1):
+            val += coefs[k] * hist[-k]
+        for k in range(1, q + 1):
+            val += coefs[p + k] * (eps_hist[-k] if k <= len(eps_hist) else 0.0)
+        out.append(val)
+        hist.append(val)
+        if q:
+            eps_hist.append(0.0)  # future shocks have zero expectation
+    fc = np.array(out)
+    # undifference: integrate d times against the series tail
+    for i in range(d):
+        tail = x if i == d - 1 else np.diff(x, n=d - 1 - i)
+        fc = np.cumsum(fc) + tail[-1]
+    return fc, sigma
+
+
+def forecast(
+    df: DataFrame,
+    steps: int = 5,
+    key: str = "company_id",
+    ts: str = "trade_datetime",
+    price: str = "current_price",
+) -> DataFrame:
+    """Per-symbol k-step forecast table:
+    (key, step, forecast, ci_lo, ci_hi, aic, order_p, order_d, order_q).
+    Symbols below the 50-observation gate emit no rows (reference gate)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [key, "step", "forecast", "ci_lo", "ci_hi", "aic",
+                "order_p", "order_d", "order_q"]
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        x = pdf[price].to_numpy(dtype=np.float64)
+        sym = pdf[key].iloc[0]
+        if len(x) < MIN_OBSERVATIONS:
+            return pd.DataFrame(columns=cols)
+        best = _fit_best(x)
+        if best is None:
+            return pd.DataFrame(columns=cols)
+        fc, sigma = _forecast(x, best, steps)
+        widen = sigma * Z95 * np.sqrt(np.arange(1, steps + 1))
+        return pd.DataFrame(
+            {
+                key: sym,
+                "step": np.arange(1, steps + 1),
+                "forecast": fc,
+                "ci_lo": fc - widen,
+                "ci_hi": fc + widen,
+                "aic": best["aic"],
+                "order_p": best["p"],
+                "order_d": best["d"],
+                "order_q": best["q"],
+            },
+            columns=cols,
+        )
+
+    key_type = dict(df.dtypes)[key]
+    schema = (
+        f"{key} {key_type}, step int, forecast double, ci_lo double, ci_hi double, "
+        "aic double, order_p int, order_d int, order_q int"
+    )
+    return df.groupBy(key).applyInPandas(run, schema=schema)

