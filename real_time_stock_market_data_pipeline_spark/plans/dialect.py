@@ -138,3 +138,11 @@ def tok_hash(dialect: str, tok: str, mod: int = 1_000_000_007) -> str:
     return fold(
         dialect, codes, f"(acc * 131 + x) % {mod}", init="CAST(7 AS BIGINT)"
     )
+
+
+def last_ignore_nulls(dialect: str, e: str) -> str:
+    """last_value(...) IGNORE NULLS — Spark puts the modifier after the call,
+    DuckDB inside the parentheses."""
+    if dialect == "spark":
+        return f"last_value({e}) IGNORE NULLS"
+    return f"last_value({e} IGNORE NULLS)"

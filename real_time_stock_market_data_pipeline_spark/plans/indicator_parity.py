@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.readers import load_table
 from .dialect import collected as _collected
 from .dialect import d as _d
-from .dialect import fold, jsonk, list_len, r6t, seeded_fold
+from .dialect import fold, jsonk, last_ignore_nulls, list_len, r6t, seeded_fold
 from .queries import QUERIES
 
 # Shared window text (per-symbol series ordered by time, deterministic tiebreak)
@@ -378,6 +378,57 @@ FROM s2
 """
 
 
+def sql_throttled_volatility(dialect: str) -> str:
+    """W10 — indicator throttling (technical_indicators.py:14-36,270-274):
+    volatility recomputed only every 5th tick per symbol
+    (VOLATILITY_CALC_FREQUENCY=5, shared/config.py:113-120); intermediate
+    rows serve the cached (most recent computed) value.  The cache is a
+    running ``last_value IGNORE NULLS`` over the gated column — no state,
+    no extra shuffle beyond the one per-symbol sort."""
+    n = _d(f"{list_len(dialect, 'rbuf')}")
+    _, var = mean_var_exprs(dialect, "rbuf", n)
+    vol = f"sqrt({var}) * sqrt({_d('252.0')})"
+    cached = last_ignore_nulls(dialect, "vol_computed")
+    frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+WITH {ticks_cte(dialect)},
+s1 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         row_number() OVER ({WIN}) AS rn,
+         (current_price - lag(current_price, 1) OVER ({WIN}))
+           / lag(current_price, 1) OVER ({WIN}) AS ret
+  FROM ticks
+),
+s2 AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
+  FROM s1
+),
+g AS (
+  SELECT tick_id, company_id, trade_datetime, current_price,
+         CASE WHEN rn >= 21 AND rn % 5 = 0 THEN {r6t(vol)} END AS vol_computed
+  FROM s2
+)
+SELECT tick_id, company_id, trade_datetime, current_price,
+       {cached} OVER ({WIN} {frame}) AS volatility_cached
+FROM g
+"""
+
+
+def sql_alert_feed(dialect: str) -> str:
+    """J3+O2 — the dashboard alert feed: alerts (T6) ⋈ broadcast dim,
+    ORDER BY created DESC LIMIT 50 (dashboard/app.py:121-143,753)."""
+    return f"""
+WITH alerts AS ({sql_alerts(dialect)})
+SELECT a.tick_id, a.company_id, c.c_name AS company_name,
+       a.trade_datetime, a.alert_type, a.indicator_value,
+       a.threshold_value, a.severity
+FROM alerts a JOIN customer c ON a.company_id = c.c_custkey
+ORDER BY a.trade_datetime DESC, a.tick_id DESC, a.alert_type ASC
+LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registration: Spark side = spark.sql(text) over the events temp view.
 # ---------------------------------------------------------------------------
@@ -394,6 +445,8 @@ _BODIES = {
     "t6_alerts": sql_alerts,
     "p8_extreme_filter": sql_extreme_filter,
     "w_all_indicators": sql_all_indicators,
+    "w10_throttled_volatility": sql_throttled_volatility,
+    "j3_alert_feed": sql_alert_feed,
 }
 
 INDICATOR_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
@@ -402,6 +455,7 @@ INDICATOR_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
 def _make_query(body):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+        load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
         return spark.sql(body("spark"))
 
     return fn

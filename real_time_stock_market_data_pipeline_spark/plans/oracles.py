@@ -166,3 +166,106 @@ FROM ticks ORDER BY current_price DESC, tick_id ASC LIMIT 100
 ORACLES["d1_distinct_event_types"] = """
 SELECT DISTINCT event_type FROM events
 """
+
+# --- coverage additions: P5/P6 filters, J5 dim lookup, O3-O6 sort/limit,
+# set ops, scalar suite, multimodal metadata ------------------------------
+
+ORACLES["p5_equality_filter"] = f"""
+WITH {TICKS_CTE}
+SELECT * FROM ticks WHERE event_type = 'purchase'
+"""
+
+ORACLES["p6_flag_filter"] = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       (o_orderstatus = 'O') AS is_open
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+ORACLES["j5_dim_lookup"] = """
+SELECT c_custkey, c_name AS company_name,
+       n_name AS industry_name, r_name AS sector_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+ORACLES["o3_training_fetch"] = f"""
+WITH {TICKS_CTE}
+SELECT t.tick_id, t.company_id, c.c_name AS company_name,
+       t.trade_datetime AS "timestamp", t.current_price AS close_price
+FROM ticks t JOIN customer c ON t.company_id = c.c_custkey
+ORDER BY t.trade_datetime ASC, t.tick_id ASC
+LIMIT 1000
+"""
+
+ORACLES["o4_latest_row"] = f"""
+WITH {TICKS_CTE}
+SELECT tick_id, company_id, trade_datetime, current_price
+FROM ticks ORDER BY trade_datetime DESC, tick_id DESC LIMIT 1
+"""
+
+ORACLES["o5_price_history"] = f"""
+WITH {TICKS_CTE}
+SELECT company_id, CAST(trade_datetime AS DATE) AS trade_date,
+       current_price AS close_price, volume
+FROM ticks
+WHERE company_id = (SELECT min(company_id) FROM ticks)
+QUALIFY row_number() OVER (
+  PARTITION BY company_id, CAST(trade_datetime AS DATE)
+  ORDER BY trade_datetime DESC, tick_id DESC) = 1
+ORDER BY trade_date DESC
+LIMIT 30
+"""
+
+ORACLES["o6_sorted_rollup"] = f"""
+WITH {TICKS_CTE}
+SELECT event_type, COUNT(*) AS n_events
+FROM ticks GROUP BY 1
+ORDER BY n_events DESC, event_type ASC
+"""
+
+ORACLES["su1_set_ops"] = f"""
+WITH {TICKS_CTE},
+buyers AS (SELECT DISTINCT company_id FROM ticks WHERE event_type = 'purchase'),
+errs   AS (SELECT DISTINCT company_id FROM ticks WHERE event_type = 'error')
+SELECT company_id, 'buyer_no_error' AS tag
+FROM (SELECT company_id FROM buyers EXCEPT SELECT company_id FROM errs)
+UNION ALL
+SELECT company_id, 'buyer_and_error' AS tag
+FROM (SELECT company_id FROM buyers INTERSECT SELECT company_id FROM errs)
+"""
+
+ORACLES["f1_scalar_suite"] = f"""
+WITH {TICKS_CTE}
+SELECT tick_id,
+       CAST(trade_datetime AS DATE) AS trade_date,
+       date_trunc('hour', trade_datetime) AS trade_hour,
+       trade_datetime + INTERVAL 7 DAY AS ts_plus_7d,
+       upper(trim(event_type)) AS event_type_uc,
+       CAST(length(event_type) AS INTEGER) AS event_type_len,
+       abs(current_price - 100.0::DOUBLE) AS abs_dev,
+       sqrt(abs(current_price)) AS sqrt_price,
+       greatest(current_price, 0.0::DOUBLE) AS clamped_lo,
+       least(current_price, 1000.0::DOUBLE) AS clamped_hi,
+       ((volume % 7) + 7) % 7 AS vol_mod7,
+       coalesce(volume, 0) AS vol_or_zero,
+       CASE WHEN current_price > 500.0::DOUBLE THEN 'HIGH'
+            WHEN current_price > 100.0::DOUBLE THEN 'MEDIUM'
+            ELSE 'LOW' END AS severity
+FROM ticks
+WHERE current_price IS NOT NULL AND NOT isnan(current_price)
+  AND current_price > 0 AND (volume IS NULL OR volume >= 0)
+"""
+
+ORACLES["mm1_media_meta"] = """
+SELECT source,
+       COUNT(*) AS n_items,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+       CAST(SUM(octet_length(encode(text)) % 1920 + 1) AS BIGINT) AS sum_width,
+       CAST(SUM(octet_length(encode(text)) % 1080 + 1) AS BIGINT) AS sum_height
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY source
+"""

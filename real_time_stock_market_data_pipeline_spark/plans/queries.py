@@ -314,6 +314,192 @@ def d1_distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("p5_equality_filter")
+def p5_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — equality predicate (`WHERE ticker_symbol = %s`,
+    dashboard/app.py:71-72; company_manager.py:165-166).  Pushed to the
+    parquet scan as a PushedFilter — zero row-groups read where stats
+    exclude the literal."""
+    return ticks_from_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+
+
+@register("p6_flag_filter")
+def p6_flag_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — boolean-flag filter (`WHERE is_current = TRUE`,
+    producer.py:371; partial indexes db/enhanced_schema.sql:65).  The flag is
+    a computed boolean column, filtered post-projection exactly like the
+    reference's stored flag."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        (F.col("o_orderstatus") == "O").alias("is_open"),
+    )
+    return orders.filter(F.col("is_open"))
+
+
+@register("j5_dim_lookup")
+def j5_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 — dim ⋈ dim lookup chain with equality probe (companies ⋈
+    industries by ticker, company_manager.py:161-166, 200-207).  Both sides
+    broadcast; no shuffle at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("company_name"),
+            F.col("n_name").alias("industry_name"),
+            F.col("r_name").alias("sector_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (O rows, continued) and set operations
+# ---------------------------------------------------------------------------
+
+
+@register("o3_training_fetch")
+def o3_training_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3+J9 — the ML training fetch: ticks ⋈ broadcast dim, ORDER BY ts ASC
+    LIMIT n (ml/train_linear_regression.py:23-30).  Ascending top-k is the
+    same TakeOrderedAndProject physical op as O1."""
+    ticks = ticks_from_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("company_id"), F.col("c_name").alias("company_name")
+    )
+    joined = ticks.join(F.broadcast(cust), "company_id").select(
+        "tick_id", "company_id", "company_name",
+        F.col("trade_datetime").alias("timestamp"),
+        F.col("current_price").alias("close_price"),
+    )
+    return top_k(joined, [F.col("timestamp").asc(), F.col("tick_id").asc()], 1000)
+
+
+@register("o4_latest_row")
+def o4_latest_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 — top-1 latest (`ORDER BY created_at DESC LIMIT 1`, the
+    latest-model lookup, ml/batch_predict_linear_regression.py:47-53)."""
+    t = ticks_from_events(spark, sf_dir)
+    return top_k(
+        t.select("tick_id", "company_id", "trade_datetime", "current_price"),
+        [F.col("trade_datetime").desc(), F.col("tick_id").desc()],
+        1,
+    )
+
+
+@register("o5_price_history")
+def o5_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — per-symbol last-N-days price history: daily close (W1) of the
+    anchor symbol, ORDER BY trade_date DESC LIMIT 30
+    (company_manager.py:317-324).  The symbol probe is an anchored broadcast
+    (lowest company_id) so the query is deterministic at every SF."""
+    t = ticks_from_events(spark, sf_dir)
+    anchor = t.agg(F.min("company_id").alias("__anchor_id"))
+    daily = latest_per_group(
+        t.join(F.broadcast(anchor))
+        .filter(F.col("company_id") == F.col("__anchor_id"))
+        .withColumn("trade_date", F.to_date("trade_datetime")),
+        ["company_id", "trade_date"],
+        "trade_datetime",
+        "tick_id",
+    ).select(
+        "company_id", "trade_date",
+        F.col("current_price").alias("close_price"), "volume",
+    )
+    return top_k(daily, [F.col("trade_date").desc()], 30)
+
+
+@register("o6_sorted_rollup")
+def o6_sorted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6/O7 — full ORDER BY (no limit): per-type counts sorted descending
+    (company_manager.py:267; dashboard/app.py:212,242).  Global sort = range
+    partition + per-partition sort; safe here because the rollup is tiny."""
+    return (
+        ticks_from_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("event_type").asc())
+    )
+
+
+@register("su1_set_ops")
+def su1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (SURVEY §2.7 — absent in the reference, exposed by the
+    engine): EXCEPT / INTERSECT branches tagged and UNION ALL'd in one
+    result.  Both branches reuse one shuffle of the distinct projections."""
+    t = ticks_from_events(spark, sf_dir)
+    buyers = t.filter(F.col("event_type") == "purchase").select("company_id").distinct()
+    errs = t.filter(F.col("event_type") == "error").select("company_id").distinct()
+    only_buyers = buyers.subtract(errs).withColumn("tag", F.lit("buyer_no_error"))
+    both = buyers.intersect(errs).withColumn("tag", F.lit("buyer_and_error"))
+    return only_buyers.unionByName(both)
+
+
+@register("f1_scalar_suite")
+def f1_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 scalar-function suite in one projection: date/time (to_date,
+    date_trunc, interval arithmetic), string (upper/trim/length), math
+    (abs/sqrt/greatest/least/mod), conditional (coalesce, CASE), JSON
+    extraction.  All JVM-side Column expressions — one WholeStageCodegen
+    span over the scan, no Python in the loop."""
+    t = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
+    return t.select(
+        "tick_id",
+        F.col("trade_datetime").cast("date").alias("trade_date"),
+        F.date_trunc("hour", "trade_datetime").alias("trade_hour"),
+        F.expr("trade_datetime + INTERVAL 7 DAY").alias("ts_plus_7d"),
+        F.upper(F.trim(F.col("event_type"))).alias("event_type_uc"),
+        F.length("event_type").alias("event_type_len"),
+        F.abs(F.col("current_price") - 100.0).alias("abs_dev"),
+        F.sqrt(F.abs(F.col("current_price"))).alias("sqrt_price"),
+        F.greatest(F.col("current_price"), F.lit(0.0)).alias("clamped_lo"),
+        F.least(F.col("current_price"), F.lit(1000.0)).alias("clamped_hi"),
+        (((F.col("volume") % 7) + 7) % 7).alias("vol_mod7"),
+        F.coalesce(F.col("volume"), F.lit(0)).alias("vol_or_zero"),
+        F.when(F.col("current_price") > 500.0, "HIGH")
+        .when(F.col("current_price") > 100.0, "MEDIUM")
+        .otherwise("LOW")
+        .alias("severity"),
+    )
+
+
+@register("mm1_media_meta")
+def mm1_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing — documents' text bytes as an opaque binary media
+    column + typed metadata, decoded (deterministic stub) via Arrow-batched
+    mapInPandas, rolled up per source.  Exercises the full media path:
+    binary column, metadata struct, mapInPandas batch shape, and
+    metadata-only aggregation (the binary column is pruned from the final
+    exchange)."""
+    from ..operators.multimodal import decode_image_meta, with_media_columns
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    media = with_media_columns(docs, payload="text", media_type="image")
+    decoded = decode_image_meta(media, fake=True)
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("media_meta.byte_length")).alias("total_bytes"),
+            F.max(F.col("media_meta.byte_length")).alias("max_bytes"),
+            F.sum(F.col("width").cast("long")).alias("sum_width"),
+            F.sum(F.col("height").cast("long")).alias("sum_height"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML surface (U2-U4) — per-symbol grouped-map models; rows-only checks
 # (non-SQL-expressible: iterative fitting, documented in __spark_entry__).
