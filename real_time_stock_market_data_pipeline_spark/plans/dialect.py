@@ -146,3 +146,18 @@ def last_ignore_nulls(dialect: str, e: str) -> str:
     if dialect == "spark":
         return f"last_value({e}) IGNORE NULLS"
     return f"last_value({e} IGNORE NULLS)"
+
+
+def explode_with_pos(dialect: str, table: str, lst_col: str, pos: str, alias: str, keep: str) -> str:
+    """FROM-clause explode carrying the element position (for order-aware
+    downstream windows).  Position base differs (Spark 0-, DuckDB 1-based) —
+    callers may only ORDER BY it, never use its value."""
+    if dialect == "spark":
+        return (
+            f"SELECT {keep}, {pos}, {alias} FROM {table} "
+            f"LATERAL VIEW posexplode({lst_col}) _ex AS {pos}, {alias}"
+        )
+    return (
+        f"SELECT {keep}, unnest(generate_series(1, len({lst_col}))) AS {pos}, "
+        f"unnest({lst_col}) AS {alias} FROM {table}"
+    )

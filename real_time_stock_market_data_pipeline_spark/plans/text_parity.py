@@ -26,10 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
 from .dialect import (
-    arr_distinct,
     d,
-    elem,
-    explode_from,
+    explode_with_pos,
     fold,
     list_len,
     map_fold_sum,
@@ -174,28 +172,39 @@ GROUP BY text
 """
 
 
+SH_WIN = "PARTITION BY doc_id ORDER BY pos ASC"
+
+
 def shingles_cte(dialect: str) -> str:
-    """Distinct token-3-gram shingles per doc, with engine-neutral hashes."""
-    tri = transform(
-        dialect,
-        seq(dialect, "1", f"{list_len(dialect, 'toks')} - 2"),
-        f"concat({elem(dialect, 'toks', 'CAST(i AS INT)')}, ' ', "
-        f"{elem(dialect, 'toks', 'CAST(i AS INT) + 1')}, ' ', "
-        f"{elem(dialect, 'toks', 'CAST(i AS INT) + 2')})",
-        var="i",
+    """Distinct token-3-gram shingle hashes per doc.
+
+    Layout chosen for engine efficiency: tokens are EXPLODED to rows first,
+    so the char-fold hash runs exactly once per token occurrence (array-side
+    formulations re-evaluate the whole token-hash array per lambda element
+    once Spark collapses the projections — O(tokens²) per doc).  The trigram
+    hash is then an O(1) polynomial combine of (h, lead(h,1), lead(h,2))
+    over the per-doc position window, and the per-doc DISTINCT collapses
+    repeats.  Scale shape: one narrow explode, one window sort on doc_id,
+    one distinct — all linear in corpus size."""
+    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    h1 = "h"
+    h2 = f"lead(h, 1) OVER ({SH_WIN})"
+    h3 = f"lead(h, 2) OVER ({SH_WIN})"
+    combine = (
+        f"((((CAST(7 AS BIGINT) * 131 + {h1}) % {P_MOD}) * 131 + {h2}) "
+        f"% {P_MOD} * 131 + {h3}) % {P_MOD}"
     )
-    exploded = explode_from(dialect, "sh_docs", "shingles", "shingle", "doc_id")
-    sh_hash = tok_hash(dialect, "shingle")
     return f"""
 {docs_cte(dialect)},
-sh_docs AS (
-  SELECT doc_id, {arr_distinct(dialect, tri)} AS shingles
-  FROM docs
-  WHERE {list_len(dialect, 'toks')} >= 3
+tok_rows AS ({tok_rows}),
+tok_hashed AS (
+  SELECT doc_id, pos, {tok_hash(dialect, "tok")} AS h FROM tok_rows
 ),
-doc_shingles AS ({exploded}),
+sh_rows AS (
+  SELECT doc_id, {combine} AS sh FROM tok_hashed
+),
 hashed AS (
-  SELECT doc_id, {sh_hash} AS sh FROM doc_shingles
+  SELECT DISTINCT doc_id, sh FROM sh_rows WHERE sh IS NOT NULL
 )
 """
 
@@ -205,45 +214,36 @@ def sql_ngram_jaccard(dialect: str) -> str:
     (the shuffle key), Jaccard = |∩| / |a ∪ b| ≥ 0.05, a < b."""
     return f"""
 WITH {shingles_cte(dialect)},
-sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id
+sized AS (
+  SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM hashed
 ),
 pairs AS (
-  SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b, count(*) AS n_common
-  FROM hashed h1 JOIN hashed h2 ON h1.sh = h2.sh AND h1.doc_id < h2.doc_id
-  GROUP BY h1.doc_id, h2.doc_id
+  SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b,
+         h1.n_sh AS n_a, h2.n_sh AS n_b, count(*) AS n_common
+  FROM sized h1 JOIN sized h2 ON h1.sh = h2.sh AND h1.doc_id < h2.doc_id
+  GROUP BY h1.doc_id, h2.doc_id, h1.n_sh, h2.n_sh
 )
-SELECT p.doc_a, p.doc_b, p.n_common,
-       {r6t(f"{d('p.n_common')} / {d('(sa.n_sh + sb.n_sh - p.n_common)')}")} AS jaccard
-FROM pairs p
-JOIN sizes sa ON p.doc_a = sa.doc_id
-JOIN sizes sb ON p.doc_b = sb.doc_id
-WHERE {d('p.n_common')} / {d('(sa.n_sh + sb.n_sh - p.n_common)')} >= {d('0.05')}
+SELECT doc_a, doc_b, n_common,
+       {r6t(f"{d('n_common')} / {d('(n_a + n_b - n_common)')}")} AS jaccard
+FROM pairs
+WHERE {d('n_common')} / {d('(n_a + n_b - n_common)')} >= {d('0.05')}
 """
 
 
 def _minhash_sig_cte(dialect: str) -> str:
-    hp_rows = " UNION ALL ".join(
-        f"SELECT CAST({i + 1} AS BIGINT) AS hash_id, CAST({a} AS BIGINT) AS a, "
-        f"CAST({b} AS BIGINT) AS b"
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    )
+    """16 permutation-mins as one GROUP BY with 16 MIN aggregates — a single
+    map-side-combinable shuffle on doc_id (no hash-params cross join, no
+    second pivot aggregation)."""
     mh_cols = ",\n         ".join(
-        f"min(CASE WHEN hash_id = {i} THEN mh END) AS h{i}"
-        for i in range(1, N_HASHES + 1)
+        f"min((CAST({a} AS BIGINT) * sh + {b}) % {P_MOD}) AS h{i + 1}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
     )
     return f"""
 {shingles_cte(dialect)},
-hp AS ({hp_rows}),
-mins AS (
-  SELECT h.doc_id, hp.hash_id, min((hp.a * h.sh + hp.b) % {P_MOD}) AS mh
-  FROM hashed h CROSS JOIN hp
-  GROUP BY h.doc_id, hp.hash_id
-),
 sigs AS (
   SELECT doc_id,
          {mh_cols}
-  FROM mins GROUP BY doc_id
+  FROM hashed GROUP BY doc_id
 )
 """
 
