@@ -84,8 +84,10 @@ def mean_var_exprs(dialect: str, lst: str, n: str) -> tuple[str, str]:
 
 
 def sql_sma(dialect: str) -> str:
-    mean20 = fold(dialect, "buf20", "acc + x") + f" / {_d('20.0')}"
-    mean50 = fold(dialect, "buf50", "acc + x") + f" / {_d('50.0')}"
+    # Fold sums are STAGED as columns in their own projection so each list
+    # fold evaluates once per row; the r6t rounding wrapper references its
+    # argument 3× and would otherwise triple the fold work (Catalyst keeps
+    # the stage because non-cheap exprs referenced >1× don't collapse).
     return f"""
 WITH {ticks_cte(dialect)},
 s AS (
@@ -94,17 +96,21 @@ s AS (
          {collected(dialect, 'current_price', 19)} AS buf20,
          {collected(dialect, 'current_price', 49)} AS buf50
   FROM ticks
+),
+f AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {fold(dialect, 'buf20', 'acc + x')} AS s20,
+         {fold(dialect, 'buf50', 'acc + x')} AS s50
+  FROM s
 )
 SELECT tick_id, company_id, trade_datetime, current_price,
-       CASE WHEN rn >= 20 THEN {r6t(mean20)} END AS sma_20,
-       CASE WHEN rn >= 50 THEN {r6t(mean50)} END AS sma_50
-FROM s
+       CASE WHEN rn >= 20 THEN {r6t(f"s20 / {_d('20.0')}")} END AS sma_20,
+       CASE WHEN rn >= 50 THEN {r6t(f"s50 / {_d('50.0')}")} END AS sma_50
+FROM f
 """
 
 
 def sql_ema(dialect: str) -> str:
-    e12 = ema_expr(dialect, "buf", 12)
-    e26 = ema_expr(dialect, "buf", 26)
     return f"""
 WITH {ticks_cte(dialect)},
 s AS (
@@ -112,23 +118,39 @@ s AS (
          row_number() OVER ({WIN}) AS rn,
          {collected(dialect, 'current_price', BUFFER - 1)} AS buf
   FROM ticks
+),
+f AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {ema_expr(dialect, 'buf', 12)} AS e12,
+         {ema_expr(dialect, 'buf', 26)} AS e26
+  FROM s
 )
 SELECT tick_id, company_id, trade_datetime, current_price,
-       CASE WHEN rn >= 12 THEN {r6t(e12)} END AS ema_12,
-       CASE WHEN rn >= 26 THEN {r6t(e26)} END AS ema_26
-FROM s
+       CASE WHEN rn >= 12 THEN {r6t('e12')} END AS ema_12,
+       CASE WHEN rn >= 26 THEN {r6t('e26')} END AS ema_26
+FROM f
 """
 
 
-def sql_rsi(dialect: str) -> str:
-    gains = fold(dialect, "dbuf", f"acc + (CASE WHEN x > {_d('0.0')} THEN x ELSE {_d('0.0')} END)")
-    losses = fold(dialect, "dbuf", f"acc + (CASE WHEN x < {_d('0.0')} THEN -x ELSE {_d('0.0')} END)")
-    ag = f"({gains}) / {_d('14.0')}"
-    al = f"({losses}) / {_d('14.0')}"
-    rsi = (
-        f"CASE WHEN ({al}) = {_d('0.0')} THEN {_d('100.0')} "
-        f"ELSE {_d('100.0')} - {_d('100.0')} / ({_d('1.0')} + ({ag}) / ({al})) END"
+RSI_FROM_SUMS = (
+    f"CASE WHEN (lsum / {_d('14.0')}) = {_d('0.0')} THEN {_d('100.0')} "
+    f"ELSE {_d('100.0')} - {_d('100.0')} / ({_d('1.0')} + "
+    f"(gsum / {_d('14.0')}) / (lsum / {_d('14.0')})) END"
+)
+
+
+def _gain_loss_folds(dialect: str) -> tuple[str, str]:
+    gains = fold(
+        dialect, "dbuf", f"acc + (CASE WHEN x > {_d('0.0')} THEN x ELSE {_d('0.0')} END)"
     )
+    losses = fold(
+        dialect, "dbuf", f"acc + (CASE WHEN x < {_d('0.0')} THEN -x ELSE {_d('0.0')} END)"
+    )
+    return gains, losses
+
+
+def sql_rsi(dialect: str) -> str:
+    gains, losses = _gain_loss_folds(dialect)
     return f"""
 WITH {ticks_cte(dialect)},
 s1 AS (
@@ -141,15 +163,27 @@ s2 AS (
   SELECT tick_id, company_id, trade_datetime, current_price, rn,
          {collected(dialect, 'delta', 13)} AS dbuf
   FROM s1
+),
+f AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {gains} AS gsum, {losses} AS lsum
+  FROM s2
 )
 SELECT tick_id, company_id, trade_datetime, current_price,
-       CASE WHEN rn >= 15 THEN {r6t(rsi)} END AS rsi_14
-FROM s2
+       CASE WHEN rn >= 15 THEN {r6t(RSI_FROM_SUMS)} END AS rsi_14
+FROM f
 """
 
 
+def mean_var_from_sums(s1: str, s2: str, n: str) -> tuple[str, str]:
+    """Same formula as mean_var_exprs but over pre-staged sum columns."""
+    mean = f"({s1}) / {n}"
+    var = f"greatest(({s2}) / {n} - (({s1}) / {n}) * (({s1}) / {n}), {_d('0.0')})"
+    return mean, var
+
+
 def sql_bollinger(dialect: str) -> str:
-    mean, var = mean_var_exprs(dialect, "buf20", _d("20.0"))
+    mean, var = mean_var_from_sums("p1", "p2", _d("20.0"))
     std = f"sqrt({var})"
     upper = f"({mean}) + {_d('2.0')} * {std}"
     lower = f"({mean}) - {_d('2.0')} * {std}"
@@ -160,17 +194,23 @@ s AS (
          row_number() OVER ({WIN}) AS rn,
          {collected(dialect, 'current_price', 19)} AS buf20
   FROM ticks
+),
+f AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {fold(dialect, 'buf20', 'acc + x')} AS p1,
+         {fold(dialect, 'buf20', 'acc + x * x')} AS p2
+  FROM s
 )
 SELECT tick_id, company_id, trade_datetime, current_price,
        CASE WHEN rn >= 20 THEN {r6t(upper)} END AS bb_upper,
        CASE WHEN rn >= 20 THEN {r6t(lower)} END AS bb_lower,
        CASE WHEN rn >= 20 THEN {r6t(mean)} END AS bb_middle
-FROM s
+FROM f
 """
 
 
 def sql_macd(dialect: str) -> str:
-    line = f"({ema_expr(dialect, 'buf', 12)}) - ({ema_expr(dialect, 'buf', 26)})"
+    line = "(e12) - (e26)"
     gate = "rn >= 35"  # slow(26) + signal(9), technical_indicators.py:165
     return f"""
 WITH {ticks_cte(dialect)},
@@ -179,19 +219,36 @@ s AS (
          row_number() OVER ({WIN}) AS rn,
          {collected(dialect, 'current_price', BUFFER - 1)} AS buf
   FROM ticks
+),
+f AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {ema_expr(dialect, 'buf', 12)} AS e12,
+         {ema_expr(dialect, 'buf', 26)} AS e26
+  FROM s
 )
 SELECT tick_id, company_id, trade_datetime, current_price,
        CASE WHEN {gate} THEN {r6t(line)} END AS macd,
        CASE WHEN {gate} THEN {r6t(line)} END AS macd_signal,
        CASE WHEN {gate} THEN {_d('0.0')} END AS macd_histogram
-FROM s
+FROM f
 """
 
 
+def _vol_from_sums() -> str:
+    _, var = mean_var_from_sums("r1", "r2", "nr")
+    return f"sqrt({var}) * sqrt({_d('252.0')})"
+
+
+def _ret_sum_stage(dialect: str) -> str:
+    """Shared staging: per-row return-buffer fold sums (r1, r2, nr)."""
+    return (
+        f"{fold(dialect, 'rbuf', 'acc + x')} AS r1,\n"
+        f"         {fold(dialect, 'rbuf', 'acc + x * x')} AS r2,\n"
+        f"         {_d(list_len(dialect, 'rbuf'))} AS nr"
+    )
+
+
 def sql_volatility(dialect: str) -> str:
-    n = _d(f"{list_len(dialect, 'rbuf')}")
-    mean, var = mean_var_exprs(dialect, "rbuf", n)
-    vol = f"sqrt({var}) * sqrt({_d('252.0')})"
     return f"""
 WITH {ticks_cte(dialect)},
 s1 AS (
@@ -205,10 +262,15 @@ s2 AS (
   SELECT tick_id, company_id, trade_datetime, current_price, rn,
          {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
   FROM s1
+),
+f AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {_ret_sum_stage(dialect)}
+  FROM s2
 )
 SELECT tick_id, company_id, trade_datetime, current_price,
-       CASE WHEN rn >= 21 THEN {r6t(vol)} END AS volatility
-FROM s2
+       CASE WHEN rn >= 21 THEN {r6t(_vol_from_sums())} END AS volatility
+FROM f
 """
 
 
@@ -244,17 +306,9 @@ SELECT * FROM s WHERE x1 IS NOT NULL AND label IS NOT NULL
 
 
 def _rsi_vol_cte(dialect: str) -> str:
-    """Shared scaffold for alert/extreme queries: rsi_14 + volatility."""
-    gains = fold(dialect, "dbuf", f"acc + (CASE WHEN x > {_d('0.0')} THEN x ELSE {_d('0.0')} END)")
-    losses = fold(dialect, "dbuf", f"acc + (CASE WHEN x < {_d('0.0')} THEN -x ELSE {_d('0.0')} END)")
-    ag, al = f"({gains}) / {_d('14.0')}", f"({losses}) / {_d('14.0')}"
-    rsi = (
-        f"CASE WHEN ({al}) = {_d('0.0')} THEN {_d('100.0')} "
-        f"ELSE {_d('100.0')} - {_d('100.0')} / ({_d('1.0')} + ({ag}) / ({al})) END"
-    )
-    n = _d(f"{list_len(dialect, 'rbuf')}")
-    _, var = mean_var_exprs(dialect, "rbuf", n)
-    vol = f"sqrt({var}) * sqrt({_d('252.0')})"
+    """Shared scaffold for alert/extreme queries: rsi_14 + volatility,
+    with fold sums staged once per row (see sql_sma note)."""
+    gains, losses = _gain_loss_folds(dialect)
     return f"""
 {ticks_cte(dialect)},
 s1 AS (
@@ -271,11 +325,17 @@ s2 AS (
          {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
   FROM s1
 ),
+fsum AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {gains} AS gsum, {losses} AS lsum,
+         {_ret_sum_stage(dialect)}
+  FROM s2
+),
 ind AS (
   SELECT tick_id, company_id, trade_datetime, current_price,
-         CASE WHEN rn >= 15 THEN {r6t(rsi)} END AS rsi_14,
-         CASE WHEN rn >= 21 THEN {r6t(vol)} END AS volatility
-  FROM s2
+         CASE WHEN rn >= 15 THEN {r6t(RSI_FROM_SUMS)} END AS rsi_14,
+         CASE WHEN rn >= 21 THEN {r6t(_vol_from_sums())} END AS volatility
+  FROM fsum
 )
 """
 
@@ -323,23 +383,14 @@ WHERE NOT (coalesce(rsi_14 = {_d('0.0')} OR rsi_14 = {_d('100.0')}, FALSE)
 
 def sql_all_indicators(dialect: str) -> str:
     """The full analytics row (§1.1 derived table) in one plan — every
-    indicator over a single per-symbol window chain."""
-    mean20, var20 = mean_var_exprs(dialect, "buf20", _d("20.0"))
+    indicator over a single per-symbol window chain.  All list folds are
+    staged once per row in ``fsum``; the final projection is cheap column
+    arithmetic."""
+    mean20, var20 = mean_var_from_sums("p1", "p2", _d("20.0"))
     std20 = f"sqrt({var20})"
-    mean50 = fold(dialect, "buf50", "acc + x") + f" / {_d('50.0')}"
-    e12 = ema_expr(dialect, "buf", 12)
-    e26 = ema_expr(dialect, "buf", 26)
-    macd_line = f"({e12}) - ({e26})"
-    gains = fold(dialect, "dbuf", f"acc + (CASE WHEN x > {_d('0.0')} THEN x ELSE {_d('0.0')} END)")
-    losses = fold(dialect, "dbuf", f"acc + (CASE WHEN x < {_d('0.0')} THEN -x ELSE {_d('0.0')} END)")
-    ag, al = f"({gains}) / {_d('14.0')}", f"({losses}) / {_d('14.0')}"
-    rsi = (
-        f"CASE WHEN ({al}) = {_d('0.0')} THEN {_d('100.0')} "
-        f"ELSE {_d('100.0')} - {_d('100.0')} / ({_d('1.0')} + ({ag}) / ({al})) END"
-    )
-    nret = _d(f"{list_len(dialect, 'rbuf')}")
-    _, varv = mean_var_exprs(dialect, "rbuf", nret)
-    vol = f"sqrt({varv}) * sqrt({_d('252.0')})"
+    mean50 = f"s50 / {_d('50.0')}"
+    macd_line = "(e12) - (e26)"
+    gains, losses = _gain_loss_folds(dialect)
     pct = f"(current_price - prev_price) / prev_price * {_d('100.0')}"
     return f"""
 WITH {ticks_cte(dialect)},
@@ -359,22 +410,34 @@ s2 AS (
   SELECT *, {collected(dialect, 'delta', 13)} AS dbuf,
          {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
   FROM s1
+),
+fsum AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, volume, rn,
+         prev_price,
+         {fold(dialect, 'buf20', 'acc + x')} AS p1,
+         {fold(dialect, 'buf20', 'acc + x * x')} AS p2,
+         {fold(dialect, 'buf50', 'acc + x')} AS s50,
+         {ema_expr(dialect, 'buf', 12)} AS e12,
+         {ema_expr(dialect, 'buf', 26)} AS e26,
+         {gains} AS gsum, {losses} AS lsum,
+         {_ret_sum_stage(dialect)}
+  FROM s2
 )
 SELECT tick_id, company_id, trade_datetime, current_price, volume,
-       CASE WHEN rn >= 15 THEN {r6t(rsi)} END AS rsi_14,
+       CASE WHEN rn >= 15 THEN {r6t(RSI_FROM_SUMS)} END AS rsi_14,
        CASE WHEN rn >= 20 THEN {r6t(mean20)} END AS sma_20,
        CASE WHEN rn >= 50 THEN {r6t(mean50)} END AS sma_50,
-       CASE WHEN rn >= 12 THEN {r6t(e12)} END AS ema_12,
-       CASE WHEN rn >= 26 THEN {r6t(e26)} END AS ema_26,
+       CASE WHEN rn >= 12 THEN {r6t('e12')} END AS ema_12,
+       CASE WHEN rn >= 26 THEN {r6t('e26')} END AS ema_26,
        CASE WHEN rn >= 20 THEN {r6t(f"({mean20}) + {_d('2.0')} * {std20}")} END AS bb_upper,
        CASE WHEN rn >= 20 THEN {r6t(f"({mean20}) - {_d('2.0')} * {std20}")} END AS bb_lower,
        CASE WHEN rn >= 20 THEN {r6t(mean20)} END AS bb_middle,
        CASE WHEN rn >= 35 THEN {r6t(macd_line)} END AS macd,
        CASE WHEN rn >= 35 THEN {r6t(macd_line)} END AS macd_signal,
        CASE WHEN rn >= 35 THEN {_d('0.0')} END AS macd_histogram,
-       CASE WHEN rn >= 21 THEN {r6t(vol)} END AS volatility,
+       CASE WHEN rn >= 21 THEN {r6t(_vol_from_sums())} END AS volatility,
        {r6t(pct)} AS price_change_percent
-FROM s2
+FROM fsum
 """
 
 
@@ -385,9 +448,6 @@ def sql_throttled_volatility(dialect: str) -> str:
     rows serve the cached (most recent computed) value.  The cache is a
     running ``last_value IGNORE NULLS`` over the gated column — no state,
     no extra shuffle beyond the one per-symbol sort."""
-    n = _d(f"{list_len(dialect, 'rbuf')}")
-    _, var = mean_var_exprs(dialect, "rbuf", n)
-    vol = f"sqrt({var}) * sqrt({_d('252.0')})"
     cached = last_ignore_nulls(dialect, "vol_computed")
     frame = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
     return f"""
@@ -404,10 +464,15 @@ s2 AS (
          {collected(dialect, 'ret', BUFFER - 2)} AS rbuf
   FROM s1
 ),
+f AS (
+  SELECT tick_id, company_id, trade_datetime, current_price, rn,
+         {_ret_sum_stage(dialect)}
+  FROM s2
+),
 g AS (
   SELECT tick_id, company_id, trade_datetime, current_price,
-         CASE WHEN rn >= 21 AND rn % 5 = 0 THEN {r6t(vol)} END AS vol_computed
-  FROM s2
+         CASE WHEN rn >= 21 AND rn % 5 = 0 THEN {r6t(_vol_from_sums())} END AS vol_computed
+  FROM f
 )
 SELECT tick_id, company_id, trade_datetime, current_price,
        {cached} OVER ({WIN} {frame}) AS volatility_cached
