@@ -170,4 +170,6 @@ def forecast(
         f"{key} {key_type}, step int, forecast double, ci_lo double, ci_hi double, "
         "aic double, order_p int, order_d int, order_q int"
     )
-    return df.groupBy(key).applyInPandas(run, schema=schema)
+    from .regression import grouped_map_input
+
+    return grouped_map_input(df, key, ts, price).groupBy(key).applyInPandas(run, schema=schema)

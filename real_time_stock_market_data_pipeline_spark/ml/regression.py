@@ -23,6 +23,18 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+
+def grouped_map_input(df: DataFrame, key: str, *cols: str) -> DataFrame:
+    """Prepare a DataFrame for a CPU-heavy grouped map: prune to the used
+    columns (Catalyst can't see into the Python function) and pin an
+    explicit hash partitioning on the key.  The pinned partition count
+    matters: the pruned shuffle is tiny in BYTES, so AQE would coalesce it
+    to 1-2 partitions — right for byte-bound stages, wrong for model-fitting
+    stages whose cost is per GROUP.  An explicit count keeps every core
+    busy; groupBy reuses the partitioning (no second shuffle)."""
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(key, *cols).repartition(parts, key)
+
 WINDOW_SIZE = 5  # reference shared/config.py:147 ml window_size
 TEST_FRACTION_MOD = 5  # every 5th window → test (20%)
 CONFIDENCE = 0.8  # reference batch_predict_linear_regression.py:74
@@ -79,7 +91,7 @@ def train_metrics(
     schema = (
         f"{key} {key_type}, n_train long, n_test long, mse double, model_type string"
     )
-    return df.groupBy(key).applyInPandas(fit, schema=schema)
+    return grouped_map_input(df, key, ts, price).groupBy(key).applyInPandas(fit, schema=schema)
 
 
 def batch_predictions(
@@ -126,4 +138,4 @@ def batch_predictions(
         f"{key} {key_type}, timestamp timestamp, predicted_price double, "
         "predicted_date timestamp, confidence_score double, prediction_type string"
     )
-    return df.groupBy(key).applyInPandas(score, schema=schema)
+    return grouped_map_input(df, key, ts, price).groupBy(key).applyInPandas(score, schema=schema)
