@@ -121,10 +121,74 @@ FROM pairs WHERE cosine_sim >= {d('0.2')}
 """
 
 
+N_LISTS = 8  # IVF codebook size (deterministic seeds: lowest vec_ids)
+N_PROBE = 2  # lists probed per query
+
+
+def sql_ivf_topk(dialect: str) -> str:
+    """EMB4 — IVF-Flat approximate top-k, the 100 TB ANN scale path
+    (operators/similarity.ivf_topk is the DataFrame twin).
+
+    Deterministic codebook: the ``N_LISTS`` lowest-id embeddings act as
+    list centroids (no RNG — a KMeans fit would replace ``cent`` in
+    production).  Every corpus vector is assigned to its nearest list
+    (broadcast argmin, rounded sim + centroid-id tie-break so both engines
+    pick identical lists); each query probes its ``N_PROBE`` nearest lists
+    and scores exact cosine only there — the list-id join is the sole
+    shuffle, vs. emb1's full cross product."""
+    acos = _cosine(dialect, "e.embedding", "c.cvec")
+    qcos = _cosine(dialect, "q.embedding", "c.cvec")
+    scos = _cosine(dialect, "p.qvec", "a.embedding")
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < {N_LISTS}
+),
+asim AS (
+  SELECT e.vec_id, e.label, e.embedding, c.centroid_id, {acos} AS c0
+  FROM embeddings e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, label, embedding, centroid_id
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY {r6t('c0')} DESC, centroid_id ASC) AS rk
+    FROM asim
+  ) t WHERE rk = 1
+),
+qsim AS (
+  SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id, {qcos} AS c0
+  FROM embeddings q CROSS JOIN cent c
+  WHERE q.vec_id < {N_QUERY_VECS}
+),
+probes AS (
+  SELECT query_id, qvec, centroid_id
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY {r6t('c0')} DESC, centroid_id ASC) AS rk
+    FROM qsim
+  ) t WHERE rk <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id, a.label, {scos} AS c0
+  FROM probes p JOIN assigned a ON p.centroid_id = a.centroid_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, vec_id, label, cosine_sim, rk
+FROM (
+  SELECT query_id, vec_id, label, {r6t('c0')} AS cosine_sim,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY {r6t('c0')} DESC, vec_id ASC) AS rk
+  FROM scored
+) t WHERE rk <= {TOP_K}
+"""
+
+
 _BODIES = {
     "emb1_knn_cosine": sql_knn,
     "emb2_label_centroids": sql_centroids,
     "emb3_lsh_near_dup": sql_bucketed_near_dup,
+    "emb4_ivf_topk": sql_ivf_topk,
 }
 
 EMBEDDING_ORACLES = {name: body("duck") for name, body in _BODIES.items()}

@@ -269,3 +269,28 @@ FROM documents
 WHERE text IS NOT NULL
 GROUP BY source
 """
+
+ORACLES["t9_session_windows"] = f"""
+WITH {TICKS_CTE},
+s1 AS (
+  SELECT company_id, tick_id, trade_datetime,
+         lag(trade_datetime, 1) OVER (
+           PARTITION BY company_id
+           ORDER BY trade_datetime ASC, tick_id ASC) AS prev_ts
+  FROM ticks
+),
+s2 AS (
+  SELECT company_id, trade_datetime,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR trade_datetime >= prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY company_id
+           ORDER BY trade_datetime ASC, tick_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM s1
+)
+SELECT company_id, COUNT(*) AS n_events,
+       MIN(trade_datetime) AS session_start,
+       MAX(trade_datetime) AS session_end
+FROM s2 GROUP BY company_id, session_id
+"""

@@ -443,6 +443,26 @@ def su1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only_buyers.unionByName(both)
 
 
+@register("t9_session_windows")
+def t9_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 — session windows (absent in the reference, exposed by the
+    engine): per-symbol activity sessions with a 30-minute inactivity gap,
+    via Spark's native ``session_window`` (same operator the streaming
+    path uses with a watermark; here in batch mode).  The oracle is the
+    equivalent gaps-and-islands SQL: a new session starts when the gap
+    from the previous event is ≥ the timeout."""
+    t = ticks_from_events(spark, sf_dir)
+    return (
+        t.groupBy("company_id", F.session_window("trade_datetime", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("trade_datetime").alias("session_start"),
+            F.max("trade_datetime").alias("session_end"),
+        )
+        .select("company_id", "n_events", "session_start", "session_end")
+    )
+
+
 @register("f1_scalar_suite")
 def f1_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 scalar-function suite in one projection: date/time (to_date,

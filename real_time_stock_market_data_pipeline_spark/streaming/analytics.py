@@ -91,6 +91,27 @@ def _update_symbol(
     yield emitted
 
 
+def observed(ticks: DataFrame, observer: Any = "tick_metrics") -> DataFrame:
+    """A8 — the reference's self-instrumentation counters
+    (analytics_consumer.py:60-64,401-414: messages_processed, errors_count,
+    throughput logged every 100 messages) as engine-side observed metrics:
+    computed inside the running plan, no second pass over the data.
+
+    ``observer`` is a metric name (streaming: values arrive per micro-batch
+    in ``StreamingQueryProgress.observedMetrics[name]``) or a
+    ``pyspark.sql.Observation`` (batch: read ``observation.get`` after the
+    action).  Attach BEFORE the validity filter so errors_count sees the
+    rejected rows."""
+    return ticks.observe(
+        observer,
+        F.count(F.lit(1)).alias("messages_processed"),
+        F.sum(
+            F.when(valid_tick_predicate(), F.lit(0)).otherwise(F.lit(1))
+        ).alias("errors_count"),
+        F.max("trade_datetime").alias("last_event_time"),
+    )
+
+
 def streaming_indicators(ticks: DataFrame) -> DataFrame:
     """validate → stateful per-symbol indicators (the analytics row stream)."""
     valid = ticks.filter(valid_tick_predicate())
@@ -133,11 +154,13 @@ def run_bounded_pipeline(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
-) -> None:
+):
     """Bounded end-to-end run (availableNow ≈ the reference's MAX_MESSAGES):
     analytics rows → parquet, alerts side-output → parquet, exactly-once via
-    checkpoint.  foreachBatch fans one computed micro-batch into both sinks."""
-    analytics = streaming_indicators(ticks)
+    checkpoint.  foreachBatch fans one computed micro-batch into both sinks.
+    Returns the finished StreamingQuery; per-batch A8 counters are in
+    ``q.recentProgress[*].observedMetrics['tick_metrics']``."""
+    analytics = streaming_indicators(observed(ticks))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -152,3 +175,4 @@ def run_bounded_pipeline(
         .start()
     )
     q.awaitTermination()
+    return q

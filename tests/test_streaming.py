@@ -114,3 +114,34 @@ def test_synthetic_source_shape(spark):
     assert [f.name for f in df.schema.fields] == [
         "tick_id", "company_id", "trade_datetime", "current_price", "volume"
     ]
+
+
+def test_observed_metrics_batch_and_stream(spark, sf_dir, tmp_path):
+    """A8 — engine-side counters: batch via Observation, stream via
+    per-batch observedMetrics on the bounded pipeline."""
+    from pyspark.sql import Observation
+
+    from real_time_stock_market_data_pipeline_spark.streaming.analytics import observed
+
+    ticks = ticks_from_events(spark, sf_dir)
+    obs = Observation("m")
+    observed(ticks, obs).write.format("noop").mode("overwrite").save()
+    n = ticks.count()
+    assert obs.get["messages_processed"] == n
+    assert 0 <= obs.get["errors_count"] <= n
+
+    src = tmp_path / "src"
+    small = (
+        ticks.filter(F.col("company_id") < 3)
+        .select("company_id", "tick_id", "trade_datetime", "current_price", "volume")
+        .withColumn("company_id", F.col("company_id").cast("string"))
+    )
+    small.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(small.schema).parquet(str(src))
+    q = run_bounded_pipeline(stream, str(tmp_path / "out"), str(tmp_path / "ckpt"))
+    batch_metrics = [
+        p["observedMetrics"]["tick_metrics"]
+        for p in q.recentProgress
+        if "tick_metrics" in (p["observedMetrics"] or {})
+    ]
+    assert sum(m["messages_processed"] for m in batch_metrics) == small.count()
