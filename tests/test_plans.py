@@ -1,0 +1,85 @@
+"""Physical-plan regression tests: the scale properties SURVEY §4 claims —
+broadcast joins for dims, filter pushdown to the parquet scan, column
+pruning, top-k without a global sort, rank-filter → WindowGroupLimit,
+partial aggregation — must be visible in the executed plan, not assumed.
+A refactor that silently turns a broadcast join into a sort-merge join or
+un-pushes a filter should fail here long before a 100 TB run finds out."""
+
+from __future__ import annotations
+
+import pytest
+
+from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dim_joins_broadcast_not_shuffle(spark, sf_dir):
+    for name in ["j1_tick_dashboard", "j5_dim_lookup", "j8_industry_rollup"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_j6_broadcasts_every_dim(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j6_region_revenue")
+    # customer/nation/region ride broadcasts; only lineitem⋈orders may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_equality_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "p5_equality_filter")
+    scan = plan[plan.find("FileScan") :]
+    assert "PushedFilters" in scan
+    assert "event_type" in scan.split("PushedFilters")[1][:200]
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    scan = plan[plan.find("FileScan") :]
+    read_schema = scan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    for name in ["o1_top_events", "o4_latest_row"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_latest_per_group_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "w1_latest_per_day")
+    assert "WindowGroupLimit" in plan
+
+
+def test_aggregations_are_partial_final(spark, sf_dir):
+    for name in ["a4_daily_summary", "q1_pricing_summary"]:
+        plan = plan_of(spark, sf_dir, name)
+        # map-side partial + final after the exchange
+        assert plan.count("HashAggregate") >= 2, name
+
+
+def test_indicator_windows_single_sort_per_chain(spark, sf_dir):
+    """The whole indicator chain shares one (company_id, ts, tick_id) sort:
+    extra Sort nodes mean a window spec drifted from the canonical order."""
+    plan = plan_of(spark, sf_dir, "w_all_indicators")
+    assert plan.count("Sort ") <= 2  # one per-partition sort (+AQE reuse slack)
+
+
+def test_scalar_suite_whole_stage_codegen(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "f1_scalar_suite")
+    assert "*(" in plan  # the '*(n)' prefix marks WholeStageCodegen spans
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["p7_validated_ticks", "w2_sma", "dd3_minhash_signatures", "txt2_quality"],
+)
+def test_no_python_udfs_in_jvm_paths(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
