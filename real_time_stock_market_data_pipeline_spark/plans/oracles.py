@@ -294,3 +294,6 @@ SELECT company_id, COUNT(*) AS n_events,
        MAX(trade_datetime) AS session_end
 FROM s2 GROUP BY company_id, session_id
 """
+
+# salted two-phase A4 — same result set as the single-pass daily summary
+ORACLES["sk1_salted_daily_summary"] = ORACLES["a4_daily_summary"]

@@ -443,6 +443,42 @@ def su1_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only_buyers.unionByName(both)
 
 
+@register("sk1_salted_daily_summary")
+def sk1_salted_daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof A4: the daily summary as a salted two-phase aggregation
+    (operators/skew.salted_agg) — identical results to a4_daily_summary
+    (same oracle), but a hot symbol can never pin one reducer: phase 1
+    groups by (key, input-partition salt), phase 2 merges the partials.
+    The decimal price sum stays decimal through the merge so the final
+    double is bit-identical to the single-pass plan."""
+    from ..operators.skew import salted_agg
+
+    t = ticks_from_events(spark, sf_dir).withColumn(
+        "trade_date", F.to_date("trade_datetime")
+    )
+    partials = {
+        "ps": F.sum(F.col("current_price").cast("decimal(18,6)")),
+        "pc": F.count("current_price"),
+        "mx": F.max("current_price"),
+        "mn": F.min("current_price"),
+        "vs": F.sum("volume"),
+        "n": F.count(F.lit(1)),
+    }
+    merges = {
+        "ps": F.sum("ps"), "pc": F.sum("pc"), "mx": F.max("mx"),
+        "mn": F.min("mn"), "vs": F.sum("vs"), "n": F.sum("n"),
+    }
+    out = salted_agg(t, ["company_id", "trade_date"], partials, merges)
+    return out.select(
+        "company_id", "trade_date",
+        r6(F.col("ps").cast("double") / F.col("pc")).alias("avg_price"),
+        F.col("mx").alias("max_price"),
+        F.col("mn").alias("min_price"),
+        F.col("vs").alias("total_volume"),
+        F.col("n").alias("n_ticks"),
+    )
+
+
 @register("t9_session_windows")
 def t9_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 — session windows (absent in the reference, exposed by the

@@ -83,3 +83,10 @@ def test_no_python_udfs_in_jvm_paths(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BatchEvalPython" not in plan, name
     assert "ArrowEvalPython" not in plan, name
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """sk1: phase-1 (keys+salt) and phase-2 (keys) aggregations, each with
+    its own partial+final split → 4 HashAggregate nodes."""
+    plan = plan_of(spark, sf_dir, "sk1_salted_daily_summary")
+    assert plan.count("HashAggregate") >= 4
