@@ -169,18 +169,23 @@ def with_indicators(df: DataFrame, spec: SeriesSpec | None = None) -> DataFrame:
     df = df.withColumn("__buf", F.collect_list(spec.price).over(buf_frame))
     ema_fast = F.when(buflen >= EMA_FAST, _ema_over_buffer("__buf", EMA_FAST))
     ema_slow = F.when(buflen >= EMA_SLOW, _ema_over_buffer("__buf", EMA_SLOW))
-    macd_line = F.when(
-        buflen >= MACD_SLOW + MACD_SIGNAL,
-        _ema_over_buffer("__buf", MACD_FAST) - _ema_over_buffer("__buf", MACD_SLOW),
-    )
     bb_upper, bb_lower, bb_middle = bollinger_cols(spec)
 
+    # Stage the two EMA folds as real columns FIRST, then derive MACD from
+    # the staged columns: the seeded fold over the (≤1000-row) buffer is the
+    # most expensive expression here, and inlining it into macd/macd_signal/
+    # macd_histogram would evaluate it up to six times per row.  Catalyst
+    # keeps the stage (non-cheap exprs referenced >1× don't collapse).
+    # Value-safe: the MACD gate (≥35 rows) implies both EMA gates (12, 26).
+    staged = df.withColumn("ema_12", ema_fast).withColumn("ema_26", ema_slow)
+    macd_line = F.when(
+        buflen >= MACD_SLOW + MACD_SIGNAL, F.col("ema_12") - F.col("ema_26")
+    )
+
     out = (
-        df.withColumn("rsi_14", rsi_col(spec))
+        staged.withColumn("rsi_14", rsi_col(spec))
         .withColumn("sma_20", sma_col(spec, SMA_FAST))
         .withColumn("sma_50", sma_col(spec, SMA_SLOW))
-        .withColumn("ema_12", ema_fast)
-        .withColumn("ema_26", ema_slow)
         .withColumn("bb_upper", bb_upper)
         .withColumn("bb_lower", bb_lower)
         .withColumn("bb_middle", bb_middle)
@@ -194,7 +199,15 @@ def with_indicators(df: DataFrame, spec: SeriesSpec | None = None) -> DataFrame:
         .withColumn("price_change_percent", price_change_pct_col(spec))
         .drop("__buf")
     )
-    return out
+    # column order: keep ema_12/ema_26 in their documented slot (after sma_50)
+    base = [c for c in df.columns if c != "__buf"]
+    ind_order = [
+        "rsi_14", "sma_20", "sma_50", "ema_12", "ema_26",
+        "bb_upper", "bb_lower", "bb_middle",
+        "macd", "macd_signal", "macd_histogram",
+        "volatility", "price_change_percent",
+    ]
+    return out.select(*base, *ind_order)
 
 
 # ---------------------------------------------------------------------------
