@@ -1,0 +1,66 @@
+"""Persistence sinks (reference S6–S11) and the partitioned tick store.
+
+The reference persists to PostgreSQL with per-row INSERTs and ON CONFLICT
+upserts (producer/producer.py:283-308, shared/database.py:316-345).  The
+engine's equivalents:
+
+* **Partitioned parquet store** — the primary analytical sink.  Partitioned
+  by trade date: the storage-layout analogue of the reference's
+  ``(company_id, trade_datetime DESC)`` B-tree indexes (SURVEY §4 R1) —
+  time-range queries prune whole partitions, and parquet row-group min/max
+  stats give file skipping within them.  At 100 TB, date partitions keep
+  files bounded and make retention a metadata operation.
+* **JDBC append** — thin config over ``df.write.jdbc`` (S6–S8): Spark's
+  JDBC writer batches ``batchsize`` rows per round-trip per partition,
+  replacing the reference's hand-rolled ``execute_values`` batching (R8)
+  and connection pool (R9).
+* **Upserts (S9/S10)** — append + periodic merge: the streaming path
+  appends; ``maintenance.migrate_realtime_to_historical`` resolves
+  latest-per-key, the same end state as the reference's ON CONFLICT DO
+  UPDATE without row-level lock contention (R10).  On a transactional
+  table format (Delta/Iceberg), replace with MERGE INTO in foreachBatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_ticks_partitioned(
+    df: DataFrame,
+    path: str,
+    ts: str = "trade_datetime",
+    mode: str = "append",
+) -> None:
+    """Append tick/analytics rows to a date-partitioned parquet store."""
+    (
+        df.withColumn("trade_date", F.to_date(F.col(ts)))
+        .write.mode(mode)
+        .partitionBy("trade_date")
+        .parquet(path)
+    )
+
+
+def read_ticks_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the partitioned store; date predicates become partition pruning
+    (check PartitionFilters in the scan — tests/test_sinks.py pins this)."""
+    return spark.read.parquet(path)
+
+
+def jdbc_append(
+    df: DataFrame,
+    url: str,
+    table: str,
+    batchsize: int = 1000,
+    options: dict[str, str] | None = None,
+) -> None:
+    """S6–S8: append via Spark's JDBC writer (one connection per partition,
+    ``batchsize`` rows per executeBatch — the engine-native replacement for
+    the reference's pooled ``execute_values``).  Requires a JDBC driver on
+    the classpath; untestable in this environment, kept as thin config."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batchsize))
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.mode("append").save()
