@@ -30,8 +30,17 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
 
-    # warm the JVM/codegen once with a trivial plan
+    # warm the JVM/codegen once with a trivial plan, and fork the Python
+    # worker pool so the first grouped-map query doesn't pay worker startup
     _force(spark.range(1000).selectExpr("sum(id) as s"))
+    import pandas as _pd
+
+    _force(
+        spark.range(64)
+        .selectExpr("id % 8 as g", "id")
+        .groupBy("g")
+        .applyInPandas(lambda pdf: _pd.DataFrame({"n": [len(pdf)]}), schema="n long")
+    )
 
     timings: dict[str, float] = {}
     runners = dict(QUERIES)
