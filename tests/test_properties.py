@@ -1,0 +1,92 @@
+"""Hypothesis property tests: the JVM indicator path must agree with a
+straight-line numpy transcription of the reference math on ARBITRARY price
+series, not just the fixture corpus — and structural operators must hold
+their invariants on any input."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from real_time_stock_market_data_pipeline_spark.operators import indicators as ind
+
+prices_strategy = st.lists(
+    st.floats(min_value=0.01, max_value=10_000.0,
+              allow_nan=False, allow_infinity=False),
+    min_size=2,
+    max_size=120,
+)
+
+
+def _numpy_reference(prices: list[float]) -> pd.DataFrame:
+    """Straight transcription of reference technical_indicators.py math."""
+    out = []
+    for i in range(len(prices)):
+        buf = np.array(prices[max(0, i - ind.BUFFER_SIZE + 1) : i + 1])
+        row = {}
+        # SMA20 (null under period)
+        row["sma_20"] = float(np.mean(buf[-20:])) if len(buf) >= 20 else None
+        # RSI simple-mean, 100 when no losses
+        if len(buf) >= 15:
+            deltas = np.diff(buf)[-14:]
+            gains = np.mean(np.where(deltas > 0, deltas, 0.0))
+            losses = np.mean(np.where(deltas < 0, -deltas, 0.0))
+            row["rsi_14"] = 100.0 if losses == 0 else 100.0 - 100.0 / (1 + gains / losses)
+        else:
+            row["rsi_14"] = None
+        # volatility: population std of ALL buffer returns, annualized
+        if len(buf) >= 22:
+            rets = np.diff(buf) / buf[:-1]
+            row["volatility"] = float(np.std(rets) * math.sqrt(252))
+        else:
+            row["volatility"] = None
+        out.append(row)
+    return pd.DataFrame(out)
+
+
+@settings(max_examples=25, deadline=None)
+@given(prices_strategy)
+def test_pandas_indicator_path_matches_numpy_reference(prices):
+    pdf = pd.DataFrame(
+        {
+            "company_id": "X",
+            "tick_id": range(len(prices)),
+            "trade_datetime": pd.date_range("2024-01-01", periods=len(prices), freq="min"),
+            "current_price": prices,
+            "volume": 1,
+        }
+    )
+    spec = ind.SeriesSpec()
+    got = ind.indicator_frame(pdf, spec)
+    want = _numpy_reference(prices)
+    for col in ["sma_20", "rsi_14", "volatility"]:
+        g = got[col].to_numpy(dtype=float)
+        w = want[col].to_numpy(dtype=float)
+        assert np.allclose(g, w, rtol=1e-9, atol=1e-9, equal_nan=True), col
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=10_000.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=27,  # past both EMA gates (12, 26)
+        max_size=120,
+    )
+)
+def test_ema_seeded_recursion_property(prices):
+    """EMA(buffer) equals the reference's explicit loop for any series;
+    rows under the period gate are NaN."""
+    arr = np.array(prices)
+    for period in (12, 26):
+        got = ind.ema_series(arr, period)
+        assert np.isnan(got[: period - 1]).all()
+        m = 2.0 / (period + 1)
+        acc = arr[0]
+        for x in arr[1:]:
+            acc = x * m + acc * (1 - m)
+        assert math.isclose(got[-1], acc, rel_tol=1e-12)

@@ -145,3 +145,26 @@ def test_observed_metrics_batch_and_stream(spark, sf_dir, tmp_path):
         if "tick_metrics" in (p["observedMetrics"] or {})
     ]
     assert sum(m["messages_processed"] for m in batch_metrics) == small.count()
+
+
+def test_kafka_decode_corrupt_json_yields_null_rows(spark):
+    """S5/T8: corrupt payloads decode to all-NULL rows (routed to the error
+    side-output by the validity filter) instead of failing the stream."""
+    from real_time_stock_market_data_pipeline_spark.operators.relational import (
+        valid_tick_predicate,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.kafka import (
+        decode_kafka_ticks,
+    )
+
+    frames = spark.createDataFrame(
+        [("AAPL", b"{not json"), ("MSFT", b'{"ticker_symbol":"MSFT","current_price":1.5}')],
+        "key string, value binary",
+    )
+    decoded = decode_kafka_ticks(frames)
+    rows = decoded.collect()
+    assert len(rows) == 2
+    by_sym = {r.ticker_symbol: r for r in rows}
+    assert None in by_sym  # corrupt row → NULL struct fields
+    assert by_sym["MSFT"].current_price == 1.5
+    assert decoded.filter(valid_tick_predicate()).count() == 1
