@@ -129,15 +129,22 @@ def minhash_candidate_pairs(
     """(doc_a, doc_b, n_shared_bands) — LSH banding over the signatures:
     4 bands × 4 rows; any shared band makes a candidate pair."""
     sigs = minhash_signatures(df, id_col, text, n)
-    bands = None
+    # one struct array exploded per row — a unionAll of per-band selects
+    # would re-inline the signature aggregation once per branch per side
+    band_structs = []
     for band in range(N_HASHES // BAND_SIZE):
         cols = [f"h{band * BAND_SIZE + j}" for j in range(1, BAND_SIZE + 1)]
-        part = sigs.select(
-            F.col(id_col),
-            F.lit(band).alias("band_id"),
-            F.concat_ws(":", *[F.col(c).cast("string") for c in cols]).alias("band_sig"),
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.concat_ws(":", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_sig"
+                ),
+            )
         )
-        bands = part if bands is None else bands.unionAll(part)
+    bands = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(F.col(id_col), F.col("_b.band_id"), F.col("_b.band_sig"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

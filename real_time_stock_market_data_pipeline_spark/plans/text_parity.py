@@ -257,15 +257,32 @@ def sql_minhash_signatures(dialect: str) -> str:
 
 def sql_minhash_candidates(dialect: str) -> str:
     """DD4 — LSH banding: 4 bands × 4 rows; docs sharing any band signature
-    become candidate near-dup pairs (the bucket-join is the only shuffle)."""
-    bands = []
+    become candidate near-dup pairs (the bucket-join is the only shuffle).
+
+    Spark rendering explodes the 4 band signatures from ONE array per row —
+    a UNION ALL of per-band selects would inline (and recompute) the whole
+    signature aggregation once per branch per join side (8×).  DuckDB keeps
+    the UNION ALL form (its optimizer dedupes; structs-in-lists unnest
+    differently there)."""
+    sigs_of = []
     for b in range(N_HASHES // BAND_SIZE):
         cols = [f"h{b * BAND_SIZE + j}" for j in range(1, BAND_SIZE + 1)]
         sig = " || ':' || ".join(f"CAST({c} AS STRING)" for c in cols)
-        bands.append(
-            f"SELECT doc_id, {b} AS band_id, {sig} AS band_sig FROM sigs"
+        sigs_of.append(sig)
+    if dialect == "spark":
+        structs = ", ".join(
+            f"named_struct('band_id', {b}, 'band_sig', {sig})"
+            for b, sig in enumerate(sigs_of)
         )
-    bands_sql = " UNION ALL ".join(bands)
+        bands_sql = (
+            f"SELECT doc_id, _b.band_id, _b.band_sig FROM sigs "
+            f"LATERAL VIEW explode(array({structs})) _e AS _b"
+        )
+    else:
+        bands_sql = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, {sig} AS band_sig FROM sigs"
+            for b, sig in enumerate(sigs_of)
+        )
     return f"""
 WITH {_minhash_sig_cte(dialect)},
 bands AS ({bands_sql})
