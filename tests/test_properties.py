@@ -38,8 +38,10 @@ def _numpy_reference(prices: list[float]) -> pd.DataFrame:
             row["rsi_14"] = 100.0 if losses == 0 else 100.0 - 100.0 / (1 + gains / losses)
         else:
             row["rsi_14"] = None
-        # volatility: population std of ALL buffer returns, annualized
-        if len(buf) >= 22:
+        # volatility: population std of ALL buffer returns, annualized.
+        # Gate is period+1 = 21 (reference validate_data(prices, period+1),
+        # technical_indicators.py:190-191) — NOT 22.
+        if len(buf) >= 21:
             rets = np.diff(buf) / buf[:-1]
             row["volatility"] = float(np.std(rets) * math.sqrt(252))
         else:
