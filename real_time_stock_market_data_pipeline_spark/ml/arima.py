@@ -10,15 +10,24 @@ per-key work that parallelizes across symbols; each group is bounded by the
 reference's own 1000-tick cache.  statsmodels is not in this environment, so
 the estimator is a self-contained numpy ARIMA:
 
-  * difference the series d times (d ∈ {0,1,2} — the reference's ADF step
-    picks d; we grid it and let AIC decide, same selection criterion);
+  * d is selected by an Augmented Dickey-Fuller test (constant, no trend,
+    one lagged difference): the smallest d ∈ {0,1,2} whose d-differenced
+    series rejects a unit root at the 5% critical value — the reference's
+    ADF candidate step (arima_forecasting.py:84-103);
+  * the (p, q) grid is the reference's full p ≤ 5, q ≤ 5
+    (arima_forecasting.py:104-123);
   * AR(p) via conditional least squares;
   * MA(q) via Hannan–Rissanen: long-AR residuals become regressors;
   * AIC = n·ln(SSE/n) + 2(p+q+1), minimized over the grid in deterministic
-    (p, d, q) iteration order (ties → first wins, like the reference's loop
+    (p, q) iteration order (ties → first wins, like the reference's loop
     order, arima_forecasting.py:108-110);
   * k-step recursive forecast, undifferenced back; 95% intervals from the
-    residual std (widening with √horizon).
+    residual std (widening with √horizon);
+  * if every grid fit is degenerate, a random-walk ARIMA(0,1,0) fallback
+    forecasts the last observation (the reference falls back to a fixed
+    small order on fit failure, arima_forecasting.py:118-123) — so every
+    symbol past the 50-observation gate emits exactly ``steps`` rows, a
+    property the driver oracle checks arithmetically.
 
 Everything is deterministic: no RNG, fixed iteration order, closed-form
 solves.
@@ -33,8 +42,50 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 MIN_OBSERVATIONS = 50  # reference arima_forecasting.py:45
-MAX_P, MAX_D, MAX_Q = 3, 2, 2  # reduced from (5,2,5): CSS grid, same criterion
+MAX_P, MAX_D, MAX_Q = 5, 2, 5  # reference grid (arima_forecasting.py:104)
 Z95 = 1.959963984540054
+ADF_CRIT_5PCT = -2.86  # Dickey-Fuller 5% critical value (constant, no trend)
+
+
+def _adf_stat(x: np.ndarray, lags: int = 1) -> float:
+    """Augmented Dickey-Fuller t-statistic (constant, no trend, fixed lag):
+    Δx_t = α + γ·x_{t-1} + Σ_{i≤lags} δ_i·Δx_{t-i} + ε; returns t(γ).
+    Degenerate systems (constant series, too short) return 0.0 — i.e. fail
+    to reject the unit root, pushing d upward, which is always safe."""
+    dx = np.diff(x)
+    n = len(dx) - lags
+    if n <= lags + 3:
+        return 0.0
+    y = dx[lags:]
+    cols = [np.ones(n), x[lags:-1]]
+    for i in range(1, lags + 1):
+        cols.append(dx[lags - i : len(dx) - i])
+    A = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+    resid = y - A @ beta
+    dof = n - A.shape[1]
+    if dof <= 0:
+        return 0.0
+    s2 = float(resid @ resid) / dof
+    try:
+        cov = s2 * np.linalg.inv(A.T @ A)
+    except np.linalg.LinAlgError:
+        return 0.0
+    se = math.sqrt(max(cov[1, 1], 0.0))
+    if se == 0.0 or not math.isfinite(se):
+        return 0.0
+    return float(beta[1]) / se
+
+
+def _select_d(x: np.ndarray) -> int:
+    """Smallest d whose differenced series is ADF-stationary at 5%."""
+    for d in range(MAX_D + 1):
+        xd = np.diff(x, n=d) if d else x
+        if len(xd) < MIN_OBSERVATIONS // 2:
+            break
+        if _adf_stat(xd) < ADF_CRIT_5PCT:
+            return d
+    return MAX_D
 
 
 def _css_fit(x: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndarray, float] | None:
@@ -74,29 +125,37 @@ def _css_fit(x: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndarray, flo
     return coefs, resid, sse
 
 
-def _fit_best(x: np.ndarray) -> dict | None:
-    """AIC grid search in deterministic (p, d, q) order."""
+def _fit_best(x: np.ndarray) -> dict:
+    """ADF picks d; AIC grid search over p ≤ 5, q ≤ 5 in deterministic
+    (p, q) order.  Always returns a model: degenerate grids fall back to a
+    random-walk ARIMA(0,1,0)."""
+    d = _select_d(x)
+    xd = np.diff(x, n=d) if d else x
     best = None
     for p in range(MAX_P + 1):
-        for d in range(MAX_D + 1):
-            for q in range(MAX_Q + 1):
-                if p == 0 and q == 0:
-                    continue
-                xd = np.diff(x, n=d) if d else x
-                if len(xd) < MIN_OBSERVATIONS // 2:
-                    continue
-                fit = _css_fit(xd, p, q)
-                if fit is None:
-                    continue
-                coefs, resid, sse = fit
-                nn = len(resid)
-                k = p + q + 1
-                aic = nn * math.log(sse / nn) + 2 * k
-                if best is None or aic < best["aic"] - 1e-12:
-                    best = {
-                        "p": p, "d": d, "q": q, "coefs": coefs,
-                        "resid": resid, "sse": sse, "aic": aic,
-                    }
+        for q in range(MAX_Q + 1):
+            if p == 0 and q == 0:
+                continue
+            fit = _css_fit(xd, p, q)
+            if fit is None:
+                continue
+            coefs, resid, sse = fit
+            nn = len(resid)
+            k = p + q + 1
+            aic = nn * math.log(sse / nn) + 2 * k
+            if best is None or aic < best["aic"] - 1e-12:
+                best = {
+                    "p": p, "d": d, "q": q, "coefs": coefs,
+                    "resid": resid, "sse": sse, "aic": aic,
+                }
+    if best is None:
+        dx = np.diff(x) if len(x) > 1 else np.zeros(1)
+        sse = max(float(dx @ dx), 1e-12)
+        nn = max(len(dx), 1)
+        best = {
+            "p": 0, "d": 1, "q": 0, "coefs": np.array([0.0]),
+            "resid": dx, "sse": sse, "aic": nn * math.log(sse / nn) + 2.0,
+        }
     return best
 
 
@@ -146,8 +205,6 @@ def forecast(
         if len(x) < MIN_OBSERVATIONS:
             return pd.DataFrame(columns=cols)
         best = _fit_best(x)
-        if best is None:
-            return pd.DataFrame(columns=cols)
         fc, sigma = _forecast(x, best, steps)
         widen = sigma * Z95 * np.sqrt(np.arange(1, steps + 1))
         return pd.DataFrame(

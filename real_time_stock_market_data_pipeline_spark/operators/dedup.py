@@ -27,6 +27,15 @@ from .text import P_MOD, tokens_col
 # Deterministic MinHash parameters — same series as plans/text_parity.
 N_HASHES = 16
 BAND_SIZE = 4
+# Signature format v2 (round 2): shingle hash = polynomial combine of per-token
+# char-fold hashes (was: char-fold over the space-joined shingle string in v1).
+# Signatures persisted under v1 are NOT comparable to v2 values.
+MINHASH_SIGNATURE_VERSION = 2
+# Stop-shingle cut: shingles shared by more than this many docs are dropped
+# before the DD2 candidate join — one viral shingle would otherwise make the
+# shared-shingle join quadratic in its document frequency.  Mirrored in the
+# dd2 oracle SQL (plans/text_parity.sql_ngram_jaccard).
+MAX_SHINGLE_FREQ = 128
 MINHASH_PARAMS = [
     ((i * 2654435761 + 1) % P_MOD, (i * 40503 * 65537 + 7) % P_MOD)
     for i in range(1, N_HASHES + 1)
@@ -77,15 +86,18 @@ def jaccard_near_dup_pairs(
     text: str = "text",
     n: int = 3,
     threshold: float = 0.05,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard) for pairs over the threshold.
 
     Candidates = pairs sharing ≥1 shingle (shuffle key = shingle hash);
-    ``max_shingle_freq`` drops stop-shingles to bound candidate fan-out at
-    corpus scale.
+    ``max_shingle_freq`` (default ``MAX_SHINGLE_FREQ``) drops stop-shingles
+    before the join to bound candidate fan-out at corpus scale; doc sizes are
+    counted AFTER the cut so Jaccard stays consistent with the joined set.
+    No ``.cache()`` here — the operator is a pure plan; callers owning a
+    long-lived session can persist/unpersist the returned frame themselves.
     """
-    sh = shingle_hashes(df, id_col, text, n).cache()
+    sh = shingle_hashes(df, id_col, text, n)
     if max_shingle_freq:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq)
         sh = sh.join(hot.select("sh"), "sh", "left_anti")

@@ -297,3 +297,50 @@ FROM s2 GROUP BY company_id, session_id
 
 # salted two-phase A4 — same result set as the single-pass daily summary
 ORACLES["sk1_salted_daily_summary"] = ORACLES["a4_daily_summary"]
+
+# --- ML property oracles (U2-U4): the iterative fits are not SQL-
+# expressible, so the driver queries reduce the model tables to shape
+# properties the oracle derives arithmetically from the valid-tick counts
+# (window arithmetic of ml/regression._windows, the ≥50-obs ARIMA gate,
+# and invariant columns).  Full model values are pytest-covered. -----------
+
+_VALID_CTE = """
+valid AS (
+  SELECT * FROM ticks
+  WHERE current_price IS NOT NULL AND NOT isnan(current_price)
+    AND current_price > 0 AND (volume IS NULL OR volume >= 0)
+),
+counts AS (SELECT company_id, COUNT(*) AS n FROM valid GROUP BY 1)
+"""
+
+# L = n-6 sliding windows (w=5, label = next price); every 5th → test.
+ORACLES["u3_linreg_metrics"] = f"""
+WITH {TICKS_CTE}, {_VALID_CTE},
+lens AS (
+  SELECT company_id, CASE WHEN n >= 7 THEN n - 6 ELSE 0 END AS L FROM counts
+)
+SELECT company_id,
+       CAST(CASE WHEN L < 5 THEN L ELSE L - L // 5 END AS BIGINT) AS n_train,
+       CAST(CASE WHEN L < 5 THEN 0 ELSE L // 5 END AS BIGINT) AS n_test,
+       'LinearRegression' AS model_type,
+       (L >= 5) AS mse_ok
+FROM lens
+"""
+
+ORACLES["u4_linreg_predictions"] = f"""
+WITH {TICKS_CTE}, {_VALID_CTE}
+SELECT company_id,
+       CAST(n - 5 AS BIGINT) AS n_predictions,
+       true AS dates_ok, true AS conf_ok, true AS type_ok
+FROM counts WHERE n >= 7
+"""
+
+ORACLES["u2_arima_forecast"] = f"""
+WITH {TICKS_CTE}, {_VALID_CTE}
+SELECT company_id,
+       CAST(5 AS BIGINT) AS n_rows,
+       CAST(1 AS INTEGER) AS first_step,
+       CAST(5 AS INTEGER) AS last_step,
+       true AS ci_ok
+FROM counts WHERE n >= 50
+"""

@@ -557,39 +557,101 @@ def mm1_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ML surface (U2-U4) — per-symbol grouped-map models; rows-only checks
-# (non-SQL-expressible: iterative fitting, documented in __spark_entry__).
+# ML surface (U2-U4) — per-symbol grouped-map models.  The iterative fits are
+# not SQL-expressible, so the driver queries reduce each model table to its
+# DETERMINISTIC shape properties (row-count arithmetic, invariant columns,
+# interval containment) that a DuckDB oracle can derive from the raw ticks —
+# a hashable cross-engine check.  The full model surfaces (forecast values,
+# MSE, per-row predictions) stay pytest-covered (tests/test_ml.py) and
+# benched via the *_full variants below.
 # ---------------------------------------------------------------------------
 
 
-@register("u3_linreg_metrics")
-def u3_linreg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _valid_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
+
+
+def u3_linreg_metrics_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 — per-symbol sliding-window OLS train + holdout MSE
     (ml/train_linear_regression.py:44-59)."""
     from ..ml.regression import train_metrics
 
-    ticks = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
-    return train_metrics(ticks)
+    return train_metrics(_valid_ticks(spark, sf_dir))
 
 
-@register("u4_linreg_predictions")
-def u4_linreg_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("u3_linreg_metrics")
+def u3_linreg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 driver check — the trained metrics table reduced to its
+    deterministic properties: the modulo-holdout split arithmetic
+    (L = n-6 windows; n_test = ⌊L/5⌋ once L ≥ 5) and MSE finiteness.
+    The oracle derives the same from COUNT(*) per symbol."""
+    m = u3_linreg_metrics_full(spark, sf_dir)
+    return m.select(
+        "company_id", "n_train", "n_test", "model_type",
+        (~F.isnan("mse")).alias("mse_ok"),
+    )
+
+
+def u4_linreg_predictions_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U4 — per-symbol batch scoring: predicted_date = ts + 1 day,
     confidence 0.8 (ml/batch_predict_linear_regression.py:63-74)."""
     from ..ml.regression import batch_predictions
 
-    ticks = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
-    return batch_predictions(ticks)
+    return batch_predictions(_valid_ticks(spark, sf_dir))
+
+
+@register("u4_linreg_predictions")
+def u4_linreg_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 driver check — predictions reduced per symbol: n-5 rows per
+    symbol with n ≥ 7 valid ticks, predicted_date = ts + 1 day everywhere,
+    confidence 0.8, type 'next_price'
+    (reference ml/batch_predict_linear_regression.py:63-74)."""
+    p = u4_linreg_predictions_full(spark, sf_dir)
+    # Stage the row-level booleans as a Project BEFORE the aggregation:
+    # expressions nested inside aggregate functions directly downstream of a
+    # FlatMapGroupsInPandas node are evaluated interpreted per-row (~10µs/row
+    # — 20s at sf0.1); a separate projection runs in codegen and the agg then
+    # folds plain boolean columns (measured 23.6s → 2.4s).
+    pre = p.select(
+        "company_id",
+        (F.col("predicted_date") == F.col("timestamp") + F.expr("INTERVAL 1 DAY")).alias("d_ok"),
+        (F.col("confidence_score") == 0.8).alias("c_ok"),
+        (F.col("prediction_type") == "next_price").alias("t_ok"),
+    )
+    return pre.groupBy("company_id").agg(
+        F.count(F.lit(1)).alias("n_predictions"),
+        F.bool_and("d_ok").alias("dates_ok"),
+        F.bool_and("c_ok").alias("conf_ok"),
+        F.bool_and("t_ok").alias("type_ok"),
+    )
+
+
+def u2_arima_forecast_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 — per-symbol ARIMA forecast: ADF d-selection + (p≤5, q≤5) AIC
+    grid, ≥50-obs gate (ml/arima_forecasting.py:45,84-123)."""
+    from ..ml.arima import forecast
+
+    return forecast(_valid_ticks(spark, sf_dir), steps=5)
 
 
 @register("u2_arima_forecast")
 def u2_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U2 — per-symbol ARIMA grid-search forecast, ≥50-obs gate
-    (ml/arima_forecasting.py:45,97-123)."""
-    from ..ml.arima import forecast
-
-    ticks = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
-    return forecast(ticks, steps=5)
+    """U2 driver check — forecast table reduced per symbol: exactly 5 steps
+    (1..5) for every symbol with ≥50 valid ticks, and every forecast inside
+    its own confidence interval (reference ml/arima_forecasting.py:205-221)."""
+    fc = u2_arima_forecast_full(spark, sf_dir)
+    # same pre-projection pattern as u4 (exprs inside aggs after a pandas
+    # stage run interpreted per-row)
+    pre = fc.select(
+        "company_id", "step",
+        ((F.col("ci_lo") <= F.col("forecast")) & (F.col("forecast") <= F.col("ci_hi"))).alias("in_ci"),
+    )
+    return pre.groupBy("company_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("step").alias("first_step"),
+        F.max("step").alias("last_step"),
+        F.bool_and("in_ci").alias("ci_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------

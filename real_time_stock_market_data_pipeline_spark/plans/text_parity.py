@@ -209,13 +209,28 @@ hashed AS (
 """
 
 
+MAX_SHINGLE_FREQ = 128  # stop-shingle cut — keep equal to operators/dedup
+
+
 def sql_ngram_jaccard(dialect: str) -> str:
     """DD2 — n-gram Jaccard near-dup pairs: candidate pairs share ≥1 shingle
-    (the shuffle key), Jaccard = |∩| / |a ∪ b| ≥ 0.05, a < b."""
+    (the shuffle key), Jaccard = |∩| / |a ∪ b| ≥ 0.05, a < b.
+
+    Stop-shingle cut: shingles with document frequency > MAX_SHINGLE_FREQ are
+    dropped BEFORE the candidate join (a viral shingle makes the join
+    quadratic in its frequency); doc sizes count the kept shingles so Jaccard
+    stays consistent.  Mirrored exactly in operators/dedup
+    (jaccard_near_dup_pairs default)."""
     return f"""
 WITH {shingles_cte(dialect)},
+keep_sh AS (
+  SELECT sh FROM hashed GROUP BY sh HAVING count(*) <= {MAX_SHINGLE_FREQ}
+),
+kept AS (
+  SELECT h.doc_id, h.sh FROM hashed h JOIN keep_sh k ON h.sh = k.sh
+),
 sized AS (
-  SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM hashed
+  SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM kept
 ),
 pairs AS (
   SELECT h1.doc_id AS doc_a, h2.doc_id AS doc_b,

@@ -62,7 +62,7 @@ def test_arima_gate_and_shape(spark):
     for r in rows:
         assert r.ci_lo <= r.forecast <= r.ci_hi
         assert np.isfinite(r.aic)
-        assert 0 <= r.order_p <= 3 and 0 <= r.order_d <= 2 and 0 <= r.order_q <= 2
+        assert 0 <= r.order_p <= 5 and 0 <= r.order_d <= 2 and 0 <= r.order_q <= 5
     # intervals widen with horizon
     widths = [r.ci_hi - r.ci_lo for r in rows]
     assert widths == sorted(widths)
@@ -84,7 +84,23 @@ def test_ml_queries_run_on_testdata(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     n = df.count()
     assert n > 0
-    if name == "u2_arima_forecast":
-        # every emitted symbol forecasts exactly 5 steps
-        counts = df.groupBy("company_id").count().collect()
-        assert all(r["count"] == 5 for r in counts)
+
+
+def test_u2_full_forecast_five_steps_per_symbol(spark, sf_dir):
+    from real_time_stock_market_data_pipeline_spark.plans.queries import (
+        u2_arima_forecast_full,
+    )
+
+    df = u2_arima_forecast_full(spark, sf_dir)
+    counts = df.groupBy("company_id").count().collect()
+    assert counts and all(r["count"] == 5 for r in counts)
+
+
+def test_adf_selects_zero_for_stationary_one_for_walk():
+    from real_time_stock_market_data_pipeline_spark.ml.arima import _select_d
+
+    rng = np.random.default_rng(3)
+    stationary = rng.normal(0, 1, 200)
+    assert _select_d(stationary) == 0
+    walk = np.cumsum(rng.normal(0, 1, 200)) + 100
+    assert _select_d(walk) >= 1
