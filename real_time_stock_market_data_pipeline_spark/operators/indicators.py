@@ -352,6 +352,14 @@ def indicators_apply_in_pandas(df: DataFrame, spec: SeriesSpec | None = None) ->
     schema_parts = [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
     schema_parts += [f"`{c}` double" for c in added]
     out_schema = ", ".join(schema_parts)
-    return df.groupBy(spec.key).applyInPandas(
-        lambda pdf: indicator_frame(pdf, spec), schema=out_schema
+    # Pin the shuffle width: the grouped-map stage is CPU-bound per GROUP,
+    # but its input is small in BYTES, so AQE would coalesce it to 2-3
+    # partitions and serialize the per-symbol work (measured 6.8s → 2s at
+    # sf0.1).  Same rationale as ml/regression.grouped_map_input; groupBy
+    # reuses the pinned partitioning, so no second shuffle.
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    return (
+        df.repartition(parts, spec.key)
+        .groupBy(spec.key)
+        .applyInPandas(lambda pdf: indicator_frame(pdf, spec), schema=out_schema)
     )

@@ -344,3 +344,57 @@ SELECT company_id,
        true AS ci_ok
 FROM counts WHERE n >= 50
 """
+
+# J4: predictions ⋈ dim — prediction count/timestamps derive from the valid
+# tick stats (last window ends at the symbol's max timestamp).
+ORACLES["j4_prediction_dashboard"] = f"""
+WITH {TICKS_CTE},
+valid AS (
+  SELECT * FROM ticks
+  WHERE current_price IS NOT NULL AND NOT isnan(current_price)
+    AND current_price > 0 AND (volume IS NULL OR volume >= 0)
+),
+stats AS (
+  SELECT company_id, COUNT(*) AS n, max(trade_datetime) AS mx
+  FROM valid GROUP BY 1
+)
+SELECT s.company_id, c.c_name AS company_name,
+       CAST(s.n - 5 AS BIGINT) AS n_predictions,
+       s.mx AS last_prediction_ts,
+       s.mx + INTERVAL 1 DAY AS next_predicted_date
+FROM stats s JOIN customer c ON s.company_id = c.c_custkey
+WHERE s.n >= 7
+"""
+
+ORACLES["p4_recent_window"] = f"""
+WITH {TICKS_CTE}
+SELECT company_id, COUNT(*) AS n_recent
+FROM ticks
+WHERE trade_datetime >= (SELECT max(trade_datetime) FROM ticks) - INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+# S13: one persisted-and-reloaded model per trainable symbol (n ≥ 7), scored
+# at the symbol's latest tick.
+ORACLES["s13_model_roundtrip"] = f"""
+WITH {TICKS_CTE},
+valid AS (
+  SELECT * FROM ticks
+  WHERE current_price IS NOT NULL AND NOT isnan(current_price)
+    AND current_price > 0 AND (volume IS NULL OR volume >= 0)
+),
+stats AS (
+  SELECT company_id, COUNT(*) AS n, max(trade_datetime) AS mx
+  FROM valid GROUP BY 1
+)
+SELECT company_id, 'LinearRegression' AS model_type, mx AS last_tick_ts,
+       true AS pred_ok, true AS date_ok
+FROM stats WHERE n >= 7
+"""
+
+# EMB5: IVF with trained centroids must recover ≥9/10 of the exact top-10
+# for every query vector (deterministic fixture, deterministic KMeans).
+ORACLES["emb5_ivf_trained_recall"] = """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""

@@ -654,9 +654,124 @@ def u2_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("j4_prediction_dashboard")
+def j4_prediction_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — the dashboard's fetch_predictions (dashboard/app.py:145-175):
+    derived predictions ⋈ broadcast companies dim.  The per-row predicted
+    values are pytest-covered; the driver row checks the join shape plus the
+    deterministic per-symbol reduction (count arithmetic, latest prediction
+    timestamp = latest valid tick, next date = +1 day)."""
+    p = u4_linreg_predictions_full(spark, sf_dir)
+    red = p.groupBy("company_id").agg(
+        F.count(F.lit(1)).alias("n_predictions"),
+        F.max("timestamp").alias("last_prediction_ts"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("company_id"), F.col("c_name").alias("company_name")
+    )
+    return (
+        red.join(F.broadcast(cust), "company_id")
+        .select(
+            "company_id", "company_name", "n_predictions", "last_prediction_ts",
+            (F.col("last_prediction_ts") + F.expr("INTERVAL 1 DAY")).alias(
+                "next_predicted_date"
+            ),
+        )
+    )
+
+
+@register("p4_recent_window")
+def p4_recent_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — NOW() − interval filter (check_arima_status.py:28,78: recent
+    tick counts per symbol over the last hour).  The wall clock is injected
+    as the data's max timestamp so the query is deterministic and
+    oracle-checkable — production passes a literal now()."""
+    ticks = ticks_from_events(spark, sf_dir)
+    anchor = ticks.agg(F.max("trade_datetime").alias("__now"))
+    return (
+        ticks.join(F.broadcast(anchor))
+        .filter(F.col("trade_datetime") >= F.col("__now") - F.expr("INTERVAL 1 HOUR"))
+        .groupBy("company_id")
+        .agg(F.count(F.lit(1)).alias("n_recent"))
+    )
+
+
+@register("s13_model_roundtrip")
+def s13_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 — model persistence round-trip: train per-symbol OLS models,
+    persist the coefficient table to parquet (the reference's ml_models
+    registry, db/enhanced_schema.sql:159-178 + joblib dump,
+    ml/arima_forecasting.py:251-277), re-load, score the latest window per
+    symbol.  Driver row checks the registry semantics: one model per
+    trainable symbol, scored prediction finite, predicted_date = latest
+    tick + 1 day."""
+    import os
+    import tempfile
+
+    from ..ml.persistence import load_models, save_models, score_latest, train_models
+
+    ticks = _valid_ticks(spark, sf_dir)
+    models = train_models(ticks)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_models",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    save_models(models, path)
+    scored = score_latest(ticks, load_models(spark, path))
+    pre = scored.select(
+        "company_id", "model_type",
+        F.col("timestamp").alias("last_tick_ts"),
+        (~F.isnan("predicted_price")).alias("pred_ok"),
+        (F.col("predicted_date") == F.col("timestamp") + F.expr("INTERVAL 1 DAY")).alias(
+            "date_ok"
+        ),
+    )
+    return pre
+
+
+@register("emb5_ivf_trained_recall")
+def emb5_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB4 follow-up — IVF-Flat with TRAINED centroids (deterministic
+    KMeans, operators/clustering.kmeans_fit) instead of borrowed labels,
+    checked by recall@10 against the exact brute-force ranking computed in
+    the same plan: every query must recover ≥ 9 of its true top-10.
+    The KMeans fit and both searches are Spark plans; only the k·d-double
+    codebook crosses the driver per iteration.
+
+    n_probe=6 of k=8 lists is calibrated to the FIXTURE (500 synthetic
+    64-dim vectors with weak cluster structure — true neighbors spread
+    nearly uniformly over lists, so high recall needs most lists).  At
+    corpus scale k grows ∝ √n and n_probe stays ≪ k; the plan shape (one
+    broadcast argmin + one list-id shuffle) is what this query pins."""
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=5)
+    ivf = ivf_topk(queries_df, emb, cents, k=10, n_probe=6)
+    brute = cosine_topk(queries_df, emb, k=10)
+    hits = ivf.select("query_id", "vec_id").join(
+        brute.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    )
+    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    n_res = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
+    return (
+        n_res.join(n_hits, "query_id", "left")
+        .select(
+            "query_id", "n_results",
+            (F.coalesce(F.col("n_hit"), F.lit(0)) >= 9).alias("recall_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship (entry): full analytics row — dims ⋈ ticks + all indicators.
-# Uses the fast JVM-window path (with_indicators).
+# Uses the linear-time grouped-map pandas path (the scale default); the
+# JVM-HOF path stays the oracle-parity twin (w_all_indicators).
 # ---------------------------------------------------------------------------
 
 
@@ -665,7 +780,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-symbol indicator windows → broadcast-join dims → latest 1000 rows
     (analytics/analytics_consumer.py:304-420 + dashboard fetch)."""
     ticks = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
-    enriched = ind.with_indicators(ticks, TICK_SPEC)
+    # Linear pandas path: the HOF-EMA twin materializes an O(BUFFER) array
+    # per row (fine at small SF, the memory hot spot at long histories); the
+    # grouped map is one Arrow batch per symbol, O(n) per symbol, and is
+    # cross-checked against the HOF path in tests/test_indicators.py.
+    enriched = ind.indicators_apply_in_pandas(ticks, TICK_SPEC)
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("company_id"),
         F.col("c_name").alias("company_name"),

@@ -1,0 +1,115 @@
+"""Scale probes behind COVERAGE.md's "Scale behavior (measured)" table.
+
+Generates synthetic scale-up inputs in /tmp and times representative
+queries warm (second run) so growth factors are comparable:
+
+  * events ×10  — 1M rows / 15k symbols (vs sf0.1's 100k / 150): the
+    per-symbol window chain, grouped-map indicators (flagship), daily
+    summary, ML fits.
+  * documents ×4 + ADVERSARIAL hot shingle — 20k docs (vs 5k) where EVERY
+    document shares one viral trigram: without the dd2 stop-shingle cut the
+    shared-shingle candidate join would produce 20k²/2 pairs through that
+    shingle; with the cut (document frequency > 128 dropped) the probe must
+    stay ~linear.
+
+Usage: python scale_probe.py  → one JSON line per probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline_spark.plans import QUERIES, flagship
+from real_time_stock_market_data_pipeline_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/real_time_stock_market_data_pipeline_spark_scale_probe"
+
+N_EVENTS, N_SYMBOLS = 1_000_000, 15_000
+DOC_COPIES = 4
+VIRAL = " the common viral phrase every document now shares"
+
+EVENT_QUERIES = [
+    "a4_daily_summary", "w_all_indicators", "t6_alerts",
+    "u3_linreg_metrics", "u2_arima_forecast",
+]
+DOC_QUERIES = ["dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality"]
+
+
+def build_scaled(spark) -> str:
+    out = os.path.join(SCRATCH, "sfX")
+    os.makedirs(out, exist_ok=True)
+    # events ×10: deterministic synthetic walk, 15k symbols
+    ev = (
+        spark.range(N_EVENTS)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % N_SYMBOLS).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=(F.col("id") / F.lit(100.0)))
+            ).alias("ts"),
+            (100.0 + F.sin(F.col("id") / 7.0) * 5.0
+             + (F.col("id") % 97).cast("double") / 10.0).alias("value"),
+            F.concat(F.lit('{"k": '), (F.col("id") % 1000).cast("string"), F.lit("}"))
+            .alias("props"),
+        )
+    )
+    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    # documents ×4 with a viral shingle appended to EVERY text
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n = docs.count()
+    copies = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * n)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(VIRAL)).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        for i in range(DOC_COPIES)
+    ]
+    allc = copies[0]
+    for c in copies[1:]:
+        allc = allc.unionByName(c)
+    allc.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ("customer", "nation", "region", "embeddings"):
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+def timed(fn, *args) -> float:
+    fn(*args).write.format("noop").mode("overwrite").save()  # warmup run
+    t0 = time.perf_counter()
+    fn(*args).write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    scaled = build_scaled(spark)
+    results: dict[str, dict[str, float]] = {}
+    for name in EVENT_QUERIES + DOC_QUERIES:
+        results[name] = {
+            "base": timed(QUERIES[name], spark, BASE),
+            "scaled": timed(QUERIES[name], spark, scaled),
+        }
+    results["flagship"] = {
+        "base": timed(flagship, spark, BASE),
+        "scaled": timed(flagship, spark, scaled),
+    }
+    for name, r in results.items():
+        r["factor"] = round(r["scaled"] / max(r["base"], 1e-9), 2)
+        print(json.dumps({"probe": name, **r}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,45 @@
+"""Deterministic KMeans (IVF centroid trainer) invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from real_time_stock_market_data_pipeline_spark.operators.clustering import kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(9)
+    # three directionally-separated blobs (assignment metric is cosine, so
+    # clusters must differ in direction, not just offset)
+    rows = []
+    for b in range(3):
+        center = np.zeros(8)
+        center[b] = 5.0
+        for i in range(30):
+            v = (center + rng.normal(0, 0.3, 8)).tolist()
+            rows.append((b * 30 + i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_deterministic(vecs):
+    a = sorted(map(tuple, kmeans_fit(vecs, k=3, n_iter=3).collect()))
+    b = sorted(map(tuple, kmeans_fit(vecs, k=3, n_iter=3).collect()))
+    assert a == b
+
+
+def test_kmeans_recovers_blobs(vecs):
+    cents = kmeans_fit(vecs, k=3, n_iter=5).collect()
+    assert len(cents) == 3
+    # each centroid's dominant dimension should be one blob axis at ≈5
+    dominant = sorted(int(np.argmax(r.embedding)) for r in cents)
+    assert dominant == [0, 1, 2]
+    for r in cents:
+        assert max(r.embedding) == pytest.approx(5.0, abs=0.5)
+
+
+def test_kmeans_centroid_shape(vecs):
+    cents = kmeans_fit(vecs, k=3, n_iter=2).collect()
+    assert all(len(r.embedding) == 8 for r in cents)
+    assert sorted(r.centroid_id for r in cents) == [0, 1, 2]

@@ -1,0 +1,85 @@
+"""S13 model persistence: train → save → load → score must reproduce the
+in-memory model's predictions exactly (the registry round-trip the reference
+gets from joblib + the ml_models table)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline_spark.ml.persistence import (
+    load_models,
+    save_models,
+    score_latest,
+    train_models,
+)
+from real_time_stock_market_data_pipeline_spark.ml.regression import _ols_fit, _windows
+
+
+def _series_df(spark, prices_by_symbol):
+    rows = []
+    for sym, prices in prices_by_symbol.items():
+        for i, p in enumerate(prices):
+            rows.append(
+                (sym, i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), float(p))
+            )
+    return spark.createDataFrame(
+        rows,
+        "company_id string, tick_id long, trade_datetime timestamp, current_price double",
+    )
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    rng = np.random.default_rng(5)
+    return _series_df(
+        spark,
+        {
+            "A": 100 + np.cumsum(rng.normal(0, 1, 60)),
+            "B": 50 + np.cumsum(rng.normal(0, 2, 40)),
+            "SHORT": [1.0, 2.0, 3.0],  # below the window+2 gate → no model
+        },
+    )
+
+
+def test_roundtrip_identical_predictions(spark, ticks, tmp_path):
+    models = train_models(ticks)
+    direct = {
+        r.company_id: r.predicted_price
+        for r in score_latest(ticks, models).collect()
+    }
+    path = str(tmp_path / "models")
+    save_models(models, path)
+    loaded = load_models(spark, path)
+    reloaded = {
+        r.company_id: r.predicted_price
+        for r in score_latest(ticks, loaded).collect()
+    }
+    assert direct == reloaded  # bit-identical: same coefficients, same fold
+    assert set(direct) == {"A", "B"}
+
+
+def test_scored_prediction_matches_numpy(spark, ticks):
+    models = train_models(ticks)
+    got = {r.company_id: r for r in score_latest(ticks, models).collect()}
+    pdf = ticks.filter(F.col("company_id") == "A").orderBy("trade_datetime").toPandas()
+    prices = pdf["current_price"].to_numpy()
+    X, y = _windows(prices, 5)
+    beta = _ols_fit(X, y)
+    want = float(beta[0] + beta[1:] @ prices[-5:])
+    assert got["A"].predicted_price == pytest.approx(want, rel=1e-12)
+    assert got["A"].predicted_date == got["A"].timestamp + dt.timedelta(days=1)
+    assert got["A"].confidence_score == 0.8
+
+
+def test_model_table_schema_and_gate(spark, ticks):
+    models = train_models(ticks).collect()
+    by_sym = {r.company_id: r for r in models}
+    assert set(by_sym) == {"A", "B"}
+    a = by_sym["A"]
+    assert a.model_type == "LinearRegression"
+    assert a.window == 5 and len(a.beta) == 6
+    assert a.n_windows == 60 - 6
