@@ -99,8 +99,15 @@ def jaccard_near_dup_pairs(
     """
     sh = shingle_hashes(df, id_col, text, n)
     if max_shingle_freq:
-        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_freq)
-        sh = sh.join(hot.select("sh"), "sh", "left_anti")
+        # window count, not groupBy+anti-join: the plan is lazy, so a
+        # frequency side-branch would recompute the shingle pipeline; the
+        # window's (sh)-partitioning doubles as the candidate join's key
+        df_w = Window.partitionBy("sh")
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(df_w))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .drop("__df")
+        )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -751,7 +751,7 @@ def emb5_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = kmeans_fit(emb, k=8, n_iter=5)
+    cents = kmeans_fit(emb, k=8, n_iter=3)
     ivf = ivf_topk(queries_df, emb, cents, k=10, n_probe=6)
     brute = cosine_topk(queries_df, emb, k=10)
     hits = ivf.select("query_id", "vec_id").join(

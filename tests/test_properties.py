@@ -92,3 +92,64 @@ def test_ema_seeded_recursion_property(prices):
         for x in arr[1:]:
             acc = x * m + acc * (1 - m)
         assert math.isclose(got[-1], acc, rel_tol=1e-12)
+
+
+def _ema_loop_over_deque(prices: np.ndarray, period: int, i: int,
+                         buffer: int = ind.BUFFER_SIZE) -> float:
+    """Reference EMA at row i: seeded recursion over the VISIBLE deque
+    (last `buffer` prices), technical_indicators.py:124-130."""
+    buf = prices[max(0, i - buffer + 1) : i + 1]
+    m = 2.0 / (period + 1)
+    acc = buf[0]
+    for x in buf[1:]:
+        acc = x * m + acc * (1 - m)
+    return acc
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_ema_buffer_saturation_past_1000_rows(seed):
+    """Once the deque saturates (n > BUFFER_SIZE=1000), ema_series switches
+    to the sliding-dot-product form; it must still equal the reference's
+    explicit recursion over the visible window at every sampled row."""
+    rng = np.random.default_rng(seed)
+    n = 1000 + int(rng.integers(5, 60))
+    prices = 100.0 + np.cumsum(rng.normal(0, 1, n))
+    for period in (12, 26):
+        got = ind.ema_series(prices, period)
+        for i in (999, 1000, n - 2, n - 1):  # straddle the saturation edge
+            want = _ema_loop_over_deque(prices, period, i)
+            assert math.isclose(got[i], want, rel_tol=1e-9), (period, i)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=10_000.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=40,  # past the MACD gate (slow 26 + signal 9 = 35)
+        max_size=120,
+    )
+)
+def test_macd_matches_reference_recursion(prices):
+    """MACD = EMA12 − EMA26 over the visible buffer; signal = line (the
+    reference's simplification, technical_indicators.py:176), histogram 0;
+    NaN before row 35."""
+    arr = np.array(prices)
+    pdf = pd.DataFrame(
+        {
+            "company_id": "X",
+            "tick_id": range(len(arr)),
+            "trade_datetime": pd.date_range("2024-01-01", periods=len(arr), freq="min"),
+            "current_price": arr,
+            "volume": 1,
+        }
+    )
+    out = ind.indicator_frame(pdf, ind.SeriesSpec())
+    macd = out["macd"].to_numpy(dtype=float)
+    assert np.isnan(macd[:34]).all()
+    for i in (35, len(arr) - 1):
+        want = _ema_loop_over_deque(arr, 12, i) - _ema_loop_over_deque(arr, 26, i)
+        assert math.isclose(macd[i], want, rel_tol=1e-9, abs_tol=1e-9), i
+    assert (out["macd_signal"].to_numpy(dtype=float)[35:] == macd[35:]).all()
+    assert (out["macd_histogram"].to_numpy(dtype=float)[35:] == 0.0).all()
