@@ -63,6 +63,31 @@ def cosine_topk(
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
+def center_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Subtract the per-dimension corpus mean from every vector (appended as
+    ``<vec>_centered``).  Sign-bucket LSH keys come from coordinate
+    hyperplanes; on uncentered data (e.g. all-positive ReLU embeddings)
+    every vector lands in the all-signs-positive bucket and the bucket join
+    degenerates to a cross join.  Centering moves the hyperplanes through
+    the data centroid so each plane splits the mass ~evenly — the cheap
+    stand-in for a random rotation.  One tiny aggregate (d doubles) is
+    broadcast back as a literal; the per-row subtraction is a JVM
+    ``zip_with``."""
+    # Per-dim means via one posexplode aggregate: d rows out, no wide state.
+    means_rows = (
+        df.select(F.posexplode(F.col(vec)).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    means = [r.m for r in sorted(means_rows, key=lambda r: r.i)]
+    mean_arr = F.array(*[F.lit(float(m)) for m in means])
+    return df.withColumn(
+        f"{vec}_centered",
+        F.zip_with(F.col(vec), mean_arr, lambda x, m: x.cast("double") - m),
+    )
+
+
 def sign_bucket_col(vec: Column, n_planes: int = 16) -> Column:
     """Hyperplane-sign LSH key from the leading dims' signs (a 16-bit int).
     With standardized embeddings the coordinate planes act as fixed random
@@ -83,11 +108,25 @@ def lsh_near_dup_pairs(
     n_planes: int = 16,
     vec_id: str = "vec_id",
     vec: str = "embedding",
+    center: bool = False,
 ) -> DataFrame:
-    """(vec_a, vec_b, cosine_sim ≥ threshold) within sign buckets."""
-    keyed = df.select(
-        F.col(vec_id), F.col(vec), sign_bucket_col(F.col(vec), n_planes).alias("bucket")
-    )
+    """(vec_a, vec_b, cosine_sim ≥ threshold) within sign buckets.
+
+    ``center=True`` buckets on mean-centered vectors (``center_embeddings``)
+    — required for anisotropic/all-positive embeddings where raw signs pile
+    everything into one hot bucket; exact cosine still uses the RAW vectors,
+    so only candidate generation changes, not the verified similarity."""
+    if center:
+        centered = center_embeddings(df, vec)
+        keyed = centered.select(
+            F.col(vec_id), F.col(vec),
+            sign_bucket_col(F.col(f"{vec}_centered"), n_planes).alias("bucket"),
+        )
+    else:
+        keyed = df.select(
+            F.col(vec_id), F.col(vec),
+            sign_bucket_col(F.col(vec), n_planes).alias("bucket"),
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(

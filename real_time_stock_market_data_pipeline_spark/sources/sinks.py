@@ -48,6 +48,32 @@ def read_ticks_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist hash-bucketed by ``key`` (Spark bucketing, SURVEY §4 R1's
+    co-location analogue): two tables bucketed the same way join WITHOUT any
+    Exchange — the join reads matching buckets side by side.  At 100 TB this
+    is the difference between shuffling the fact table on every
+    ticks ⋈ analytics ⋈ predictions query and shuffling it once at write
+    time.  ``sortBy(key)`` additionally removes the join's Sort.
+    Bucketing requires the table catalog (``saveAsTable``); the path makes
+    it an external table, so the files outlive the in-memory catalog."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def jdbc_append(
     df: DataFrame,
     url: str,

@@ -145,3 +145,34 @@ def test_multimodal_stub_plumbing(spark, sf_dir, docs):
         assert r.channels == 3
     with pytest.raises(NotImplementedError):
         decode_image_meta(media, fake=False)
+
+
+def test_centered_lsh_spreads_hot_bucket(spark):
+    """All-positive (ReLU-style) embeddings collapse raw sign-buckets into
+    ONE hot bucket; centering spreads candidates so the bucket join cannot
+    degenerate to a cross join — and exact cosine still verifies on the raw
+    vectors, so no false positives are introduced."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        center_embeddings,
+        sign_bucket_col,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(2)
+    rows = [(i, (rng.random(16) + 0.01).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    raw = df.select(sign_bucket_col(F.col("embedding")).alias("b")).groupBy("b").count()
+    assert raw.count() == 1  # every all-positive vector in one bucket
+
+    cen = center_embeddings(df)
+    spread = (
+        cen.select(sign_bucket_col(F.col("embedding_centered")).alias("b"))
+        .groupBy("b")
+        .count()
+    )
+    sizes = [r["count"] for r in spread.collect()]
+    assert len(sizes) > 50  # candidates split across many buckets
+    assert max(sizes) < 50  # no single hot bucket
