@@ -89,3 +89,86 @@ def sample_frames(
     """Keep every n-th frame per media item (video frame-sampling shape):
     pure filter, no shuffle."""
     return df.filter(F.pmod(F.col(frame_idx), F.lit(every_n)) == 0)
+
+
+def resize_image(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    bytes_col: str = "media_bytes",
+    fake: bool = False,
+) -> DataFrame:
+    """Resize decoded images to (target_w, target_h).
+
+    STUB like ``decode_image_meta``: the pixel transform needs a codec
+    library — ``fake=True`` substitutes a deterministic byte-slice
+    "thumbnail" (first w·h·3 payload bytes, cycled) so the Spark contract
+    (bytes in → smaller bytes out + updated dims, Arrow batching, schema)
+    is real and tested.  The fake output length is the real output length
+    an RGB resize would produce."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires a codec library (PIL/opencv) not present "
+            "in this environment; pass fake=True for the deterministic stub"
+        )
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, resized binary, resized_w int, resized_h int"
+    out_len = target_w * target_h * 3
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def shrink(b: bytes | None) -> bytes:
+                if not b:
+                    return b""
+                reps = out_len // len(b) + 1
+                return (b * reps)[:out_len]
+
+            pdf["resized"] = pdf[bytes_col].map(shrink)
+            pdf["resized_w"] = target_w
+            pdf["resized_h"] = target_h
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+N_FEATURES = 16
+
+
+def extract_features(
+    df: DataFrame, bytes_col: str = "media_bytes", fake: bool = False
+) -> DataFrame:
+    """Per-item feature vector (``array<float>``) from media bytes — the
+    embed-the-image stage of a multimodal pipeline.
+
+    STUB: a real extractor is a model forward pass (no ML runtime here) —
+    ``fake=True`` computes a deterministic 16-dim byte-histogram projection
+    (numpy, vectorized per Arrow batch).  The output column is a regular
+    embedding column: everything downstream (``cosine_topk``, ``ivf_topk``,
+    ``lsh_near_dup_pairs``) composes with it unchanged."""
+    if not fake:
+        raise NotImplementedError(
+            "feature extraction requires a model runtime not present in this "
+            "environment; pass fake=True for the deterministic stub"
+        )
+    import numpy as np
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, features array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def hist(b: bytes | None) -> list[float]:
+                if not b:
+                    return [0.0] * N_FEATURES
+                arr = np.frombuffer(b, dtype=np.uint8)
+                h = np.bincount(arr % N_FEATURES, minlength=N_FEATURES)
+                return (h / max(len(arr), 1)).astype(np.float32).tolist()
+
+            pdf["features"] = pdf[bytes_col].map(hist)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

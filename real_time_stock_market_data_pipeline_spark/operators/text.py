@@ -51,6 +51,21 @@ def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
     )
 
 
+# BPE pre-tokenizer split: letter runs | digit runs | single non-alnum glyph
+# (whitespace dropped).  The regex stage of a GPT-2-style tokenizer — the
+# merge stage needs a learned vocab; for corpus statistics (length filters,
+# cost estimates) the pre-token count is the usable signal.  No backslash
+# escapes or POSIX classes: Java (Spark) and RE2 (DuckDB) agree on plain
+# character classes only.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count_col(text: str = "text") -> Column:
+    """JVM-side BPE-ish token count: ``regexp_extract_all`` + ``size`` —
+    codegen'd, no Python."""
+    return F.size(F.expr(f"regexp_extract_all({text}, '{BPE_SPLIT_PATTERN}', 0)"))
+
+
 def stopword_ratio_col(text: str = "text", stopwords: list[str] | None = None) -> Column:
     toks = tokens_col(text)
     stops = F.size(F.filter(toks, lambda t: t.isin(*(stopwords or EN_STOPWORDS))))

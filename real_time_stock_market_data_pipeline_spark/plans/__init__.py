@@ -32,7 +32,7 @@ _PRIORITY = [
     "p4_recent_window", "s13_model_roundtrip",
     # 2 — one representative per SURVEY row
     "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
-    "p5_equality_filter", "j1_tick_dashboard", "j5_dim_lookup",
+    "j1_tick_dashboard", "j5_dim_lookup",
     "j6_region_revenue", "j7_orders_without_big_lineitems",
     "j8_industry_rollup", "a1_grouped_max", "a3_active_series",
     "a4_daily_summary", "w1_latest_per_day", "o1_top_events",
@@ -42,8 +42,9 @@ _PRIORITY = [
     "t6_alerts", "p8_extreme_filter", "w_all_indicators",
     "w10_throttled_volatility", "j3_alert_feed",
     "txt1_token_stats", "txt2_quality", "txt3_langid", "txt4_fingerprint",
-    "dd1_exact_dedup",
-    # 3 — green in round 1, redundant shapes (past the 50-row window)
+    "txt5_bpe_tokens", "dd1_exact_dedup",
+    # 3 — already evidenced (r01 green row and/or a dedicated plan test)
+    "p5_equality_filter",
     "su1_set_ops", "sk1_salted_daily_summary", "q1_pricing_summary",
     "t9_session_windows", "mm1_media_meta", "o4_latest_row",
     "o5_price_history", "a2_global_max", "a6_hourly_counts",

@@ -140,6 +140,15 @@ def tok_hash(dialect: str, tok: str, mod: int = 1_000_000_007) -> str:
     )
 
 
+def regexp_count(dialect: str, col: str, pattern: str) -> str:
+    """Count regex matches.  The pattern must avoid backslash escapes and
+    POSIX classes (Java vs RE2 literal-escaping rules differ); plain
+    character classes behave identically in both engines."""
+    if dialect == "spark":
+        return f"size(regexp_extract_all({col}, '{pattern}', 0))"
+    return f"len(regexp_extract_all({col}, '{pattern}'))"
+
+
 def last_ignore_nulls(dialect: str, e: str) -> str:
     """last_value(...) IGNORE NULLS — Spark puts the modifier after the call,
     DuckDB inside the parentheses."""

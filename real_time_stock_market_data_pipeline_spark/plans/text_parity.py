@@ -161,6 +161,27 @@ FROM hashed_docs
 """
 
 
+def sql_bpe_tokens(dialect: str) -> str:
+    """TXT5 — BPE-ish token counting next to the whitespace count: the
+    pre-tokenizer regex of a GPT-2-style tokenizer (letter runs | digit
+    runs | single punctuation), operators/text.BPE_SPLIT_PATTERN.  The
+    ratio column is the punctuation-density signal corpus filters cut on."""
+    from .dialect import regexp_count
+
+    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    ws = list_len(dialect, "toks")
+    bpe = regexp_count(dialect, "text", pattern)
+    ratio = f"{d(bpe)} / {d(ws)}"
+    return f"""
+WITH {docs_cte(dialect)}
+SELECT doc_id, lang,
+       {ws} AS n_ws_tokens,
+       {bpe} AS n_bpe_tokens,
+       {r6t(ratio)} AS bpe_per_ws_token
+FROM docs
+"""
+
+
 def sql_exact_dedup(dialect: str) -> str:
     """DD1 — exact dedup: canonical survivor (min doc_id) per identical
     text; n_copies > 1 marks duplicate clusters.  At scale this groups on a
@@ -343,6 +364,7 @@ _BODIES = {
     "txt2_quality": sql_quality,
     "txt3_langid": sql_langid,
     "txt4_fingerprint": sql_fingerprint,
+    "txt5_bpe_tokens": sql_bpe_tokens,
     "dd1_exact_dedup": sql_exact_dedup,
     "dd2_ngram_jaccard": sql_ngram_jaccard,
     "dd3_minhash_signatures": sql_minhash_signatures,

@@ -73,3 +73,47 @@ def test_sample_frames_pure_filter(spark):
     assert kept.count() == 10
     assert kept.agg(F.max("frame_idx")).first()[0] == 90
     assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
+
+
+def test_resize_stub_contract(media):
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import resize_image
+
+    out = resize_image(media, 8, 6, fake=True)
+    rows = out.select("doc_id", "resized", "resized_w", "resized_h").collect()
+    assert rows
+    for r in rows:
+        assert len(r.resized) == 8 * 6 * 3
+        assert (r.resized_w, r.resized_h) == (8, 6)
+
+
+def test_resize_raises_without_codec(media):
+    import pytest as _pytest
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import resize_image
+
+    with _pytest.raises(NotImplementedError):
+        resize_image(media, 8, 6)
+
+
+def test_feature_extract_composes_with_similarity(media, spark):
+    """The fake feature vectors are a REAL embedding column: brute-force
+    cosine top-k over them runs unchanged."""
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        N_FEATURES,
+        extract_features,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import cosine_topk
+
+    feats = extract_features(media, fake=True).select(
+        F.col("doc_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    first = feats.limit(1).collect()[0]
+    assert len(first.embedding) == N_FEATURES
+    q = feats.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = cosine_topk(q, feats, k=3)
+    got = top.groupBy("query_id").count().collect()
+    assert got and all(r["count"] == 3 for r in got)
+    # deterministic: same bytes -> same features
+    again = extract_features(media, fake=True).select("doc_id", "features").collect()
+    feat_map = {r.doc_id: r.features for r in again}
+    assert feat_map[first.vec_id] == list(first.embedding)
