@@ -122,6 +122,34 @@ def test_ema_buffer_saturation_past_1000_rows(seed):
             assert math.isclose(got[i], want, rel_tol=1e-9), (period, i)
 
 
+@settings(max_examples=3, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_indicator_frame_past_buffer_saturation(seed):
+    """indicator_frame vs the straight reference transcription on a series
+    LONGER than the 1000-row deque: SMA/RSI window semantics are unaffected,
+    but volatility's return window and the EMA weighted-sum fast path both
+    switch behavior at saturation — they must keep matching the visible
+    buffer's math."""
+    rng = np.random.default_rng(seed)
+    n = 1000 + int(rng.integers(10, 50))
+    prices = list(100.0 + np.cumsum(rng.normal(0, 1, n)))
+    pdf = pd.DataFrame(
+        {
+            "company_id": "X",
+            "tick_id": range(n),
+            "trade_datetime": pd.date_range("2024-01-01", periods=n, freq="min"),
+            "current_price": prices,
+            "volume": 1,
+        }
+    )
+    got = ind.indicator_frame(pdf, ind.SeriesSpec())
+    want = _numpy_reference(prices)
+    for col in ["sma_20", "rsi_14", "volatility"]:
+        g = got[col].to_numpy(dtype=float)[-30:]
+        w = want[col].to_numpy(dtype=float)[-30:]
+        assert np.allclose(g, w, rtol=1e-9, atol=1e-9, equal_nan=True), col
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(

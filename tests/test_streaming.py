@@ -168,3 +168,71 @@ def test_kafka_decode_corrupt_json_yields_null_rows(spark):
     assert None in by_sym  # corrupt row → NULL struct fields
     assert by_sym["MSFT"].current_price == 1.5
     assert decoded.filter(valid_tick_predicate()).count() == 1
+
+
+def test_watermark_drops_late_rows_across_runs(spark, tmp_path):
+    """T4 — watermark semantics: a 10-minute watermark finalizes tumbling
+    windows once event time passes window_end + delay; a row arriving LATER
+    than the watermark for an already-finalized window is DROPPED, not
+    merged.  The watermark survives the checkpoint across two bounded runs
+    (the restart path the reference has no answer to)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    schema = "company_id string, trade_datetime timestamp, current_price double"
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(rows, columns=["company_id", "trade_datetime", "current_price"])
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(src / name)
+        )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+        )
+        agg = (
+            stream.withWatermark("trade_datetime", "10 minutes")
+            .groupBy(F.window("trade_datetime", "5 minutes").alias("w"), "company_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "company_id", "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    # run 1: two rows in [10:00,10:05) and one at 10:20 → watermark 10:10,
+    # so the first window finalizes with n=2
+    write_batch("f1", [("A", ts(0), 1.0), ("A", ts(2), 1.0)])
+    time.sleep(1.1)
+    write_batch("f2", [("A", ts(20), 1.0)])
+    run_once()
+
+    # run 2: a LATE row for the finalized window (10:03 < watermark 10:10)
+    # plus a fresh row at 10:40 that pushes the watermark past 10:25
+    time.sleep(1.1)
+    write_batch("f3", [("A", ts(3), 1.0)])
+    time.sleep(1.1)
+    write_batch("f4", [("A", ts(40), 1.0)])
+    run_once()
+
+    got = {
+        r.w_start: r.n for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got[ts(0)] == 2  # late 10:03 row DROPPED, not merged to 3
+    assert got[ts(20)] == 1  # second window finalized by the 10:40 row
