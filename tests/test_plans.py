@@ -90,3 +90,36 @@ def test_salted_agg_is_two_phase(spark, sf_dir):
     its own partial+final split → 4 HashAggregate nodes."""
     plan = plan_of(spark, sf_dir, "sk1_salted_daily_summary")
     assert plan.count("HashAggregate") >= 4
+
+
+def test_j2_derived_join_shape(spark, sf_dir):
+    """j2: one indicator pipeline (anchor comes from the raw scan, never a
+    second inlined CTE), broadcast dim join, top-k without a global sort."""
+    plan = plan_of(spark, sf_dir, "j2_analytics_dashboard")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") <= 2  # the one per-symbol window sort (+AQE slack)
+
+
+def test_j4_prediction_join_shape(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j4_prediction_dashboard")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_s13_scoring_shape(spark, sf_dir):
+    """score_latest: rank-filter runs as WindowGroupLimit; the model table
+    rides a broadcast."""
+    plan = plan_of(spark, sf_dir, "s13_model_roundtrip")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dd2_single_pipeline_per_join_side(spark, sf_dir):
+    """The stop-shingle cut must not add a third shingle pipeline: exactly
+    one Generate (token explode) per self-join side."""
+    plan = plan_of(spark, sf_dir, "dd2_ngram_jaccard")
+    assert plan.count("Generate") <= 2
