@@ -77,6 +77,30 @@ def _adf_stat(x: np.ndarray, lags: int = 1) -> float:
     return float(beta[1]) / se
 
 
+LB_LAGS = 10
+# χ²(10) upper 5% quantile — Ljung-Box critical value at the reference's lag
+# count (arima_forecasting.py residual validation).
+LB_CHI2_10_95 = 18.307038053275146
+
+
+def _ljung_box_q(resid: np.ndarray, lags: int = LB_LAGS) -> float:
+    """Ljung-Box portmanteau statistic Q = n(n+2)·Σ_{k≤L} ρ_k²/(n−k) on the
+    fit residuals; Q below the χ²(L) 5% critical value ⇒ residuals look like
+    white noise (the model captured the autocorrelation)."""
+    n = len(resid)
+    if n <= lags + 1:
+        return float("nan")
+    r = resid - resid.mean()
+    denom = float(r @ r)
+    if denom <= 0:
+        return 0.0
+    q = 0.0
+    for k in range(1, lags + 1):
+        rho = float(r[k:] @ r[:-k]) / denom
+        q += rho * rho / (n - k)
+    return n * (n + 2) * q
+
+
 def _select_d(x: np.ndarray) -> int:
     """Smallest d whose differenced series is ADF-stationary at 5%."""
     for d in range(MAX_D + 1):
@@ -198,7 +222,7 @@ def forecast(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = [key, "step", "forecast", "ci_lo", "ci_hi", "aic",
-                "order_p", "order_d", "order_q"]
+                "order_p", "order_d", "order_q", "lb_q", "resid_white"]
         pdf = pdf.sort_values(ts, kind="mergesort")
         x = pdf[price].to_numpy(dtype=np.float64)
         sym = pdf[key].iloc[0]
@@ -207,6 +231,7 @@ def forecast(
         best = _fit_best(x)
         fc, sigma = _forecast(x, best, steps)
         widen = sigma * Z95 * np.sqrt(np.arange(1, steps + 1))
+        lb_q = _ljung_box_q(best["resid"])
         return pd.DataFrame(
             {
                 key: sym,
@@ -218,6 +243,10 @@ def forecast(
                 "order_p": best["p"],
                 "order_d": best["d"],
                 "order_q": best["q"],
+                "lb_q": lb_q,
+                # the reference's residual validation: white residuals ⇒ the
+                # order captured the autocorrelation (Ljung-Box, 5%, 10 lags)
+                "resid_white": bool(lb_q < LB_CHI2_10_95) if math.isfinite(lb_q) else False,
             },
             columns=cols,
         )
@@ -225,7 +254,8 @@ def forecast(
     key_type = dict(df.dtypes)[key]
     schema = (
         f"{key} {key_type}, step int, forecast double, ci_lo double, ci_hi double, "
-        "aic double, order_p int, order_d int, order_q int"
+        "aic double, order_p int, order_d int, order_q int, lb_q double, "
+        "resid_white boolean"
     )
     from .regression import grouped_map_input
 

@@ -104,3 +104,30 @@ def test_adf_selects_zero_for_stationary_one_for_walk():
     assert _select_d(stationary) == 0
     walk = np.cumsum(rng.normal(0, 1, 200)) + 100
     assert _select_d(walk) >= 1
+
+
+def test_ljung_box_white_vs_autocorrelated():
+    from real_time_stock_market_data_pipeline_spark.ml.arima import (
+        LB_CHI2_10_95,
+        _ljung_box_q,
+    )
+
+    rng = np.random.default_rng(21)
+    white = rng.normal(0, 1, 300)
+    assert _ljung_box_q(white) < LB_CHI2_10_95
+    # strongly autocorrelated residuals (AR(1), phi=0.9) must be rejected
+    ar = np.zeros(300)
+    for i in range(1, 300):
+        ar[i] = 0.9 * ar[i - 1] + rng.normal(0, 0.1)
+    assert _ljung_box_q(ar) > LB_CHI2_10_95
+
+
+def test_forecast_emits_residual_validation(spark):
+    rng = np.random.default_rng(13)
+    walk = 100 + np.cumsum(rng.normal(0, 1, 120))
+    df = _series_df(spark, {"A": walk})
+    rows = forecast(df, steps=3).collect()
+    assert all(np.isfinite(r.lb_q) for r in rows)
+    # a random walk's differenced series is white noise: the chosen fit
+    # should leave white residuals
+    assert all(r.resid_white for r in rows)
