@@ -112,17 +112,17 @@ def _select_d(x: np.ndarray) -> int:
     return MAX_D
 
 
-def _css_fit(x: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndarray, float] | None:
-    """Conditional-least-squares ARMA(p,q) fit on a (differenced) series.
+HR_LONG_P = 10  # Hannan–Rissanen stage-1 AR order (fixed — shared by the grid)
 
-    Returns (coefs [c, ar..., ma...], residuals, sse) or None if the system
-    is degenerate.  Hannan–Rissanen: residual proxies from a long AR fit.
-    """
+
+def _hr_residual_proxies(x: np.ndarray) -> np.ndarray | None:
+    """Stage 1 of Hannan–Rissanen, ONCE per series: a long-AR fit whose
+    residuals proxy the unobserved MA shocks for every (p, q) in the grid.
+    The old per-(p,q) variant recomputed this 35× per symbol."""
     n = len(x)
-    long_p = min(max(p + q + 2, 5), n // 3)
-    if n - long_p <= p + q + 1 or long_p < 1:
+    long_p = min(HR_LONG_P, n // 3)
+    if long_p < 1 or n - long_p <= long_p + 1:
         return None
-    # stage 1: long AR for residual proxies
     A = np.hstack(
         [np.ones((n - long_p, 1))]
         + [x[long_p - k : n - k, None] for k in range(1, long_p + 1)]
@@ -131,8 +131,24 @@ def _css_fit(x: np.ndarray, p: int, q: int) -> tuple[np.ndarray, np.ndarray, flo
     beta, *_ = np.linalg.lstsq(A, yv, rcond=None)
     eps = np.zeros(n)
     eps[long_p:] = yv - A @ beta
+    return eps
+
+
+def _css_fit(
+    x: np.ndarray, p: int, q: int, eps: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, float] | None:
+    """Conditional-least-squares ARMA(p,q) fit on a (differenced) series.
+
+    Returns (coefs [c, ar..., ma...], residuals, sse) or None if the system
+    is degenerate.  ``eps`` = precomputed Hannan–Rissanen residual proxies
+    (``_hr_residual_proxies``); computed on demand when omitted."""
+    n = len(x)
+    if eps is None:
+        eps = _hr_residual_proxies(x)
+    if eps is None:
+        return None
     # stage 2: regress on p lags of x and q lags of eps
-    m = max(p, q, long_p)
+    m = max(p, q, min(HR_LONG_P, n // 3))
     rows = n - m
     if rows <= p + q + 1:
         return None
@@ -155,12 +171,13 @@ def _fit_best(x: np.ndarray) -> dict:
     random-walk ARIMA(0,1,0)."""
     d = _select_d(x)
     xd = np.diff(x, n=d) if d else x
+    eps = _hr_residual_proxies(xd)
     best = None
     for p in range(MAX_P + 1):
         for q in range(MAX_Q + 1):
             if p == 0 and q == 0:
                 continue
-            fit = _css_fit(xd, p, q)
+            fit = _css_fit(xd, p, q, eps)
             if fit is None:
                 continue
             coefs, resid, sse = fit
