@@ -99,3 +99,62 @@ def anti_join_new_rows(
     from ``existing``.
     """
     return new.join(existing.select(*keys).distinct(), list(keys), "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    right_vals: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, the LATEST right row with
+    ``right.ts <= left.ts`` per ``on`` key (inclusive, the time-series
+    point-in-time lookup Spark has no native operator for; DuckDB's native
+    ``ASOF JOIN`` is the test oracle).
+
+    Spark-first formulation — union-and-sweep, NOT a range join:
+    tag right rows side=0 and left rows side=1, sort each key partition
+    once by (ts, side), and sweep ``last(..., ignorenulls=True)`` over the
+    unbounded-preceding frame so every left row sees the most recent right
+    payload at-or-before its timestamp.  ONE shuffle + one sort total,
+    linear in |L|+|R| — a range-condition join would rescan right per left
+    row, and a windowed self-join per left timestamp would shuffle twice.
+    Left rows with no prior right row keep NULLs (ASOF LEFT JOIN).
+
+    ``right`` should be unique per (on, ts) — pre-dedupe with
+    ``dedup_keep_first`` — so ties are well-defined in both engines.
+    """
+    lcols = left.columns
+    carried = [f"{c}{suffix}" for c in right_vals]
+    l_side = left.select(
+        F.col(on), F.col(ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols if c not in (on,)],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_vals],
+    )
+    r_side = right.select(
+        F.col(on), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in (on,)],
+        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = l_side.unionByName(r_side).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(a)
+            for c, a in zip(right_vals, carried)
+        ],
+    )
+    return (
+        swept.filter(F.col("__side") == 1)
+        .select(
+            F.col(on),
+            *[F.col(c) for c in lcols if c not in (on,)],
+            *[F.col(a) for a in carried],
+        )
+    )

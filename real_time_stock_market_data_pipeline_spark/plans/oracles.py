@@ -392,6 +392,28 @@ SELECT company_id, 'LinearRegression' AS model_type, mx AS last_tick_ts,
 FROM stats WHERE n >= 7
 """
 
+# J10: the as-of join checked against DuckDB's NATIVE ASOF JOIN — an
+# independent implementation of the same semantics, the strongest oracle in
+# the suite (not a transliteration of the Spark plan).
+ORACLES["j10_asof_quote"] = f"""
+WITH {TICKS_CTE},
+purchases AS (
+  SELECT company_id, tick_id, trade_datetime, current_price
+  FROM ticks WHERE event_type = 'purchase'
+),
+quotes AS (
+  SELECT company_id, trade_datetime,
+         current_price AS quote_price, trade_datetime AS quote_ts
+  FROM ticks WHERE event_type = 'view'
+  QUALIFY row_number() OVER (
+    PARTITION BY company_id, trade_datetime ORDER BY tick_id ASC) = 1
+)
+SELECT p.company_id, p.tick_id, p.trade_datetime, p.current_price,
+       q.quote_price AS quote_price_asof, q.quote_ts AS quote_ts_asof
+FROM purchases p ASOF LEFT JOIN quotes q
+  ON p.company_id = q.company_id AND p.trade_datetime >= q.trade_datetime
+"""
+
 # EMB5: IVF with trained centroids must recover ≥9/10 of the exact top-10
 # for every query vector (deterministic fixture, deterministic KMeans).
 ORACLES["emb5_ivf_trained_recall"] = """

@@ -730,6 +730,35 @@ def s13_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre
 
 
+@register("j10_asof_quote")
+def j10_asof_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2.3 extension — the point-in-time lookup Spark
+    has no native operator for; DuckDB's native ASOF JOIN is the oracle):
+    each purchase tick picks up the latest at-or-before 'view' quote per
+    symbol.  One shuffle + one sort (union-and-sweep), not a range join."""
+    from ..operators.relational import asof_join
+
+    t = ticks_from_events(spark, sf_dir)
+    purchases = t.filter(F.col("event_type") == "purchase").select(
+        "company_id", "tick_id", "trade_datetime", "current_price"
+    )
+    quotes = dedup_keep_first(
+        t.filter(F.col("event_type") == "view").select(
+            "company_id", "trade_datetime", "current_price", "tick_id"
+        ),
+        ["company_id", "trade_datetime"],
+        "tick_id",
+    ).select(
+        "company_id", "trade_datetime",
+        F.col("current_price").alias("quote_price"),
+        F.col("trade_datetime").alias("quote_ts"),
+    )
+    return asof_join(
+        purchases, quotes, "company_id", "trade_datetime",
+        ["quote_price", "quote_ts"],
+    )
+
+
 @register("emb5_ivf_trained_recall")
 def emb5_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMB4 follow-up — IVF-Flat with TRAINED centroids (deterministic

@@ -123,3 +123,13 @@ def test_dd2_single_pipeline_per_join_side(spark, sf_dir):
     one Generate (token explode) per self-join side."""
     plan = plan_of(spark, sf_dir, "dd2_ngram_jaccard")
     assert plan.count("Generate") <= 2
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """j10: union-and-sweep — the as-of operator itself is ONE hash
+    exchange on the key; the second exchange in the query belongs to the
+    quotes (key, ts) dedup upstream.  Never a range join / per-row rescan."""
+    plan = plan_of(spark, sf_dir, "j10_asof_quote")
+    assert plan.count("Exchange hashpartitioning") == 2  # dedup + sweep
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -52,3 +52,31 @@ def test_anti_join(spark):
     existing = new.filter(F.col("tick_id") <= 3).select("company_id", "trade_datetime")
     out = anti_join_new_rows(new, existing, ["company_id", "trade_datetime"])
     assert sorted(r.tick_id for r in out.collect()) == [4, 5, 6, 7]
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive at-or-before match, NULLs before the first quote, per-key
+    isolation."""
+    import datetime as dt
+
+    from real_time_stock_market_data_pipeline_spark.operators.relational import asof_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    left = spark.createDataFrame(
+        [("A", 1, ts(0)), ("A", 2, ts(5)), ("A", 3, ts(10)), ("B", 4, ts(5))],
+        "k string, id long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", ts(5), 100.0), ("A", ts(9), 200.0), ("B", ts(6), 300.0)],
+        "k string, t timestamp, v double",
+    )
+    got = {
+        r.id: r.v_asof
+        for r in asof_join(left, right, "k", "t", ["v"]).collect()
+    }
+    assert got[1] is None          # before any quote
+    assert got[2] == 100.0         # inclusive: quote AT 10:05 visible
+    assert got[3] == 200.0         # latest at-or-before 10:10
+    assert got[4] is None          # B's only quote is later (10:06 > 10:05)
