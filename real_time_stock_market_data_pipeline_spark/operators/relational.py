@@ -158,3 +158,44 @@ def asof_join(
             *[F.col(a) for a in carried],
         )
     )
+
+
+def range_join_buckets(
+    probe: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Range (interval-containment) join: probe rows matched to every
+    interval of the same key with ``start <= ts <= end`` — Spark's planner
+    turns a bare inequality join into BroadcastNestedLoopJoin/cartesian,
+    which dies at scale.
+
+    Bucket-grid formulation: each interval EXPLODES into the time buckets
+    it covers; each probe row maps to its single bucket; the pair meets on
+    an equi-join of (key, bucket) and the exact BETWEEN predicate filters
+    inside the bucket.  Shuffle key = (key, bucket) — high-cardinality and
+    time-local.  A (probe, interval) pair meets in EXACTLY one bucket (the
+    probe's), so no post-join dedup is needed.  Work is linear in
+    |probe| + Σ interval-spans/bucket; pick the bucket width near the
+    median interval length so the explode factor stays small.
+    """
+    grid = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket, F.col(start)),
+                F.date_trunc(bucket, F.col(end)),
+                F.expr(f"INTERVAL 1 {bucket}"),
+            )
+        ),
+    )
+    keyed = probe.withColumn("__b", F.date_trunc(bucket, F.col(ts)))
+    return (
+        keyed.join(grid, [on, "__b"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("__b")
+    )

@@ -414,6 +414,42 @@ FROM purchases p ASOF LEFT JOIN quotes q
   ON p.company_id = q.company_id AND p.trade_datetime >= q.trade_datetime
 """
 
+# J11: bucket-grid range join vs the plain inequality join (affordable for
+# DuckDB at fixture scale; the Spark plan must never degenerate to one).
+ORACLES["j11_range_join"] = f"""
+WITH {TICKS_CTE},
+err AS (
+  SELECT company_id, tick_id, trade_datetime,
+         lag(trade_datetime, 1) OVER (
+           PARTITION BY company_id
+           ORDER BY trade_datetime ASC, tick_id ASC) AS prev_ts
+  FROM ticks WHERE event_type = 'error'
+),
+marked AS (
+  SELECT company_id, trade_datetime,
+         SUM(CASE WHEN prev_ts IS NULL
+                    OR trade_datetime >= prev_ts + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY company_id
+           ORDER BY trade_datetime ASC, tick_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM err
+),
+sessions AS (
+  SELECT company_id,
+         MIN(trade_datetime) AS window_start,
+         MAX(trade_datetime) + INTERVAL 2 HOURS AS window_end
+  FROM marked GROUP BY company_id, session_id
+)
+SELECT s.company_id, s.window_start, s.window_end,
+       COUNT(*) AS n_purchases
+FROM sessions s JOIN ticks p
+  ON p.company_id = s.company_id
+ AND p.event_type = 'purchase'
+ AND p.trade_datetime BETWEEN s.window_start AND s.window_end
+GROUP BY 1, 2, 3
+"""
+
 # EMB5: IVF with trained centroids must recover ≥9/10 of the exact top-10
 # for every query vector (deterministic fixture, deterministic KMeans).
 ORACLES["emb5_ivf_trained_recall"] = """

@@ -759,6 +759,41 @@ def j10_asof_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("j11_range_join")
+def j11_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join (SURVEY §2.3 extension): purchases
+    falling inside each symbol's error-burst session window — the
+    bucket-grid formulation (operators/relational.range_join_buckets), an
+    equi-join on (key, hour bucket) + exact BETWEEN, never a
+    BroadcastNestedLoopJoin.  Oracle: the plain inequality join DuckDB can
+    afford at fixture scale."""
+    from ..operators.relational import range_join_buckets
+
+    t = ticks_from_events(spark, sf_dir)
+    # interval = the error burst plus a 2h impact window (sparse errors
+    # make raw sessions zero-width; the padded window is the operational
+    # "purchases affected by an error" question)
+    sessions = (
+        t.filter(F.col("event_type") == "error")
+        .groupBy("company_id", F.session_window("trade_datetime", "30 minutes"))
+        .agg(
+            F.min("trade_datetime").alias("window_start"),
+            (F.max("trade_datetime") + F.expr("INTERVAL 2 HOURS")).alias("window_end"),
+        )
+        .select("company_id", "window_start", "window_end")
+    )
+    purchases = t.filter(F.col("event_type") == "purchase").select(
+        "company_id", "trade_datetime"
+    )
+    hits = range_join_buckets(
+        purchases, sessions, "company_id", "trade_datetime",
+        "window_start", "window_end",
+    )
+    return hits.groupBy("company_id", "window_start", "window_end").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+
+
 @register("emb5_ivf_trained_recall")
 def emb5_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMB4 follow-up — IVF-Flat with TRAINED centroids (deterministic

@@ -80,3 +80,37 @@ def test_asof_join_semantics(spark):
     assert got[2] == 100.0         # inclusive: quote AT 10:05 visible
     assert got[3] == 200.0         # latest at-or-before 10:10
     assert got[4] is None          # B's only quote is later (10:06 > 10:05)
+
+
+def test_range_join_buckets_semantics(spark):
+    """Bucket-grid range join ≡ the naive inequality join, including
+    intervals spanning multiple buckets and boundary-inclusive matches."""
+    import datetime as dt
+
+    from real_time_stock_market_data_pipeline_spark.operators.relational import (
+        range_join_buckets,
+    )
+
+    def ts(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    probe = spark.createDataFrame(
+        [("A", 1, ts(10, 0)), ("A", 2, ts(10, 30)), ("A", 3, ts(13, 0)),
+         ("B", 4, ts(10, 30)), ("A", 5, ts(9, 59))],
+        "k string, id long, t timestamp",
+    )
+    ivals = spark.createDataFrame(
+        # 3h-wide interval spans 4 hour-buckets; starts mid-bucket
+        [("A", ts(10, 0), ts(13, 0)), ("B", ts(11, 0), ts(12, 0))],
+        "k string, s timestamp, e timestamp",
+    )
+    got = sorted(
+        r.id for r in range_join_buckets(probe, ivals, "k", "t", "s", "e").collect()
+    )
+    assert got == [1, 2, 3]  # boundary-inclusive both ends; 4 and 5 outside
+    plan = (
+        range_join_buckets(probe, ivals, "k", "t", "s", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
