@@ -27,6 +27,7 @@ _PRIORITY = [
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "dd4_minhash_candidates",
     "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",
     "emb3_lsh_near_dup", "emb4_ivf_topk", "emb5_ivf_trained_recall",
+    "emb6_centered_lsh",
     "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
     "j2_analytics_dashboard", "j4_prediction_dashboard",
     "j10_asof_quote", "j11_range_join", "p4_recent_window",
@@ -35,7 +36,7 @@ _PRIORITY = [
     "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
     "j1_tick_dashboard", "j5_dim_lookup",
     "j6_region_revenue", "j7_orders_without_big_lineitems",
-    "j8_industry_rollup", "a1_grouped_max", "a3_active_series",
+    "j8_industry_rollup", "a3_active_series",
     "a4_daily_summary", "w1_latest_per_day",
     "f1_scalar_suite",
     "w2_sma", "w3_ema", "w4_rsi", "w5_bollinger", "w6_macd",
@@ -46,6 +47,7 @@ _PRIORITY = [
     "txt5_bpe_tokens", "dd1_exact_dedup",
     # 3 — already evidenced (r01 green row and/or a dedicated plan test)
     "p5_equality_filter", "o3_training_fetch", "o1_top_events",
+    "a1_grouped_max",
     "su1_set_ops", "sk1_salted_daily_summary", "q1_pricing_summary",
     "t9_session_windows", "mm1_media_meta", "o4_latest_row",
     "o5_price_history", "a2_global_max", "a6_hourly_counts",

@@ -121,6 +121,45 @@ FROM pairs WHERE cosine_sim >= {d('0.2')}
 """
 
 
+def sql_centered_near_dup(dialect: str) -> str:
+    """EMB6 — the centered variant of EMB3 (operators/similarity
+    ``center_embeddings``): bucket on sign(x_i − mean_i) for the first 16
+    dims, so anisotropic/all-positive embeddings can't pile into one hot
+    bucket.  The 16 per-dim means are one aggregate pass cross-joined back
+    as scalars; exact cosine still verifies on the RAW vectors, so
+    centering changes candidate generation only."""
+    # decimal-accumulated means (order-independent, bit-identical across
+    # engines — a plain avg() could differ in the last ulp and flip the
+    # bucket of a value sitting exactly on a hyperplane)
+    mean_cols = ", ".join(
+        f"CAST(SUM(CAST(CAST({elem(dialect, 'embedding', str(i))} AS DOUBLE) "
+        f"AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m{i}"
+        for i in range(1, 17)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN CAST({elem(dialect, 'embedding', str(i))} AS DOUBLE) - m{i} "
+        f"> {d('0.0')} THEN {2 ** (i - 1)} ELSE 0 END)"
+        for i in range(1, 17)
+    )
+    cos = _cosine(dialect, "a.embedding", "b.embedding")
+    return f"""
+WITH means AS (
+  SELECT {mean_cols} FROM embeddings
+),
+keyed AS (
+  SELECT vec_id, label, embedding, {bits} AS bucket
+  FROM embeddings CROSS JOIN means
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
+         {r6t(cos)} AS cosine_sim
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, bucket, cosine_sim
+FROM pairs WHERE cosine_sim >= {d('0.2')}
+"""
+
+
 N_LISTS = 8  # IVF codebook size (deterministic seeds: lowest vec_ids)
 N_PROBE = 2  # lists probed per query
 
@@ -189,6 +228,7 @@ _BODIES = {
     "emb2_label_centroids": sql_centroids,
     "emb3_lsh_near_dup": sql_bucketed_near_dup,
     "emb4_ivf_topk": sql_ivf_topk,
+    "emb6_centered_lsh": sql_centered_near_dup,
 }
 
 EMBEDDING_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
