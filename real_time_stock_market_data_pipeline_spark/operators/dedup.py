@@ -87,6 +87,7 @@ def jaccard_near_dup_pairs(
     n: int = 3,
     threshold: float = 0.05,
     max_shingle_freq: int | None = MAX_SHINGLE_FREQ,
+    materialize: bool = False,
 ) -> DataFrame:
     """(doc_a, doc_b, n_common, jaccard) for pairs over the threshold.
 
@@ -94,10 +95,18 @@ def jaccard_near_dup_pairs(
     ``max_shingle_freq`` (default ``MAX_SHINGLE_FREQ``) drops stop-shingles
     before the join to bound candidate fan-out at corpus scale; doc sizes are
     counted AFTER the cut so Jaccard stays consistent with the joined set.
-    No ``.cache()`` here — the operator is a pure plan; callers owning a
-    long-lived session can persist/unpersist the returned frame themselves.
+
+    Spark never materializes a multiply-referenced subplan, so the
+    self-join recomputes the shingle pipeline once per side.
+    ``materialize=True`` snapshots the shingle frame with a LAZY
+    ``localCheckpoint`` — computed once, read by both sides, released with
+    the session (no unpersist bookkeeping; this replaces an unscoped
+    ``.cache()`` that leaked storage in long-lived jobs).  Default off: the
+    pure plan stays oracle-comparable and checkpoint-storage-free.
     """
     sh = shingle_hashes(df, id_col, text, n)
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     if max_shingle_freq:
         # window count, not groupBy+anti-join: the plan is lazy, so a
         # frequency side-branch would recompute the shingle pipeline; the

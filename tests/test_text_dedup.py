@@ -176,3 +176,18 @@ def test_centered_lsh_spreads_hot_bucket(spark):
     sizes = [r["count"] for r in spread.collect()]
     assert len(sizes) > 50  # candidates split across many buckets
     assert max(sizes) < 50  # no single hot bucket
+
+
+def test_jaccard_materialized_matches_pure_plan(spark, docs):
+    """materialize=True snapshots the shingle frame (computed once, read by
+    both self-join sides) without changing any result."""
+    pure = sorted(
+        map(tuple, dedup.jaccard_near_dup_pairs(docs, threshold=0.05).collect())
+    )
+    mat = sorted(
+        map(
+            tuple,
+            dedup.jaccard_near_dup_pairs(docs, threshold=0.05, materialize=True).collect(),
+        )
+    )
+    assert pure == mat and len(pure) > 0
