@@ -97,7 +97,6 @@ def score_latest(
             F.count(F.lit(1)).alias("__n"),
             F.max(ts).alias("timestamp"),
         )
-        .filter(F.col("__n") == F.col("__n"))  # no-op; keep lineage simple
     )
     m = models.select(
         key, "model_type", "window", F.col("beta").alias("__beta")
