@@ -4,6 +4,11 @@
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver-side collect).  The flagship entry plan is included as "flagship".
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
+MEDIAN — this box carries intermittent external load that makes single-run
+timings show 2-10x outliers on random queries, so one sample per query
+cannot adjudicate a regression.  "value" is the sum of per-query medians.
 """
 
 from __future__ import annotations
@@ -11,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -42,16 +48,20 @@ def main() -> None:
         .applyInPandas(lambda pdf: _pd.DataFrame({"n": [len(pdf)]}), schema="n long")
     )
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     runners = dict(QUERIES)
     runners["flagship"] = flagship
     total = 0.0
     for name, fn in runners.items():
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        med = statistics.median(samples)
+        timings[name] = round(med, 3)
+        total += med
 
     print(
         json.dumps(
@@ -61,6 +71,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": n_runs,
+                "aggregation": "median",
             }
         )
     )

@@ -23,6 +23,7 @@ Scale notes (100 TB thinking):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .dialect import (
@@ -385,3 +386,29 @@ def _make_query(body):
 
 for _name, _body in _BODIES.items():
     QUERIES[_name] = _make_query(_body)
+
+
+def _dd2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD2, Spark side, via the DataFrame operator with ``materialize=True``.
+
+    The SQL rendering (sql_ngram_jaccard) re-executes the shingle pipeline
+    once per self-join side — Spark inlines CTEs, and no SQL-level hint can
+    snapshot a subplan.  The operator's lazy ``localCheckpoint`` computes the
+    shingle frame once and feeds both sides, halving the dominant cost.  The
+    oracle compares VALUES, not plans, so DuckDB still runs the pure SQL body;
+    ``r6t`` rounding is replicated textually on the final column so the
+    doubles stay bit-identical.
+    """
+    from ..operators.dedup import jaccard_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(docs, materialize=True)
+    rounded = F.expr(
+        "CASE WHEN isnan(jaccard) THEN jaccard "
+        "ELSE floor(jaccard * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
+        "/ CAST(1000000.0 AS DOUBLE) END"
+    )
+    return pairs.select("doc_a", "doc_b", "n_common", rounded.alias("jaccard"))
+
+
+QUERIES["dd2_ngram_jaccard"] = _dd2_materialized
