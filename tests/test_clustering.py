@@ -43,3 +43,20 @@ def test_kmeans_centroid_shape(vecs):
     cents = kmeans_fit(vecs, k=3, n_iter=2).collect()
     assert all(len(r.embedding) == 8 for r in cents)
     assert sorted(r.centroid_id for r in cents) == [0, 1, 2]
+
+
+def test_kmeans_job_budget(spark, vecs):
+    # Seeding is one distributed job chain (range partition + per-partition
+    # rank), not a count() + global sort; each Lloyd iteration is one
+    # assign+update action.  AQE materializes each exchange as its own job,
+    # so the bound is loose in job units but tight enough to catch a
+    # reintroduced extra action per fit or per iteration (measured: 16).
+    vecs.count()  # warm the input outside the counted group
+    sc = spark.sparkContext
+    sc.setJobGroup("km-budget", "kmeans job budget")
+    try:
+        kmeans_fit(vecs, k=3, n_iter=2).collect()
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("km-budget"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert n_jobs <= 18, f"kmeans_fit ran {n_jobs} jobs; budget is 18"
