@@ -16,8 +16,14 @@ MERGE INTO (noted in README).
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+from collections.abc import Callable, Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from .functions.scalars import dsum, r6
 from .operators.relational import latest_per_group
@@ -70,3 +76,86 @@ def migrate_realtime_to_historical(
         historical.select("company_id", "trade_date"), ["company_id", "trade_date"], "left_anti"
     )
     return historical.unionByName(new_rows)
+
+
+def merge_upsert(
+    existing: DataFrame | None,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """S9/S10 — the generic key-based merge: the relational core of the
+    reference's ``ON CONFLICT (keys) DO UPDATE SET col = EXCLUDED.col``
+    (shared/database.py:316-345 for analytics,
+    ml/batch_predict_linear_regression.py:65-74 for predictions).
+
+    Semantics: one row per key; a key present in ``updates`` takes the
+    update's full payload (DO UPDATE), a key only in ``existing`` keeps its
+    row, a new key inserts.  When ``order_col`` is given, duplicate keys
+    WITHIN the update batch resolve to the latest row first (the reference
+    applies them serially, so last-write-wins); otherwise ``updates`` must
+    already be unique per key.
+
+    Plan shape: ``latest_per_group`` (WindowGroupLimit, one shuffle of the
+    batch) + a left-anti join of existing against the update keys + union —
+    the standard MERGE emulation on an immutable store.  At 100 TB the
+    anti-join shuffles only the touched partitions when the caller prunes
+    ``existing`` first (``upsert_parquet`` does); on Delta/Iceberg this
+    helper is replaced by a real MERGE INTO with file-level skipping.
+    """
+    updates = updates.select(*existing.columns) if existing is not None else updates
+    if order_col is not None:
+        updates = latest_per_group(updates, list(keys), order_col, tiebreak)
+    if existing is None:
+        return updates
+    kept = existing.join(updates.select(*keys).distinct(), list(keys), "left_anti")
+    return kept.unionByName(updates)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    tiebreak: str | None = None,
+) -> None:
+    """Apply ``merge_upsert`` against a parquet store in place (S9/S10 sink).
+
+    Parquet is immutable, so the merge rewrites to a staging directory and
+    swaps it in — read-then-overwrite of the same path would delete the
+    files the lazy plan still needs.  The swap is a directory rename: the
+    unit of atomicity plain parquet offers (a transactional table format
+    upgrades this to a real commit protocol).
+    """
+    try:
+        existing: DataFrame | None = spark.read.parquet(path)
+    except AnalysisException:
+        existing = None
+    merged = merge_upsert(existing, updates, keys, order_col, tiebreak)
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staging)
+    old = f"{path}__old_{uuid.uuid4().hex}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def upsert_sink(
+    path: str,
+    keys: Sequence[str],
+    order_col: str | None = None,
+    tiebreak: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` upsert sink: each micro-batch merges into the
+    parquet store by key — the streaming delivery path of the reference's
+    analytics/predictions upserts (S9/S10).  Used as
+    ``writeStream.foreachBatch(upsert_sink(path, keys, ts))``."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(batch_df.sparkSession, batch_df, path, keys, order_col, tiebreak)
+
+    return apply

@@ -392,6 +392,32 @@ SELECT company_id, 'LinearRegression' AS model_type, mx AS last_tick_ts,
 FROM stats WHERE n >= 7
 """
 
+# S9/S10: the generic merge — one row per key; update batch wins on
+# conflict (last write within the batch), existing rows survive untouched
+# keys, new keys insert.  Mirrors merge_upsert's anti-join + union plan as
+# NOT EXISTS + UNION ALL.
+ORACLES["s9_analytics_upsert"] = f"""
+WITH {TICKS_CTE},
+existing AS (
+  SELECT company_id, trade_datetime, tick_id, current_price, volume
+  FROM ticks WHERE tick_id % 2 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY company_id, trade_datetime ORDER BY tick_id ASC) = 1
+),
+upd AS (
+  SELECT company_id, trade_datetime, tick_id, current_price, volume
+  FROM ticks WHERE tick_id % 3 = 0
+  QUALIFY row_number() OVER (
+    PARTITION BY company_id, trade_datetime ORDER BY tick_id DESC) = 1
+)
+SELECT * FROM existing e
+WHERE NOT EXISTS (
+  SELECT 1 FROM upd u
+  WHERE u.company_id = e.company_id AND u.trade_datetime = e.trade_datetime)
+UNION ALL
+SELECT * FROM upd
+"""
+
 # J10: the as-of join checked against DuckDB's NATIVE ASOF JOIN — an
 # independent implementation of the same semantics, the strongest oracle in
 # the suite (not a transliteration of the Spark plan).

@@ -730,6 +730,30 @@ def s13_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre
 
 
+@register("s9_analytics_upsert")
+def s9_analytics_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/S10 — the generic ON CONFLICT DO UPDATE merge
+    (maintenance.merge_upsert; reference shared/database.py:316-345,
+    ml/batch_predict_linear_regression.py:65-74): an existing analytics
+    store (even tick_ids, first-writer-wins per key) merged with an
+    overlapping update batch (tick_ids divisible by 3, last-write-wins
+    per key).  Result = exactly one row per (company_id, trade_datetime);
+    updated keys carry the update's payload, untouched keys keep the
+    existing row, new keys insert."""
+    from ..maintenance import merge_upsert
+
+    t = ticks_from_events(spark, sf_dir).select(
+        "company_id", "trade_datetime", "tick_id", "current_price", "volume"
+    )
+    existing = dedup_keep_first(
+        t.filter(F.col("tick_id") % 2 == 0), ["company_id", "trade_datetime"], "tick_id"
+    )
+    updates = t.filter(F.col("tick_id") % 3 == 0)
+    return merge_upsert(
+        existing, updates, ["company_id", "trade_datetime"], order_col="tick_id"
+    )
+
+
 @register("j10_asof_quote")
 def j10_asof_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (SURVEY §2.3 extension — the point-in-time lookup Spark

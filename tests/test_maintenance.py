@@ -4,8 +4,11 @@ from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline_spark.maintenance import (
     daily_summary,
+    merge_upsert,
     migrate_realtime_to_historical,
     refresh_daily_summary,
+    upsert_parquet,
+    upsert_sink,
 )
 from real_time_stock_market_data_pipeline_spark.plans.queries import QUERIES
 from real_time_stock_market_data_pipeline_spark.sources.readers import (
@@ -30,6 +33,47 @@ def test_refresh_daily_summary_partitioned(spark, sf_dir, tmp_path):
     # partition pruning works on the layout
     one_day = back.select("trade_date").distinct().limit(1).collect()[0][0]
     assert back.filter(F.col("trade_date") == one_day).count() > 0
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k string, ts long, v double")
+
+
+def test_merge_upsert_semantics(spark):
+    """ON CONFLICT DO UPDATE: updates win on conflict, untouched keys
+    survive, new keys insert, batch-internal dups resolve last-write-wins."""
+    existing = _kv(spark, [("a", 1, 10.0), ("b", 1, 20.0)]).withColumn("seq", F.lit(0))
+    # key ('a',1) appears twice in the batch with seq 1 and 2: last wins
+    updates = _kv(spark, [("a", 1, 11.0), ("c", 1, 30.0)]).withColumn(
+        "seq", F.lit(1)
+    ).unionByName(_kv(spark, [("a", 1, 12.0)]).withColumn("seq", F.lit(2)))
+    out = merge_upsert(existing, updates, ["k", "ts"], order_col="seq")
+    got = {(r.k, r.ts): r.v for r in out.collect()}
+    assert got == {("a", 1): 12.0, ("b", 1): 20.0, ("c", 1): 30.0}
+    # one row per key always
+    assert out.count() == out.select("k", "ts").distinct().count()
+
+
+def test_upsert_parquet_overlapping_batches(spark, tmp_path):
+    """Two overlapping batches through the parquet merge sink: one row per
+    key at the end; second batch's payload wins on the overlap."""
+    path = str(tmp_path / "store")
+    b1 = _kv(spark, [("a", 1, 1.0), ("b", 1, 2.0), ("b", 2, 3.0)])
+    b2 = _kv(spark, [("b", 2, 30.0), ("c", 1, 4.0)])
+    upsert_parquet(spark, b1, path, ["k", "ts"])
+    upsert_parquet(spark, b2, path, ["k", "ts"])
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 1.0, ("b", 1): 2.0, ("b", 2): 30.0, ("c", 1): 4.0}
+
+
+def test_upsert_sink_foreach_batch(spark, tmp_path):
+    """The foreachBatch wrapper applies the same merge per micro-batch."""
+    path = str(tmp_path / "stream_store")
+    sink = upsert_sink(path, ["k", "ts"])
+    sink(_kv(spark, [("a", 1, 1.0), ("b", 1, 2.0)]), 0)
+    sink(_kv(spark, [("a", 1, 10.0), ("c", 1, 3.0)]), 1)
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 10.0, ("b", 1): 2.0, ("c", 1): 3.0}
 
 
 def test_migration_existing_days_win(spark, sf_dir):
