@@ -123,39 +123,45 @@ def asof_join(
     row, and a windowed self-join per left timestamp would shuffle twice.
     Left rows with no prior right row keep NULLs (ASOF LEFT JOIN).
 
+    All right-side values travel in ONE struct column that is NULL exactly
+    on left-side rows, and a single ``last(ignorenulls=True)`` sweeps the
+    struct.  This keeps DuckDB ASOF semantics when a matched right row has
+    NULL payload values: the struct itself is non-NULL, so the match's
+    NULL fields carry through instead of being backfilled from an older
+    right row — and every carried column comes from the SAME right row.
+
     ``right`` should be unique per (on, ts) — pre-dedupe with
     ``dedup_keep_first`` — so ties are well-defined in both engines.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
-    carried = [f"{c}{suffix}" for c in right_vals]
+    r_fields = {f.name: f for f in right.schema.fields}
+    r_struct = StructType([StructField(c, r_fields[c].dataType) for c in right_vals])
     l_side = left.select(
         F.col(on), F.col(ts).alias("__ts"), F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols if c not in (on,)],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_vals],
+        F.lit(None).cast(r_struct).alias("__r"),
     )
     r_side = right.select(
         F.col(on), F.col(ts).alias("__ts"), F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols if c not in (on,)],
-        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        F.struct(*[F.col(c) for c in right_vals]).alias("__r"),
     )
     w = (
         Window.partitionBy(on)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    swept = l_side.unionByName(r_side).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(a)
-            for c, a in zip(right_vals, carried)
-        ],
+    swept = l_side.unionByName(r_side).withColumn(
+        "__r_match", F.last("__r", ignorenulls=True).over(w)
     )
     return (
         swept.filter(F.col("__side") == 1)
         .select(
             F.col(on),
             *[F.col(c) for c in lcols if c not in (on,)],
-            *[F.col(a) for a in carried],
+            *[F.col("__r_match")[c].alias(f"{c}{suffix}") for c in right_vals],
         )
     )
 

@@ -82,6 +82,48 @@ def test_asof_join_semantics(spark):
     assert got[4] is None          # B's only quote is later (10:06 > 10:05)
 
 
+def test_asof_join_null_payload_matches_duckdb(spark):
+    """A matched right row with a NULL payload value must carry that NULL
+    (DuckDB ASOF semantics) — not a stale value backfilled from an older
+    right row — and every carried column must come from the SAME matched
+    right row.  Cross-checked against DuckDB's native ASOF LEFT JOIN."""
+    import datetime as dt
+
+    import duckdb
+
+    from real_time_stock_market_data_pipeline_spark.operators.relational import asof_join
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 10, m)
+
+    left = spark.createDataFrame(
+        [("A", 1, ts(0)), ("A", 2, ts(7)), ("A", 3, ts(20))],
+        "k string, id long, t timestamp",
+    )
+    # the 10:06 quote has price NULL but size 9 — a match at 10:07/10:20
+    # must carry (NULL, 9), never (100.0, 9) mixed across rows
+    right = spark.createDataFrame(
+        [("A", ts(5), 100.0, 7.0), ("A", ts(6), None, 9.0)],
+        "k string, t timestamp, price double, size double",
+    )
+    got = {
+        r.id: (r.price_asof, r.size_asof)
+        for r in asof_join(left, right, "k", "t", ["price", "size"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("l", left.toPandas())
+    con.register("r", right.toPandas())
+    want = {
+        row[0]: (row[1], row[2])
+        for row in con.execute(
+            "SELECT l.id, r.price, r.size FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    }
+    assert got == want
+    assert got[2] == (None, 9.0)  # matched row's NULL carried, same-row size
+
+
 def test_range_join_buckets_semantics(spark):
     """Bucket-grid range join ≡ the naive inequality join, including
     intervals spanning multiple buckets and boundary-inclusive matches."""
