@@ -81,11 +81,22 @@ def score_latest(
     """One next-price prediction per symbol from its persisted model: the
     last ``window`` prices (ascending) are the feature vector, exactly the
     reference's latest-window scoring
-    (ml/batch_predict_linear_regression.py:55-74)."""
+    (ml/batch_predict_linear_regression.py:55-74).
+
+    The feature length is driven by EACH MODEL ROW's ``window`` column, not
+    the training-time default: the rank pre-filter keeps the registry's MAX
+    window per symbol (a WindowGroupLimit with a literal bound — the max is
+    one aggregate over the broadcast-sized model table, the only driver
+    action here), and the scoring fold slices both ``beta`` and the price
+    history to that model's own window.  Models trained with any window
+    score correctly; mixed-window registries score each symbol with its
+    own length."""
+    maxw_row = models.agg(F.max("window")).collect()
+    maxw = int(maxw_row[0][0]) if maxw_row and maxw_row[0][0] is not None else WINDOW_SIZE
     w = Window.partitionBy(key).orderBy(F.col(ts).desc(), F.col(tiebreak).desc())
     feats = (
         ticks.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.lit(WINDOW_SIZE))  # WindowGroupLimit
+        .filter(F.col("__rn") <= F.lit(maxw))  # WindowGroupLimit
         .groupBy(key)
         .agg(
             F.transform(
@@ -103,8 +114,8 @@ def score_latest(
     )
     pred = F.element_at("__beta", 1) + F.aggregate(
         F.zip_with(
-            F.slice("__beta", 2, WINDOW_SIZE),
-            F.col("__feats"),
+            F.slice("__beta", 2, F.col("window")),
+            F.slice("__feats", -F.col("window"), F.col("window")),
             lambda a, b: a * b,
         ),
         F.lit(0.0),

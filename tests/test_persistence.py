@@ -75,6 +75,48 @@ def test_scored_prediction_matches_numpy(spark, ticks):
     assert got["A"].confidence_score == 0.8
 
 
+def test_score_respects_model_window(spark, ticks):
+    """Models trained with a non-default window must score with THEIR
+    window: non-NULL predictions matching the numpy fold on the last w
+    prices (the old code hardcoded WINDOW_SIZE and NULL-padded w<5)."""
+    for w in (3, 8):
+        models = train_models(ticks, window=w)
+        got = {r.company_id: r for r in score_latest(ticks, models).collect()}
+        assert set(got) == {"A", "B"}  # SHORT still below the w+2 train gate
+        pdf = (
+            ticks.filter(F.col("company_id") == "A")
+            .orderBy("trade_datetime")
+            .toPandas()
+        )
+        prices = pdf["current_price"].to_numpy()
+        X, y = _windows(prices, w)
+        beta = _ols_fit(X, y)
+        want = float(beta[0] + beta[1:] @ prices[-w:])
+        assert got["A"].predicted_price is not None
+        assert got["A"].predicted_price == pytest.approx(want, rel=1e-12)
+
+
+def test_score_mixed_window_registry(spark, ticks):
+    """A registry holding models of different windows scores each symbol
+    with its own window length."""
+    m3 = train_models(ticks.filter(F.col("company_id") == "A"), window=3)
+    m8 = train_models(ticks.filter(F.col("company_id") == "B"), window=8)
+    models = m3.unionByName(m8)
+    got = {r.company_id: r for r in score_latest(ticks, models).collect()}
+    assert set(got) == {"A", "B"}
+    for sym, w in (("A", 3), ("B", 8)):
+        pdf = (
+            ticks.filter(F.col("company_id") == sym)
+            .orderBy("trade_datetime")
+            .toPandas()
+        )
+        prices = pdf["current_price"].to_numpy()
+        X, y = _windows(prices, w)
+        beta = _ols_fit(X, y)
+        want = float(beta[0] + beta[1:] @ prices[-w:])
+        assert got[sym].predicted_price == pytest.approx(want, rel=1e-12)
+
+
 def test_model_table_schema_and_gate(spark, ticks):
     models = train_models(ticks).collect()
     by_sym = {r.company_id: r for r in models}
