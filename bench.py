@@ -8,7 +8,13 @@ driver-side collect).  The flagship entry plan is included as "flagship".
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the
 MEDIAN — this box carries intermittent external load that makes single-run
 timings show 2-10x outliers on random queries, so one sample per query
-cannot adjudicate a regression.  "value" is the sum of per-query medians.
+cannot adjudicate a regression.  The passes are INTERLEAVED (outer loop
+over passes, inner over queries): back-to-back samples of one query all
+land in the same wall-clock window, so a single external-load burst used
+to poison every sample of whichever query it hit (round 3/4 showed 1.5-5x
+swings on byte-identical code).  Interleaving spreads a query's samples
+~30s apart, so the median rejects any burst shorter than a full pass.
+"value" is the sum of per-query medians.
 """
 
 from __future__ import annotations
@@ -49,19 +55,16 @@ def main() -> None:
     )
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
-    timings: dict[str, float] = {}
     runners = dict(QUERIES)
     runners["flagship"] = flagship
-    total = 0.0
-    for name, fn in runners.items():
-        samples = []
-        for _ in range(n_runs):
+    samples: dict[str, list[float]] = {name: [] for name in runners}
+    for _ in range(n_runs):
+        for name, fn in runners.items():
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        med = statistics.median(samples)
-        timings[name] = round(med, 3)
-        total += med
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    total = sum(statistics.median(s) for s in samples.values())
 
     print(
         json.dumps(
@@ -72,7 +75,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs_per_query": n_runs,
-                "aggregation": "median",
+                "aggregation": "median(interleaved)",
             }
         )
     )
