@@ -41,9 +41,12 @@ def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
         .withColumn("company_id", F.col("company_id").cast("string"))
     )
     # two chronological halves → two micro-batches → state must carry over
-    anchor = ticks.agg(F.expr("percentile(cast(trade_datetime as double), 0.5)")).collect()[0][0]
-    first = ticks.filter(F.col("trade_datetime").cast("double") <= anchor)
-    second = ticks.filter(F.col("trade_datetime").cast("double") > anchor)
+    # (epoch micros, not cast-to-double: Spark 4 reads the parquet nanos
+    # column as TIMESTAMP_NTZ, which has no numeric cast)
+    ep = F.unix_micros(F.col("trade_datetime").cast("timestamp"))
+    anchor = ticks.agg(F.percentile(ep, F.lit(0.5))).collect()[0][0]
+    first = ticks.filter(ep <= anchor)
+    second = ticks.filter(ep > anchor)
     src = tmp_path / "src"
     first.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
     time.sleep(1.1)
