@@ -17,9 +17,11 @@ label centroids.  This trainer produces one from the data alone, Spark-first:
     and measurably hurts IVF recall; a pure hash sample was tried and
     rejected too — it measurably degrades IVF recall@10 on the
     weak-structure fixture vs the spread stride seeds.);
-  * **assign**: broadcast the k centroids, per-vector argmax cosine
-    (JVM ``zip_with``/``aggregate`` dot products, row_number tiebreak on
-    centroid id — no Python, no shuffle);
+  * **assign**: the codebook inlined as ONE literal array column
+    (similarity.codebook_literal) and argmax cosine computed per row with
+    JVM higher-order functions (similarity.centroid_sims_col, lowest-cid
+    tiebreak) — a pure projection: no join, no window, no shuffle, no
+    Python;
   * **update**: per-(centroid, dim) mean via ``posexplode`` + one partially
     aggregated ``groupBy`` — the only shuffle, k·d tiny rows out;
   * repeat ``n_iter`` times (fixed count, no convergence RNG).
@@ -36,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import cosine_col
+from .similarity import centroid_argmax_pandas
 
 
 def kmeans_fit(
@@ -107,36 +109,47 @@ def kmeans_fit(
     cents = [
         (i, [float(x) for x in r[vec]]) for i, r in enumerate(seed_rows)
     ]
-    for _ in range(n_iter):
-        cdf = spark.createDataFrame(cents, schema)
-        c = cdf.select(F.col("centroid_id"), F.col(vec).alias("__cent"))
-        w = Window.partitionBy(vec_id).orderBy(
-            F.col("__sim").desc(), F.col("centroid_id").asc()
-        )
-        assigned = (
-            corpus.join(F.broadcast(c))
-            .withColumn("__sim", cosine_col(F.col(vec), F.col("__cent")))
-            .withColumn("__rk", F.row_number().over(w))
-            .filter("__rk = 1")
-            .select("centroid_id", F.col(vec).alias("__v"))
-        )
-        dim_means = (
-            assigned.select(
-                "centroid_id", F.posexplode(F.col("__v")).alias("dim", "val")
+    # The Lloyd loop re-reads the corpus every iteration — pin it once.
+    # Assignment is a PURE PROJECTION against the driver-side codebook via
+    # the Arrow-batched argmax (similarity.centroid_argmax_pandas — one
+    # numpy matmul per batch): no createDataFrame, no broadcast join, no
+    # row_number window, and none of the per-iteration codegen/interpreted
+    # cost of an inlined k·d expression that changes every iteration.  The
+    # per-(centroid, dim) mean groupBy is the single shuffle per iteration,
+    # and the single action per iteration moves exactly k·d tiny rows to
+    # the driver.
+    # AQE re-plans each tiny k·d reduction as extra jobs; for the fixed
+    # codebook-sized shuffles of the Lloyd loop that is pure scheduling
+    # overhead, so it is switched off around the loop and restored after.
+    corpus = corpus.persist()
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(n_iter):
+            assigned = corpus.select(
+                centroid_argmax_pandas(cents)(F.col(vec)).alias("centroid_id"),
+                F.col(vec).alias("__v"),
             )
-            .groupBy("centroid_id", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in dim_means:
-            by_cid.setdefault(r.centroid_id, {})[r.dim] = r.m
-        new_cents = []
-        for cid, old in cents:
-            dims = by_cid.get(cid)
-            if not dims:  # empty cluster keeps its previous centroid
-                new_cents.append((cid, old))
-            else:
-                new_cents.append((cid, [dims[i] for i in sorted(dims)]))
-        cents = new_cents
+            dim_means = (
+                assigned.select(
+                    "centroid_id", F.posexplode(F.col("__v")).alias("dim", "val")
+                )
+                .groupBy("centroid_id", "dim")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()
+            )
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in dim_means:
+                by_cid.setdefault(r.centroid_id, {})[r.dim] = r.m
+            new_cents = []
+            for cid, old in cents:
+                dims = by_cid.get(cid)
+                if not dims:  # empty cluster keeps its previous centroid
+                    new_cents.append((cid, old))
+                else:
+                    new_cents.append((cid, [dims[i] for i in sorted(dims)]))
+            cents = new_cents
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        corpus.unpersist()
     return spark.createDataFrame(cents, schema)

@@ -827,11 +827,11 @@ def emb5_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The KMeans fit and both searches are Spark plans; only the k·d-double
     codebook crosses the driver per iteration.
 
-    n_probe=6 of k=8 lists is calibrated to the FIXTURE (500 synthetic
-    64-dim vectors with weak cluster structure — true neighbors spread
-    nearly uniformly over lists, so high recall needs most lists).  At
-    corpus scale k grows ∝ √n and n_probe stays ≪ k; the plan shape (one
-    broadcast argmin + one list-id shuffle) is what this query pins."""
+    n_probe=7 of k=8 lists is calibrated to the FIXTURE (synthetic 64-dim
+    vectors with weak cluster structure — true neighbors spread nearly
+    uniformly over lists, so high recall needs most lists).  At corpus
+    scale k grows ∝ √n and n_probe stays ≪ k; the plan shape (map-only
+    Arrow argmin + one list-id shuffle) is what this query pins."""
     from ..operators.clustering import kmeans_fit
     from ..operators.similarity import cosine_topk, ivf_topk
 
@@ -840,19 +840,18 @@ def emb5_ivf_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     cents = kmeans_fit(emb, k=8, n_iter=3)
-    ivf = ivf_topk(queries_df, emb, cents, k=10, n_probe=6)
+    ivf = ivf_topk(queries_df, emb, cents, k=10, n_probe=7)
     brute = cosine_topk(queries_df, emb, k=10)
-    hits = ivf.select("query_id", "vec_id").join(
-        brute.select("query_id", "vec_id"), ["query_id", "vec_id"]
+    # one left join + ONE aggregation for the gate (a separate n_res/n_hits
+    # pair would add a second shuffle and a join of two tiny aggregates)
+    marked = ivf.select("query_id", "vec_id").join(
+        brute.select("query_id", "vec_id").withColumn("__hit", F.lit(1)),
+        ["query_id", "vec_id"],
+        "left",
     )
-    n_hits = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
-    n_res = ivf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_results"))
-    return (
-        n_res.join(n_hits, "query_id", "left")
-        .select(
-            "query_id", "n_results",
-            (F.coalesce(F.col("n_hit"), F.lit(0)) >= 9).alias("recall_ok"),
-        )
+    return marked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= 9).alias("recall_ok"),
     )
 
 
