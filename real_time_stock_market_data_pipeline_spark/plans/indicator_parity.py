@@ -340,22 +340,22 @@ ind AS (
 """
 
 
-def sql_alerts(dialect: str) -> str:
-    """T6 — threshold alerting (analytics_consumer.py:226-302): RSI>70 →
-    RSI_OVERBOUGHT/HIGH, elif RSI<30 → RSI_OVERSOLD/HIGH; volatility>0.05 →
-    HIGH_VOLATILITY/MEDIUM (thresholds shared/config.py:104-110).  One input
-    row can emit both an RSI and a volatility alert → UNION ALL."""
+def _alerts_body(ind_rel: str) -> str:
+    """The two alert branches over an ``ind``-shaped relation.  The source
+    relation is a parameter because it is referenced TWICE: rendered over
+    the CTE for DuckDB (which materializes multi-reference CTEs), and over
+    a snapshotted temp view on the Spark side (which inlines CTEs and would
+    otherwise run the whole indicator window chain once per branch)."""
     t = _d("70.0")
     t2 = _d("30.0")
     t3 = _d("0.05")
     return f"""
-WITH {_rsi_vol_cte(dialect)}
 SELECT tick_id, company_id, trade_datetime,
        CASE WHEN rsi_14 > {t} THEN 'RSI_OVERBOUGHT' ELSE 'RSI_OVERSOLD' END AS alert_type,
        rsi_14 AS indicator_value,
        CASE WHEN rsi_14 > {t} THEN {t} ELSE {t2} END AS threshold_value,
        'HIGH' AS severity
-FROM ind
+FROM {ind_rel}
 WHERE rsi_14 IS NOT NULL AND (rsi_14 > {t} OR rsi_14 < {t2})
 UNION ALL
 SELECT tick_id, company_id, trade_datetime,
@@ -363,8 +363,19 @@ SELECT tick_id, company_id, trade_datetime,
        volatility AS indicator_value,
        {t3} AS threshold_value,
        'MEDIUM' AS severity
-FROM ind
+FROM {ind_rel}
 WHERE volatility IS NOT NULL AND volatility > {t3}
+"""
+
+
+def sql_alerts(dialect: str) -> str:
+    """T6 — threshold alerting (analytics_consumer.py:226-302): RSI>70 →
+    RSI_OVERBOUGHT/HIGH, elif RSI<30 → RSI_OVERSOLD/HIGH; volatility>0.05 →
+    HIGH_VOLATILITY/MEDIUM (thresholds shared/config.py:104-110).  One input
+    row can emit both an RSI and a volatility alert → UNION ALL."""
+    return f"""
+WITH {_rsi_vol_cte(dialect)}
+{_alerts_body('ind')}
 """
 
 
@@ -506,11 +517,9 @@ LIMIT 500
 """
 
 
-def sql_alert_feed(dialect: str) -> str:
-    """J3+O2 — the dashboard alert feed: alerts (T6) ⋈ broadcast dim,
-    ORDER BY created DESC LIMIT 50 (dashboard/app.py:121-143,753)."""
+def _alert_feed_body(alerts_sql: str) -> str:
     return f"""
-WITH alerts AS ({sql_alerts(dialect)})
+WITH alerts AS ({alerts_sql})
 SELECT a.tick_id, a.company_id, c.c_name AS company_name,
        a.trade_datetime, a.alert_type, a.indicator_value,
        a.threshold_value, a.severity
@@ -518,6 +527,12 @@ FROM alerts a JOIN customer c ON a.company_id = c.c_custkey
 ORDER BY a.trade_datetime DESC, a.tick_id DESC, a.alert_type ASC
 LIMIT 50
 """
+
+
+def sql_alert_feed(dialect: str) -> str:
+    """J3+O2 — the dashboard alert feed: alerts (T6) ⋈ broadcast dim,
+    ORDER BY created DESC LIMIT 50 (dashboard/app.py:121-143,753)."""
+    return _alert_feed_body(sql_alerts(dialect))
 
 
 # ---------------------------------------------------------------------------
@@ -555,3 +570,33 @@ def _make_query(body):
 
 for _name, _body in _BODIES.items():
     QUERIES[_name] = _make_query(_body)
+
+
+# --- Spark-side t6/j3: snapshot the ind subplan (same trick as the dd2
+# materialized shingle plan).  The alert UNION ALL reads ``ind`` twice;
+# DuckDB materializes a multi-reference CTE, but Spark inlines it and would
+# execute the whole RSI/volatility window chain once per branch (measured
+# j3 4.2 s → ~1 s at sf0.1).  A lazy localCheckpoint computes the subplan
+# once and feeds both branches; the ORACLE text is unchanged — values are
+# compared, not plans. -------------------------------------------------------
+
+
+def _ind_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    ind = spark.sql(f"WITH {_rsi_vol_cte('spark')} SELECT * FROM ind")
+    return ind.localCheckpoint(eager=False)
+
+
+def _t6_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ind_snapshot(spark, sf_dir).createOrReplaceTempView("__ind_snap")
+    return spark.sql(_alerts_body("__ind_snap"))
+
+
+def _j3_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _ind_snapshot(spark, sf_dir).createOrReplaceTempView("__ind_snap")
+    return spark.sql(_alert_feed_body(_alerts_body("__ind_snap")))
+
+
+QUERIES["t6_alerts"] = _t6_materialized
+QUERIES["j3_alert_feed"] = _j3_materialized
