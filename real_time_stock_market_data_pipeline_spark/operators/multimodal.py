@@ -3,11 +3,12 @@
 Media travel as opaque ``binary`` columns plus typed metadata structs; all
 per-item compute (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched ``mapInPandas`` so media bytes never round-trip through Python
-row objects.  The container has no codec libraries, so the actual decode is
-STUBBED: ``decode_image_meta`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic parse (byte-length-derived
-dimensions) keeping every Spark-side contract — schema, batching,
-partitioning — real and testable.
+row objects.  Header-level decode is REAL: ``decode_image_meta`` parses
+PNG/GIF/BMP/JPEG dimensions straight from the container bytes (pure Python,
+no codec library).  PIXEL-level stages (resize, feature extraction) need a
+codec/model runtime the container lacks and stay STUBBED behind
+``fake=True`` deterministic doubles that keep every Spark-side contract —
+schema, batching, partitioning — real and testable.
 
 Scale notes: binary payloads dominate I/O, so (a) media tables should be
 partitioned by content kind + bucketed by item id, (b) metadata-only queries
@@ -56,31 +57,89 @@ def with_media_columns(df: DataFrame, payload: str, media_type: str) -> DataFram
     )
 
 
-def decode_image_meta(df: DataFrame, bytes_col: str = "media_bytes", fake: bool = False) -> DataFrame:
-    """Decode image headers → (width, height, channels).
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/pixel
 
-    Real decode requires an image library not present in this container —
-    STUB: raises unless ``fake=True``.  The fake parse derives deterministic
-    dimensions from the byte length, preserving schema/batching semantics.
+
+def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | None, int | None]:
+    """(format, width, height, channels) from raw container bytes — pure
+    byte-struct parsing, no codec library:
+
+      * PNG — IHDR is the mandatory first chunk: width/height big-endian
+        uint32 at offsets 16/20, channels from the color-type byte at 25;
+      * GIF — logical screen descriptor: little-endian uint16 at 6/8;
+      * BMP — BITMAPINFOHEADER: int32 LE at 18/22 (height may be negative
+        for top-down rows), channels = bits-per-pixel / 8;
+      * JPEG — walk the marker stream to the first SOF0-SOF15 frame header
+        (skipping DHT/DAC/RST markers that reuse the C4/C8/CC codes):
+        height/width big-endian uint16 at +5/+7, components at +9.
+
+    Unknown or truncated payloads → (None, None, None, None).
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decode requires a codec library (PIL/opencv) not present "
-            "in this environment; pass fake=True for the deterministic stub"
-        )
-    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-    schema = f"{fields}, width int, height int, channels int"
+    if not b:
+        return None, None, None, None
+    if b[:8] == _PNG_SIG and len(b) >= 26 and b[12:16] == b"IHDR":
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return "png", w, h, _PNG_CHANNELS.get(b[25])
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return "gif", int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little"), 3
+    if b[:2] == b"BM" and len(b) >= 30:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        bpp = int.from_bytes(b[28:30], "little")
+        return "bmp", w, h, max(bpp // 8, 1)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return "jpeg", w, h, b[i + 9]
+            if marker in range(0xD0, 0xD8) or marker == 0x01:  # bare markers
+                i += 2
+                continue
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    return None, None, None, None
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def decode_image_meta(df: DataFrame, bytes_col: str = "media_bytes", fake: bool = False) -> DataFrame:
+    """Decode image headers → (format, width, height, channels).
+
+    The REAL path parses PNG/GIF/BMP/JPEG headers from the bytes
+    (``parse_image_header`` — pure struct reads, no codec library needed)
+    inside the Arrow-batched ``mapInPandas``; unknown formats yield NULL
+    dims.  ``fake=True`` keeps the legacy deterministic stand-in
+    (byte-length-derived dimensions) for payloads that are not images at
+    all, e.g. the documents fixture's text bytes (mm1).
+    """
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, format string, width int, height int, channels int"
+
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            parsed = pdf[bytes_col].map(parse_image_header)
+            pdf["format"] = parsed.map(lambda t: t[0])
+            pdf["width"] = parsed.map(lambda t: t[1]).astype("Int32")
+            pdf["height"] = parsed.map(lambda t: t[2]).astype("Int32")
+            pdf["channels"] = parsed.map(lambda t: t[3]).astype("Int32")
+            yield pdf
+
+    def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
             nbytes = pdf[bytes_col].map(lambda b: len(b) if b is not None else 0)
+            pdf["format"] = "fake"
             pdf["width"] = (nbytes % 1920 + 1).astype("int32")
             pdf["height"] = (nbytes % 1080 + 1).astype("int32")
             pdf["channels"] = 3
             yield pdf
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run_fake if fake else run_real, schema=schema)
 
 
 def sample_frames(

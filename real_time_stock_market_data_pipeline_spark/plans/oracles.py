@@ -270,6 +270,16 @@ WHERE text IS NOT NULL
 GROUP BY source
 """
 
+# mm2: the Spark side BUILDS real PNG headers with these dims and parses
+# them back byte-by-byte; the oracle states the expected dims directly.
+ORACLES["mm2_image_dims"] = """
+SELECT doc_id, 'png' AS format,
+       CAST(octet_length(encode(text)) % 1920 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) % 1080 + 1 AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS channels
+FROM documents WHERE text IS NOT NULL
+"""
+
 ORACLES["t9_session_windows"] = f"""
 WITH {TICKS_CTE},
 s1 AS (

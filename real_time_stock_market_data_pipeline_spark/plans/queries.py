@@ -556,6 +556,34 @@ def mm1_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm2_image_dims")
+def mm2_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL header decode (operators/multimodal.
+    parse_image_header): deterministic PNG containers are assembled from
+    each document's byte length (signature + IHDR with big-endian dims,
+    color type 6 = RGBA), then parsed back by the real byte-struct decoder
+    inside the Arrow ``mapInPandas``.  The oracle derives the same dims
+    arithmetically — so the Spark side proves the full build-bytes →
+    parse-header round trip, not arithmetic."""
+    from ..operators.multimodal import decode_image_meta
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    header = F.expr(
+        "concat(X'89504E470D0A1A0A', X'0000000D', CAST('IHDR' AS BINARY), "
+        "unhex(lpad(hex((octet_length(text) % 1920) + 1), 8, '0')), "
+        "unhex(lpad(hex((octet_length(text) % 1080) + 1), 8, '0')), "
+        "X'0806000000')"
+    )
+    media = docs.withColumn("media_bytes", header)
+    return decode_image_meta(media, fake=False).select(
+        "doc_id", "format", "width", "height", "channels"
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML surface (U2-U4) — per-symbol grouped-map models.  The iterative fits are
 # not SQL-expressible, so the driver queries reduce each model table to its

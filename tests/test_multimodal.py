@@ -35,9 +35,65 @@ def test_media_columns_schema_and_metadata(media):
     assert row.media_meta.content_hash is not None
 
 
-def test_decode_requires_explicit_stub(media):
-    with pytest.raises(NotImplementedError):
-        decode_image_meta(media, fake=False).first()
+def test_real_decode_unknown_bytes_null_dims(media):
+    """The real header parser on non-image bytes (the documents fixture's
+    text) yields NULL format/dims instead of fabricating values."""
+    row = decode_image_meta(media, fake=False).select(
+        "format", "width", "height", "channels"
+    ).first()
+    assert (row.format, row.width, row.height, row.channels) == (None,) * 4
+
+
+def _png(w, h, color_type=2):
+    return (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+
+
+def _gif(w, h):
+    return b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00" * 4
+
+
+def _bmp(w, h, bpp=24):
+    return (
+        b"BM" + b"\x00" * 16
+        + w.to_bytes(4, "little", signed=True)
+        + (-h).to_bytes(4, "little", signed=True)  # top-down BMP: negative height
+        + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little") + b"\x00" * 8
+    )
+
+
+def _jpeg(w, h):
+    # SOI, a DHT the SOF scan must skip (marker C4), then SOF0
+    dht = b"\xff\xc4" + (4).to_bytes(2, "big") + b"\x00\x00"
+    sof = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03" + b"\x00" * 5
+    )
+    return b"\xff\xd8" + dht + sof
+
+
+def test_real_header_decode_all_formats(spark):
+    """PNG/GIF/BMP/JPEG headers parsed byte-for-byte — no codec library."""
+    rows = [
+        ("png", _png(640, 480, color_type=2), 640, 480, 3),
+        ("png_rgba", _png(31, 17, color_type=6), 31, 17, 4),
+        ("gif", _gif(320, 200), 320, 200, 3),
+        ("bmp", _bmp(800, 600, bpp=24), 800, 600, 3),
+        ("jpeg", _jpeg(1024, 768), 1024, 768, 3),
+        ("garbage", b"not an image at all", None, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(n, b) for n, b, *_ in rows], "name string, media_bytes binary"
+    )
+    got = {r.name: r for r in decode_image_meta(df, fake=False).collect()}
+    for name, _b, w, h, c in rows:
+        assert (got[name].width, got[name].height, got[name].channels) == (w, h, c), name
+    assert got["png"].format == "png" and got["jpeg"].format == "jpeg"
+    assert got["gif"].format == "gif" and got["bmp"].format == "bmp"
+    assert got["garbage"].format is None
 
 
 def test_decode_stub_is_deterministic_and_batched(media):
