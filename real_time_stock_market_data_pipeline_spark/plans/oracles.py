@@ -345,14 +345,92 @@ SELECT company_id,
 FROM counts WHERE n >= 7
 """
 
+# The ADF d-selection (ml/arima.py:_select_d / _adf_stat) re-derived in
+# closed form: for each candidate d, regress Δs_t on [1, s_{t-1}, Δs_{t-1}]
+# over the d-differenced series, solve the 3×3 normal equations by Cramer's
+# rule, and take t(γ) = β₁/se(β₁); order_d = smallest d with t < −2.86
+# (else MAX_D = 2).  Verified to reproduce the numpy lstsq path symbol-for-
+# symbol at sf0.001 and sf0.01.
+_ADF_CTE = """
+ordered AS (
+  SELECT company_id, current_price AS x,
+         row_number() OVER (PARTITION BY company_id
+                            ORDER BY trade_datetime ASC, tick_id ASC) AS rn
+  FROM valid
+),
+levels AS (
+  SELECT o.company_id, dd.d, o.rn,
+         CASE dd.d
+           WHEN 0 THEN x
+           WHEN 1 THEN x - lag(x) OVER w
+           ELSE x - 2 * lag(x) OVER w + lag(x, 2) OVER w
+         END AS s
+  FROM ordered o CROSS JOIN (VALUES (0), (1), (2)) dd(d)
+  WINDOW w AS (PARTITION BY o.company_id, dd.d ORDER BY o.rn)
+),
+reg AS (
+  SELECT company_id, d,
+         s - lag(s) OVER w2 AS y,
+         lag(s) OVER w2 AS r1,
+         lag(s) OVER w2 - lag(s, 2) OVER w2 AS r2
+  FROM levels WHERE s IS NOT NULL
+  WINDOW w2 AS (PARTITION BY company_id, d ORDER BY rn)
+),
+sums AS (
+  SELECT company_id, d, COUNT(*) AS n,
+         SUM(r1) AS s1, SUM(r2) AS s2x,
+         SUM(r1*r1) AS s11, SUM(r1*r2) AS s12, SUM(r2*r2) AS s22,
+         SUM(y) AS b0, SUM(r1*y) AS b1, SUM(r2*y) AS b2, SUM(y*y) AS syy
+  FROM reg
+  WHERE y IS NOT NULL AND r1 IS NOT NULL AND r2 IS NOT NULL
+  GROUP BY 1, 2
+),
+tstat AS (
+  SELECT company_id, d, n,
+         n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2x)
+           + s2x*(s1*s12 - s11*s2x) AS det,
+         (b0*(s11*s22 - s12*s12) - s1*(b1*s22 - s12*b2)
+           + s2x*(b1*s12 - s11*b2)) AS beta0_num,
+         (n*(b1*s22 - s12*b2) - b0*(s1*s22 - s12*s2x)
+           + s2x*(s1*b2 - b1*s2x)) AS beta1_num,
+         (n*(s11*b2 - b1*s12) - s1*(s1*b2 - b1*s2x)
+           + b0*(s1*s12 - s11*s2x)) AS beta2_num,
+         b0, b1, b2, syy, s2x, s22
+  FROM sums
+),
+adf AS (
+  SELECT company_id, d,
+         CASE
+           WHEN n - 3 <= 0 OR det = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE COALESCE(
+             (beta1_num / det) / NULLIF(
+               sqrt(GREATEST(
+                 ((syy - (beta0_num*b0 + beta1_num*b1 + beta2_num*b2) / det)
+                    / (n - 3))
+                 * ((n*s22 - s2x*s2x) / det), CAST(0.0 AS DOUBLE))),
+               CAST(0.0 AS DOUBLE)),
+             CAST(0.0 AS DOUBLE))
+         END AS t
+  FROM tstat
+),
+d_sel AS (
+  SELECT company_id,
+         COALESCE(MIN(CASE WHEN t < CAST(-2.86 AS DOUBLE) THEN d END), 2)
+           AS order_d
+  FROM adf GROUP BY 1
+)
+"""
+
 ORACLES["u2_arima_forecast"] = f"""
-WITH {TICKS_CTE}, {_VALID_CTE}
-SELECT company_id,
+WITH {TICKS_CTE}, {_VALID_CTE}, {_ADF_CTE}
+SELECT c.company_id,
        CAST(5 AS BIGINT) AS n_rows,
        CAST(1 AS INTEGER) AS first_step,
        CAST(5 AS INTEGER) AS last_step,
-       true AS ci_ok
-FROM counts WHERE n >= 50
+       true AS ci_ok,
+       CAST(d.order_d AS INTEGER) AS order_d
+FROM counts c JOIN d_sel d ON c.company_id = d.company_id
+WHERE c.n >= 50
 """
 
 # J4: predictions ⋈ dim — prediction count/timestamps derive from the valid

@@ -665,13 +665,17 @@ def u2_arima_forecast_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("u2_arima_forecast")
 def u2_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 driver check — forecast table reduced per symbol: exactly 5 steps
-    (1..5) for every symbol with ≥50 valid ticks, and every forecast inside
-    its own confidence interval (reference ml/arima_forecasting.py:205-221)."""
+    (1..5) for every symbol with ≥50 valid ticks, every forecast inside its
+    own confidence interval (reference ml/arima_forecasting.py:205-221),
+    and the ADF-selected differencing order ``order_d`` — the oracle
+    re-derives the full Augmented Dickey-Fuller d-selection
+    (ml/arima.py:_select_d) in closed-form SQL, so the unit-root test
+    itself is cross-engine checked, not just the row arithmetic."""
     fc = u2_arima_forecast_full(spark, sf_dir)
     # same pre-projection pattern as u4 (exprs inside aggs after a pandas
     # stage run interpreted per-row)
     pre = fc.select(
-        "company_id", "step",
+        "company_id", "step", "order_d",
         ((F.col("ci_lo") <= F.col("forecast")) & (F.col("forecast") <= F.col("ci_hi"))).alias("in_ci"),
     )
     return pre.groupBy("company_id").agg(
@@ -679,6 +683,7 @@ def u2_arima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("step").alias("first_step"),
         F.max("step").alias("last_step"),
         F.bool_and("in_ci").alias("ci_ok"),
+        F.min("order_d").alias("order_d"),  # constant per symbol
     )
 
 
