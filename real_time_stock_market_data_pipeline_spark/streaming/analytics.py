@@ -101,7 +101,16 @@ def observed(ticks: DataFrame, observer: Any = "tick_metrics") -> DataFrame:
     in ``StreamingQueryProgress.observedMetrics[name]``) or a
     ``pyspark.sql.Observation`` (batch: read ``observation.get`` after the
     action).  Attach BEFORE the validity filter so errors_count sees the
-    rejected rows."""
+    rejected rows.
+
+    Latency stats mirror the reference's per-message processing-time
+    mean/median/max/min log line (analytics_consumer.py:401-414): the
+    engine-side analogue is event-time-to-processing lag, aggregated inside
+    the running plan (``percentile_approx`` for the median — the exact
+    percentile would buffer every row)."""
+    lag_us = F.unix_micros(F.current_timestamp()) - F.unix_micros(
+        F.col("trade_datetime").cast("timestamp")
+    )
     return ticks.observe(
         observer,
         F.count(F.lit(1)).alias("messages_processed"),
@@ -109,6 +118,10 @@ def observed(ticks: DataFrame, observer: Any = "tick_metrics") -> DataFrame:
             F.when(valid_tick_predicate(), F.lit(0)).otherwise(F.lit(1))
         ).alias("errors_count"),
         F.max("trade_datetime").alias("last_event_time"),
+        F.avg(lag_us).alias("lag_us_mean"),
+        F.percentile_approx(lag_us, 0.5).alias("lag_us_p50"),
+        F.min(lag_us).alias("lag_us_min"),
+        F.max(lag_us).alias("lag_us_max"),
     )
 
 

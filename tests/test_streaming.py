@@ -132,6 +132,11 @@ def test_observed_metrics_batch_and_stream(spark, sf_dir, tmp_path):
     n = ticks.count()
     assert obs.get["messages_processed"] == n
     assert 0 <= obs.get["errors_count"] <= n
+    # A8 latency stats: min ≤ p50 ≤ max, all finite (fixture events are in
+    # the past, so lags are positive)
+    m = obs.get
+    assert m["lag_us_min"] <= m["lag_us_p50"] <= m["lag_us_max"]
+    assert m["lag_us_mean"] > 0 and m["lag_us_p50"] > 0
 
     src = tmp_path / "src"
     small = (
@@ -148,6 +153,9 @@ def test_observed_metrics_batch_and_stream(spark, sf_dir, tmp_path):
         if "tick_metrics" in (p["observedMetrics"] or {})
     ]
     assert sum(m["messages_processed"] for m in batch_metrics) == small.count()
+    # per-micro-batch A8 latency stats ride the same observed map
+    for m in batch_metrics:
+        assert m["lag_us_min"] <= m["lag_us_p50"] <= m["lag_us_max"]
 
 
 def test_kafka_decode_corrupt_json_yields_null_rows(spark):
