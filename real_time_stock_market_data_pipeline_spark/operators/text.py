@@ -55,9 +55,13 @@ def with_token_stats(df: DataFrame, text: str = "text") -> DataFrame:
 # (whitespace dropped).  The regex stage of a GPT-2-style tokenizer — the
 # merge stage needs a learned vocab; for corpus statistics (length filters,
 # cost estimates) the pre-token count is the usable signal.  No backslash
-# escapes or POSIX classes: Java (Spark) and RE2 (DuckDB) agree on plain
-# character classes only.
-BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+# escapes or POSIX classes IN THE PATTERN TEXT: Java (Spark) and RE2
+# (DuckDB) agree on plain character classes only, and SQL string literals
+# disagree about backslashes — so the whitespace chars are embedded as
+# literal bytes (Python resolves the escapes below, both engines then see
+# identical pattern bytes).  \\s itself would differ: Java includes \\x0B,
+# RE2 does not.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f]"
 
 
 def bpe_token_count_col(text: str = "text") -> Column:

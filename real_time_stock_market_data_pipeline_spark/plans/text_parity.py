@@ -167,9 +167,9 @@ def sql_bpe_tokens(dialect: str) -> str:
     pre-tokenizer regex of a GPT-2-style tokenizer (letter runs | digit
     runs | single punctuation), operators/text.BPE_SPLIT_PATTERN.  The
     ratio column is the punctuation-density signal corpus filters cut on."""
+    from ..operators.text import BPE_SPLIT_PATTERN as pattern
     from .dialect import regexp_count
 
-    pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     ws = list_len(dialect, "toks")
     bpe = regexp_count(dialect, "text", pattern)
     ratio = f"{d(bpe)} / {d(ws)}"
@@ -396,19 +396,26 @@ def _dd2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot a subplan.  The operator's lazy ``localCheckpoint`` computes the
     shingle frame once and feeds both sides, halving the dominant cost.  The
     oracle compares VALUES, not plans, so DuckDB still runs the pure SQL body;
-    ``r6t`` rounding is replicated textually on the final column so the
-    doubles stay bit-identical.
+    the final column goes through the SAME ``r6t`` rounding text both
+    dialects use (plans/dialect.py), so the doubles stay bit-identical.
+    The displaced SQL rendering is kept verified against this plan by
+    tests/test_text_dedup.py::test_dd2_sql_rendering_matches_materialized.
     """
     from ..operators.dedup import jaccard_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_near_dup_pairs(docs, materialize=True)
-    rounded = F.expr(
-        "CASE WHEN isnan(jaccard) THEN jaccard "
-        "ELSE floor(jaccard * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) "
-        "/ CAST(1000000.0 AS DOUBLE) END"
+    return pairs.select(
+        "doc_a", "doc_b", "n_common", F.expr(r6t("jaccard")).alias("jaccard")
     )
-    return pairs.select("doc_a", "doc_b", "n_common", rounded.alias("jaccard"))
+
+
+def _dd2_sql_rendering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure Spark-SQL dialect rendering of DD2 (the plan the oracle text
+    mirrors 1:1) — not registered as the driver query (the materialized plan
+    above is faster), but kept runnable and pinned equal by test."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_ngram_jaccard("spark"))
 
 
 QUERIES["dd2_ngram_jaccard"] = _dd2_materialized

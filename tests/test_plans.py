@@ -130,6 +130,8 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     exchange on the key; the second exchange in the query belongs to the
     quotes (key, ts) dedup upstream.  Never a range join / per-row rescan."""
     plan = plan_of(spark, sf_dir, "j10_asof_quote")
-    assert plan.count("Exchange hashpartitioning") == 2  # dedup + sweep
+    # invariant bound, not an exact count (AQE/version slack): the dedup
+    # upstream + the sweep itself — never a per-left-row rescan explosion
+    assert 1 <= plan.count("Exchange hashpartitioning") <= 2
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

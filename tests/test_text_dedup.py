@@ -143,8 +143,10 @@ def test_multimodal_stub_plumbing(spark, sf_dir, docs):
     for r in out:
         assert r.width == r.media_meta.byte_length % 1920 + 1
         assert r.channels == 3
-    with pytest.raises(NotImplementedError):
-        decode_image_meta(media, fake=False)
+    # the REAL header parser runs codec-free; text bytes are not an image
+    # container, so it reports NULL format/dims instead of fabricating any
+    real = decode_image_meta(media, fake=False).first()
+    assert (real.format, real.width, real.height, real.channels) == (None,) * 4
 
 
 def test_centered_lsh_spreads_hot_bucket(spark):
@@ -176,6 +178,19 @@ def test_centered_lsh_spreads_hot_bucket(spark):
     sizes = [r["count"] for r in spread.collect()]
     assert len(sizes) > 50  # candidates split across many buckets
     assert max(sizes) < 50  # no single hot bucket
+
+
+def test_dd2_sql_rendering_matches_materialized(spark, sf_dir):
+    """The Spark-SQL dialect rendering of DD2 (the oracle's 1:1 twin) stays
+    equal to the registered materialized plan — the rendering is displaced
+    from queries() for cost, not semantics, and must not rot."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        _dd2_sql_rendering,
+    )
+
+    sql_rows = sorted(map(tuple, _dd2_sql_rendering(spark, sf_dir).collect()))
+    mat_rows = sorted(map(tuple, QUERIES["dd2_ngram_jaccard"](spark, sf_dir).collect()))
+    assert sql_rows == mat_rows and len(sql_rows) > 0
 
 
 def test_jaccard_materialized_matches_pure_plan(spark, docs):
