@@ -120,6 +120,7 @@ def upsert_parquet(
     keys: Sequence[str],
     order_col: str | None = None,
     tiebreak: str | None = None,
+    partition_col: str | None = None,
 ) -> None:
     """Apply ``merge_upsert`` against a parquet store in place (S9/S10 sink).
 
@@ -128,20 +129,60 @@ def upsert_parquet(
     files the lazy plan still needs.  The swap is a directory rename: the
     unit of atomicity plain parquet offers (a transactional table format
     upgrades this to a real commit protocol).
+
+    ``partition_col`` is the 100 TB lever: with a partitioned store
+    (``partition_col`` must be one of ``keys`` — e.g. the trade date), the
+    merge (a) collects the batch's DISTINCT partition values (bounded by
+    the batch, a codebook-sized driver action), (b) reads ONLY those
+    partitions of the store — partition pruning on the scan — and
+    (c) swaps only the touched ``partition_col=value`` directories.  A
+    micro-batch touching one day of a 10-year store reads and rewrites one
+    day.  Without it the whole store is merged and swapped.
     """
+    if partition_col is not None and partition_col not in keys:
+        # a key row must stay in one partition, or the anti-join can miss it
+        raise ValueError(f"partition_col {partition_col!r} must be one of keys={list(keys)}")
     try:
-        existing: DataFrame | None = spark.read.parquet(path)
+        store: DataFrame | None = spark.read.parquet(path)
     except AnalysisException:
-        existing = None
+        store = None
+
+    if partition_col is None or store is None:
+        merged = merge_upsert(store, updates, keys, order_col, tiebreak)
+        staging = f"{path}__staging_{uuid.uuid4().hex}"
+        writer = merged.write.mode("overwrite")
+        if partition_col is not None:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(staging)
+        old = f"{path}__old_{uuid.uuid4().hex}"
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        return
+
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = store.filter(F.col(partition_col).isin(touched))
     merged = merge_upsert(existing, updates, keys, order_col, tiebreak)
     staging = f"{path}__staging_{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(staging)
-    old = f"{path}__old_{uuid.uuid4().hex}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staging, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    # move each staged partition_col=value directory into the store,
+    # replacing only the touched ones (naming comes from the writer itself,
+    # so value formatting/escaping always agrees with the store layout)
+    trash = f"{path}__old_{uuid.uuid4().hex}"
+    os.makedirs(trash)
+    try:
+        for entry in os.listdir(staging):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            dst = os.path.join(path, entry)
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(trash, entry))
+            os.rename(os.path.join(staging, entry), dst)
+    finally:
+        shutil.rmtree(trash, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def upsert_sink(
@@ -149,13 +190,19 @@ def upsert_sink(
     keys: Sequence[str],
     order_col: str | None = None,
     tiebreak: str | None = None,
+    partition_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` upsert sink: each micro-batch merges into the
     parquet store by key — the streaming delivery path of the reference's
     analytics/predictions upserts (S9/S10).  Used as
-    ``writeStream.foreachBatch(upsert_sink(path, keys, ts))``."""
+    ``writeStream.foreachBatch(upsert_sink(path, keys, ts))``; pass
+    ``partition_col`` so each micro-batch rewrites only its touched
+    partitions."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        upsert_parquet(batch_df.sparkSession, batch_df, path, keys, order_col, tiebreak)
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, path, keys,
+            order_col, tiebreak, partition_col,
+        )
 
     return apply

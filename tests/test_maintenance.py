@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline_spark.maintenance import (
@@ -64,6 +65,37 @@ def test_upsert_parquet_overlapping_batches(spark, tmp_path):
     upsert_parquet(spark, b2, path, ["k", "ts"])
     got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
     assert got == {("a", 1): 1.0, ("b", 1): 2.0, ("b", 2): 30.0, ("c", 1): 4.0}
+
+
+def test_upsert_parquet_partition_pruned(spark, tmp_path):
+    """With partition_col, an upsert batch touching one partition reads and
+    rewrites ONLY that partition: untouched partition files stay
+    byte-identical on disk."""
+    import os
+
+    path = str(tmp_path / "pstore")
+    b1 = _kv(spark, [("a", 1, 1.0), ("b", 1, 2.0), ("a", 2, 3.0), ("c", 2, 4.0)])
+    upsert_parquet(spark, b1, path, ["k", "ts"], partition_col="ts")
+    p1 = os.path.join(path, "ts=1")
+
+    def files(d):
+        return {
+            f: open(os.path.join(d, f), "rb").read()
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before = files(p1)
+    # batch touches only ts=2
+    b2 = _kv(spark, [("a", 2, 30.0), ("d", 2, 5.0)])
+    upsert_parquet(spark, b2, path, ["k", "ts"], partition_col="ts")
+    assert files(p1) == before  # ts=1 not rewritten
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("a", 1): 1.0, ("b", 1): 2.0,           # untouched partition
+        ("a", 2): 30.0, ("c", 2): 4.0, ("d", 2): 5.0,  # merged partition
+    }
+    with pytest.raises(ValueError):
+        upsert_parquet(spark, b2, path, ["k"], partition_col="ts")
 
 
 def test_upsert_sink_foreach_batch(spark, tmp_path):
