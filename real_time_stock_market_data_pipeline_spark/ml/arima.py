@@ -239,6 +239,7 @@ def forecast(
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         cols = [key, "step", "forecast", "ci_lo", "ci_hi", "aic",
+                "prediction_confidence",
                 "order_p", "order_d", "order_q", "lb_q", "resid_white"]
         pdf = pdf.sort_values(ts, kind="mergesort")
         x = pdf[price].to_numpy(dtype=np.float64)
@@ -257,6 +258,11 @@ def forecast(
                 "ci_lo": fc - widen,
                 "ci_hi": fc + widen,
                 "aic": best["aic"],
+                # the reference's AIC→confidence proxy, clamped to [0, 1]
+                # (analytics/analytics_consumer.py:372-377)
+                "prediction_confidence": max(
+                    0.0, min(1.0, 1.0 / (1.0 + abs(best["aic"]) / 100.0))
+                ),
                 "order_p": best["p"],
                 "order_d": best["d"],
                 "order_q": best["q"],
@@ -271,7 +277,8 @@ def forecast(
     key_type = dict(df.dtypes)[key]
     schema = (
         f"{key} {key_type}, step int, forecast double, ci_lo double, ci_hi double, "
-        "aic double, order_p int, order_d int, order_q int, lb_q double, "
+        "aic double, prediction_confidence double, "
+        "order_p int, order_d int, order_q int, lb_q double, "
         "resid_white boolean"
     )
     from .regression import grouped_map_input

@@ -63,6 +63,11 @@ def test_arima_gate_and_shape(spark):
         assert r.ci_lo <= r.forecast <= r.ci_hi
         assert np.isfinite(r.aic)
         assert 0 <= r.order_p <= 5 and 0 <= r.order_d <= 2 and 0 <= r.order_q <= 5
+        # the reference's AIC→confidence proxy (analytics_consumer.py:372-377)
+        assert r.prediction_confidence == max(
+            0.0, min(1.0, 1.0 / (1.0 + abs(r.aic) / 100.0))
+        )
+        assert 0.0 <= r.prediction_confidence <= 1.0
     # intervals widen with horizon
     widths = [r.ci_hi - r.ci_lo for r in rows]
     assert widths == sorted(widths)
