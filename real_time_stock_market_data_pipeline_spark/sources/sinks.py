@@ -14,11 +14,15 @@ engine's equivalents:
   JDBC writer batches ``batchsize`` rows per round-trip per partition,
   replacing the reference's hand-rolled ``execute_values`` batching (R8)
   and connection pool (R9).
-* **Upserts (S9/S10)** — append + periodic merge: the streaming path
-  appends; ``maintenance.migrate_realtime_to_historical`` resolves
-  latest-per-key, the same end state as the reference's ON CONFLICT DO
-  UPDATE without row-level lock contention (R10).  On a transactional
-  table format (Delta/Iceberg), replace with MERGE INTO in foreachBatch.
+* **Upserts (S9/S10)** — ``maintenance.merge_upsert`` is the generic
+  key-based ON CONFLICT DO UPDATE (updates win, last-write-wins within a
+  batch); ``maintenance.upsert_parquet`` applies it to the store with a
+  staging-dir swap, rewriting ONLY the batch's touched partitions when
+  ``partition_col`` is given; ``maintenance.upsert_sink`` is the
+  ``foreachBatch`` streaming delivery.  Same end state as the reference's
+  ON CONFLICT DO UPDATE without row-level lock contention (R10); on a
+  transactional table format (Delta/Iceberg) the helper becomes a real
+  MERGE INTO.
 """
 
 from __future__ import annotations

@@ -125,6 +125,24 @@ def test_dd2_single_pipeline_per_join_side(spark, sf_dir):
     assert plan.count("Generate") <= 2
 
 
+def test_s9_merge_shape(spark, sf_dir):
+    """The generic upsert: rank-filters run as WindowGroupLimit, the merge
+    is an anti-join + union on the key — never a cartesian, and no more
+    exchanges than the two key-window stages + one join side."""
+    plan = plan_of(spark, sf_dir, "s9_analytics_upsert")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mm2_header_decode_map_only(spark, sf_dir):
+    """Real header decode is a pure Arrow map over a pruned scan: zero
+    exchanges, and the untouched document columns never leave the scan."""
+    plan = plan_of(spark, sf_dir, "mm2_image_dims")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     """j10: union-and-sweep — the as-of operator itself is ONE hash
     exchange on the key; the second exchange in the query belongs to the
