@@ -17,11 +17,10 @@ label centroids.  This trainer produces one from the data alone, Spark-first:
     and measurably hurts IVF recall; a pure hash sample was tried and
     rejected too — it measurably degrades IVF recall@10 on the
     weak-structure fixture vs the spread stride seeds.);
-  * **assign**: the codebook inlined as ONE literal array column
-    (similarity.codebook_literal) and argmax cosine computed per row with
-    JVM higher-order functions (similarity.centroid_sims_col, lowest-cid
+  * **assign**: argmax cosine against the driver-side codebook via the
+    Arrow-batched matmul (similarity.centroid_argmax_pandas, lowest-cid
     tiebreak) — a pure projection: no join, no window, no shuffle, no
-    Python;
+    per-row Python;
   * **update**: per-(centroid, dim) mean via ``posexplode`` + one partially
     aggregated ``groupBy`` — the only shuffle, k·d tiny rows out;
   * repeat ``n_iter`` times (fixed count, no convergence RNG).

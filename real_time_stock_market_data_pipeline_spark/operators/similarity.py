@@ -7,12 +7,15 @@ use only with a bounded query set).  The scale paths:
     inside a bucket, so the join shuffles on the bucket key.  More planes →
     smaller buckets → higher precision / lower recall.
   * ``ivf_topk`` — inverted-file search: assign every vector to its nearest
-    of K centroids (broadcast), probe only ``n_probe`` closest lists per
-    query.  Classic IVF-Flat, expressed as two broadcast joins + one
-    shuffle on the list id.
+    of K centroids, probe only ``n_probe`` closest lists per query.
+    Classic IVF-Flat: assignment/probing are Arrow-batched map-only
+    projections against the collected codebook (one numpy matmul per
+    batch); the ONLY shuffle is the list-id equi-join.
 
-All dot products run as JVM higher-order functions (``zip_with`` +
-``aggregate``) — vectorized, no Python.
+Pairwise dot products between data columns run as JVM higher-order
+functions (``zip_with`` + ``aggregate``); codebook-side products use the
+vectorized Arrow path (``centroid_argmax_pandas``) — measured ~100× over
+the per-element interpreted HOF evaluation for per-row × k scans.
 """
 
 from __future__ import annotations
