@@ -108,6 +108,37 @@ def test_upsert_sink_foreach_batch(spark, tmp_path):
     assert got == {("a", 1): 10.0, ("b", 1): 2.0, ("c", 1): 3.0}
 
 
+def test_upsert_sink_through_real_stream(spark, tmp_path):
+    """S9 end-to-end: two overlapping micro-batches delivered by an actual
+    bounded stream (file source, one file per trigger) through
+    ``writeStream.foreachBatch(upsert_sink(...))`` — the store ends with one
+    row per key and the later micro-batch's payload on the overlap."""
+    import time
+
+    src = tmp_path / "src"
+    b1 = _kv(spark, [("a", 1, 1.0), ("b", 1, 2.0)]).withColumn("seq", F.lit(1))
+    b2 = _kv(spark, [("a", 1, 10.0), ("c", 1, 3.0)]).withColumn("seq", F.lit(2))
+    b1.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    time.sleep(1.1)  # file-source orders batches by modification time
+    b2.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    store = str(tmp_path / "store")
+    q = (
+        stream.writeStream.foreachBatch(upsert_sink(store, ["k", "ts"], order_col="seq"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.k, r.ts): (r.v, r.seq) for r in spark.read.parquet(store).collect()}
+    assert got == {("a", 1): (10.0, 2), ("b", 1): (2.0, 1), ("c", 1): (3.0, 2)}
+
+
 def test_migration_existing_days_win(spark, sf_dir):
     ticks = ticks_from_events(spark, sf_dir)
     first = migrate_realtime_to_historical(ticks, None)
