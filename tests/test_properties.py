@@ -150,6 +150,85 @@ def test_indicator_frame_past_buffer_saturation(seed):
         assert np.allclose(g, w, rtol=1e-9, atol=1e-9, equal_nan=True), col
 
 
+_asof_right = st.dictionaries(
+    keys=st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 50)),
+    values=st.one_of(st.none(), st.floats(-1e6, 1e6, allow_nan=False)),
+    min_size=0, max_size=15,
+)
+_asof_left = st.lists(
+    st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 50)),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(right=_asof_right, left=_asof_left)
+def test_asof_join_matches_duckdb_on_arbitrary_data(spark, right, left):
+    """asof_join ≡ DuckDB's native ASOF LEFT JOIN on arbitrary keyed series
+    — including NULL right payloads (the matched row's NULL must carry, not
+    an older row's value) and left rows before any right row."""
+    import duckdb
+
+    from real_time_stock_market_data_pipeline_spark.operators.relational import asof_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(left)], "k string, id long, t long"
+    )
+    rrows = [(k, t, v) for (k, t), v in sorted(right.items())]
+    rdf = spark.createDataFrame(rrows, "k string, t long, v double") if rrows else (
+        spark.createDataFrame([], "k string, t long, v double")
+    )
+    got = {
+        r.id: r.v_asof for r in asof_join(ldf, rdf, "k", "t", ["v"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("l", ldf.toPandas())
+    con.register("r", rdf.toPandas())
+    want = {
+        row[0]: row[1]
+        for row in con.execute(
+            "SELECT l.id, r.v FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.t >= r.t"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for i in got:  # exact: the same double flows through both engines
+        assert got[i] == want[i] or (got[i] is None and want[i] is None), (
+            i, got[i], want[i],
+        )
+
+
+_merge_rows = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.floats(-100, 100, allow_nan=False)),
+    min_size=0, max_size=10,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(existing=_merge_rows, updates=_merge_rows)
+def test_merge_upsert_invariants(spark, existing, updates):
+    """merge_upsert on arbitrary batches: one row per key, key set = union,
+    updated keys take the LAST update's payload (by order_col), untouched
+    keys keep the existing row — checked against a straight Python model."""
+    from real_time_stock_market_data_pipeline_spark.maintenance import merge_upsert
+
+    ex = {}  # existing must be unique per key: last wins in the model build
+    for i, (k, v) in enumerate(existing):
+        ex[k] = (v, i)
+    exdf = spark.createDataFrame(
+        [(k, v, i) for k, (v, i) in ex.items()] or [], "k string, v double, seq long"
+    )
+    updf = spark.createDataFrame(
+        [(k, v, 1000 + i) for i, (k, v) in enumerate(updates)] or [],
+        "k string, v double, seq long",
+    )
+    out = {r.k: (r.v, r.seq) for r in merge_upsert(exdf, updf, ["k"], order_col="seq").collect()}
+    model = dict(ex)
+    for i, (k, v) in enumerate(updates):
+        model[k] = (v, 1000 + i)  # serial application: last write wins
+    assert out == model
+
+
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
