@@ -225,6 +225,11 @@ def ivf_topk(
     / ``centroid_topn_pandas``): no broadcast join, no row_number window,
     no shuffle of the corpus for assignment.  The ONLY shuffle in the whole
     plan is the (centroid_id) equi-join of probes against lists.
+
+    Boundary: the codebook ships in the UDF closure, so k·d must stay
+    small enough to serialize per task (≲10⁷ doubles — k ∝ √n keeps IVF
+    there up to billions of vectors).  Past that, shard the codebook with
+    a coarse quantizer (IVF-HNSW style) or fall back to a broadcast join.
     """
     from pyspark.sql import Window
 

@@ -34,6 +34,7 @@ SCRATCH = "/tmp/real_time_stock_market_data_pipeline_spark_scale_probe"
 
 N_EVENTS, N_SYMBOLS = 1_000_000, 15_000
 DOC_COPIES = 4
+EMB_COPIES = 10
 VIRAL = " the common viral phrase every document now shares"
 
 EVENT_QUERIES = [
@@ -41,6 +42,7 @@ EVENT_QUERIES = [
     "u3_linreg_metrics", "u2_arima_forecast",
 ]
 DOC_QUERIES = ["dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality"]
+EMB_QUERIES = ["emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall"]
 
 
 def build_scaled(spark) -> str:
@@ -79,7 +81,32 @@ def build_scaled(spark) -> str:
     for c in copies[1:]:
         allc = allc.unionByName(c)
     allc.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    for t in ("customer", "nation", "region", "embeddings"):
+    # embeddings ×10: replicated vec_ids with a deterministic per-element
+    # perturbation so copies are near- but not exact duplicates (keeps the
+    # ANN candidate structure realistic instead of degenerate exact ties)
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_emb = emb.count()
+
+    def _perturb(i: int):
+        fi = float(i)
+        return lambda x, j: (
+            x + F.sin(x * F.lit(fi) + j.cast("double")) * F.lit(0.01)
+        ).cast("float")
+
+    ecopies = [emb]
+    for i in range(1, EMB_COPIES):
+        ecopies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * n_emb)).alias("vec_id"),
+                "label",
+                F.transform("embedding", _perturb(i)).alias("embedding"),
+            )
+        )
+    alle = ecopies[0]
+    for c in ecopies[1:]:
+        alle = alle.unionByName(c)
+    alle.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    for t in ("customer", "nation", "region"):
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
@@ -97,7 +124,7 @@ def main() -> None:
     spark = get_spark("scale_probe")
     scaled = build_scaled(spark)
     results: dict[str, dict[str, float]] = {}
-    for name in EVENT_QUERIES + DOC_QUERIES:
+    for name in EVENT_QUERIES + DOC_QUERIES + EMB_QUERIES:
         results[name] = {
             "base": timed(QUERIES[name], spark, BASE),
             "scaled": timed(QUERIES[name], spark, scaled),
