@@ -37,7 +37,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from .similarity import centroid_argmax_pandas
+
+
+@contextmanager
+def _no_aqe(spark):
+    """AQE re-plans each tiny codebook-sized reduction as extra jobs —
+    pure scheduling overhead for the fit's fixed-shape actions (seed
+    collect, per-iteration k·d mean collect), so it is off around exactly
+    those actions and restored after.  Correctness never depended on it:
+    the lazy localCheckpoint pins the seed partition boundaries either
+    way.  AQE applies per-action at execution time, so scoping the conf
+    around the ``collect()`` calls leaves every other plan untouched."""
+    before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before)
 
 
 def kmeans_fit(
@@ -96,15 +115,16 @@ def kmeans_fit(
     )
     wpid = Window.partitionBy("__pid").orderBy(F.col(vec_id).asc())
     stride = F.greatest(F.floor(F.col("__n") / k), F.lit(1))
-    seed_rows = (
+    seed_plan = (
         parted.withColumn("__rn", F.row_number().over(wpid))
         .join(F.broadcast(offsets), "__pid")
         .withColumn("__rank", F.col("__off") + F.col("__rn"))
         .filter((F.col("__rank") - 1) % stride == 0)
         .orderBy(F.col("__rank").asc())
         .limit(k)
-        .collect()
     )
+    with _no_aqe(spark):
+        seed_rows = seed_plan.collect()
     cents = [
         (i, [float(x) for x in r[vec]]) for i, r in enumerate(seed_rows)
     ]
@@ -117,26 +137,22 @@ def kmeans_fit(
     # per-(centroid, dim) mean groupBy is the single shuffle per iteration,
     # and the single action per iteration moves exactly k·d tiny rows to
     # the driver.
-    # AQE re-plans each tiny k·d reduction as extra jobs; for the fixed
-    # codebook-sized shuffles of the Lloyd loop that is pure scheduling
-    # overhead, so it is switched off around the loop and restored after.
     corpus = corpus.persist()
-    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         for _ in range(n_iter):
             assigned = corpus.select(
                 centroid_argmax_pandas(cents)(F.col(vec)).alias("centroid_id"),
                 F.col(vec).alias("__v"),
             )
-            dim_means = (
+            means_plan = (
                 assigned.select(
                     "centroid_id", F.posexplode(F.col("__v")).alias("dim", "val")
                 )
                 .groupBy("centroid_id", "dim")
                 .agg(F.avg(F.col("val").cast("double")).alias("m"))
-                .collect()
             )
+            with _no_aqe(spark):
+                dim_means = means_plan.collect()
             by_cid: dict[int, dict[int, float]] = {}
             for r in dim_means:
                 by_cid.setdefault(r.centroid_id, {})[r.dim] = r.m
@@ -149,6 +165,5 @@ def kmeans_fit(
                     new_cents.append((cid, [dims[i] for i in sorted(dims)]))
             cents = new_cents
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         corpus.unpersist()
     return spark.createDataFrame(cents, schema)
