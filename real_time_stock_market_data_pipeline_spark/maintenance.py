@@ -126,9 +126,13 @@ def upsert_parquet(
 
     Parquet is immutable, so the merge rewrites to a staging directory and
     swaps it in — read-then-overwrite of the same path would delete the
-    files the lazy plan still needs.  The swap is a directory rename: the
-    unit of atomicity plain parquet offers (a transactional table format
-    upgrades this to a real commit protocol).
+    files the lazy plan still needs.  The swap is two directory renames
+    (displace old, install new) under a SINGLE-WRITER assumption: a crash
+    between them leaves the previous data recoverable at
+    ``<path>__old_<uuid>`` but the store momentarily absent — the best
+    plain parquet offers; a transactional table format (Delta/Iceberg)
+    upgrades this to a real commit protocol and is the production answer
+    for concurrent writers.
 
     ``partition_col`` is the 100 TB lever: with a partitioned store
     (``partition_col`` must be one of ``keys`` — e.g. the trade date), the
@@ -163,26 +167,41 @@ def upsert_parquet(
         return
 
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if any(t is None for t in touched):
+        # NULL never equality-matches, so a NULL partition value cannot be
+        # pruned-merged correctly (and a NULL merge key is senseless anyway)
+        raise ValueError(f"updates contain NULL {partition_col!r} values")
+    if not any(e.startswith(f"{partition_col}=") for e in os.listdir(path)):
+        # store was written flat — renaming partition dirs in next to flat
+        # part files would corrupt it; full swap converts the layout instead
+        merged = merge_upsert(store, updates, keys, order_col, tiebreak)
+        staging = f"{path}__staging_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        old = f"{path}__old_{uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+        return
     existing = store.filter(F.col(partition_col).isin(touched))
     merged = merge_upsert(existing, updates, keys, order_col, tiebreak)
     staging = f"{path}__staging_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
     # move each staged partition_col=value directory into the store,
     # replacing only the touched ones (naming comes from the writer itself,
-    # so value formatting/escaping always agrees with the store layout)
+    # so value formatting/escaping always agrees with the store layout).
+    # Displaced originals go to a trash dir that is deleted ONLY after the
+    # whole swap succeeds — on a failed rename they stay recoverable there.
     trash = f"{path}__old_{uuid.uuid4().hex}"
     os.makedirs(trash)
-    try:
-        for entry in os.listdir(staging):
-            if not entry.startswith(f"{partition_col}="):
-                continue
-            dst = os.path.join(path, entry)
-            if os.path.exists(dst):
-                os.rename(dst, os.path.join(trash, entry))
-            os.rename(os.path.join(staging, entry), dst)
-    finally:
-        shutil.rmtree(trash, ignore_errors=True)
-        shutil.rmtree(staging, ignore_errors=True)
+    for entry in os.listdir(staging):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        dst = os.path.join(path, entry)
+        if os.path.exists(dst):
+            os.rename(dst, os.path.join(trash, entry))
+        os.rename(os.path.join(staging, entry), dst)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def upsert_sink(

@@ -34,10 +34,10 @@ corpus happens once, inside ``ivf_topk``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-
-from contextlib import contextmanager
 
 from .similarity import centroid_argmax_pandas
 
@@ -50,7 +50,12 @@ def _no_aqe(spark):
     those actions and restored after.  Correctness never depended on it:
     the lazy localCheckpoint pins the seed partition boundaries either
     way.  AQE applies per-action at execution time, so scoping the conf
-    around the ``collect()`` calls leaves every other plan untouched."""
+    around the ``collect()`` calls leaves every other plan untouched.
+
+    Caveat: the conf is session-global, so an action another thread starts
+    INSIDE one of these short windows also runs without AQE — acceptable
+    for this library's single-driver-thread usage; a shared multi-tenant
+    session should drop the optimization rather than widen the caveat."""
     before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:

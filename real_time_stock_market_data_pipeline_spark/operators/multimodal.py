@@ -68,11 +68,14 @@ def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | N
       * PNG — IHDR is the mandatory first chunk: width/height big-endian
         uint32 at offsets 16/20, channels from the color-type byte at 25;
       * GIF — logical screen descriptor: little-endian uint16 at 6/8;
-      * BMP — BITMAPINFOHEADER: int32 LE at 18/22 (height may be negative
-        for top-down rows), channels = bits-per-pixel / 8;
-      * JPEG — walk the marker stream to the first SOF0-SOF15 frame header
-        (skipping DHT/DAC/RST markers that reuse the C4/C8/CC codes):
-        height/width big-endian uint16 at +5/+7, components at +9.
+      * BMP — BITMAPINFOHEADER (DIB size ≥ 40 checked at offset 14 — the
+        12-byte OS/2 core header stores uint16 dims at different offsets
+        and parses as None rather than garbage): int32 LE at 18/22 (height
+        may be negative for top-down rows), channels = bits-per-pixel / 8;
+      * JPEG — walk the marker stream (consuming legal 0xFF fill bytes) to
+        the first SOF0-SOF15 frame header (skipping DHT/DAC/RST markers
+        that reuse the C4/C8/CC codes): height/width big-endian uint16 at
+        +5/+7, components at +9.
 
     Unknown or truncated payloads → (None, None, None, None).
     """
@@ -84,7 +87,7 @@ def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | N
         return "png", w, h, _PNG_CHANNELS.get(b[25])
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         return "gif", int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little"), 3
-    if b[:2] == b"BM" and len(b) >= 30:
+    if b[:2] == b"BM" and len(b) >= 30 and int.from_bytes(b[14:18], "little") >= 40:
         w = int.from_bytes(b[18:22], "little", signed=True)
         h = abs(int.from_bytes(b[22:26], "little", signed=True))
         bpp = int.from_bytes(b[28:30], "little")
@@ -94,6 +97,8 @@ def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | N
         while i + 9 < len(b):
             if b[i] != 0xFF:
                 break
+            while i + 9 < len(b) and b[i + 1] == 0xFF:  # legal fill bytes
+                i += 1
             marker = b[i + 1]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h = int.from_bytes(b[i + 5 : i + 7], "big")

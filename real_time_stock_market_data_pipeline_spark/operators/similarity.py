@@ -45,11 +45,33 @@ def cosine_col(a: Column, b: Column) -> Column:
 def _codebook_arrays(cents: list[tuple[int, list[float]]]):
     """(cids ascending, unit-normalized k×d matrix) from a driver-side
     codebook — k·d doubles, the legitimate driver footprint of IVF/KMeans."""
+    if not cents:
+        raise ValueError("empty codebook: centroids produced no rows")
     order = sorted(range(len(cents)), key=lambda i: cents[i][0])
     cids = np.array([int(cents[i][0]) for i in order])
     C = np.array([cents[i][1] for i in order], dtype=np.float64)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
     return cids, Cn
+
+
+def _vec_matrix(vecs: pd.Series, dim: int) -> np.ndarray:
+    """Arrow batch of list values → n×d float64 matrix.  NULL or
+    wrong-length vectors become zero rows (cosine 0 against every centroid
+    → deterministic lowest-cid assignment) instead of crashing the job —
+    matching the old broadcast-join path, which produced a null similarity
+    and still assigned such rows."""
+    arr = vecs.to_numpy()
+    try:
+        X = np.stack(arr).astype(np.float64)
+        if X.ndim == 2 and X.shape[1] == dim:
+            return X
+    except ValueError:
+        pass
+    X = np.zeros((len(arr), dim))
+    for i, v in enumerate(arr):
+        if v is not None and len(v) == dim:
+            X[i] = v
+    return X
 
 
 def centroid_argmax_pandas(cents: list[tuple[int, list[float]]]):
@@ -71,7 +93,7 @@ def centroid_argmax_pandas(cents: list[tuple[int, list[float]]]):
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X = _vec_matrix(vecs, Cn.shape[1])
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         # argmax takes the FIRST max → lowest cid on ties (cids ascending)
         return pd.Series(cids[(Xn @ Cn.T).argmax(axis=1)])
@@ -89,7 +111,7 @@ def centroid_topn_pandas(cents: list[tuple[int, list[float]]], n: int):
 
     @pandas_udf("array<int>")
     def topn(vecs: pd.Series) -> pd.Series:
-        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X = _vec_matrix(vecs, Cn.shape[1])
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         ranks = np.argsort(-(Xn @ Cn.T), axis=1, kind="stable")[:, :n]
         return pd.Series([cids[r].tolist() for r in ranks])

@@ -60,3 +60,25 @@ def test_kmeans_job_budget(spark, vecs):
     finally:
         sc.setJobGroup(None, None)
     assert n_jobs <= 18, f"kmeans_fit ran {n_jobs} jobs; budget is 18"
+
+
+def test_ivf_tolerates_null_and_ragged_vectors(spark, vecs):
+    """A NULL or wrong-length embedding must not crash the Arrow argmax —
+    such rows assign to the lowest-cid list (zero vector), matching the
+    old broadcast-join path's assign-anyway behavior."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import ivf_topk
+
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    ).withColumn("label", F.lit("x"))
+    corpus = vecs.unionByName(bad.select(*vecs.columns))
+    cents = kmeans_fit(vecs, k=3, n_iter=1)
+    q = vecs.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(q, corpus, cents, k=5, n_probe=3)
+    got = out.groupBy("query_id").count().collect()
+    assert got and all(r["count"] == 5 for r in got)

@@ -98,6 +98,30 @@ def test_upsert_parquet_partition_pruned(spark, tmp_path):
         upsert_parquet(spark, b2, path, ["k"], partition_col="ts")
 
 
+def test_upsert_parquet_flat_store_converts_layout(spark, tmp_path):
+    """A pruned upsert against a store written WITHOUT partitioning falls
+    back to the full swap (converting the layout) instead of renaming
+    partition dirs in next to the flat files."""
+    import os
+
+    path = str(tmp_path / "flat")
+    upsert_parquet(spark, _kv(spark, [("a", 1, 1.0), ("b", 2, 2.0)]), path, ["k", "ts"])
+    upsert_parquet(
+        spark, _kv(spark, [("a", 1, 10.0)]), path, ["k", "ts"], partition_col="ts"
+    )
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 10.0, ("b", 2): 2.0}
+    assert any(e.startswith("ts=") for e in os.listdir(path))  # now partitioned
+
+
+def test_upsert_parquet_null_partition_rejected(spark, tmp_path):
+    path = str(tmp_path / "nstore")
+    upsert_parquet(spark, _kv(spark, [("a", 1, 1.0)]), path, ["k", "ts"], partition_col="ts")
+    bad = spark.createDataFrame([("b", None, 2.0)], "k string, ts long, v double")
+    with pytest.raises(ValueError):
+        upsert_parquet(spark, bad, path, ["k", "ts"], partition_col="ts")
+
+
 def test_upsert_sink_foreach_batch(spark, tmp_path):
     """The foreachBatch wrapper applies the same merge per micro-batch."""
     path = str(tmp_path / "stream_store")

@@ -58,7 +58,8 @@ def _gif(w, h):
 
 def _bmp(w, h, bpp=24):
     return (
-        b"BM" + b"\x00" * 16
+        b"BM" + b"\x00" * 12
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER DIB size
         + w.to_bytes(4, "little", signed=True)
         + (-h).to_bytes(4, "little", signed=True)  # top-down BMP: negative height
         + (1).to_bytes(2, "little") + bpp.to_bytes(2, "little") + b"\x00" * 8
@@ -75,6 +76,16 @@ def _jpeg(w, h):
     return b"\xff\xd8" + dht + sof
 
 
+def _bmp_os2_core(w, h):
+    # 12-byte BITMAPCOREHEADER: uint16 dims at 18/20 — must parse as None,
+    # not as garbage int32 reads at the BITMAPINFOHEADER offsets
+    return (
+        b"BM" + b"\x00" * 12 + (12).to_bytes(4, "little")
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little") + b"\x00" * 8
+    )
+
+
 def test_real_header_decode_all_formats(spark):
     """PNG/GIF/BMP/JPEG headers parsed byte-for-byte — no codec library."""
     rows = [
@@ -82,7 +93,9 @@ def test_real_header_decode_all_formats(spark):
         ("png_rgba", _png(31, 17, color_type=6), 31, 17, 4),
         ("gif", _gif(320, 200), 320, 200, 3),
         ("bmp", _bmp(800, 600, bpp=24), 800, 600, 3),
+        ("bmp_os2", _bmp_os2_core(100, 50), None, None, None),
         ("jpeg", _jpeg(1024, 768), 1024, 768, 3),
+        ("jpeg_padded", b"\xff\xd8\xff" + _jpeg(64, 32)[2:], 64, 32, 3),
         ("garbage", b"not an image at all", None, None, None),
     ]
     df = spark.createDataFrame(
