@@ -99,6 +99,8 @@ def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | N
                 break
             while i + 9 < len(b) and b[i + 1] == 0xFF:  # legal fill bytes
                 i += 1
+            if i + 9 >= len(b):  # fill bytes ran into a truncated tail
+                break
             marker = b[i + 1]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h = int.from_bytes(b[i + 5 : i + 7], "big")

@@ -109,6 +109,21 @@ def test_real_header_decode_all_formats(spark):
     assert got["garbage"].format is None
 
 
+def test_truncated_jpeg_fill_bytes_return_none():
+    """Fill bytes (0xFF runs) right before a SOF marker at the end of a
+    truncated buffer must not walk past the bound re-check: the documented
+    contract is (None, None, None, None), never IndexError."""
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import parse_image_header
+
+    truncated = b"\xff\xd8\xff\xff\xc0\x00\x11\x08\x00\x10\x00\x10"
+    assert parse_image_header(truncated) == (None, None, None, None)
+    # every prefix of a valid padded JPEG parses or returns Nones — no crash
+    full = b"\xff\xd8\xff" + _jpeg(64, 32)[2:]
+    for cut in range(len(full)):
+        got = parse_image_header(full[:cut])
+        assert got == (None, None, None, None) or got == ("jpeg", 64, 32, 3)
+
+
 def test_decode_stub_is_deterministic_and_batched(media):
     got = decode_image_meta(media, fake=True).select(
         "doc_id", "width", "height", "channels", "media_meta.byte_length"
