@@ -5,10 +5,14 @@ per-item compute (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched ``mapInPandas`` so media bytes never round-trip through Python
 row objects.  Header-level decode is REAL: ``decode_image_meta`` parses
 PNG/GIF/BMP/JPEG dimensions straight from the container bytes (pure Python,
-no codec library).  PIXEL-level stages (resize, feature extraction) need a
-codec/model runtime the container lacks and stay STUBBED behind
-``fake=True`` deterministic doubles that keep every Spark-side contract —
-schema, batching, partitioning — real and testable.
+no codec library).  PIXEL-level stages are REAL for uncompressed 24-bit
+BMP (BITMAPINFOHEADER + raw BI_RGB rows need no codec — pure numpy:
+``decode_bmp_pixels`` / ``encode_bmp24`` / stride-sample ``resize_image`` /
+pixel-histogram ``extract_features`` / ``image_pixel_stats``).  Compressed
+formats (PNG/GIF/JPEG pixels) need a codec runtime the container lacks:
+the real path yields NULLs for them, and ``fake=True`` keeps the
+deterministic stand-ins that exercise the Spark contracts — schema,
+batching, partitioning — on arbitrary payloads.
 
 Scale notes: binary payloads dominate I/O, so (a) media tables should be
 partitioned by content kind + bucketed by item id, (b) metadata-only queries
@@ -113,6 +117,130 @@ def parse_image_header(b: bytes | None) -> tuple[str | None, int | None, int | N
     return None, None, None, None
 
 
+def decode_bmp_pixels(b: bytes | None):
+    """Decode an UNCOMPRESSED 24-bit BMP (BITMAPINFOHEADER or later, BI_RGB)
+    to a ``uint8`` numpy array of shape (height, width, 3), top-down RGB —
+    pure numpy, no codec library.  The raw format needs only byte-struct
+    reads: rows are 4-byte-aligned (stride = ceil(3w/4)·4), stored BGR and
+    bottom-up unless height is negative (top-down).  Anything else —
+    compressed BMP, other bit depths, OS/2 core headers, truncated pixel
+    arrays, non-BMP bytes — returns None (never raises): a malformed row
+    must not kill a Spark job.
+
+    Parity target: the reference treats media as opaque payloads; this is
+    the one container whose PIXELS are recoverable without a codec, making
+    the decode → transform → featurize chain real end-to-end.
+    """
+    import numpy as np
+
+    if not b or len(b) < 54 or b[:2] != b"BM":
+        return None
+    off = int.from_bytes(b[10:14], "little")
+    dib = int.from_bytes(b[14:18], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h_raw = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if dib < 40 or w <= 0 or h_raw == 0 or bpp != 24 or compression != 0:
+        return None
+    h = abs(h_raw)
+    stride = (w * 3 + 3) // 4 * 4
+    if off < 14 + dib or off + stride * h > len(b):
+        return None
+    data = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:  # bottom-up storage → flip to top-down
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def encode_bmp24(arr) -> bytes:
+    """Encode a (height, width, 3) top-down RGB uint8 array as an
+    uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up BGR rows, 4-byte
+    row alignment) — the exact subset ``decode_bmp_pixels`` reads back."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) // 4 * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+    n = stride * h
+    header = (
+        b"BM" + (54 + n).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + n.to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + rows.tobytes()
+
+
+def stride_sample(arr, target_w: int, target_h: int):
+    """Nearest-neighbour resize by index striding: output pixel (y, x) takes
+    source pixel (⌊y·h/th⌋, ⌊x·w/tw⌋).  Pure fancy indexing — no
+    interpolation, deterministic, works for up- and down-sampling."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    ys = (np.arange(target_h) * h) // target_h
+    xs = (np.arange(target_w) * w) // target_w
+    return arr[ys][:, xs]
+
+
+def image_pixel_stats(df: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
+    """Per-image pixel statistics from REAL BMP decode — the mm3 driver
+    surface.  For each row: (width, height), per-channel pixel sums, the
+    top-left pixel (proves row-flip + BGR→RGB order, not just totals), and
+    a top-down-row-weighted checksum Σ (row_idx+1)·Σrow (proves every row
+    landed at the right height).  Non-BMP / malformed payloads → NULLs.
+    Arrow-batched mapInPandas; each image decodes into one numpy view."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = (
+        f"{fields}, width int, height int, sum_r bigint, sum_g bigint, "
+        "sum_b bigint, topleft_r int, topleft_g int, topleft_b int, "
+        "row_weighted bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [
+            "width", "height", "sum_r", "sum_g", "sum_b",
+            "topleft_r", "topleft_g", "topleft_b", "row_weighted",
+        ]
+
+        def stats(b: bytes | None):
+            px = decode_bmp_pixels(b)
+            if px is None:
+                return (None,) * 9
+            h = px.shape[0]
+            sums = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            weights = np.arange(1, h + 1, dtype=np.int64)
+            row_sums = px.sum(axis=(1, 2), dtype=np.int64)
+            return (
+                px.shape[1], h, int(sums[0]), int(sums[1]), int(sums[2]),
+                int(px[0, 0, 0]), int(px[0, 0, 1]), int(px[0, 0, 2]),
+                int((weights * row_sums).sum()),
+            )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = pd.DataFrame(
+                [stats(b) for b in pdf[bytes_col]], columns=cols, index=pdf.index
+            )
+            for c in ("width", "height", "topleft_r", "topleft_g", "topleft_b"):
+                pdf[c] = out[c].astype("Int32")
+            for c in ("sum_r", "sum_g", "sum_b", "row_weighted"):
+                pdf[c] = out[c].astype("Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def decode_image_meta(df: DataFrame, bytes_col: str = "media_bytes", fake: bool = False) -> DataFrame:
     """Decode image headers → (format, width, height, channels).
 
@@ -164,24 +292,37 @@ def resize_image(
     bytes_col: str = "media_bytes",
     fake: bool = False,
 ) -> DataFrame:
-    """Resize decoded images to (target_w, target_h).
+    """Resize images to (target_w, target_h).
 
-    STUB like ``decode_image_meta``: the pixel transform needs a codec
-    library — ``fake=True`` substitutes a deterministic byte-slice
-    "thumbnail" (first w·h·3 payload bytes, cycled) so the Spark contract
-    (bytes in → smaller bytes out + updated dims, Arrow batching, schema)
-    is real and tested.  The fake output length is the real output length
-    an RGB resize would produce."""
-    if not fake:
-        raise NotImplementedError(
-            "image resize requires a codec library (PIL/opencv) not present "
-            "in this environment; pass fake=True for the deterministic stub"
-        )
+    REAL for uncompressed 24-bit BMP: decode to pixels (numpy), stride-
+    sample resize, re-encode as BMP — output rows remain valid BMPs that
+    feed back through any decode stage.  Compressed formats need a codec
+    library the container lacks and yield NULL resized/dims on the real
+    path; ``fake=True`` keeps the deterministic byte-slice "thumbnail"
+    (first w·h·3 payload bytes, cycled) for arbitrary payloads so the
+    Spark contract (bytes in → smaller bytes out + dims, Arrow batching,
+    schema) is exercised on non-BMP data too."""
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{fields}, resized binary, resized_w int, resized_h int"
     out_len = target_w * target_h * 3
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def shrink(b: bytes | None):
+                px = decode_bmp_pixels(b)
+                if px is None:
+                    return None
+                return encode_bmp24(stride_sample(px, target_w, target_h))
+
+            pdf["resized"] = pdf[bytes_col].map(shrink)
+            ok = pdf["resized"].notna()
+            pdf["resized_w"] = pd.Series(target_w, index=pdf.index).where(ok).astype("Int32")
+            pdf["resized_h"] = pd.Series(target_h, index=pdf.index).where(ok).astype("Int32")
+            yield pdf
+
+    def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
 
@@ -196,7 +337,7 @@ def resize_image(
             pdf["resized_h"] = target_h
             yield pdf
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run_fake if fake else run_real, schema=schema)
 
 
 N_FEATURES = 16
@@ -208,22 +349,36 @@ def extract_features(
     """Per-item feature vector (``array<float>``) from media bytes — the
     embed-the-image stage of a multimodal pipeline.
 
-    STUB: a real extractor is a model forward pass (no ML runtime here) —
-    ``fake=True`` computes a deterministic 16-dim byte-histogram projection
-    (numpy, vectorized per Arrow batch).  The output column is a regular
-    embedding column: everything downstream (``cosine_topk``, ``ivf_topk``,
+    REAL for uncompressed 24-bit BMP: a 16-bin PIXEL-VALUE histogram over
+    the decoded image (bin = value ∕ 16, normalized by pixel-sample count)
+    — computed on the numpy pixel array, so padding bytes and header bytes
+    never pollute the features.  Non-BMP rows yield NULL on the real path;
+    a learned extractor is a model forward pass (no ML runtime here), for
+    which ``fake=True`` keeps the raw-BYTE-histogram projection on
+    arbitrary payloads.  Either way the output is a regular embedding
+    column: everything downstream (``cosine_topk``, ``ivf_topk``,
     ``lsh_near_dup_pairs``) composes with it unchanged."""
-    if not fake:
-        raise NotImplementedError(
-            "feature extraction requires a model runtime not present in this "
-            "environment; pass fake=True for the deterministic stub"
-        )
     import numpy as np
 
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     schema = f"{fields}, features array<float>"
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def hist(b: bytes | None):
+                px = decode_bmp_pixels(b)
+                if px is None:
+                    return None
+                flat = px.reshape(-1)
+                h = np.bincount(flat // (256 // N_FEATURES), minlength=N_FEATURES)
+                return (h / max(flat.size, 1)).astype(np.float32).tolist()
+
+            pdf["features"] = pdf[bytes_col].map(hist)
+            yield pdf
+
+    def run_fake(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
 
@@ -237,4 +392,4 @@ def extract_features(
             pdf["features"] = pdf[bytes_col].map(hist)
             yield pdf
 
-    return df.mapInPandas(run, schema=schema)
+    return df.mapInPandas(run_fake if fake else run_real, schema=schema)

@@ -36,7 +36,7 @@ _PRIORITY = [
     "j10_asof_quote", "s13_model_roundtrip", "u2_arima_forecast",
     "u3_linreg_metrics", "u4_linreg_predictions",
     "emb5_ivf_trained_recall", "j3_alert_feed",
-    "s9_analytics_upsert", "mm2_image_dims",
+    "s9_analytics_upsert", "mm2_image_dims", "mm3_bmp_pixel_stats",
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "dd4_minhash_candidates",
     "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",
     "emb3_lsh_near_dup", "emb4_ivf_topk", "emb6_centered_lsh",

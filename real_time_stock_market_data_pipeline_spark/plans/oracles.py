@@ -280,6 +280,39 @@ SELECT doc_id, 'png' AS format,
 FROM documents WHERE text IS NOT NULL
 """
 
+# mm3: the Spark side BUILDS complete 24-bit BMPs (pixel byte j = (j+L)%256,
+# bottom-up BGR rows, stride padding) and REALLY decodes the pixels back with
+# numpy; the oracle re-derives the stats from the construction rule.  File
+# row y holds top-down row h-1-y; within a row, pixel x occupies bytes
+# x*3+{0,1,2} = B,G,R.  Channel sums are orientation-invariant; the top-left
+# pixel and the (top-row-index+1)-weighted checksum pin orientation + order.
+ORACLES["mm3_bmp_pixel_stats"] = """
+WITH g AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         octet_length(encode(text)) % 13 + 1 AS w,
+         octet_length(encode(text)) % 7 + 1 AS h,
+         ((octet_length(encode(text)) % 13 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(list_sum([((i // w) * stride + (i % w) * 3 + 2 + L) % 256
+                 FOR i IN range(0, h * w)]) AS BIGINT) AS sum_r,
+  CAST(list_sum([((i // w) * stride + (i % w) * 3 + 1 + L) % 256
+                 FOR i IN range(0, h * w)]) AS BIGINT) AS sum_g,
+  CAST(list_sum([((i // w) * stride + (i % w) * 3 + 0 + L) % 256
+                 FOR i IN range(0, h * w)]) AS BIGINT) AS sum_b,
+  CAST(((h - 1) * stride + 2 + L) % 256 AS INTEGER) AS topleft_r,
+  CAST(((h - 1) * stride + 1 + L) % 256 AS INTEGER) AS topleft_g,
+  CAST(((h - 1) * stride + 0 + L) % 256 AS INTEGER) AS topleft_b,
+  CAST(list_sum([(h - (i // (3 * w)))
+                 * (((i // (3 * w)) * stride + (i % (3 * w)) + L) % 256)
+                 FOR i IN range(0, h * 3 * w)]) AS BIGINT) AS row_weighted
+FROM g
+"""
+
 ORACLES["t9_session_windows"] = f"""
 WITH {TICKS_CTE},
 s1 AS (

@@ -584,6 +584,62 @@ def mm2_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _le_bytes_sql(expr: str, nbytes: int) -> str:
+    """SQL for the little-endian ``nbytes`` encoding of a non-negative
+    integer expression — per-byte hex assembled JVM-side."""
+    parts = [
+        f"unhex(lpad(hex(pmod(({expr}) DIV {256 ** k}, 256)), 2, '0'))"
+        for k in range(nbytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+@register("mm3_bmp_pixel_stats")
+def mm3_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL pixel decode end-to-end (operators/multimodal.
+    decode_bmp_pixels): complete uncompressed 24-bit BMPs — header AND
+    bottom-up BGR pixel rows with 4-byte alignment padding, pixel byte j =
+    (j + byte_length) mod 256 — are assembled per document as pure JVM SQL
+    (transform + array_join + unhex, linear in payload size), then decoded
+    to numpy pixels inside the Arrow ``mapInPandas`` and reduced to
+    channel sums, the top-left pixel, and a row-weighted checksum.  The
+    oracle re-derives every stat arithmetically from the construction rule,
+    so a hash match proves the decoder handles stride padding, the
+    bottom-up row flip, and BGR→RGB order — not just the header fields."""
+    from ..operators.multimodal import image_pixel_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("L", F.expr("CAST(octet_length(text) AS BIGINT)"))
+        .withColumn("w", F.expr("pmod(L, 13) + 1"))
+        .withColumn("h", F.expr("pmod(L, 7) + 1"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("n", F.expr("stride * h"))
+    )
+    header = F.expr(
+        "concat(X'424D', "                      # BM signature
+        + _le_bytes_sql("54 + n", 4)            # file size
+        + ", X'00000000', X'36000000', "        # reserved, pixel offset 54
+        + "X'28000000', "                       # BITMAPINFOHEADER size 40
+        + _le_bytes_sql("w", 4) + ", "
+        + _le_bytes_sql("h", 4) + ", "          # positive → bottom-up rows
+        + "X'0100', X'1800', X'00000000', "     # planes, 24 bpp, BI_RGB
+        + _le_bytes_sql("n", 4)                 # image size
+        + ", X'" + "00" * 16 + "')"             # ppm/palette fields
+    )
+    pixels = F.expr(
+        "unhex(array_join(transform(sequence(0, n - 1), "
+        "j -> lpad(hex(pmod(j + L, 256)), 2, '0')), ''))"
+    )
+    media = docs.withColumn("media_bytes", F.concat(header, pixels))
+    return image_pixel_stats(media).select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "topleft_r", "topleft_g", "topleft_b", "row_weighted",
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML surface (U2-U4) — per-symbol grouped-map models.  The iterative fits are
 # not SQL-expressible, so the driver queries reduce each model table to its

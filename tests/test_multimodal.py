@@ -170,13 +170,161 @@ def test_resize_stub_contract(media):
         assert (r.resized_w, r.resized_h) == (8, 6)
 
 
-def test_resize_raises_without_codec(media):
-    import pytest as _pytest
-
+def test_resize_real_path_nulls_for_non_bmp(media):
+    """The REAL resize path cannot decode compressed/non-image payloads —
+    it must yield NULLs (never raise) so one bad row can't kill a job."""
     from real_time_stock_market_data_pipeline_spark.operators.multimodal import resize_image
 
-    with _pytest.raises(NotImplementedError):
-        resize_image(media, 8, 6)
+    rows = resize_image(media, 8, 6).select("resized", "resized_w").collect()
+    assert rows and all(r.resized is None and r.resized_w is None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel path: uncompressed 24-bit BMP (pure numpy, no codec library)
+# ---------------------------------------------------------------------------
+
+
+def _pixel_array(w, h, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_bmp_encode_decode_roundtrip_exact():
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp24,
+    )
+
+    for w, h in [(1, 1), (3, 2), (4, 4), (13, 7), (17, 5)]:  # odd widths → padding
+        arr = _pixel_array(w, h, seed=w * 100 + h)
+        back = decode_bmp_pixels(encode_bmp24(arr))
+        assert back.shape == (h, w, 3)
+        assert np.array_equal(back, arr), (w, h)
+
+
+def test_bmp_decode_topdown_negative_height():
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp24,
+    )
+
+    arr = _pixel_array(5, 3, seed=9)
+    b = bytearray(encode_bmp24(arr))
+    # flip to top-down storage: negate height, un-reverse the row order
+    stride = (5 * 3 + 3) // 4 * 4
+    rows = np.frombuffer(bytes(b[54:]), dtype=np.uint8).reshape(3, stride)
+    b[22:26] = (-3).to_bytes(4, "little", signed=True)
+    b[54:] = rows[::-1].tobytes()
+    assert np.array_equal(decode_bmp_pixels(bytes(b)), arr)
+
+
+def test_bmp_decode_rejects_malformed():
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp24,
+    )
+
+    good = encode_bmp24(_pixel_array(4, 4))
+    assert decode_bmp_pixels(None) is None
+    assert decode_bmp_pixels(b"") is None
+    assert decode_bmp_pixels(b"not a bmp") is None
+    assert decode_bmp_pixels(good[:-1]) is None  # truncated pixel array
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    assert decode_bmp_pixels(bytes(bad_bpp)) is None
+    bad_comp = bytearray(good)
+    bad_comp[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    assert decode_bmp_pixels(bytes(bad_comp)) is None
+
+
+def test_stride_sample_resize_semantics():
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import stride_sample
+
+    arr = _pixel_array(8, 6, seed=3)
+    out = stride_sample(arr, 4, 3)
+    assert out.shape == (3, 4, 3)
+    for y in range(3):
+        for x in range(4):
+            assert np.array_equal(out[y, x], arr[(y * 6) // 3, (x * 8) // 4])
+
+
+def test_resize_real_bmp_in_spark(spark):
+    """decode → stride-sample → re-encode inside mapInPandas; the output is
+    itself a valid BMP that decodes to the expected sampled pixels."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp24,
+        resize_image,
+        stride_sample,
+    )
+
+    arrs = {i: _pixel_array(10 + i, 6 + i, seed=i) for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, encode_bmp24(a)) for i, a in arrs.items()],
+        "img_id int, media_bytes binary",
+    )
+    rows = {r.img_id: r for r in resize_image(df, 5, 4).collect()}
+    for i, a in arrs.items():
+        r = rows[i]
+        assert (r.resized_w, r.resized_h) == (5, 4)
+        assert np.array_equal(decode_bmp_pixels(r.resized), stride_sample(a, 5, 4))
+
+
+def test_extract_features_real_pixel_histogram(spark):
+    """Real features = 16-bin histogram over DECODED pixels — padding and
+    header bytes must not leak into the bins."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        N_FEATURES,
+        encode_bmp24,
+        extract_features,
+    )
+
+    arr = _pixel_array(13, 7, seed=42)  # odd width → nonzero row padding
+    df = spark.createDataFrame(
+        [(1, encode_bmp24(arr)), (2, b"not an image")],
+        "img_id int, media_bytes binary",
+    )
+    rows = {r.img_id: r for r in extract_features(df).collect()}
+    flat = arr.reshape(-1)
+    want = np.bincount(flat // 16, minlength=N_FEATURES) / flat.size
+    assert np.allclose(rows[1].features, want, atol=1e-7)
+    assert abs(sum(rows[1].features) - 1.0) < 1e-6
+    assert rows[2].features is None
+
+
+def test_image_pixel_stats_matches_numpy(spark):
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        encode_bmp24,
+        image_pixel_stats,
+    )
+
+    arr = _pixel_array(13, 7, seed=11)
+    df = spark.createDataFrame(
+        [(1, encode_bmp24(arr)), (2, b"junk")], "img_id int, media_bytes binary"
+    )
+    rows = {r.img_id: r for r in image_pixel_stats(df).collect()}
+    r = rows[1]
+    assert (r.width, r.height) == (13, 7)
+    sums = arr.reshape(-1, 3).sum(axis=0)
+    assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+    assert (r.topleft_r, r.topleft_g, r.topleft_b) == tuple(int(v) for v in arr[0, 0])
+    weights = np.arange(1, 8)
+    assert r.row_weighted == int((weights * arr.sum(axis=(1, 2))).sum())
+    assert rows[2].width is None and rows[2].sum_r is None
 
 
 def test_feature_extract_composes_with_similarity(media, spark):
