@@ -125,9 +125,37 @@ def observed(ticks: DataFrame, observer: Any = "tick_metrics") -> DataFrame:
     )
 
 
-def streaming_indicators(ticks: DataFrame) -> DataFrame:
-    """validate → stateful per-symbol indicators (the analytics row stream)."""
+def streaming_indicators(
+    ticks: DataFrame, dedup_watermark: str | None = "10 minutes"
+) -> DataFrame:
+    """validate → dedupe within watermark (P9) → stateful per-symbol
+    indicators (the analytics row stream).
+
+    The dedupe stage is the streaming twin of ``dedup_keep_first`` on
+    (company_id, trade_datetime): ``dropDuplicatesWithinWatermark`` keeps
+    the FIRST ARRIVAL and expires its key state once the watermark passes
+    ``dedup_watermark`` — bounded state, unlike a global dropDuplicates.
+    First-arrival equals the batch twin's lowest-tick_id survivor whenever
+    producers emit a symbol's ticks in tick_id order, which is exactly the
+    reference producer's suppression setting (producer/producer.py:220-251);
+    tests/test_streaming.py proves stream ≡ batch on a late-duplicate
+    fixture.  Pass ``dedup_watermark=None`` to skip the stage (e.g. when
+    the source is already exactly-once keyed); batch DataFrames skip it
+    too since watermarks are streaming-only.
+    """
     valid = ticks.filter(valid_tick_predicate())
+    if dedup_watermark is not None and valid.isStreaming:
+        import pyspark.sql.types as T
+
+        if isinstance(valid.schema["trade_datetime"].dataType, T.TimestampNTZType):
+            # parquet-nanos sources arrive as TIMESTAMP_NTZ, but watermarks
+            # require TIMESTAMP; identity under the engine's UTC session TZ
+            valid = valid.withColumn(
+                "trade_datetime", F.col("trade_datetime").cast("timestamp")
+            )
+        valid = valid.withWatermark(
+            "trade_datetime", dedup_watermark
+        ).dropDuplicatesWithinWatermark(["company_id", "trade_datetime"])
     return valid.groupBy("company_id").applyInPandasWithState(
         _update_symbol,
         outputStructType=OUT_SCHEMA,

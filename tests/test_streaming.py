@@ -83,6 +83,80 @@ def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
     assert set(alerts.select("severity").distinct().toPandas()["severity"]) <= {"HIGH", "MEDIUM"}
 
 
+def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """P9 in the stream: a duplicate (company_id, trade_datetime) arriving
+    in a LATER micro-batch must be suppressed by dropDuplicatesWithinWatermark,
+    and the surviving analytics rows must equal the batch pipeline
+    dedup_keep_first → indicators over the same data."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from real_time_stock_market_data_pipeline_spark.operators.relational import (
+        dedup_keep_first,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def tick(tick_id, minutes, price):
+        return ("A", tick_id, t0 + dt.timedelta(minutes=minutes), price, 10)
+
+    cols = ["company_id", "tick_id", "trade_datetime", "current_price", "volume"]
+    schema = (
+        "company_id string, tick_id long, trade_datetime timestamp, "
+        "current_price double, volume long"
+    )
+    # batch 2 re-sends tick 3's (key, ts) with a new tick_id and a DIFFERENT
+    # price — if the duplicate survived, indicator values downstream would
+    # shift, so value equality proves suppression, not just row counts
+    batch1 = [tick(1, 0, 100.0), tick(2, 1, 101.0), tick(3, 2, 102.0)]
+    batch2 = [("A", 99, t0 + dt.timedelta(minutes=2), 555.0, 10),
+              tick(4, 3, 103.0), tick(5, 4, 104.0)]
+
+    src = tmp_path / "src"
+    for name, rows in (("f1", batch1), ("f2", batch2)):
+        pdf = pd.DataFrame(rows, columns=cols)
+        spark.createDataFrame(pdf, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / name))
+        time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    out = tmp_path / "out"
+    run_bounded_pipeline(stream, str(out), str(tmp_path / "ckpt"))
+    got = (
+        spark.read.parquet(f"{out}/analytics")
+        .toPandas()
+        .sort_values(["trade_datetime", "tick_id"])
+        .reset_index(drop=True)
+    )
+
+    all_rows = spark.createDataFrame(pd.DataFrame(batch1 + batch2, columns=cols), schema)
+    exp = (
+        indicators_apply_in_pandas(
+            dedup_keep_first(
+                all_rows.filter(valid_tick_predicate()),
+                ["company_id", "trade_datetime"],
+                "tick_id",
+            ),
+            TICK_SPEC,
+        )
+        .toPandas()
+        .sort_values(["trade_datetime", "tick_id"])
+        .reset_index(drop=True)
+    )
+    assert list(got["tick_id"]) == list(exp["tick_id"]) == [1, 2, 3, 4, 5]
+    assert 99 not in set(got["tick_id"])
+    for c in ["current_price"] + IND_COLS:
+        a = got[c].to_numpy(dtype=float)
+        b = exp[c].to_numpy(dtype=float)
+        assert np.allclose(a, b, rtol=1e-12, atol=1e-12, equal_nan=True), c
+
+
 def test_kafka_roundtrip_preserves_ticks(spark):
     rows = [
         ("c1", "AAPL", "2024-01-01T10:00:00Z", 101.5, 1000),
@@ -153,8 +227,12 @@ def test_observed_metrics_batch_and_stream(spark, sf_dir, tmp_path):
         if "tick_metrics" in (p["observedMetrics"] or {})
     ]
     assert sum(m["messages_processed"] for m in batch_metrics) == small.count()
-    # per-micro-batch A8 latency stats ride the same observed map
-    for m in batch_metrics:
+    # per-micro-batch A8 latency stats ride the same observed map (the
+    # watermark-advance batch the dedupe stage appends carries 0 rows and
+    # NULL latency aggregates — skip it)
+    nonempty = [m for m in batch_metrics if m["messages_processed"] > 0]
+    assert nonempty
+    for m in nonempty:
         assert m["lag_us_min"] <= m["lag_us_p50"] <= m["lag_us_max"]
 
 
