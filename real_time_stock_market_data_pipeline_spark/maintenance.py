@@ -17,6 +17,7 @@ MERGE INTO (noted in README).
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import uuid
 from collections.abc import Callable, Sequence
@@ -113,6 +114,54 @@ def merge_upsert(
     return kept.unionByName(updates)
 
 
+def _require_local_path(path: str, op: str) -> None:
+    """The swap protocol uses ``os.rename``/``os.listdir``, which only see
+    the DRIVER-LOCAL filesystem.  A scheme-prefixed URI (hdfs://, s3a://,
+    even file://) that ``spark.read.parquet`` would happily accept must be
+    rejected up front — otherwise the renames would silently operate on a
+    similarly-named local directory while Spark wrote elsewhere."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        raise ValueError(
+            f"{op} swaps directories with os.rename and supports only plain "
+            f"driver-local filesystem paths; got scheme-prefixed {path!r}. "
+            "For HDFS/object stores use a transactional table format "
+            "(Delta/Iceberg MERGE INTO) instead of the rename protocol."
+        )
+
+
+def _sibling_dirs(path: str, tag: str) -> list[str]:
+    """Existing ``<path>__<tag>_<uuid>`` directories next to the store."""
+    parent = os.path.dirname(os.path.abspath(path)) or "."
+    prefix = f"{os.path.basename(path)}__{tag}_"
+    if not os.path.isdir(parent):
+        return []
+    return sorted(
+        os.path.join(parent, e)
+        for e in os.listdir(parent)
+        if e.startswith(prefix) and os.path.isdir(os.path.join(parent, e))
+    )
+
+
+def _partition_entries(d: str) -> list[str]:
+    return sorted(
+        e for e in os.listdir(d)
+        if "=" in e and os.path.isdir(os.path.join(d, e))
+    )
+
+
+
+_COMMIT_MARKER = "_UPSERT_COMMIT"
+
+
+def _mark_staging_complete(staging: str) -> None:
+    """Our OWN durability marker, written strictly after the staging write
+    returns.  Spark's ``_SUCCESS`` cannot serve here: whether the committer
+    emits it depends on session conf (e.g. dynamic partitionOverwriteMode
+    suppresses it), and recovery must never mistake a durable staging for
+    an incomplete one — or vice versa."""
+    open(os.path.join(staging, _COMMIT_MARKER), "w").close()
+
+
 def upsert_parquet(
     spark: SparkSession,
     updates: DataFrame,
@@ -130,9 +179,15 @@ def upsert_parquet(
     (displace old, install new) under a SINGLE-WRITER assumption: a crash
     between them leaves the previous data recoverable at
     ``<path>__old_<uuid>`` but the store momentarily absent — the best
-    plain parquet offers; a transactional table format (Delta/Iceberg)
-    upgrades this to a real commit protocol and is the production answer
-    for concurrent writers.
+    plain parquet offers.  Every crash window is mechanically repairable:
+    ``recover_upsert(path)`` rolls an interrupted swap forward (staging
+    complete) or back (staging incomplete), and this function refuses to
+    start while orphaned staging/old directories exist so ambiguity never
+    compounds.  The store path must be DRIVER-LOCAL (the rename protocol
+    cannot reach HDFS/S3 — scheme-prefixed paths are rejected); a
+    transactional table format (Delta/Iceberg) upgrades all of this to a
+    real commit protocol and is the production answer for concurrent
+    writers or remote filesystems.
 
     ``partition_col`` is the 100 TB lever: with a partitioned store
     (``partition_col`` must be one of ``keys`` — e.g. the trade date), the
@@ -146,6 +201,13 @@ def upsert_parquet(
     if partition_col is not None and partition_col not in keys:
         # a key row must stay in one partition, or the anti-join can miss it
         raise ValueError(f"partition_col {partition_col!r} must be one of keys={list(keys)}")
+    _require_local_path(path, "upsert_parquet")
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories from an interrupted upsert: "
+            f"{leftovers}; run recover_upsert({path!r}) before upserting"
+        )
     try:
         store: DataFrame | None = spark.read.parquet(path)
     except AnalysisException:
@@ -158,6 +220,7 @@ def upsert_parquet(
         if partition_col is not None:
             writer = writer.partitionBy(partition_col)
         writer.parquet(staging)
+        _mark_staging_complete(staging)
         old = f"{path}__old_{uuid.uuid4().hex}"
         if os.path.exists(path):
             os.rename(path, old)
@@ -166,6 +229,30 @@ def upsert_parquet(
             shutil.rmtree(old)
         return
 
+    # The store's partition dtype is RE-INFERRED from directory names at
+    # read time, so it can drift from the updates batch.  Integral widths
+    # always narrow on inference (a bigint-partitioned store reads back as
+    # int): realign by casting the store column to the updates' DECLARED
+    # type — lossless, and it keeps isin() pruning and the merge union
+    # consistent.  Any cross-family drift (date vs string vs numeric) is
+    # genuinely ambiguous and must fail loud instead of mis-pruning.
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    store_t = store.schema[partition_col].dataType
+    updates_t = updates.schema[partition_col].dataType
+    if store_t != updates_t:
+        if isinstance(store_t, integral) and isinstance(updates_t, integral):
+            store = store.withColumn(
+                partition_col, F.col(partition_col).cast(updates_t)
+            )
+        else:
+            raise TypeError(
+                f"partition column {partition_col!r} dtype drift: store "
+                f"inferred {store_t.simpleString()} from its directory names "
+                f"but updates carry {updates_t.simpleString()}; cast the "
+                "updates so pruning and the merge union agree"
+            )
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if any(t is None for t in touched):
         # NULL never equality-matches, so a NULL partition value cannot be
@@ -177,6 +264,7 @@ def upsert_parquet(
         merged = merge_upsert(store, updates, keys, order_col, tiebreak)
         staging = f"{path}__staging_{uuid.uuid4().hex}"
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        _mark_staging_complete(staging)
         old = f"{path}__old_{uuid.uuid4().hex}"
         os.rename(path, old)
         os.rename(staging, path)
@@ -186,6 +274,7 @@ def upsert_parquet(
     merged = merge_upsert(existing, updates, keys, order_col, tiebreak)
     staging = f"{path}__staging_{uuid.uuid4().hex}"
     merged.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+    _mark_staging_complete(staging)
     # move each staged partition_col=value directory into the store,
     # replacing only the touched ones (naming comes from the writer itself,
     # so value formatting/escaping always agrees with the store layout).
@@ -202,6 +291,97 @@ def upsert_parquet(
         os.rename(os.path.join(staging, entry), dst)
     shutil.rmtree(trash, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def recover_upsert(path: str) -> list[str]:
+    """Repair an ``upsert_parquet`` interrupted in any crash window; returns
+    the actions taken (empty list = nothing to repair).  Deterministic
+    decision rule, keyed on the ``_UPSERT_COMMIT`` marker that
+    ``upsert_parquet`` writes strictly after the staging write returns:
+
+    * staging WITHOUT the marker — the merge write died; the store
+      was never touched.  Roll BACK: delete the staging directory.
+    * staging WITH the marker — the merged result is durable, so the
+      interrupted swap is completed (roll FORWARD; single-writer means the
+      staging was computed from exactly the current store state):
+      store absent → install staging as the store (the full-swap
+      mid-rename window); store present with matching partition layout →
+      finish moving the staged ``col=value`` directories in (the
+      partition-pruned per-entry loop window — already-moved entries are
+      simply no longer in staging); otherwise → full swap (displace store,
+      install staging).
+    * leftover ``__old_`` directories — with the store present they are
+      displaced pre-merge data already superseded by the completed swap:
+      delete them.  With NO store and NO staging (crash after displacing,
+      before any durable merge — not reachable from upsert_parquet's
+      ordering, but repairable): restore the single old directory as the
+      store.
+
+    Both crash windows of the full swap and a mid-loop kill of the
+    partition swap are exercised in tests/test_maintenance.py; after
+    recovery the store equals either the pre-upsert state (rollback) or
+    the fully-merged state (roll-forward) — never a mix.
+
+    Ambiguity (multiple complete stagings, or multiple old dirs with no
+    store) cannot arise from single-writer operation because
+    ``upsert_parquet`` refuses to start while orphans exist; if found
+    anyway, raise rather than guess.
+    """
+    _require_local_path(path, "recover_upsert")
+    actions: list[str] = []
+    complete: list[str] = []
+    for s in _sibling_dirs(path, "staging"):
+        if os.path.exists(os.path.join(s, _COMMIT_MARKER)):
+            complete.append(s)
+        else:
+            shutil.rmtree(s)
+            actions.append(f"rolled back incomplete staging {s}")
+    if len(complete) > 1:
+        raise RuntimeError(
+            f"multiple complete staging directories {complete}: cannot "
+            "order them; resolve manually"
+        )
+    if complete:
+        staging = complete[0]
+        if not os.path.exists(path):
+            os.rename(staging, path)
+            actions.append(f"rolled forward: installed {staging} as the store")
+        else:
+            staged_parts = _partition_entries(staging)
+            if staged_parts and _partition_entries(path):
+                trash = f"{path}__old_{uuid.uuid4().hex}"
+                os.makedirs(trash)
+                for entry in staged_parts:
+                    dst = os.path.join(path, entry)
+                    if os.path.exists(dst):
+                        os.rename(dst, os.path.join(trash, entry))
+                    os.rename(os.path.join(staging, entry), dst)
+                shutil.rmtree(trash)
+                shutil.rmtree(staging)
+                actions.append(
+                    f"rolled forward: moved {len(staged_parts)} staged "
+                    f"partition dir(s) from {staging} into the store"
+                )
+            else:
+                displaced = f"{path}__old_{uuid.uuid4().hex}"
+                os.rename(path, displaced)
+                os.rename(staging, path)
+                shutil.rmtree(displaced)
+                actions.append(f"rolled forward: full swap of {staging}")
+    olds = _sibling_dirs(path, "old")
+    if os.path.exists(path):
+        for o in olds:
+            shutil.rmtree(o)
+            actions.append(f"removed superseded pre-merge data {o}")
+    elif olds:
+        if len(olds) > 1:
+            raise RuntimeError(
+                f"store {path} is missing and multiple old directories "
+                f"{olds} exist: cannot order them; resolve manually"
+            )
+        os.rename(olds[0], path)
+        actions.append(f"rolled back: restored pre-upsert store from {olds[0]}")
+    return actions
 
 
 def upsert_sink(

@@ -7,6 +7,7 @@ from real_time_stock_market_data_pipeline_spark.maintenance import (
     daily_summary,
     merge_upsert,
     migrate_realtime_to_historical,
+    recover_upsert,
     refresh_daily_summary,
     upsert_parquet,
     upsert_sink,
@@ -120,6 +121,141 @@ def test_upsert_parquet_null_partition_rejected(spark, tmp_path):
     bad = spark.createDataFrame([("b", None, 2.0)], "k string, ts long, v double")
     with pytest.raises(ValueError):
         upsert_parquet(spark, bad, path, ["k", "ts"], partition_col="ts")
+
+
+def _fail_rename_after(monkeypatch, n):
+    """Let the first ``n`` os.rename calls inside maintenance succeed, then
+    simulate a crash (OSError) on call n+1."""
+    import os as _os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] > n:
+            raise OSError("simulated crash between renames")
+        real(src, dst)
+
+    monkeypatch.setattr(mnt.os, "rename", flaky)
+    return calls
+
+
+def _orphans(tmp_path, base):
+    import os
+
+    return sorted(
+        e for e in os.listdir(tmp_path) if e.startswith(f"{base}__")
+    )
+
+
+def test_recover_full_swap_killed_between_renames(spark, tmp_path, monkeypatch):
+    """Crash window 1 of the full swap: store displaced to __old_, staging
+    (complete, _SUCCESS) not yet installed — the store path is ABSENT.
+    recover_upsert must roll FORWARD to the fully-merged state."""
+    path = str(tmp_path / "store")
+    upsert_parquet(spark, _kv(spark, [("a", 1, 1.0), ("b", 1, 2.0)]), path, ["k", "ts"])
+    with pytest.raises(OSError, match="simulated crash"):
+        _fail_rename_after(monkeypatch, 1)
+        upsert_parquet(spark, _kv(spark, [("a", 1, 10.0), ("c", 1, 3.0)]), path, ["k", "ts"])
+    monkeypatch.undo()
+    import os
+
+    assert not os.path.exists(path)  # the documented momentary-absence window
+    assert _orphans(tmp_path, "store")
+    # the guard refuses to compound the damage
+    with pytest.raises(RuntimeError, match="recover_upsert"):
+        upsert_parquet(spark, _kv(spark, [("d", 1, 4.0)]), path, ["k", "ts"])
+    actions = recover_upsert(path)
+    assert any("rolled forward" in a for a in actions)
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 10.0, ("b", 1): 2.0, ("c", 1): 3.0}  # no data loss
+    assert _orphans(tmp_path, "store") == []
+    assert recover_upsert(path) == []  # idempotent / healthy-store no-op
+
+
+def test_recover_full_swap_killed_before_old_cleanup(spark, tmp_path, monkeypatch):
+    """Crash window 2: staging installed, displaced __old_ not yet deleted.
+    recover_upsert just removes the superseded data."""
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    path = str(tmp_path / "store2")
+    upsert_parquet(spark, _kv(spark, [("a", 1, 1.0)]), path, ["k", "ts"])
+
+    def boom(p, **kw):
+        raise OSError("simulated crash before cleanup")
+
+    monkeypatch.setattr(mnt.shutil, "rmtree", boom)
+    with pytest.raises(OSError, match="before cleanup"):
+        upsert_parquet(spark, _kv(spark, [("a", 1, 20.0)]), path, ["k", "ts"])
+    monkeypatch.undo()
+    assert any("__old_" in e for e in _orphans(tmp_path, "store2"))
+    actions = recover_upsert(path)
+    assert any("superseded" in a for a in actions)
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 20.0}
+    assert _orphans(tmp_path, "store2") == []
+
+
+def test_recover_incomplete_staging_rolls_back(spark, tmp_path):
+    """A staging dir WITHOUT _SUCCESS (merge write died) is rolled back;
+    the store stays at its pre-upsert state."""
+    import os
+
+    path = str(tmp_path / "store3")
+    upsert_parquet(spark, _kv(spark, [("a", 1, 1.0)]), path, ["k", "ts"])
+    fake = f"{path}__staging_deadbeef"
+    os.makedirs(fake)
+    open(os.path.join(fake, "part-00000.parquet"), "wb").close()
+    actions = recover_upsert(path)
+    assert any("rolled back incomplete staging" in a for a in actions)
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 1.0}
+    assert _orphans(tmp_path, "store3") == []
+
+
+def test_recover_partition_swap_killed_mid_loop(spark, tmp_path, monkeypatch):
+    """The partition-pruned per-entry swap killed after installing one of
+    two touched partitions: recover_upsert finishes the remaining staged
+    directories — the store ends fully merged, never a mix."""
+    path = str(tmp_path / "pstore2")
+    b1 = _kv(spark, [("a", 1, 1.0), ("b", 2, 2.0), ("c", 3, 3.0)])
+    upsert_parquet(spark, b1, path, ["k", "ts"], partition_col="ts")
+    # batch touches ts=1 and ts=2; each entry needs 2 renames (displace +
+    # install), so failing after 2 leaves ts asymmetric mid-loop
+    b2 = _kv(spark, [("a", 1, 10.0), ("b", 2, 20.0), ("d", 2, 4.0)])
+    with pytest.raises(OSError, match="simulated crash"):
+        _fail_rename_after(monkeypatch, 2)
+        upsert_parquet(spark, b2, path, ["k", "ts"], partition_col="ts")
+    monkeypatch.undo()
+    assert _orphans(tmp_path, "pstore2")
+    actions = recover_upsert(path)
+    assert any("rolled forward" in a for a in actions)
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        ("a", 1): 10.0, ("b", 2): 20.0, ("d", 2): 4.0,  # both merged in
+        ("c", 3): 3.0,                                   # untouched partition
+    }
+    assert _orphans(tmp_path, "pstore2") == []
+
+
+def test_upsert_rejects_remote_paths_and_dtype_drift(spark, tmp_path):
+    """Scheme-prefixed paths can't go through the os.rename swap protocol;
+    a partition-column dtype drift between store and updates must fail loud
+    instead of mis-pruning."""
+    with pytest.raises(ValueError, match="driver-local"):
+        upsert_parquet(
+            spark, _kv(spark, [("a", 1, 1.0)]), "s3a://bucket/store", ["k", "ts"]
+        )
+    with pytest.raises(ValueError, match="driver-local"):
+        recover_upsert("hdfs://nn/store")
+    path = str(tmp_path / "dstore")
+    upsert_parquet(spark, _kv(spark, [("a", 1, 1.0)]), path, ["k", "ts"], partition_col="ts")
+    drift = spark.createDataFrame([("a", "1", 2.0)], "k string, ts string, v double")
+    with pytest.raises(TypeError, match="dtype drift"):
+        upsert_parquet(spark, drift, path, ["k", "ts"], partition_col="ts")
 
 
 def test_upsert_sink_foreach_batch(spark, tmp_path):
