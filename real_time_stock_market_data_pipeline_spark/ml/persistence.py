@@ -61,6 +61,110 @@ def train_models(
     return grouped_map_input(df, key, ts, price).groupBy(key).applyInPandas(fit, schema=schema)
 
 
+ARIMA_MODEL_TYPE = "ARIMA"
+
+
+def train_arima_models(
+    df: DataFrame,
+    key: str = "company_id",
+    ts: str = "trade_datetime",
+    price: str = "current_price",
+) -> DataFrame:
+    """The ARIMA surface of the reference's ``ml_models`` registry
+    (ml/arima_forecasting.py:251-277, db/enhanced_schema.sql:159-178): one
+    row per symbol past the 50-observation gate with the fitted
+    (order_p, order_d, order_q), AIC, n_obs, residual sigma — and the
+    minimal SCORING STATE so 1-step forecasts come FROM the registry
+    without refitting:
+
+      * ``coefs``       — [c, ar_1..ar_p, ma_1..ma_q] (arima._css_fit),
+      * ``xd_tail``     — last p values of the d-differenced series,
+      * ``eps_tail``    — last q CSS residuals (the MA shocks),
+      * ``diff_tails``  — [diff^{d-1}(x)[-1], …, diff^0(x)[-1]], the
+        integration constants in arima._forecast's fold order.
+
+    Per-symbol grouped map (one Arrow batch per symbol — model fitting is
+    per-key work); the registry itself is broadcast-sized: ≤ p+q+1 doubles
+    of coefficients plus ≤ p+q+d tail values per symbol."""
+    import math
+
+    from .arima import MIN_OBSERVATIONS, _fit_best
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            key, "model_type", "order_p", "order_d", "order_q",
+            "aic", "n_obs", "sigma", "coefs", "xd_tail", "eps_tail",
+            "diff_tails",
+        ]
+        pdf = pdf.sort_values(ts, kind="mergesort")
+        x = pdf[price].to_numpy(dtype=np.float64)
+        if len(x) < MIN_OBSERVATIONS:
+            return pd.DataFrame(columns=cols)
+        best = _fit_best(x)
+        p, d, q = best["p"], best["d"], best["q"]
+        xd = np.diff(x, n=d) if d else x
+        sigma = math.sqrt(best["sse"] / len(best["resid"]))
+        diff_tails = [
+            float((np.diff(x, n=d - 1 - i) if d - 1 - i else x)[-1])
+            for i in range(d)
+        ]
+        return pd.DataFrame(
+            [[
+                pdf[key].iloc[0], ARIMA_MODEL_TYPE, p, d, q,
+                float(best["aic"]), len(x), float(sigma),
+                [float(c) for c in best["coefs"]],
+                [float(v) for v in (xd[-p:] if p else [])],
+                [float(v) for v in (best["resid"][-q:] if q else [])],
+                diff_tails,
+            ]],
+            columns=cols,
+        )
+
+    key_type = dict(df.dtypes)[key]
+    schema = (
+        f"{key} {key_type}, model_type string, order_p int, order_d int, "
+        "order_q int, aic double, n_obs long, sigma double, "
+        "coefs array<double>, xd_tail array<double>, "
+        "eps_tail array<double>, diff_tails array<double>"
+    )
+    return grouped_map_input(df, key, ts, price).groupBy(key).applyInPandas(fit, schema=schema)
+
+
+def score_arima_1step(models: DataFrame, key: str = "company_id") -> DataFrame:
+    """1-step ARIMA forecast FROM the registry — no refit, no tick scan,
+    pure JVM column algebra over the broadcast-sized model table:
+
+        ŷ = fold(c  →  +ar_k·xd[-k]  →  +ma_k·ε[-k]  →  +Σ diff_tails)
+
+    The single ``aggregate`` folds the concatenated term list in exactly
+    arima._forecast's addition order, so the registry score reproduces the
+    fitted forecast's step-1 value bit-for-bit (tested); the 95% interval
+    uses the persisted residual sigma."""
+    from .arima import Z95
+
+    ar_terms = F.zip_with(
+        F.slice("coefs", 2, F.col("order_p")),
+        F.reverse("xd_tail"),
+        lambda a, b: a * b,
+    )
+    ma_terms = F.zip_with(
+        F.slice("coefs", F.col("order_p") + 2, F.col("order_q")),
+        F.reverse("eps_tail"),
+        lambda a, b: a * b,
+    )
+    fc = F.aggregate(
+        F.concat(ar_terms, ma_terms, F.col("diff_tails")),
+        F.element_at("coefs", 1),
+        lambda acc, x: acc + x,
+    )
+    return models.select(
+        key, "model_type", "order_p", "order_d", "order_q",
+        fc.alias("forecast_1"),
+        (fc - F.lit(Z95) * F.col("sigma")).alias("ci_lo"),
+        (fc + F.lit(Z95) * F.col("sigma")).alias("ci_hi"),
+    )
+
+
 def save_models(models: DataFrame, path: str) -> None:
     """Persist the registry (overwrite = publish a new model version)."""
     models.write.mode("overwrite").parquet(path)

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from real_time_stock_market_data_pipeline_spark.ml.persistence import (
     load_models,
     save_models,
+    score_arima_1step,
     score_latest,
+    train_arima_models,
     train_models,
 )
 from real_time_stock_market_data_pipeline_spark.ml.regression import _ols_fit, _windows
@@ -125,3 +127,77 @@ def test_model_table_schema_and_gate(spark, ticks):
     assert a.model_type == "LinearRegression"
     assert a.window == 5 and len(a.beta) == 6
     assert a.n_windows == 60 - 6
+
+
+# ---------------------------------------------------------------------------
+# ARIMA registry rows (the reference's ml_models ARIMA surface)
+# ---------------------------------------------------------------------------
+
+
+def test_arima_registry_rows_match_fit(spark, ticks):
+    """Registry fields reproduce arima._fit_best run directly on the same
+    series; symbols under the 50-observation gate emit no row."""
+    import pandas as pd
+
+    from real_time_stock_market_data_pipeline_spark.ml.arima import _fit_best
+
+    reg = {r.company_id: r for r in train_arima_models(ticks).collect()}
+    assert set(reg) == {"A"}  # B has 40 obs, SHORT 3 — both gated out
+    pdf = ticks.filter(F.col("company_id") == "A").toPandas()
+    x = (
+        pdf.sort_values("trade_datetime")["current_price"]
+        .to_numpy(dtype=np.float64)
+    )
+    best = _fit_best(x)
+    row = reg["A"]
+    assert (row.order_p, row.order_d, row.order_q) == (best["p"], best["d"], best["q"])
+    assert row.model_type == "ARIMA" and row.n_obs == len(x)
+    assert abs(row.aic - best["aic"]) < 1e-9
+    assert list(row.coefs) == [float(c) for c in best["coefs"]]
+    assert len(row.xd_tail) == best["p"] and len(row.eps_tail) == best["q"]
+    assert len(row.diff_tails) == best["d"]
+
+
+def test_arima_registry_score_reproduces_forecast(spark, ticks, tmp_path):
+    """score_arima_1step over the PERSISTED+RELOADED registry must equal the
+    fitted model's own 1-step forecast — the JVM fold replays the numpy
+    addition order, so the match is (near-)bitwise."""
+    from real_time_stock_market_data_pipeline_spark.ml.arima import forecast
+
+    path = str(tmp_path / "arima_models")
+    save_models(train_arima_models(ticks), path)
+    scored = {r.company_id: r for r in score_arima_1step(load_models(spark, path)).collect()}
+    fc = {
+        r.company_id: r
+        for r in forecast(ticks, steps=1).filter(F.col("step") == 1).collect()
+    }
+    assert set(scored) == set(fc) == {"A"}
+    s, f = scored["A"], fc["A"]
+    assert abs(s.forecast_1 - f.forecast) <= 1e-9 * max(1.0, abs(f.forecast))
+    assert s.ci_lo <= s.forecast_1 <= s.ci_hi
+    assert (s.order_p, s.order_d, s.order_q) == (f.order_p, f.order_d, f.order_q)
+
+
+def test_arima_registry_scores_many_symbols(spark, sf_dir):
+    """Fixture-wide: every symbol past the gate gets a registry row whose
+    registry score matches its fresh fit's step-1 forecast."""
+    from real_time_stock_market_data_pipeline_spark.ml.arima import forecast
+    from real_time_stock_market_data_pipeline_spark.operators.relational import (
+        valid_tick_predicate,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import (
+        ticks_from_events,
+    )
+
+    t = ticks_from_events(spark, sf_dir).filter(valid_tick_predicate())
+    scored = score_arima_1step(train_arima_models(t)).toPandas().set_index("company_id")
+    fc = (
+        forecast(t, steps=1)
+        .filter(F.col("step") == 1)
+        .toPandas()
+        .set_index("company_id")
+    )
+    assert len(scored) == len(fc) > 0
+    diff = (scored["forecast_1"] - fc["forecast"]).abs()
+    tol = 1e-9 * np.maximum(1.0, fc["forecast"].abs())
+    assert (diff <= tol).all()
