@@ -42,6 +42,12 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+# Measured per-task closure boundary for the IVF codebook path (ivf_topk):
+# 10⁷ float64s ≈ 80 MB pickled into every Arrow UDF — beyond this the
+# closure dominates task dispatch and a sharded codebook wins.
+MAX_CODEBOOK_DOUBLES = 10_000_000
+
+
 def _codebook_arrays(cents: list[tuple[int, list[float]]]):
     """(cids ascending, unit-normalized k×d matrix) from a driver-side
     codebook — k·d doubles, the legitimate driver footprint of IVF/KMeans."""
@@ -252,6 +258,9 @@ def ivf_topk(
     small enough to serialize per task (≲10⁷ doubles — k ∝ √n keeps IVF
     there up to billions of vectors).  Past that, shard the codebook with
     a coarse quantizer (IVF-HNSW style) or fall back to a broadcast join.
+    The bound FAILS FAST (``MAX_CODEBOOK_DOUBLES``): exceeding it wouldn't
+    error, it would quietly ship an ~80 MB+ closure with every task and
+    crawl — the guard names the fix instead.
     """
     from pyspark.sql import Window
 
@@ -259,6 +268,15 @@ def ivf_topk(
         (r[0], [float(x) for x in r[1]])
         for r in centroids.select(F.col(centroid_id), F.col(vec)).collect()
     ]
+    doubles = sum(len(v) for _, v in cents)
+    if doubles > MAX_CODEBOOK_DOUBLES:
+        raise ValueError(
+            f"IVF codebook of {len(cents)} centroids × dim "
+            f"≈ {doubles:,} doubles exceeds the per-task closure boundary "
+            f"({MAX_CODEBOOK_DOUBLES:,} ≈ 80 MB serialized): shard the "
+            "codebook behind a coarse quantizer (IVF-HNSW style) or use a "
+            "broadcast-join assignment instead of the closure path"
+        )
 
     assigned = corpus.select(
         F.col(vec_id),

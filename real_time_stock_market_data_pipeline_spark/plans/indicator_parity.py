@@ -587,15 +587,32 @@ def _ind_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ind.localCheckpoint(eager=False)
 
 
+def _sql_over_snap(spark: SparkSession, sf_dir: str, build) -> DataFrame:
+    """Run ``build(view_name) -> sql`` against the indicator snapshot
+    registered under a UNIQUE per-call view name — a fixed name would let
+    two concurrently-built plans clobber each other's snapshot between
+    view creation and execution.  The view is dropped immediately after
+    ``spark.sql`` returns (analysis is eager, so the resolved plan no
+    longer needs the catalog entry) — repeated calls leak nothing."""
+    import uuid
+
+    name = f"__ind_snap_{uuid.uuid4().hex}"
+    _ind_snapshot(spark, sf_dir).createOrReplaceTempView(name)
+    try:
+        return spark.sql(build(name))
+    finally:
+        spark.catalog.dropTempView(name)
+
+
 def _t6_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _ind_snapshot(spark, sf_dir).createOrReplaceTempView("__ind_snap")
-    return spark.sql(_alerts_body("__ind_snap"))
+    return _sql_over_snap(spark, sf_dir, _alerts_body)
 
 
 def _j3_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    _ind_snapshot(spark, sf_dir).createOrReplaceTempView("__ind_snap")
-    return spark.sql(_alert_feed_body(_alerts_body("__ind_snap")))
+    return _sql_over_snap(
+        spark, sf_dir, lambda v: _alert_feed_body(_alerts_body(v))
+    )
 
 
 QUERIES["t6_alerts"] = _t6_materialized

@@ -127,6 +127,24 @@ def test_ivf_topk_runs_and_ranks(spark, sf_dir):
         assert rows[0].cosine_sim >= 0.99 or all(r.vec_id != q for r in rows)
 
 
+def test_ivf_codebook_closure_guard(spark, monkeypatch):
+    """A codebook past the documented per-task closure boundary must fail
+    fast with the shard/broadcast advice, not quietly ship 80 MB+ per task."""
+    import pytest
+
+    monkeypatch.setattr(similarity, "MAX_CODEBOOK_DOUBLES", 16)
+    cents = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(3)],  # 24 doubles > 16
+        "centroid_id int, embedding array<float>",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0] * 8)], "vec_id int, embedding array<float>"
+    )
+    q = vecs.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="closure boundary.*shard"):
+        similarity.ivf_topk(q, vecs, cents, k=1, n_probe=1)
+
+
 def test_exact_dedup_on_synthetic_dups(spark):
     df = spark.createDataFrame(
         [(1, "aa"), (2, "aa"), (3, "bb")], "doc_id long, text string"
