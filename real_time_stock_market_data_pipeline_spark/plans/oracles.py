@@ -280,6 +280,32 @@ SELECT doc_id, 'png' AS format,
 FROM documents WHERE text IS NOT NULL
 """
 
+# flagship: the entry plan's bitwise-stable projection.  rn gates mirror the
+# pandas path's warm-up windows (indicators.indicator_frame); float values
+# themselves are hash-checked via w_all_indicators (same math, SQL twin).
+ORACLES["flagship"] = f"""
+WITH {TICKS_CTE},
+v AS (
+  SELECT tick_id, company_id, event_type, trade_datetime, current_price,
+         volume,
+         row_number() OVER (PARTITION BY company_id
+                            ORDER BY trade_datetime ASC, tick_id ASC) AS rn
+  FROM ticks
+  WHERE current_price IS NOT NULL AND NOT isnan(current_price)
+    AND current_price > 0 AND (volume IS NULL OR volume >= 0)
+)
+SELECT v.tick_id, v.company_id, c.c_name AS company_name,
+       c.c_mktsegment AS sector, v.event_type, v.trade_datetime,
+       v.current_price, v.volume,
+       rn >= 15 AS has_rsi, rn >= 20 AS has_sma20, rn >= 50 AS has_sma50,
+       rn >= 12 AS has_ema12, rn >= 26 AS has_ema26, rn >= 20 AS has_bb,
+       rn >= 35 AS has_macd, rn >= 21 AS has_volatility,
+       rn >= 2 AS has_price_change
+FROM v JOIN customer c ON v.company_id = c.c_custkey
+ORDER BY v.trade_datetime DESC, v.tick_id DESC
+LIMIT 1000
+"""
+
 # mm3: the Spark side BUILDS complete 24-bit BMPs (pixel byte j = (j+L)%256,
 # bottom-up BGR rows, stride padding) and REALLY decodes the pixels back with
 # numpy; the oracle re-derives the stats from the construction rule.  File
@@ -462,6 +488,20 @@ SELECT c.company_id,
        CAST(5 AS INTEGER) AS last_step,
        true AS ci_ok,
        CAST(d.order_d AS INTEGER) AS order_d
+FROM counts c JOIN d_sel d ON c.company_id = d.company_id
+WHERE c.n >= 50
+"""
+
+# S14: ARIMA registry rows — the ≥50-obs gate and order_d derive from the
+# raw ticks (order_d via the same closed-form ADF CTE as u2); the grid
+# bounds, persist→reload→score consistency, and CI containment are
+# invariants the Spark side must prove true for every registered symbol.
+ORACLES["s14_arima_registry"] = f"""
+WITH {TICKS_CTE}, {_VALID_CTE}, {_ADF_CTE}
+SELECT c.company_id, 'ARIMA' AS model_type,
+       CAST(d.order_d AS INTEGER) AS order_d,
+       true AS p_in_grid, true AS q_in_grid,
+       true AS score_ok, true AS ci_ok
 FROM counts c JOIN d_sel d ON c.company_id = d.company_id
 WHERE c.n >= 50
 """

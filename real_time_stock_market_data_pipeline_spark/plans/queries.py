@@ -819,6 +819,56 @@ def s13_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pre
 
 
+@register("s14_arima_registry")
+def s14_arima_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13×U2 — ARIMA rows in the model registry: per-symbol fits persisted
+    to parquet (order, AIC, sigma + minimal scoring state), re-loaded, and
+    1-step forecasts scored FROM the registry with pure JVM column algebra
+    (ml/persistence.score_arima_1step) — the reference's ``ml_models``
+    ARIMA surface (ml/arima_forecasting.py:251-277,
+    db/enhanced_schema.sql:159-178).
+
+    Driver row per symbol: one registry row per symbol with ≥50 valid
+    ticks; ``order_d`` hash-checked against the oracle's closed-form ADF
+    re-derivation (the same CTE as u2); grid bounds on p/q; AIC/sigma
+    finiteness; and ``score_ok`` — the registry score must reproduce the
+    freshly-fitted forecast's step-1 value (an end-to-end persist→reload→
+    score consistency check; the fold replays the fit's addition order, so
+    tolerance is only guarding float-environment drift)."""
+    import os
+    import tempfile
+
+    from ..ml.persistence import (
+        load_models,
+        save_models,
+        score_arima_1step,
+        train_arima_models,
+    )
+
+    ticks = _valid_ticks(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_arima_models",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    save_models(train_arima_models(ticks), path)
+    scored = score_arima_1step(load_models(spark, path))
+    fc1 = u2_arima_forecast_full(spark, sf_dir).filter(F.col("step") == 1).select(
+        "company_id", F.col("forecast").alias("__fc1")
+    )
+    joined = scored.join(fc1, "company_id")
+    return joined.select(
+        "company_id", "model_type", "order_d",
+        ((F.col("order_p") >= 0) & (F.col("order_p") <= 5)).alias("p_in_grid"),
+        ((F.col("order_q") >= 0) & (F.col("order_q") <= 5)).alias("q_in_grid"),
+        (
+            F.abs(F.col("forecast_1") - F.col("__fc1"))
+            <= F.lit(1e-9) * F.greatest(F.abs("__fc1"), F.lit(1.0))
+        ).alias("score_ok"),
+        ((F.col("ci_lo") <= F.col("forecast_1")) & (F.col("forecast_1") <= F.col("ci_hi"))).alias("ci_ok"),
+    )
+
+
 @register("s9_analytics_upsert")
 def s9_analytics_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9/S10 — the generic ON CONFLICT DO UPDATE merge
@@ -968,3 +1018,36 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = enriched.join(F.broadcast(cust), "company_id")
     return top_k(out, [F.col("trade_datetime").desc(), F.col("tick_id").desc()], 1000)
+
+
+@register("flagship")
+def flagship_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTRY-POINT plan itself under the driver's hash gate: executes
+    the exact ``flagship`` pipeline (pandas grouped-map indicators →
+    broadcast dim join → deterministic top-1000) and projects it to its
+    bitwise-stable shape — ids, dim attributes, timestamps, raw
+    prices/volumes (pass-through, no arithmetic) plus one nullability gate
+    per indicator (warm-up windows: rn ≥ 15/20/50/12/26/20/35/21/2).
+
+    The float indicator VALUES are deliberately excluded: numpy rolling
+    sums and SQL list-folds differ in summation order (≤6e-7, pinned by
+    tests/test_indicators.py), and the driver hashes doubles bitwise —
+    their value-level parity is carried by ``w_all_indicators``'s own hash
+    row.  What this row proves about the entry plan: validation, the
+    grouped-map execution, join membership, top-1000 selection/order, and
+    every indicator's NULL-gating.  The pandas path emits NaN (not NULL)
+    before warm-up, so the gates test both."""
+    out = flagship(spark, sf_dir)
+
+    def has(col: str, alias: str):
+        return (~(F.isnull(F.col(col)) | F.isnan(F.col(col)))).alias(alias)
+
+    return out.select(
+        "tick_id", "company_id", "company_name", "sector", "event_type",
+        "trade_datetime", "current_price", "volume",
+        has("rsi_14", "has_rsi"), has("sma_20", "has_sma20"),
+        has("sma_50", "has_sma50"), has("ema_12", "has_ema12"),
+        has("ema_26", "has_ema26"), has("bb_upper", "has_bb"),
+        has("macd", "has_macd"), has("volatility", "has_volatility"),
+        has("price_change_percent", "has_price_change"),
+    )
