@@ -13,48 +13,52 @@ ORACLES.update(EMBEDDING_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# other round.  Round-5 rotation policy:
-#   1. the 17 queries whose only driver row is from round 1 (stale three
-#      rounds: p5/p6/o1/o3-o6/a1/a2/a6/a7/d1/su1/sk1/q1/t9/mm1) go first;
-#   2. then queries CHANGED this round (asof fix -> j10, score_latest fix
-#      -> s13/u2-u4, emb5 trainer cost, j3 plan) plus one representative
-#      per SURVEY §2 family;
-#   3. the tail: queries green in CORRECTNESS_r02-r04 for three consecutive
-#      rounds AND pinned by dedicated pytest parity/plan tests (w2-w9,
-#      txt1-5, f1, dd1, w10, p8, j5, a3).  They re-verify opportunistically
-#      and remain pytest-parity-covered (tests/test_parity.py checks ALL).
+# other round.  Round-6 rotation policy (changed-queries-first):
+#   1. the 19 queries whose only driver row is r04 — txt5 FIRST because its
+#      BPE split pattern changed in r5 AFTER that row (the r5 verdict's
+#      evidence-process note);
+#   2. queries NEW or CHANGED this round: mm3/flagship/s14 (new), mm2 (JPEG
+#      truncation fix), t6/j3 (unique snapshot views), emb4/emb5 (codebook
+#      guard), s9 (upsert recovery + guards);
+#   3. fill to 50 with the r05-green queries whose rows would otherwise age
+#      past one round (dd*/emb*/j*/p*/a4/w1/w_all);
+#   4. the tail (outside the window): the 22 queries freshly green in
+#      CORRECTNESS_r05 and pytest-pinned (p5/p6/o*/a1/a2/a6/a7/d1/su1/sk1/
+#      q1/t9/mm1/j10/s13/u2-u4).  They re-verify opportunistically and
+#      remain covered by the full parity gate (tests/test_parity.py).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — stale since round 1: rotate into the driver window first
+    # 1 — r04-only driver rows: rotate in first; txt5 leads (changed in r5)
+    "txt5_bpe_tokens",
+    "f1_scalar_suite", "dd1_exact_dedup",
+    "w2_sma", "w3_ema", "w4_rsi", "w5_bollinger", "w6_macd",
+    "w7_volatility", "w8_price_change", "w9_ml_features",
+    "txt1_token_stats", "txt2_quality", "txt3_langid", "txt4_fingerprint",
+    "w10_throttled_volatility", "p8_extreme_filter",
+    "j5_dim_lookup", "a3_active_series",
+    # 2 — new or changed this round
+    "mm3_bmp_pixel_stats", "flagship", "s14_arima_registry",
+    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+    # 3 — r05-green fill: keep their rows at most one round old
+    "dd2_ngram_jaccard", "dd3_minhash_signatures", "dd4_minhash_candidates",
+    "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",
+    "emb3_lsh_near_dup", "emb6_centered_lsh",
+    "j2_analytics_dashboard", "j4_prediction_dashboard",
+    "j11_range_join", "p4_recent_window",
+    "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
+    "j1_tick_dashboard", "j6_region_revenue",
+    "j7_orders_without_big_lineitems", "j8_industry_rollup",
+    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+    # 4 — fresh r05 rows + pytest-pinned: outside the 50-row window
     "p5_equality_filter", "p6_flag_filter", "o1_top_events",
     "o3_training_fetch", "o4_latest_row", "o5_price_history",
     "o6_sorted_rollup", "a1_grouped_max", "a2_global_max",
     "a6_hourly_counts", "a7_dup_detection", "d1_distinct_event_types",
     "su1_set_ops", "sk1_salted_daily_summary", "q1_pricing_summary",
     "t9_session_windows", "mm1_media_meta",
-    # 2 — changed this round or family representative
     "j10_asof_quote", "s13_model_roundtrip", "u2_arima_forecast",
     "u3_linreg_metrics", "u4_linreg_predictions",
-    "emb5_ivf_trained_recall", "j3_alert_feed",
-    "s9_analytics_upsert", "mm2_image_dims", "mm3_bmp_pixel_stats",
-    "dd2_ngram_jaccard", "dd3_minhash_signatures", "dd4_minhash_candidates",
-    "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",
-    "emb3_lsh_near_dup", "emb4_ivf_topk", "emb6_centered_lsh",
-    "j2_analytics_dashboard", "j4_prediction_dashboard",
-    "j11_range_join", "p4_recent_window",
-    "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
-    "j1_tick_dashboard", "j6_region_revenue",
-    "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    "a4_daily_summary", "w1_latest_per_day",
-    "t6_alerts", "w_all_indicators",
-    # 3 — three-rounds-green (r02-r04) and pytest-pinned
-    "f1_scalar_suite", "dd1_exact_dedup",
-    "w2_sma", "w3_ema", "w4_rsi", "w5_bollinger", "w6_macd",
-    "w7_volatility", "w8_price_change", "w9_ml_features",
-    "txt1_token_stats", "txt2_quality", "txt3_langid", "txt4_fingerprint",
-    "txt5_bpe_tokens",
-    "w10_throttled_volatility", "p8_extreme_filter",
-    "j5_dim_lookup", "a3_active_series",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
