@@ -277,6 +277,153 @@ def decode_image_meta(df: DataFrame, bytes_col: str = "media_bytes", fake: bool 
     return df.mapInPandas(run_fake if fake else run_real, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE.  Like uncompressed BMP, PCM WAV needs no codec — the
+# container is byte-struct reads and the samples are raw integers, so the
+# decode → analyze chain is fully real here.
+# ---------------------------------------------------------------------------
+
+
+def parse_audio_header(
+    b: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(format, channels, sample_rate, bits_per_sample, n_frames) from RIFF/
+    WAVE container bytes — pure byte-struct parsing, no codec library.
+    Walks the chunk list to ``fmt `` (PCM fields, little-endian) and
+    ``data`` (frame count = chunk size / block align).  Unknown, non-PCM,
+    or truncated payloads → all-None (never raises)."""
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None, None, None, None, None
+    i = 12
+    fmt = None
+    n_frames = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and size >= 16 and len(body) >= 16:
+            audio_format = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_format != 1 or channels < 1 or bits not in (8, 16):
+                return None, None, None, None, None  # non-PCM or exotic width
+            fmt = (channels, rate, bits)
+        elif cid == b"data" and fmt is not None:
+            if len(body) < size:
+                return None, None, None, None, None  # truncated data chunk
+            channels, _rate, bits = fmt
+            block = channels * bits // 8
+            n_frames = size // block if block else None
+            break
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or n_frames is None:
+        return None, None, None, None, None
+    return "wav", fmt[0], fmt[1], fmt[2], n_frames
+
+
+def decode_wav_samples(b: bytes | None):
+    """Decode a PCM RIFF/WAVE payload to an int32 numpy array of shape
+    (n_frames, channels) — 16-bit little-endian signed or 8-bit unsigned
+    (rebased to signed around 0), frames de-interleaved into columns.
+    Anything ``parse_audio_header`` rejects → None."""
+    import numpy as np
+
+    meta = parse_audio_header(b)
+    if meta[0] is None:
+        return None
+    _, channels, _rate, bits, n_frames = meta
+    # locate the data chunk again (parse validated it exists and is complete)
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"data":
+            raw = b[i + 8 : i + 8 + size]
+            if bits == 16:
+                arr = np.frombuffer(raw, dtype="<i2", count=n_frames * channels)
+            else:
+                arr = np.frombuffer(raw, dtype=np.uint8, count=n_frames * channels)
+                arr = arr.astype(np.int32) - 128
+            return arr.astype(np.int32).reshape(n_frames, channels)
+        i += 8 + size + (size & 1)
+    return None
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 8000) -> bytes:
+    """Encode an (n_frames, channels) int array as PCM16 RIFF/WAVE — the
+    exact subset ``decode_wav_samples`` reads back."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    n, channels = arr.shape
+    data = arr.tobytes()
+    block = channels * 2
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block).to_bytes(4, "little")
+        + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    data_chunk = b"data" + len(data).to_bytes(4, "little") + data
+    body = b"WAVE" + fmt + data_chunk
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_sample_stats(df: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
+    """Per-item PCM sample statistics from REAL WAV decode — the mm4 driver
+    surface.  Integer-exact reductions (hash-stable cross-engine): frame
+    count, channels, sample rate, per-channel sums for the first two
+    channels (pins de-interleaving), global min/max, sum of |s|, and an
+    order-pinning checksum Σ (i+1)·s_i over the interleaved stream.
+    Non-WAV / non-PCM / truncated payloads → NULLs.  Arrow-batched
+    mapInPandas; each payload decodes into one numpy view."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = (
+        f"{fields}, n_frames int, channels int, sample_rate int, "
+        "sum_ch0 bigint, sum_ch1 bigint, sum_abs bigint, "
+        "min_sample int, max_sample int, idx_weighted bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [
+            "n_frames", "channels", "sample_rate", "sum_ch0", "sum_ch1",
+            "sum_abs", "min_sample", "max_sample", "idx_weighted",
+        ]
+
+        def stats(b: bytes | None):
+            arr = decode_wav_samples(b)
+            if arr is None or arr.size == 0:
+                return (None,) * 9
+            meta = parse_audio_header(b)
+            flat = arr.reshape(-1).astype(np.int64)
+            idx = np.arange(1, flat.size + 1, dtype=np.int64)
+            return (
+                arr.shape[0], arr.shape[1], meta[2],
+                int(arr[:, 0].sum(dtype=np.int64)),
+                int(arr[:, 1].sum(dtype=np.int64)) if arr.shape[1] > 1 else None,
+                int(np.abs(flat).sum()),
+                int(flat.min()), int(flat.max()),
+                int((idx * flat).sum()),
+            )
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = pd.DataFrame(
+                [stats(b) for b in pdf[bytes_col]], columns=cols, index=pdf.index
+            )
+            for c in ("n_frames", "channels", "sample_rate", "min_sample", "max_sample"):
+                pdf[c] = out[c].astype("Int32")
+            for c in ("sum_ch0", "sum_ch1", "sum_abs", "idx_weighted"):
+                pdf[c] = out[c].astype("Int64")
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def sample_frames(
     df: DataFrame, every_n: int = 10, frame_idx: str = "frame_idx"
 ) -> DataFrame:

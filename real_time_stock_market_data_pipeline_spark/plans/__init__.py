@@ -17,9 +17,9 @@ ORACLES.update(EMBEDDING_ORACLES)
 #   1. the 19 queries whose only driver row is r04 — txt5 FIRST because its
 #      BPE split pattern changed in r5 AFTER that row (the r5 verdict's
 #      evidence-process note);
-#   2. queries NEW or CHANGED this round: mm3/flagship/s14 (new), mm2 (JPEG
-#      truncation fix), t6/j3 (unique snapshot views), emb4/emb5 (codebook
-#      guard), s9 (upsert recovery + guards);
+#   2. queries NEW or CHANGED this round: mm3/mm4/flagship/s14 (new), mm2
+#      (JPEG truncation fix), t6/j3 (unique snapshot views), emb4/emb5
+#      (codebook guard), s9 (upsert recovery + guards);
 #   3. fill to 50 with the r05-green queries whose rows would otherwise age
 #      past one round (dd*/emb*/j*/p*/a4/w1/w_all);
 #   4. the tail (outside the window): the 22 queries freshly green in
@@ -37,7 +37,7 @@ _PRIORITY = [
     "w10_throttled_volatility", "p8_extreme_filter",
     "j5_dim_lookup", "a3_active_series",
     # 2 — new or changed this round
-    "mm3_bmp_pixel_stats", "flagship", "s14_arima_registry",
+    "mm3_bmp_pixel_stats", "mm4_wav_stats", "flagship", "s14_arima_registry",
     "mm2_image_dims", "t6_alerts", "j3_alert_feed",
     "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
     # 3 — r05-green fill: keep their rows at most one round old
@@ -49,8 +49,9 @@ _PRIORITY = [
     "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
     "j1_tick_dashboard", "j6_region_revenue",
     "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+    "a4_daily_summary", "w1_latest_per_day",
     # 4 — fresh r05 rows + pytest-pinned: outside the 50-row window
+    "w_all_indicators",
     "p5_equality_filter", "p6_flag_filter", "o1_top_events",
     "o3_training_fetch", "o4_latest_row", "o5_price_history",
     "o6_sorted_rollup", "a1_grouped_max", "a2_global_max",

@@ -339,6 +339,48 @@ SELECT doc_id,
 FROM g
 """
 
+# mm4: the Spark side BUILDS stereo PCM16 WAVs (interleaved sample i has
+# unsigned word v_i = (i*2731+L) mod 65536, little-endian) and REALLY
+# decodes them back with numpy; the oracle re-derives the stats.  Channel 0
+# = even interleaved indices; signed value = v - 65536 when v >= 32768.
+ORACLES["mm4_wav_stats"] = """
+WITH g AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         octet_length(encode(text)) % 50 + 10 AS ns
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(ns AS INTEGER) AS n_frames,
+  CAST(2 AS INTEGER) AS channels,
+  CAST(8000 AS INTEGER) AS sample_rate,
+  CAST(list_sum([CASE WHEN (i * 2731 + L) % 65536 >= 32768
+                      THEN (i * 2731 + L) % 65536 - 65536
+                      ELSE (i * 2731 + L) % 65536 END
+                 FOR i IN range(0, ns * 2) IF i % 2 = 0]) AS BIGINT) AS sum_ch0,
+  CAST(list_sum([CASE WHEN (i * 2731 + L) % 65536 >= 32768
+                      THEN (i * 2731 + L) % 65536 - 65536
+                      ELSE (i * 2731 + L) % 65536 END
+                 FOR i IN range(0, ns * 2) IF i % 2 = 1]) AS BIGINT) AS sum_ch1,
+  CAST(list_sum([abs(CASE WHEN (i * 2731 + L) % 65536 >= 32768
+                          THEN (i * 2731 + L) % 65536 - 65536
+                          ELSE (i * 2731 + L) % 65536 END)
+                 FOR i IN range(0, ns * 2)]) AS BIGINT) AS sum_abs,
+  CAST(list_min([CASE WHEN (i * 2731 + L) % 65536 >= 32768
+                      THEN (i * 2731 + L) % 65536 - 65536
+                      ELSE (i * 2731 + L) % 65536 END
+                 FOR i IN range(0, ns * 2)]) AS INTEGER) AS min_sample,
+  CAST(list_max([CASE WHEN (i * 2731 + L) % 65536 >= 32768
+                      THEN (i * 2731 + L) % 65536 - 65536
+                      ELSE (i * 2731 + L) % 65536 END
+                 FOR i IN range(0, ns * 2)]) AS INTEGER) AS max_sample,
+  CAST(list_sum([(i + 1) * (CASE WHEN (i * 2731 + L) % 65536 >= 32768
+                                 THEN (i * 2731 + L) % 65536 - 65536
+                                 ELSE (i * 2731 + L) % 65536 END)
+                 FOR i IN range(0, ns * 2)]) AS BIGINT) AS idx_weighted
+FROM g
+"""
+
 ORACLES["t9_session_windows"] = f"""
 WITH {TICKS_CTE},
 s1 AS (

@@ -640,6 +640,50 @@ def mm3_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm4_wav_stats")
+def mm4_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL audio decode end-to-end (operators/multimodal.
+    decode_wav_samples): complete stereo PCM16 RIFF/WAVE containers —
+    fmt + data chunks, interleaved little-endian samples with unsigned
+    word v_i = (i·2731 + byte_length) mod 65536 reinterpreted as signed —
+    are assembled per document in pure JVM SQL, then decoded to a numpy
+    frame×channel matrix inside the Arrow ``mapInPandas`` and reduced to
+    integer-exact statistics.  The oracle re-derives every stat from the
+    construction rule, so a hash match proves chunk walking, 16-bit LE
+    sign handling, and channel de-interleaving — the audio twin of mm3."""
+    from ..operators.multimodal import audio_sample_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("L", F.expr("CAST(octet_length(text) AS BIGINT)"))
+        .withColumn("ns", F.expr("pmod(L, 50) + 10"))   # frames
+        .withColumn("m", F.expr("ns * 2"))              # interleaved samples
+    )
+    header = F.expr(
+        "concat(X'52494646', "                  # RIFF
+        + _le_bytes_sql("36 + m * 2", 4)        # riff size = 36 + data bytes
+        + ", X'57415645', X'666D7420', X'10000000', "  # WAVE, fmt , 16
+        + "X'0100', X'0200', "                  # PCM, 2 channels
+        + "X'401F0000', X'007D0000', "          # rate 8000, byte rate 32000
+        + "X'0400', X'1000', "                  # block align 4, 16 bits
+        + "X'64617461', "                       # data
+        + _le_bytes_sql("m * 2", 4) + ")"
+    )
+    samples = F.expr(
+        "unhex(array_join(transform(sequence(0, m - 1), i -> concat("
+        "lpad(hex(pmod(pmod(i * 2731 + L, 65536), 256)), 2, '0'), "
+        "lpad(hex(pmod(i * 2731 + L, 65536) DIV 256), 2, '0'))), ''))"
+    )
+    media = docs.withColumn("media_bytes", F.concat(header, samples))
+    return audio_sample_stats(media).select(
+        "doc_id", "n_frames", "channels", "sample_rate",
+        "sum_ch0", "sum_ch1", "sum_abs", "min_sample", "max_sample",
+        "idx_weighted",
+    )
+
+
 # ---------------------------------------------------------------------------
 # ML surface (U2-U4) — per-symbol grouped-map models.  The iterative fits are
 # not SQL-expressible, so the driver queries reduce each model table to its

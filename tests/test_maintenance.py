@@ -241,6 +241,35 @@ def test_recover_partition_swap_killed_mid_loop(spark, tmp_path, monkeypatch):
     assert _orphans(tmp_path, "pstore2") == []
 
 
+def test_recover_at_every_kill_point(spark, tmp_path, monkeypatch):
+    """Exhaustive sweep: kill the partition-pruned upsert at EVERY rename
+    index (plus cleanup), then recover.  Invariant: after recover_upsert
+    the store reads back as either the pre-upsert state or the fully-merged
+    state — never a mix, never missing, never with orphan dirs."""
+    pre = {("a", 1): 1.0, ("b", 2): 2.0, ("c", 3): 3.0}
+    merged = {("a", 1): 10.0, ("b", 2): 20.0, ("d", 2): 4.0, ("c", 3): 3.0}
+
+    for kill_at in range(1, 6):  # the loop needs ≤4 renames; 5 = no kill
+        path = str(tmp_path / f"kp{kill_at}")
+        b1 = _kv(spark, [(k, t, v) for (k, t), v in pre.items()])
+        upsert_parquet(spark, b1, path, ["k", "ts"], partition_col="ts")
+        b2 = _kv(spark, [("a", 1, 10.0), ("b", 2, 20.0), ("d", 2, 4.0)])
+        calls = _fail_rename_after(monkeypatch, kill_at)
+        try:
+            upsert_parquet(spark, b2, path, ["k", "ts"], partition_col="ts")
+            crashed = False
+        except OSError:
+            crashed = True
+        monkeypatch.undo()
+        recover_upsert(path)
+        got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+        # staged data was durable before any rename, so recovery always
+        # rolls FORWARD here; an un-killed run is simply already merged
+        assert got == merged, (kill_at, crashed, got)
+        assert _orphans(tmp_path, f"kp{kill_at}") == []
+        assert calls["n"] >= min(kill_at, 4)
+
+
 def test_upsert_rejects_remote_paths_and_dtype_drift(spark, tmp_path):
     """Scheme-prefixed paths can't go through the os.rename swap protocol;
     a partition-column dtype drift between store and updates must fail loud

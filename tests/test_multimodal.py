@@ -304,6 +304,83 @@ def test_extract_features_real_pixel_histogram(spark):
     assert rows[2].features is None
 
 
+# ---------------------------------------------------------------------------
+# REAL audio path: PCM RIFF/WAVE (pure numpy, no codec library)
+# ---------------------------------------------------------------------------
+
+
+def _wav_samples(n, ch, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(-32768, 32768, size=(n, ch), dtype=np.int64).astype("i2")
+
+
+def test_wav_encode_decode_roundtrip_exact():
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_audio_header,
+    )
+
+    for n, ch in [(1, 1), (10, 2), (33, 1), (7, 4)]:
+        arr = _wav_samples(n, ch, seed=n * 10 + ch)
+        b = encode_wav_pcm16(arr, sample_rate=44100)
+        assert parse_audio_header(b) == ("wav", ch, 44100, 16, n)
+        back = decode_wav_samples(b)
+        assert back.shape == (n, ch)
+        assert np.array_equal(back, arr.astype(np.int32)), (n, ch)
+
+
+def test_wav_parse_rejects_malformed():
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_audio_header,
+    )
+
+    good = encode_wav_pcm16(_wav_samples(8, 2))
+    nones = (None,) * 5
+    assert parse_audio_header(None) == nones
+    assert parse_audio_header(b"") == nones
+    assert parse_audio_header(b"RIFFxxxxNOPE") == nones
+    assert parse_audio_header(good[:-3]) == nones  # truncated data chunk
+    non_pcm = bytearray(good)
+    non_pcm[20:22] = (3).to_bytes(2, "little")  # IEEE float format
+    assert parse_audio_header(bytes(non_pcm)) == nones
+    assert decode_wav_samples(good[:-3]) is None
+    # every prefix parses or returns Nones — no crash
+    for cut in range(len(good)):
+        parse_audio_header(good[:cut])
+
+
+def test_audio_sample_stats_matches_numpy(spark):
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        audio_sample_stats,
+        encode_wav_pcm16,
+    )
+
+    arr = _wav_samples(25, 2, seed=3)
+    df = spark.createDataFrame(
+        [(1, encode_wav_pcm16(arr, sample_rate=16000)), (2, b"not audio")],
+        "item_id int, media_bytes binary",
+    )
+    rows = {r.item_id: r for r in audio_sample_stats(df).collect()}
+    r = rows[1]
+    a = arr.astype(np.int64)
+    flat = a.reshape(-1)
+    assert (r.n_frames, r.channels, r.sample_rate) == (25, 2, 16000)
+    assert (r.sum_ch0, r.sum_ch1) == (int(a[:, 0].sum()), int(a[:, 1].sum()))
+    assert r.sum_abs == int(np.abs(flat).sum())
+    assert (r.min_sample, r.max_sample) == (int(flat.min()), int(flat.max()))
+    assert r.idx_weighted == int((np.arange(1, flat.size + 1) * flat).sum())
+    assert rows[2].n_frames is None and rows[2].sum_ch0 is None
+
+
 def test_image_pixel_stats_matches_numpy(spark):
     import numpy as np
 
