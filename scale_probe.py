@@ -39,9 +39,12 @@ VIRAL = " the common viral phrase every document now shares"
 
 EVENT_QUERIES = [
     "a4_daily_summary", "w_all_indicators", "t6_alerts",
-    "u3_linreg_metrics", "u2_arima_forecast",
+    "u3_linreg_metrics", "u2_arima_forecast", "s14_arima_registry",
 ]
-DOC_QUERIES = ["dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality"]
+DOC_QUERIES = [
+    "dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality",
+    "mm3_bmp_pixel_stats", "mm4_wav_stats",
+]
 EMB_QUERIES = ["emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall"]
 
 

@@ -260,3 +260,60 @@ def test_macd_matches_reference_recursion(prices):
         assert math.isclose(macd[i], want, rel_tol=1e-9, abs_tol=1e-9), i
     assert (out["macd_signal"].to_numpy(dtype=float)[35:] == macd[35:]).all()
     assert (out["macd_histogram"].to_numpy(dtype=float)[35:] == 0.0).all()
+
+
+# ---------------------------------------------------------------------------
+# Media container round-trips on ARBITRARY pixel/sample content (pure
+# numpy, no Spark): encode -> decode must be the identity, and the parsers
+# must never raise on any truncation of a valid container.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_arbitrary_images(w, h, seed):
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        encode_bmp24,
+        parse_image_header,
+    )
+
+    arr = np.random.default_rng(seed).integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    b = encode_bmp24(arr)
+    assert parse_image_header(b) == ("bmp", w, h, 3)
+    assert np.array_equal(decode_bmp_pixels(b), arr)
+    # no truncation of a valid BMP may raise; all must reject cleanly
+    for cut in (0, 2, 13, 14, 30, 53, 54, len(b) - 1):
+        if cut < len(b):
+            assert decode_bmp_pixels(b[:cut]) is None
+
+
+@given(
+    n=st.integers(min_value=1, max_value=60),
+    ch=st.integers(min_value=1, max_value=4),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_arbitrary_audio(n, ch, rate, seed):
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_pcm16,
+        parse_audio_header,
+    )
+
+    arr = (
+        np.random.default_rng(seed)
+        .integers(-32768, 32768, size=(n, ch), dtype=np.int64)
+        .astype("i2")
+    )
+    b = encode_wav_pcm16(arr, sample_rate=rate)
+    assert parse_audio_header(b) == ("wav", ch, rate, 16, n)
+    assert np.array_equal(decode_wav_samples(b), arr.astype(np.int32))
+    for cut in (0, 4, 11, 12, 36, 43, 44, len(b) - 1):
+        if cut < len(b):
+            assert decode_wav_samples(b[:cut]) is None
