@@ -396,9 +396,18 @@ def upsert_sink(
     analytics/predictions upserts (S9/S10).  Used as
     ``writeStream.foreachBatch(upsert_sink(path, keys, ts))``; pass
     ``partition_col`` so each micro-batch rewrites only its touched
-    partitions."""
+    partitions.
+
+    SELF-HEALING: each batch first runs ``recover_upsert`` (a no-op on a
+    clean store).  A query killed mid-swap restarts from the checkpoint and
+    re-delivers the same batch — exactly when the orphan guard would
+    otherwise refuse — so the sink repairs the interrupted swap and then
+    applies the redelivered batch; both recovery outcomes (rolled forward
+    or rolled back) are safe because the keyed merge is idempotent under
+    redelivery."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        recover_upsert(path)
         upsert_parquet(
             batch_df.sparkSession, batch_df, path, keys,
             order_col, tiebreak, partition_col,

@@ -287,6 +287,25 @@ def test_upsert_rejects_remote_paths_and_dtype_drift(spark, tmp_path):
         upsert_parquet(spark, drift, path, ["k", "ts"], partition_col="ts")
 
 
+def test_upsert_sink_self_heals_after_crash(spark, tmp_path, monkeypatch):
+    """A foreachBatch sink killed mid-swap must heal itself when the
+    restarted query redelivers the batch: recovery + idempotent re-merge,
+    no manual intervention."""
+    path = str(tmp_path / "heal_store")
+    sink = upsert_sink(path, ["k", "ts"])
+    sink(_kv(spark, [("a", 1, 1.0), ("b", 1, 2.0)]), 0)
+    batch = _kv(spark, [("a", 1, 10.0), ("c", 1, 3.0)])
+    with pytest.raises(OSError, match="simulated crash"):
+        _fail_rename_after(monkeypatch, 1)
+        sink(batch, 1)
+    monkeypatch.undo()
+    assert _orphans(tmp_path, "heal_store")
+    sink(batch, 1)  # checkpoint redelivery after restart
+    got = {(r.k, r.ts): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 1): 10.0, ("b", 1): 2.0, ("c", 1): 3.0}
+    assert _orphans(tmp_path, "heal_store") == []
+
+
 def test_upsert_sink_foreach_batch(spark, tmp_path):
     """The foreachBatch wrapper applies the same merge per micro-batch."""
     path = str(tmp_path / "stream_store")
