@@ -424,6 +424,159 @@ def audio_sample_stats(df: DataFrame, bytes_col: str = "media_bytes") -> DataFra
     return df.mapInPandas(run, schema=schema)
 
 
+# ---------------------------------------------------------------------------
+# Video: RIFF/AVI with uncompressed DIB frames.  The container is chunk
+# walking (like WAV) and '00db' frame payloads are raw BMP-style pixel rows
+# (like BMP) — so header parse, frame extraction, AND per-frame pixel decode
+# are all real without a codec.  Compressed AVI ('00dc' frames) still parses
+# at the container level (count/size/offsets); only its pixels need a codec.
+# ---------------------------------------------------------------------------
+
+
+def parse_video_header(
+    b: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(format, width, height, n_frames, us_per_frame) from RIFF/AVI bytes —
+    walks the chunk tree to the ``hdrl`` list's ``avih`` main header.
+    Unknown or truncated payloads → all-None (never raises)."""
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        return None, None, None, None, None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"hdrl":
+            j = i + 12
+            end = min(i + 8 + size, len(b))
+            while j + 8 <= end:
+                sub = b[j : j + 4]
+                ssize = int.from_bytes(b[j + 4 : j + 8], "little")
+                if sub == b"avih" and ssize >= 40 and j + 8 + 40 <= len(b):
+                    body = b[j + 8 : j + 8 + ssize]
+                    us_per_frame = int.from_bytes(body[0:4], "little")
+                    n_frames = int.from_bytes(body[16:20], "little")
+                    w = int.from_bytes(body[32:36], "little")
+                    h = int.from_bytes(body[36:40], "little")
+                    return "avi", w, h, n_frames, us_per_frame
+                j += 8 + ssize + (ssize & 1)
+        i += 8 + size + (size & 1)
+    return None, None, None, None, None
+
+
+def avi_frame_ranges(b: bytes) -> list[tuple[int, int, bool]]:
+    """(payload_offset, payload_size, is_uncompressed_dib) for each video
+    frame chunk (``##db`` raw DIB / ``##dc`` compressed) in the ``movi``
+    list, in stream order."""
+    out: list[tuple[int, int, bool]] = []
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"LIST" and b[i + 8 : i + 12] == b"movi":
+            j = i + 12
+            end = min(i + 8 + size, len(b))
+            while j + 8 <= end:
+                sub = b[j : j + 4]
+                ssize = int.from_bytes(b[j + 4 : j + 8], "little")
+                if j + 8 + ssize <= len(b) and sub[2:4] in (b"db", b"dc"):
+                    out.append((j + 8, ssize, sub[2:4] == b"db"))
+                j += 8 + ssize + (ssize & 1)
+            break
+        i += 8 + size + (size & 1)
+    return out
+
+
+def decode_avi_frame_pixels(b: bytes, off: int, size: int, w: int, h: int):
+    """One ``00db`` payload (bottom-up BGR rows, 4-byte stride — the BMP
+    pixel layout) → (h, w, 3) top-down RGB uint8, or None if truncated."""
+    import numpy as np
+
+    stride = (w * 3 + 3) // 4 * 4
+    if w <= 0 or h <= 0 or size < stride * h or off + stride * h > len(b):
+        return None
+    data = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows[::-1, :, ::-1]
+
+
+def encode_avi_dib(frames, fps: int = 25) -> bytes:
+    """Encode a sequence of (h, w, 3) top-down RGB uint8 arrays as a
+    RIFF/AVI with uncompressed ``00db`` DIB frames — the exact subset the
+    parsers above read back.  All frames must share one shape."""
+    import numpy as np
+
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = arrs[0].shape
+    stride = (w * 3 + 3) // 4 * 4
+    chunks = []
+    for a in arrs:
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)
+        payload = rows.tobytes()
+        chunks.append(
+            b"00db" + len(payload).to_bytes(4, "little") + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+    movi_body = b"movi" + b"".join(chunks)
+    avih_body = (
+        (1_000_000 // fps).to_bytes(4, "little") + b"\x00" * 12
+        + len(arrs).to_bytes(4, "little") + b"\x00" * 4
+        + (1).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\x00" * 16
+    )
+    hdrl_body = b"hdrl" + b"avih" + len(avih_body).to_bytes(4, "little") + avih_body
+    body = (
+        b"AVI "
+        + b"LIST" + len(hdrl_body).to_bytes(4, "little") + hdrl_body
+        + b"LIST" + len(movi_body).to_bytes(4, "little") + movi_body
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 2, bytes_col: str = "media_bytes"
+) -> DataFrame:
+    """REAL video frame sampling: parse each AVI container, keep every
+    ``every_n``-th DIB frame, decode its pixels, and emit ONE ROW PER KEPT
+    FRAME with the frame re-encoded as a standalone BMP — so every sampled
+    frame flows straight into the real image operators
+    (``image_pixel_stats``, ``resize_image``, ``extract_features``)
+    unchanged.  Non-AVI payloads and compressed (``00dc``) frames emit no
+    rows.  Arrow-batched mapInPandas; row explosion happens inside the
+    batch, no shuffle."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, frame_idx int, total_frames int, frame_bmp binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                b = row[bytes_col]
+                fmt, w, h, n_frames, _us = parse_video_header(b)
+                if fmt is None:
+                    continue
+                ranges = avi_frame_ranges(b)
+                for idx in range(0, len(ranges), every_n):
+                    off, size, is_dib = ranges[idx]
+                    if not is_dib:
+                        continue
+                    px = decode_avi_frame_pixels(b, off, size, w, h)
+                    if px is None:
+                        continue
+                    out = dict(row)
+                    out["frame_idx"] = idx
+                    out["total_frames"] = n_frames
+                    out["frame_bmp"] = encode_bmp24(px)
+                    rows.append(out)
+            cols = list(pdf.columns) + ["frame_idx", "total_frames", "frame_bmp"]
+            out_pdf = pd.DataFrame(rows, columns=cols)
+            out_pdf["frame_idx"] = out_pdf["frame_idx"].astype("Int32")
+            out_pdf["total_frames"] = out_pdf["total_frames"].astype("Int32")
+            yield out_pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def sample_frames(
     df: DataFrame, every_n: int = 10, frame_idx: str = "frame_idx"
 ) -> DataFrame:

@@ -339,6 +339,39 @@ SELECT doc_id,
 FROM g
 """
 
+# mm5: the Spark side BUILDS RIFF/AVI containers with DIB frames (frame f
+# payload byte j = (j + f*31 + L) mod 256) and REALLY runs two chained
+# decoders (chunk walk + frame sample every 2, then BMP pixel decode); the
+# oracle re-derives the rollup.  Sampled frames f = 0,2,4,...; within a
+# frame, pixel bytes are the positions excluding stride padding.
+ORACLES["mm5_avi_frame_stats"] = """
+WITH g AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         octet_length(encode(text)) % 5 + 1 AS w,
+         octet_length(encode(text)) % 3 + 1 AS h,
+         octet_length(encode(text)) % 4 + 2 AS nf,
+         ((octet_length(encode(text)) % 5 + 1) * 3 + 3) // 4 * 4 AS stride
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT *, (nf + 1) // 2 AS ns, h * 3 * w AS fpx FROM g
+)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(nf AS INTEGER) AS total_frames,
+  CAST(ns AS BIGINT) AS n_sampled,
+  CAST(list_sum([((t % fpx) // (3 * w) * stride + (t % fpx) % (3 * w)
+                  + 2 * (t // fpx) * 31 + L) % 256
+                 FOR t IN range(0, ns * fpx)]) AS BIGINT) AS sum_pixels,
+  CAST(list_sum([(2 * (t // fpx) + 1)
+                 * (((t % fpx) // (3 * w) * stride + (t % fpx) % (3 * w)
+                     + 2 * (t // fpx) * 31 + L) % 256)
+                 FOR t IN range(0, ns * fpx)]) AS BIGINT) AS frame_weighted
+FROM s
+"""
+
 # mm4: the Spark side BUILDS stereo PCM16 WAVs (interleaved sample i has
 # unsigned word v_i = (i*2731+L) mod 65536, little-endian) and REALLY
 # decodes them back with numpy; the oracle re-derives the stats.  Channel 0

@@ -640,6 +640,84 @@ def mm3_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm5_avi_frame_stats")
+def mm5_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL video chain end-to-end: RIFF/AVI containers with
+    uncompressed DIB frames (frame f's payload byte j = (j + f·31 + L) mod
+    256, bottom-up BGR rows with stride padding) are assembled per document
+    in pure JVM SQL, then ``sample_video_frames`` REALLY parses the chunk
+    tree, keeps every 2nd frame, decodes its pixels, and re-encodes each as
+    a standalone BMP — which flows through the REAL ``image_pixel_stats``
+    decoder.  Two independent byte-level decoders run back to back; the
+    oracle re-derives the rolled-up stats arithmetically, so a hash match
+    pins chunk walking, frame sampling stride, per-frame pixel layout, and
+    the frame-identity weighting."""
+    from ..operators.multimodal import image_pixel_stats, sample_video_frames
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("L", F.expr("CAST(octet_length(text) AS BIGINT)"))
+        .withColumn("w", F.expr("pmod(L, 5) + 1"))
+        .withColumn("h", F.expr("pmod(L, 3) + 1"))
+        .withColumn("nf", F.expr("pmod(L, 4) + 2"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("fsize", F.expr("stride * h"))
+    )
+    avih = F.expr(
+        "concat(X'61766968', X'38000000', "     # 'avih', size 56
+        "X'409C0000', "                         # 40000 µs/frame (25 fps)
+        + "X'" + "00" * 12 + "', "              # max_bps, granularity, flags
+        + _le_bytes_sql("nf", 4)                # total_frames
+        + ", X'00000000', X'01000000', "        # initial_frames, streams=1
+        + _le_bytes_sql("fsize", 4) + ", "      # suggested buffer
+        + _le_bytes_sql("w", 4) + ", " + _le_bytes_sql("h", 4)
+        + ", X'" + "00" * 16 + "')"             # reserved
+    )
+    frames = F.expr(
+        "aggregate(transform(sequence(0, nf - 1), f -> "
+        "concat(X'30306462', "                  # '00db'
+        + _le_bytes_sql("fsize", 4)
+        + ", unhex(array_join(transform(sequence(0, fsize - 1), "
+        "j -> lpad(hex(pmod(j + f * 31 + L, 256)), 2, '0')), '')))), "
+        "CAST(X'' AS BINARY), (acc, x) -> concat(acc, x))"
+    )
+    hdrl = F.concat(F.expr("concat(X'4C495354', X'44000000', X'6864726C')"), avih)
+    movi = F.concat(
+        F.expr("X'4C495354'"),
+        F.expr(_le_bytes_sql("4 + nf * (8 + fsize)", 4)),
+        F.expr("X'6D6F7669'"),
+        frames,
+    )
+    media = docs.withColumn(
+        "media_bytes",
+        F.concat(
+            F.expr("X'52494646'"),
+            F.expr(_le_bytes_sql("92 + nf * (8 + fsize)", 4)),
+            F.expr("X'41564920'"),
+            hdrl,
+            movi,
+        ),
+    )
+    sampled = sample_video_frames(
+        media.select("doc_id", "media_bytes"), every_n=2
+    )
+    stats = image_pixel_stats(sampled, bytes_col="frame_bmp")
+    pre = stats.select(
+        "doc_id", "width", "height", "total_frames", "frame_idx",
+        (F.col("sum_r") + F.col("sum_g") + F.col("sum_b")).alias("__fsum"),
+    )
+    return pre.groupBy("doc_id").agg(
+        F.min("width").alias("width"),
+        F.min("height").alias("height"),
+        F.min("total_frames").alias("total_frames"),
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("__fsum").alias("sum_pixels"),
+        F.sum((F.col("frame_idx") + 1) * F.col("__fsum")).alias("frame_weighted"),
+    )
+
+
 @register("mm4_wav_stats")
 def mm4_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal REAL audio decode end-to-end (operators/multimodal.

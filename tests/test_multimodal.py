@@ -305,6 +305,69 @@ def test_extract_features_real_pixel_histogram(spark):
 
 
 # ---------------------------------------------------------------------------
+# REAL video path: RIFF/AVI with uncompressed DIB frames
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_and_frame_ranges():
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        avi_frame_ranges,
+        decode_avi_frame_pixels,
+        encode_avi_dib,
+        parse_video_header,
+    )
+
+    frames = [_pixel_array(5, 3, seed=i) for i in range(4)]  # odd width → padding
+    b = encode_avi_dib(frames, fps=30)
+    assert parse_video_header(b) == ("avi", 5, 3, 4, 1_000_000 // 30)
+    ranges = avi_frame_ranges(b)
+    assert len(ranges) == 4 and all(is_dib for _, _, is_dib in ranges)
+    for i, (off, size, _) in enumerate(ranges):
+        assert np.array_equal(decode_avi_frame_pixels(b, off, size, 5, 3), frames[i])
+    nones = (None,) * 5
+    assert parse_video_header(None) == nones
+    assert parse_video_header(b"RIFFxxxxWAVE") == nones
+    assert parse_video_header(b[:20]) == nones
+    for cut in range(0, len(b), 7):  # truncations never raise
+        parse_video_header(b[:cut])
+        avi_frame_ranges(b[:cut])
+
+
+def test_sample_video_frames_chains_into_image_ops(spark):
+    """video → every-2nd-frame as standalone BMPs → REAL image_pixel_stats:
+    the full multimodal chain with no codec and no fake stage."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        encode_avi_dib,
+        image_pixel_stats,
+        sample_video_frames,
+    )
+
+    vids = {
+        1: [_pixel_array(6, 4, seed=10 + i) for i in range(5)],
+        2: [_pixel_array(3, 3, seed=20 + i) for i in range(2)],
+    }
+    df = spark.createDataFrame(
+        [(k, encode_avi_dib(v)) for k, v in vids.items()]
+        + [(3, b"not a video")],
+        "video_id int, media_bytes binary",
+    )
+    frames = sample_video_frames(df, every_n=2)
+    stats = image_pixel_stats(frames, bytes_col="frame_bmp")
+    rows = {(r.video_id, r.frame_idx): r for r in stats.collect()}
+    assert set(rows) == {(1, 0), (1, 2), (1, 4), (2, 0)}  # every 2nd frame
+    for (vid, idx), r in rows.items():
+        src = vids[vid][idx].astype(np.int64)
+        assert (r.width, r.height) == (src.shape[1], src.shape[0])
+        sums = src.reshape(-1, 3).sum(axis=0)
+        assert (r.sum_r, r.sum_g, r.sum_b) == tuple(int(s) for s in sums)
+        assert r.total_frames == len(vids[vid])
+
+
+# ---------------------------------------------------------------------------
 # REAL audio path: PCM RIFF/WAVE (pure numpy, no codec library)
 # ---------------------------------------------------------------------------
 
