@@ -507,6 +507,11 @@ def encode_avi_dib(frames, fps: int = 25) -> bytes:
 
     arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
     h, w, _ = arrs[0].shape
+    if any(a.shape != (h, w, 3) for a in arrs):
+        raise ValueError(
+            f"all AVI frames must share one (h, w, 3) shape; got "
+            f"{sorted({a.shape for a in arrs})}"
+        )
     stride = (w * 3 + 3) // 4 * 4
     chunks = []
     for a in arrs:

@@ -335,6 +335,15 @@ def test_avi_roundtrip_and_frame_ranges():
         avi_frame_ranges(b[:cut])
 
 
+def test_encode_avi_rejects_mixed_frame_shapes():
+    import pytest as _pytest
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import encode_avi_dib
+
+    with _pytest.raises(ValueError, match="share one"):
+        encode_avi_dib([_pixel_array(4, 4), _pixel_array(5, 4)])
+
+
 def test_sample_video_frames_chains_into_image_ops(spark):
     """video → every-2nd-frame as standalone BMPs → REAL image_pixel_stats:
     the full multimodal chain with no codec and no fake stage."""
