@@ -5,12 +5,13 @@ per-item compute (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched ``mapInPandas`` so media bytes never round-trip through Python
 row objects.  Header-level decode is REAL: ``decode_image_meta`` parses
 PNG/GIF/BMP/JPEG dimensions straight from the container bytes (pure Python,
-no codec library).  PIXEL-level stages are REAL for uncompressed 24-bit
-BMP (BITMAPINFOHEADER + raw BI_RGB rows need no codec — pure numpy:
-``decode_bmp_pixels`` / ``encode_bmp24`` / stride-sample ``resize_image`` /
-pixel-histogram ``extract_features`` / ``image_pixel_stats``).  Compressed
-formats (PNG/GIF/JPEG pixels) need a codec runtime the container lacks:
-the real path yields NULLs for them, and ``fake=True`` keeps the
+no codec library).  PIXEL-level stages are REAL for PNG and
+uncompressed 24-bit BMP (``decode_pixels``): BMP rows are raw BI_RGB byte
+structs, and PNG's DEFLATE stream is stdlib ``zlib`` — a full inflate +
+all-five-filter-types unfilter decoder needs no external codec.  The same
+is true of PCM WAV audio and DIB-frame AVI video below.  Only formats
+whose pixel data needs a true codec runtime (JPEG/GIF entropy coding,
+compressed AVI frames) yield NULLs on the real path; ``fake=True`` keeps
 deterministic stand-ins that exercise the Spark contracts — schema,
 batching, partitioning — on arbitrary payloads.
 
@@ -154,6 +155,172 @@ def decode_bmp_pixels(b: bytes | None):
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+def decode_png_pixels(b: bytes | None):
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG to a ``uint8`` numpy
+    array of shape (height, width, 3), top-down RGB (alpha dropped) —
+    stdlib ``zlib`` + numpy, no codec library: PNG's DEFLATE stream is
+    stdlib territory, so "compressed needs a codec" does not apply here.
+    Walks the chunk list (IHDR → IDAT* → IEND), inflates, and un-applies
+    the per-scanline filter — all five PNG filter types (None/Sub/Up/
+    Average/Paeth); Sub is a grouped cumulative sum, Up is vectorized,
+    Average/Paeth carry the intra-row byte dependency.  Palette, 16-bit,
+    grayscale, or interlaced images → None (never raises)."""
+    import zlib
+
+    import numpy as np
+
+    if not b or len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    i = 8
+    meta = None
+    idat = bytearray()
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        data = b[i + 8 : i + 8 + ln]
+        if len(data) < ln:
+            return None
+        if typ == b"IHDR":
+            if ln < 13:
+                return None
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ct, comp, filt, inter = data[8], data[9], data[10], data[11], data[12]
+            if depth != 8 or ct not in (2, 6) or comp or filt or inter:
+                return None
+            if w <= 0 or h <= 0:
+                return None
+            meta = (w, h, 3 if ct == 2 else 4)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + CRC
+    if meta is None or not idat:
+        return None
+    w, h, ch = meta
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        row = np.frombuffer(raw, np.uint8, stride, pos + 1).astype(np.int64)
+        pos += stride + 1
+        if ft == 0:
+            rec = row
+        elif ft == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] → cumsum per channel
+            rec = (np.cumsum(row.reshape(w, ch), axis=0) % 256).reshape(stride)
+        elif ft == 2:  # Up
+            rec = (row + prev) % 256
+        elif ft == 3:  # Average
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                up = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            return None
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, ch)[:, :, :3].copy()
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(data).to_bytes(4, "big") + typ + data
+        + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(arr, filters=None) -> bytes:
+    """Encode an (h, w, 3|4) top-down uint8 array as an 8-bit truecolor
+    PNG — stdlib zlib, real CRCs, real DEFLATE.  ``filters`` optionally
+    gives a per-row PNG filter type (0-4, default all 0) and the encoder
+    genuinely applies the filter transform, so round-trips through
+    ``decode_png_pixels`` exercise every unfilter path."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, ch = arr.shape
+    ct = 2 if ch == 3 else 6
+    rows = arr.reshape(h, w * ch).astype(np.int64)
+    stream = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ft = filters[y] if filters else 0
+        cur = rows[y]
+        if ft == 0:
+            flt = cur
+        elif ft == 1:
+            g = cur.reshape(w, ch)
+            flt = (g - np.vstack([np.zeros((1, ch), np.int64), g[:-1]])).reshape(-1) % 256
+        elif ft == 2:
+            flt = (cur - prev) % 256
+        elif ft == 3:
+            flt = np.zeros(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                left = cur[x - ch] if x >= ch else 0
+                flt[x] = (cur[x] - (left + prev[x]) // 2) % 256
+        elif ft == 4:
+            flt = np.zeros(w * ch, dtype=np.int64)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                up = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                flt[x] = (cur[x] - pred) % 256
+        else:
+            raise ValueError(f"unsupported PNG filter type {ft}")
+        stream.append(ft)
+        stream += flt.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, ct, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_pixels(b: bytes | None):
+    """Dispatch by container magic to the REAL pixel decoders: PNG (stdlib
+    zlib inflate + unfilter) or uncompressed 24-bit BMP.  Everything else
+    (JPEG/GIF pixels genuinely need a codec runtime) → None."""
+    if not b:
+        return None
+    if b[:8] == _PNG_SIG:
+        return decode_png_pixels(b)
+    if b[:2] == b"BM":
+        return decode_bmp_pixels(b)
+    return None
+
+
 def encode_bmp24(arr) -> bytes:
     """Encode a (height, width, 3) top-down RGB uint8 array as an
     uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up BGR rows, 4-byte
@@ -192,8 +359,8 @@ def stride_sample(arr, target_w: int, target_h: int):
 
 
 def image_pixel_stats(df: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
-    """Per-image pixel statistics from REAL BMP decode — the mm3 driver
-    surface.  For each row: (width, height), per-channel pixel sums, the
+    """Per-image pixel statistics from REAL decode (PNG or BMP,
+    ``decode_pixels``) — the mm3/mm6 driver surface.  For each row: (width, height), per-channel pixel sums, the
     top-left pixel (proves row-flip + BGR→RGB order, not just totals), and
     a top-down-row-weighted checksum Σ (row_idx+1)·Σrow (proves every row
     landed at the right height).  Non-BMP / malformed payloads → NULLs.
@@ -214,7 +381,7 @@ def image_pixel_stats(df: DataFrame, bytes_col: str = "media_bytes") -> DataFram
         ]
 
         def stats(b: bytes | None):
-            px = decode_bmp_pixels(b)
+            px = decode_pixels(b)
             if px is None:
                 return (None,) * 9
             h = px.shape[0]
@@ -599,11 +766,11 @@ def resize_image(
 ) -> DataFrame:
     """Resize images to (target_w, target_h).
 
-    REAL for uncompressed 24-bit BMP: decode to pixels (numpy), stride-
-    sample resize, re-encode as BMP — output rows remain valid BMPs that
-    feed back through any decode stage.  Compressed formats need a codec
-    library the container lacks and yield NULL resized/dims on the real
-    path; ``fake=True`` keeps the deterministic byte-slice "thumbnail"
+    REAL for PNG and uncompressed 24-bit BMP (``decode_pixels``): decode
+    to pixels, stride-sample resize, re-encode as BMP (the canonical
+    uncompressed interchange) — output rows remain valid BMPs that feed
+    back through any decode stage.  Codec-requiring formats (JPEG/GIF)
+    yield NULL resized/dims on the real path; ``fake=True`` keeps the deterministic byte-slice "thumbnail"
     (first w·h·3 payload bytes, cycled) for arbitrary payloads so the
     Spark contract (bytes in → smaller bytes out + dims, Arrow batching,
     schema) is exercised on non-BMP data too."""
@@ -616,7 +783,7 @@ def resize_image(
             pdf = pdf.copy()
 
             def shrink(b: bytes | None):
-                px = decode_bmp_pixels(b)
+                px = decode_pixels(b)
                 if px is None:
                     return None
                 return encode_bmp24(stride_sample(px, target_w, target_h))
@@ -654,10 +821,11 @@ def extract_features(
     """Per-item feature vector (``array<float>``) from media bytes — the
     embed-the-image stage of a multimodal pipeline.
 
-    REAL for uncompressed 24-bit BMP: a 16-bin PIXEL-VALUE histogram over
-    the decoded image (bin = value ∕ 16, normalized by pixel-sample count)
-    — computed on the numpy pixel array, so padding bytes and header bytes
-    never pollute the features.  Non-BMP rows yield NULL on the real path;
+    REAL for PNG and uncompressed 24-bit BMP (``decode_pixels``): a 16-bin
+    PIXEL-VALUE histogram over the decoded image (bin = value ∕ 16,
+    normalized by pixel-sample count) — computed on the numpy pixel array,
+    so padding/filter/header bytes never pollute the features.
+    Codec-requiring rows yield NULL on the real path;
     a learned extractor is a model forward pass (no ML runtime here), for
     which ``fake=True`` keeps the raw-BYTE-histogram projection on
     arbitrary payloads.  Either way the output is a regular embedding
@@ -673,7 +841,7 @@ def extract_features(
             pdf = pdf.copy()
 
             def hist(b: bytes | None):
-                px = decode_bmp_pixels(b)
+                px = decode_pixels(b)
                 if px is None:
                     return None
                 flat = px.reshape(-1)

@@ -38,7 +38,7 @@ _PRIORITY = [
     "j5_dim_lookup", "a3_active_series",
     # 2 — new or changed this round
     "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
-    "flagship", "s14_arima_registry",
+    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
     "mm2_image_dims", "t6_alerts", "j3_alert_feed",
     "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
     # 3 — r05-green fill: keep their rows at most one round old
@@ -50,9 +50,8 @@ _PRIORITY = [
     "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
     "j1_tick_dashboard", "j6_region_revenue",
     "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    "a4_daily_summary",
     # 4 — fresh r05 rows + pytest-pinned: outside the 50-row window
-    "w1_latest_per_day", "w_all_indicators",
+    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
     "p5_equality_filter", "p6_flag_filter", "o1_top_events",
     "o3_training_fetch", "o4_latest_row", "o5_price_history",
     "o6_sorted_rollup", "a1_grouped_max", "a2_global_max",

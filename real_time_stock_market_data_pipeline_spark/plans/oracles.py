@@ -372,6 +372,35 @@ SELECT doc_id,
 FROM s
 """
 
+# mm6: the Spark side BUILDS real zlib-compressed PNGs (pixel flat index i
+# has value (i+L) mod 256, per-row filter type y mod 5) and REALLY inflates
+# + unfilters them; the oracle derives the stats arithmetically.  PNG rows
+# are top-down, channel c = i mod 3 — no flip, no stride padding.
+ORACLES["mm6_png_roundtrip_stats"] = """
+WITH g AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS L,
+         octet_length(encode(text)) % 9 + 1 AS w,
+         octet_length(encode(text)) % 6 + 1 AS h
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(w AS INTEGER) AS width,
+  CAST(h AS INTEGER) AS height,
+  CAST(list_sum([(i + L) % 256 FOR i IN range(0, h * w * 3) IF i % 3 = 0])
+       AS BIGINT) AS sum_r,
+  CAST(list_sum([(i + L) % 256 FOR i IN range(0, h * w * 3) IF i % 3 = 1])
+       AS BIGINT) AS sum_g,
+  CAST(list_sum([(i + L) % 256 FOR i IN range(0, h * w * 3) IF i % 3 = 2])
+       AS BIGINT) AS sum_b,
+  CAST((0 + L) % 256 AS INTEGER) AS topleft_r,
+  CAST((1 + L) % 256 AS INTEGER) AS topleft_g,
+  CAST((2 + L) % 256 AS INTEGER) AS topleft_b,
+  CAST(list_sum([(i // (3 * w) + 1) * ((i + L) % 256)
+                 FOR i IN range(0, h * w * 3)]) AS BIGINT) AS row_weighted
+FROM g
+"""
+
 # mm4: the Spark side BUILDS stereo PCM16 WAVs (interleaved sample i has
 # unsigned word v_i = (i*2731+L) mod 65536, little-endian) and REALLY
 # decodes them back with numpy; the oracle re-derives the stats.  Channel 0

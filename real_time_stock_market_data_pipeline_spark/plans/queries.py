@@ -718,6 +718,52 @@ def mm5_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm6_png_roundtrip_stats")
+def mm6_png_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL compressed-image decode: per document, a true PNG —
+    stdlib-zlib DEFLATE stream, real CRCs, per-row filter type cycling
+    y mod 5 so every PNG filter (None/Sub/Up/Average/Paeth) appears across
+    the corpus — is built from the deterministic pixel rule
+    value(y,x,c) = (3·(y·w+x)+c + L) mod 256, then REALLY decoded by
+    ``image_pixel_stats``'s dispatch (inflate + unfilter, no codec
+    library).  The build stage runs in Python (SQL has no deflate), but
+    the oracle derives the stats ARITHMETICALLY from the rule — the decode
+    must invert the compression and all five filters to hash-match."""
+    from ..operators.multimodal import encode_png, image_pixel_stats
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", F.expr("CAST(octet_length(text) AS INT)").alias("L")
+        )
+    )
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd_
+
+        for pdf in batches:
+            pdf = pdf.copy()
+
+            def png(L: int) -> bytes:
+                w, h = L % 9 + 1, L % 6 + 1
+                px = ((np.arange(h * w * 3) + L) % 256).astype(np.uint8)
+                return encode_png(
+                    px.reshape(h, w, 3), filters=[y % 5 for y in range(h)]
+                )
+
+            pdf["media_bytes"] = pdf["L"].map(png)
+            yield pdf[["doc_id", "media_bytes"]]
+
+    media = docs.mapInPandas(build, schema="doc_id long, media_bytes binary")
+    return image_pixel_stats(media).select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "topleft_r", "topleft_g", "topleft_b", "row_weighted",
+    )
+
+
 @register("mm4_wav_stats")
 def mm4_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal REAL audio decode end-to-end (operators/multimodal.
