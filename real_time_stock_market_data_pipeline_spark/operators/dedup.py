@@ -186,6 +186,74 @@ def minhash_candidate_pairs(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over candidate pairs.
+
+    Near-dup *pairs* (DD2/DD4/emb LSH) are not the end product of corpus
+    dedup: transitively-linked docs must land in ONE cluster so a single
+    canonical survivor can be picked.  Components are computed by iterative
+    min-label propagation: every node starts labeled with its own id; each
+    round a node takes the min of its own label and its neighbors' labels.
+    Fixpoint = every node carries the min id of its component.
+
+    Scale shape: one shuffle join (edges ⋈ labels on the neighbor key) plus
+    one groupBy-min per round; rounds ≈ component diameter, which for
+    near-dup graphs is small (dup clusters are cliques-ish through shared
+    shingles).  Lineage is truncated every round with an eager
+    ``localCheckpoint`` so plans stay O(1) deep; convergence is detected by
+    the monotonically-decreasing label sum (one scalar agg per round, no
+    extra join).  For adversarial long-chain graphs the round count is
+    O(diameter) — the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") drops that to O(log d) but needs
+    the same per-round shuffle; the simple propagation is the right default
+    for dedup-shaped graphs.
+
+    Raises if not converged within ``max_iter`` (never observed < graph
+    diameter bounds; a guard, not a tuning knob).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .localCheckpoint(eager=False)
+    )
+    # one action materializes both lazy checkpoints (edges is stored for
+    # every round's join; labels for round 1)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(F.col("doc_id").alias("v"), F.col("lbl")), "v"
+        ).select(F.col("u").alias("doc_id"), F.col("lbl"))
+        # lazy checkpoint: the convergence aggregate below materializes it,
+        # so each round costs ONE job instead of checkpoint-then-sum two
+        labels = (
+            nbr.union(labels)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+        prev_sum = cur_sum
+    raise RuntimeError(
+        f"dup_clusters: no fixpoint within {max_iter} rounds — component "
+        "diameter exceeds the guard; raise max_iter or switch to the "
+        "large-star/small-star scheme for chain-shaped graphs"
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", bits: int = 16
 ) -> DataFrame:

@@ -296,15 +296,18 @@ def sql_minhash_signatures(dialect: str) -> str:
     return f"WITH {_minhash_sig_cte(dialect)} SELECT doc_id, {cols} FROM sigs"
 
 
-def sql_minhash_candidates(dialect: str) -> str:
-    """DD4 — LSH banding: 4 bands × 4 rows; docs sharing any band signature
-    become candidate near-dup pairs (the bucket-join is the only shuffle).
+_CAND_CTE = """cand AS (
+  SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM bands b1
+  JOIN bands b2 ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
+              AND b1.doc_id < b2.doc_id
+  GROUP BY b1.doc_id, b2.doc_id
+)"""
 
-    Spark rendering explodes the 4 band signatures from ONE array per row —
-    a UNION ALL of per-band selects would inline (and recompute) the whole
-    signature aggregation once per branch per join side (8×).  DuckDB keeps
-    the UNION ALL form (its optimizer dedupes; structs-in-lists unnest
-    differently there)."""
+
+def _bands_sql(dialect: str) -> str:
+    """Band-signature rows for the DD4/DD6 LSH bucket join (see
+    sql_minhash_candidates for why the renderings differ per engine)."""
     sigs_of = []
     for b in range(N_HASHES // BAND_SIZE):
         cols = [f"h{b * BAND_SIZE + j}" for j in range(1, BAND_SIZE + 1)]
@@ -315,23 +318,31 @@ def sql_minhash_candidates(dialect: str) -> str:
             f"named_struct('band_id', {b}, 'band_sig', {sig})"
             for b, sig in enumerate(sigs_of)
         )
-        bands_sql = (
+        return (
             f"SELECT doc_id, _b.band_id, _b.band_sig FROM sigs "
             f"LATERAL VIEW explode(array({structs})) _e AS _b"
         )
-    else:
-        bands_sql = " UNION ALL ".join(
-            f"SELECT doc_id, {b} AS band_id, {sig} AS band_sig FROM sigs"
-            for b, sig in enumerate(sigs_of)
-        )
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, {sig} AS band_sig FROM sigs"
+        for b, sig in enumerate(sigs_of)
+    )
+
+
+def sql_minhash_candidates(dialect: str) -> str:
+    """DD4 — LSH banding: 4 bands × 4 rows; docs sharing any band signature
+    become candidate near-dup pairs (the bucket-join is the only shuffle).
+
+    Spark rendering explodes the 4 band signatures from ONE array per row —
+    a UNION ALL of per-band selects would inline (and recompute) the whole
+    signature aggregation once per branch per join side (8×).  DuckDB keeps
+    the UNION ALL form (its optimizer dedupes; structs-in-lists unnest
+    differently there)."""
+    bands_sql = _bands_sql(dialect)
     return f"""
 WITH {_minhash_sig_cte(dialect)},
-bands AS ({bands_sql})
-SELECT b1.doc_id AS doc_a, b2.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands b1
-JOIN bands b2 ON b1.band_id = b2.band_id AND b1.band_sig = b2.band_sig
-            AND b1.doc_id < b2.doc_id
-GROUP BY b1.doc_id, b2.doc_id
+bands AS ({bands_sql}),
+{_CAND_CTE}
+SELECT doc_a, doc_b, n_shared_bands FROM cand
 """
 
 
@@ -357,6 +368,44 @@ hashed_docs AS (
 )
 SELECT doc_id, {sig} AS simhash16
 FROM hashed_docs
+"""
+
+
+def sql_dup_clusters(dialect: str) -> str:
+    """DD6 — duplicate CLUSTERS: connected components over the DD4 candidate
+    pairs, one row per clustered doc with its component's min-id label, the
+    component size, and the canonical-survivor flag (doc_id == cluster_id).
+
+    SQL form = transitive closure by recursive CTE (fine for an oracle at
+    test SF; ``reach`` is O(Σ component_size²) rows).  The ENGINE path is
+    ``operators.dedup.dup_clusters`` — iterative min-label propagation, one
+    bounded shuffle per round — which is what survives 100 TB; the driver
+    compares its values against this SQL.  DuckDB-only: Spark 4.1's
+    recursive CTEs reject set-semantics UNION (UNION_NOT_SUPPORTED_IN_
+    RECURSIVE_CTE), and UNION ALL recursion never terminates on the cyclic
+    dup graph — so there is no Spark rendering; the engine path is the
+    iterative operator.
+    """
+    bands_sql = _bands_sql(dialect)
+    return f"""
+WITH RECURSIVE {_minhash_sig_cte(dialect)},
+bands AS ({bands_sql}),
+{_CAND_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.doc_id, cc.cluster_id, sizes.cluster_size,
+       (cc.doc_id = cc.cluster_id) AS is_canonical
+FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
 """
 
 
@@ -419,3 +468,25 @@ def _dd2_sql_rendering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dd2_ngram_jaccard"] = _dd2_materialized
+
+
+def _dd6_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD6, Spark side: DD4's SQL pair plan (identical-by-construction to
+    the oracle's ``cand`` CTE) feeding the ITERATIVE connected-components
+    operator — the scale path; the recursive-CTE text is the oracle."""
+    from ..operators.dedup import dup_clusters
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    pairs = spark.sql(sql_minhash_candidates("spark"))
+    cc = dup_clusters(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+QUERIES["dd6_dup_clusters"] = _dd6_clusters
+TEXT_ORACLES["dd6_dup_clusters"] = sql_dup_clusters("duck")

@@ -224,3 +224,27 @@ def test_jaccard_materialized_matches_pure_plan(spark, docs):
         )
     )
     assert pure == mat and len(pure) > 0
+
+
+def test_dup_clusters_chain_and_components(spark):
+    """Connected components: a 4-node chain (transitive links, never a
+    direct pair) collapses to one cluster labeled by its min id; a separate
+    pair forms its own; singletons (docs in no pair) are absent by design."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_cycle_and_empty(spark):
+    """Cycles converge (min propagates around the ring); an empty pair set
+    yields an empty frame instead of diverging."""
+    ring = spark.createDataFrame([(5, 6), (6, 7), (7, 5)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["cluster_id"] for r in dedup.dup_clusters(ring).collect()}
+    assert got == {5: 5, 6: 5, 7: 5}
+    empty = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    assert dedup.dup_clusters(empty).count() == 0
