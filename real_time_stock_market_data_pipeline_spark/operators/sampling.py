@@ -1,0 +1,62 @@
+"""Deterministic sampling & dataset-split operators for corpus preparation.
+
+A training-data pipeline must split a corpus into train/val/test and draw
+reproducible subsamples.  RNG-based splits (``df.randomSplit``,
+``TABLESAMPLE``) are unstable across engines, partitionings, and reruns —
+a document's assignment would change when the cluster layout does.  These
+operators instead bucket each row by a deterministic content hash of its id
+(the engine-neutral polynomial fold, plans/dialect.tok_hash), so:
+
+  * the same id lands in the same split on ANY engine (oracle-checkable);
+  * re-ingesting or repartitioning never moves a document between splits —
+    the property that prevents test-set leakage across pipeline runs;
+  * per-stratum ratios concentrate tightly around the target weights
+    (hash uniformity), without a per-stratum shuffle: the assignment is a
+    pure per-row projection, embarrassingly parallel at 100 TB.
+
+No reference counterpart (the reference pipeline has no corpus tooling);
+this extends its engine to the training-data workload (SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.dialect import tok_hash
+
+N_BUCKETS = 100
+# Split thresholds over the 100 hash buckets: [0,80) train, [80,90) val,
+# [90,100) test.  Mirrored verbatim in plans/text_parity.sql_hash_split.
+SPLIT_BOUNDS = {"train": (0, 80), "val": (80, 90), "test": (90, 100)}
+
+
+def hash_bucket_col(id_col: str = "doc_id", n_buckets: int = N_BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the id's string form."""
+    return F.expr(tok_hash("spark", f"CAST({id_col} AS STRING)")) % n_buckets
+
+
+def split_col(id_col: str = "doc_id") -> Column:
+    """'train' | 'val' | 'test' assignment from the id hash bucket."""
+    b = hash_bucket_col(id_col)
+    expr = F.lit(None).cast("string")
+    for name, (lo, hi) in SPLIT_BOUNDS.items():
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Add (bucket, split) columns — a pure projection, no shuffle."""
+    return df.withColumn("bucket", hash_bucket_col(id_col)).withColumn(
+        "split", split_col(id_col)
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id", n_buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Keep rows whose hash bucket falls under ``rate`` — a reproducible
+    ~rate subsample that is STABLE under reruns and repartitioning, and
+    NESTED: sample(0.1) ⊆ sample(0.3) ⊆ sample(1.0), which lets scaling
+    experiments grow the corpus monotonically."""
+    return df.filter(hash_bucket_col(id_col, n_buckets) < int(rate * n_buckets))

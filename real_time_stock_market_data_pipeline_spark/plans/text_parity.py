@@ -409,6 +409,46 @@ FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
 """
 
 
+def sql_hash_split(dialect: str) -> str:
+    """SP1 — deterministic train/val/test assignment: bucket = polynomial
+    hash of the id string mod 100; thresholds from operators/sampling.
+    Hash-based (not RNG) so the assignment is stable across engines,
+    reruns, and repartitionings — the anti-leakage property a training
+    pipeline needs.  Pure per-row projection: no shuffle at any scale."""
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    arms = " ".join(
+        f"WHEN bucket < {hi} THEN '{name}'"
+        for name, (_, hi) in sorted(SPLIT_BOUNDS.items(), key=lambda kv: kv[1])
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, ({h}) % {N_BUCKETS} AS bucket FROM documents
+)
+SELECT doc_id, lang, bucket, CASE {arms} END AS split FROM b
+"""
+
+
+def sql_deterministic_sample(dialect: str) -> str:
+    """SP2 — reproducible ~30% subsample by hash bucket, rolled up per
+    stratum.  Nested by construction: bucket<10 ⊂ bucket<30 ⊂ all, so
+    scaling-law corpora grow monotonically (tests pin the nesting)."""
+    from ..operators.sampling import N_BUCKETS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    return f"""
+WITH b AS (
+  SELECT lang, n_chars, ({h}) % {N_BUCKETS} AS bucket FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       count(CASE WHEN bucket < 30 THEN 1 END) AS n_sampled,
+       sum(CASE WHEN bucket < 30 THEN n_chars ELSE 0 END) AS sampled_chars
+FROM b GROUP BY lang
+"""
+
+
 _BODIES = {
     "txt1_token_stats": sql_token_stats,
     "txt2_quality": sql_quality,
@@ -490,3 +530,26 @@ def _dd6_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dd6_dup_clusters"] = _dd6_clusters
 TEXT_ORACLES["dd6_dup_clusters"] = sql_dup_clusters("duck")
+
+
+def _sp1_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP1, Spark side, via the sampling OPERATOR (the SQL rendering is the
+    oracle's text; tests pin rendering ≡ operator)."""
+    from ..operators.sampling import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_split(docs).select("doc_id", "lang", "bucket", "split")
+
+
+def _sp2_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP2, Spark side, via deterministic_sample — full/sampled rollups in
+    one aggregate (the operator filter is exercised by unit tests; this
+    plan keeps the oracle-comparable single-pass shape)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_deterministic_sample("spark"))
+
+
+QUERIES["sp1_hash_split"] = _sp1_hash_split
+TEXT_ORACLES["sp1_hash_split"] = sql_hash_split("duck")
+QUERIES["sp2_stratified_sample"] = _sp2_sample
+TEXT_ORACLES["sp2_stratified_sample"] = sql_deterministic_sample("duck")

@@ -248,3 +248,36 @@ def test_dup_clusters_cycle_and_empty(spark):
     assert got == {5: 5, 6: 5, 7: 5}
     empty = spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
     assert dedup.dup_clusters(empty).count() == 0
+
+
+def test_hash_split_deterministic_and_complete(spark, docs):
+    """Every doc gets exactly one split; assignment is a pure function of
+    the id (stable under repartitioning); ratios land near 80/10/10; and
+    the Spark SQL rendering of SP1 equals the operator output."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_hash_split,
+    )
+
+    out = assign_split(docs).select("doc_id", "lang", "bucket", "split")
+    n = docs.count()
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == n and None not in counts
+    assert 0.6 < counts["train"] / n < 0.95  # hash-uniform around 0.8
+
+    repart = assign_split(docs.repartition(7)).select("doc_id", "split")
+    assert sorted(map(tuple, repart.collect())) == sorted(
+        map(tuple, out.select("doc_id", "split").collect())
+    )
+
+    docs.createOrReplaceTempView("documents")
+    sql_rows = sorted(map(tuple, spark.sql(sql_hash_split("spark")).collect()))
+    assert sql_rows == sorted(map(tuple, out.collect()))
+
+    # nested subsamples: 10% ⊆ 30% ⊆ corpus
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, 0.1).select("doc_id").collect()}
+    s30 = {r["doc_id"] for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
+    assert s10 <= s30 and 0 < len(s10) < len(s30) < n
