@@ -747,3 +747,9 @@ ORACLES["emb5_ivf_trained_recall"] = """
 SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results, true AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """
+
+# DQ1: the same expectation suite rendered as ANSI UNION ALL branches —
+# single source of truth for check names/predicates in operators/quality.py.
+from ..operators.quality import expectations_sql as _expectations_sql  # noqa: E402
+
+ORACLES["dq1_expectations"] = _expectations_sql()

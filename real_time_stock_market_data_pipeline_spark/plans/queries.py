@@ -1219,3 +1219,16 @@ def flagship_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         has("macd", "has_macd"), has("volatility", "has_volatility"),
         has("price_change_percent", "has_price_change"),
     )
+
+
+@register("dq1_expectations")
+def dq1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1 — the declarative data-quality audit (operators/quality.py):
+    every default expectation as one report row.  Extends the reference's
+    row-level ingest validation (P7, shared/data_validation.py) to the
+    batch-audit form a warehouse needs before trusting data for training.
+    One scan per audited table for all its pred/unique checks; one
+    dim-sized join per fk check."""
+    from ..operators.quality import audit
+
+    return audit(spark, sf_dir)

@@ -1,0 +1,68 @@
+"""Data-quality expectations: violation detection on constructed dirty
+data (the sf tables are clean by generation, so parity alone would never
+prove the counting logic catches anything)."""
+
+import pyspark.sql.functions as F
+
+from real_time_stock_market_data_pipeline_spark.operators import quality
+
+
+def _report_map(df):
+    return {
+        r["check_name"]: (r["n_rows"], r["n_violations"], r["passed"])
+        for r in df.collect()
+    }
+
+
+def test_dirty_data_detected(spark):
+    events = spark.createDataFrame(
+        [
+            (1, "click", 5.0),
+            (2, "click", None),       # value_present violation
+            (3, "hover", 1.0),        # type_in_domain violation
+            (4, "view", -2.0),        # value_positive violation
+            (4, "view", 3.0),         # id_unique violation (dup id 4)
+        ],
+        "event_id BIGINT, event_type STRING, value DOUBLE",
+    )
+    orders = spark.createDataFrame(
+        [(100, 1, 50.0), (101, 2, -1.0), (102, 99, 10.0)],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+    )
+    customer = spark.createDataFrame([(1,), (2,)], "c_custkey BIGINT")
+
+    specs = [
+        s
+        for s in quality.DEFAULT_EXPECTATIONS
+        if s.table in ("events", "orders") and "lineitem" not in s.name
+    ]
+    rep = _report_map(
+        quality.expectations_report(
+            {"events": events, "orders": orders, "customer": customer}, specs
+        )
+    )
+    assert rep["events_value_present"] == (5, 1, False)
+    assert rep["events_value_positive"] == (5, 2, False)  # NULL counts too
+    assert rep["events_type_in_domain"] == (5, 1, False)
+    assert rep["events_id_unique"] == (5, 1, False)
+    assert rep["orders_price_positive"] == (3, 1, False)
+    assert rep["orders_customer_fk"] == (3, 1, False)  # custkey 99 orphaned
+
+
+def test_clean_data_passes_and_sql_agrees(spark, sf_dir):
+    """The sf tables satisfy every default contract, and the Spark SQL
+    rendering of the suite (the oracle's text) matches the DataFrame
+    operator row-for-row."""
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    rep = quality.audit(spark, sf_dir)
+    assert rep.filter(~F.col("passed")).count() == 0
+    assert rep.count() == len(quality.DEFAULT_EXPECTATIONS)
+
+    names = {s.table for s in quality.DEFAULT_EXPECTATIONS} | {
+        s.parent_table for s in quality.DEFAULT_EXPECTATIONS if s.parent_table
+    }
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    sql_rows = sorted(map(tuple, spark.sql(quality.expectations_sql()).collect()))
+    assert sql_rows == sorted(map(tuple, rep.collect()))
