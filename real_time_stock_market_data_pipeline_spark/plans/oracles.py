@@ -753,3 +753,12 @@ FROM embeddings WHERE vec_id < 5
 from ..operators.quality import expectations_sql as _expectations_sql  # noqa: E402
 
 ORACLES["dq1_expectations"] = _expectations_sql()
+
+# A9: the oracle computes the exact columns and pins the sketch-validation
+# flags to literal TRUE — a failed bound hash-mismatches the row.
+ORACLES["a9_sketch_rollup"] = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS exact_users,
+       true AS hll_within_bound, true AS p50_within_bound
+FROM events GROUP BY event_type
+"""

@@ -153,3 +153,13 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert 1 <= plan.count("Exchange hashpartitioning") <= 2
     assert "Window" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_a9_sketch_bounds_hold_at_bench_scale(spark):
+    """The sketch-validation flags must stay TRUE at sf0.1 too (the bench
+    scale) — parity only checks sf0.001/0.01; a cardinality jump that blew
+    the HLL/percentile gates would otherwise surface as a driver hash
+    mismatch instead of a readable failure here."""
+    out = QUERIES["a9_sketch_rollup"](spark, "/root/testdata/sf0.1").collect()
+    assert len(out) == 5
+    assert all(r["hll_within_bound"] and r["p50_within_bound"] for r in out)
