@@ -293,6 +293,97 @@ def upsert_parquet(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, tuple[int, int]]:
+    """Bin-pack a store's small parquet files (the OPTIMIZE analogue).
+
+    Streaming/micro-batch appends accrete files: a store written by a
+    one-minute ``foreachBatch`` sink grows ~1440 files per partition per
+    day, and at 100 TB the scan's task count — and the namenode/listing
+    pressure — is driven by file COUNT, not bytes.  Compaction rewrites
+    each offending partition into ``ceil(bytes / target_file_bytes)``
+    files (128 MB default: one row-group-sized scan task per file).
+
+    Protocol: per-partition rewrites go to one ``__staging_`` sibling,
+    the ``_UPSERT_COMMIT`` marker is written after ALL rewrites are
+    durable, then touched ``col=value`` dirs are swapped in — byte-for-
+    byte the ``upsert_parquet`` pruned-swap layout, so EVERY crash window
+    is repaired by the same ``recover_upsert(path)`` rule (complete
+    staging rolls forward, incomplete rolls back); like the upsert it is
+    single-writer and driver-local-path only.  Untouched partitions are
+    never read, never rewritten.  Flat (unpartitioned) stores compact as
+    one full swap.  Returns ``{partition_entry: (files_before,
+    files_after)}`` for the rewritten partitions (empty dict = store
+    already compact).  Idempotent: a second run returns {}.
+    """
+    _require_local_path(path, "compact_parquet")
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories from an interrupted "
+            f"upsert/compaction: {leftovers}; run recover_upsert({path!r}) first"
+        )
+
+    def _data_files(d: str) -> list[str]:
+        return [
+            f
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(d, f))
+        ]
+
+    def _need(d: str, files: list[str]) -> int:
+        total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        return max(1, -(-total // target_file_bytes))
+
+    entries = _partition_entries(path)
+    if not entries:
+        files = _data_files(path)
+        need = _need(path, files)
+        if len(files) <= need:
+            return {}
+        merged = spark.read.parquet(path).coalesce(need)
+        staging = f"{path}__staging_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(staging)
+        _mark_staging_complete(staging)
+        old = f"{path}__old_{uuid.uuid4().hex}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+        return {".": (len(files), len(_data_files(path)))}
+
+    plan: list[tuple[str, int, int]] = []
+    for e in entries:
+        d = os.path.join(path, e)
+        files = _data_files(d)
+        need = _need(d, files)
+        if len(files) > need:
+            plan.append((e, need, len(files)))
+    if not plan:
+        return {}
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    summary: dict[str, tuple[int, int]] = {}
+    for e, need, n_before in plan:
+        # partition-dir files carry no partition column, and are written
+        # back the same way — the dir name IS the column value
+        part = spark.read.parquet(os.path.join(path, e)).coalesce(need)
+        part.write.mode("overwrite").parquet(os.path.join(staging, e))
+        summary[e] = (n_before, len(_data_files(os.path.join(staging, e))))
+    _mark_staging_complete(staging)
+    trash = f"{path}__old_{uuid.uuid4().hex}"
+    os.makedirs(trash)
+    for e, _, _ in plan:
+        dst = os.path.join(path, e)
+        os.rename(dst, os.path.join(trash, e))
+        os.rename(os.path.join(staging, e), dst)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    return summary
+
+
 def recover_upsert(path: str) -> list[str]:
     """Repair an ``upsert_parquet`` interrupted in any crash window; returns
     the actions taken (empty list = nothing to repair).  Deterministic

@@ -357,3 +357,75 @@ def test_migration_existing_days_win(spark, sf_dir):
     merged = migrate_realtime_to_historical(ticks, poisoned)
     assert merged.count() == n
     assert merged.filter("close_price <> -1.0").count() == 0
+
+
+def _store_with_small_files(spark, tmp_path, name="cstore", days=3, files_per_day=6):
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt  # noqa: F401
+
+    path = str(tmp_path / name)
+    df = spark.range(600).selectExpr(
+        "id", "id % 3 AS day", "CAST(id AS DOUBLE) * 1.5 AS v"
+    )
+    df.repartition(files_per_day).write.partitionBy("day").parquet(path)
+    return path, df
+
+
+def test_compact_parquet_partitioned(spark, tmp_path):
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    path, df = _store_with_small_files(spark, tmp_path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    summary = mnt.compact_parquet(spark, path)
+    assert set(summary) == {"day=0", "day=1", "day=2"}
+    assert all(b > 1 and a == 1 for b, a in summary.values())
+    for e in summary:
+        n = len(
+            [
+                f
+                for f in os.listdir(os.path.join(path, e))
+                if not f.startswith(("_", "."))
+            ]
+        )
+        assert n == 1
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # idempotent — second run finds nothing to do
+    assert mnt.compact_parquet(spark, path) == {}
+
+
+def test_compact_parquet_flat_store(spark, tmp_path):
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    path = str(tmp_path / "flat")
+    spark.range(500).repartition(8).write.parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    summary = mnt.compact_parquet(spark, path)
+    assert summary == {".": (8, 1)}
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    assert mnt.compact_parquet(spark, path) == {}
+
+
+def test_compact_crash_windows_recover(spark, tmp_path, monkeypatch):
+    """A compaction killed mid-swap repairs through the SAME recover_upsert
+    rule as the upsert (shared staging protocol): complete staging rolls
+    forward to the compacted state; the store never loses a row."""
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    path, df = _store_with_small_files(spark, tmp_path, name="crash")
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    with pytest.raises(OSError):
+        _fail_rename_after(monkeypatch, 3)  # dies inside the swap loop
+        mnt.compact_parquet(spark, path)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="orphaned"):
+        mnt.compact_parquet(spark, path)
+
+    actions = mnt.recover_upsert(path)
+    assert actions
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    # post-recovery the store is fully compacted: nothing left to do
+    assert mnt.compact_parquet(spark, path) == {}
