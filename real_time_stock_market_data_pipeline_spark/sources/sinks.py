@@ -78,6 +78,39 @@ def write_bucketed(
     )
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    col: str,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet range-clustered on ``col``: ``repartitionByRange``
+    gives each output file a DISJOINT value range and an in-file sort, so
+    every parquet row-group's footer min/max (its zone map) is tight.  A
+    range predicate on ``col`` then skips whole row groups at the reader —
+    on a time-series store this turns "scan the year" into "scan the hour"
+    WITHOUT hive partitioning's directory explosion (a partition column
+    must be low-cardinality; a sort column need not be).
+
+    The two layouts compose: partition by date for pruning + retention,
+    range-sort within partitions by (symbol, ts) for row-group skipping —
+    that is the 100 TB tick-store layout.  Limits to be honest about:
+    plain parquet skips at ROW-GROUP level only (each task still opens its
+    file's footer); FILE-level skipping from a stats catalog is what
+    Delta/Iceberg add.  ``repartitionByRange`` samples the column to place
+    balanced split points, so files come out size-uniform even on skewed
+    timestamps.  tests/test_sinks.py pins the skipping with scan metrics
+    (sorted layout reads ~matching rows; shuffled layout reads the world).
+    """
+    parts = (
+        df.repartitionByRange(n_files, F.col(col))
+        if n_files
+        else df.repartitionByRange(F.col(col))
+    )
+    parts.sortWithinPartitions(col).write.mode(mode).parquet(path)
+
+
 def jdbc_append(
     df: DataFrame,
     url: str,

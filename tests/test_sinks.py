@@ -65,3 +65,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_ticks")
         spark.sql("DROP TABLE IF EXISTS bkt_daily")
+
+
+def test_range_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
+    """write_range_sorted gives each file a disjoint value range, so a
+    range predicate's parquet footer min/max check (zone map) skips whole
+    row groups: the scan MATERIALIZES only the overlapping groups, while
+    the same predicate over a shuffled layout reads every row.  Results
+    are identical — the layout changes IO, not semantics."""
+    from real_time_stock_market_data_pipeline_spark.sources.sinks import (
+        write_range_sorted,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/../sf0.01/events.parquet")
+    write_range_sorted(ev, str(tmp_path / "sorted"), "value", 8)
+    ev.repartition(8).write.parquet(str(tmp_path / "shuffled"))
+
+    def scan_rows(path):
+        q = spark.read.parquet(path).filter("value >= 100 AND value < 110")
+        rows = sorted(r["event_id"] for r in q.collect())
+        leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+        read = leaves.apply(0).metrics().apply("numOutputRows").value()
+        return rows, read
+
+    sorted_rows, sorted_read = scan_rows(str(tmp_path / "sorted"))
+    shuffled_rows, shuffled_read = scan_rows(str(tmp_path / "shuffled"))
+    assert sorted_rows == shuffled_rows and len(sorted_rows) > 0
+    assert shuffled_read == ev.count()        # no skipping: reads the world
+    assert sorted_read <= shuffled_read / 2   # zone maps cut materialized IO
