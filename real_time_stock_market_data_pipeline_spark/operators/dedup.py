@@ -191,30 +191,40 @@ def dup_clusters(
     id_a: str = "doc_a",
     id_b: str = "doc_b",
     max_iter: int = 25,
+    max_driver_edges: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, cluster_id) — connected components over candidate pairs.
 
     Near-dup *pairs* (DD2/DD4/emb LSH) are not the end product of corpus
     dedup: transitively-linked docs must land in ONE cluster so a single
-    canonical survivor can be picked.  Components are computed by iterative
-    min-label propagation: every node starts labeled with its own id; each
-    round a node takes the min of its own label and its neighbors' labels.
-    Fixpoint = every node carries the min id of its component.
+    canonical survivor can be picked.  Cluster label = min id in the
+    component.
 
-    Scale shape: one shuffle join (edges ⋈ labels on the neighbor key) plus
-    one groupBy-min per round; rounds ≈ component diameter, which for
-    near-dup graphs is small (dup clusters are cliques-ish through shared
-    shingles).  Lineage is truncated every round with an eager
-    ``localCheckpoint`` so plans stay O(1) deep; convergence is detected by
-    the monotonically-decreasing label sum (one scalar agg per round, no
-    extra join).  For adversarial long-chain graphs the round count is
-    O(diameter) — the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce") drops that to O(log d) but needs
-    the same per-round shuffle; the simple propagation is the right default
-    for dedup-shaped graphs.
+    Adaptive execution, keyed on the DEDUPED edge count (one action over
+    the checkpointed edges):
 
-    Raises if not converged within ``max_iter`` (never observed < graph
-    diameter bounds; a guard, not a tuning knob).
+    * ``≤ max_driver_edges`` — union-find on the driver (path compression
+      + union by size): one collect of edge tuples, exact, O(E α(E)).
+      Candidate-pair sets are SMALL relative to the corpus (LSH emits
+      pairs only for colliding docs — at 1M edges the corpus is typically
+      1000× that), so this is the common case, and 1M tuples ≈ tens of MB
+      — the same bounded-collect contract as the IVF codebook
+      (operators/similarity.py).  Iterating Spark jobs over data this
+      size would pay ~10 scheduler round-trips for nothing.
+    * larger — distributed min-label propagation: every node starts as its
+      own label; each round one shuffle join (edges ⋈ labels on the
+      neighbor key) + one groupBy-min, lineage truncated per round by a
+      lazy ``localCheckpoint`` whose materialization doubles as the
+      convergence check (label sum is monotone decreasing; one scalar agg
+      per round, no extra join).  Rounds ≈ component diameter — small for
+      dedup-shaped graphs (dup clusters are cliques-ish through shared
+      shingles); the large-star/small-star scheme (Kiveris et al.,
+      "Connected Components in MapReduce") gets O(log d) for adversarial
+      chains at the same per-round shuffle cost.  Raises if not converged
+      within ``max_iter`` (a guard, not a tuning knob).
+
+    Both paths compute the same fixpoint; tests force the distributed path
+    with ``max_driver_edges=0`` and pin equality.
     """
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
@@ -222,14 +232,52 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n_edges = edges.count()  # materializes the checkpoint
+
+    if n_edges <= max_driver_edges:
+        parent: dict = {}
+        size: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in edges.toLocalIterator():
+            u, v = row[0], row[1]
+            for n in (u, v):
+                if n not in parent:
+                    parent[n], size[n] = n, 1
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                if size[ru] < size[rv]:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+                size[ru] += size[rv]
+        roots: dict = {}
+        for n in parent:
+            roots.setdefault(find(n), []).append(n)
+        rows = [
+            (n, mn)
+            for members in roots.values()
+            for mn in [min(members)]
+            for n in members
+        ]
+        spark = pairs.sparkSession
+        id_type = pairs.schema[id_a].dataType.simpleString()
+        return spark.createDataFrame(
+            rows, f"doc_id {id_type}, cluster_id {id_type}"
+        )
+
     labels = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
-    # one action materializes both lazy checkpoints (edges is stored for
-    # every round's join; labels for round 1)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(max_iter):
         nbr = edges.join(

@@ -281,3 +281,17 @@ def test_hash_split_deterministic_and_complete(spark, docs):
     s10 = {r["doc_id"] for r in deterministic_sample(docs, 0.1).select("doc_id").collect()}
     s30 = {r["doc_id"] for r in deterministic_sample(docs, 0.3).select("doc_id").collect()}
     assert s10 <= s30 and 0 < len(s10) < len(s30) < n
+
+
+def test_dup_clusters_paths_agree(spark):
+    """The driver union-find (small path) and the distributed propagation
+    (forced with max_driver_edges=0) compute the same fixpoint."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["doc_a", "doc_b"],
+    )
+    small = sorted(map(tuple, dedup.dup_clusters(pairs).collect()))
+    dist = sorted(
+        map(tuple, dedup.dup_clusters(pairs, max_driver_edges=0).collect())
+    )
+    assert small == dist and len(small) == 9
