@@ -16,6 +16,7 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .dialect import d, elem, fold, list_len, r6t, seq
@@ -95,19 +96,16 @@ GROUP BY label, dim
 """
 
 
-def sql_bucketed_near_dup(dialect: str) -> str:
-    """EMB3 — hyperplane-sign LSH near-dup: bucket = sign pattern of the
-    first 16 dims (a 16-bit key); exact cosine verified only inside buckets.
-    The bucket join is the sole shuffle — the 100 TB path, traded against
-    recall for pairs straddling a sign boundary."""
+def _bucketed_pair_ctes(dialect: str) -> str:
+    """keyed + pairs CTE text shared by EMB3 (pair listing) and EMB7
+    (cluster rollup)."""
     bits = " + ".join(
         f"(CASE WHEN CAST({elem(dialect, 'embedding', str(i))} AS DOUBLE) > {d('0.0')} "
         f"THEN {2 ** (i - 1)} ELSE 0 END)"
         for i in range(1, 17)
     )
     cos = _cosine(dialect, "a.embedding", "b.embedding")
-    return f"""
-WITH keyed AS (
+    return f"""keyed AS (
   SELECT vec_id, label, embedding, {bits} AS bucket
   FROM embeddings
 ),
@@ -115,7 +113,16 @@ pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
          {r6t(cos)} AS cosine_sim
   FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
+)"""
+
+
+def sql_bucketed_near_dup(dialect: str) -> str:
+    """EMB3 — hyperplane-sign LSH near-dup: bucket = sign pattern of the
+    first 16 dims (a 16-bit key); exact cosine verified only inside buckets.
+    The bucket join is the sole shuffle — the 100 TB path, traded against
+    recall for pairs straddling a sign boundary."""
+    return f"""
+WITH {_bucketed_pair_ctes(dialect)}
 SELECT vec_a, vec_b, bucket, cosine_sim
 FROM pairs WHERE cosine_sim >= {d('0.2')}
 """
@@ -244,3 +251,55 @@ def _make_query(body):
 
 for _name, _body in _BODIES.items():
     QUERIES[_name] = _make_query(_body)
+
+
+def sql_embedding_clusters(dialect: str) -> str:
+    """EMB7 — embedding near-dup CLUSTERS: connected components over the
+    EMB3 pair graph (cosine ≥ 0.2 inside sign-LSH buckets), labeled by the
+    component's min vec_id, with size and canonical flag — the embedding
+    twin of DD6.  SQL = recursive transitive closure (DuckDB oracle only;
+    see plans/text_parity.sql_dup_clusters for why Spark cannot run
+    set-UNION recursion); the engine path is operators.dedup.dup_clusters."""
+    return f"""
+WITH RECURSIVE {_bucketed_pair_ctes(dialect)},
+nd AS (SELECT vec_a, vec_b FROM pairs WHERE cosine_sim >= {d('0.2')}),
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM nd
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM nd
+),
+reach AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.vec_id, cc.cluster_id, sizes.cluster_size,
+       (cc.vec_id = cc.cluster_id) AS is_canonical
+FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
+"""
+
+
+def _emb7_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB7, Spark side: EMB3's SQL pair plan feeding dup_clusters."""
+    from ..operators.dedup import dup_clusters
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    pairs = spark.sql(sql_bucketed_near_dup("spark")).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    cc = dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return cc.join(sizes, "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("vec_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+QUERIES["emb7_embedding_clusters"] = _emb7_clusters
+EMBEDDING_ORACLES["emb7_embedding_clusters"] = sql_embedding_clusters("duck")
