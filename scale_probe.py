@@ -40,12 +40,17 @@ VIRAL = " the common viral phrase every document now shares"
 EVENT_QUERIES = [
     "a4_daily_summary", "w_all_indicators", "t6_alerts",
     "u3_linreg_metrics", "u2_arima_forecast", "s14_arima_registry",
+    "a9_sketch_rollup", "dq1_expectations",
 ]
 DOC_QUERIES = [
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality",
     "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
+    "dd6_dup_clusters", "sp1_hash_split",
 ]
-EMB_QUERIES = ["emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall"]
+EMB_QUERIES = [
+    "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
+    "emb7_embedding_clusters",
+]
 
 
 def build_scaled(spark) -> str:
@@ -109,7 +114,9 @@ def build_scaled(spark) -> str:
     for c in ecopies[1:]:
         alle = alle.unionByName(c)
     alle.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    for t in ("customer", "nation", "region"):
+    # unscaled dims/facts dq1's fk checks join against (events is the
+    # scaled axis of that probe)
+    for t in ("customer", "nation", "region", "orders", "lineitem"):
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode("overwrite").parquet(
             f"{out}/{t}.parquet"
         )
