@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..sources.readers import load_table
 from .dialect import (
     d,
+    explode_from,
     explode_with_pos,
     fold,
     list_len,
@@ -409,6 +410,79 @@ FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
 """
 
 
+def sql_contamination(dialect: str) -> str:
+    """DD8 — train/test CONTAMINATION check: for every train-split document,
+    how many of its 3-gram shingles also occur anywhere in the test split,
+    and the containment ratio.  The decontamination gate of a training-data
+    pipeline: benchmark/test material leaking into train inflates evals, so
+    docs over a containment threshold get dropped before training.
+
+    Composes two existing layers — SP1's deterministic hash split and the
+    shingle pipeline — so the checked artifact is exactly what the pipeline
+    would deploy.  Scale shape: the test-side shingle set is DISTINCT'd
+    before the join (test splits are ~10% of the corpus, and distinct
+    shingles grow sublinearly), then one equi-join on the shingle hash —
+    same key the dedup family already shuffles on; output is one row per
+    CONTAMINATED train doc (containment > 0).
+    """
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    lo, hi = SPLIT_BOUNDS["test"]
+    return f"""
+WITH {shingles_cte(dialect)},
+split AS (
+  SELECT doc_id, ({h}) % {N_BUCKETS} AS bucket FROM documents
+),
+train_sh AS (
+  SELECT h.doc_id, h.sh FROM hashed h JOIN split s ON h.doc_id = s.doc_id
+  WHERE s.bucket < {SPLIT_BOUNDS["train"][1]}
+),
+test_sh AS (
+  SELECT DISTINCT h.sh FROM hashed h JOIN split s ON h.doc_id = s.doc_id
+  WHERE s.bucket >= {lo} AND s.bucket < {hi}
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM train_sh GROUP BY doc_id
+),
+shared AS (
+  SELECT t.doc_id, count(*) AS n_shared
+  FROM train_sh t JOIN test_sh x ON t.sh = x.sh
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, z.n_shingles, s.n_shared,
+       {r6t("CAST(s.n_shared AS DOUBLE) / z.n_shingles")} AS containment
+FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
+"""
+
+
+def sql_vocab(dialect: str) -> str:
+    """TXT6 — corpus vocabulary head: top-100 tokens by global count
+    (token-string tie-break → total order), with rank and cumulative
+    corpus share.  The standard artifact feeding tokenizer training and
+    stopword policy.  Scale shape: one map-side-combinable count per
+    token, one top-k; the cumulative share is a window over 100 rows."""
+    toks = split_ws(dialect, "text")
+    tok_rows = explode_from(dialect, "d", "toks", "tok", "doc_id")
+    return f"""
+WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok_rows AS ({tok_rows}),
+counts AS (
+  SELECT tok, count(*) AS n FROM tok_rows GROUP BY tok
+),
+total AS (SELECT sum(n) AS t FROM counts),
+ranked AS (
+  SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
+  FROM counts
+)
+SELECT rank, tok, n,
+       {r6t("CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / t")}
+         AS cum_share
+FROM ranked CROSS JOIN total
+WHERE rank <= 100
+"""
+
+
 def sql_hash_split(dialect: str) -> str:
     """SP1 — deterministic train/val/test assignment: bucket = polynomial
     hash of the id string mod 100; thresholds from operators/sampling.
@@ -460,6 +534,8 @@ _BODIES = {
     "dd3_minhash_signatures": sql_minhash_signatures,
     "dd4_minhash_candidates": sql_minhash_candidates,
     "dd5_simhash": sql_simhash,
+    "dd8_contamination": sql_contamination,
+    "txt6_vocab": sql_vocab,
 }
 
 TEXT_ORACLES = {name: body("duck") for name, body in _BODIES.items()}

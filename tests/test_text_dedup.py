@@ -295,3 +295,29 @@ def test_dup_clusters_paths_agree(spark):
         map(tuple, dedup.dup_clusters(pairs, max_driver_edges=0).collect())
     )
     assert small == dist and len(small) == 9
+
+
+def test_contamination_detects_verbatim_leak(spark):
+    """A train doc that contains a test doc verbatim gets containment ≈ 1;
+    a train doc sharing no trigram is absent from the report."""
+    from real_time_stock_market_data_pipeline_spark.operators.text import _poly_hash
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_contamination,
+    )
+
+    test_ids = [i for i in range(1000) if _poly_hash(str(i)) % 100 >= 90]
+    train_ids = [i for i in range(1000) if _poly_hash(str(i)) % 100 < 80]
+    leak_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (test_ids[0], leak_text, "en", "s", 1),
+        (train_ids[0], "prefix words " + leak_text + " suffix words", "en", "s", 1),
+        (train_ids[1], "totally unrelated clean vocabulary here now", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {r["doc_id"]: r for r in spark.sql(sql_contamination("spark")).collect()}
+    assert train_ids[1] not in got
+    leak = got[train_ids[0]]
+    # every one of the leaked text's 6 trigrams is in the train doc's set
+    assert leak["n_shared"] == 6 and leak["containment"] > 0.5
