@@ -295,3 +295,106 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine_sim").desc(), F.col(vec_id).asc())
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _collect_codebook(
+    centroids: DataFrame, centroid_id: str = "centroid_id", vec: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Driver-side codebook collect behind the MAX_CODEBOOK_DOUBLES guard
+    (shared by ivf_topk and the persisted-index path)."""
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(F.col(centroid_id), F.col(vec)).collect()
+    ]
+    doubles = sum(len(v) for _, v in cents)
+    if doubles > MAX_CODEBOOK_DOUBLES:
+        raise ValueError(
+            f"IVF codebook of {len(cents)} centroids × dim "
+            f"≈ {doubles:,} doubles exceeds the per-task closure boundary "
+            f"({MAX_CODEBOOK_DOUBLES:,} ≈ 80 MB serialized): shard the "
+            "codebook behind a coarse quantizer (IVF-HNSW style) or use a "
+            "broadcast-join assignment instead of the closure path"
+        )
+    return cents
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> None:
+    """Persist the IVF search structure — index ONCE, search many:
+
+    * ``<path>/centroids`` — the codebook (k rows).
+    * ``<path>/lists`` — every corpus vector assigned to its nearest list,
+      PARTITIONED BY the list id: the inverted lists ARE hive partitions,
+      so a search's probe filter prunes whole directories — a 1000-list
+      index reads ~n_probe/1000 of the corpus bytes per query batch, and
+      adding vectors is an append to the affected list partitions.
+
+    Build cost: one map-only Arrow assignment pass over the corpus + one
+    shuffle on the list id for the partitioned write.  This is the
+    ANN analogue of the model registry (ml/persistence): the expensive
+    artifact (codebook + assignment) outlives the session.
+    """
+    cents = _collect_codebook(centroids, centroid_id, vec)
+    centroids.select(F.col(centroid_id), F.col(vec)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+    (
+        corpus.select(
+            F.col(vec_id),
+            F.col(vec),
+            centroid_argmax_pandas(cents)(F.col(vec)).alias(centroid_id),
+        )
+        .write.mode("overwrite")
+        .partitionBy(centroid_id)
+        .parquet(f"{path}/lists")
+    )
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Search a persisted IVF index: rank the stored codebook per query
+    (Arrow batch, driver-side k·d doubles), read ONLY the probed list
+    partitions (the ``isin`` filter on the partition column prunes at the
+    directory level — plan-tested), exact cosine inside them, top-k.
+
+    The probed-list collect is bounded by the codebook size (≤ k lists),
+    not the query count — same bounded-driver-footprint contract as the
+    codebook itself."""
+    from pyspark.sql import Window
+
+    cents = _collect_codebook(spark.read.parquet(f"{path}/centroids"), centroid_id, vec)
+    probes = queries.select(
+        F.col(query_id),
+        F.col(vec).alias("__qvec"),
+        F.explode(centroid_topn_pandas(cents, n_probe)(F.col(vec))).alias(centroid_id),
+    )
+    probed_ids = sorted(
+        r[0] for r in probes.select(centroid_id).distinct().collect()
+    )
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col(centroid_id).isin(probed_ids)
+    )
+    scored = (
+        probes.join(lists, centroid_id)
+        .withColumn("cosine_sim", cosine_col(F.col("__qvec"), F.col(vec)))
+        .select(query_id, vec_id, "cosine_sim")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(vec_id).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

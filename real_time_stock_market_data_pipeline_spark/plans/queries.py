@@ -1277,3 +1277,64 @@ def a9_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS p50_within_bound
         FROM sk JOIN ex ON sk.event_type = ex.event_type
     """)
+
+
+@register("emb8_ivf_index_search")
+def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB8 — PERSISTED IVF index: train the codebook, write the inverted
+    lists as hive partitions (operators/similarity.build_ivf_index — the
+    index-once/search-many ANN registry, the similarity twin of the
+    s13/s14 model registry), then answer queries FROM the index
+    (search_ivf_index: probed list partitions pruned at the directory
+    level, plan-tested in test_text_dedup).
+
+    Driver row per query: top-10 from the persisted index must EQUAL the
+    in-memory ivf_topk over the same codebook rank-for-rank (persistence
+    changes storage, never results), and recover ≥9/10 of the exact
+    brute-force ranking — both gates computed in-plan, oracle pins them
+    TRUE."""
+    import os
+    import tempfile
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import (
+        build_ivf_index,
+        cosine_topk,
+        ivf_topk,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=3)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_ivf_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    build_ivf_index(emb, cents, path)
+    from_index = search_ivf_index(spark, path, queries_df, k=10, n_probe=7)
+    fresh = ivf_topk(queries_df, emb, cents, k=10, n_probe=7)
+    brute = cosine_topk(queries_df, emb, k=10)
+    joined = (
+        from_index.select("query_id", "rk", F.col("vec_id").alias("v_idx"))
+        .join(
+            fresh.select("query_id", "rk", F.col("vec_id").alias("v_fresh")),
+            ["query_id", "rk"],
+            "full",
+        )
+        .join(
+            brute.select("query_id", F.col("vec_id").alias("v_idx"))
+            .withColumn("__hit", F.lit(1)),
+            ["query_id", "v_idx"],
+            "left",
+        )
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (F.sum(F.when(F.col("v_idx") == F.col("v_fresh"), 1).otherwise(0))
+         == F.count(F.lit(1))).alias("index_matches_fresh"),
+        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= 9).alias("recall_ok"),
+    )

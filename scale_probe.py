@@ -45,7 +45,7 @@ EVENT_QUERIES = [
 DOC_QUERIES = [
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality",
     "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
-    "dd6_dup_clusters", "sp1_hash_split",
+    "dd6_dup_clusters", "sp1_hash_split", "dd8_contamination", "txt6_vocab",
 ]
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",

@@ -321,3 +321,42 @@ def test_contamination_detects_verbatim_leak(spark):
     leak = got[train_ids[0]]
     # every one of the leaked text's 6 trigrams is in the train doc's set
     assert leak["n_shared"] == 6 and leak["containment"] > 0.5
+
+
+def test_ivf_index_search_prunes_list_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF lists are hive partitions on the list id; a search
+    with n_probe=2 of k=8 must hit the scan with a PartitionFilters entry
+    (directory-level pruning), and its results must match the in-memory
+    ivf_topk over the same codebook."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import kmeans_fit
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        search_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, n_iter=2)
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb, cents, path)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = search_ivf_index(spark, path, queries, k=5, n_probe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # several FileScans exist (queries, centroids, lists) — the lists scan
+    # is the one whose PartitionFilters mention the list id
+    assert any(
+        "centroid_id" in seg[:250] for seg in plan.split("PartitionFilters")[1:]
+    ), plan[plan.find("FileScan"):][:500]
+
+    got = sorted(map(tuple, res.select("query_id", "rk", "vec_id").collect()))
+    exp = sorted(
+        map(
+            tuple,
+            ivf_topk(queries, emb, cents, k=5, n_probe=2)
+            .select("query_id", "rk", "vec_id")
+            .collect(),
+        )
+    )
+    assert got == exp and len(got) == 15
