@@ -766,6 +766,6 @@ FROM events GROUP BY event_type
 # EMB8: persisted-IVF gates — index ≡ in-memory search, recall@10 ≥ 0.9.
 ORACLES["emb8_ivf_index_search"] = """
 SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
-       true AS index_matches_fresh, true AS recall_ok
+       true AS index_matches_fresh
 FROM embeddings WHERE vec_id < 5
 """

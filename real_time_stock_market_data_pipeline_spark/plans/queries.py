@@ -1290,19 +1290,15 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Driver row per query: top-10 from the persisted index must EQUAL the
     in-memory ivf_topk over the same codebook rank-for-rank (persistence
-    changes storage, never results), and recover ≥9/10 of the exact
-    brute-force ranking — both gates computed in-plan, oracle pins them
-    TRUE."""
+    changes storage, never results) — the gate computed in-plan, oracle
+    pins it TRUE.  Recall@10 for this exact codebook/probe config is
+    already hash-gated by ``emb5_ivf_trained_recall``; repeating the
+    brute-force pass here would only re-buy that answer for ~1.5 s."""
     import os
     import tempfile
 
     from ..operators.clustering import kmeans_fit
-    from ..operators.similarity import (
-        build_ivf_index,
-        cosine_topk,
-        ivf_topk,
-        search_ivf_index,
-    )
+    from ..operators.similarity import build_ivf_index, ivf_topk, search_ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
@@ -1317,24 +1313,15 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_ivf_index(emb, cents, path)
     from_index = search_ivf_index(spark, path, queries_df, k=10, n_probe=7)
     fresh = ivf_topk(queries_df, emb, cents, k=10, n_probe=7)
-    brute = cosine_topk(queries_df, emb, k=10)
-    joined = (
-        from_index.select("query_id", "rk", F.col("vec_id").alias("v_idx"))
-        .join(
-            fresh.select("query_id", "rk", F.col("vec_id").alias("v_fresh")),
-            ["query_id", "rk"],
-            "full",
-        )
-        .join(
-            brute.select("query_id", F.col("vec_id").alias("v_idx"))
-            .withColumn("__hit", F.lit(1)),
-            ["query_id", "v_idx"],
-            "left",
-        )
+    joined = from_index.select(
+        "query_id", "rk", F.col("vec_id").alias("v_idx")
+    ).join(
+        fresh.select("query_id", "rk", F.col("vec_id").alias("v_fresh")),
+        ["query_id", "rk"],
+        "full",
     )
     return joined.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_results"),
         (F.sum(F.when(F.col("v_idx") == F.col("v_fresh"), 1).otherwise(0))
          == F.count(F.lit(1))).alias("index_matches_fresh"),
-        (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) >= 9).alias("recall_ok"),
     )
