@@ -398,3 +398,49 @@ def search_ivf_index(
         F.col("cosine_sim").desc(), F.col(vec_id).asc()
     )
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def assign_centroids_join(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as a BROADCAST JOIN — the documented
+    fallback past ``MAX_CODEBOOK_DOUBLES`` (where the Arrow-closure path
+    would ship an 80 MB+ codebook with every task).
+
+    Shape: corpus ⋈ broadcast(centroids) scores k rows per vector JVM-side
+    (the cosine fold), then a single map-side ``max_by(struct)`` reduction
+    per vector picks the best list — rounded similarity with lowest-cid
+    tie-break, the SAME total order as ``centroid_argmax_pandas``
+    (equality pinned by test).  The broadcast ships the codebook ONCE per
+    executor instead of once per task closure; the k-fanout is the cost —
+    use the Arrow path below the boundary, this above it.
+
+    (At k·d beyond broadcast limits too (~8 GB), a coarse quantizer over
+    codebook shards is the remaining step — IVF-HNSW territory.)
+    """
+    c = centroids.select(
+        F.col(centroid_id).alias("__cid"), F.col(vec).alias("__cvec")
+    )
+    scored = corpus.join(F.broadcast(c)).select(
+        F.col(vec_id),
+        F.col(vec),
+        F.col("__cid"),
+        # 6-decimal rounding mirrors the Arrow path's float64 argmax to
+        # well past its discrimination, while absorbing fold-order ulps
+        F.round(cosine_col(F.col(vec), F.col("__cvec")), 6).alias("__sim"),
+    )
+    best = scored.groupBy(vec_id).agg(
+        F.max_by(
+            F.struct(F.col(vec).alias("v")),
+            F.struct(F.col("__sim").alias("s"), (-F.col("__cid")).alias("c")),
+        ).alias("__bv"),
+        F.max_by(
+            F.col("__cid"),
+            F.struct(F.col("__sim").alias("s"), (-F.col("__cid")).alias("c")),
+        ).alias(centroid_id),
+    )
+    return best.select(F.col(vec_id), F.col("__bv.v").alias(vec), F.col(centroid_id))

@@ -360,3 +360,28 @@ def test_ivf_index_search_prunes_list_partitions(spark, sf_dir, tmp_path):
         )
     )
     assert got == exp and len(got) == 15
+
+
+def test_join_assignment_matches_arrow_path(spark, sf_dir):
+    """The broadcast-join centroid assignment (the documented fallback past
+    the codebook closure boundary) agrees with the Arrow argmax path on
+    every vector — same similarity order, same lowest-cid tie-break."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import kmeans_fit
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        _collect_codebook,
+        assign_centroids_join,
+        centroid_argmax_pandas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents_df = kmeans_fit(emb, k=8, n_iter=2)
+    cents = _collect_codebook(cents_df)
+    arrow = emb.select(
+        "vec_id", centroid_argmax_pandas(cents)(F.col("embedding")).alias("cid")
+    )
+    joined = assign_centroids_join(emb, cents_df).select(
+        "vec_id", F.col("centroid_id").alias("cid")
+    )
+    a = {r["vec_id"]: r["cid"] for r in arrow.collect()}
+    b = {r["vec_id"]: r["cid"] for r in joined.collect()}
+    assert a == b and len(a) == emb.count()
