@@ -53,6 +53,40 @@ def refresh_daily_summary(spark: SparkSession, ticks: DataFrame, path: str) -> N
     daily_summary(ticks).write.mode("overwrite").partitionBy("trade_date").parquet(path)
 
 
+def refresh_daily_summary_incremental(
+    spark: SparkSession, batch_ticks: DataFrame, tick_store_path: str, path: str
+) -> None:
+    """INCREMENTAL matview refresh: re-aggregate and rewrite ONLY the days
+    a batch touched.  Call AFTER appending the batch to the
+    date-partitioned tick store (sources/sinks.write_ticks_partitioned).
+
+    The full refresh above re-reads the whole tick history per cycle —
+    fine at test SF, a full-store scan per micro-batch at 100 TB.  Late
+    data makes day aggregates non-mergeable from the matview row alone
+    (avg/min/max need the day's full tick set unless partials are
+    stored), so the increment re-reads the AFFECTED DAY PARTITIONS from
+    the store — a partition-pruned scan bounded by the batch's day span
+    (typically one or two directories), never the history — and the
+    dynamic-partition overwrite rewrites only those matview directories.
+    The touched-day collect is bounded by the batch.  Equality with the
+    full refresh is pinned by test for in-order AND late arrivals."""
+    days = [
+        r[0]
+        for r in batch_ticks.select(
+            F.to_date("trade_datetime").alias("d")
+        ).distinct().collect()
+    ]
+    store = spark.read.parquet(tick_store_path)
+    affected = store.filter(F.col("trade_date").isin(days))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        daily_summary(affected)
+        .write.mode("overwrite")
+        .partitionBy("trade_date")
+        .parquet(path)
+    )
+
+
 def migrate_realtime_to_historical(
     ticks: DataFrame, historical: DataFrame | None
 ) -> DataFrame:

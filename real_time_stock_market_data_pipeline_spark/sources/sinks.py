@@ -127,3 +127,72 @@ def jdbc_append(
     for k, v in (options or {}).items():
         writer = writer.option(k, v)
     writer.mode("append").save()
+
+
+def zorder_key_col(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> tuple[DataFrame, str]:
+    """Append a Morton (Z-order) key interleaving ``bits`` bucket bits per
+    column.  Buckets are EQUAL-DEPTH: boundaries come from one
+    ``approxQuantile`` pass per write (a bounded sketch — 2^bits doubles
+    to the driver), assignment is ``pyspark.ml.feature.Bucketizer`` (JVM
+    binary search per row).  Equal-depth matters: real columns are skewed
+    (this corpus's ``value`` has p50≈35 of max≈490), and equal-width
+    buckets would pile most rows into a few codes, collapsing the curve's
+    selectivity exactly where the data is dense.  Bit interleaving is
+    pure JVM integer algebra, fully codegen'd."""
+    from pyspark.ml.feature import Bucketizer
+
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    keyed = df
+    bcols = []
+    for i, c in enumerate(cols):
+        keyed = keyed.withColumn(f"__zd{i}", F.col(c).cast("double"))
+        splits = sorted(set(keyed.approxQuantile(f"__zd{i}", qs, 0.001)))
+        buck = Bucketizer(
+            splits=[float("-inf"), *splits, float("inf")],
+            inputCol=f"__zd{i}",
+            outputCol=f"__zb{i}",
+            handleInvalid="keep",
+        )
+        keyed = buck.transform(keyed)
+        bcols.append(f"__zb{i}")
+    key = F.lit(0).cast("bigint")
+    for i, b in enumerate(bcols):
+        bucket = F.col(b).cast("bigint")
+        for j in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
+                j * len(cols) + i,
+            )
+    keyed = keyed.withColumn("__zkey", key)
+    for i in range(len(cols)):
+        keyed = keyed.drop(f"__zd{i}", f"__zb{i}")
+    return keyed, "__zkey"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ORDERED parquet layout: cluster files along a Morton curve over
+    several columns, so row-group zone maps stay selective for predicates
+    on ANY of them — the multi-column generalization of
+    ``write_range_sorted`` (which is optimal for one column and useless
+    for the others).  The same operation Delta/Iceberg expose as
+    OPTIMIZE ZORDER BY, here as a plain-parquet write: range-partition on
+    the interleaved key, sort within partitions, drop the key.
+    tests/test_sinks.py pins with scan metrics that BOTH columns' range
+    predicates materialize a fraction of a shuffled layout's rows."""
+    keyed, k = zorder_key_col(df, cols, bits)
+    parts = (
+        keyed.repartitionByRange(n_files, F.col(k))
+        if n_files
+        else keyed.repartitionByRange(F.col(k))
+    )
+    parts.sortWithinPartitions(k).drop(k).write.mode(mode).parquet(path)

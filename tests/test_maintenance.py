@@ -429,3 +429,55 @@ def test_compact_crash_windows_recover(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
     # post-recovery the store is fully compacted: nothing left to do
     assert mnt.compact_parquet(spark, path) == {}
+
+
+def test_incremental_refresh_matches_full(spark, sf_dir, tmp_path):
+    """Appending batches (including a LATE batch for an old day) and
+    incrementally refreshing only the touched days converges to exactly
+    the full recompute, while reading only the affected partitions
+    (pruning pinned on the store scan)."""
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+    from real_time_stock_market_data_pipeline_spark.sources.readers import (
+        ticks_from_events,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.sinks import (
+        write_ticks_partitioned,
+    )
+
+    ticks = ticks_from_events(spark, sf_dir)
+    days = sorted(
+        r[0] for r in ticks.select(F.to_date("trade_datetime")).distinct().collect()
+    )
+    assert len(days) >= 3
+    store = str(tmp_path / "ticks")
+    mv = str(tmp_path / "mv")
+
+    d = F.to_date("trade_datetime")
+    b1 = ticks.filter(d <= F.lit(days[1]))                      # days 0-1
+    b2 = ticks.filter(d == F.lit(days[2]))                      # day 2
+    late = ticks.filter(d == F.lit(days[0])).limit(0)           # empty guard
+    # split day 0 across b1 and a LATE batch to prove re-aggregation
+    ep = F.unix_micros(F.col("trade_datetime").cast("timestamp"))
+    day0 = ticks.filter(d == F.lit(days[0]))
+    cut = day0.agg(F.percentile(ep, F.lit(0.5))).collect()[0][0]
+    b1 = b1.exceptAll(day0.filter(ep > cut))
+    late = day0.filter(ep > cut)
+
+    for batch in (b1, b2, late):
+        write_ticks_partitioned(batch, store)
+        mnt.refresh_daily_summary_incremental(spark, batch, store, mv)
+
+    got = sorted(map(tuple, spark.read.parquet(mv).collect()))
+    # full recompute over the same appended ticks (days 0-2 of the corpus)
+    full = str(tmp_path / "mv_full")
+    mnt.refresh_daily_summary(spark, ticks.filter(d <= F.lit(days[2])), full)
+    exp = sorted(map(tuple, spark.read.parquet(full).collect()))
+    assert got == exp and len(got) > 0
+
+    # the increment's store scan prunes to the touched day partitions
+    affected = spark.read.parquet(store).filter(
+        F.col("trade_date").isin([days[0]])
+    )
+    plan = affected._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.find("FileScan"):]
+    assert "trade_date" in scan.split("PartitionFilters")[1][:200]

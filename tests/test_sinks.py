@@ -93,3 +93,40 @@ def test_range_sorted_layout_skips_row_groups(spark, sf_dir, tmp_path):
     assert sorted_rows == shuffled_rows and len(sorted_rows) > 0
     assert shuffled_read == ev.count()        # no skipping: reads the world
     assert sorted_read <= shuffled_read / 2   # zone maps cut materialized IO
+
+
+def test_zordered_layout_skips_on_both_columns(spark, tmp_path):
+    """Z-ordering clusters files along a Morton curve over (value,
+    user_id): a range predicate on EITHER column materializes a fraction
+    of what a shuffled layout reads — single-column sorting can only do
+    this for its own column."""
+    from real_time_stock_market_data_pipeline_spark.sources.sinks import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    n = ev.count()
+    write_zordered(ev, str(tmp_path / "z"), ["value", "user_id"], 16)
+    write_range_sorted(ev, str(tmp_path / "v"), "value", 16)
+    ev.repartition(16).write.parquet(str(tmp_path / "shuf"))
+
+    def read_rows(path, pred):
+        q = spark.read.parquet(path).filter(pred)
+        got = q.count(), None
+        q = spark.read.parquet(path).filter(pred)
+        rows = len(q.collect())
+        leaves = q._jdf.queryExecution().executedPlan().collectLeaves()
+        return rows, leaves.apply(0).metrics().apply("numOutputRows").value()
+
+    for pred in ["value >= 100 AND value < 130", "user_id >= 100 AND user_id < 160"]:
+        z_rows, z_read = read_rows(str(tmp_path / "z"), pred)
+        s_rows, s_read = read_rows(str(tmp_path / "shuf"), pred)
+        assert z_rows == s_rows > 0
+        assert s_read == n            # shuffled layout reads the world
+        assert z_read <= 0.6 * n      # z-order skips on BOTH columns
+    # the single-column layout skips on its own column but NOT the other
+    _, v_read_own = read_rows(str(tmp_path / "v"), "value >= 100 AND value < 130")
+    _, v_read_other = read_rows(str(tmp_path / "v"), "user_id >= 100 AND user_id < 160")
+    assert v_read_own <= 0.3 * n
+    assert v_read_other == n
