@@ -10,9 +10,13 @@ per-table single-pass aggregates.
 
 Three expectation kinds:
 
-  pred    — a boolean SQL predicate every row must satisfy
-  unique  — a column whose values must not repeat
-  fk      — a child key that must exist in a parent table's key column
+  pred    — a boolean SQL predicate every row must satisfy; a NULL
+            predicate result counts as a violation (unknown ≠ satisfied)
+  unique  — a column whose values must not repeat (NULLs don't count —
+            count(col) skips them; pair with a pred NOT NULL check)
+  fk      — a child key that must exist in a parent table's key column;
+            a NULL child key counts as a violation (NULL never matches —
+            model nullable references as `fk_col IS NULL OR ...` preds)
 
 Scale shape: ALL pred/unique checks against one table fold into a single
 aggregate over one scan (map-side-combinable sums; the unique check adds a

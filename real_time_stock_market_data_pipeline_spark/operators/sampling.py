@@ -23,8 +23,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.dialect import tok_hash
-
 N_BUCKETS = 100
 # Split thresholds over the 100 hash buckets: [0,80) train, [80,90) val,
 # [90,100) test.  Mirrored verbatim in plans/text_parity.sql_hash_split.
@@ -33,6 +31,11 @@ SPLIT_BOUNDS = {"train": (0, 80), "val": (80, 90), "test": (90, 100)}
 
 def hash_bucket_col(id_col: str = "doc_id", n_buckets: int = N_BUCKETS) -> Column:
     """Deterministic bucket in [0, n_buckets) from the id's string form."""
+    # imported lazily: plans/__init__ renders oracle SQL that imports THIS
+    # module's constants at package-load time — a module-level dialect
+    # import here would close the cycle with sampling half-initialized
+    from ..plans.dialect import tok_hash
+
     return F.expr(tok_hash("spark", f"CAST({id_col} AS STRING)")) % n_buckets
 
 
@@ -46,7 +49,13 @@ def split_col(id_col: str = "doc_id") -> Column:
 
 
 def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Add (bucket, split) columns — a pure projection, no shuffle."""
+    """Add (bucket, split) columns — a pure projection, no shuffle.
+
+    A NULL id hashes to NULL → NULL bucket and split (and
+    ``deterministic_sample`` drops such rows): rows without identity have
+    no stable split, and silently defaulting them to one would leak them
+    between splits across runs.  Gate upstream with dq-style NOT NULL
+    checks if NULL ids are possible."""
     return df.withColumn("bucket", hash_bucket_col(id_col)).withColumn(
         "split", split_col(id_col)
     )

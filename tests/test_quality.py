@@ -66,3 +66,34 @@ def test_clean_data_passes_and_sql_agrees(spark, sf_dir):
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
     sql_rows = sorted(map(tuple, spark.sql(quality.expectations_sql()).collect()))
     assert sql_rows == sorted(map(tuple, rep.collect()))
+
+
+def test_null_key_edge_semantics(spark):
+    """Documented NULL semantics: a NULL fk child key violates (NULL never
+    matches); a NULL unique-column value is skipped by the unique check;
+    NULL split ids get NULL assignments and fall out of samples."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        deterministic_sample,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 1), (2, None), (3, 9)], "o_orderkey BIGINT, o_custkey BIGINT"
+    )
+    customer = spark.createDataFrame([(1,)], "c_custkey BIGINT")
+    spec = [
+        quality.Expectation("fk", "orders", "fk", "o_custkey", "customer", "c_custkey"),
+        quality.Expectation("uq", "orders", "unique", "o_custkey"),
+    ]
+    rep = _report_map(
+        quality.expectations_report({"orders": orders, "customer": customer}, spec)
+    )
+    assert rep["fk"] == (3, 2, False)   # NULL + missing 9 both violate
+    assert rep["uq"] == (3, 0, True)    # NULL skipped, no dup among non-NULL
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id BIGINT, text STRING"
+    )
+    out = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
+    assert out[1] is not None and out[None] is None
+    assert deterministic_sample(docs, 1.0).count() == 1  # NULL id dropped
