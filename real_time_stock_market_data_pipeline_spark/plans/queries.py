@@ -1304,7 +1304,10 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = kmeans_fit(emb, k=8, n_iter=3)
+    # n_iter=1: the gate needs a DETERMINISTIC codebook, not a converged
+    # one (index ≡ fresh holds for any codebook; emb5 owns recall, and
+    # pays the converged fit there)
+    cents = kmeans_fit(emb, k=8, n_iter=1)
     path = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_ivf_index",
