@@ -410,6 +410,46 @@ FROM cc JOIN sizes ON cc.cluster_id = sizes.cluster_id
 """
 
 
+def sql_dedup_summary(dialect: str) -> str:
+    """DD7 — end-to-end dedup ACCOUNTING: per language, how much of the
+    corpus survives near-dup removal (DD4 candidates → DD6 components →
+    keep the min-id canonical per cluster).  The report a pipeline owner
+    reads before/after a dedup run: docs kept vs dropped and the bytes
+    reclaimed.  Singleton docs (in no candidate pair) are kept by
+    definition — the LEFT JOIN to the cluster map defaults them to
+    canonical."""
+    bands_sql = _bands_sql(dialect)
+    return f"""
+WITH RECURSIVE {_minhash_sig_cte(dialect)},
+bands AS ({bands_sql}),
+{_CAND_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+marked AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         CASE WHEN cc.cluster_id IS NULL OR cc.cluster_id = d.doc_id
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(1 - keep) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_dropped
+FROM marked GROUP BY lang
+"""
+
+
 def sql_contamination(dialect: str) -> str:
     """DD8 — train/test CONTAMINATION check: for every train-split document,
     how many of its 3-gram shingles also occur anywhere in the test split,
@@ -624,6 +664,35 @@ def _sp2_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(sql_deterministic_sample("spark"))
 
+
+def _dd7_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD7, Spark side: the iterative cluster map LEFT-JOINed back onto the
+    corpus (singletons default to kept), rolled up per language."""
+    from ..operators.dedup import dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    pairs = spark.sql(sql_minhash_candidates("spark"))
+    cc = dup_clusters(pairs)
+    marked = docs.join(cc, "doc_id", "left").withColumn(
+        "keep",
+        F.when(
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")),
+            1,
+        ).otherwise(0),
+    )
+    return marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.sum(1 - F.col("keep")).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("keep") == 0, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+
+
+QUERIES["dd7_dedup_summary"] = _dd7_dedup_summary
+TEXT_ORACLES["dd7_dedup_summary"] = sql_dedup_summary("duck")
 
 QUERIES["sp1_hash_split"] = _sp1_hash_split
 TEXT_ORACLES["sp1_hash_split"] = sql_hash_split("duck")
