@@ -317,3 +317,46 @@ def test_wav_roundtrip_arbitrary_audio(n, ch, rate, seed):
     for cut in (0, 4, 11, 12, 36, 43, 44, len(b) - 1):
         if cut < len(b):
             assert decode_wav_samples(b[:cut]) is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dup_clusters_matches_union_find(spark, edges):
+    """On ARBITRARY graphs (self-loops, parallel edges, chains, cycles)
+    dup_clusters' small path equals a straight-line python union-find; the
+    distributed path is pinned equal to the small path elsewhere
+    (test_text_dedup.test_dup_clusters_paths_agree)."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a BIGINT, doc_b BIGINT"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps: dict[int, list[int]] = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    exp = {n: min(members) for members in comps.values() for n in members}
+    assert got == exp
