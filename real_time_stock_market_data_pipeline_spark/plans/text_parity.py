@@ -500,8 +500,16 @@ def sql_vocab(dialect: str) -> str:
     """TXT6 — corpus vocabulary head: top-100 tokens by global count
     (token-string tie-break → total order), with rank and cumulative
     corpus share.  The standard artifact feeding tokenizer training and
-    stopword policy.  Scale shape: one map-side-combinable count per
-    token, one top-k; the cumulative share is a window over 100 rows."""
+    stopword policy.
+
+    Scale shape: one map-side-combinable count per token, then the
+    ORDER BY + LIMIT cut — Spark executes that as TakeOrderedAndProject
+    (per-partition top-100, merged on the driver), so the billions-of-
+    token vocab never funnels through one task.  Only AFTER the cut do
+    the rank/cum-share windows run, over exactly 100 rows.  (A
+    ``row_number() OVER (ORDER BY n)`` on the full counts table — the
+    tempting one-CTE form — is a single-task global sort at corpus
+    scale.)"""
     toks = split_ws(dialect, "text")
     tok_rows = explode_from(dialect, "d", "toks", "tok", "doc_id")
     return f"""
@@ -511,15 +519,17 @@ counts AS (
   SELECT tok, count(*) AS n FROM tok_rows GROUP BY tok
 ),
 total AS (SELECT sum(n) AS t FROM counts),
+top AS (
+  SELECT tok, n FROM counts ORDER BY n DESC, tok ASC LIMIT 100
+),
 ranked AS (
   SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rank
-  FROM counts
+  FROM top
 )
 SELECT rank, tok, n,
        {r6t("CAST(sum(n) OVER (ORDER BY rank) AS DOUBLE) / t")}
          AS cum_share
 FROM ranked CROSS JOIN total
-WHERE rank <= 100
 """
 
 

@@ -163,3 +163,11 @@ def test_a9_sketch_bounds_hold_at_bench_scale(spark):
     out = QUERIES["a9_sketch_rollup"](spark, "/root/testdata/sf0.1").collect()
     assert len(out) == 5
     assert all(r["hll_within_bound"] and r["p50_within_bound"] for r in out)
+
+
+def test_txt6_vocab_topk_is_distributed(spark, sf_dir):
+    """The vocab head's cut must run as TakeOrderedAndProject (distributed
+    per-partition top-k), never a single-task global-sort row_number over
+    the full token counts."""
+    plan = plan_of(spark, sf_dir, "txt6_vocab")
+    assert "TakeOrderedAndProject" in plan
