@@ -352,6 +352,15 @@ def compact_parquet(
     one full swap.  Returns ``{partition_entry: (files_before,
     files_after)}`` for the rewritten partitions (empty dict = store
     already compact).  Idempotent: a second run returns {}.
+
+    Scaling note: rewrites run one Spark job per offending partition
+    (coalesce targets differ per partition), so a backlog of thousands of
+    fragmented partitions pays job-scheduling overhead per partition —
+    run compaction on a cadence that keeps the touched set small (e.g.
+    yesterday's partitions), which is also what bounds the staging
+    footprint.  A single-job variant (one pruned read + dynamic
+    overwrite + ``spark.sql.files.maxRecordsPerFile``) trades exact
+    file-count control for that overhead when backlogs are the norm.
     """
     _require_local_path(path, "compact_parquet")
     leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
