@@ -1,0 +1,176 @@
+"""BPE merge training over a document corpus — the tokenizer-training
+stage of a training-data pipeline (Sennrich et al., "Neural Machine
+Translation of Rare Words with Subword Units").
+
+The scale insight BPE training rides on: after pre-tokenization the
+algorithm only ever touches the WORD-FREQUENCY table — distinct words,
+not corpus tokens.  A 100 TB corpus has billions of token occurrences but
+a word vocabulary orders of magnitude smaller, so the corpus is scanned
+ONCE (one map-combinable groupBy), and every merge round runs over the
+vocab table.  Two execution paths, keyed on the vocab size (the same
+adaptive contract as dedup.dup_clusters and the IVF codebook):
+
+* vocab ≤ ``max_driver_words`` — collect (word, count) and run the exact
+  greedy loop in Python: O(rounds × vocab) with trivial constants.  This
+  is the common case even at corpus scale (tens of millions of rows of a
+  few dozen bytes).
+* larger — fully distributed rounds: per round, one explode of adjacent
+  symbol pairs + one weighted count + a single-row argmax collect, then
+  an Arrow-batched merge projection over the symbol arrays; lineage
+  truncated per round with lazy localCheckpoints.  Rounds are inherently
+  sequential (each merge depends on the previous argmax) — that is BPE,
+  not an implementation choice.
+
+Determinism: ties on pair count break by (left, right) lexicographic
+order, so both paths — and reruns — produce identical merge lists.
+Selected pair counts are non-increasing over rounds (a merge's successor
+pairs inherit at most its occurrence count; untouched pairs never grow),
+which the txt7 driver query exposes as a checkable flag.
+
+No SQL oracle exists for this operator: each round aggregates over the
+result of the previous round's rewrite, which recursive CTEs cannot
+express (no mid-recursion global aggregation) — the driver check is the
+property form (rank sequence + monotonicity), and the merge VALUES are
+pinned by tests against a straight-line pure-Python reference.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+
+def word_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """(word, n) — the one corpus-wide scan; everything after is vocab-sized."""
+    return (
+        df.select(F.explode(tokens_col(text)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _python_bpe(words: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str, int]]:
+    """Exact greedy BPE over a (word, count) list — the driver path AND the
+    test reference (tests run it against hand-computed merges)."""
+    vocab = {tuple(w): c for w, c in words}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        # max count, ties by lexicographic pair — the deterministic order
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((a, b, cnt))
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    n_merges: int = 20,
+    text: str = "text",
+    max_driver_words: int = 2_000_000,
+) -> list[tuple[str, str, int]]:
+    """[(left, right, pair_count)] — the learned merge list, best first."""
+    wc = word_counts(df, text).localCheckpoint(eager=False)
+    n_words = wc.count()
+
+    if n_words <= max_driver_words:
+        rows = [(r["word"], int(r["n"])) for r in wc.toLocalIterator()]
+        return _python_bpe(rows, n_merges)
+
+    # the empty-string filter guards the historical split('', ...) trailing
+    # empty element so both paths see identical symbol sequences
+    syms = wc.select(
+        F.col("n"),
+        F.expr("filter(split(word, ''), s -> s <> '')").alias("syms"),
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        # single-symbol words carry no pairs; filter BEFORE the sequence —
+        # Spark's sequence(1, 0) counts DOWN ([1, 0]) instead of yielding
+        # an empty range, which would index past the array
+        pairs = syms.filter(F.size("syms") >= 2).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS a, "
+                    "element_at(syms, i + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], int(best[0]["cnt"])
+        merges.append((a, b, cnt))
+        syms = syms.select(
+            "n", _merge_udf(a, b)("syms").alias("syms")
+        ).localCheckpoint(eager=False)
+    return merges
+
+
+def _merge_udf(a: str, b: str):
+    """Per-round merge projection as a factory: the udf must close over
+    THIS round's pair — an inline definition inside the training loop
+    would late-bind the loop variables and, because the checkpointed
+    frame materializes lazily during the NEXT round's argmax, could pickle
+    a later round's pair into an earlier round's rewrite."""
+
+    @F.pandas_udf("array<string>")
+    def merge_pair(col: pd.Series) -> pd.Series:
+        out = []
+        for syms_ in col:
+            res, i = [], 0
+            while i < len(syms_):
+                if i + 1 < len(syms_) and syms_[i] == a and syms_[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms_[i])
+                    i += 1
+            out.append(res)
+        return pd.Series(out)
+
+    return merge_pair
+
+
+def merges_frame(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Merge list as a DataFrame with the monotone-count check column."""
+    rows = [
+        (i + 1, a, b, c, c <= (merges[i - 1][2] if i else c))
+        for i, (a, b, c) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank INT, left STRING, right STRING, pair_count BIGINT, "
+        "count_monotone BOOLEAN",
+    )

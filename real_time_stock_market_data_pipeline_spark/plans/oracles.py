@@ -769,3 +769,11 @@ SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
        true AS index_matches_fresh
 FROM embeddings WHERE vec_id < 5
 """
+
+# TXT7: iterative BPE training has no SQL twin (no mid-recursion global
+# aggregation) — the oracle pins the property form: ranks 1..20 present,
+# selected pair counts non-increasing.
+ORACLES["txt7_bpe_merges"] = """
+SELECT CAST(r AS INT) AS merge_rank, true AS count_monotone
+FROM (SELECT unnest(generate_series(1, 20)) AS r) t
+"""

@@ -1328,3 +1328,19 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.when(F.col("v_idx") == F.col("v_fresh"), 1).otherwise(0))
          == F.count(F.lit(1))).alias("index_matches_fresh"),
     )
+
+
+@register("txt7_bpe_merges")
+def txt7_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT7 — BPE tokenizer training (operators/bpe.py): 20 greedy merges
+    learned from the corpus word-frequency table.  Iterative by nature
+    (each round aggregates the previous round's rewrite), so no SQL twin
+    can exist — the oracle checks the PROPERTY form (rank sequence 1..20 +
+    the non-increasing selected-count invariant, which any correct greedy
+    BPE satisfies); merge VALUES are pinned by tests/test_bpe.py against a
+    straight-line pure-Python reference."""
+    from ..operators.bpe import merges_frame, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=20)
+    return merges_frame(spark, merges).select("merge_rank", "count_monotone")
