@@ -174,3 +174,69 @@ def merges_frame(spark, merges: list[tuple[str, str, int]]) -> DataFrame:
         "merge_rank INT, left STRING, right STRING, pair_count BIGINT, "
         "count_monotone BOOLEAN",
     )
+
+
+def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word (lowest-rank pair first — the
+    standard BPE inference order)."""
+    syms = [s for s in word]
+    while len(syms) > 1:
+        best_i, best_r = -1, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_r is None or r < best_r):
+                best_i, best_r = i, r
+        if best_r is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text: str = "text",
+    max_driver_words: int = 2_000_000,
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: adds
+    ``n_words`` and ``n_bpe_tokens`` per document.
+
+    Scale idiom: segmentation is a pure function of the WORD, so the
+    corpus is never segmented row-by-row — the DISTINCT words are
+    segmented ONCE (driver-side under the same bounded-vocab contract as
+    training; the mapping is vocab-sized) and broadcast-joined back onto
+    the exploded corpus.  A 100 TB corpus re-uses each word's
+    segmentation billions of times for one driver computation of it.
+
+    Raises when the vocab exceeds ``max_driver_words`` — at that size the
+    mapping itself should be a persisted table maintained incrementally
+    (segment only NEW words per batch), not recomputed in one call.
+    """
+    spark = df.sparkSession
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    wc = word_counts(df, text)
+    n_words = wc.count()
+    if n_words > max_driver_words:
+        raise ValueError(
+            f"apply_bpe: vocab of {n_words:,} distinct words exceeds "
+            f"max_driver_words={max_driver_words:,}; maintain the "
+            "word→segmentation mapping as a persisted incremental table "
+            "instead of one-shot application"
+        )
+    mapping = [
+        (r["word"], len(_segment(r["word"], ranks))) for r in wc.toLocalIterator()
+    ]
+    map_df = spark.createDataFrame(mapping, "word STRING, n_sub INT")
+    exploded = df.select(
+        df.columns[0], F.explode(tokens_col(text)).alias("word")
+    )
+    id_col = df.columns[0]
+    per_doc = (
+        exploded.join(F.broadcast(map_df), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return df.join(per_doc, id_col, "left")

@@ -777,3 +777,14 @@ ORACLES["txt7_bpe_merges"] = """
 SELECT CAST(r AS INT) AS merge_rank, true AS count_monotone
 FROM (SELECT unnest(generate_series(1, 20)) AS r) t
 """
+
+# TXT8: BPE tokenization — exact word counts + the two segmentation
+# invariants (bounded by words below, characters above); segmentation
+# values are python-reference-pinned (test_bpe.py).
+ORACLES["txt8_bpe_tokenize"] = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+         AS n_words,
+       true AS tokens_ge_words, true AS tokens_le_chars
+FROM documents
+"""

@@ -1344,3 +1344,29 @@ def txt7_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe_merges(docs, n_merges=20)
     return merges_frame(spark, merges).select("merge_rank", "count_monotone")
+
+
+@register("txt8_bpe_tokenize")
+def txt8_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT8 — BPE tokenization with the learned merges (operators/bpe.py
+    apply_bpe): the corpus is never segmented row-by-row — DISTINCT words
+    are segmented once driver-side (bounded-vocab contract) and broadcast-
+    joined back onto the exploded corpus.  Driver row per doc: the exact
+    whitespace word count (SQL-derivable, hash-checked) plus the two
+    invariants any correct BPE segmentation satisfies — token count ≥ word
+    count (merges never cross word boundaries) and ≤ character count
+    (merges only ever shrink the symbol sequence).  Segmentation VALUES
+    are pinned by tests/test_bpe.py against the pure-Python reference."""
+    from ..operators.bpe import apply_bpe, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=20)
+    out = apply_bpe(docs, merges)
+    nw = F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words")
+    nt = F.coalesce(F.col("n_bpe_tokens"), F.lit(0))
+    return out.select(
+        "doc_id",
+        nw,
+        (nt >= F.coalesce(F.col("n_words"), F.lit(0))).alias("tokens_ge_words"),
+        (nt <= F.col("n_chars")).alias("tokens_le_chars"),
+    )

@@ -43,3 +43,27 @@ def test_monotone_counts_and_determinism(spark, sf_dir):
     assert counts == sorted(counts, reverse=True)
     frame = bpe.merges_frame(spark, m1)
     assert frame.filter("NOT count_monotone").count() == 0
+
+
+def test_apply_bpe_matches_python_segmentation(spark):
+    """The broadcast-join tokenization equals per-word python segmentation,
+    and respects the word/char bounds."""
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "widest low")],
+        "doc_id LONG, text STRING",
+    )
+    merges = bpe.train_bpe_merges(docs, n_merges=4)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    out = {r["doc_id"]: r for r in bpe.apply_bpe(docs, merges).collect()}
+    exp1 = sum(len(bpe._segment(w, ranks)) for w in "low lower newest".split())
+    exp2 = sum(len(bpe._segment(w, ranks)) for w in "widest low".split())
+    assert out[1]["n_bpe_tokens"] == exp1 and out[1]["n_words"] == 3
+    assert out[2]["n_bpe_tokens"] == exp2 and out[2]["n_words"] == 2
+
+
+def test_apply_bpe_vocab_guard(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="persisted incremental table"):
+        bpe.apply_bpe(docs, [], max_driver_words=1)
