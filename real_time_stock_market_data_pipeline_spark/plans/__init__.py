@@ -17,15 +17,16 @@ ORACLES.update(EMBEDDING_ORACLES)
 #   1. the 19 queries whose only driver row is r04 — txt5 FIRST because its
 #      BPE split pattern changed in r5 AFTER that row (the r5 verdict's
 #      evidence-process note);
-#   2. queries NEW or CHANGED this round: mm3/mm4/flagship/s14 (new), mm2
-#      (JPEG truncation fix), t6/j3 (unique snapshot views), emb4/emb5
-#      (codebook guard), s9 (upsert recovery + guards);
-#   3. fill to 50 with the r05-green queries whose rows would otherwise age
-#      past one round (dd*/emb*/j*/p*/a4/w1/w_all);
-#   4. the tail (outside the window): the 22 queries freshly green in
-#      CORRECTNESS_r05 and pytest-pinned (p5/p6/o*/a1/a2/a6/a7/d1/su1/sk1/
-#      q1/t9/mm1/j10/s13/u2-u4).  They re-verify opportunistically and
-#      remain covered by the full parity gate (tests/test_parity.py).
+#   2. queries NEW or CHANGED this round: mm3–mm6/flagship/s14 and the
+#      training-data additions dd6/dd7/dd8/sp1/sp2/dq1/a9/txt6/txt7/txt8/
+#      emb7/emb8 (all new), mm2 (JPEG truncation fix), t6/j3 (unique
+#      snapshot views), emb4/emb5 (codebook guard), s9 (upsert recovery);
+#   3. fill the remaining window slots with the r05-green queries whose
+#      rows would otherwise age past one round (dd2–dd5/emb1–emb3/emb6/...);
+#   4. the tail (outside the window): queries freshly green in
+#      CORRECTNESS_r05 and pytest-pinned.  They re-verify opportunistically
+#      and remain covered by the full parity gate (tests/test_parity.py),
+#      which this round was additionally run at sf0.1 (87/87).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # 1 — r04-only driver rows: rotate in first; txt5 leads (changed in r5)
