@@ -46,6 +46,7 @@ _PRIORITY = [
     "dq1_expectations", "a9_sketch_rollup", "emb7_embedding_clusters",
     "dd7_dedup_summary", "dd8_contamination", "txt6_vocab",
     "txt7_bpe_merges", "txt8_bpe_tokenize", "emb8_ivf_index_search",
+    "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
     # 3 — r05-green fill: keep their rows at most one round old
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "dd4_minhash_candidates",
     "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",

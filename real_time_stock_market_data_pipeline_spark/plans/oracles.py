@@ -788,3 +788,35 @@ SELECT doc_id,
        true AS tokens_ge_words, true AS tokens_le_chars
 FROM documents
 """
+
+ORACLES["a10_value_histogram"] = """
+SELECT event_type,
+       CASE WHEN value < 0.0 THEN CAST(0 AS BIGINT)
+            WHEN value >= 500.0 THEN CAST(21 AS BIGINT)
+            ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bin,
+       count(*) AS n, min(value) AS bin_min, max(value) AS bin_max
+FROM events GROUP BY event_type,
+       CASE WHEN value < 0.0 THEN CAST(0 AS BIGINT)
+            WHEN value >= 500.0 THEN CAST(21 AS BIGINT)
+            ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END
+"""
+
+ORACLES["a11_daily_type_pivot"] = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+FROM events GROUP BY CAST(ts AS DATE)
+"""
+
+ORACLES["a12_rollup_sets"] = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS INT) AS g_type,
+       CAST(CASE WHEN GROUPING(CAST(ts AS DATE)) THEN 1 ELSE 0 END AS INT) AS g_day,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
+"""

@@ -1370,3 +1370,62 @@ def txt8_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nt >= F.coalesce(F.col("n_words"), F.lit(0))).alias("tokens_ge_words"),
         (nt <= F.col("n_chars")).alias("tokens_le_chars"),
     )
+
+
+@register("a10_value_histogram")
+def a10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 — fixed-width value histogram per event_type (20 bins over
+    [0, 500]): the profiling companion to DQ1/A9.  width_bucket is a pure
+    per-row projection; one map-combinable count per (type, bin)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__a10_events")
+    # bin arithmetic inlined (CASE + floor) with IDENTICAL text in the
+    # oracle: DuckDB has no width_bucket, and hand-rolling it once keeps
+    # the boundary semantics (underflow 0, overflow 21) engine-agreed
+    return spark.sql("""
+        SELECT event_type,
+               CASE WHEN value < 0.0 THEN CAST(0 AS BIGINT)
+                    WHEN value >= 500.0 THEN CAST(21 AS BIGINT)
+                    ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END AS bin,
+               count(*) AS n,
+               min(value) AS bin_min,
+               max(value) AS bin_max
+        FROM __a10_events
+        GROUP BY event_type,
+               CASE WHEN value < 0.0 THEN CAST(0 AS BIGINT)
+                    WHEN value >= 500.0 THEN CAST(21 AS BIGINT)
+                    ELSE CAST(floor(value / 25.0) AS BIGINT) + 1 END
+    """)
+
+
+@register("a11_daily_type_pivot")
+def a11_daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — event counts pivoted wide: one row per day, one column per
+    event type (the dashboard-table shape).  Uses the native pivot with an
+    EXPLICIT value list — without it Spark runs an extra distinct pass to
+    discover columns, and the output schema becomes data-dependent, which
+    breaks any downstream contract (and the driver's schema hash)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "signup", "error"])
+    )
+
+
+@register("a12_rollup_sets")
+def a12_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — GROUPING SETS rollup: totals per (type, day), per type, and
+    grand total in ONE pass (Expand feeds a single aggregation — vs three
+    separate scans for three rollup levels), with grouping() flags making
+    the NULL group keys unambiguous."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__a12_events")
+    return spark.sql("""
+        SELECT event_type, to_date(ts) AS day,
+               grouping(event_type) AS g_type,
+               grouping(to_date(ts)) AS g_day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM __a12_events
+        GROUP BY GROUPING SETS ((event_type, to_date(ts)), (event_type), ())
+    """)
