@@ -69,3 +69,33 @@ def deterministic_sample(
     NESTED: sample(0.1) ⊆ sample(0.3) ⊆ sample(1.0), which lets scaling
     experiments grow the corpus monotonically."""
     return df.filter(hash_bucket_col(id_col, n_buckets) < int(rate * n_buckets))
+
+
+def capped_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen DETERMINISTICALLY by the
+    id-hash order — the class-balancing cut of corpus prep (cap each
+    language/source so one crawl cannot dominate training).
+
+    Hash-rank instead of "first N": arrival order is nondeterministic
+    across reruns and partitionings, while the hash order is a stable
+    pseudo-random shuffle — the kept subset is unbiased w.r.t. document
+    content AND reproducible.  One shuffle on the group key (row_number
+    window); groups under the cap pass through whole.  Nested with
+    ``deterministic_sample`` and ``assign_split``: all three derive from
+    the same id hash, so capping never disturbs split membership.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket_col(id_col, 1 << 30).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

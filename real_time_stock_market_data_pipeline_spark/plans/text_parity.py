@@ -708,3 +708,33 @@ QUERIES["sp1_hash_split"] = _sp1_hash_split
 TEXT_ORACLES["sp1_hash_split"] = sql_hash_split("duck")
 QUERIES["sp2_stratified_sample"] = _sp2_sample
 TEXT_ORACLES["sp2_stratified_sample"] = sql_deterministic_sample("duck")
+
+
+def sql_capped_per_group(dialect: str) -> str:
+    """SP3 — deterministic per-language cap (operators/sampling
+    capped_per_group): at most 40 docs per lang, ranked by the id hash
+    (stable pseudo-random, so the cut is unbiased and reproducible)."""
+    from ..operators.sampling import N_BUCKETS  # noqa: F401  (parity of constants)
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ({h}) % 1073741824 ASC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rn <= 40
+"""
+
+
+def _sp3_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import capped_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return capped_per_group(docs, "lang", 40).select("doc_id", "lang", "n_chars")
+
+
+QUERIES["sp3_capped_per_group"] = _sp3_capped
+TEXT_ORACLES["sp3_capped_per_group"] = sql_capped_per_group("duck")

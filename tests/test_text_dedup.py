@@ -385,3 +385,20 @@ def test_join_assignment_matches_arrow_path(spark, sf_dir):
     a = {r["vec_id"]: r["cid"] for r in arrow.collect()}
     b = {r["vec_id"]: r["cid"] for r in joined.collect()}
     assert a == b and len(a) == emb.count()
+
+
+def test_capped_per_group_deterministic_and_unbiased(spark, docs):
+    """The per-group cap keeps exactly min(cap, group size) rows, the SAME
+    rows under repartitioning, and groups under the cap pass whole."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        capped_per_group,
+    )
+
+    capped = capped_per_group(docs, "lang", 30)
+    sizes = {r["lang"]: r["count"] for r in capped.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert sizes == {k: min(30, v) for k, v in full.items()}
+    again = capped_per_group(docs.repartition(7), "lang", 30)
+    assert sorted(r["doc_id"] for r in capped.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in again.select("doc_id").collect()
+    )
