@@ -47,7 +47,7 @@ _PRIORITY = [
     "dd7_dedup_summary", "dd8_contamination", "txt6_vocab",
     "txt7_bpe_merges", "txt8_bpe_tokenize", "emb8_ivf_index_search",
     "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
-    "sp3_capped_per_group",
+    "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
     # 3 — r05-green fill: keep their rows at most one round old
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "dd4_minhash_candidates",
     "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",

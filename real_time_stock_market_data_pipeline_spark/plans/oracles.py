@@ -820,3 +820,17 @@ SELECT event_type, CAST(ts AS DATE) AS day,
 FROM events
 GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
 """
+
+ORACLES["dq2_volume_anomalies"] = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+with_prev AS (
+  SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+  FROM daily
+)
+SELECT event_type, day, n, prev_n,
+       (prev_n IS NOT NULL AND (n * 2 < prev_n OR n > prev_n * 2)) AS anomalous
+FROM with_prev
+"""

@@ -1429,3 +1429,27 @@ def a12_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __a12_events
         GROUP BY GROUPING SETS ((event_type, to_date(ts)), (event_type), ())
     """)
+
+
+@register("dq2_volume_anomalies")
+def dq2_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2 — ingest-volume anomaly report: per (event_type, day), the
+    day-over-day count ratio, flagged when volume halves or doubles — the
+    time-dimension companion to DQ1's static contracts (a stuck producer
+    or a replay storm shows up here first).  One aggregate + one lag
+    window over (type, day) rows — O(types × days), far below data size."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("__dq2_events")
+    return spark.sql("""
+        WITH daily AS (
+          SELECT event_type, to_date(ts) AS day, count(*) AS n
+          FROM __dq2_events GROUP BY event_type, to_date(ts)
+        ),
+        with_prev AS (
+          SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+          FROM daily
+        )
+        SELECT event_type, day, n, prev_n,
+               (prev_n IS NOT NULL AND (n * 2 < prev_n OR n > prev_n * 2))
+                 AS anomalous
+        FROM with_prev
+    """)

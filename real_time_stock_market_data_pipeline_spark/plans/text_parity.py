@@ -738,3 +738,41 @@ def _sp3_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp3_capped_per_group"] = _sp3_capped
 TEXT_ORACLES["sp3_capped_per_group"] = sql_capped_per_group("duck")
+
+
+def sql_balanced_mixture(dialect: str) -> str:
+    """SP4 — mixture balancing: downsample every language to ≈ the
+    SMALLEST language's volume, deterministically.  The keep rule is pure
+    INTEGER arithmetic — ``bucket * n_lang < B * n_min`` — so both engines
+    (and any rerun) agree exactly: float rate comparisons would diverge in
+    the last ulp right at the cut.  Rates derive from the group counts in
+    one tiny aggregate; the filter is per-row.  This is how a training mix
+    ("equal parts per language/source") is actually enforced at corpus
+    scale — no shuffle beyond the count."""
+    from ..operators.sampling import N_BUCKETS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+),
+m AS (SELECT min(n_lang) AS n_min FROM counts),
+keyed AS (
+  SELECT d.doc_id, d.lang, ({h}) % {N_BUCKETS} AS bucket, c.n_lang, m.n_min
+  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN m
+)
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN bucket * n_lang < {N_BUCKETS} * n_min
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM keyed GROUP BY lang
+"""
+
+
+def _sp4_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_balanced_mixture("spark"))
+
+
+QUERIES["sp4_balanced_mixture"] = _sp4_balanced
+TEXT_ORACLES["sp4_balanced_mixture"] = sql_balanced_mixture("duck")
