@@ -13,9 +13,12 @@ Layout (SURVEY.md §7.1):
     schemas     — one StructType per table/stream, enforced at every boundary
     sources     — parquet/Kafka/rate readers; events→ticks mapping (FIXTURES.md §2)
     functions   — scalar/text helper expressions (pure Column algebra)
-    operators   — relational ops, indicator windows, dedup, similarity, multimodal
+    operators   — relational ops, indicator windows, dedup + clustering,
+                  similarity + persisted IVF, multimodal, sampling/splits,
+                  data-quality expectations, BPE tokenizer train/apply
     plans       — named batch queries (the ``__spark_entry__.queries()`` surface)
-    streaming   — stateful tick pipeline (applyInPandasWithState), alerting
+    streaming   — stateful tick pipeline (applyInPandasWithState), alerting,
+                  time-cooldown throttle
     ml          — linear-regression features/train/score, ARIMA grouped map
 """
 
