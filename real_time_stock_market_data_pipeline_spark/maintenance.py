@@ -427,6 +427,40 @@ def compact_parquet(
     return summary
 
 
+def expire_partitions(path: str, partition_col: str, before: str) -> list[str]:
+    """Retention: drop every ``partition_col=value`` directory with
+    ``value < before`` — a METADATA-ONLY operation on a partitioned store
+    (no scan, no rewrite), which is the point of date-partitioning a
+    100 TB tick store in the first place (sources/sinks module note).
+
+    ``before`` compares as a STRING against the directory-encoded value —
+    exact for ISO dates (the store's layout) and zero-padded ints; reject
+    anything else upstream.  Each expired partition is renamed into one
+    ``<path>__old_<uuid>`` sibling before deletion, so a crash mid-expiry
+    leaves either live data or displaced-but-recoverable data — and
+    ``recover_upsert`` already deletes leftover ``__old_`` siblings when
+    the store is present (superseded-data rule), finishing an interrupted
+    expiry on the next maintenance pass.  Single-writer, driver-local
+    path, like the rest of the swap protocol.  Returns the expired
+    entries (empty list = nothing past retention).
+    """
+    _require_local_path(path, "expire_partitions")
+    entries = [
+        e
+        for e in _partition_entries(path)
+        if e.startswith(f"{partition_col}=")
+        and e.split("=", 1)[1] < before
+    ]
+    if not entries:
+        return []
+    trash = f"{path}__old_{uuid.uuid4().hex}"
+    os.makedirs(trash)
+    for e in entries:
+        os.rename(os.path.join(path, e), os.path.join(trash, e))
+    shutil.rmtree(trash, ignore_errors=True)
+    return entries
+
+
 def recover_upsert(path: str) -> list[str]:
     """Repair an ``upsert_parquet`` interrupted in any crash window; returns
     the actions taken (empty list = nothing to repair).  Deterministic

@@ -481,3 +481,41 @@ def test_incremental_refresh_matches_full(spark, sf_dir, tmp_path):
     plan = affected._jdf.queryExecution().executedPlan().toString()
     scan = plan[plan.find("FileScan"):]
     assert "trade_date" in scan.split("PartitionFilters")[1][:200]
+
+
+def test_expire_partitions_retention(spark, tmp_path, monkeypatch):
+    """Retention drops exactly the pre-cutoff day directories without
+    touching surviving data; a crash mid-expiry leaves displaced data that
+    recover_upsert cleans on the next pass."""
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    path = str(tmp_path / "retain")
+    df = spark.range(300).selectExpr(
+        "id", "date_add(DATE'2024-01-01', CAST(id % 3 AS INT)) AS day"
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    expired = mnt.expire_partitions(path, "day", "2024-01-03")
+    assert sorted(expired) == ["day=2024-01-01", "day=2024-01-02"]
+    left = spark.read.parquet(path)
+    assert left.count() == 100
+    assert left.selectExpr("min(day) = DATE'2024-01-03'").first()[0]
+    assert mnt.expire_partitions(path, "day", "2024-01-03") == []
+
+    # crash window: kill after displacing (rename) but before the rmtree
+    df.write.mode("overwrite").partitionBy("day").parquet(path)
+    real_rmtree = mnt.shutil.rmtree
+    monkeypatch.setattr(
+        mnt.shutil, "rmtree", lambda *a, **k: (_ for _ in ()).throw(OSError("boom"))
+    )
+    try:
+        mnt.expire_partitions(path, "day", "2024-01-02")
+    except OSError:
+        pass
+    monkeypatch.setattr(mnt.shutil, "rmtree", real_rmtree)
+    assert spark.read.parquet(path).count() == 200  # live data already correct
+    actions = mnt.recover_upsert(path)
+    assert any("superseded" in a for a in actions)
+    assert not [e for e in os.listdir(str(tmp_path)) if "__old_" in e]
