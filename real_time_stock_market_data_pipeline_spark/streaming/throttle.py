@@ -13,10 +13,14 @@ Two streaming implementations:
   pipeline uses, streaming/analytics.py): 8-bytes-of-state-per-key in the
   state store, one shuffle on the key (the same exchange the alert filter
   already needs), rows processed in event-time order inside each
-  micro-batch.  Idle keys are evicted via processing-time timeout at
-  ``ttl_factor × cooldown`` — a key silent that long has trivially left
-  its cooldown window, so eviction never changes results, it only caps
-  state size at (actively-alerting keys).
+  micro-batch.  Idle keys are evicted via EVENT-TIME timeout at
+  ``last_emit + cooldown``: once the watermark passes that point no
+  future row (which must sit at/after the watermark) can still be
+  suppressed, so eviction is provably lossless — at ANY replay speed.  A
+  processing-time TTL here would be wrong, not just loose: in a backfill
+  the wall clock races ahead of event time and would evict state that
+  still suppresses (caught by the restart-equivalence test).  The
+  watermark also bounds state for keys that stop alerting.
 * ``CooldownThrottle`` / ``throttled_stream_tws`` — the same operator on
   Spark 4's ``transformWithStateInPandas`` (typed ``ValueState`` + native
   state TTL).  ENVIRONMENT-BLOCKED here: the API's Python↔JVM state
@@ -68,12 +72,14 @@ def _greedy_keep(pdf: pd.DataFrame, cooldown: float, last: float | None):
 
 
 def throttled_stream(
-    alerts: DataFrame, cooldown_s: float, ttl_factor: float = 4.0
+    alerts: DataFrame, cooldown_s: float, watermark: str = "10 minutes"
 ) -> DataFrame:
     """Streaming greedy throttle on ``applyInPandasWithState`` (see module
-    docstring).  Input must carry the THROTTLE_OUT_SCHEMA columns."""
+    docstring).  Input must carry the THROTTLE_OUT_SCHEMA columns; the
+    ``watermark`` delay is applied here (event-time eviction needs one)
+    and is the usual late-data bound — rows later than it are an upstream
+    drop, not a throttle concern."""
     cool = float(cooldown_s)
-    ttl_ms = int(cool * ttl_factor * 1000)
 
     def handler(
         key: tuple[Any, ...],
@@ -81,8 +87,8 @@ def throttled_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
-            # idle longer than ttl: the stored ts can no longer suppress
-            # anything — drop the state row
+            # the watermark passed last_emit + cooldown: nothing at or
+            # after the watermark can be suppressed anymore — lossless drop
             state.remove()
             yield pd.DataFrame(columns=_COLS)
             return
@@ -91,15 +97,24 @@ def throttled_stream(
         out, last = _greedy_keep(pdf, cool, last)
         if last is not None:
             state.update((float(last),))
-            state.setTimeoutDuration(ttl_ms)
+            # event-time timer; must sit strictly past the current
+            # watermark (if the watermark already passed the cooldown end,
+            # the state is inert — schedule the earliest legal expiry)
+            expiry_ms = int((last + cool) * 1000)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(expiry_ms, wm + 1))
         yield out
 
-    return alerts.groupBy("company_id").applyInPandasWithState(
-        handler,
-        outputStructType=THROTTLE_OUT_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        alerts.withWatermark("trade_datetime", watermark)
+        .groupBy("company_id")
+        .applyInPandasWithState(
+            handler,
+            outputStructType=THROTTLE_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 
@@ -154,7 +169,15 @@ try:  # pragma: no cover - import guard mirrors the optional API surface
     class CooldownThrottle(StatefulProcessor):
         """Greedy cooldown throttle as a typed-state processor: per-key
         ``ValueState`` of one epoch-seconds double with native state TTL
-        (``ttl_factor × cooldown``)."""
+        (``ttl_factor × cooldown``).
+
+        CAVEAT vs ``throttled_stream``: the typed-state TTL is
+        PROCESSING-time — safe for live streams (event ≈ wall clock) but
+        not for fast replays, where wall time races event time and TTL
+        eviction could drop still-suppressing state.  The
+        applyInPandasWithState path evicts on EVENT time (watermark) and
+        is the replay-safe default; revisit when transformWithState grows
+        event-time TTLs."""
 
         def __init__(self, cooldown_s: float, ttl_factor: float = 4.0):
             self._cooldown = float(cooldown_s)

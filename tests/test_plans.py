@@ -171,3 +171,16 @@ def test_txt6_vocab_topk_is_distributed(spark, sf_dir):
     the full token counts."""
     plan = plan_of(spark, sf_dir, "txt6_vocab")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dq1_fuses_checks_into_one_scan_per_table(spark, sf_dir):
+    """All pred/unique expectations against one table must share ONE
+    FileScan (the explode-from-struct fusion) — four separate aggregate
+    scans of events would defeat the audit's single-pass design.  Events
+    carries 4 such checks; the plan may read events at most twice (the
+    fused pred/unique scan; fk checks scan their own tables)."""
+    plan = plan_of(spark, sf_dir, "dq1_expectations")
+    n_event_scans = sum(
+        1 for seg in plan.split("FileScan")[1:] if "events.parquet" in seg[:400]
+    )
+    assert 1 <= n_event_scans <= 2, plan[:500]

@@ -426,3 +426,47 @@ def test_throttle_transform_with_state_requires_protobuf(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(map(tuple, spark.read.parquet(str(tmp_path / "wout")).collect()))
     assert got == sorted(map(tuple, throttle_batch(df, 5.0).collect()))
+
+
+def test_throttle_survives_restart(spark, tmp_path):
+    """A RESTARTED throttle query (same checkpoint) must keep suppressing
+    from the state store: an alert emitted in run 1 still cools down run
+    2's early rows — the T2/T3 guarantee the in-memory reference
+    architecture cannot give."""
+    from real_time_stock_market_data_pipeline_spark.streaming.throttle import (
+        throttle_batch,
+        throttled_stream,
+    )
+
+    schema = (
+        "company_id string, tick_id long, trade_datetime string, "
+        "current_price double, alert_type string"
+    )
+    rows = [("A", i, f"2024-01-01 00:00:{i:02d}", 1.0, "HIGH") for i in range(20)]
+    df = spark.createDataFrame(rows, schema).withColumn(
+        "trade_datetime", F.to_timestamp("trade_datetime")
+    )
+    first = df.filter("tick_id < 8")
+    second = df.filter("tick_id >= 8")
+    src = tmp_path / "rsrc"
+    first.coalesce(1).write.parquet(str(src / "f1"))
+
+    def run_once():
+        stream = spark.readStream.schema(df.schema).parquet(f"{src}/*/")
+        q = (
+            throttled_stream(stream, 5.0)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "rout"))
+            .option("checkpointLocation", str(tmp_path / "rckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # run 1: sees ticks 0-7, emits 0 and 5
+    second.coalesce(1).write.parquet(str(src / "f2"))
+    run_once()  # run 2 (fresh query, same checkpoint): must remember t=5
+
+    got = sorted(r["tick_id"] for r in spark.read.parquet(str(tmp_path / "rout")).collect())
+    exp = sorted(r["tick_id"] for r in throttle_batch(df, 5.0).collect())
+    assert got == exp == [0, 5, 10, 15]
