@@ -26,8 +26,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from contextlib import contextmanager
+
 from .functions.scalars import dsum, r6
 from .operators.relational import latest_per_group
+
+
+@contextmanager
+def _scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for one write and restore the previous value
+    after — mutating the shared session would silently change the
+    semantics of every later partitioned overwrite in the same session."""
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def daily_summary(ticks: DataFrame) -> DataFrame:
@@ -49,8 +70,8 @@ def daily_summary(ticks: DataFrame) -> DataFrame:
 
 def refresh_daily_summary(spark: SparkSession, ticks: DataFrame, path: str) -> None:
     """R5 refresh: recompute + dynamic-partition overwrite by trade_date."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    daily_summary(ticks).write.mode("overwrite").partitionBy("trade_date").parquet(path)
+    with _scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        daily_summary(ticks).write.mode("overwrite").partitionBy("trade_date").parquet(path)
 
 
 def refresh_daily_summary_incremental(
@@ -78,13 +99,13 @@ def refresh_daily_summary_incremental(
     ]
     store = spark.read.parquet(tick_store_path)
     affected = store.filter(F.col("trade_date").isin(days))
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        daily_summary(affected)
-        .write.mode("overwrite")
-        .partitionBy("trade_date")
-        .parquet(path)
-    )
+    with _scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        (
+            daily_summary(affected)
+            .write.mode("overwrite")
+            .partitionBy("trade_date")
+            .parquet(path)
+        )
 
 
 def migrate_realtime_to_historical(

@@ -1294,8 +1294,11 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins it TRUE.  Recall@10 for this exact codebook/probe config is
     already hash-gated by ``emb5_ivf_trained_recall``; repeating the
     brute-force pass here would only re-buy that answer for ~1.5 s."""
+    import atexit
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from ..operators.clustering import kmeans_fit
     from ..operators.similarity import build_ivf_index, ivf_topk, search_ivf_index
@@ -1308,11 +1311,16 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one (index ≡ fresh holds for any codebook; emb5 owns recall, and
     # pays the converged fit there)
     cents = kmeans_fit(emb, k=8, n_iter=1)
+    # per-run unique path: two concurrent runs (parallel test workers, the
+    # driver's interleaved bench repeats) must not overwrite each other's
+    # index mid-search.  Cleanup is atexit — the returned frame reads the
+    # index lazily, so the directory must outlive this function.
     path = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_ivf_index",
-        os.path.basename(os.path.normpath(sf_dir)),
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
     )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
     build_ivf_index(emb, cents, path)
     from_index = search_ivf_index(spark, path, queries_df, k=10, n_probe=7)
     fresh = ivf_topk(queries_df, emb, cents, k=10, n_probe=7)

@@ -566,9 +566,10 @@ WITH b AS (
   SELECT lang, n_chars, ({h}) % {N_BUCKETS} AS bucket FROM documents
 )
 SELECT lang,
-       count(*) AS n_total,
-       count(CASE WHEN bucket < 30 THEN 1 END) AS n_sampled,
-       sum(CASE WHEN bucket < 30 THEN n_chars ELSE 0 END) AS sampled_chars
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(CASE WHEN bucket < 30 THEN 1 END) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN bucket < 30 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS sampled_chars
 FROM b GROUP BY lang
 """
 
