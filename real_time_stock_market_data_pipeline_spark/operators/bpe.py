@@ -101,7 +101,10 @@ def train_bpe_merges(
         return _python_bpe(rows, n_merges)
 
     # the empty-string filter guards the historical split('', ...) trailing
-    # empty element so both paths see identical symbol sequences
+    # empty element so both paths see identical symbol sequences.
+    # Codepoint safety: Spark 4's zero-width split yields CODE POINTS, not
+    # UTF-16 units — surrogate pairs stay intact, matching the Python
+    # path's list(word) (pinned by test_bpe.py's non-BMP case)
     syms = wc.select(
         F.col("n"),
         F.expr("filter(split(word, ''), s -> s <> '')").alias("syms"),
@@ -192,6 +195,51 @@ def _segment(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
+def _segment_udf(merges: list[tuple[str, str, int]]):
+    """Arrow-batched segmentation of a word column — ``_segment`` applied
+    per distinct word.  The ranks dict is merge-list-sized (tiny) and
+    ships once per task in the UDF closure; the UDF runs over the
+    DISTINCT-WORD frame, never the corpus."""
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+
+    @F.pandas_udf("array<string>")
+    def seg(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: _segment(w, ranks))
+
+    return seg
+
+
+def segment_words(wc: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(word, …) → (word, …, tokens, n_sub): fully distributed
+    segmentation of a distinct-word frame.  Pure per-row projection — no
+    shuffle, no ceiling; the path any >2 M-word vocab takes."""
+    return wc.withColumn("tokens", _segment_udf(merges)("word")).withColumn(
+        "n_sub", F.size("tokens")
+    )
+
+
+def _count_tokens_via_mapping(
+    df: DataFrame, map_df: DataFrame, text: str, broadcast_mapping: bool
+) -> DataFrame:
+    """Join the word→n_sub mapping back onto the exploded corpus and roll
+    up per document.  The mapping is broadcast when the caller knows it is
+    bounded (driver path); otherwise a plain equi-join on the word — a
+    high-cardinality key, so the shuffle is skew-safe and AQE may still
+    elect broadcast at runtime."""
+    id_col = df.columns[0]
+    exploded = df.select(id_col, F.explode(tokens_col(text)).alias("word"))
+    mapping = F.broadcast(map_df) if broadcast_mapping else map_df
+    per_doc = (
+        exploded.join(mapping, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+    return df.join(per_doc, id_col, "left")
+
+
 def apply_bpe(
     df: DataFrame,
     merges: list[tuple[str, str, int]],
@@ -203,40 +251,84 @@ def apply_bpe(
 
     Scale idiom: segmentation is a pure function of the WORD, so the
     corpus is never segmented row-by-row — the DISTINCT words are
-    segmented ONCE (driver-side under the same bounded-vocab contract as
-    training; the mapping is vocab-sized) and broadcast-joined back onto
-    the exploded corpus.  A 100 TB corpus re-uses each word's
-    segmentation billions of times for one driver computation of it.
+    segmented ONCE and joined back onto the exploded corpus.  A 100 TB
+    corpus re-uses each word's segmentation billions of times for one
+    computation of it.  Adaptive execution (same contract as
+    ``train_bpe_merges`` and ``dedup.dup_clusters``):
 
-    Raises when the vocab exceeds ``max_driver_words`` — at that size the
-    mapping itself should be a persisted table maintained incrementally
-    (segment only NEW words per batch), not recomputed in one call.
+    * vocab ≤ ``max_driver_words`` — segment driver-side and broadcast
+      the bounded mapping (tens of MB at the bound).
+    * larger — ``segment_words``: the same ``_segment`` inside an
+      Arrow-batched pandas UDF over the distinct-word frame, joined back
+      on the word key.  No ceiling; both paths are pinned equal by test
+      (``max_driver_words=0`` forcing pattern).
+
+    For repeated batches at scale, persist the mapping once and maintain
+    it incrementally instead — ``update_segmentation_table`` /
+    ``apply_bpe_with_table``.
     """
     spark = df.sparkSession
-    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
     wc = word_counts(df, text)
     n_words = wc.count()
     if n_words > max_driver_words:
-        raise ValueError(
-            f"apply_bpe: vocab of {n_words:,} distinct words exceeds "
-            f"max_driver_words={max_driver_words:,}; maintain the "
-            "word→segmentation mapping as a persisted incremental table "
-            "instead of one-shot application"
-        )
+        map_df = segment_words(wc.select("word"), merges).select("word", "n_sub")
+        return _count_tokens_via_mapping(df, map_df, text, broadcast_mapping=False)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
     mapping = [
         (r["word"], len(_segment(r["word"], ranks))) for r in wc.toLocalIterator()
     ]
     map_df = spark.createDataFrame(mapping, "word STRING, n_sub INT")
-    exploded = df.select(
-        df.columns[0], F.explode(tokens_col(text)).alias("word")
+    return _count_tokens_via_mapping(df, map_df, text, broadcast_mapping=True)
+
+
+def update_segmentation_table(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    path: str,
+    text: str = "text",
+) -> dict[str, int]:
+    """Incrementally maintain a persisted word→segmentation table at
+    ``path``: segment ONLY the batch's words not already in the table and
+    append them.  The table is insert-only by construction — for a fixed
+    merge list a word's segmentation never changes, so the correct merge
+    is an anti-join + append, never a rewrite (cheaper than a full
+    key-merge; contrast ``maintenance.merge_upsert`` where payloads
+    change).  Callers own merge-list consistency: one table per trained
+    tokenizer (re-train ⇒ new path).
+
+    Returns ``{"n_batch_words", "n_new_segmented"}`` — the second is the
+    number of words actually segmented this call, so a caller can assert
+    the zero-recompute property on re-ingested batches.
+
+    At 100 TB: per batch, one corpus scan (distinct words), one anti-join
+    against the table keyed on the word (high-cardinality), and
+    segmentation work proportional to NEW words only — the steady-state
+    cost of tokenizing a growing corpus approaches the join-back alone.
+    """
+    spark = df.sparkSession
+    wc = word_counts(df, text).select("word")
+    try:
+        existing = spark.read.parquet(path).select("word")
+    except Exception:
+        existing = None
+    new_words = (
+        wc if existing is None else wc.join(existing, "word", "left_anti")
     )
-    id_col = df.columns[0]
-    per_doc = (
-        exploded.join(F.broadcast(map_df), "word")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_sub").cast("bigint").alias("n_bpe_tokens"),
-        )
-    )
-    return df.join(per_doc, id_col, "left")
+    seg = segment_words(new_words, merges).persist()
+    try:
+        n_new = seg.count()
+        if n_new:
+            seg.write.mode("append").parquet(path)
+    finally:
+        seg.unpersist()
+    return {"n_batch_words": wc.count(), "n_new_segmented": n_new}
+
+
+def apply_bpe_with_table(df: DataFrame, path: str, text: str = "text") -> DataFrame:
+    """``apply_bpe`` against a persisted mapping table (see
+    ``update_segmentation_table``): no segmentation at read time at all —
+    one join of the exploded corpus against the table.  Words absent from
+    the table drop out of the join (inner): call
+    ``update_segmentation_table`` with the batch first."""
+    map_df = df.sparkSession.read.parquet(path).select("word", "n_sub")
+    return _count_tokens_via_mapping(df, map_df, text, broadcast_mapping=False)

@@ -789,6 +789,32 @@ SELECT doc_id,
 FROM documents
 """
 
+# TXT9: incremental segmentation table — the oracle recomputes each
+# batch's distinct-word count and the batch-2 set difference in SQL, so a
+# Spark run that re-segments ANY previously-seen word reports a larger
+# n_new_segmented and breaks the hash; the table≡one-shot gate is
+# computed in-plan and pinned TRUE.
+ORACLES["txt9_bpe_incremental"] = """
+WITH w1 AS (
+  SELECT DISTINCT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+  FROM documents WHERE doc_id % 2 = 0
+),
+w2 AS (
+  SELECT DISTINCT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS word
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT CAST(1 AS INT) AS batch,
+       CAST((SELECT count(*) FROM w1) AS BIGINT) AS n_batch_words,
+       CAST((SELECT count(*) FROM w1) AS BIGINT) AS n_new_segmented,
+       true AS table_matches_oneshot
+UNION ALL
+SELECT CAST(2 AS INT),
+       CAST((SELECT count(*) FROM w2) AS BIGINT),
+       CAST((SELECT count(*) FROM w2
+             WHERE word NOT IN (SELECT word FROM w1)) AS BIGINT),
+       true
+"""
+
 ORACLES["a10_value_histogram"] = """
 SELECT event_type,
        CASE WHEN value < 0.0 THEN CAST(0 AS BIGINT)

@@ -1380,6 +1380,58 @@ def txt8_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("txt9_bpe_incremental")
+def txt9_bpe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT9 — incrementally-maintained word→segmentation table
+    (operators/bpe.py update_segmentation_table): the corpus arrives in
+    two batches; batch 2 segments ONLY its unseen words (the driver row
+    exposes the exact counts — the oracle recomputes both batch vocab
+    sizes and the set difference in SQL, so any recomputation of a
+    previously-seen word breaks the hash), and tokenization through the
+    persisted table must equal one-shot apply_bpe on the union (gate
+    column, computed in-plan, oracle pins TRUE).  This is the 100 TB
+    steady-state tokenization shape: per batch, segmentation work
+    proportional to NEW vocabulary only."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.bpe import (
+        apply_bpe,
+        apply_bpe_with_table,
+        train_bpe_merges,
+        update_segmentation_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=20)
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_segmap",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    m1 = update_segmentation_table(b1, merges, path)
+    m2 = update_segmentation_table(b2, merges, path)
+    tot_table = (
+        apply_bpe_with_table(docs, path).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    )
+    tot_oneshot = apply_bpe(docs, merges).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    gate = bool(tot_table == tot_oneshot)
+    return spark.createDataFrame(
+        [
+            (1, m1["n_batch_words"], m1["n_new_segmented"], gate),
+            (2, m2["n_batch_words"], m2["n_new_segmented"], gate),
+        ],
+        "batch INT, n_batch_words BIGINT, n_new_segmented BIGINT, "
+        "table_matches_oneshot BOOLEAN",
+    )
+
+
 @register("a10_value_histogram")
 def a10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 — fixed-width value histogram per event_type (20 bins over

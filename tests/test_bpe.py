@@ -61,9 +61,67 @@ def test_apply_bpe_matches_python_segmentation(spark):
     assert out[2]["n_bpe_tokens"] == exp2 and out[2]["n_words"] == 2
 
 
-def test_apply_bpe_vocab_guard(spark):
-    import pytest
+def test_apply_bpe_distributed_matches_driver(spark, sf_dir):
+    """max_driver_words=0 forces the pandas-UDF segmentation path; per-doc
+    token counts must equal the driver-segmented broadcast path exactly."""
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
 
-    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
-    with pytest.raises(ValueError, match="persisted incremental table"):
-        bpe.apply_bpe(docs, [], max_driver_words=1)
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    merges = bpe.train_bpe_merges(docs, n_merges=8)
+    cols = ["doc_id", "n_words", "n_bpe_tokens"]
+    fast = sorted(map(tuple, bpe.apply_bpe(docs, merges).select(*cols).collect()))
+    dist = sorted(
+        map(
+            tuple,
+            bpe.apply_bpe(docs, merges, max_driver_words=0).select(*cols).collect(),
+        )
+    )
+    assert fast == dist and len(fast) == 60
+
+
+def test_train_distributed_codepoint_safe(spark):
+    """Non-BMP regression (surrogate pairs): Spark's zero-width split must
+    yield CODE POINTS like the python path's list(word) — both training
+    paths learn identical merges on emoji-bearing text."""
+    text = " ".join(["\U0001f600\U0001f601x"] * 4 + ["\U0001f600\U0001f601y"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    fast = bpe.train_bpe_merges(docs, n_merges=2)
+    dist = bpe.train_bpe_merges(docs, n_merges=2, max_driver_words=0)
+    assert fast == dist
+    assert fast[0][:2] == ("\U0001f600", "\U0001f601") and fast[0][2] == 7
+
+
+def test_incremental_segmentation_table(spark, sf_dir, tmp_path):
+    """Second batch segments ONLY unseen words (zero recompute on full
+    overlap), and tokenization via the persisted table equals one-shot
+    apply_bpe on the union."""
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe_merges(docs, n_merges=8)
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    path = str(tmp_path / "segmap")
+
+    m1 = bpe.update_segmentation_table(b1, merges, path)
+    assert m1["n_new_segmented"] == m1["n_batch_words"] > 0
+
+    m2 = bpe.update_segmentation_table(b2, merges, path)
+    expected_new = (
+        bpe.word_counts(b2)
+        .select("word")
+        .join(bpe.word_counts(b1).select("word"), "word", "left_anti")
+        .count()
+    )
+    assert m2["n_new_segmented"] == expected_new < m2["n_batch_words"]
+
+    # re-ingesting batch 1 recomputes nothing
+    m3 = bpe.update_segmentation_table(b1, merges, path)
+    assert m3["n_new_segmented"] == 0
+
+    cols = ["doc_id", "n_words", "n_bpe_tokens"]
+    via_table = sorted(
+        map(tuple, bpe.apply_bpe_with_table(docs, path).select(*cols).collect())
+    )
+    oneshot = sorted(map(tuple, bpe.apply_bpe(docs, merges).select(*cols).collect()))
+    assert via_table == oneshot
