@@ -211,17 +211,19 @@ def dup_clusters(
       — the same bounded-collect contract as the IVF codebook
       (operators/similarity.py).  Iterating Spark jobs over data this
       size would pay ~10 scheduler round-trips for nothing.
-    * larger — distributed min-label propagation: every node starts as its
-      own label; each round one shuffle join (edges ⋈ labels on the
-      neighbor key) + one groupBy-min, lineage truncated per round by a
-      lazy ``localCheckpoint`` whose materialization doubles as the
-      convergence check (label sum is monotone decreasing; one scalar agg
-      per round, no extra join).  Rounds ≈ component diameter — small for
-      dedup-shaped graphs (dup clusters are cliques-ish through shared
-      shingles); the large-star/small-star scheme (Kiveris et al.,
-      "Connected Components in MapReduce") gets O(log d) for adversarial
-      chains at the same per-round shuffle cost.  Raises if not converged
-      within ``max_iter`` (a guard, not a tuning knob).
+    * larger — distributed large-star/small-star alternation (Kiveris et
+      al., "Connected Components in MapReduce and Beyond"): edges are
+      kept canonical (larger id → smaller id); each half-round is one
+      groupBy-min on the node key + one join back to re-point edges at
+      the neighborhood minimum, with lineage truncated per round by a
+      lazy ``localCheckpoint``.  The edge set converges to a star forest
+      (every node → its component min) in O(log d) rounds even on
+      adversarial chain graphs — the property min-label propagation (the
+      previous scheme, O(diameter) rounds) lacked.  Convergence is
+      detected TYPE-AGNOSTICALLY — count + sum of ``xxhash64(u, v)`` over
+      the edge set, one scalar aggregate per round that also materializes
+      the checkpoint — so string doc ids work on both paths.  Raises if
+      not converged within ``max_iter`` (a guard, not a tuning knob).
 
     Both paths compute the same fixpoint; tests force the distributed path
     with ``max_driver_edges=0`` and pin equality.
@@ -272,33 +274,68 @@ def dup_clusters(
             rows, f"doc_id {id_type}, cluster_id {id_type}"
         )
 
-    labels = (
-        edges.select(F.col("u").alias("doc_id"))
+    # canonical edge set: larger id → smaller id, no self-loops
+    cur = (
+        edges.filter(F.col("u") > F.col("v"))
         .distinct()
-        .withColumn("lbl", F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # decimal sum: ±2^63-magnitude hashes overflow a BIGINT sum under
+        # ANSI semantics after a handful of edges
+        row = e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+        ).collect()[0]
+        return (row[0], row[1])
+
+    prev_fp = _fingerprint(cur)
     for _ in range(max_iter):
-        nbr = edges.join(
-            labels.select(F.col("doc_id").alias("v"), F.col("lbl")), "v"
-        ).select(F.col("u").alias("doc_id"), F.col("lbl"))
-        # lazy checkpoint: the convergence aggregate below materializes it,
-        # so each round costs ONE job instead of checkpoint-then-sum two
-        labels = (
-            nbr.union(labels)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
+        # large-star: per node a over the SYMMETRIC neighborhood,
+        # m = min(N(a) ∪ {a}); re-point every larger neighbor b > a at m
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") > F.col("v"))
+            .distinct()
+        )
+        # small-star: per node u over its SMALLER neighbors,
+        # m = min; re-point them (and u) at m
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(sm, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
-        prev_sum = cur_sum
+        cur_fp = _fingerprint(small)  # one job: materializes + compares
+        cur = small
+        if cur_fp == prev_fp:
+            # star forest: every non-min node appears once as u → its min;
+            # add the roots' self-labels
+            return (
+                cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+                .union(
+                    cur.select(
+                        F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")
+                    ).distinct()
+                )
+                .distinct()
+            )
+        prev_fp = cur_fp
     raise RuntimeError(
-        f"dup_clusters: no fixpoint within {max_iter} rounds — component "
-        "diameter exceeds the guard; raise max_iter or switch to the "
-        "large-star/small-star scheme for chain-shaped graphs"
+        f"dup_clusters: no fixpoint within {max_iter} rounds — raise "
+        "max_iter (star alternation needs O(log diameter) rounds)"
     )
 
 

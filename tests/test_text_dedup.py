@@ -297,6 +297,39 @@ def test_dup_clusters_paths_agree(spark):
     assert small == dist and len(small) == 9
 
 
+def test_dup_clusters_distributed_long_chain(spark):
+    """A 65-node path graph — diameter 64 — converges within the default
+    round guard: the large-star/small-star alternation is O(log d) rounds,
+    where the old min-label propagation needed one round per hop and
+    tripped max_iter=25 on exactly this shape."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(pairs, max_driver_edges=0).collect()
+    }
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_dup_clusters_distributed_string_ids(spark):
+    """String doc ids through the distributed path: the convergence check
+    is type-agnostic (edge-set hash fingerprint, not a numeric label sum),
+    and the cluster label is the lexicographic min."""
+    pairs = spark.createDataFrame(
+        [("d-b", "d-c"), ("d-c", "d-a"), ("x-2", "x-1")], ["doc_a", "doc_b"]
+    )
+    for kw in ({}, {"max_driver_edges": 0}):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(pairs, **kw).collect()
+        }
+        assert got == {
+            "d-a": "d-a", "d-b": "d-a", "d-c": "d-a",
+            "x-1": "x-1", "x-2": "x-1",
+        }, kw
+
+
 def test_contamination_detects_verbatim_leak(spark):
     """A train doc that contains a test doc verbatim gets containment ≈ 1;
     a train doc sharing no trigram is absent from the report."""
