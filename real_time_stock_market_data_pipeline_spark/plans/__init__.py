@@ -46,7 +46,7 @@ _PRIORITY = [
     "dq1_expectations", "a9_sketch_rollup", "emb7_embedding_clusters",
     "dd7_dedup_summary", "dd8_contamination", "txt6_vocab",
     "txt7_bpe_merges", "txt8_bpe_tokenize", "txt9_bpe_incremental",
-    "emb8_ivf_index_search",
+    "t10_throttle", "emb8_ivf_index_search",
     "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
     "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
     # 3 — r05-green fill: keep their rows at most one round old

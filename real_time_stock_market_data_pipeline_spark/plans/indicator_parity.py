@@ -617,3 +617,66 @@ def _j3_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t6_alerts"] = _t6_materialized
 QUERIES["j3_alert_feed"] = _j3_materialized
+
+
+# --- T10: greedy cooldown throttle, batch twin (streaming/throttle.py) ------
+
+_T10_COOLDOWN_S = 172_800.0  # 48 h — ~half the >50-price alerts suppressed
+_T10_ALERTS = """
+SELECT CAST(company_id AS {str_t}) AS company_id, tick_id, trade_datetime,
+       current_price, 'PRICE_SPIKE' AS alert_type
+FROM ticks WHERE current_price > 50.0
+"""
+
+
+def sql_throttled_alerts_oracle() -> str:
+    """T10 oracle (DuckDB ONLY — Spark executes the operator, not this
+    text): the greedy rule `emit iff ts >= last_emitted + cooldown` is
+    inherently sequential, which a recursive CTE CAN express — the
+    recursion walks each key's alerts in (trade_datetime, tick_id) order
+    carrying last_emitted, exactly ``_greedy_keep``'s loop.  epoch_us/1e6
+    mirrors the operator's float-seconds arithmetic."""
+    cool = _T10_COOLDOWN_S
+    return f"""
+WITH RECURSIVE {ticks_cte('duck')},
+alerts AS ({_T10_ALERTS.format(str_t='VARCHAR')}),
+ordered AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY company_id
+                            ORDER BY trade_datetime, tick_id) AS rn,
+         epoch_us(trade_datetime) / 1000000.0 AS ts
+  FROM alerts
+),
+step AS (
+  SELECT company_id, rn, ts, TRUE AS emitted, ts AS last_ts
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.company_id, o.rn, o.ts,
+         o.ts >= s.last_ts + {cool},
+         CASE WHEN o.ts >= s.last_ts + {cool} THEN o.ts ELSE s.last_ts END
+  FROM step s JOIN ordered o ON o.company_id = s.company_id AND o.rn = s.rn + 1
+)
+SELECT o.company_id, o.tick_id, o.trade_datetime, o.current_price, o.alert_type
+FROM ordered o JOIN step s ON s.company_id = o.company_id AND s.rn = o.rn
+WHERE s.emitted
+"""
+
+
+def _t10_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 — cooldown alert throttle, batch twin (streaming/throttle.py
+    throttle_batch): at most one PRICE_SPIKE alert per company per 48 h of
+    EVENT time under the greedy rule.  One shuffle on the key, Arrow
+    grouped-map, no state store; the streaming path
+    (``throttled_stream``) is pinned ≡ to this operator by
+    tests/test_streaming.py, so the driver row transitively covers both."""
+    from ..streaming.throttle import throttle_batch
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    alerts = spark.sql(
+        f"WITH {ticks_cte('spark')} {_T10_ALERTS.format(str_t='STRING')}"
+    )
+    return throttle_batch(alerts, _T10_COOLDOWN_S)
+
+
+QUERIES["t10_throttle"] = _t10_throttle
+INDICATOR_ORACLES["t10_throttle"] = sql_throttled_alerts_oracle()
