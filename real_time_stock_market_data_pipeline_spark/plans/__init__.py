@@ -13,44 +13,24 @@ ORACLES.update(EMBEDDING_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# other round.  Round-6 rotation policy (changed-queries-first):
-#   1. the 19 queries whose only driver row is r04 — txt5 FIRST because its
-#      BPE split pattern changed in r5 AFTER that row (the r5 verdict's
-#      evidence-process note);
-#   2. queries NEW or CHANGED this round: mm3–mm6/flagship/s14 and the
-#      training-data additions dd6/dd7/dd8/sp1/sp2/dq1/a9/txt6/txt7/txt8/
-#      emb7/emb8 (all new), mm2 (JPEG truncation fix), t6/j3 (unique
-#      snapshot views), emb4/emb5 (codebook guard), s9 (upsert recovery);
-#   3. fill the remaining window slots with the r05-green queries whose
-#      rows would otherwise age past one round (dd2–dd5/emb1–emb3/emb6/...);
-#   4. the tail (outside the window): queries freshly green in
-#      CORRECTNESS_r05 and pytest-pinned.  They re-verify opportunistically
-#      and remain covered by the full parity gate (tests/test_parity.py),
-#      which this round was additionally run at sf0.1 (87/87).
+# other round.  Round-7 rotation policy:
+#   1. sp2_stratified_sample FIRST — the round's one red r06 row (oracle
+#      HUGEINT→BIGINT cast fixed this round) must re-verify;
+#   2. the 43 queries whose newest driver row is r05 (rotated out of the
+#      r06 window) — they'd otherwise go two rounds stale;
+#   3. queries NEW or CHANGED this round: txt8 (distributed segmentation
+#      path), txt9/t10 (new), dd6/dd7/emb7 (large-star/small-star
+#      connected components underneath).
+#   That fills the 50 slots exactly.  The tail (every query green in
+#   CORRECTNESS_r06 and unchanged) re-verifies opportunistically and stays
+#   covered every run by tests/test_parity.py at sf0.001 and by the
+#   pre-commit parity harness at sf0.01 (95/95 this round).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — r04-only driver rows: rotate in first; txt5 leads (changed in r5)
-    "txt5_bpe_tokens",
-    "f1_scalar_suite", "dd1_exact_dedup",
-    "w2_sma", "w3_ema", "w4_rsi", "w5_bollinger", "w6_macd",
-    "w7_volatility", "w8_price_change", "w9_ml_features",
-    "txt1_token_stats", "txt2_quality", "txt3_langid", "txt4_fingerprint",
-    "w10_throttled_volatility", "p8_extreme_filter",
-    "j5_dim_lookup", "a3_active_series",
-    # 2 — new or changed this round
-    "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
-    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
-    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
-    "dd6_dup_clusters", "sp1_hash_split", "sp2_stratified_sample",
-    "dq1_expectations", "a9_sketch_rollup", "emb7_embedding_clusters",
-    "dd7_dedup_summary", "dd8_contamination", "txt6_vocab",
-    "txt7_bpe_merges", "txt8_bpe_tokenize", "txt9_bpe_incremental",
-    "t10_throttle", "emb8_ivf_index_search",
-    "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
-    "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
-    # 3 — r05-green fill: keep their rows at most one round old
-    "dd2_ngram_jaccard", "dd3_minhash_signatures", "dd4_minhash_candidates",
+    # 1 — the red r06 row, freshly fixed
+    "sp2_stratified_sample",
+    # 2 — newest driver row is r05: rotate back in
+    "dd3_minhash_signatures", "dd4_minhash_candidates",
     "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",
     "emb3_lsh_near_dup", "emb6_centered_lsh",
     "j2_analytics_dashboard", "j4_prediction_dashboard",
@@ -58,7 +38,6 @@ _PRIORITY = [
     "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
     "j1_tick_dashboard", "j6_region_revenue",
     "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    # 4 — fresh r05 rows + pytest-pinned: outside the 50-row window
     "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
     "p5_equality_filter", "p6_flag_filter", "o1_top_events",
     "o3_training_fetch", "o4_latest_row", "o5_price_history",
@@ -68,6 +47,26 @@ _PRIORITY = [
     "t9_session_windows", "mm1_media_meta",
     "j10_asof_quote", "s13_model_roundtrip", "u2_arima_forecast",
     "u3_linreg_metrics", "u4_linreg_predictions",
+    # 3 — new or changed this round (fills the window to exactly 50)
+    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
+    "dd6_dup_clusters", "dd7_dedup_summary", "emb7_embedding_clusters",
+    # 4 — tail: green r06 rows, unchanged this round; parity-gate-pinned
+    "dd2_ngram_jaccard", "txt5_bpe_tokens",
+    "f1_scalar_suite", "dd1_exact_dedup",
+    "w2_sma", "w3_ema", "w4_rsi", "w5_bollinger", "w6_macd",
+    "w7_volatility", "w8_price_change", "w9_ml_features",
+    "txt1_token_stats", "txt2_quality", "txt3_langid", "txt4_fingerprint",
+    "w10_throttled_volatility", "p8_extreme_filter",
+    "j5_dim_lookup", "a3_active_series",
+    "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
+    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
+    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
+    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
+    "emb8_ivf_index_search",
+    "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
+    "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
