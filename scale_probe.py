@@ -40,12 +40,13 @@ VIRAL = " the common viral phrase every document now shares"
 EVENT_QUERIES = [
     "a4_daily_summary", "w_all_indicators", "t6_alerts",
     "u3_linreg_metrics", "u2_arima_forecast", "s14_arima_registry",
-    "a9_sketch_rollup", "dq1_expectations",
+    "a9_sketch_rollup", "dq1_expectations", "t10_throttle",
 ]
 DOC_QUERIES = [
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality",
     "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
     "dd6_dup_clusters", "sp1_hash_split", "dd8_contamination", "txt6_vocab",
+    "txt9_bpe_incremental",
 ]
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
