@@ -332,3 +332,78 @@ def apply_bpe_with_table(df: DataFrame, path: str, text: str = "text") -> DataFr
     ``update_segmentation_table`` with the batch first."""
     map_df = df.sparkSession.read.parquet(path).select("word", "n_sub")
     return _count_tokens_via_mapping(df, map_df, text, broadcast_mapping=False)
+
+
+def tokenize_docs(df: DataFrame, path: str, text: str = "text") -> DataFrame:
+    """Adds ``bpe_tokens array<string>`` per document — the word-order-
+    preserving concatenation of each word's segmentation from the
+    persisted mapping table (the training-ready output, not just counts).
+
+    Plan shape: ``posexplode`` keeps each word's position, the mapping
+    join attaches its token array, and per-doc reassembly is pure JVM —
+    ``array_sort`` over (pos, tokens) structs then ``flatten`` — no
+    Python in the hot path.  One shuffle on the word key + one on the doc
+    id; rows are doc-sized, never corpus-sized, in the aggregate."""
+    spark = df.sparkSession
+    mapping = spark.read.parquet(path).select("word", "tokens")
+    id_col = df.columns[0]
+    words = df.select(
+        F.col(id_col), F.posexplode(tokens_col(text)).alias("pos", "word")
+    )
+    per_doc = (
+        words.join(mapping, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )
+    return df.join(per_doc, id_col, "left")
+
+
+def token_vocab(spark, path: str) -> DataFrame:
+    """(token, token_id) — contiguous ids over the distinct tokens of a
+    persisted segmentation table, ranked by corpus-weight-free frequency
+    across mapping entries then token text (deterministic under reruns).
+    Vocab-sized everywhere; the ranking window runs after a distinct-token
+    aggregate, never over the corpus."""
+    from pyspark.sql import Window
+
+    toks = (
+        spark.read.parquet(path)
+        .select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return toks.select(
+        "token", (F.row_number().over(w) - 1).alias("token_id")
+    )
+
+
+def encode_docs(df: DataFrame, path: str, text: str = "text") -> DataFrame:
+    """Adds ``token_ids array<int>`` per document: ``tokenize_docs``
+    composed with the ``token_vocab`` id assignment — the end-to-end
+    text→ids path a training loader consumes.  The vocab join explodes
+    per token but re-aggregates on the same doc id partitioning."""
+    spark = df.sparkSession
+    vocab = token_vocab(spark, path)
+    id_col = df.columns[0]
+    toks = tokenize_docs(df, path, text).select(
+        F.col(id_col), F.posexplode("bpe_tokens").alias("pos", "token")
+    )
+    per_doc = (
+        toks.join(vocab, "token")  # high-cardinality key; AQE may broadcast
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token_id"))),
+                lambda s: s["token_id"],
+            ).alias("token_ids")
+        )
+    )
+    return df.join(per_doc, id_col, "left")

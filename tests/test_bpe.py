@@ -125,3 +125,29 @@ def test_incremental_segmentation_table(spark, sf_dir, tmp_path):
     )
     oneshot = sorted(map(tuple, bpe.apply_bpe(docs, merges).select(*cols).collect()))
     assert via_table == oneshot
+
+
+def test_tokenize_and_encode_docs(spark, tmp_path):
+    """tokenize_docs reassembles per-word segmentations in word order
+    (pinned against the python reference), and encode_docs maps them to
+    the deterministic vocab ids."""
+    docs = spark.createDataFrame(
+        [(1, "low lower newest"), (2, "widest low")],
+        "doc_id LONG, text STRING",
+    )
+    merges = bpe.train_bpe_merges(docs, n_merges=4)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    path = str(tmp_path / "segmap")
+    bpe.update_segmentation_table(docs, merges, path)
+
+    got = {r["doc_id"]: r["bpe_tokens"] for r in bpe.tokenize_docs(docs, path).collect()}
+    exp = {
+        1: [t for w in "low lower newest".split() for t in bpe._segment(w, ranks)],
+        2: [t for w in "widest low".split() for t in bpe._segment(w, ranks)],
+    }
+    assert got == exp
+
+    vocab = {r["token"]: r["token_id"] for r in bpe.token_vocab(spark, path).collect()}
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    ids = {r["doc_id"]: r["token_ids"] for r in bpe.encode_docs(docs, path).collect()}
+    assert ids == {d: [vocab[t] for t in toks] for d, toks in exp.items()}
