@@ -71,6 +71,53 @@ def deterministic_sample(
     return df.filter(hash_bucket_col(id_col, n_buckets) < int(rate * n_buckets))
 
 
+PACK_CAPACITY = 512  # tokens per packed sequence
+PACK_SHARDS = 8  # parallel packing units; scale with the corpus
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing — assign each document to the fixed-capacity
+    training sequence (bin) where its first token lands, concatenate-and-
+    chunk style: documents fill bins in a deterministic pseudo-random
+    order and may straddle a bin boundary (the standard pretraining-loader
+    contract).  Adds (shard, n_tok, bin).
+
+    Packing is inherently sequential — each bin index depends on the
+    running token total — so the scale unit is the SHARD: documents are
+    hash-bucketed into ``n_shards`` independent packing streams, each
+    packed by one window cumulative sum (one shuffle on the shard key,
+    one per-shard sort).  At 100 TB you raise ``n_shards`` with the
+    corpus so a shard stays task-sized; packing quality is unaffected
+    because the hash order is already a uniform shuffle.  All JVM
+    expressions — no Python, no driver state; deterministic under
+    reruns and repartitionings (same property as ``assign_split``)."""
+    from pyspark.sql import Window
+    from .text import tokens_col
+
+    base = df.select(
+        F.col(id_col),
+        hash_bucket_col(id_col, n_shards).alias("shard"),
+        F.size(tokens_col(text)).alias("n_tok"),
+        hash_bucket_col(id_col, 1 << 30).alias("__ord"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tok").over(w)
+    return base.withColumn(
+        "bin",
+        F.floor((cum - F.col("n_tok")) / F.lit(float(capacity))).cast("int"),
+    ).drop("__ord")
+
+
 def capped_per_group(
     df: DataFrame,
     group_col: str,

@@ -19,12 +19,12 @@ ORACLES.update(EMBEDDING_ORACLES)
 #   2. the 43 queries whose newest driver row is r05 (rotated out of the
 #      r06 window) — they'd otherwise go two rounds stale;
 #   3. queries NEW or CHANGED this round: txt8 (distributed segmentation
-#      path), txt9/t10 (new), dd6/dd7/emb7 (large-star/small-star
+#      path), txt9/t10/sp5 (new), dd6/dd7 (large-star/small-star
 #      connected components underneath).
 #   That fills the 50 slots exactly.  The tail (every query green in
 #   CORRECTNESS_r06 and unchanged) re-verifies opportunistically and stays
 #   covered every run by tests/test_parity.py at sf0.001 and by the
-#   pre-commit parity harness at sf0.01 (95/95 this round).
+#   pre-commit parity harness at sf0.01 (96/96 this round).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # 1 — the red r06 row, freshly fixed
@@ -49,9 +49,11 @@ _PRIORITY = [
     "u3_linreg_metrics", "u4_linreg_predictions",
     # 3 — new or changed this round (fills the window to exactly 50)
     "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
-    "dd6_dup_clusters", "dd7_dedup_summary", "emb7_embedding_clusters",
+    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
     # 4 — tail: green r06 rows, unchanged this round; parity-gate-pinned
-    "dd2_ngram_jaccard", "txt5_bpe_tokens",
+    # (emb7 exercises the same new CC code as dd6/dd7, which hold window
+    # slots; its distributed/driver path equality is pytest-pinned)
+    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
     "f1_scalar_suite", "dd1_exact_dedup",
     "w2_sma", "w3_ema", "w4_rsi", "w5_bollinger", "w6_macd",
     "w7_volatility", "w8_price_change", "w9_ml_features",

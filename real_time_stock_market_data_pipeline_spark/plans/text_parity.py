@@ -777,3 +777,56 @@ def _sp4_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp4_balanced_mixture"] = _sp4_balanced
 TEXT_ORACLES["sp4_balanced_mixture"] = sql_balanced_mixture("duck")
+
+
+def sql_sequence_packing(dialect: str) -> str:
+    """SP5 oracle — greedy sequence packing as pure SQL: per shard, a
+    window cumulative token sum in the deterministic hash order; a doc's
+    bin = floor(tokens-before-it / capacity).  The SQL twin checks the
+    OPERATOR (operators/sampling.pack_sequences drives the Spark side):
+    any divergence in shard hash, packing order, or bin arithmetic breaks
+    the per-bin hash."""
+    from ..operators.sampling import PACK_CAPACITY, PACK_SHARDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    nt = list_len(dialect, split_ws(dialect, "text"))
+    bin_e = f"CAST(floor((cum - n_tok) / {PACK_CAPACITY}.0) AS INT)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, ({h}) % {PACK_SHARDS} AS shard,
+         {nt} AS n_tok,
+         ({h}) % {1 << 30} AS ord_k
+  FROM documents
+),
+c AS (
+  SELECT shard, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY ord_k, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM base
+)
+SELECT CAST(shard AS INT) AS shard, {bin_e} AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM c GROUP BY CAST(shard AS INT), {bin_e}
+"""
+
+
+def _sp5_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP5 — sequence packing for training loaders
+    (operators/sampling.pack_sequences): hash-sharded greedy fill of
+    fixed-capacity token sequences, rolled up per (shard, bin)."""
+    from ..operators.sampling import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    return packed.groupBy(
+        F.col("shard").cast("int").alias("shard"), "bin"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
+QUERIES["sp5_sequence_packing"] = _sp5_packing
+TEXT_ORACLES["sp5_sequence_packing"] = sql_sequence_packing("duck")

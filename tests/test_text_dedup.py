@@ -330,6 +330,60 @@ def test_dup_clusters_distributed_string_ids(spark):
         }, kw
 
 
+def test_pack_sequences_invariants(spark, docs):
+    """Every doc packs into exactly one (shard, bin); bins fill greedily
+    (every non-final bin in a shard starts at its exact capacity offset);
+    assignment is stable under repartitioning; and the Spark SQL rendering
+    equals the operator output."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        PACK_CAPACITY,
+        pack_sequences,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_sequence_packing,
+    )
+
+    packed = pack_sequences(docs)
+    rows = packed.collect()
+    assert len(rows) == docs.count()
+    assert all(r["bin"] >= 0 for r in rows)
+
+    # greedy fill: within a shard, cumulative tokens before bin b ≥ b*cap
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        bins = sorted({r["bin"] for r in shard_rows})
+        tot = sum(r["n_tok"] for r in shard_rows)
+        for b in bins[1:]:
+            before = sum(r["n_tok"] for r in shard_rows if r["bin"] < b)
+            assert before >= b * PACK_CAPACITY - max(
+                r["n_tok"] for r in shard_rows
+            ) and before <= tot
+
+    repart = sorted(
+        map(tuple, pack_sequences(docs.repartition(7)).collect())
+    )
+    assert repart == sorted(map(tuple, rows))
+
+    docs.createOrReplaceTempView("documents")
+    sql_agg = sorted(map(tuple, spark.sql(sql_sequence_packing("spark")).collect()))
+    op_agg = sorted(
+        map(
+            tuple,
+            packed.groupBy(
+                packed.shard.cast("int").alias("shard"), "bin"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            )
+            .collect(),
+        )
+    )
+    assert sql_agg == op_agg
+
+
 def test_contamination_detects_verbatim_leak(spark):
     """A train doc that contains a test doc verbatim gets containment ≈ 1;
     a train doc sharing no trigram is absent from the report."""
