@@ -830,3 +830,61 @@ def _sp5_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp5_sequence_packing"] = _sp5_packing
 TEXT_ORACLES["sp5_sequence_packing"] = sql_sequence_packing("duck")
+
+
+def sql_repetition(dialect: str) -> str:
+    """TXT10 — repetition-based quality filtering (the Gopher/C4-style
+    pretraining gate): per doc, the share of the single most frequent
+    token bigram and the type-token ratio; a doc is flagged ``repetitive``
+    when top_bigram_share > 0.2 OR type_token_ratio < 0.3 (explicit,
+    documented thresholds — boilerplate and template spam score high on
+    the first and low on the second).
+
+    Scale shape: one explode (linear in corpus tokens), one per-doc window
+    for the bigram pairing (same layout as the shingle pipeline), two
+    map-combinable per-doc aggregates.  ``||`` not concat() for the bigram
+    join — DuckDB's concat() skips NULLs while Spark's propagates, ``||``
+    propagates in both, so the trailing token drops out identically."""
+    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    share = f"{d('p.top_bigram_n')} / {d('p.n_bigrams')}"
+    ttr = f"{d('t.n_types')} / {d('t.n_toks')}"
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+big AS (
+  SELECT doc_id,
+         (tok || ' ' || lead(tok, 1) OVER ({SH_WIN})) AS bg
+  FROM tok_rows
+),
+bg_counts AS (
+  SELECT doc_id, bg, count(*) AS c FROM big WHERE bg IS NOT NULL
+  GROUP BY doc_id, bg
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS top_bigram_n
+  FROM bg_counts GROUP BY doc_id
+),
+tt AS (
+  SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+         CAST(count(*) AS BIGINT) AS n_toks
+  FROM tok_rows GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_toks, t.n_types,
+       coalesce(p.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+       coalesce(p.top_bigram_n, CAST(0 AS BIGINT)) AS top_bigram_n,
+       {r6t(f"coalesce({share}, {d('0.0')})")} AS top_bigram_share,
+       {r6t(ttr)} AS type_token_ratio,
+       (coalesce({share}, {d('0.0')}) > {d('0.2')}
+        OR ({ttr}) < {d('0.3')}) AS repetitive
+FROM tt t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+"""
+
+
+def _txt10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_repetition("spark"))
+
+
+QUERIES["txt10_repetition"] = _txt10_repetition
+TEXT_ORACLES["txt10_repetition"] = sql_repetition("duck")

@@ -384,6 +384,28 @@ def test_pack_sequences_invariants(spark, docs):
     assert sql_agg == op_agg
 
 
+def test_repetition_flags_boilerplate(spark):
+    """A doc dominated by one repeated bigram is flagged repetitive; a
+    diverse doc is not; a one-token doc has zero bigrams and a defined
+    (non-NULL) share."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_repetition,
+    )
+
+    rows = [
+        (1, "buy now " * 30 + "limited offer", "en", "s", 1),
+        (2, "a quiet morning walk through the old town square", "en", "s", 1),
+        (3, "single", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {r["doc_id"]: r for r in spark.sql(sql_repetition("spark")).collect()}
+    assert got[1]["repetitive"] and got[1]["top_bigram_share"] > 0.4
+    assert not got[2]["repetitive"]
+    assert got[3]["n_bigrams"] == 0 and got[3]["top_bigram_share"] == 0.0
+
+
 def test_contamination_detects_verbatim_leak(spark):
     """A train doc that contains a test doc verbatim gets containment ≈ 1;
     a train doc sharing no trigram is absent from the report."""
