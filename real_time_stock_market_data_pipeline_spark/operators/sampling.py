@@ -71,6 +71,45 @@ def deterministic_sample(
     return df.filter(hash_bucket_col(id_col, n_buckets) < int(rate * n_buckets))
 
 
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Temperature-based mixture sampling at α = 0.5 — the standard
+    multilingual rebalancing (sample group i with probability ∝ n_i^α):
+    the smallest group keeps everything and a group n times larger keeps
+    a √(n_min/n) fraction, flattening the mixture without equalizing it
+    (α = 1 is proportional / no change, α = 0 is sp4's full balancing —
+    this sits between).
+
+    The keep rule is EXACT INTEGER arithmetic: keep iff
+    ``bucket² · n_group < B² · n_min``, which is algebraically
+    (bucket/B) < √(n_min/n_group) — the α = ½ keep rate — but with no
+    sqrt or float division, so every engine and rerun agrees at the cut
+    (same design as sp4's integer rule; a √ computed in floats could
+    diverge in the last ulp exactly at a bucket boundary).
+
+    One tiny group-count aggregate + a per-row filter; no corpus shuffle.
+    Deterministic, nested with the other hash-derived ops (same id hash),
+    and stable under repartitioning.  Adds (bucket, kept)."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_grp"))
+    n_min = counts.agg(F.min("__n_grp").alias("__n_min"))
+    b = hash_bucket_col(id_col, n_buckets)
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .crossJoin(F.broadcast(n_min))
+        .withColumn("bucket", b)
+        .withColumn(
+            "kept",
+            F.col("bucket") * F.col("bucket") * F.col("__n_grp")
+            < F.lit(n_buckets * n_buckets) * F.col("__n_min"),
+        )
+        .drop("__n_grp", "__n_min")
+    )
+
+
 PACK_CAPACITY = 512  # tokens per packed sequence
 PACK_SHARDS = 8  # parallel packing units; scale with the corpus
 

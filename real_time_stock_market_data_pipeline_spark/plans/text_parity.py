@@ -888,3 +888,50 @@ def _txt10_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt10_repetition"] = _txt10_repetition
 TEXT_ORACLES["txt10_repetition"] = sql_repetition("duck")
+
+
+def sql_temperature_mixture(dialect: str) -> str:
+    """SP6 oracle — α = 0.5 temperature sampling per language with the
+    exact integer keep rule ``bucket² · n_lang < B² · n_min`` (see
+    operators/sampling.temperature_sample; the SQL twin checks the
+    operator).  Rolled up per language: totals and kept counts; the
+    mixture invariants (smallest language keeps everything, kept counts
+    never invert the size order) are pinned by unit test."""
+    from ..operators.sampling import N_BUCKETS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    return f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+),
+m AS (SELECT min(n_lang) AS n_min FROM counts),
+keyed AS (
+  SELECT d.doc_id, d.lang, ({h}) % {N_BUCKETS} AS bucket, c.n_lang, m.n_min
+  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN m
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN bucket * bucket * n_lang
+                          < {N_BUCKETS * N_BUCKETS} * n_min
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM keyed GROUP BY lang
+"""
+
+
+def _sp6_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP6 — temperature mixture sampling
+    (operators/sampling.temperature_sample): the operator drives the
+    Spark side; the oracle recomputes the integer keep rule in SQL, so a
+    divergence in hash, counts, or the cut arithmetic breaks the hash."""
+    from ..operators.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_sample(docs)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    )
+
+
+QUERIES["sp6_temperature_mixture"] = _sp6_temperature
+TEXT_ORACLES["sp6_temperature_mixture"] = sql_temperature_mixture("duck")

@@ -384,6 +384,37 @@ def test_pack_sequences_invariants(spark, docs):
     assert sql_agg == op_agg
 
 
+def test_temperature_sample_invariants(spark, docs):
+    """α=0.5 mixture: the smallest language keeps everything; keep rates
+    sit between sp4's full balancing and proportional (no change); kept
+    counts never invert the size order; assignment is repartition-stable."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    out = temperature_sample(docs)
+    agg = {
+        r["lang"]: (r["n"], r["k"])
+        for r in out.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("kept").cast("int")).alias("k"))
+        .collect()
+    }
+    n_min = min(n for n, _ in agg.values())
+    smallest = [lang for lang, (n, _) in agg.items() if n == n_min]
+    for lang in smallest:
+        assert agg[lang][1] == agg[lang][0]  # keeps all
+    ordered = sorted(agg.values())
+    for (n1, k1), (n2, k2) in zip(ordered, ordered[1:]):
+        assert k1 <= k2 + 1  # flatter, never reordered (hash jitter ±1)
+        if n2 > n1:
+            assert k2 / n2 <= k1 / n1 + 0.15  # larger groups cut harder
+
+    repart = sorted(
+        map(tuple, temperature_sample(docs.repartition(5)).select("doc_id", "kept").collect())
+    )
+    assert repart == sorted(map(tuple, out.select("doc_id", "kept").collect()))
+
+
 def test_repetition_flags_boilerplate(spark):
     """A doc dominated by one repeated bigram is flagged repetitive; a
     diverse doc is not; a one-token doc has zero bigrams and a defined
