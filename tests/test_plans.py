@@ -184,3 +184,37 @@ def test_dq1_fuses_checks_into_one_scan_per_table(spark, sf_dir):
         1 for seg in plan.split("FileScan")[1:] if "events.parquet" in seg[:400]
     )
     assert 1 <= n_event_scans <= 2, plan[:500]
+
+
+def test_sp5_packing_two_exchanges_one_sort(spark, sf_dir):
+    """sp5: one shuffle on the shard key feeding the per-shard window sort
+    + one for the final (shard, bin) rollup — nothing else.  A third
+    Exchange would mean the window partitioning stopped being reused."""
+    plan = plan_of(spark, sf_dir, "sp5_sequence_packing")
+    assert plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_t10_throttle_single_exchange_then_python_walk(spark, sf_dir):
+    """t10: exactly one shuffle (the key repartition) feeding the
+    partition-sorted MapInPandas walk — the applyInPandas form this
+    replaced paid one Python round-trip per key (measured 5× slower on
+    1500 small keys)."""
+    plan = plan_of(spark, sf_dir, "t10_throttle")
+    assert plan.count("Exchange") <= 1
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_txt10_repetition_jvm_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "txt10_repetition")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sp6_temperature_counts_broadcast(spark, sf_dir):
+    """sp6: the group-count and min frames ride broadcasts onto the
+    corpus — a shuffle join here would shuffle the whole corpus against a
+    5-row dimension."""
+    plan = plan_of(spark, sf_dir, "sp6_temperature_mixture")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
