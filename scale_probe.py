@@ -46,7 +46,8 @@ DOC_QUERIES = [
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality",
     "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
     "dd6_dup_clusters", "sp1_hash_split", "dd8_contamination", "txt6_vocab",
-    "txt9_bpe_incremental",
+    "txt9_bpe_incremental", "sp5_sequence_packing", "sp6_temperature_mixture",
+    "txt10_repetition",
 ]
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
