@@ -120,6 +120,7 @@ def pack_sequences(
     n_shards: int = PACK_SHARDS,
     id_col: str = "doc_id",
     text: str = "text",
+    extra_partition: tuple[str, ...] = (),
 ) -> DataFrame:
     """Greedy sequence packing — assign each document to the fixed-capacity
     training sequence (bin) where its first token lands, concatenate-and-
@@ -135,18 +136,21 @@ def pack_sequences(
     corpus so a shard stays task-sized; packing quality is unaffected
     because the hash order is already a uniform shuffle.  All JVM
     expressions — no Python, no driver state; deterministic under
-    reruns and repartitionings (same property as ``assign_split``)."""
+    reruns and repartitionings (same property as ``assign_split``).
+    ``extra_partition`` names passthrough columns that further split the
+    packing streams (e.g. pack each train/val/test split separately)."""
     from pyspark.sql import Window
     from .text import tokens_col
 
     base = df.select(
+        *extra_partition,
         F.col(id_col),
         hash_bucket_col(id_col, n_shards).alias("shard"),
         F.size(tokens_col(text)).alias("n_tok"),
         hash_bucket_col(id_col, 1 << 30).alias("__ord"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*extra_partition, "shard")
         .orderBy(F.col("__ord").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

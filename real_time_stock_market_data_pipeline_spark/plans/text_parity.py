@@ -935,3 +935,90 @@ def _sp6_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp6_temperature_mixture"] = _sp6_temperature
 TEXT_ORACLES["sp6_temperature_mixture"] = sql_temperature_mixture("duck")
+
+
+SP7_MIN_TOKENS = 5  # quality gate for the composed pipeline
+
+
+def sql_corpus_pipeline(dialect: str) -> str:
+    """SP7 oracle — the END-TO-END corpus-prep composition in one SQL
+    body: length-quality gate (≥ {SP7_MIN_TOKENS} tokens) → exact dedup
+    (dd1's min-doc_id canonical survivor) → hash split (sp1's bounds) →
+    per-(split, shard) greedy sequence packing (sp5's rule).  Every stage
+    reuses the exact semantics its standalone query already pins, so the
+    composed hash only breaks if the stages stop composing (e.g. dedup
+    reordering changing pack bins)."""
+    from ..operators.sampling import (
+        N_BUCKETS,
+        PACK_CAPACITY,
+        PACK_SHARDS,
+        SPLIT_BOUNDS,
+    )
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    nt = list_len(dialect, split_ws(dialect, "text"))
+    arms = " ".join(
+        f"WHEN bucket < {hi} THEN '{name}'"
+        for name, (_, hi) in sorted(SPLIT_BOUNDS.items(), key=lambda kv: kv[1])
+    )
+    bin_e = f"CAST(floor((cum - n_tok) / {PACK_CAPACITY}.0) AS INT)"
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, {nt} AS n_tok FROM documents
+  WHERE {nt} >= {SP7_MIN_TOKENS}
+),
+surv AS (
+  SELECT doc_id, n_tok FROM (
+    SELECT q.*, min(doc_id) OVER (PARTITION BY text) AS min_id FROM q
+  ) t WHERE doc_id = min_id
+),
+sp AS (
+  SELECT doc_id, n_tok,
+         CASE {arms} END AS split,
+         ({h}) % {PACK_SHARDS} AS shard,
+         ({h}) % {1 << 30} AS ord_k
+  FROM (SELECT surv.*, ({h}) % {N_BUCKETS} AS bucket FROM surv) b
+),
+c AS (
+  SELECT split, shard, doc_id, n_tok,
+         sum(n_tok) OVER (PARTITION BY split, shard ORDER BY ord_k, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM sp
+)
+SELECT split, CAST(shard AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(max({bin_e}) + 1 AS INT) AS n_bins
+FROM c GROUP BY split, CAST(shard AS INT)
+"""
+
+
+def _sp7_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP7 — corpus-prep pipeline composed from the OPERATORS (quality
+    gate → dd1 exact dedup → sp1 assign_split → sp5 pack_sequences with
+    split-scoped packing streams), rolled up per (split, shard).  The
+    oracle recomputes the whole chain in SQL — this is the 'switch your
+    corpus prep to this engine' demonstration query."""
+    from pyspark.sql import Window as W
+
+    from ..operators.sampling import assign_split, pack_sequences
+    from ..operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.size(tokens_col("text")) >= SP7_MIN_TOKENS)
+    surv = (
+        q.withColumn("__min_id", F.min("doc_id").over(W.partitionBy("text")))
+        .filter("doc_id = __min_id")
+        .drop("__min_id")
+    )
+    packed = pack_sequences(assign_split(surv), extra_partition=("split",))
+    return packed.groupBy("split", F.col("shard").cast("int").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        (F.max("bin") + F.lit(1)).cast("int").alias("n_bins"),
+    )
+
+
+QUERIES["sp7_corpus_pipeline"] = _sp7_pipeline
+TEXT_ORACLES["sp7_corpus_pipeline"] = sql_corpus_pipeline("duck")
