@@ -274,7 +274,11 @@ def dup_clusters(
             rows, f"doc_id {id_type}, cluster_id {id_type}"
         )
 
-    # canonical edge set: larger id → smaller id, no self-loops
+    # canonical edge set: larger id → smaller id, no self-loops.  Nodes
+    # are tracked separately so a doc whose only pair is a self-pair
+    # (possible from degenerate callers; the driver path labels it with
+    # itself) is not silently dropped by the canonical filter.
+    nodes = edges.select(F.col("u").alias("doc_id")).distinct()
     cur = (
         edges.filter(F.col("u") > F.col("v"))
         .distinct()
@@ -322,8 +326,9 @@ def dup_clusters(
         cur = small
         if cur_fp == prev_fp:
             # star forest: every non-min node appears once as u → its min;
-            # add the roots' self-labels
-            return (
+            # roots self-label; nodes with no surviving canonical edge
+            # (self-pair-only) fall back to themselves via the left join
+            labels = (
                 cur.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
                 .union(
                     cur.select(
@@ -331,6 +336,10 @@ def dup_clusters(
                     ).distinct()
                 )
                 .distinct()
+            )
+            return nodes.join(labels, "doc_id", "left").select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
             )
         prev_fp = cur_fp
     raise RuntimeError(

@@ -312,6 +312,18 @@ def test_dup_clusters_distributed_long_chain(spark):
     assert got == {i: 0 for i in range(65)}
 
 
+def test_dup_clusters_self_pair_both_paths(spark):
+    """A degenerate self-pair (x, x) labels x with itself on BOTH paths —
+    the canonical-edge filter of the distributed path must not drop it."""
+    pairs = spark.createDataFrame([(9, 9), (1, 2)], ["doc_a", "doc_b"])
+    for kw in ({}, {"max_driver_edges": 0}):
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup.dup_clusters(pairs, **kw).collect()
+        }
+        assert got == {9: 9, 1: 1, 2: 1}, kw
+
+
 def test_dup_clusters_distributed_string_ids(spark):
     """String doc ids through the distributed path: the convergence check
     is type-agnostic (edge-set hash fingerprint, not a numeric label sum),
