@@ -305,11 +305,13 @@ def update_segmentation_table(
     segmentation work proportional to NEW words only — the steady-state
     cost of tokenizing a growing corpus approaches the join-back alone.
     """
+    from pyspark.sql.utils import AnalysisException
+
     spark = df.sparkSession
     wc = word_counts(df, text).select("word")
     try:
         existing = spark.read.parquet(path).select("word")
-    except Exception:
+    except AnalysisException:  # PATH_NOT_FOUND on first batch, only
         existing = None
     new_words = (
         wc if existing is None else wc.join(existing, "word", "left_anti")
