@@ -326,6 +326,26 @@ def update_segmentation_table(
     return {"n_batch_words": wc.count(), "n_new_segmented": n_new}
 
 
+def segmentation_table_sink(
+    merges: list[tuple[str, str, int]], path: str, text: str = "text"
+):
+    """``foreachBatch`` writer maintaining the segmentation table from a
+    DOCUMENT STREAM: each micro-batch runs ``update_segmentation_table``,
+    so per batch only unseen words are segmented and appended.
+
+    Delivery semantics: foreachBatch is at-least-once, but the anti-join
+    update is IDEMPOTENT — a replayed batch finds all its words already
+    in the table and appends nothing — so the table converges to exactly
+    the batch-built state without transactional coordination (pinned by
+    tests/test_streaming.py: stream-built ≡ batch-built, and a full
+    replay appends zero rows)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_segmentation_table(batch_df, merges, path, text)
+
+    return write_batch
+
+
 def apply_bpe_with_table(df: DataFrame, path: str, text: str = "text") -> DataFrame:
     """``apply_bpe`` against a persisted mapping table (see
     ``update_segmentation_table``): no segmentation at read time at all —

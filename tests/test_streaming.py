@@ -470,3 +470,54 @@ def test_throttle_survives_restart(spark, tmp_path):
     got = sorted(r["tick_id"] for r in spark.read.parquet(str(tmp_path / "rout")).collect())
     exp = sorted(r["tick_id"] for r in throttle_batch(df, 5.0).collect())
     assert got == exp == [0, 5, 10, 15]
+
+
+def test_segmentation_table_stream_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch segmentation-table maintenance: streaming the corpus in
+    two micro-batches builds EXACTLY the batch-built table, and a full
+    replay of the stream (at-least-once delivery) appends zero rows — the
+    anti-join update is idempotent."""
+    from real_time_stock_market_data_pipeline_spark.operators import bpe
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    merges = bpe.train_bpe_merges(docs, n_merges=6)
+    src = tmp_path / "src"
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    table = str(tmp_path / "segmap_stream")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(bpe.segmentation_table_sink(merges, table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    stream_rows = sorted(
+        map(tuple, spark.read.parquet(table).select("word", "n_sub").collect())
+    )
+
+    batch_table = str(tmp_path / "segmap_batch")
+    bpe.update_segmentation_table(docs, merges, batch_table)
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(batch_table).select("word", "n_sub").collect())
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+    # replay the whole stream with a FRESH checkpoint: at-least-once
+    # redelivery of every batch must append nothing
+    run_stream(str(tmp_path / "ck2"))
+    assert (
+        sorted(map(tuple, spark.read.parquet(table).select("word", "n_sub").collect()))
+        == stream_rows
+    )
