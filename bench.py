@@ -69,6 +69,10 @@ def main() -> None:
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = sum(statistics.median(s) for s in samples.values())
 
+    # leading newline: if any stray \r-progress text reached the merged
+    # stream, the JSON still starts at column 0 of its own line
+    sys.stderr.flush()
+    sys.stdout.write("\n")
     print(
         json.dumps(
             {

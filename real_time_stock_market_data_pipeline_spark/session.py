@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # no console progress bar: its \r-prefixed stderr lines glue onto
+        # stdout when a consumer merges streams, corrupting the one-line
+        # JSON contract bench.py prints (observed as BENCH parsed=None)
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # the driver's events.parquet stores TIMESTAMP(NANOS) which vanilla
         # Spark rejects; read as long and convert (sources.readers)
