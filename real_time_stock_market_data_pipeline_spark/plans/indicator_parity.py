@@ -537,6 +537,58 @@ def sql_alert_feed(dialect: str) -> str:
 
 # ---------------------------------------------------------------------------
 # Registration: Spark side = spark.sql(text) over the events temp view.
+def sql_ohlc(dialect: str) -> str:
+    """A13 — hourly OHLC candlesticks per symbol: the chart-feed rollup
+    every market dashboard consumes.  Open/close are the deterministic
+    first/last tick in the hour under the canonical (trade_datetime,
+    tick_id) order — expressed as two row_numbers over ONE sort per
+    (symbol, hour) partition and a conditional aggregate, identical text
+    in both dialects (min_by/arg_min tie-breaking differs between
+    engines, so it is avoided).  One window sort + one map-combinable
+    aggregate; partitions are (symbol × hour) — high-cardinality, no
+    skew."""
+    return f"""
+WITH {ticks_cte(dialect)},
+h AS (
+  SELECT company_id, date_trunc('hour', trade_datetime) AS bar_hour,
+         tick_id, trade_datetime, current_price, volume,
+         row_number() OVER (PARTITION BY company_id, date_trunc('hour', trade_datetime)
+                            ORDER BY trade_datetime ASC, tick_id ASC) AS rn_a,
+         row_number() OVER (PARTITION BY company_id, date_trunc('hour', trade_datetime)
+                            ORDER BY trade_datetime DESC, tick_id DESC) AS rn_d
+  FROM ticks
+)
+SELECT company_id, bar_hour,
+       max(CASE WHEN rn_a = 1 THEN current_price END) AS open,
+       max(current_price) AS high,
+       min(current_price) AS low,
+       max(CASE WHEN rn_d = 1 THEN current_price END) AS close,
+       CAST(sum(coalesce(volume, 0)) AS BIGINT) AS bar_volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM h GROUP BY company_id, bar_hour
+"""
+
+
+def sql_vwap(dialect: str) -> str:
+    """W11 — daily VWAP per symbol: Σ(price·volume)/Σ(volume) over the
+    volume-bearing ticks, the execution-quality benchmark indicator.
+    Pure map-combinable aggregate — no window, one shuffle on
+    (symbol, day); double arithmetic pinned via the d() wrappers so both
+    engines fold identically."""
+    pv = f"{_d('current_price')} * {_d('volume')}"
+    return f"""
+WITH {ticks_cte(dialect)}
+SELECT company_id, CAST(trade_datetime AS DATE) AS trade_date,
+       {r6t(f"sum({pv}) / sum({_d('volume')})")} AS vwap,
+       {r6t(f"sum({_d('current_price')}) / count(*)")} AS avg_price,
+       CAST(sum(volume) AS BIGINT) AS total_volume,
+       CAST(count(*) AS BIGINT) AS n_ticks
+FROM ticks
+WHERE volume IS NOT NULL AND volume > 0
+GROUP BY company_id, CAST(trade_datetime AS DATE)
+"""
+
+
 # ---------------------------------------------------------------------------
 
 _BODIES = {
@@ -554,6 +606,8 @@ _BODIES = {
     "w10_throttled_volatility": sql_throttled_volatility,
     "j3_alert_feed": sql_alert_feed,
     "j2_analytics_dashboard": sql_analytics_dashboard,
+    "a13_ohlc_candles": sql_ohlc,
+    "w11_vwap": sql_vwap,
 }
 
 INDICATOR_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
