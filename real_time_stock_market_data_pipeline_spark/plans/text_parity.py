@@ -379,9 +379,10 @@ def sql_dup_clusters(dialect: str) -> str:
 
     SQL form = transitive closure by recursive CTE (fine for an oracle at
     test SF; ``reach`` is O(Σ component_size²) rows).  The ENGINE path is
-    ``operators.dedup.dup_clusters`` — iterative min-label propagation, one
-    bounded shuffle per round — which is what survives 100 TB; the driver
-    compares its values against this SQL.  DuckDB-only: Spark 4.1's
+    ``operators.dedup.dup_clusters`` — adaptive driver union-find /
+    large-star-small-star alternation, a bounded number of shuffles per
+    round — which is what survives 100 TB; the driver compares its values
+    against this SQL.  DuckDB-only: Spark 4.1's
     recursive CTEs reject set-semantics UNION (UNION_NOT_SUPPORTED_IN_
     RECURSIVE_CTE), and UNION ALL recursion never terminates on the cyclic
     dup graph — so there is no Spark rendering; the engine path is the

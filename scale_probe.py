@@ -41,6 +41,7 @@ EVENT_QUERIES = [
     "a4_daily_summary", "w_all_indicators", "t6_alerts",
     "u3_linreg_metrics", "u2_arima_forecast", "s14_arima_registry",
     "a9_sketch_rollup", "dq1_expectations", "t10_throttle",
+    "a13_ohlc_candles", "w11_vwap",
 ]
 DOC_QUERIES = [
     "dd2_ngram_jaccard", "dd3_minhash_signatures", "txt2_quality",
