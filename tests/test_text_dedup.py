@@ -554,3 +554,20 @@ def test_capped_per_group_deterministic_and_unbiased(spark, docs):
     assert sorted(r["doc_id"] for r in capped.select("doc_id").collect()) == sorted(
         r["doc_id"] for r in again.select("doc_id").collect()
     )
+
+
+def test_new_sampling_ops_empty_input(spark):
+    """Degenerate empty corpus: pack_sequences and temperature_sample
+    return empty frames with the expected columns instead of raising."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        pack_sequences,
+        temperature_sample,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    p = pack_sequences(empty)
+    assert p.count() == 0 and {"shard", "n_tok", "bin"} <= set(p.columns)
+    t = temperature_sample(empty)
+    assert t.count() == 0 and {"bucket", "kept"} <= set(t.columns)
