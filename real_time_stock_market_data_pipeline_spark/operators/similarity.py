@@ -176,6 +176,53 @@ def center_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:
     )
 
 
+def quantize_embeddings(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Per-dimension int8 scalar quantization — the 4× memory cut that
+    makes a 100 TB embedding corpus cache-resident for ANN: appends
+    ``<vec>_q8`` (array<int> in [-127, 127]) and ``<vec>_dq`` (the
+    dequantized array<double> used for approximate scoring).
+
+    The per-dim (lo, hi) calibration is one posexplode aggregate —
+    d rows out, collected and broadcast back as literal arrays (same
+    bounded-collect contract as ``center_embeddings`` and the IVF
+    codebook).  Quantize/dequantize are JVM ``transform`` expressions; a
+    constant dimension (hi == lo) quantizes to 0 and dequantizes to its
+    constant, not NaN."""
+    rng_rows = (
+        df.select(F.posexplode(F.col(vec)).alias("i", "x"))
+        .groupBy("i")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("lo"),
+            F.max(F.col("x").cast("double")).alias("hi"),
+        )
+        .collect()
+    )
+    rng = sorted(rng_rows, key=lambda r: r.i)
+    los = F.array(*[F.lit(float(r.lo)) for r in rng])
+    his = F.array(*[F.lit(float(r.hi)) for r in rng])
+
+    def _span(i):
+        s = F.element_at(his, i + 1) - F.element_at(los, i + 1)
+        return F.when(s == 0.0, F.lit(1.0)).otherwise(s)
+
+    q8 = F.transform(
+        F.col(vec),
+        lambda x, i: (
+            F.round(
+                (x.cast("double") - F.element_at(los, i + 1)) / _span(i) * 254.0
+            ).cast("int")
+            - 127
+        ),
+    )
+    out = df.withColumn(f"{vec}_q8", q8)
+    dq = F.transform(
+        F.col(f"{vec}_q8"),
+        lambda q, i: (q + 127).cast("double") / 254.0 * _span(i)
+        + F.element_at(los, i + 1),
+    )
+    return out.withColumn(f"{vec}_dq", dq)
+
+
 def sign_bucket_col(vec: Column, n_planes: int = 16) -> Column:
     """Hyperplane-sign LSH key from the leading dims' signs (a 16-bit int).
     With standardized embeddings the coordinate planes act as fixed random

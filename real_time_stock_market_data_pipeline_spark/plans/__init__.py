@@ -24,7 +24,7 @@ ORACLES.update(EMBEDDING_ORACLES)
 #   That fills the 50 slots exactly.  The tail (every query green in
 #   CORRECTNESS_r06 and unchanged) re-verifies opportunistically and stays
 #   covered every run by tests/test_parity.py at sf0.001 and by the
-#   pre-commit parity harness at sf0.01 (101/101 this round).
+#   pre-commit parity harness at sf0.01 (102/102 this round).
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # 1 — the red r06 row, freshly fixed
@@ -69,10 +69,10 @@ _PRIORITY = [
     "emb8_ivf_index_search",
     "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
     "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
-    # txt10/sp6/sp7/a13/w11 are NEW in r7 but the window is budgeted; they
-    # are parity-pinned now and take window slots in the r8 rotation
+    # txt10/sp6/sp7/a13/w11/emb9 are NEW in r7 but the window is budgeted;
+    # they are parity-pinned now and take window slots in the r8 rotation
     "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
-    "a13_ohlc_candles", "w11_vwap",
+    "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

