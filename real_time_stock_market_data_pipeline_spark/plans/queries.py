@@ -1370,14 +1370,19 @@ def emb9_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+    # LEFT join + coalesce: a query with ZERO exact/approx overlap must
+    # still appear with an explicit recall_ok=false — an inner join would
+    # drop the row and turn the gate failure into a count mismatch.
     return (
         approx.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_results"))
-        .join(overlap, "query_id")
+        .join(overlap, "query_id", "left")
         .select(
             "query_id",
             "n_results",
-            (F.col("n_overlap") >= F.lit(8)).alias("recall_ok"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(8)).alias(
+                "recall_ok"
+            ),
         )
     )
 
