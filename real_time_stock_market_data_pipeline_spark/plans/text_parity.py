@@ -198,25 +198,24 @@ GROUP BY text
 SH_WIN = "PARTITION BY doc_id ORDER BY pos ASC"
 
 
-def shingles_cte(dialect: str) -> str:
-    """Distinct token-3-gram shingle hashes per doc.
+def shingles_cte(dialect: str, n: int = 3) -> str:
+    """Distinct token-n-gram shingle hashes per doc (default trigram).
 
     Layout chosen for engine efficiency: tokens are EXPLODED to rows first,
     so the char-fold hash runs exactly once per token occurrence (array-side
     formulations re-evaluate the whole token-hash array per lambda element
-    once Spark collapses the projections — O(tokens²) per doc).  The trigram
-    hash is then an O(1) polynomial combine of (h, lead(h,1), lead(h,2))
+    once Spark collapses the projections — O(tokens²) per doc).  The n-gram
+    hash is then an O(1) polynomial combine of (h, lead(h,1)…lead(h,n-1))
     over the per-doc position window, and the per-doc DISTINCT collapses
     repeats.  Scale shape: one narrow explode, one window sort on doc_id,
-    one distinct — all linear in corpus size."""
+    one distinct — all linear in corpus size, independent of n (the lead
+    chain shares the one window sort).  Mirrors operators/dedup
+    ``shingle_hashes`` exactly for every n."""
     tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
-    h1 = "h"
-    h2 = f"lead(h, 1) OVER ({SH_WIN})"
-    h3 = f"lead(h, 2) OVER ({SH_WIN})"
-    combine = (
-        f"((((CAST(7 AS BIGINT) * 131 + {h1}) % {P_MOD}) * 131 + {h2}) "
-        f"% {P_MOD} * 131 + {h3}) % {P_MOD}"
-    )
+    combine = "CAST(7 AS BIGINT)"
+    for j in range(n):
+        term = "h" if j == 0 else f"lead(h, {j}) OVER ({SH_WIN})"
+        combine = f"(({combine}) * 131 + {term}) % {P_MOD}"
     return f"""
 {docs_cte(dialect)},
 tok_rows AS ({tok_rows}),
@@ -497,6 +496,53 @@ FROM shared s JOIN sizes z ON s.doc_id = z.doc_id
 """
 
 
+def sql_exact_decontamination(dialect: str) -> str:
+    """DD10 — exact 13-gram decontamination, the GPT-3/C4-style bar: a
+    train-split document is flagged iff at least one of its EXACT token
+    13-grams also occurs anywhere in the test split.  DD8's trigram
+    containment is a soft overlap score; this is the hard gate used to
+    drop leaked benchmark material before training — 13 consecutive
+    identical tokens across natural text is essentially always a verbatim
+    copy, so one collision flags the doc.
+
+    Shares the shingle machinery verbatim (``shingles_cte(dialect, 13)``
+    ≡ ``operators/dedup.shingle_hashes(n=13)``): the 13-gram hash is the
+    same one-window lead-chain combine as the trigram — n only lengthens
+    the O(1) per-row chain, not the plan.  Scale shape identical to DD8:
+    test-side hashes DISTINCT'd (≈10% of corpus, sublinear distinct
+    growth), one equi-join on the shingle hash, output one row per
+    flagged train doc.  13-gram collisions are far rarer than trigram
+    ones, so the join output is tiny — the flag, not the score, is the
+    product."""
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    lo, hi = SPLIT_BOUNDS["test"]
+    return f"""
+WITH {shingles_cte(dialect, 13)},
+split AS (
+  SELECT doc_id, ({h}) % {N_BUCKETS} AS bucket FROM documents
+),
+train_sh AS (
+  SELECT h.doc_id, h.sh FROM hashed h JOIN split s ON h.doc_id = s.doc_id
+  WHERE s.bucket < {SPLIT_BOUNDS["train"][1]}
+),
+test_sh AS (
+  SELECT DISTINCT h.sh FROM hashed h JOIN split s ON h.doc_id = s.doc_id
+  WHERE s.bucket >= {lo} AND s.bucket < {hi}
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_grams FROM train_sh GROUP BY doc_id
+)
+SELECT t.doc_id, z.n_grams,
+       CAST(count(*) AS BIGINT) AS n_shared,
+       true AS is_contaminated
+FROM train_sh t JOIN test_sh x ON t.sh = x.sh
+JOIN sizes z ON t.doc_id = z.doc_id
+GROUP BY t.doc_id, z.n_grams
+"""
+
+
 def sql_vocab(dialect: str) -> str:
     """TXT6 — corpus vocabulary head: top-100 tokens by global count
     (token-string tie-break → total order), with rank and cumulative
@@ -587,6 +633,7 @@ _BODIES = {
     "dd4_minhash_candidates": sql_minhash_candidates,
     "dd5_simhash": sql_simhash,
     "dd8_contamination": sql_contamination,
+    "dd10_exact_decontamination": sql_exact_decontamination,
     "txt6_vocab": sql_vocab,
 }
 

@@ -475,6 +475,40 @@ def test_contamination_detects_verbatim_leak(spark):
     assert leak["n_shared"] == 6 and leak["containment"] > 0.5
 
 
+def test_exact_decontamination_needs_13_gram_run(spark):
+    """DD10 flags a train doc iff it shares an EXACT 13-token run with the
+    test split: a planted 13-token verbatim leak is flagged with exactly
+    one shared gram; a doc sharing only a 12-token run (one word changed)
+    is NOT flagged — the hard gate ignores near-misses that DD8's trigram
+    containment would score high."""
+    from real_time_stock_market_data_pipeline_spark.operators.text import _poly_hash
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_exact_decontamination,
+    )
+
+    test_ids = [i for i in range(1000) if _poly_hash(str(i)) % 100 >= 90]
+    train_ids = [i for i in range(1000) if _poly_hash(str(i)) % 100 < 80]
+    leak = " ".join(f"tok{j}" for j in range(13))  # exactly one 13-gram
+    near_miss = " ".join(
+        ("CHANGED" if j == 6 else f"tok{j}") for j in range(13)
+    )  # longest shared run with `leak` is 6 tokens
+    rows = [
+        (test_ids[0], leak, "en", "s", 1),
+        (train_ids[0], "pad words " + leak + " tail words", "en", "s", 1),
+        (train_ids[1], "pad words " + near_miss + " tail words", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(sql_exact_decontamination("spark")).collect()
+    }
+    assert train_ids[1] not in got
+    assert got[train_ids[0]]["n_shared"] == 1
+    assert got[train_ids[0]]["is_contaminated"] is True
+
+
 def test_ivf_index_search_prunes_list_partitions(spark, sf_dir, tmp_path):
     """The persisted IVF lists are hive partitions on the list id; a search
     with n_probe=2 of k=8 must hit the scan with a PartitionFilters entry
