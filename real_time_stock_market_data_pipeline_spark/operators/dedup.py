@@ -151,11 +151,12 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_candidate_pairs(
+def minhash_band_rows(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_a, doc_b, n_shared_bands) — LSH banding over the signatures:
-    4 bands × 4 rows; any shared band makes a candidate pair."""
+    """(id, band_id, band_sig) — the LSH banded form of the signatures
+    (4 bands × 4 rows), the join-ready layout candidate generation and the
+    persisted signature table both consume."""
     sigs = minhash_signatures(df, id_col, text, n)
     # one struct array exploded per row — a unionAll of per-band selects
     # would re-inline the signature aggregation once per branch per side
@@ -170,9 +171,13 @@ def minhash_candidate_pairs(
                 ),
             )
         )
-    bands = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
-    ).select(F.col(id_col), F.col("_b.band_id"), F.col("_b.band_sig"))
+    return (
+        sigs.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("_b"))
+        .select(F.col(id_col), F.col("_b.band_id"), F.col("_b.band_sig"))
+    )
+
+
+def _band_self_join(bands: DataFrame, id_col: str) -> DataFrame:
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -184,6 +189,14 @@ def minhash_candidate_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) — LSH banding over the signatures:
+    4 bands × 4 rows; any shared band makes a candidate pair."""
+    return _band_self_join(minhash_band_rows(df, id_col, text, n), id_col)
 
 
 def dup_clusters(
@@ -380,3 +393,117 @@ def simhash_signatures(
         term = F.when(bitsum > 0, F.lit(2**j)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+# --- Incremental signature table (streaming dedup) --------------------------
+# The txt9 pattern (operators/bpe.update_segmentation_table) applied to
+# MinHash: a real training-data pipeline ingests continuously, and
+# re-signaturing the whole corpus per batch is O(corpus) forever.  The
+# persisted doc→(band_id, band_sig) table is INSERT-ONLY by construction —
+# for fixed MinHash parameters a document's signature never changes — so
+# the correct merge is an anti-join on the doc id + append, and
+# at-least-once replay is idempotent (a replayed batch finds all its docs
+# already present and appends nothing).  Reference analogue: the producer's
+# in-memory seen-set dedup cache (producer/producer.py:244-251) — this is
+# its durable, distributed, similarity-aware form.
+
+
+def update_signature_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> dict[str, int]:
+    """Incrementally maintain the persisted banded-signature table at
+    ``path``: signature ONLY the batch's docs not already in the table and
+    append their band rows.  Returns ``{"n_batch_docs", "n_new_docs"}`` —
+    the second counts docs actually signatured this call, so callers can
+    assert the zero-recompute property on re-ingested batches.
+
+    At 100 TB: per batch, one anti-join against the table keyed on the doc
+    id (high-cardinality), and shingle+MinHash work proportional to NEW
+    docs only — steady-state ingest cost is independent of corpus size.
+    Docs too short to emit a shingle (< n tokens) produce no band rows and
+    never enter the table; they re-check as "new" each batch but append
+    nothing, so idempotence holds for them too.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    spark = df.sparkSession
+    ids = df.select(id_col).distinct()
+    try:
+        existing = spark.read.parquet(path).select(id_col).distinct()
+    except AnalysisException:  # PATH_NOT_FOUND on first batch, only
+        existing = None
+    new_docs = (
+        df if existing is None else df.join(existing, id_col, "left_anti")
+    )
+    bands = minhash_band_rows(new_docs, id_col, text, n).persist()
+    try:
+        n_new = bands.select(id_col).distinct().count()
+        if n_new:
+            bands.write.mode("append").parquet(path)
+    finally:
+        bands.unpersist()
+    return {"n_batch_docs": ids.count(), "n_new_docs": n_new}
+
+
+def signature_table_sink(
+    path: str, id_col: str = "doc_id", text: str = "text", n: int = 3
+):
+    """``foreachBatch`` writer maintaining the signature table from a
+    DOCUMENT STREAM: each micro-batch runs ``update_signature_table``, so
+    per batch only unseen docs are shingled/signatured.  foreachBatch is
+    at-least-once, but the anti-join update is idempotent — the table
+    converges to exactly the batch-built state without transactional
+    coordination (pinned by tests/test_streaming.py: stream-built ≡
+    batch-built, and a full replay appends zero rows)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_signature_table(batch_df, path, id_col, text, n)
+
+    return write_batch
+
+
+def candidate_pairs_from_table(
+    spark, path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_a, doc_b, n_shared_bands) from the PERSISTED table — no
+    signature computation at read time; identical output to the one-shot
+    ``minhash_candidate_pairs`` over the same corpus (pinned in-plan by
+    the dd9 query gate).  The banded self-join shuffles on (band_id,
+    band_sig), the same key the one-shot path uses."""
+    bands = spark.read.parquet(path).select(id_col, "band_id", "band_sig")
+    return _band_self_join(bands, id_col)
+
+
+def incremental_candidate_pairs(
+    spark, path: str, new_ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate pairs TOUCHING a newly-ingested doc set: new-side band
+    rows joined against the FULL table (new-vs-all, both orientations
+    canonicalized to doc_a < doc_b), deduped against nothing — per batch
+    this emits exactly the pairs the full self-join would add, so a
+    downstream pair store can be maintained incrementally: per batch,
+    |new bands| ⋈ table instead of table ⋈ table.  Pinned by test:
+    one-shot pairs ≡ batch-1 pairs ∪ batch-2 incremental pairs."""
+    bands = spark.read.parquet(path).select(id_col, "band_id", "band_sig")
+    new_bands = bands.join(new_ids.select(id_col), id_col, "left_semi")
+    a, b = new_bands.alias("a"), bands.alias("b")
+    lo = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    hi = F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            lo.alias("doc_a"), hi.alias("doc_b"), F.col("a.band_id").alias("band_id")
+        )
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )

@@ -130,3 +130,37 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+# --- PII / boilerplate redaction -------------------------------------------
+# Pattern restrictions (shared with plans/dialect regex helpers): NO
+# backslash escapes, NO POSIX classes — plain character classes, literals
+# and {m,n} quantifiers behave identically under Java regex (Spark) and
+# RE2 (DuckDB), so the same literal is oracle-checkable in both engines.
+# Replacement tokens match none of the patterns, making redaction
+# IDEMPOTENT (redact∘redact = redact — pinned by tests/test_text_dedup.py).
+# Rules apply IN ORDER and each stage counts matches on the PREVIOUS
+# stage's output: URLs first (a URL may embed email- or phone-shaped
+# substrings; those are part of the URL, not separate PII), then emails,
+# then phones.
+PII_RULES: list[tuple[str, str, str]] = [
+    ("url", "https?://[A-Za-z0-9./_%?=&#-]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text: str = "text", out: str = "text_redacted") -> DataFrame:
+    """Adds ``out`` (the redacted text) and one ``n_<kind>`` BIGINT count
+    per rule — the standard corpus-prep scrub before training (emails,
+    phones, URLs → typed placeholder tokens).
+
+    All-JVM per-row expressions (regexp_count + chained regexp_replace)
+    — scan-bound, shuffle-free, whole-stage-codegen at any scale; the
+    reference has no document pipeline (extension per SURVEY §7.2 step 8).
+    """
+    cur = F.col(text)
+    for kind, pat, repl in PII_RULES:
+        df = df.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)).cast("long"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return df.withColumn(out, cur)

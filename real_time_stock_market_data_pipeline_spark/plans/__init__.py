@@ -73,7 +73,8 @@ _PRIORITY = [
     # they are parity-pinned now and take window slots in the r8 rotation
     "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
     "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
-    "dd10_exact_decontamination",
+    "dd10_exact_decontamination", "txt11_pii_redaction",
+    "dd9_incremental_minhash",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

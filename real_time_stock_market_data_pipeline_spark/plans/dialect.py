@@ -149,6 +149,16 @@ def regexp_count(dialect: str, col: str, pattern: str) -> str:
     return f"len(regexp_extract_all({col}, '{pattern}'))"
 
 
+def regexp_replace_all(dialect: str, col: str, pattern: str, repl: str) -> str:
+    """Replace EVERY regex match.  Spark's regexp_replace is global by
+    default; DuckDB replaces only the first match unless passed the 'g'
+    option.  Same pattern restrictions as regexp_count (no backslash
+    escapes — plain character classes and {m,n} quantifiers only)."""
+    if dialect == "spark":
+        return f"regexp_replace({col}, '{pattern}', '{repl}')"
+    return f"regexp_replace({col}, '{pattern}', '{repl}', 'g')"
+
+
 def last_ignore_nulls(dialect: str, e: str) -> str:
     """last_value(...) IGNORE NULLS — Spark puts the modifier after the call,
     DuckDB inside the parentheses."""

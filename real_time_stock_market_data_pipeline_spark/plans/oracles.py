@@ -825,6 +825,35 @@ SELECT CAST(2 AS INT),
        true
 """
 
+# DD9: incremental MinHash signature table — batch doc counts + the
+# set-difference semantics of the anti-join append (batch 3 is a replay of
+# batch 1: zero new docs IS the idempotence property); docs shorter than
+# one trigram (< 3 tokens) emit no band rows and never enter the table.
+# The table≡one-shot candidate-pair gate is computed in-plan (engine-
+# internal signature math); the oracle pins it TRUE.
+ORACLES["dd9_incremental_minhash"] = """
+WITH sized AS (
+  SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT
+    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+    CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd,
+    CAST(count(CASE WHEN doc_id % 2 = 0 AND ntok >= 3 THEN 1 END) AS BIGINT)
+      AS new_even,
+    CAST(count(CASE WHEN doc_id % 2 = 1 AND ntok >= 3 THEN 1 END) AS BIGINT)
+      AS new_odd
+  FROM sized
+)
+SELECT CAST(1 AS INT) AS batch, n_even AS n_batch_docs,
+       new_even AS n_new_docs, true AS table_matches_oneshot FROM c
+UNION ALL
+SELECT CAST(2 AS INT), n_odd, new_odd, true FROM c
+UNION ALL
+SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
+"""
+
 ORACLES["a10_value_histogram"] = """
 SELECT event_type,
        CASE WHEN value < 0.0 THEN CAST(0 AS BIGINT)

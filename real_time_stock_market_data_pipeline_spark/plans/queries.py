@@ -1481,6 +1481,61 @@ def txt9_bpe_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dd9_incremental_minhash")
+def dd9_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD9 — incrementally-maintained MinHash signature table
+    (operators/dedup.py update_signature_table): the corpus arrives in two
+    batches plus a REPLAY of batch 1; each batch signatures ONLY unseen
+    docs (batch 3's n_new_docs = 0 IS the idempotence property, exposed in
+    the driver row), and candidate pairs generated from the persisted
+    table must equal one-shot minhash_candidate_pairs on the union —
+    checked in-plan both as equal counts and an empty symmetric
+    difference (gate column; oracle pins TRUE).  The streaming twin of
+    the dedup family: steady-state ingest signatures new docs only, so
+    per-batch cost is independent of corpus size.  Reference analogue:
+    the producer's seen-set dedup cache (producer/producer.py:244-251)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        candidate_pairs_from_table,
+        minhash_candidate_pairs,
+        update_signature_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_sigtab",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    m1 = update_signature_table(b1, path)
+    m2 = update_signature_table(b2, path)
+    m3 = update_signature_table(b1, path)  # replay: must append nothing
+    cand_t = candidate_pairs_from_table(spark, path)
+    cand_o = minhash_candidate_pairs(docs)
+    cols = ["doc_a", "doc_b", "n_shared_bands"]
+    n_t = cand_t.count()
+    n_o = cand_o.count()
+    n_diff = cand_t.join(cand_o, cols, "left_anti").count()
+    gate = bool(n_t == n_o and n_diff == 0)
+    return spark.createDataFrame(
+        [
+            (1, m1["n_batch_docs"], m1["n_new_docs"], gate),
+            (2, m2["n_batch_docs"], m2["n_new_docs"], gate),
+            (3, m3["n_batch_docs"], m3["n_new_docs"], gate),
+        ],
+        "batch INT, n_batch_docs BIGINT, n_new_docs BIGINT, "
+        "table_matches_oneshot BOOLEAN",
+    )
+
+
 @register("a10_value_histogram")
 def a10_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 — fixed-width value histogram per event_type (20 bins over

@@ -543,6 +543,61 @@ GROUP BY t.doc_id, z.n_grams
 """
 
 
+# Deterministic PII planting for TXT11: the synthetic corpus carries no
+# real PII, so the query plants engine-identical emails/phones/URLs (doc-id
+# keyed) before redacting — the oracle then genuinely checks that both
+# regex engines agree on every match boundary.  Dialect-neutral SQL text.
+PII_PLANT = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' see https://docs.example.com/item'"
+    " || CAST(doc_id AS STRING) || '?ref=x#top ok' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' mail user.' || CAST(doc_id AS STRING)"
+    " || '+tag@mail-host.example.org thanks' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309 now' ELSE '' END"
+)
+
+
+def sql_pii_redaction(dialect: str) -> str:
+    """TXT11 — PII/boilerplate redaction (operators/text.redact_pii): URLs,
+    then emails, then phones replaced by typed placeholders, with per-stage
+    match counts and a char-fold fingerprint of the final redacted text —
+    the fingerprint pins every replacement boundary bit-for-bit, so any
+    Java-vs-RE2 disagreement on where a match starts or ends breaks the
+    hash.  Counts are staged (each stage counts on the previous stage's
+    output): a phone-shaped substring inside a URL is part of the URL.
+
+    Pure per-row JVM regex chains — scan-bound, shuffle-free at any scale;
+    idempotence (redact∘redact = redact) is pinned by the unit test."""
+    from ..operators.text import PII_RULES
+    from .dialect import regexp_count, regexp_replace_all
+
+    stages, cur, counts = [], "t0", []
+    for i, (kind, pat, repl) in enumerate(PII_RULES, start=1):
+        counts.append(f"{regexp_count(dialect, cur, pat)} AS c_{kind}")
+        stages.append(
+            f"s{i} AS (SELECT doc_id, "
+            + ", ".join(f"c_{k}" for k, _, _ in PII_RULES[: i - 1])
+            + (", " if i > 1 else "")
+            + f"{regexp_count(dialect, cur, pat)} AS c_{kind}, "
+            f"{regexp_replace_all(dialect, cur, pat, repl)} AS t{i} "
+            f"FROM {'planted' if i == 1 else f's{i - 1}'})"
+        )
+        cur = f"t{i}"
+    sel = ", ".join(
+        f"CAST(c_{kind} AS BIGINT) AS n_{kind}" for kind, _, _ in PII_RULES
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id, {PII_PLANT} AS t0 FROM documents
+),
+{", ".join(stages)}
+SELECT doc_id, {sel},
+       CAST(length({cur}) AS BIGINT) AS redacted_len,
+       {tok_hash(dialect, cur)} AS redacted_fp
+FROM s{len(PII_RULES)}
+"""
+
+
 def sql_vocab(dialect: str) -> str:
     """TXT6 — corpus vocabulary head: top-100 tokens by global count
     (token-string tie-break → total order), with rank and cumulative
@@ -683,6 +738,28 @@ def _dd2_sql_rendering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dd2_ngram_jaccard"] = _dd2_materialized
+
+
+def _txt11_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT11, Spark side, via the DataFrame operator (operators/text
+    redact_pii) over the planted corpus — the driver row exercises the
+    operator itself; the pure SQL rendering (sql_pii_redaction('spark'))
+    is pinned equal by tests/test_text_dedup.py."""
+    from ..operators.text import PII_RULES, redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.selectExpr("doc_id", f"{PII_PLANT} AS text")
+    red = redact_pii(planted)
+    return red.select(
+        "doc_id",
+        *[F.col(f"n_{kind}") for kind, _, _ in PII_RULES],
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+        F.expr(tok_hash("spark", "text_redacted")).alias("redacted_fp"),
+    )
+
+
+QUERIES["txt11_pii_redaction"] = _txt11_redaction
+TEXT_ORACLES["txt11_pii_redaction"] = sql_pii_redaction("duck")
 
 
 def _dd6_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

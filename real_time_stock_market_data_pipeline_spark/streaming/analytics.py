@@ -165,6 +165,53 @@ def streaming_indicators(
     )
 
 
+def ohlc_candles_stream(ticks: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """A13's streaming twin — hourly OHLC candles as a native tumbling-
+    window aggregation (the reference dashboard's live candle feed,
+    dashboard/app.py:245-246, computed in-stream instead of re-queried).
+
+    Open/close use ``min_by``/``max_by`` over the canonical
+    (trade_datetime, tick_id) struct — the same deterministic tie-break as
+    the batch plan's two row_numbers (structs compare lexicographically),
+    but expressible inside a streaming aggregate where rank windows are
+    not.  All six candle measures are map-combinable declarative
+    aggregates, so state per open window is O(1) and partial aggregation
+    happens before the (window, symbol) shuffle.  Watermark + append mode:
+    a candle is emitted exactly once, when event time passes its close by
+    ``watermark`` — late ticks inside the allowance still update state;
+    later ones are dropped (T4 semantics).  Batch inputs skip the
+    watermark and emit every window; stream ≡ batch ≡ a13 is pinned by
+    tests/test_streaming.py on a bounded replay."""
+    valid = ticks.filter(valid_tick_predicate())
+    import pyspark.sql.types as T
+
+    if isinstance(valid.schema["trade_datetime"].dataType, T.TimestampNTZType):
+        valid = valid.withColumn(
+            "trade_datetime", F.col("trade_datetime").cast("timestamp")
+        )
+    if valid.isStreaming:
+        valid = valid.withWatermark("trade_datetime", watermark)
+    key = F.struct(F.col("trade_datetime"), F.col("tick_id"))
+    return (
+        valid.groupBy(
+            F.window("trade_datetime", "1 hour").alias("w"), "company_id"
+        )
+        .agg(
+            F.min_by("current_price", key).alias("open"),
+            F.max("current_price").alias("high"),
+            F.min("current_price").alias("low"),
+            F.max_by("current_price", key).alias("close"),
+            F.sum(F.coalesce(F.col("volume"), F.lit(0))).cast("long").alias("bar_volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "company_id",
+            F.col("w.start").alias("bar_hour"),
+            "open", "high", "low", "close", "bar_volume", "n_ticks",
+        )
+    )
+
+
 def alerts_from_analytics(analytics: DataFrame) -> DataFrame:
     """T6 threshold alerts — same predicates/severities as the oracle-checked
     t6_alerts plan (RSI>70 / <30 → HIGH; volatility>0.05 → MEDIUM)."""

@@ -521,3 +521,147 @@ def test_segmentation_table_stream_matches_batch(spark, sf_dir, tmp_path):
         sorted(map(tuple, spark.read.parquet(table).select("word", "n_sub").collect()))
         == stream_rows
     )
+
+
+def test_signature_table_stream_matches_batch(spark, sf_dir, tmp_path):
+    """DD9's streaming form: foreachBatch signature-table maintenance over
+    a two-micro-batch document stream builds EXACTLY the batch-built table;
+    a full replay (at-least-once delivery) appends zero rows; and the
+    incremental new-vs-all candidate pairs of batch 2 are exactly the
+    pairs the one-shot self-join adds beyond batch 1's."""
+    from real_time_stock_market_data_pipeline_spark.operators import dedup
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = tmp_path / "src"
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    table = str(tmp_path / "sigtab_stream")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(dedup.signature_table_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    cols = ["doc_id", "band_id", "band_sig"]
+    stream_rows = sorted(map(tuple, spark.read.parquet(table).select(*cols).collect()))
+
+    batch_table = str(tmp_path / "sigtab_batch")
+    dedup.update_signature_table(docs, batch_table)
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(batch_table).select(*cols).collect())
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+    # replay with a fresh checkpoint: redelivery must append nothing
+    run_stream(str(tmp_path / "ck2"))
+    assert (
+        sorted(map(tuple, spark.read.parquet(table).select(*cols).collect()))
+        == stream_rows
+    )
+
+    # incremental pair maintenance: one-shot pairs == batch-1-only pairs
+    # ∪ (new-vs-all pairs touching batch 2)
+    pair_cols = ["doc_a", "doc_b", "n_shared_bands"]
+    oneshot = sorted(
+        map(tuple, dedup.minhash_candidate_pairs(docs).select(*pair_cols).collect())
+    )
+    b1_only = sorted(
+        map(
+            tuple,
+            dedup.minhash_candidate_pairs(docs.filter("doc_id % 2 = 0"))
+            .select(*pair_cols)
+            .collect(),
+        )
+    )
+    inc = sorted(
+        map(
+            tuple,
+            dedup.incremental_candidate_pairs(
+                spark, table, docs.filter("doc_id % 2 = 1").select("doc_id")
+            )
+            .select(*pair_cols)
+            .collect(),
+        )
+    )
+    assert sorted(b1_only + inc) == oneshot and len(inc) > 0
+
+
+def test_ohlc_stream_matches_batch_and_a13(spark, sf_dir, tmp_path):
+    """A13's streaming twin: hourly candles computed by the watermarked
+    tumbling-window aggregation over a two-micro-batch replay equal (a)
+    the same aggregation run in batch and (b) the a13 driver plan, for
+    every window the stream finalizes.  A far-future sentinel tick in the
+    last micro-batch pushes the watermark past all real windows, so every
+    real candle is emitted exactly once."""
+    from real_time_stock_market_data_pipeline_spark.plans.queries import QUERIES
+    from real_time_stock_market_data_pipeline_spark.streaming.analytics import (
+        ohlc_candles_stream,
+    )
+
+    ticks = (
+        ticks_from_events(spark, sf_dir)
+        .filter(F.col("company_id") < 8)
+        .select("tick_id", "company_id", "trade_datetime", "current_price", "volume")
+    )
+    ep = F.unix_micros(F.col("trade_datetime").cast("timestamp"))
+    anchor = ticks.agg(F.percentile(ep, F.lit(0.5))).collect()[0][0]
+    src = tmp_path / "src"
+    ticks.filter(ep <= anchor).coalesce(1).write.parquet(str(src / "b1"))
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) tick_id, CAST(-999 AS BIGINT) company_id, "
+        "timestamp'2099-01-01 00:00:00' trade_datetime, "
+        "CAST(1.0 AS DOUBLE) current_price, CAST(0 AS BIGINT) volume"
+    )
+    b2 = ticks.filter(ep > anchor).select(
+        "tick_id", "company_id",
+        F.col("trade_datetime").cast("timestamp").alias("trade_datetime"),
+        "current_price", "volume",
+    ).unionByName(sentinel)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    out = str(tmp_path / "candles")
+    q = (
+        spark.readStream.schema(b2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+        .transform(ohlc_candles_stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out).filter("company_id >= 0").collect())
+    )
+    assert len(got) > 0
+
+    batch = sorted(map(tuple, ohlc_candles_stream(ticks).collect()))
+    assert got == batch
+
+    # and ≡ the a13 driver plan on the same (company_id < 8) slice
+    a13 = (
+        QUERIES["a13_ohlc_candles"](spark, str(sf_dir))
+        .filter("company_id < 8")
+        .select("company_id", "bar_hour", "open", "high", "low", "close",
+                "bar_volume", "n_ticks")
+    )
+    a13_rows = sorted(
+        map(tuple, a13.withColumn(
+            "bar_hour", F.col("bar_hour").cast("timestamp")).collect())
+    )
+    assert got == a13_rows

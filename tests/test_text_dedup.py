@@ -509,6 +509,49 @@ def test_exact_decontamination_needs_13_gram_run(spark):
     assert got[train_ids[0]]["is_contaminated"] is True
 
 
+def test_pii_redaction_idempotent_and_matches_sql(spark, sf_dir):
+    """redact∘redact = redact (placeholders match no pattern), counts are
+    staged (a phone inside a URL is redacted as URL, not phone), and the
+    operator's output equals the pure SQL rendering row-for-row."""
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        PII_RULES,
+        redact_pii,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        _txt11_redaction,
+        sql_pii_redaction,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    rows = [
+        (1, "mail a.b+c@x-y.example.com and call 555-123-4567 twice 555-123-4567"),
+        (2, "see https://ex.com/p?phone=555-123-4567&mail=a@b.co trailing a@b.co"),
+        (3, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    once = redact_pii(df).select("doc_id", "n_url", "n_email", "n_phone",
+                                 F.col("text_redacted").alias("text"))
+    got = {r["doc_id"]: r for r in once.collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_url"]) == (1, 2, 0)
+    # doc 2: the URL swallows the embedded phone AND the first a@b.co;
+    # only the trailing email survives to the email stage
+    assert (got[2]["n_url"], got[2]["n_email"], got[2]["n_phone"]) == (1, 1, 0)
+    assert got[3]["text"] == "no pii here at all"
+    twice = redact_pii(once.select("doc_id", "text")).select(
+        "doc_id", F.col("text_redacted").alias("text"))
+    assert sorted((r["doc_id"], r["text"]) for r in twice.collect()) == sorted(
+        (r["doc_id"], r["text"]) for r in once.select("doc_id", "text").collect())
+    for kind, _, _ in PII_RULES:
+        assert all(r[f"n_{kind}"] == 0 for r in redact_pii(
+            once.select("doc_id", "text")).collect())
+
+    # operator-backed driver plan ≡ pure SQL rendering
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    a = sorted(map(tuple, _txt11_redaction(spark, sf_dir).collect()))
+    b = sorted(map(tuple, spark.sql(sql_pii_redaction("spark")).collect()))
+    assert a == b
+
+
 def test_ivf_index_search_prunes_list_partitions(spark, sf_dir, tmp_path):
     """The persisted IVF lists are hive partitions on the list id; a search
     with n_probe=2 of k=8 must hit the scan with a PartitionFilters entry
