@@ -49,6 +49,8 @@ DOC_QUERIES = [
     "dd6_dup_clusters", "sp1_hash_split", "dd8_contamination", "txt6_vocab",
     "txt9_bpe_incremental", "sp5_sequence_packing", "sp6_temperature_mixture",
     "txt10_repetition",
+    "dd9_incremental_minhash", "dd10_exact_decontamination",
+    "txt11_pii_redaction",
 ]
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",

@@ -218,3 +218,20 @@ def test_sp6_temperature_counts_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sp6_temperature_mixture")
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_txt11_redaction_jvm_only(spark, sf_dir):
+    """PII redaction is pure per-row JVM regex work — no Python eval node
+    may appear (a row-at-a-time UDF here would be the classic 10-100×
+    regression on a scan-bound operator)."""
+    plan = plan_of(spark, sf_dir, "txt11_pii_redaction")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dd10_decontamination_joins_on_shingle_hash(spark, sf_dir):
+    """dd10 shuffles on the shingle hash (the dedup family's key) and
+    never degenerates to a nested-loop join; no Python eval nodes."""
+    plan = plan_of(spark, sf_dir, "dd10_exact_decontamination")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
