@@ -212,6 +212,46 @@ def ohlc_candles_stream(ticks: DataFrame, watermark: str = "30 minutes") -> Data
     )
 
 
+def vwap_stream(ticks: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """W11's streaming twin — daily VWAP per symbol as a watermarked
+    tumbling-window aggregation.  Every measure is a plain map-combinable
+    aggregate (no ordering dependence beyond float summation), so this is
+    the cheapest possible streaming state: one running (Σpv, Σv, Σp, n)
+    tuple per open (symbol, day) window.  Stream ≡ batch ≡ w11 pinned by
+    tests/test_streaming.py under the shared 6-decimal rounding."""
+    # volume-bearing ticks only — w11's contract (zero/NULL-volume ticks
+    # carry no execution weight and would only distort avg_price/n_ticks)
+    valid = ticks.filter(
+        valid_tick_predicate() & F.col("volume").isNotNull() & (F.col("volume") > 0)
+    )
+    import pyspark.sql.types as T
+
+    if isinstance(valid.schema["trade_datetime"].dataType, T.TimestampNTZType):
+        valid = valid.withColumn(
+            "trade_datetime", F.col("trade_datetime").cast("timestamp")
+        )
+    if valid.isStreaming:
+        valid = valid.withWatermark("trade_datetime", watermark)
+    pv = F.col("current_price") * F.col("volume").cast("double")
+    return (
+        valid.groupBy(F.window("trade_datetime", "1 day").alias("w"), "company_id")
+        .agg(
+            # try_divide: defensive — under ANSI mode a zero-sum divisor
+            # (unreachable past the volume>0 filter, but cheap to guard)
+            # must yield NULL, not kill the whole streaming query
+            F.try_divide(F.sum(pv), F.sum(F.col("volume").cast("double"))).alias("vwap"),
+            (F.sum("current_price") / F.count(F.lit(1))).alias("avg_price"),
+            F.sum("volume").cast("long").alias("total_volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            "company_id",
+            F.col("w.start").cast("date").alias("trade_date"),
+            "vwap", "avg_price", "total_volume", "n_ticks",
+        )
+    )
+
+
 def alerts_from_analytics(analytics: DataFrame) -> DataFrame:
     """T6 threshold alerts — same predicates/severities as the oracle-checked
     t6_alerts plan (RSI>70 / <30 → HIGH; volatility>0.05 → MEDIUM)."""

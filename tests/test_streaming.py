@@ -665,3 +665,65 @@ def test_ohlc_stream_matches_batch_and_a13(spark, sf_dir, tmp_path):
             "bar_hour", F.col("bar_hour").cast("timestamp")).collect())
     )
     assert got == a13_rows
+
+
+def test_vwap_stream_matches_batch_and_w11(spark, sf_dir, tmp_path):
+    """W11's streaming twin: daily VWAP from the watermarked tumbling
+    window over a two-micro-batch replay equals the batch run of the same
+    aggregation AND the w11 driver plan, under the shared 6-decimal
+    rounding (float summation order differs between partial-agg trees, so
+    raw doubles may differ in the last ulp — exactly what r6t absorbs)."""
+    from real_time_stock_market_data_pipeline_spark.plans.dialect import r6t
+    from real_time_stock_market_data_pipeline_spark.plans.queries import QUERIES
+    from real_time_stock_market_data_pipeline_spark.streaming.analytics import (
+        vwap_stream,
+    )
+
+    ticks = (
+        ticks_from_events(spark, sf_dir)
+        .filter(F.col("company_id") < 8)
+        .select("tick_id", "company_id", "trade_datetime", "current_price", "volume")
+    )
+    ep = F.unix_micros(F.col("trade_datetime").cast("timestamp"))
+    anchor = ticks.agg(F.percentile(ep, F.lit(0.5))).collect()[0][0]
+    src = tmp_path / "src"
+    ticks.filter(ep <= anchor).coalesce(1).write.parquet(str(src / "b1"))
+    sentinel = spark.sql(
+        "SELECT CAST(-1 AS BIGINT) tick_id, CAST(-999 AS BIGINT) company_id, "
+        "timestamp'2099-01-01 00:00:00' trade_datetime, "
+        "CAST(1.0 AS DOUBLE) current_price, CAST(1 AS BIGINT) volume"
+    )
+    b2 = ticks.filter(ep > anchor).select(
+        "tick_id", "company_id",
+        F.col("trade_datetime").cast("timestamp").alias("trade_datetime"),
+        "current_price", "volume",
+    ).unionByName(sentinel)
+    b2.coalesce(1).write.parquet(str(src / "b2"))
+
+    out = str(tmp_path / "vwap")
+    q = (
+        spark.readStream.schema(b2.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+        .transform(vwap_stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def rounded(df):
+        return sorted(map(tuple, df.select(
+            "company_id", F.col("trade_date").cast("string"),
+            F.expr(r6t("vwap")).alias("vwap"),
+            F.expr(r6t("avg_price")).alias("avg_price"),
+            "total_volume", "n_ticks",
+        ).collect()))
+
+    got = rounded(spark.read.parquet(out).filter("company_id >= 0"))
+    assert len(got) > 0
+    assert got == rounded(vwap_stream(ticks))
+    w11 = QUERIES["w11_vwap"](spark, str(sf_dir)).filter("company_id < 8")
+    assert got == rounded(w11)
