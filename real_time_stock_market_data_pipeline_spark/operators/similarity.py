@@ -403,6 +403,71 @@ def build_ivf_index(
     )
 
 
+def init_ivf_index(
+    centroids: DataFrame,
+    path: str,
+    vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> None:
+    """Persist ONLY the codebook — the empty-index form ``update_ivf_index``
+    appends into.  Splitting init from build lets an index be populated
+    incrementally from batch one (the streaming-ingest shape), instead of
+    requiring a full corpus up front."""
+    centroids.select(F.col(centroid_id), F.col(vec)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def update_ivf_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> dict[str, int]:
+    """Incrementally maintain a persisted IVF index (txt9/dd9's anti-join +
+    append pattern applied to ANN): assign ONLY the batch's vectors not
+    already in the lists to their nearest centroid and append them to the
+    affected list partitions.  The codebook is FIXED for the life of the
+    index, so a vector's assignment never changes — insert-only by
+    construction, and at-least-once replay appends nothing (a re-train is
+    a NEW index path, same contract as the BPE segmentation table).
+
+    Returns ``{"n_batch", "n_new"}``; ``n_new`` counts vectors actually
+    assigned this call, so callers can assert the zero-recompute property
+    on re-ingested batches.
+
+    At 100 TB: per batch, one anti-join against the lists keyed on the
+    vector id + assignment work proportional to NEW vectors only; the
+    append touches only the list partitions the new vectors land in —
+    steady-state ingest cost is independent of index size."""
+    from pyspark.sql.utils import AnalysisException
+
+    cents = _collect_codebook(
+        spark.read.parquet(f"{path}/centroids"), centroid_id, vec
+    )
+    try:
+        existing = spark.read.parquet(f"{path}/lists").select(vec_id)
+    except AnalysisException:  # first batch: no lists yet
+        existing = None
+    new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
+    assigned = new.select(
+        F.col(vec_id),
+        F.col(vec),
+        centroid_argmax_pandas(cents)(F.col(vec)).alias(centroid_id),
+    ).persist()
+    try:
+        n_new = assigned.count()
+        if n_new:
+            assigned.write.mode("append").partitionBy(centroid_id).parquet(
+                f"{path}/lists"
+            )
+    finally:
+        assigned.unpersist()
+    return {"n_batch": batch.count(), "n_new": n_new}
+
+
 def search_ivf_index(
     spark,
     path: str,

@@ -81,6 +81,9 @@ _PRIORITY = [
     "u3_linreg_metrics", "u4_linreg_predictions",
     "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+    # 5 — registered late in r8 (window already full): parity-pinned now,
+    # r9-window candidates alongside the five named waiters above
+    "emb10_incremental_ivf", "txt12_bigram_lm",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

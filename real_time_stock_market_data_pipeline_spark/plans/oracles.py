@@ -770,6 +770,26 @@ SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
 FROM embeddings WHERE vec_id < 5
 """
 
+# EMB10: incremental IVF maintenance — per-batch vector counts + the
+# anti-join append semantics (batch 3 replays batch 1: zero new vectors IS
+# the idempotence property); every vector is assignable (a codebook always
+# has a nearest centroid), so n_new = n_batch on first ingest.  The
+# index≡fresh search gate is computed in-plan; the oracle pins it TRUE.
+ORACLES["emb10_incremental_ivf"] = """
+WITH c AS (
+  SELECT
+    CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+    CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd
+  FROM embeddings
+)
+SELECT CAST(1 AS INT) AS batch, n_even AS n_batch, n_even AS n_new,
+       true AS index_matches_fresh FROM c
+UNION ALL
+SELECT CAST(2 AS INT), n_odd, n_odd, true FROM c
+UNION ALL
+SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
+"""
+
 # EMB9: int8 quantization gate — dequantized top-10 overlaps the exact
 # float top-10 at >= 0.8 recall per query (the comparison is computed
 # in-plan; quantization math is engine-internal, so the oracle pins the

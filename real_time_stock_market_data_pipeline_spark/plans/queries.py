@@ -1338,6 +1338,78 @@ def emb8_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("emb10_incremental_ivf")
+def emb10_incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB10 — incrementally-maintained IVF index (operators/similarity
+    init_ivf_index + update_ivf_index): vectors arrive in two batches plus
+    a REPLAY of batch 1; each update assigns ONLY unseen vectors (the
+    replay row's n_new = 0 IS the idempotence property, exposed in the
+    driver row), and search over the incrementally-built index must equal
+    the in-memory ivf_topk over the same codebook rank-for-rank (gate
+    computed in-plan; oracle pins TRUE).  Completes the incremental-
+    ingest story across families: words (txt9), documents (dd9), vectors
+    (emb10) — the fixed-artifact + anti-join + append contract each time.
+    Codebook is n_iter=1 deterministic (the gate holds for ANY codebook;
+    emb5 owns recall and pays the converged fit there).  ~9 s at sf0.1 by
+    design: three update passes build the index AND the independent
+    in-memory twin re-scores the corpus for the gate — the dd9/emb8
+    two-pass-verification league."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import (
+        init_ivf_index,
+        ivf_topk,
+        search_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_ivf_incr",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    init_ivf_index(cents, path)
+    b1 = emb.filter("vec_id % 2 = 0")
+    b2 = emb.filter("vec_id % 2 = 1")
+    m1 = update_ivf_index(spark, b1, path)
+    m2 = update_ivf_index(spark, b2, path)
+    m3 = update_ivf_index(spark, b1, path)  # replay: must append nothing
+    from_index = search_ivf_index(spark, path, queries_df, k=10, n_probe=7)
+    fresh = ivf_topk(queries_df, emb, cents, k=10, n_probe=7)
+    joined = from_index.select(
+        "query_id", "rk", F.col("vec_id").alias("v_idx")
+    ).join(
+        fresh.select("query_id", "rk", F.col("vec_id").alias("v_fresh")),
+        ["query_id", "rk"],
+        "full",
+    )
+    row = joined.agg(
+        F.sum(
+            F.when(F.col("v_idx") == F.col("v_fresh"), 0).otherwise(1)
+        ).alias("n_mismatch")
+    ).collect()[0]
+    gate = bool((row.n_mismatch or 0) == 0)
+    return spark.createDataFrame(
+        [
+            (1, m1["n_batch"], m1["n_new"], gate),
+            (2, m2["n_batch"], m2["n_new"], gate),
+            (3, m3["n_batch"], m3["n_new"], gate),
+        ],
+        "batch INT, n_batch BIGINT, n_new BIGINT, index_matches_fresh BOOLEAN",
+    )
+
+
 @register("emb9_quantized_recall")
 def emb9_quantized_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMB9 — int8 scalar quantization with an in-plan recall gate

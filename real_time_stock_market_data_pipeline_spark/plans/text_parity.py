@@ -598,6 +598,50 @@ FROM s{len(PII_RULES)}
 """
 
 
+def sql_bigram_lm(dialect: str) -> str:
+    """TXT12 — self-supervised bigram-LM quality score: per document, the
+    mean log-probability of its token bigrams under an add-one-smoothed
+    bigram model trained on the corpus ITSELF (P(w₂|w₁) = (C(w₁w₂)+1) /
+    (C(w₁·)+V)) plus the corresponding perplexity.  The classic
+    statistical corpus-filter signal (CCNet/KenLM style): word salad and
+    boilerplate score far-from-corpus perplexity, and unlike txt2's
+    surface ratios it uses corpus-wide context.  Self-training on the
+    corpus is the standard bootstrap when no external LM exists — the
+    operator takes any (w₁, w₂, count) table, so a curated-corpus model
+    drops in unchanged.
+
+    Scale shape: one explode + one per-doc lead window (the shingle
+    layout), bigram/context counts are map-combinable aggregates, V is a
+    scalar, and the two probability joins shuffle on the bigram/context
+    token keys — high-cardinality, no skew beyond natural Zipf (the hot
+    function words are exactly the well-estimated ones).  Mean-of-logs is
+    float-order-sensitive only below the shared 6-decimal rounding."""
+    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    lp = f"ln({d('cb + 1')} / {d('cu + v')})"
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+big AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS w2
+  FROM tok_rows
+),
+bigp AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+bc AS (SELECT w1, w2, count(*) AS cb FROM bigp GROUP BY w1, w2),
+uc AS (SELECT w1, count(*) AS cu FROM bigp GROUP BY w1),
+vocab AS (SELECT count(DISTINCT tok) AS v FROM tok_rows)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       {r6t(f"sum({lp}) / count(*)")} AS mean_logprob,
+       {r6t(f"exp(-(sum({lp}) / count(*)))")} AS perplexity
+FROM bigp b
+JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+JOIN uc ON b.w1 = uc.w1
+CROSS JOIN vocab
+GROUP BY b.doc_id
+"""
+
+
 def sql_vocab(dialect: str) -> str:
     """TXT6 — corpus vocabulary head: top-100 tokens by global count
     (token-string tie-break → total order), with rank and cumulative
@@ -760,6 +804,15 @@ def _txt11_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt11_pii_redaction"] = _txt11_redaction
 TEXT_ORACLES["txt11_pii_redaction"] = sql_pii_redaction("duck")
+
+
+def _txt12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_bigram_lm("spark"))
+
+
+QUERIES["txt12_bigram_lm"] = _txt12_bigram_lm
+TEXT_ORACLES["txt12_bigram_lm"] = sql_bigram_lm("duck")
 
 
 def _dd6_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

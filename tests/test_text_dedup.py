@@ -648,3 +648,36 @@ def test_new_sampling_ops_empty_input(spark):
     assert p.count() == 0 and {"shard", "n_tok", "bin"} <= set(p.columns)
     t = temperature_sample(empty)
     assert t.count() == 0 and {"bucket", "kept"} <= set(t.columns)
+
+
+def test_bigram_lm_hand_arithmetic(spark):
+    """Add-one-smoothed bigram LM on a fixture small enough to compute by
+    hand: corpus = {"a b a b", "a c", "solo"} → C(a,b)=2, C(b,a)=1,
+    C(a,c)=1, contexts C(a,·)=3, C(b,·)=1, and V=4 (vocab counts EVERY
+    corpus token type, including "solo" from the bigram-less doc).
+    Doc 1: mean ln = (2·ln(3/7) + ln(2/5)) / 3.  Doc 2: ln(2/7).  A
+    one-token doc emits no row."""
+    import math
+
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_bigram_lm,
+    )
+
+    rows = [
+        (1, "a b a b", "en", "s", 7),
+        (2, "a c", "en", "s", 3),
+        (3, "solo", "en", "s", 4),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {r["doc_id"]: r for r in spark.sql(sql_bigram_lm("spark")).collect()}
+    assert 3 not in got
+    m1 = (2 * math.log(3 / 7) + math.log(2 / 5)) / 3
+    m2 = math.log(2 / 7)
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["mean_logprob"] - m1) < 1e-5
+    assert abs(got[1]["perplexity"] - math.exp(-m1)) < 1e-5
+    assert got[2]["n_bigrams"] == 1
+    assert abs(got[2]["mean_logprob"] - m2) < 1e-5
+    assert abs(got[2]["perplexity"] - math.exp(-m2)) < 1e-5
