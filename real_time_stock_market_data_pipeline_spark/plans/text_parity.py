@@ -598,7 +598,7 @@ FROM s{len(PII_RULES)}
 """
 
 
-def sql_bigram_lm(dialect: str) -> str:
+def sql_bigram_lm(dialect: str, tok_source: str | None = None) -> str:
     """TXT12 — self-supervised bigram-LM quality score: per document, the
     mean log-probability of its token bigrams under an add-one-smoothed
     bigram model trained on the corpus ITSELF (P(w₂|w₁) = (C(w₁w₂)+1) /
@@ -615,12 +615,22 @@ def sql_bigram_lm(dialect: str) -> str:
     scalar, and the two probability joins shuffle on the bigram/context
     token keys — high-cardinality, no skew beyond natural Zipf (the hot
     function words are exactly the well-estimated ones).  Mean-of-logs is
-    float-order-sensitive only below the shared 6-decimal rounding."""
+    float-order-sensitive only below the shared 6-decimal rounding.
+
+    ``tok_source``: name of a pre-materialized (doc_id, pos, tok) view to
+    read instead of deriving tok_rows inline — the registered Spark plan
+    passes a localCheckpoint snapshot because Spark inlines CTEs and would
+    otherwise re-execute the corpus explode+window once per consumer
+    (big/bc-uc/vocab); DuckDB materializes multi-reference CTEs itself,
+    so the oracle keeps the inline form.  Same trick as dd2/t6."""
     tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
     lp = f"ln({d('cb + 1')} / {d('cu + v')})"
+    if tok_source:
+        head = f"WITH tok_rows AS (SELECT doc_id, pos, tok FROM {tok_source}),"
+    else:
+        head = f"WITH {docs_cte(dialect)},\ntok_rows AS ({tok_rows}),"
     return f"""
-WITH {docs_cte(dialect)},
-tok_rows AS ({tok_rows}),
+{head}
 big AS (
   SELECT doc_id, tok AS w1,
          lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS w2
@@ -807,6 +817,15 @@ TEXT_ORACLES["txt11_pii_redaction"] = sql_pii_redaction("duck")
 
 
 def _txt12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT12, Spark side: the PURE rendering, deliberately.  The dd2-style
+    tok_rows snapshot was tried and MEASURED SLOWER (1.3 s → 3.5 s at
+    sf0.1): unlike dd2's char-fold shingle hashing, the explode here is a
+    cheap narrow transform, and the checkpointed intermediate is LARGER
+    than the source — so 3-4 CTE re-executions of a pipelined scan beat
+    one materialize + three reads.  Materialize expensive subplans, inline
+    cheap ones.  (``sql_bigram_lm(tok_source=...)`` keeps the snapshot
+    form available for corpora where tokenization is the expensive step;
+    pinned equal by test_text_dedup.)"""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(sql_bigram_lm("spark"))
 

@@ -50,11 +50,11 @@ DOC_QUERIES = [
     "txt9_bpe_incremental", "sp5_sequence_packing", "sp6_temperature_mixture",
     "txt10_repetition",
     "dd9_incremental_minhash", "dd10_exact_decontamination",
-    "txt11_pii_redaction",
+    "txt11_pii_redaction", "txt12_bigram_lm",
 ]
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
-    "emb7_embedding_clusters",
+    "emb7_embedding_clusters", "emb10_incremental_ivf",
 ]
 
 

@@ -681,3 +681,29 @@ def test_bigram_lm_hand_arithmetic(spark):
     assert got[2]["n_bigrams"] == 1
     assert abs(got[2]["mean_logprob"] - m2) < 1e-5
     assert abs(got[2]["perplexity"] - math.exp(-m2)) < 1e-5
+
+
+def test_txt12_snapshot_form_matches_rendering(spark, sf_dir):
+    """sql_bigram_lm(tok_source=...) — the snapshot form kept for corpora
+    with expensive tokenization — must equal the registered pure rendering
+    row-for-row."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        _txt12_bigram_lm,
+        docs_cte,
+        sql_bigram_lm,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.dialect import (
+        explode_with_pos,
+    )
+
+    a = sorted(map(tuple, _txt12_bigram_lm(spark, str(sf_dir)).collect()))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    tok = spark.sql(
+        f"""WITH {docs_cte("spark")},
+tok_rows AS ({explode_with_pos("spark", "docs", "toks", "pos", "tok", "doc_id")})
+SELECT doc_id, pos, tok FROM tok_rows"""
+    ).localCheckpoint(eager=False)
+    tok.createOrReplaceTempView("__txt12_tok_test")
+    b = sorted(map(tuple, spark.sql(
+        sql_bigram_lm("spark", tok_source="__txt12_tok_test")).collect()))
+    assert a == b and len(a) > 0
