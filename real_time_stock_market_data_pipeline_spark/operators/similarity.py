@@ -468,6 +468,29 @@ def update_ivf_index(
     return {"n_batch": batch.count(), "n_new": n_new}
 
 
+def ivf_index_sink(
+    path: str,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+):
+    """``foreachBatch`` writer maintaining a persisted IVF index from a
+    VECTOR STREAM: each micro-batch runs ``update_ivf_index``, so per batch
+    only unseen vectors are assigned and appended.  foreachBatch is
+    at-least-once, but the anti-join update is idempotent — the index
+    converges to exactly the batch-built state without transactional
+    coordination (pinned by tests/test_streaming.py: stream-built ≡
+    batch-built, and a full replay appends zero rows).  Call
+    ``init_ivf_index`` with the codebook before starting the stream."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_ivf_index(
+            batch_df.sparkSession, batch_df, path, vec_id, vec, centroid_id
+        )
+
+    return write_batch
+
+
 def search_ivf_index(
     spark,
     path: str,

@@ -360,3 +360,51 @@ def test_dup_clusters_matches_union_find(spark, edges):
         comps.setdefault(find(n), []).append(n)
     exp = {n: min(members) for members in comps.values() for n in members}
     assert got == exp
+
+
+# --- PII redaction properties -----------------------------------------------
+# Arbitrary printable text with PII-shaped fragments spliced in at random
+# positions: redaction must be idempotent, and the redacted text must
+# contain ZERO residual matches for every rule — on ANY input, not just
+# the planted corpus.
+_pii_fragments = st.sampled_from([
+    "a.b+c@x-y.example.com", "USER@SUB.DOMAIN.ORG", "555-123-4567",
+    "000-000-0000", "https://h.example.com/p?a=1&b=2#f",
+    "http://x.io/q", "not-an-email@", "@nope", "12-34-56",
+])
+_pii_text = st.lists(
+    st.one_of(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0, max_size=12,
+        ),
+        _pii_fragments,
+    ),
+    min_size=0, max_size=8,
+).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_pii_text, min_size=1, max_size=6))
+def test_redact_pii_idempotent_and_exhaustive(spark, texts):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        PII_RULES,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    once = redact_pii(df).select(
+        "doc_id", F.col("text_redacted").alias("text"))
+    twice = redact_pii(once)
+    rows = twice.collect()
+    # exhaustive: a second pass finds nothing left to redact
+    for kind, _, _ in PII_RULES:
+        assert all(r[f"n_{kind}"] == 0 for r in rows)
+    # idempotent: the second pass changes no text
+    assert sorted((r["doc_id"], r["text_redacted"]) for r in rows) == sorted(
+        (r["doc_id"], r["text"]) for r in once.collect()
+    )

@@ -727,3 +727,61 @@ def test_vwap_stream_matches_batch_and_w11(spark, sf_dir, tmp_path):
     assert got == rounded(vwap_stream(ticks))
     w11 = QUERIES["w11_vwap"](spark, str(sf_dir)).filter("company_id < 8")
     assert got == rounded(w11)
+
+
+def test_ivf_index_stream_matches_batch(spark, sf_dir, tmp_path):
+    """EMB10's streaming form: foreachBatch IVF maintenance over a
+    two-micro-batch vector stream builds EXACTLY the batch-built lists,
+    and a full replay (at-least-once delivery) appends zero rows."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivf_index,
+        ivf_index_sink,
+        update_ivf_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cents = kmeans_fit(emb, k=4, n_iter=1)
+    src = tmp_path / "src"
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream_idx = str(tmp_path / "idx_stream")
+    init_ivf_index(cents, stream_idx)
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(ivf_index_sink(stream_idx))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    cols = ["vec_id", "centroid_id"]
+    stream_rows = sorted(
+        map(tuple, spark.read.parquet(f"{stream_idx}/lists").select(*cols).collect())
+    )
+
+    batch_idx = str(tmp_path / "idx_batch")
+    init_ivf_index(cents, batch_idx)
+    update_ivf_index(spark, emb, batch_idx)
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(f"{batch_idx}/lists").select(*cols).collect())
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+    run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
+    assert (
+        sorted(map(tuple, spark.read.parquet(f"{stream_idx}/lists").select(*cols).collect()))
+        == stream_rows
+    )
