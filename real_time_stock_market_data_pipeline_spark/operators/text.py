@@ -164,3 +164,54 @@ def redact_pii(df: DataFrame, text: str = "text", out: str = "text_redacted") ->
         df = df.withColumn(f"n_{kind}", F.regexp_count(cur, F.lit(pat)).cast("long"))
         cur = F.regexp_replace(cur, pat, repl)
     return df.withColumn(out, cur)
+
+
+# --- Feature-hash embeddings (hashing trick) --------------------------------
+FEATURE_HASH_DIM = 16
+
+
+def feature_hash_embedding(
+    df: DataFrame, text: str = "text", dim: int = FEATURE_HASH_DIM
+) -> DataFrame:
+    """Adds ``embedding array<double>`` — the classic hashing-trick doc
+    vector (Weinberger et al.): each token lands in bucket ``h % dim``
+    with sign ``(h // dim) % 2 ? -1 : +1``; bucket sums are L2-normalized.
+    No model, no vocabulary, fully deterministic — the cheap in-engine
+    embedding that feeds the similarity family (cosine_topk / LSH / IVF
+    compose unchanged) when no trained encoder exists, e.g. for first-pass
+    near-dup candidate generation over raw text.
+
+    Plan shape: one explode + ``dim`` conditional map-combinable sums per
+    doc — a single shuffle on the doc id, all JVM.  Bucket sums are exact
+    integers (±1 steps), so the txt13 oracle compares them hash-exactly;
+    only the final normalization is float."""
+    toks = tokens_col(text)
+    token_hash = F.expr(
+        "aggregate(transform(sequence(1, length(tok)), "
+        "i -> ascii(substr(tok, CAST(i AS INT), 1))), "
+        f"CAST(7 AS BIGINT), (acc, x) -> (acc * 131 + x) % {P_MOD})"
+    )
+    id_col = df.columns[0]
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok")).select(
+        F.col(id_col), token_hash.alias("h")
+    )
+    sgn = F.when((F.floor(F.col("h") / dim) % 2) == 0, F.lit(1)).otherwise(F.lit(-1))
+    sums = tok_rows.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("h") % dim == j, sgn).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"b{j}")
+            for j in range(dim)
+        ]
+    )
+    vec = F.array(*[F.col(f"b{j}").cast("double") for j in range(dim)])
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    out = sums.withColumn(
+        "embedding",
+        F.when(norm == 0, vec).otherwise(
+            F.transform(vec, lambda x: x / norm)
+        ),
+    )
+    return df.join(out.select(id_col, "embedding"), id_col, "left")

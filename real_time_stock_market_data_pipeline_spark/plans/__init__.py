@@ -83,7 +83,7 @@ _PRIORITY = [
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
     # 5 — registered late in r8 (window already full): parity-pinned now,
     # r9-window candidates alongside the five named waiters above
-    "emb10_incremental_ivf", "txt12_bigram_lm",
+    "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

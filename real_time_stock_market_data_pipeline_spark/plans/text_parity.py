@@ -652,6 +652,43 @@ GROUP BY b.doc_id
 """
 
 
+def sql_feature_hash(dialect: str, dim: int = 16) -> str:
+    """TXT13 — feature-hash (hashing-trick) document embeddings
+    (operators/text.feature_hash_embedding): token → bucket ``h % dim``
+    with sign ``(h // dim) % 2 ? -1 : +1``; the driver row exposes the raw
+    INTEGER bucket sums plus the squared norm — exact ±1 arithmetic, so
+    the oracle hash-compares with no float rounding anywhere; only the
+    operator's final L2 normalization is float (pinned against these sums
+    by unit test).  The cheap in-engine embedding that feeds the
+    similarity family when no trained encoder exists.
+
+    Scale shape: one explode + ``dim`` conditional map-combinable sums —
+    a single shuffle on the doc id, all JVM."""
+    tok_rows = explode_from(dialect, "docs", "toks", "tok", "doc_id")
+    sgn = f"CASE WHEN (CAST(floor(h / {dim}) AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END"
+    sums = ",\n       ".join(
+        f"CAST(sum(CASE WHEN h % {dim} = {j} THEN {sgn} ELSE 0 END) AS BIGINT)"
+        f" AS b{j}"
+        for j in range(dim)
+    )
+    norm2 = " + ".join(f"b{j} * b{j}" for j in range(dim))
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+hashed AS (
+  SELECT doc_id, {tok_hash(dialect, "tok")} AS h FROM tok_rows
+),
+sums AS (
+  SELECT doc_id,
+       {sums}
+  FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {", ".join(f"b{j}" for j in range(dim))},
+       CAST({norm2} AS BIGINT) AS norm2
+FROM sums
+"""
+
+
 def sql_vocab(dialect: str) -> str:
     """TXT6 — corpus vocabulary head: top-100 tokens by global count
     (token-string tie-break → total order), with rank and cumulative
@@ -832,6 +869,15 @@ def _txt12_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt12_bigram_lm"] = _txt12_bigram_lm
 TEXT_ORACLES["txt12_bigram_lm"] = sql_bigram_lm("duck")
+
+
+def _txt13_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_feature_hash("spark"))
+
+
+QUERIES["txt13_feature_hash"] = _txt13_feature_hash
+TEXT_ORACLES["txt13_feature_hash"] = sql_feature_hash("duck")
 
 
 def _dd6_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -707,3 +707,50 @@ SELECT doc_id, pos, tok FROM tok_rows"""
     b = sorted(map(tuple, spark.sql(
         sql_bigram_lm("spark", tok_source="__txt12_tok_test")).collect()))
     assert a == b and len(a) > 0
+
+
+def test_feature_hash_embedding_matches_sql_and_feeds_ann(spark, sf_dir, docs):
+    """The operator's L2-normalized embedding must equal the txt13 plan's
+    integer bucket sums divided by sqrt(norm2) elementwise, and the result
+    must compose with the similarity family: an exact duplicate document
+    ranks itself/its twin at cosine ~1.0 via cosine_topk."""
+    import math
+
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        FEATURE_HASH_DIM,
+        feature_hash_embedding,
+    )
+
+    sample = docs.limit(50)
+    got = {
+        r["doc_id"]: r["embedding"]
+        for r in feature_hash_embedding(sample).collect()
+    }
+    plan = {r["doc_id"]: r for r in QUERIES["txt13_feature_hash"](spark, sf_dir).collect()}
+    checked = 0
+    for doc_id, emb in got.items():
+        if emb is None:
+            continue
+        row = plan[doc_id]
+        norm = math.sqrt(row["norm2"])
+        for j in range(FEATURE_HASH_DIM):
+            want = row[f"b{j}"] / norm if norm else float(row[f"b{j}"])
+            assert abs(emb[j] - want) < 1e-9
+        checked += 1
+    assert checked > 0
+
+    # compose with ANN: a doc and its verbatim copy are cosine-1 neighbors
+    two = spark.createDataFrame(
+        [(900001, "alpha beta gamma delta epsilon"),
+         (900002, "alpha beta gamma delta epsilon"),
+         (900003, "entirely different words here")],
+        "doc_id LONG, text STRING",
+    )
+    emb2 = feature_hash_embedding(two)
+    q = emb2.filter("doc_id = 900001").select(
+        F.col("doc_id").alias("query_id"), "embedding")
+    top = similarity.cosine_topk(q, emb2.select("doc_id", "embedding")
+                                 .withColumnRenamed("doc_id", "vec_id"), k=2).collect()
+    by_rk = sorted(top, key=lambda r: r.rk)
+    assert {by_rk[0].vec_id, by_rk[1].vec_id} == {900001, 900002}
+    assert by_rk[0].cosine_sim > 0.999 and by_rk[1].cosine_sim > 0.999
