@@ -866,3 +866,104 @@ def extract_features(
             yield pdf
 
     return df.mapInPandas(run_fake if fake else run_real, schema=schema)
+
+
+# --- Perceptual near-duplicate hashing (dHash) ------------------------------
+DHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit hash
+
+
+def image_dhash(df: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
+    """Adds ``dhash bigint`` — the 64-bit difference hash: decode (real
+    PNG/BMP path), collapse to integer luminance (channel sum — monotone,
+    so gradient comparisons are unaffected), nearest-neighbour sample to a
+    9×8 grid, and emit one bit per horizontal gradient (col j+1 > col j).
+    The standard perceptual near-dup key: resizes, re-encodes, and small
+    pixel edits keep the gradient signs, so true near-dups land within a
+    few Hamming bits.  Links the multimodal family to the dedup family —
+    ``dhash_near_dup_pairs`` below buckets it exactly like MinHash bands.
+    Non-decodable payloads → NULL.  Arrow-batched mapInPandas, map-only."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, dhash bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def dh(b: bytes | None):
+            px = decode_pixels(b)
+            if px is None:
+                return None
+            gray = px.sum(axis=2, dtype=np.int64)
+            h, w = gray.shape
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            small = gray[ys][:, xs]
+            bits = (small[:, 1:] > small[:, :-1]).flatten()
+            acc = 0
+            for bit in bits:
+                acc = (acc << 1) | int(bit)
+            # map to signed 64-bit so it fits Spark's LongType
+            return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["dhash"] = pd.Series(
+                [dh(b) for b in pdf[bytes_col]], index=pdf.index, dtype="Int64"
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def dhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for image pairs within ``max_hamming`` bits —
+    the same banded-LSH layout as MinHash: the 64-bit hash splits into
+    ``DHASH_BANDS`` 16-bit bands (shuffle key = (band_id, band_value)),
+    candidates share ≥1 identical band, then the exact Hamming distance
+    (bit_count of XOR, JVM-side) verifies.  Pigeonhole guarantee: any pair
+    with hamming < DHASH_BANDS differs in fewer bits than there are bands,
+    so at least one band is identical — ``max_hamming`` ≤ 3 has PERFECT
+    recall, not probabilistic.  Never all-pairs."""
+    if max_hamming >= DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee for {DHASH_BANDS} bands; raise DHASH_BANDS instead"
+        )
+    hashed = df.select(F.col(id_col), F.col(hash_col)).filter(
+        F.col(hash_col).isNotNull()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright(F.col(hash_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(
+                "band_val"
+            ),
+        )
+        for i in range(DHASH_BANDS)
+    ]
+    bands = hashed.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, hash_col, "_b.band_id", "_b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.expr(f"a.{hash_col} ^ b.{hash_col}")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

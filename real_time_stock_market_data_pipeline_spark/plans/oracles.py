@@ -770,6 +770,15 @@ SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
 FROM embeddings WHERE vec_id < 5
 """
 
+# MM7: perceptual twin pairs — docs 2k and 2k+1 carry byte-identical
+# constructed BMPs, so the planted pairs (and only they, after the in-plan
+# same-group projection) must surface at Hamming distance 0.
+ORACLES["mm7_dhash_pairs"] = """
+SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE d1.doc_id % 2 = 0 AND d1.text IS NOT NULL AND d2.text IS NOT NULL
+"""
+
 # EMB10: incremental IVF maintenance — per-batch vector counts + the
 # anti-join append semantics (batch 3 replays batch 1: zero new vectors IS
 # the idempotence property); every vector is assignable (a codebook always

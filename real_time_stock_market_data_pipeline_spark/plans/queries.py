@@ -640,6 +640,55 @@ def mm3_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm7_dhash_pairs")
+def mm7_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM7 — perceptual near-dup detection end-to-end (operators/multimodal
+    image_dhash + dhash_near_dup_pairs): per document a complete 24-bit BMP
+    is assembled in pure JVM SQL KEYED BY THE PAIR GROUP gid = doc_id DIV 2
+    (pixel byte j = (j·(2 + gid mod 7) + gid) mod 256), so docs 2k and 2k+1
+    carry byte-identical images; the real decoder + dHash + the banded
+    Hamming join must then recover exactly the planted twin pairs at
+    distance 0.  The in-plan (doc_a DIV 2 = doc_b DIV 2) projection keeps
+    the oracle derivable: structurally similar ramps from DIFFERENT groups
+    may legitimately fall within the Hamming budget (that is what a
+    perceptual hash is FOR), and their exact set is not SQL-predictable —
+    the planted twins are.  A missing row = decode nondeterminism or a
+    broken band split; hamming ≠ 0 = a pixel-path defect."""
+    from ..operators.multimodal import dhash_near_dup_pairs, image_dhash
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("gid", F.expr("doc_id DIV 2"))
+        .withColumn("w", F.expr("pmod(gid, 13) + 4"))
+        .withColumn("h", F.expr("pmod(gid, 7) + 4"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("n", F.expr("stride * h"))
+    )
+    header = F.expr(
+        "concat(X'424D', "
+        + _le_bytes_sql("54 + n", 4)
+        + ", X'00000000', X'36000000', "
+        + "X'28000000', "
+        + _le_bytes_sql("w", 4) + ", "
+        + _le_bytes_sql("h", 4) + ", "
+        + "X'0100', X'1800', X'00000000', "
+        + _le_bytes_sql("n", 4)
+        + ", X'" + "00" * 16 + "')"
+    )
+    pixels = F.expr(
+        "unhex(array_join(transform(sequence(0, n - 1), "
+        "j -> lpad(hex(pmod(j * (2 + pmod(gid, 7)) + gid, 256)), 2, '0')), ''))"
+    )
+    media = docs.withColumn("media_bytes", F.concat(header, pixels))
+    hashed = image_dhash(media).select("doc_id", "dhash")
+    pairs = dhash_near_dup_pairs(hashed)
+    return pairs.filter(
+        F.expr("doc_a DIV 2 = doc_b DIV 2")
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 @register("mm5_avi_frame_stats")
 def mm5_avi_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal REAL video chain end-to-end: RIFF/AVI containers with

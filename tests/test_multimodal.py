@@ -608,3 +608,46 @@ def test_feature_extract_composes_with_similarity(media, spark):
     again = extract_features(media, fake=True).select("doc_id", "features").collect()
     feat_map = {r.doc_id: r.features for r in again}
     assert feat_map[first.vec_id] == list(first.embedding)
+
+
+def test_dhash_near_dups_and_banding(spark):
+    """dHash links multimodal to dedup: a brightness-perturbed copy of a
+    gradient image lands within the Hamming budget (strong column ramps
+    mean a ±1 pixel edit flips no gradient sign → identical hash); an
+    inverted-gradient image does not pair; banding raises on a
+    max_hamming that voids the pigeonhole recall guarantee."""
+    import numpy as np
+    import pytest
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+        encode_bmp24,
+        image_dhash,
+    )
+
+    h, w = 16, 18
+    ramp = np.zeros((h, w, 3), dtype=np.uint8)
+    for x in range(w):
+        ramp[:, x, :] = (x * 9) % 250
+    near = ramp.copy()
+    near[3, 4, 1] = min(254, near[3, 4, 1] + 1)  # tiny edit, signs unchanged
+    inverted = ramp[:, ::-1, :].copy()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(ramp))),
+         (2, bytearray(encode_bmp24(near))),
+         (3, bytearray(encode_bmp24(inverted))),
+         (4, None)],
+        "doc_id LONG, media_bytes BINARY",
+    )
+    hashed = image_dhash(df)
+    vals = {r.doc_id: r.dhash for r in hashed.collect()}
+    assert vals[4] is None and vals[1] is not None
+    assert vals[1] == vals[2]          # perturbation below gradient scale
+    assert vals[1] != vals[3]          # inverted gradients flip every bit
+
+    pairs = {(r.doc_a, r.doc_b) for r in dhash_near_dup_pairs(hashed).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_near_dup_pairs(hashed, max_hamming=4)
