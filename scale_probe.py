@@ -50,7 +50,8 @@ DOC_QUERIES = [
     "txt9_bpe_incremental", "sp5_sequence_packing", "sp6_temperature_mixture",
     "txt10_repetition",
     "dd9_incremental_minhash", "dd10_exact_decontamination",
-    "txt11_pii_redaction", "txt12_bigram_lm",
+    "txt11_pii_redaction", "txt12_bigram_lm", "txt13_feature_hash",
+    "mm7_dhash_pairs",
 ]
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
