@@ -235,3 +235,15 @@ def test_dd10_decontamination_joins_on_shingle_hash(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_r8_banded_joins_never_nested_loop(spark, sf_dir):
+    """dd9/emb10/mm7's candidate generation must stay equi-joins on the
+    band/list keys — a BroadcastNestedLoopJoin or CartesianProduct here is
+    the all-pairs failure mode the banding exists to prevent.  (emb10's
+    plan is action-driven, so its gate join is checked via dd9's shared
+    _band_self_join; mm7 is checked directly.)"""
+    for name in ("dd9_incremental_minhash", "mm7_dhash_pairs"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -408,3 +408,40 @@ def test_redact_pii_idempotent_and_exhaustive(spark, texts):
     assert sorted((r["doc_id"], r["text_redacted"]) for r in rows) == sorted(
         (r["doc_id"], r["text"]) for r in once.collect()
     )
+
+
+# --- dHash banding recall property ------------------------------------------
+# The pigeonhole claim in operators/multimodal.dhash_near_dup_pairs: ANY
+# pair of 64-bit hashes within Hamming distance < DHASH_BANDS shares at
+# least one identical 16-bit band, so the banded join has PERFECT recall —
+# checked on arbitrary signed-64 hashes and arbitrary ≤3-bit corruptions.
+_hash64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_flips = st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pairs=st.lists(st.tuples(_hash64, _flips), min_size=1, max_size=5))
+def test_dhash_banding_recall_guarantee(spark, pairs):
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        dhash_near_dup_pairs,
+    )
+
+    rows = []
+    expected = set()
+    for i, (h, flips) in enumerate(pairs):
+        mask = 0
+        for b in flips:
+            mask |= 1 << b
+        h2 = (h ^ mask)
+        h2 = h2 - (1 << 64) if h2 >= (1 << 63) else h2
+        a_id, b_id = 10 * i, 10 * i + 1
+        rows += [(a_id, h), (b_id, h2)]
+        expected.add((a_id, b_id, len(flips)))
+    df = spark.createDataFrame(rows, "doc_id LONG, dhash LONG")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dhash_near_dup_pairs(df).collect()
+    }
+    # every planted ≤3-bit pair MUST be recovered (perfect recall);
+    # cross-pair collisions may legitimately add extra rows
+    assert expected <= got
