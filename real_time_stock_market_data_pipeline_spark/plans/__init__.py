@@ -84,7 +84,7 @@ _PRIORITY = [
     # 5 — registered late in r8 (window already full): parity-pinned now,
     # r9-window candidates alongside the five named waiters above
     "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
-    "mm7_dhash_pairs",
+    "mm7_dhash_pairs", "w12_series_similarity",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -591,6 +591,67 @@ GROUP BY company_id, CAST(trade_datetime AS DATE)
 
 # ---------------------------------------------------------------------------
 
+def sql_series_similarity(dialect: str) -> str:
+    """W12 — time-series similarity search across symbols (EDBT'19
+    streaming-similarity workload, PAPERS.md): which tickers moved most
+    like the query symbol?  Per symbol, the daily close series (W1's
+    deterministic last-tick-of-day) is Z-NORMALIZED (so scale and level
+    drop out — similarity is shape), then every candidate symbol is scored
+    against the query symbol (min company_id) by mean squared z-distance
+    over their SHARED trading days; top-10 nearest, distance-then-id
+    order.
+
+    Scale shape: one window sort for the daily close (shared with W1/A13),
+    per-symbol moment aggregates (map-combinable), then ONE equi-join on
+    the trade date — the query side is a single symbol's series, so the
+    join is a broadcast of a few hundred rows against the corpus, never
+    all-pairs; generalizing to all-pairs would bucket on date exactly like
+    the dedup family's keys.  ORDER BY uses the ROUNDED distance (r6t) so
+    the top-10 cut is engine-deterministic; sd > 0 and ≥ 10 shared days
+    gate degenerate series before the divide."""
+    close = "close"
+    zdiff = f"(z1.z - z2.z)"
+    return f"""
+WITH {ticks_cte(dialect)},
+daily AS (
+  SELECT company_id, CAST(trade_datetime AS DATE) AS d,
+         current_price AS close
+  FROM (
+    SELECT company_id, trade_datetime, tick_id, current_price,
+           row_number() OVER (PARTITION BY company_id, CAST(trade_datetime AS DATE)
+                              ORDER BY trade_datetime DESC, tick_id DESC) AS rn
+    FROM ticks
+  ) t WHERE rn = 1
+),
+stats AS (
+  SELECT company_id, avg({close}) AS mu, stddev_pop({close}) AS sd,
+         count(*) AS n
+  FROM daily GROUP BY company_id
+),
+z AS (
+  SELECT d.company_id, d.d, ({_d(close)} - {_d("s.mu")}) / {_d("s.sd")} AS z
+  FROM daily d JOIN stats s ON d.company_id = s.company_id
+  WHERE s.sd > {_d("0.0")} AND s.n >= 10
+),
+qsym AS (SELECT min(company_id) AS qid FROM z),
+pairs AS (
+  SELECT z2.company_id,
+         CAST(count(*) AS BIGINT) AS n_common,
+         sum({zdiff} * {zdiff}) AS ssd
+  FROM z z1
+  JOIN qsym q ON z1.company_id = q.qid
+  JOIN z z2 ON z2.d = z1.d AND z2.company_id <> q.qid
+  GROUP BY z2.company_id
+  HAVING count(*) >= 10
+)
+SELECT company_id, n_common,
+       {r6t(f"ssd / {_d('n_common')}")} AS mean_sq_dist
+FROM pairs
+ORDER BY {r6t(f"ssd / {_d('n_common')}")} ASC, company_id ASC
+LIMIT 10
+"""
+
+
 _BODIES = {
     "w2_sma": sql_sma,
     "w3_ema": sql_ema,
@@ -608,6 +669,7 @@ _BODIES = {
     "j2_analytics_dashboard": sql_analytics_dashboard,
     "a13_ohlc_candles": sql_ohlc,
     "w11_vwap": sql_vwap,
+    "w12_series_similarity": sql_series_similarity,
 }
 
 INDICATOR_ORACLES = {name: body("duck") for name, body in _BODIES.items()}
