@@ -432,8 +432,11 @@ def test_dhash_banding_recall_guarantee(spark, pairs):
         mask = 0
         for b in flips:
             mask |= 1 << b
-        h2 = (h ^ mask)
-        h2 = h2 - (1 << 64) if h2 >= (1 << 63) else h2
+        # XOR in the unsigned domain, then wrap back to signed 64-bit —
+        # Python's arbitrary-precision XOR on a negative int would
+        # otherwise escape the LongType range
+        u2 = (h & ((1 << 64) - 1)) ^ mask
+        h2 = u2 - (1 << 64) if u2 >= (1 << 63) else u2
         a_id, b_id = 10 * i, 10 * i + 1
         rows += [(a_id, h), (b_id, h2)]
         expected.add((a_id, b_id, len(flips)))
