@@ -13,33 +13,74 @@ ORACLES.update(EMBEDDING_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# other round.  Round-8 rotation policy:
-#   1. the 6 queries registered late in round 7 that have NEVER had a
-#      driver row (txt10, sp6, sp7, a13, w11, emb9 — emb9 also changed
-#      this round: zero-overlap left-join fix), per the r7 verdict;
-#   2. the 3 queries NEW this round: dd10 (exact 13-gram
-#      decontamination), txt11 (PII redaction), dd9 (incremental MinHash
-#      signature table);
-#   3. 41 of the 46 queries whose newest driver row is r06 — they'd
-#      otherwise go two rounds stale.  That fills the 50 slots exactly.
-#   WAITING FOR R9 (named, deliberate — 46+9 = 55 candidates > 50
-#   slots): dd1_exact_dedup, w2_sma, w3_ema, txt1_token_stats,
-#   txt4_fingerprint.  All five are frozen since r6, pytest-pinned every
-#   run, and semantically tiny; w2/w3 values are additionally covered by
-#   w_all_indicators' green r07 hash row (its 24-col output embeds the
-#   SMA/EMA columns).  They lead the r9 window.
-#   The tail re-verifies opportunistically and stays covered every run by
-#   tests/test_parity.py at sf0.001 and the pre-commit parity harness at
-#   sf0.01 (105/105 this round).
+# other round.  Round-9 rotation policy (executes the r8 verdict's item 1
+# exactly):
+#   1. the 10 NAMED WAITERS lead: the 5 queries whose newest driver row is
+#      r06 (dd1_exact_dedup, w2_sma, w3_ema, txt1_token_stats,
+#      txt4_fingerprint — deliberately deferred from the r8 window) and
+#      the 5 registered late in r8 that have NEVER had a driver row
+#      (emb10_incremental_ivf, txt12_bigram_lm, txt13_feature_hash,
+#      mm7_dhash_pairs, w12_series_similarity);
+#   2. the queries NEW this round (dd11 incremental decontamination
+#      table, mm8 audio fingerprint near-dup, w13 all-pairs series
+#      similarity);
+#   3. 37 of the 50 queries whose newest driver row is r07 — oldest
+#      evidence first.  That fills the 50 slots exactly.
+#   FROZEN FOR R10 (named, deliberate — 10+3+50 = 63 candidates > 50
+#   slots): 13 r07-green queries wait one extra round:
+#   p3_time_window_filter, p5_equality_filter, p6_flag_filter,
+#   o4_latest_row, o5_price_history, o6_sorted_rollup, a1_grouped_max,
+#   a2_global_max, a6_hourly_counts, d1_distinct_event_types,
+#   su1_set_ops, j1_tick_dashboard, mm1_media_meta.  All thirteen are
+#   semantically tiny single-scan filters/aggregates with overlapping
+#   coverage elsewhere (a4's daily summary embeds the a1/a2/a6 shapes;
+#   j2's dashboard join subsumes j1; mm2's real header decode subsumes
+#   mm1's metadata projection; the o-family's TakeOrderedAndProject plan
+#   test pins o4/o5/o6's operator) and every one is pytest-parity-pinned
+#   at sf0.001 each run and at sf0.01 by the pre-commit harness.  They
+#   MUST lead the r10 window.
+#   The 50 r08-green queries (CORRECTNESS_r08, zero failures) form the
+#   tail in their r8-window order and re-verify opportunistically; the
+#   whole registry stays covered every run by tests/test_parity.py at
+#   sf0.001 and the pre-commit parity harness at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — never driver-rowed (registered after the r7 window filled)
+    # 1a — r06-stale (deferred from the r8 window, named there as r9 leads)
+    "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
+    "txt4_fingerprint",
+    # 1b — never driver-rowed (registered after the r8 window filled)
+    "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
+    "mm7_dhash_pairs", "w12_series_similarity",
+    # 2 — new this round (inserted as they land; see section comment)
+    # 3 — newest driver row is r07: rotate back in (37 of 50)
+    "sp2_stratified_sample", "dd3_minhash_signatures",
+    "dd4_minhash_candidates", "dd5_simhash",
+    "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
+    "emb6_centered_lsh",
+    "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
+    "p4_recent_window", "p7_validated_ticks", "p9_dedup_ticks",
+    "j6_region_revenue", "j7_orders_without_big_lineitems",
+    "j8_industry_rollup",
+    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+    "o1_top_events", "o3_training_fetch",
+    "a7_dup_detection", "sk1_salted_daily_summary", "q1_pricing_summary",
+    "t9_session_windows",
+    "j10_asof_quote", "s13_model_roundtrip", "u2_arima_forecast",
+    "u3_linreg_metrics", "u4_linreg_predictions",
+    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
+    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+    # 4 — r07-green, FROZEN FOR R10 (see policy note above): they lead
+    # the r10 window
+    "p3_time_window_filter", "p5_equality_filter", "p6_flag_filter",
+    "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
+    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+    "mm1_media_meta",
+    # 5 — green in CORRECTNESS_r08 (zero failures), in r8-window order
     "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
     "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
-    # 2 — new this round
     "dd10_exact_decontamination", "txt11_pii_redaction",
     "dd9_incremental_minhash",
-    # 3 — newest driver row is r06: rotate back in (41 of 46)
     "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
     "f1_scalar_suite",
     "w4_rsi", "w5_bollinger", "w6_macd",
@@ -56,35 +97,6 @@ _PRIORITY = [
     "emb8_ivf_index_search",
     "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
     "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
-    # 4 — tail: r06-rowed queries deliberately waiting for r9 (see policy
-    # note above), then every query green in CORRECTNESS_r07 (unchanged
-    # this round), in its r7-window order
-    "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
-    "txt4_fingerprint",
-    "sp2_stratified_sample",
-    "dd3_minhash_signatures", "dd4_minhash_candidates",
-    "dd5_simhash", "emb1_knn_cosine", "emb2_label_centroids",
-    "emb3_lsh_near_dup", "emb6_centered_lsh",
-    "j2_analytics_dashboard", "j4_prediction_dashboard",
-    "j11_range_join", "p4_recent_window",
-    "p7_validated_ticks", "p9_dedup_ticks", "p3_time_window_filter",
-    "j1_tick_dashboard", "j6_region_revenue",
-    "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
-    "p5_equality_filter", "p6_flag_filter", "o1_top_events",
-    "o3_training_fetch", "o4_latest_row", "o5_price_history",
-    "o6_sorted_rollup", "a1_grouped_max", "a2_global_max",
-    "a6_hourly_counts", "a7_dup_detection", "d1_distinct_event_types",
-    "su1_set_ops", "sk1_salted_daily_summary", "q1_pricing_summary",
-    "t9_session_windows", "mm1_media_meta",
-    "j10_asof_quote", "s13_model_roundtrip", "u2_arima_forecast",
-    "u3_linreg_metrics", "u4_linreg_predictions",
-    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
-    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
-    # 5 — registered late in r8 (window already full): parity-pinned now,
-    # r9-window candidates alongside the five named waiters above
-    "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
-    "mm7_dhash_pairs", "w12_series_similarity",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]
