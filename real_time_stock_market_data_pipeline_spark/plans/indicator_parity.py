@@ -652,6 +652,80 @@ LIMIT 10
 """
 
 
+def sql_series_all_pairs(dialect: str) -> str:
+    """W13 — ALL-PAIRS cross-symbol series similarity (the generalization
+    w12's docstring promised): every symbol gets its top-3 nearest
+    neighbours by mean squared z-distance over shared trading days.  Same
+    daily-close → z-normalize pipeline as w12, then a DATE-BUCKETED
+    self-join — the join key is the trading day, so a date's bucket holds
+    one z-row per symbol and the pair work is Σ_d S_d²/2, never a global
+    cross product.  Orientation is canonical (a < b) through the
+    aggregation and mirrored AFTER it, so each pair's moments are computed
+    once; per-symbol top-3 is a row_number over the ROUNDED distance
+    (r6t) with a neighbour-id tiebreak — engine-deterministic.
+
+    Scale shape: one window sort for the daily close, per-symbol moment
+    aggregates, one shuffle on d for the self-join, one shuffle on
+    (a, b) for the pair moments, one per-symbol window for the top-k.
+    The S²-per-date term is the honest cost of exact all-pairs; with many
+    thousands of symbols the same pipeline feeds the dedup family's
+    banding instead (sign-sketch the z-series per symbol, LSH-bucket,
+    then score candidates only) — w12 (one query symbol ⇒ broadcast) and
+    w13 (exact all-pairs) are the two ends that bound that design.
+    Restricted to w12's query symbol, the top-3 here IS w12's top-3
+    (pinned by tests/test_indicators.py::test_w13_slice_matches_w12)."""
+    close = "close"
+    zdiff = "(z1.z - z2.z)"
+    msd = r6t(f"ssd / {_d('n_common')}")
+    return f"""
+WITH {ticks_cte(dialect)},
+daily AS (
+  SELECT company_id, CAST(trade_datetime AS DATE) AS d,
+         current_price AS close
+  FROM (
+    SELECT company_id, trade_datetime, tick_id, current_price,
+           row_number() OVER (PARTITION BY company_id, CAST(trade_datetime AS DATE)
+                              ORDER BY trade_datetime DESC, tick_id DESC) AS rn
+    FROM ticks
+  ) t WHERE rn = 1
+),
+stats AS (
+  SELECT company_id, avg({close}) AS mu, stddev_pop({close}) AS sd,
+         count(*) AS n
+  FROM daily GROUP BY company_id
+),
+z AS (
+  SELECT d.company_id, d.d, ({_d(close)} - {_d("s.mu")}) / {_d("s.sd")} AS z
+  FROM daily d JOIN stats s ON d.company_id = s.company_id
+  WHERE s.sd > {_d("0.0")} AND s.n >= 10
+),
+pairs AS (
+  SELECT z1.company_id AS a, z2.company_id AS b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         sum({zdiff} * {zdiff}) AS ssd
+  FROM z z1
+  JOIN z z2 ON z2.d = z1.d AND z1.company_id < z2.company_id
+  GROUP BY z1.company_id, z2.company_id
+  HAVING count(*) >= 10
+),
+mirrored AS (
+  SELECT a AS company_id, b AS neighbor_id, n_common, ssd FROM pairs
+  UNION ALL
+  SELECT b AS company_id, a AS neighbor_id, n_common, ssd FROM pairs
+),
+ranked AS (
+  SELECT company_id, neighbor_id, n_common,
+         {msd} AS mean_sq_dist,
+         row_number() OVER (PARTITION BY company_id
+                            ORDER BY {msd} ASC, neighbor_id ASC) AS rnk
+  FROM mirrored
+)
+SELECT company_id, neighbor_id, n_common, mean_sq_dist,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
 _BODIES = {
     "w2_sma": sql_sma,
     "w3_ema": sql_ema,
@@ -670,6 +744,7 @@ _BODIES = {
     "a13_ohlc_candles": sql_ohlc,
     "w11_vwap": sql_vwap,
     "w12_series_similarity": sql_series_similarity,
+    "w13_series_all_pairs": sql_series_all_pairs,
 }
 
 INDICATOR_ORACLES = {name: body("duck") for name, body in _BODIES.items()}

@@ -122,3 +122,29 @@ def test_ema_series_saturated_buffer_matches_recursion():
             assert np.isnan(fast[i])
         else:
             assert math.isclose(fast[i], brute(i), rel_tol=1e-9), i
+
+
+def test_w13_slice_matches_w12(spark):
+    """w13 (all-pairs, top-3 per symbol) restricted to w12's query symbol
+    must reproduce w12's (top-10) head exactly — same neighbours, same
+    n_common, same rounded distance, same order.  Pins that the
+    date-bucketed self-join generalization didn't drift from the
+    broadcast single-query formulation it grew out of."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    w12 = QUERIES["w12_series_similarity"](spark, sf).collect()
+    qid = min(
+        r.company_id for r in QUERIES["w13_series_all_pairs"](spark, sf).collect()
+    )
+    w13 = [
+        r
+        for r in QUERIES["w13_series_all_pairs"](spark, sf).collect()
+        if r.company_id == qid
+    ]
+    w13.sort(key=lambda r: r.rnk)
+    assert len(w13) == 3 and len(w12) >= 3
+    for got, want in zip(w13, w12[:3]):
+        assert got.neighbor_id == want.company_id
+        assert got.n_common == want.n_common
+        assert got.mean_sq_dist == want.mean_sq_dist

@@ -247,3 +247,28 @@ def test_r8_banded_joins_never_nested_loop(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_w12_series_similarity_all_broadcast(spark, sf_dir):
+    """w12's docstring claims the whole chain rides broadcasts (the query
+    side is one symbol's few-hundred-row series; stats/qsym are scalar-ish
+    frames): pin it — a SortMergeJoin or CartesianProduct here means the
+    corpus got shuffled against a dimension, the exact failure the
+    broadcast design avoids (r8 verdict asked for this test by name)."""
+    plan = plan_of(spark, sf_dir, "w12_series_similarity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_w13_all_pairs_equi_join_on_date(spark, sf_dir):
+    """w13's self-join must stay an EQUI-join keyed on the trading day —
+    a CartesianProduct or BroadcastNestedLoopJoin means the date bucket
+    key got lost and the pair stage degenerated to a global cross
+    product (the all-pairs failure mode the bucketing exists to
+    prevent)."""
+    plan = plan_of(spark, sf_dir, "w13_series_all_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
