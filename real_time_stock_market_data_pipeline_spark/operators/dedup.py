@@ -408,26 +408,19 @@ def simhash_signatures(
 # its durable, distributed, similarity-aware form.
 
 
-def update_signature_table(
-    df: DataFrame,
-    path: str,
-    id_col: str = "doc_id",
-    text: str = "text",
-    n: int = 3,
-) -> dict[str, int]:
-    """Incrementally maintain the persisted banded-signature table at
-    ``path``: signature ONLY the batch's docs not already in the table and
-    append their band rows.  Returns ``{"n_batch_docs", "n_new_docs"}`` —
-    the second counts docs actually signatured this call, so callers can
-    assert the zero-recompute property on re-ingested batches.
-
-    At 100 TB: per batch, one anti-join against the table keyed on the doc
-    id (high-cardinality), and shingle+MinHash work proportional to NEW
-    docs only — steady-state ingest cost is independent of corpus size.
-    Docs too short to emit a shingle (< n tokens) produce no band rows and
-    never enter the table; they re-check as "new" each batch but append
-    nothing, so idempotence holds for them too.
-    """
+def _update_doc_keyed_table(df, path: str, id_col: str, derive) -> dict[str, int]:
+    """The shared insert-only maintenance step behind every persisted
+    doc-keyed derivation table (MinHash bands here, 13-gram test shingles
+    below, word segmentations in operators/bpe, IVF assignments in
+    operators/similarity): anti-join the batch against the table on the
+    doc id, run ``derive`` over the UNSEEN docs only, append its rows.
+    Insert-only is correct because each derivation is a pure function of
+    the doc under fixed parameters — a doc's rows never change — and it
+    makes at-least-once replay idempotent: a replayed batch finds all its
+    docs present and appends nothing.  Returns ``{"n_batch_docs",
+    "n_new_docs"}``; the second counts docs whose derivation actually ran
+    (docs deriving zero rows re-check as "new" each batch but append
+    nothing, so idempotence holds for them too)."""
     from pyspark.sql.utils import AnalysisException
 
     spark = df.sparkSession
@@ -439,14 +432,34 @@ def update_signature_table(
     new_docs = (
         df if existing is None else df.join(existing, id_col, "left_anti")
     )
-    bands = minhash_band_rows(new_docs, id_col, text, n).persist()
+    rows = derive(new_docs).persist()
     try:
-        n_new = bands.select(id_col).distinct().count()
+        n_new = rows.select(id_col).distinct().count()
         if n_new:
-            bands.write.mode("append").parquet(path)
+            rows.write.mode("append").parquet(path)
     finally:
-        bands.unpersist()
+        rows.unpersist()
     return {"n_batch_docs": ids.count(), "n_new_docs": n_new}
+
+
+def update_signature_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+) -> dict[str, int]:
+    """Incrementally maintain the persisted banded-signature table at
+    ``path``: signature ONLY the batch's docs not already in the table and
+    append their band rows (the ``_update_doc_keyed_table`` contract).
+
+    At 100 TB: per batch, one anti-join against the table keyed on the doc
+    id (high-cardinality), and shingle+MinHash work proportional to NEW
+    docs only — steady-state ingest cost is independent of corpus size.
+    """
+    return _update_doc_keyed_table(
+        df, path, id_col, lambda nd: minhash_band_rows(nd, id_col, text, n)
+    )
 
 
 def signature_table_sink(
@@ -507,3 +520,82 @@ def incremental_candidate_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )
+
+
+# --- Incremental decontamination table (streaming test-set protection) ------
+# The dd10 hard gate (exact 13-gram decontamination) made batch-shaped: a
+# benchmark/test corpus grows over time (new eval sets land continuously),
+# and re-shingling the whole accumulated test set per training run is
+# O(test corpus) forever.  The persisted (doc_id, sh) 13-gram table is
+# insert-only under the _update_doc_keyed_table contract — a doc's exact
+# n-grams never change for fixed n — so the maintenance cost per batch is
+# proportional to NEW test docs only, and the train-side gate is one
+# equi-join against the table's distinct hashes, the same shuffle key the
+# whole dedup family uses.  Reference analogue: the producer's exists-check
+# before insert (producer/producer.py:368-380) — this is its distributed,
+# n-gram-keyed form.
+
+DECONTAMINATION_NGRAM = 13  # the GPT-3/C4 exact-overlap bar (dd10)
+
+
+def update_test_shingle_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = DECONTAMINATION_NGRAM,
+) -> dict[str, int]:
+    """Incrementally maintain the persisted test-set n-gram table at
+    ``path``: shingle ONLY the batch's docs not already in the table and
+    append their (id, sh) rows.  Returns the ``_update_doc_keyed_table``
+    counters; docs shorter than ``n`` tokens emit no shingles and never
+    enter the table."""
+    return _update_doc_keyed_table(
+        df, path, id_col, lambda nd: shingle_hashes(nd, id_col, text, n)
+    )
+
+
+def test_shingle_table_sink(
+    path: str, id_col: str = "doc_id", text: str = "text",
+    n: int = DECONTAMINATION_NGRAM,
+):
+    """``foreachBatch`` writer maintaining the test-shingle table from a
+    TEST-DOCUMENT STREAM: at-least-once redelivery is idempotent via the
+    anti-join (stream-built ≡ batch-built and a full replay appends zero
+    rows — tests/test_streaming.py)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_test_shingle_table(batch_df, path, id_col, text, n)
+
+    return write_batch
+
+
+def contaminated_docs_from_table(
+    train_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = DECONTAMINATION_NGRAM,
+) -> DataFrame:
+    """(doc_id, n_grams, n_shared) for every train doc sharing ≥1 exact
+    n-gram with the PERSISTED test-shingle table — the per-training-run
+    gate: no test-side shingle computation at check time, one equi-join
+    on the shingle hash.  Output is identical to running dd10's one-shot
+    pipeline over (train_df, accumulated test docs) — pinned in-plan by
+    the dd11 driver query's full-outer-join gate.
+
+    Scale shape: the table side is DISTINCT'd to its hash set before the
+    join (test corpora are small next to training corpora, and distinct
+    13-gram growth is sublinear); the train side streams through one
+    shingle pipeline + one shuffle on sh.  Join output is tiny — 13-gram
+    collisions essentially only occur on verbatim leaks."""
+    spark = train_df.sparkSession
+    test_sh = spark.read.parquet(path).select("sh").distinct()
+    train_sh = shingle_hashes(train_df, id_col, text, n)
+    sizes = train_sh.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    shared = (
+        train_sh.join(test_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return shared.join(sizes, id_col).select(id_col, "n_grams", "n_shared")

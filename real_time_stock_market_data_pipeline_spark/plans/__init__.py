@@ -52,7 +52,7 @@ _PRIORITY = [
     "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
     "mm7_dhash_pairs", "w12_series_similarity",
     # 2 — new this round (inserted as they land; see section comment)
-    "w13_series_all_pairs",
+    "w13_series_all_pairs", "dd11_incremental_decontamination",
     # 3 — newest driver row is r07: rotate back in (37 of 50)
     "sp2_stratified_sample", "dd3_minhash_signatures",
     "dd4_minhash_candidates", "dd5_simhash",

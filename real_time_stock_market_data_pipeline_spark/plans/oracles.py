@@ -928,3 +928,46 @@ SELECT event_type, day, n, prev_n,
        (prev_n IS NOT NULL AND (n * 2 < prev_n OR n > prev_n * 2)) AS anomalous
 FROM with_prev
 """
+
+# DD11: incremental decontamination table — per-batch test-split doc counts
+# under the anti-join append contract (batch 3 replays batch 1: zero new
+# docs IS the idempotence property); docs shorter than one 13-gram
+# (< 13 tokens) emit no shingles and never enter the table.  The
+# table≡one-shot flagged-doc gate is computed in-plan; the oracle pins it
+# TRUE.  Split membership = the SP1 char-fold hash bucket, test = [90,100).
+
+
+def _dd11_oracle() -> str:
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+    from .dialect import tok_hash
+
+    h = tok_hash("duck", "CAST(doc_id AS STRING)")
+    lo, hi = SPLIT_BOUNDS["test"]
+    return f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok,
+         ({h}) % {N_BUCKETS} AS bucket
+  FROM documents
+),
+t AS (SELECT * FROM sized WHERE bucket >= {lo} AND bucket < {hi}),
+c AS (
+  SELECT
+    CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+    CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd,
+    CAST(count(CASE WHEN doc_id % 2 = 0 AND ntok >= 13 THEN 1 END) AS BIGINT)
+      AS new_even,
+    CAST(count(CASE WHEN doc_id % 2 = 1 AND ntok >= 13 THEN 1 END) AS BIGINT)
+      AS new_odd
+  FROM t
+)
+SELECT CAST(1 AS INT) AS batch, n_even AS n_batch_docs,
+       new_even AS n_new_docs, true AS table_matches_oneshot FROM c
+UNION ALL
+SELECT CAST(2 AS INT), n_odd, new_odd, true FROM c
+UNION ALL
+SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
+"""
+
+
+ORACLES["dd11_incremental_decontamination"] = _dd11_oracle()

@@ -1754,3 +1754,94 @@ def dq2_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS anomalous
         FROM with_prev
     """)
+
+
+@register("dd11_incremental_decontamination")
+def dd11_incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD11 — incrementally-maintained test-set decontamination table
+    (operators/dedup.update_test_shingle_table): the accumulated benchmark
+    corpus arrives in two batches plus a REPLAY of batch 1; each batch
+    shingles ONLY unseen test docs (batch 3's n_new_docs = 0 IS the
+    idempotence property, exposed in the driver row), and the train-side
+    hard gate driven from the PERSISTED table must flag exactly the docs
+    dd10's one-shot pipeline flags — checked in-plan as ONE
+    full-outer-join action over the full (doc_id, n_grams, n_shared)
+    tuples (gate column; oracle pins TRUE).  Completes the insert-only
+    anti-join+append family across words (txt9), docs (dd9), vectors
+    (emb10), and now test n-grams: steady-state decontamination cost is
+    proportional to NEW eval material, not the accumulated test corpus.
+    Reference analogue: the producer's exists-check before insert
+    (producer/producer.py:368-380)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        DECONTAMINATION_NGRAM,
+        contaminated_docs_from_table,
+        shingle_hashes,
+        update_test_shingle_table,
+    )
+    from ..operators.sampling import SPLIT_BOUNDS, hash_bucket_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((bucket >= lo) & (bucket < hi))
+    train = docs.filter(bucket < SPLIT_BOUNDS["train"][1])
+    t1 = test.filter("doc_id % 2 = 0")
+    t2 = test.filter("doc_id % 2 = 1")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_testshingles",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    m1 = update_test_shingle_table(t1, path)
+    m2 = update_test_shingle_table(t2, path)
+    m3 = update_test_shingle_table(t1, path)  # replay: must append nothing
+    # ONE action for the gate (the dd9 pattern): full outer join on the
+    # whole flagged tuple computes the table-driven gate and the one-shot
+    # twin exactly once each and reduces to counts in the same job.  The
+    # second corpus shingle pass is BY DESIGN: the one-shot twin is the
+    # independent verification the gate compares against; production runs
+    # only contaminated_docs_from_table (table side, no test-side
+    # shingling at all).
+    n = DECONTAMINATION_NGRAM
+    flagged_t = contaminated_docs_from_table(train, path).withColumn(
+        "__t", F.lit(1)
+    )
+    test_sh = shingle_hashes(test, n=n).select("sh").distinct()
+    train_sh = shingle_hashes(train, n=n)
+    sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    flagged_o = (
+        train_sh.join(test_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .join(sizes, "doc_id")
+        .select("doc_id", "n_grams", "n_shared")
+        .withColumn("__o", F.lit(1))
+    )
+    row = (
+        flagged_t.join(flagged_o, ["doc_id", "n_grams", "n_shared"], "full")
+        .agg(
+            F.count("__t").alias("n_t"),
+            F.count("__o").alias("n_o"),
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff"),
+        )
+        .collect()[0]
+    )
+    gate = bool(row.n_t == row.n_o and (row.n_diff or 0) == 0)
+    return spark.createDataFrame(
+        [
+            (1, m1["n_batch_docs"], m1["n_new_docs"], gate),
+            (2, m2["n_batch_docs"], m2["n_new_docs"], gate),
+            (3, m3["n_batch_docs"], m3["n_new_docs"], gate),
+        ],
+        "batch INT, n_batch_docs BIGINT, n_new_docs BIGINT, "
+        "table_matches_oneshot BOOLEAN",
+    )

@@ -785,3 +785,89 @@ def test_ivf_index_stream_matches_batch(spark, sf_dir, tmp_path):
         sorted(map(tuple, spark.read.parquet(f"{stream_idx}/lists").select(*cols).collect()))
         == stream_rows
     )
+
+
+def test_test_shingle_table_stream_matches_batch(spark, sf_dir, tmp_path):
+    """DD11's streaming form: foreachBatch test-shingle-table maintenance
+    over a two-micro-batch TEST-document stream builds EXACTLY the
+    batch-built table; a full replay (at-least-once delivery) appends zero
+    rows; and the train-side gate driven from the streamed table flags
+    exactly the docs the one-shot dd10-style pipeline flags."""
+    from real_time_stock_market_data_pipeline_spark.operators import dedup
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        hash_bucket_col,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    bucket = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((bucket >= lo) & (bucket < hi))
+    train = docs.filter(bucket < SPLIT_BOUNDS["train"][1])
+    src = tmp_path / "src"
+    test.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    test.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    table = str(tmp_path / "testsh_stream")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(test.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(dedup.test_shingle_table_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    cols = ["doc_id", "sh"]
+    stream_rows = sorted(map(tuple, spark.read.parquet(table).select(*cols).collect()))
+
+    batch_table = str(tmp_path / "testsh_batch")
+    dedup.update_test_shingle_table(test, batch_table)
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(batch_table).select(*cols).collect())
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+    # replay with a fresh checkpoint: redelivery must append nothing
+    run_stream(str(tmp_path / "ck2"))
+    assert (
+        sorted(map(tuple, spark.read.parquet(table).select(*cols).collect()))
+        == stream_rows
+    )
+
+    # the gate the table exists for: table-driven flags ≡ one-shot flags
+    from pyspark.sql import functions as SF
+
+    flag_cols = ["doc_id", "n_grams", "n_shared"]
+    from_table = sorted(
+        map(
+            tuple,
+            dedup.contaminated_docs_from_table(train, table)
+            .select(*flag_cols)
+            .collect(),
+        )
+    )
+    n = dedup.DECONTAMINATION_NGRAM
+    test_sh = dedup.shingle_hashes(test, n=n).select("sh").distinct()
+    train_sh = dedup.shingle_hashes(train, n=n)
+    sizes = train_sh.groupBy("doc_id").agg(SF.count("*").alias("n_grams"))
+    oneshot = sorted(
+        map(
+            tuple,
+            train_sh.join(test_sh, "sh")
+            .groupBy("doc_id")
+            .agg(SF.count("*").alias("n_shared"))
+            .join(sizes, "doc_id")
+            .select(*flag_cols)
+            .collect(),
+        )
+    )
+    assert from_table == oneshot

@@ -754,3 +754,39 @@ def test_feature_hash_embedding_matches_sql_and_feeds_ann(spark, sf_dir, docs):
     by_rk = sorted(top, key=lambda r: r.rk)
     assert {by_rk[0].vec_id, by_rk[1].vec_id} == {900001, 900002}
     assert by_rk[0].cosine_sim > 0.999 and by_rk[1].cosine_sim > 0.999
+
+
+def test_incremental_decontamination_planted_leak(spark, tmp_path):
+    """DD11's table-driven gate on a PLANTED corpus: a train doc carrying a
+    verbatim 13-token run from an incrementally-ingested test doc is
+    flagged with exactly one shared gram (even when the leaking test doc
+    arrives in the SECOND batch — the table accumulates); a 12-token
+    near-miss is not flagged; and replaying batch 1 appends nothing."""
+    from real_time_stock_market_data_pipeline_spark.operators import dedup
+
+    leak = " ".join(f"tok{j}" for j in range(13))
+    near_miss = " ".join(("CHANGED" if j == 6 else f"tok{j}") for j in range(13))
+    schema = "doc_id BIGINT, text STRING"
+    test_b1 = spark.createDataFrame([(1, "benchmark intro " + near_miss)], schema)
+    test_b2 = spark.createDataFrame([(2, "eval set " + leak + " answer key")], schema)
+    train = spark.createDataFrame(
+        [
+            (100, "pad words " + leak + " tail words"),
+            (101, "pad words " + near_miss.replace("CHANGED", "OTHER") + " end"),
+        ],
+        schema,
+    )
+    path = str(tmp_path / "testsh")
+    m1 = dedup.update_test_shingle_table(test_b1, path)
+    assert (m1["n_batch_docs"], m1["n_new_docs"]) == (1, 1)
+    # before the leaking test doc arrives, nothing is flagged
+    assert dedup.contaminated_docs_from_table(train, path).count() == 0
+    m2 = dedup.update_test_shingle_table(test_b2, path)
+    assert (m2["n_batch_docs"], m2["n_new_docs"]) == (1, 1)
+    flagged = {
+        r.doc_id: r for r in dedup.contaminated_docs_from_table(train, path).collect()
+    }
+    assert set(flagged) == {100}
+    assert flagged[100].n_shared == 1
+    m3 = dedup.update_test_shingle_table(test_b1, path)  # replay
+    assert m3["n_new_docs"] == 0
