@@ -967,3 +967,74 @@ def dhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# --- Perceptual audio fingerprint (spectral dHash) --------------------------
+AFP_FRAMES = 8   # time frames per clip
+AFP_BANDS = 9    # frequency bands per frame → 8 gradient bits per frame
+AFP_MIN_FRAME = 18  # frame_len//2 ≥ AFP_BANDS so every band holds ≥1 bin
+
+
+def audio_fingerprint(df: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
+    """Adds ``afp bigint`` — a 64-bit spectral difference hash over REAL
+    PCM WAV decode (Haitsma-Kalker-style band-energy fingerprint, reduced
+    to the dHash gradient form): collapse to mono, split into
+    ``AFP_FRAMES`` equal time frames, per frame take the FFT power
+    spectrum, sum it into ``AFP_BANDS`` equal frequency bands (DC bin
+    dropped), and emit one bit per band gradient (E[b+1] > E[b]) — 8
+    frames × 8 bits.  GAIN-INVARIANT by construction: scaling the signal
+    scales every band energy by the same factor, so the comparisons (and
+    the hash) are unchanged — re-mastered/re-normalized copies of a clip
+    collide, which is exactly what a perceptual audio key is for.  The
+    audio twin of ``image_dhash``; ``dhash_near_dup_pairs`` buckets it
+    identically (same 4×16-bit pigeonhole recall guarantee).  Non-WAV,
+    truncated, or too-short (< AFP_FRAMES·AFP_MIN_FRAME frames) payloads
+    → NULL.  Arrow-batched mapInPandas, map-only."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, afp bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def afp(b: bytes | None):
+            samples = decode_wav_samples(b)
+            if samples is None:
+                return None
+            mono = samples.mean(axis=1)
+            frame_len = len(mono) // AFP_FRAMES
+            if frame_len < AFP_MIN_FRAME:
+                return None
+            acc = 0
+            for t in range(AFP_FRAMES):
+                frame = mono[t * frame_len : (t + 1) * frame_len]
+                spec = np.abs(np.fft.rfft(frame)) ** 2
+                nb = len(spec) - 1  # drop the DC bin
+                edges = [1 + (k * nb) // AFP_BANDS for k in range(AFP_BANDS + 1)]
+                e = [float(spec[edges[k] : edges[k + 1]].sum()) for k in range(AFP_BANDS)]
+                for k in range(AFP_BANDS - 1):
+                    acc = (acc << 1) | int(e[k + 1] > e[k])
+            return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["afp"] = pd.Series(
+                [afp(b) for b in pdf[bytes_col]], index=pdf.index, dtype="Int64"
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "afp",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for audio pairs within ``max_hamming``
+    fingerprint bits — the banded Hamming join is SHARED with the image
+    path (``dhash_near_dup_pairs`` is generic over any 64-bit hash
+    column), so the pigeonhole perfect-recall guarantee and the
+    never-nested-loop plan shape carry over unchanged."""
+    return dhash_near_dup_pairs(df, id_col=id_col, hash_col=hash_col,
+                                max_hamming=max_hamming)

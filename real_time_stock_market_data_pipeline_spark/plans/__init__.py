@@ -53,6 +53,7 @@ _PRIORITY = [
     "mm7_dhash_pairs", "w12_series_similarity",
     # 2 — new this round (inserted as they land; see section comment)
     "w13_series_all_pairs", "dd11_incremental_decontamination",
+    "mm8_audio_pairs",
     # 3 — newest driver row is r07: rotate back in (37 of 50)
     "sp2_stratified_sample", "dd3_minhash_signatures",
     "dd4_minhash_candidates", "dd5_simhash",

@@ -971,3 +971,12 @@ SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
 
 
 ORACLES["dd11_incremental_decontamination"] = _dd11_oracle()
+
+# MM8: perceptual audio twin pairs — docs 2k and 2k+1 carry byte-identical
+# constructed WAV clips, so the planted pairs (and only they, after the
+# in-plan same-group projection) must surface at Hamming distance 0.
+ORACLES["mm8_audio_pairs"] = """
+SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE d1.doc_id % 2 = 0 AND d1.text IS NOT NULL AND d2.text IS NOT NULL
+"""

@@ -1845,3 +1845,51 @@ def dd11_incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
         "batch INT, n_batch_docs BIGINT, n_new_docs BIGINT, "
         "table_matches_oneshot BOOLEAN",
     )
+
+
+@register("mm8_audio_pairs")
+def mm8_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM8 — perceptual audio near-dup detection end-to-end
+    (operators/multimodal audio_fingerprint + audio_near_dup_pairs): per
+    document a complete mono 8-bit PCM RIFF/WAVE clip is assembled in
+    pure JVM SQL KEYED BY THE PAIR GROUP gid = doc_id DIV 2 (sample byte
+    j = (j·(3 + gid mod 11) + 7·gid) mod 256, 160 + gid mod 96 frames),
+    so docs 2k and 2k+1 carry byte-identical clips; the real WAV decoder
+    + spectral fingerprint + the shared banded Hamming join must then
+    recover exactly the planted twin pairs at distance 0.  The in-plan
+    (doc_a DIV 2 = doc_b DIV 2) projection keeps the oracle derivable —
+    perceptually-similar sawtooths from DIFFERENT groups may legitimately
+    fall within the Hamming budget (that is what the fingerprint is FOR)
+    and their exact set is not SQL-predictable; the planted twins are.
+    The audio twin of mm7 — closes the modality gap the r8 verdict named.
+    A missing row = decode/FFT nondeterminism or a broken band split;
+    hamming ≠ 0 = a sample-path defect."""
+    from ..operators.multimodal import audio_fingerprint, audio_near_dup_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("gid", F.expr("doc_id DIV 2"))
+        .withColumn("ns", F.expr("160 + pmod(gid, 96)"))
+    )
+    header = F.expr(
+        "concat(X'52494646', "                  # RIFF
+        + _le_bytes_sql("36 + ns", 4)           # riff size = 36 + data bytes
+        + ", X'57415645', X'666D7420', X'10000000', "  # WAVE, fmt , 16
+        + "X'0100', X'0100', "                  # PCM, mono
+        + "X'401F0000', X'401F0000', "          # rate 8000, byte rate 8000
+        + "X'0100', X'0800', "                  # block align 1, 8 bits
+        + "X'64617461', "                       # data
+        + _le_bytes_sql("ns", 4) + ")"
+    )
+    samples = F.expr(
+        "unhex(array_join(transform(sequence(0, ns - 1), "
+        "j -> lpad(hex(pmod(j * (3 + pmod(gid, 11)) + 7 * gid, 256)), 2, '0')), ''))"
+    )
+    media = docs.withColumn("media_bytes", F.concat(header, samples))
+    hashed = audio_fingerprint(media).select("doc_id", "afp")
+    pairs = audio_near_dup_pairs(hashed)
+    return pairs.filter(
+        F.expr("doc_a DIV 2 = doc_b DIV 2")
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))

@@ -651,3 +651,56 @@ def test_dhash_near_dups_and_banding(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         dhash_near_dup_pairs(hashed, max_hamming=4)
+
+
+def test_audio_fingerprint_gain_invariant_and_pairs(spark):
+    """The spectral fingerprint links audio to dedup: a ×2-gain re-master
+    of a clip has the IDENTICAL fingerprint (power-of-two scaling is
+    exact in binary fp, so every band-energy comparison is unchanged —
+    the gain-invariance the operator docstring promises); a
+    spectrally-different clip does not pair; non-WAV and too-short
+    payloads are NULL; and the shared banded join recovers exactly the
+    twin pair."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        AFP_FRAMES,
+        AFP_MIN_FRAME,
+        audio_fingerprint,
+        audio_near_dup_pairs,
+        encode_wav_pcm16,
+    )
+
+    n = 1600
+    t = np.arange(n)
+    # harmonic-rich clip: energy spread unevenly across bands
+    clip = (
+        2000 * np.sin(2 * np.pi * t / 50)
+        + 1200 * np.sin(2 * np.pi * t / 13)
+        + 700 * np.sin(2 * np.pi * t / 7)
+    ).astype(np.int64)
+    loud = clip * 2                       # exact power-of-two re-master
+    other = (
+        2000 * np.sin(2 * np.pi * t / 3)
+        + 900 * np.sin(2 * np.pi * t / 41)
+    ).astype(np.int64)
+    short = clip[: AFP_FRAMES * AFP_MIN_FRAME - 8]
+
+    def wav(arr):
+        return bytearray(encode_wav_pcm16(arr.reshape(-1, 1)))
+
+    df = spark.createDataFrame(
+        [(1, wav(clip)), (2, wav(loud)), (3, wav(other)),
+         (4, wav(short)), (5, None), (6, bytearray(b"not a wav"))],
+        "doc_id LONG, media_bytes BINARY",
+    )
+    hashed = audio_fingerprint(df)
+    vals = {r.doc_id: r.afp for r in hashed.collect()}
+    assert vals[1] is not None
+    assert vals[1] == vals[2]             # gain invariance, bit-exact
+    assert vals[1] != vals[3]             # different spectrum, different key
+    assert vals[4] is None and vals[5] is None and vals[6] is None
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in audio_near_dup_pairs(hashed).collect()}
+    assert pairs.get((1, 2)) == 0 and (1, 3) not in pairs

@@ -242,8 +242,10 @@ def test_r8_banded_joins_never_nested_loop(spark, sf_dir):
     band/list keys — a BroadcastNestedLoopJoin or CartesianProduct here is
     the all-pairs failure mode the banding exists to prevent.  (emb10's
     plan is action-driven, so its gate join is checked via dd9's shared
-    _band_self_join; mm7 is checked directly.)"""
-    for name in ("dd9_incremental_minhash", "mm7_dhash_pairs"):
+    _band_self_join; mm7/mm8 are checked directly — mm8 rides the same
+    generic banded join, so this also pins the audio path.)"""
+    for name in ("dd9_incremental_minhash", "mm7_dhash_pairs",
+                 "mm8_audio_pairs"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
