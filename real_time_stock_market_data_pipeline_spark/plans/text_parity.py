@@ -571,9 +571,8 @@ def sql_pii_redaction(dialect: str) -> str:
     from ..operators.text import PII_RULES
     from .dialect import regexp_count, regexp_replace_all
 
-    stages, cur, counts = [], "t0", []
+    stages, cur = [], "t0"
     for i, (kind, pat, repl) in enumerate(PII_RULES, start=1):
-        counts.append(f"{regexp_count(dialect, cur, pat)} AS c_{kind}")
         stages.append(
             f"s{i} AS (SELECT doc_id, "
             + ", ".join(f"c_{k}" for k, _, _ in PII_RULES[: i - 1])
