@@ -1038,3 +1038,79 @@ def audio_near_dup_pairs(
     never-nested-loop plan shape carry over unchanged."""
     return dhash_near_dup_pairs(df, id_col=id_col, hash_col=hash_col,
                                 max_hamming=max_hamming)
+
+
+def video_dhash(
+    df: DataFrame, bytes_col: str = "media_bytes", every_n: int = 2
+) -> DataFrame:
+    """Adds ``vhash bigint`` — a 64-bit perceptual video hash: parse the
+    AVI container, decode every ``every_n``-th DIB frame, dHash each
+    (the image operator's 9×8 gradient-sign grid), and combine by
+    PER-BIT MAJORITY across the sampled frames (ties → 0) — SimHash
+    applied on the time axis, so a re-encode, a trim of a few frames, or
+    an edit to a minority of frames flips few majority bits while the
+    hash stays 64 bits regardless of clip length.  Completes the
+    image (mm7) / audio (mm8) / video triad on the SAME banded Hamming
+    join (``dhash_near_dup_pairs(hash_col="vhash")``, pigeonhole recall
+    guarantee shared).  Non-AVI payloads or clips with zero decodable
+    sampled frames → NULL.  Arrow-batched mapInPandas, map-only — frame
+    decode cost is bounded by the sampling stride, never clip length ×
+    full frame rate."""
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{fields}, vhash bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def frame_bits(px) -> "np.ndarray | None":
+            gray = px.sum(axis=2, dtype=np.int64)
+            h, w = gray.shape
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            small = gray[ys][:, xs]
+            return (small[:, 1:] > small[:, :-1]).flatten()
+
+        def vh(b: bytes | None):
+            fmt, w, h, _n_frames, _us = parse_video_header(b)
+            if fmt is None:
+                return None
+            votes = np.zeros(64, dtype=np.int64)
+            n_sampled = 0
+            ranges = avi_frame_ranges(b)
+            for idx in range(0, len(ranges), every_n):
+                off, size, is_dib = ranges[idx]
+                if not is_dib:
+                    continue
+                px = decode_avi_frame_pixels(b, off, size, w, h)
+                if px is None:
+                    continue
+                votes += frame_bits(px)
+                n_sampled += 1
+            if n_sampled == 0:
+                return None
+            bits = votes * 2 > n_sampled  # strict majority; ties → 0
+            acc = 0
+            for bit in bits:
+                acc = (acc << 1) | int(bit)
+            return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["vhash"] = pd.Series(
+                [vh(b) for b in pdf[bytes_col]], index=pdf.index, dtype="Int64"
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def video_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "vhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) for video pairs within ``max_hamming``
+    bits — the shared generic banded join (see ``audio_near_dup_pairs``)."""
+    return dhash_near_dup_pairs(df, id_col=id_col, hash_col=hash_col,
+                                max_hamming=max_hamming)

@@ -980,3 +980,20 @@ SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
 FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
 WHERE d1.doc_id % 2 = 0 AND d1.text IS NOT NULL AND d2.text IS NOT NULL
 """
+
+# MM9: perceptual video twin pairs — same planted-twin construction as
+# mm7/mm8 (docs 2k, 2k+1 share byte-identical AVI clips).
+ORACLES["mm9_video_pairs"] = """
+SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b, CAST(0 AS BIGINT) AS hamming
+FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+WHERE d1.doc_id % 2 = 0 AND d1.text IS NOT NULL AND d2.text IS NOT NULL
+"""
+
+# EMB11: product-quantization gate — PQ top-10 overlaps the exact L2
+# top-10 at >= 0.5 recall per query (the comparison is computed in-plan;
+# codebook math is engine-internal, so the oracle pins the gate + shape).
+ORACLES["emb11_pq_recall"] = """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""

@@ -1893,3 +1893,132 @@ def mm8_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(
         F.expr("doc_a DIV 2 = doc_b DIV 2")
     ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register("mm9_video_pairs")
+def mm9_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM9 — perceptual video near-dup detection end-to-end
+    (operators/multimodal video_dhash + video_near_dup_pairs): per
+    document a complete RIFF/AVI container with uncompressed DIB frames
+    is assembled in pure JVM SQL KEYED BY THE PAIR GROUP gid = doc_id
+    DIV 2 (frame f's payload byte j = (j·3 + f·31 + gid·7) mod 256,
+    pmod(gid,4)+4 frames), so docs 2k and 2k+1 carry byte-identical
+    clips; the real chunk walker + per-frame decode + frame-majority
+    dHash + the shared banded Hamming join must then recover exactly the
+    planted twin pairs at distance 0.  In-plan same-group projection for
+    oracle derivability (see mm7/mm8).  Completes the perceptual triad:
+    image (mm7), audio (mm8), video (mm9) — one generic banded join, one
+    pigeonhole recall guarantee, three real byte-level decoders."""
+    from ..operators.multimodal import video_dhash, video_near_dup_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("gid", F.expr("doc_id DIV 2"))
+        .withColumn("w", F.expr("pmod(gid, 5) + 4"))
+        .withColumn("h", F.expr("pmod(gid, 3) + 4"))
+        .withColumn("nf", F.expr("pmod(gid, 4) + 4"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("fsize", F.expr("stride * h"))
+    )
+    avih = F.expr(
+        "concat(X'61766968', X'38000000', "     # 'avih', size 56
+        "X'409C0000', "                         # 40000 µs/frame (25 fps)
+        + "X'" + "00" * 12 + "', "              # max_bps, granularity, flags
+        + _le_bytes_sql("nf", 4)                # total_frames
+        + ", X'00000000', X'01000000', "        # initial_frames, streams=1
+        + _le_bytes_sql("fsize", 4) + ", "      # suggested buffer
+        + _le_bytes_sql("w", 4) + ", " + _le_bytes_sql("h", 4)
+        + ", X'" + "00" * 16 + "')"             # reserved
+    )
+    frames = F.expr(
+        "aggregate(transform(sequence(0, nf - 1), f -> "
+        "concat(X'30306462', "                  # '00db'
+        + _le_bytes_sql("fsize", 4)
+        + ", unhex(array_join(transform(sequence(0, fsize - 1), "
+        "j -> lpad(hex(pmod(j * 3 + f * 31 + gid * 7, 256)), 2, '0')), '')))), "
+        "CAST(X'' AS BINARY), (acc, x) -> concat(acc, x))"
+    )
+    hdrl = F.concat(F.expr("concat(X'4C495354', X'44000000', X'6864726C')"), avih)
+    movi = F.concat(
+        F.expr("X'4C495354'"),
+        F.expr(_le_bytes_sql("4 + nf * (8 + fsize)", 4)),
+        F.expr("X'6D6F7669'"),
+        frames,
+    )
+    media = docs.withColumn(
+        "media_bytes",
+        F.concat(
+            F.expr("X'52494646'"),
+            F.expr(_le_bytes_sql("92 + nf * (8 + fsize)", 4)),
+            F.expr("X'41564920'"),
+            hdrl,
+            movi,
+        ),
+    )
+    hashed = video_dhash(media.select("doc_id", "media_bytes")).select(
+        "doc_id", "vhash"
+    )
+    pairs = video_near_dup_pairs(hashed)
+    return pairs.filter(
+        F.expr("doc_a DIV 2 = doc_b DIV 2")
+    ).select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+@register("emb11_pq_recall")
+def emb11_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB11 — two-stage product-quantized search with an in-plan recall
+    gate (operators/similarity.py pq_fit/pq_encode/pq_search/
+    pq_rerank_topk): per-subspace Lloyd codebooks (M=16 subspaces × K=16
+    centroids over the 64-dim corpus — 4-bit codes, 8 BYTES per vector,
+    32× vs float32: the Jégou et al. PAMI'11 memory cut that puts a
+    100 TB embedding corpus in an ANN serving tier's RAM), queries
+    ADC-score a shortlist of max(50, corpus/10) candidates against codes
+    only (the corpus side never rehydrates floats; near-random synthetic
+    embeddings are PQ's hardest case — distance concentration means the
+    true neighbours sit barely below the noise floor, so the shortlist
+    must deepen with corpus size), the shortlist is re-ranked EXACTLY,
+    and the result must overlap the exact squared-L2 top-10 at ≥ 0.8
+    recall per query (measured 0.8–1.0 at sf0.001/0.01/0.1).  ~13 s at
+    sf0.1 BY DESIGN — trains the codebooks, encodes the corpus, and runs
+    BOTH the exact twin and the two-stage search in one query (the
+    emb8/dd9 in-query-verification league); production amortizes fit +
+    encode across every search.  The third rung of the
+    compression ladder after emb9's int8 (4×), in the production
+    filter-then-rerank shape; the oracle pins the gate TRUE (codebook
+    math is engine-internal — the CHECK is the exact-vs-PQ comparison
+    computed in-plan)."""
+    from ..operators.similarity import l2_topk, pq_encode, pq_fit, pq_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_fit(emb)
+    codes = pq_encode(emb, cbs).select("vec_id", "pq_codes")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = max(50, emb.count() // 10)
+    exact = l2_topk(queries_df, emb, k=10)
+    approx = pq_rerank_topk(
+        queries_df, codes, emb, cbs, k=10, shortlist=shortlist
+    )
+    overlap = (
+        exact.select("query_id", "vec_id")
+        .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    # LEFT join + coalesce (emb9's zero-overlap lesson): a query with no
+    # exact/PQ overlap must still appear with recall_ok=false.
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(8)).alias(
+                "recall_ok"
+            ),
+        )
+    )

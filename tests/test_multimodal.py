@@ -704,3 +704,50 @@ def test_audio_fingerprint_gain_invariant_and_pairs(spark):
     pairs = {(r.doc_a, r.doc_b): r.hamming
              for r in audio_near_dup_pairs(hashed).collect()}
     assert pairs.get((1, 2)) == 0 and (1, 3) not in pairs
+
+
+def test_video_dhash_majority_robust_and_pairs(spark):
+    """The frame-majority video hash links video to dedup: editing a
+    MINORITY of frames (1 of 5 sampled) leaves the majority bits — and
+    the hash — unchanged; a clip of structurally different frames does
+    not pair; a non-AVI payload is NULL; the shared banded join recovers
+    the planted twin and the edited variant at distance 0."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        encode_avi_dib,
+        video_dhash,
+        video_near_dup_pairs,
+    )
+
+    h, w = 8, 12
+    def ramp_frame(shift):
+        f = np.zeros((h, w, 3), dtype=np.uint8)
+        for x in range(w):
+            f[:, x, :] = (x * 17 + shift) % 251
+        return f
+
+    frames = [ramp_frame(s) for s in range(10)]        # every_n=2 → 5 sampled
+    edited = [f.copy() for f in frames]
+    edited[4] = frames[4][:, ::-1, :].copy()           # one SAMPLED frame inverted
+    different = [f[:, ::-1, :].copy() for f in frames]  # every frame inverted
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_avi_dib(frames))),
+         (2, bytearray(encode_avi_dib(frames))),       # byte-identical twin
+         (3, bytearray(encode_avi_dib(edited))),       # minority edit
+         (4, bytearray(encode_avi_dib(different))),
+         (5, bytearray(b"not an avi")), (6, None)],
+        "doc_id LONG, media_bytes BINARY",
+    )
+    hashed = video_dhash(df)
+    vals = {r.doc_id: r.vhash for r in hashed.collect()}
+    assert vals[1] is not None
+    assert vals[1] == vals[2] == vals[3]   # 1-of-5 edit outvoted by majority
+    assert vals[1] != vals[4]              # all frames flipped → hash flips
+    assert vals[5] is None and vals[6] is None
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in video_near_dup_pairs(hashed).collect()}
+    assert pairs.get((1, 2)) == 0 and pairs.get((1, 3)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
