@@ -21,27 +21,29 @@ ORACLES.update(EMBEDDING_ORACLES)
 #      the 5 registered late in r8 that have NEVER had a driver row
 #      (emb10_incremental_ivf, txt12_bigram_lm, txt13_feature_hash,
 #      mm7_dhash_pairs, w12_series_similarity);
-#   2. the 5 queries NEW this round (w13 all-pairs series similarity,
+#   2. the 6 queries NEW this round (w13 all-pairs series similarity,
 #      dd11 incremental decontamination table, mm8 audio fingerprint
 #      near-dup, mm9 video frame-majority near-dup, emb11 two-stage
-#      product-quantized search);
-#   3. 35 of the 50 queries whose newest driver row is r07 — oldest
+#      product-quantized search, w14 banded series near-dup);
+#   3. 34 of the 50 queries whose newest driver row is r07 — oldest
 #      evidence first.  That fills the 50 slots exactly.
-#   FROZEN FOR R10 (named, deliberate — 10+5+50 = 65 candidates > 50
-#   slots): 15 r07-green queries wait one extra round:
-#   p3_time_window_filter, p5_equality_filter, p6_flag_filter,
-#   a7_dup_detection, o1_top_events, o4_latest_row, o5_price_history,
-#   o6_sorted_rollup, a1_grouped_max, a2_global_max, a6_hourly_counts,
-#   d1_distinct_event_types, su1_set_ops, j1_tick_dashboard,
-#   mm1_media_meta.  All fifteen are semantically tiny single-scan
-#   filters/aggregates/windows with overlapping coverage elsewhere
-#   (a4's daily summary embeds the a1/a2/a6 shapes; p9's dedup window is
-#   a7's operator; j2's dashboard join subsumes j1; mm2's real header
-#   decode subsumes mm1's metadata projection; the o-family's
-#   TakeOrderedAndProject plan test pins o1/o4/o5/o6's operator, and o3
-#   keeps an o-family driver row this round) and every one is
-#   pytest-parity-pinned at sf0.001 each run and at sf0.01 by the
-#   pre-commit harness.  They MUST lead the r10 window.
+#   FROZEN FOR R10 (named, deliberate — 10+6+50 = 66 candidates > 50
+#   slots): 16 r07-green queries wait one extra round:
+#   p3_time_window_filter, p4_recent_window, p5_equality_filter,
+#   p6_flag_filter, a7_dup_detection, o1_top_events, o4_latest_row,
+#   o5_price_history, o6_sorted_rollup, a1_grouped_max, a2_global_max,
+#   a6_hourly_counts, d1_distinct_event_types, su1_set_ops,
+#   j1_tick_dashboard, mm1_media_meta.  All sixteen are semantically
+#   tiny single-scan filters/aggregates/windows with overlapping
+#   coverage elsewhere (a4's daily summary embeds the a1/a2/a6 shapes;
+#   p9's dedup window is a7's operator; p3's pushed time filter covers
+#   p4's interval shape and p7/p9 keep filter-family driver rows; j2's
+#   dashboard join subsumes j1; mm2's real header decode subsumes mm1's
+#   metadata projection; the o-family's TakeOrderedAndProject plan test
+#   pins o1/o4/o5/o6's operator, and o3 keeps an o-family driver row
+#   this round) and every one is pytest-parity-pinned at sf0.001 each
+#   run and at sf0.01 by the pre-commit harness.  They MUST lead the
+#   r10 window.
 #   The 50 r08-green queries (CORRECTNESS_r08, zero failures) form the
 #   tail in their r8-window order and re-verify opportunistically; the
 #   whole registry stays covered every run by tests/test_parity.py at
@@ -57,13 +59,14 @@ _PRIORITY = [
     # 2 — new this round (see section comment)
     "w13_series_all_pairs", "dd11_incremental_decontamination",
     "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
+    "w14_series_banded_neardup",
     # 3 — newest driver row is r07: rotate back in (35 of 50)
     "sp2_stratified_sample", "dd3_minhash_signatures",
     "dd4_minhash_candidates", "dd5_simhash",
     "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
     "emb6_centered_lsh",
     "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
-    "p4_recent_window", "p7_validated_ticks", "p9_dedup_ticks",
+    "p7_validated_ticks", "p9_dedup_ticks",
     "j6_region_revenue", "j7_orders_without_big_lineitems",
     "j8_industry_rollup",
     "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
@@ -76,8 +79,8 @@ _PRIORITY = [
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
     # 4 — r07-green, FROZEN FOR R10 (see policy note above): they lead
     # the r10 window
-    "p3_time_window_filter", "p5_equality_filter", "p6_flag_filter",
-    "a7_dup_detection", "o1_top_events", "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
+    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
+    "p6_flag_filter", "a7_dup_detection", "o1_top_events", "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
     "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
     "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
     "mm1_media_meta",

@@ -180,3 +180,8 @@ def explode_with_pos(dialect: str, table: str, lst_col: str, pos: str, alias: st
         f"SELECT {keep}, unnest(generate_series(1, len({lst_col}))) AS {pos}, "
         f"unnest({lst_col}) AS {alias} FROM {table}"
     )
+
+
+def bxor(dialect: str, a: str, b: str) -> str:
+    """Bitwise XOR — Spark spells it ``^`` (DuckDB's ``^`` is POWER)."""
+    return f"(({a}) ^ ({b}))" if dialect == "spark" else f"xor({a}, {b})"

@@ -28,7 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ..sources.readers import load_table
 from .dialect import collected as _collected
 from .dialect import d as _d
-from .dialect import fold, jsonk, last_ignore_nulls, list_len, r6t, seeded_fold
+from .dialect import (bxor, explode_from, fold, jsonk, last_ignore_nulls,
+                      list_len, r6t, seeded_fold)
 from .queries import QUERIES
 
 # Shared window text (per-symbol series ordered by time, deterministic tiebreak)
@@ -726,6 +727,113 @@ FROM ranked WHERE rnk <= 3
 """
 
 
+W14_TWIN_OFFSET = 1_000_000  # planted twin symbol ids = company_id + offset
+W14_SKETCH_BITS = 24         # ≤ distinct trading days in every test corpus
+W14_BANDS = 4                # 4 × 6-bit bands → hamming ≤ 3 has PERFECT recall
+
+
+def sql_series_banded_neardup(dialect: str) -> str:
+    """W14 — BANDED series near-dup detection, the scale path w13's
+    docstring names for corpora beyond ~10³ symbols: instead of the
+    exact Σ_d S_d² all-pairs join, each symbol's z-series is reduced to
+    a 24-bit SIGN SKETCH (bit i set iff z > 0 on the i-th most recent
+    global trading day — symbols align on shared reference dates, so
+    equal series ⇒ equal sketches), candidates share ≥1 of 4 six-bit
+    bands (the dedup family's banding; shuffle key = (band, band_val)),
+    and only candidates are verified EXACTLY by mean squared z-distance
+    over shared days.  Pigeonhole guarantee: a pair within 3 sketch bits
+    differs in fewer bits than there are bands, so ≥1 band matches —
+    recall at the hamming ≤ 3 bar is PERFECT, not probabilistic (the
+    mm7/mm8/mm9 guarantee on a new modality).
+
+    The oracle needs deterministic near-dups, so the query PLANTS them
+    in-plan: every eligible symbol's z-rows are mirrored under
+    company_id + 1_000_000 (mm7's byte-identical-twin trick on series),
+    and the output is the verified pairs at rounded distance 0 — exactly
+    one row per eligible symbol, sketch distance 0, full-day overlap,
+    recovered THROUGH the banded join, not by construction.
+
+    Scale shape: sketching is one equi-join against 24 reference dates +
+    one per-symbol sum; the candidate join buckets S symbols into 4×64
+    band cells (≈ S²/64 pair work vs w13's S²/2, and the sketch width is
+    the knob — 64-bit sketches with 16-bit bands give S²/65536);
+    verification is candidate-bound.  Per-symbol state is one BIGINT —
+    at 100 TB the sketch table is megabytes."""
+    p2 = "CAST(power(2.0, rd.i) AS BIGINT)"
+    band_arr = ("array(0, 1, 2, 3)" if dialect == "spark" else "[0, 1, 2, 3]")
+    explode = explode_from(
+        dialect, "sketches", band_arr, "bid", "company_id, sketch"
+    )
+    ham = f"CAST(bit_count({bxor(dialect, 's1.sketch', 's2.sketch')}) AS BIGINT)"
+    msd = r6t(f"ssd / {_d('n_common')}")
+    return f"""
+WITH {ticks_cte(dialect)},
+daily AS (
+  SELECT company_id, CAST(trade_datetime AS DATE) AS d,
+         current_price AS close
+  FROM (
+    SELECT company_id, trade_datetime, tick_id, current_price,
+           row_number() OVER (PARTITION BY company_id, CAST(trade_datetime AS DATE)
+                              ORDER BY trade_datetime DESC, tick_id DESC) AS rn
+    FROM ticks
+  ) t WHERE rn = 1
+),
+stats AS (
+  SELECT company_id, avg(close) AS mu, stddev_pop(close) AS sd,
+         count(*) AS n
+  FROM daily GROUP BY company_id
+),
+z0 AS (
+  SELECT d.company_id, d.d, ({_d("close")} - {_d("s.mu")}) / {_d("s.sd")} AS z
+  FROM daily d JOIN stats s ON d.company_id = s.company_id
+  WHERE s.sd > {_d("0.0")} AND s.n >= 10
+),
+z AS (
+  SELECT company_id, d, z FROM z0
+  UNION ALL
+  SELECT company_id + {W14_TWIN_OFFSET}, d, z FROM z0
+),
+refdates AS (
+  SELECT d, row_number() OVER (ORDER BY d DESC) - 1 AS i
+  FROM (SELECT DISTINCT d FROM daily) dd
+  ORDER BY d DESC LIMIT {W14_SKETCH_BITS}
+),
+sketches AS (
+  SELECT z.company_id,
+         CAST(sum(CASE WHEN z.z > {_d("0.0")} THEN {p2} ELSE 0 END) AS BIGINT)
+           AS sketch
+  FROM z JOIN refdates rd ON z.d = rd.d
+  GROUP BY z.company_id
+),
+bands AS (
+  SELECT company_id, sketch, bid,
+         CAST(floor(sketch / power(64.0, bid)) AS BIGINT) % 64 AS bv
+  FROM ({explode})
+),
+near AS (
+  SELECT DISTINCT s1.company_id AS a, s2.company_id AS b, {ham} AS hamming
+  FROM bands s1
+  JOIN bands s2 ON s1.bid = s2.bid AND s1.bv = s2.bv
+               AND s1.company_id < s2.company_id
+  WHERE {ham} <= {W14_BANDS - 1}
+),
+verified AS (
+  SELECT c.a, c.b, c.hamming,
+         CAST(count(*) AS BIGINT) AS n_common,
+         sum((za.z - zb.z) * (za.z - zb.z)) AS ssd
+  FROM near c
+  JOIN z za ON za.company_id = c.a
+  JOIN z zb ON zb.company_id = c.b AND zb.d = za.d
+  GROUP BY c.a, c.b, c.hamming
+  HAVING count(*) >= 10
+)
+SELECT a AS sym_a, b AS sym_b, hamming, n_common,
+       {msd} AS mean_sq_dist
+FROM verified
+WHERE {msd} <= {_d("0.0")}
+"""
+
+
 _BODIES = {
     "w2_sma": sql_sma,
     "w3_ema": sql_ema,
@@ -745,6 +853,7 @@ _BODIES = {
     "w11_vwap": sql_vwap,
     "w12_series_similarity": sql_series_similarity,
     "w13_series_all_pairs": sql_series_all_pairs,
+    "w14_series_banded_neardup": sql_series_banded_neardup,
 }
 
 INDICATOR_ORACLES = {name: body("duck") for name, body in _BODIES.items()}

@@ -58,7 +58,8 @@ DOC_QUERIES = [
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
 # these two get a dedicated wide-day scale-up instead (below).
-WIDE_DAY_QUERIES = ["w12_series_similarity", "w13_series_all_pairs"]
+WIDE_DAY_QUERIES = ["w12_series_similarity", "w13_series_all_pairs",
+                    "w14_series_banded_neardup"]
 N_WIDE_EVENTS, N_WIDE_SYMBOLS = 1_000_000, 1_500
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",

@@ -148,3 +148,52 @@ def test_w13_slice_matches_w12(spark):
         assert got.neighbor_id == want.company_id
         assert got.n_common == want.n_common
         assert got.mean_sq_dist == want.mean_sq_dist
+
+
+def test_w14_finds_planted_twin_rejects_near_miss(spark):
+    """w14 end-to-end on a hand-planted corpus: an exact duplicate series
+    under a DIFFERENT symbol id is recovered through the banded join at
+    sketch distance 0 (alongside the query's own in-plan offset twins —
+    4 identical series → all 6 pairs), while a 2-days-flipped near-miss
+    becomes a banded CANDIDATE (hamming 2 ≤ 3) but is rejected by the
+    exact verify stage (msd > 0) — banding recalls, verification
+    decides."""
+    from real_time_stock_market_data_pipeline_spark.plans.indicator_parity import (
+        W14_TWIN_OFFSET,
+        sql_series_banded_neardup,
+    )
+
+    rows = []
+    tid = 0
+    for day in range(20):
+        up = day % 2 == 0
+        for comp, flip in ((1, False), (2, day in (2, 6)), (3, False)):
+            sign = (1 if up else -1) * (-1 if flip else 1)
+            price = 100.0 + 10.0 * sign
+            tid += 1
+            rows.append(
+                (tid, comp, "purchase",
+                 f"2024-03-{day + 1:02d} 12:00:00", price, '{"k": 5}')
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, user_id LONG, event_type STRING, ts_s STRING, "
+        "value DOUBLE, props STRING",
+    ).selectExpr("event_id", "user_id", "event_type",
+                 "CAST(ts_s AS TIMESTAMP) AS ts", "value", "props")
+    df.createOrReplaceTempView("events")
+    got = {
+        (r.sym_a, r.sym_b): r
+        for r in spark.sql(sql_series_banded_neardup("spark")).collect()
+    }
+    o = W14_TWIN_OFFSET
+    expected = {
+        (1, 3), (1, 1 + o), (1, 3 + o), (3, 1 + o), (3, 3 + o),
+        (1 + o, 3 + o), (2, 2 + o),
+    }
+    assert set(got) == expected
+    for pair, r in got.items():
+        assert r.mean_sq_dist == 0.0 and r.hamming == 0 and r.n_common == 20
+    # the near-miss never reaches the output even though its sketch is
+    # within the banded-candidate budget
+    assert (1, 2) not in got and (2, 3) not in got

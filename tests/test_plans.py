@@ -274,3 +274,13 @@ def test_w13_all_pairs_equi_join_on_date(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_w14_banded_join_never_nested_loop(spark, sf_dir):
+    """w14's candidate generation must stay an equi-join on the
+    (band, band_val) key — CartesianProduct/BNLJ is the all-pairs
+    failure mode the sketch banding exists to prevent (same pin as the
+    dedup/mm banded joins)."""
+    plan = plan_of(spark, sf_dir, "w14_series_banded_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
