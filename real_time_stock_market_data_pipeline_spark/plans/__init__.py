@@ -105,6 +105,9 @@ _PRIORITY = [
     "emb8_ivf_index_search",
     "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
     "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
+    # 6 — registered late in r9 (window already full): parity-pinned now,
+    # r10-window leads alongside the 16 frozen queries above
+    "emb12_incremental_pq", "dq3_embedding_audit",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -303,3 +303,54 @@ def _emb7_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb7_embedding_clusters"] = _emb7_clusters
 EMBEDDING_ORACLES["emb7_embedding_clusters"] = sql_embedding_clusters("duck")
+
+
+def sql_embedding_audit(dialect: str) -> str:
+    """DQ3 — data-quality audit for the EMBEDDING table, the dq1/dq2
+    companion for the similarity family's input contract: per label, the
+    vector count, dimensionality violations (≠ 64), vectors containing
+    NaN elements, zero-norm vectors (undefined cosine — the emb-family
+    operators divide by the norm), plus deterministic norm statistics
+    (decimal-accumulated mean of the ROUNDED per-vector norm, min/max
+    rounded norms).  A broken encoder shows up here before it poisons
+    dedup/ANN results downstream.  One fused scan, one map-combinable
+    aggregate on the label — the dq1 single-pass shape; per-vector norms
+    are sequential index folds, so both engines produce bit-identical
+    doubles."""
+    norm2 = fold(
+        dialect,
+        (f"{'transform' if dialect == 'spark' else 'list_transform'}"
+         f"(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"),
+        "acc + x",
+    )
+    has_nan = (
+        f"{list_len(dialect, ('filter(embedding, x -> isnan(CAST(x AS DOUBLE)))' if dialect == 'spark' else 'list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))'))} > 0"
+    )
+    rnorm = r6t(f"sqrt({norm2})")
+    return f"""
+WITH per_vec AS (
+  SELECT label,
+         {list_len(dialect, "embedding")} AS dim,
+         CASE WHEN {has_nan} THEN 1 ELSE 0 END AS with_nan,
+         CASE WHEN {has_nan} THEN NULL ELSE {rnorm} END AS rnorm
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dim_mismatch,
+       CAST(sum(with_nan) AS BIGINT) AS n_with_nan,
+       CAST(sum(CASE WHEN rnorm <= {d("0.0")} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       {r6t(f"CAST(sum(CAST(rnorm AS DECIMAL(18,6))) AS DOUBLE) / count(rnorm)")}
+         AS mean_norm,
+       min(rnorm) AS min_norm,
+       max(rnorm) AS max_norm
+FROM per_vec
+GROUP BY label
+"""
+
+
+QUERIES["dq3_embedding_audit"] = _make_query(sql_embedding_audit)
+EMBEDDING_ORACLES["dq3_embedding_audit"] = sql_embedding_audit("duck")

@@ -997,3 +997,23 @@ SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
        true AS recall_ok
 FROM embeddings WHERE vec_id < 5
 """
+
+# EMB12: incremental PQ code table — per-batch vector counts + the
+# anti-join append semantics (batch 3 replays batch 1: zero new vectors IS
+# the idempotence property); every vector is encodable (codebooks always
+# have a nearest centroid), so n_new = n_batch on first ingest.  The
+# table≡one-shot gate is computed in-plan; the oracle pins it TRUE.
+ORACLES["emb12_incremental_pq"] = """
+WITH c AS (
+  SELECT
+    CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+    CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd
+  FROM embeddings
+)
+SELECT CAST(1 AS INT) AS batch, n_even AS n_batch, n_even AS n_new,
+       true AS table_matches_oneshot FROM c
+UNION ALL
+SELECT CAST(2 AS INT), n_odd, n_odd, true FROM c
+UNION ALL
+SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
+"""

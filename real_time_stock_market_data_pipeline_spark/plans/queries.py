@@ -2022,3 +2022,79 @@ def emb11_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("emb12_incremental_pq")
+def emb12_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB12 — incrementally-maintained PQ code table
+    (operators/similarity.py init_pq_index/update_pq_codes): codebooks
+    are trained once and persisted, then the corpus arrives in two
+    batches plus a REPLAY of batch 1; each batch encodes ONLY unseen
+    vectors (batch 3's n_new = 0 IS the idempotence property, exposed in
+    the driver row), and the accumulated code table must equal a
+    one-shot pq_encode of the union — checked in-plan as ONE
+    full-outer-join action over the full (vec_id, codes-as-string)
+    tuples (gate column; oracle pins TRUE).  Completes the insert-only
+    anti-join+append family across words (txt9), docs (dd9), vectors
+    (emb10), test n-grams (dd11), and now compression codes: the
+    RAM-resident serving tier ingests 8-byte codes per new vector and
+    never rewrites old ones.  Reference analogue: the producer's
+    exists-check before insert (producer/producer.py:368-380)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.similarity import (
+        init_pq_index,
+        pq_encode,
+        pq_fit,
+        update_pq_codes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter("vec_id % 2 = 0")
+    b2 = emb.filter("vec_id % 2 = 1")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_pqtab",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    cbs = pq_fit(emb)
+    init_pq_index(spark, cbs, path)
+    m1 = update_pq_codes(spark, b1, path)
+    m2 = update_pq_codes(spark, b2, path)
+    m3 = update_pq_codes(spark, b1, path)  # replay: must append nothing
+    codes_str = F.concat_ws(",", F.transform("pq_codes", lambda c: c.cast("string")))
+    t = (
+        spark.read.parquet(f"{path}/codes")
+        .select("vec_id", codes_str.alias("cs"))
+        .withColumn("__t", F.lit(1))
+    )
+    o = (
+        pq_encode(emb, cbs)
+        .select("vec_id", codes_str.alias("cs"))
+        .withColumn("__o", F.lit(1))
+    )
+    row = (
+        t.join(o, ["vec_id", "cs"], "full")
+        .agg(
+            F.count("__t").alias("n_t"),
+            F.count("__o").alias("n_o"),
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff"),
+        )
+        .collect()[0]
+    )
+    gate = bool(row.n_t == row.n_o and (row.n_diff or 0) == 0)
+    return spark.createDataFrame(
+        [
+            (1, m1["n_batch"], m1["n_new"], gate),
+            (2, m2["n_batch"], m2["n_new"], gate),
+            (3, m3["n_batch"], m3["n_new"], gate),
+        ],
+        "batch INT, n_batch BIGINT, n_new BIGINT, table_matches_oneshot BOOLEAN",
+    )

@@ -129,3 +129,30 @@ def test_pq_lossless_on_bounded_corpus_and_rerank(spark):
         q, codes.select("vec_id", "pq_codes"), df, cbs, k=5, shortlist=48
     ).collect()
     assert key(rer) == key(exact)
+
+
+def test_pq_encode_arrow_path_matches_jvm(spark):
+    """pq_encode(arrow=True) must produce BIT-IDENTICAL codes to the JVM
+    literal-expression path on the real table — the sequential per-dim
+    accumulation keeps distances exactly equal, so argmin ties break the
+    same way (this is what lets update_pq_codes use the Arrow path while
+    emb12's gate compares it against a JVM one-shot)."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cbs = pq_fit(emb)
+    jvm = {
+        r.vec_id: tuple(r.pq_codes)
+        for r in pq_encode(emb, cbs).select("vec_id", "pq_codes").collect()
+    }
+    arrow = {
+        r.vec_id: tuple(r.pq_codes)
+        for r in pq_encode(emb, cbs, arrow=True)
+        .select("vec_id", "pq_codes")
+        .collect()
+    }
+    assert jvm == arrow and len(jvm) > 0

@@ -97,3 +97,41 @@ def test_null_key_edge_semantics(spark):
     out = {r["doc_id"]: r["split"] for r in assign_split(docs).collect()}
     assert out[1] is not None and out[None] is None
     assert deterministic_sample(docs, 1.0).count() == 1  # NULL id dropped
+
+
+def test_dq3_embedding_audit_flags_planted_corruption(spark):
+    """dq3 on a hand-planted table: a NaN element, a zero vector, a
+    wrong-dimension vector, and a NULL embedding are each counted in
+    exactly the right bucket (NULL rows drop; NaN vectors are excluded
+    from the norm statistics)."""
+    import math
+
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        sql_embedding_audit,
+    )
+
+    good = [3.0] + [0.0] * 63            # norm exactly 3
+    rows = [
+        (1, 0, good),
+        (2, 0, [float("nan")] + [1.0] * 63),
+        (3, 0, [0.0] * 64),
+        (4, 0, [1.0] * 16),              # wrong dim
+        (5, 0, None),                    # dropped entirely
+        (6, 1, [4.0] + [0.0] * 63),      # norm exactly 4
+    ]
+    spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<DOUBLE>"
+    ).createOrReplaceTempView("embeddings")
+    got = {r.label: r for r in spark.sql(sql_embedding_audit("spark")).collect()}
+    l0 = got[0]
+    assert l0.n_vecs == 4                # NULL row dropped
+    assert l0.n_dim_mismatch == 1
+    assert l0.n_with_nan == 1
+    assert l0.n_zero_norm == 1
+    # norm stats over the non-NaN vectors: norms {3, 0, 4}; the mean is
+    # 6-decimal rounded (r6t), so compare at that granularity
+    assert l0.min_norm == 0.0 and l0.max_norm == 4.0
+    assert abs(l0.mean_norm - (3 + 0 + 4) / 3) < 1e-6
+    l1 = got[1]
+    assert (l1.n_vecs, l1.n_with_nan, l1.n_zero_norm) == (1, 0, 0)
+    assert l1.mean_norm == 4.0

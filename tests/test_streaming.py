@@ -871,3 +871,64 @@ def test_test_shingle_table_stream_matches_batch(spark, sf_dir, tmp_path):
         )
     )
     assert from_table == oneshot
+
+
+def test_pq_codes_stream_matches_batch(spark, sf_dir, tmp_path):
+    """EMB12's streaming form: foreachBatch PQ-code maintenance over a
+    two-micro-batch vector stream builds EXACTLY the batch-built code
+    table (codebooks trained once, persisted, reloaded by every update),
+    and a full replay (at-least-once delivery) appends zero rows."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_pq_index,
+        pq_codes_sink,
+        pq_fit,
+        update_pq_codes,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as SF
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    cbs = pq_fit(emb, m=4, k=8, n_iter=1)
+    src = tmp_path / "src"
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream_tab = str(tmp_path / "pq_stream")
+    init_pq_index(spark, cbs, stream_tab)
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(pq_codes_sink(stream_tab))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    as_str = SF.concat_ws(",", SF.transform("pq_codes", lambda c: c.cast("string")))
+
+    def table_rows(path):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{path}/codes")
+                .select("vec_id", as_str.alias("cs"))
+                .collect(),
+            )
+        )
+
+    stream_rows = table_rows(stream_tab)
+
+    batch_tab = str(tmp_path / "pq_batch")
+    init_pq_index(spark, cbs, batch_tab)
+    update_pq_codes(spark, emb, batch_tab)
+    assert stream_rows == table_rows(batch_tab) and len(stream_rows) > 0
+
+    run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
+    assert table_rows(stream_tab) == stream_rows
