@@ -601,6 +601,7 @@ def pq_fit(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     n_iter: int = 3,
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks with ONE GROUPED Lloyd loop: vectors
     explode to (vec_id, sub_id, subvec) rows once, seeds are the same
@@ -609,7 +610,8 @@ def pq_fit(
     broadcast literal codebooks (JVM expressions, the same arithmetic
     pq_encode uses) + one per-(sub, centroid, dim) mean shuffle — so all
     ``m`` codebooks train in ``n_iter + 2`` actions instead of
-    ``m·(n_iter + 1)`` (measured 32 s → ~6 s at sf0.1 for M=16).
+    ``m·(n_iter + 1)`` (measured 32 s → ~4 s at sf0.1 for M=16; seeding is a single
+    collect with the per-sub total computed in-plan).
     Returns ``codebooks[m][k][d_sub]`` — m·k·d_sub doubles (2 KiB at the
     defaults), the same bounded-collect contract as the IVF codebook.
     At 100 TB you fit on a deterministic hash-sample
@@ -618,7 +620,8 @@ def pq_fit(
     from corpus size; here the corpus IS the sample."""
     from pyspark.sql import Window
 
-    dim = df.select(F.size(F.col(vec))).first()[0]
+    if dim is None:
+        dim = df.select(F.size(F.col(vec))).first()[0]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     d_sub = dim // m
@@ -639,11 +642,16 @@ def pq_fit(
         .persist()
     )
     try:
-        n = sub_rows.count() // m
-        stride = max(n // k, 1)
+        # stride-by-rank seeding computed ENTIRELY in-plan (the per-sub
+        # total rides a count window over the same partition key as the
+        # rank, so seeding is ONE collect — a separate count() action
+        # would double the fixed job overhead that dominates small fits)
         w = Window.partitionBy("sub_id").orderBy(F.col(vec_id).asc())
+        wall = Window.partitionBy("sub_id")
+        stride = F.greatest(F.floor(F.col("__n") / k), F.lit(1))
         seed_rows = (
             sub_rows.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.count(F.lit(1)).over(wall))
             .filter(
                 ((F.col("__rn") - 1) % stride == 0)
                 & (F.col("__rn") <= 1 + (k - 1) * stride)
@@ -966,3 +974,218 @@ def pq_codes_sink(path: str, vec_id: str = "vec_id", vec: str = "embedding"):
         update_pq_codes(batch_df.sparkSession, batch_df, path, vec_id, vec)
 
     return write_batch
+
+
+# --- IVF-PQ (coarse quantizer + residual product codes) ---------------------
+# The standard composite ANN layout (Jégou et al. PAMI'11 §V, the FAISS
+# IVFPQ index): a coarse k-means partitions the corpus into lists, each
+# vector stores only its list id + the PQ codes of its RESIDUAL
+# (vector − list centroid), and a query probes the few nearest lists,
+# ADC-scoring residual codes inside them.  IVF bounds the candidates
+# (search touches corpus·n_probe/n_lists), PQ bounds the bytes — together
+# they are the shape a 100 TB corpus is actually served from.
+IVFPQ_LISTS = 8
+IVFPQ_PROBE = 4
+
+
+def ivfpq_fit(
+    df: DataFrame,
+    n_lists: int = IVFPQ_LISTS,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    n_iter: int = 3,
+):
+    """Train (coarse_centroids, residual_codebooks).  The coarse stage IS
+    ``pq_fit(m=1, k=n_lists)`` — one subspace spanning the full vector
+    makes grouped Lloyd a plain L2 k-means, so both quantizer levels
+    share one trainer, one metric, and one bounded-collect contract.
+    Residual codebooks train on (vector − assigned centroid), the
+    distribution the fine quantizer will actually encode."""
+    coarse, fine, _ = ivfpq_build(
+        df, n_lists=n_lists, m=m, k=k, vec_id=vec_id, vec=vec, n_iter=n_iter
+    )
+    return coarse, fine
+
+
+def ivfpq_build(
+    df: DataFrame,
+    n_lists: int = IVFPQ_LISTS,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    n_iter: int = 3,
+):
+    """Train AND encode in one pass: returns (coarse, fine, index) where
+    ``index`` is the (vec_id, list_id, pq_codes) frame, already
+    materialized.  The residual frame is computed ONCE (lazy
+    localCheckpoint) and shared by the fine trainer and the encoder —
+    calling fit and encode separately would re-run the coarse
+    assignment over the corpus a second time."""
+    coarse = pq_fit(df, m=1, k=n_lists, vec_id=vec_id, vec=vec, n_iter=n_iter)
+    res = _with_residual(df, coarse, vec_id=vec_id, vec=vec).localCheckpoint(
+        eager=False
+    )
+    dim = len(coarse[0][0])
+    fine = pq_fit(
+        res.select(F.col(vec_id), F.col("residual").alias(vec)),
+        m=m, k=k, vec_id=vec_id, vec=vec, n_iter=n_iter, dim=dim,
+    )
+    index = pq_encode(res, fine, vec="residual").select(
+        F.col(vec_id), F.col("list_id"), F.col("pq_codes")
+    ).localCheckpoint(eager=False)
+    return coarse, fine, index
+
+
+def _coarse_lits(coarse: list[list[list[float]]]):
+    return F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in coarse[0]
+    ])
+
+
+def _with_residual(df: DataFrame, coarse, vec_id: str, vec: str) -> DataFrame:
+    """Appends ``list_id`` (nearest coarse centroid, squared L2) and
+    ``residual`` (vector − centroid) — pure JVM over the literal coarse
+    codebook (n_lists·d doubles)."""
+    with_list = pq_encode(df, coarse, vec=vec).withColumn(
+        "list_id", F.element_at(F.col("pq_codes"), 1)
+    ).drop("pq_codes")
+    cb = _coarse_lits(coarse)
+    cent = F.element_at(cb, F.col("list_id") + 1)
+    return with_list.withColumn(
+        "residual",
+        F.zip_with(F.col(vec), cent, lambda x, c: x.cast("double") - c),
+    )
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse,
+    fine,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(vec_id, list_id, pq_codes) — the complete compressed index row:
+    3 bits of list + 8 bytes of residual codes per vector at the
+    defaults.  Map-only JVM; at scale the output is written partitioned
+    by list_id so a probe reads only its lists (the emb8 hive-partition
+    layout)."""
+    res = _with_residual(df, coarse, vec_id=vec_id, vec=vec)
+    return pq_encode(res, fine, vec="residual").select(
+        F.col(vec_id), F.col("list_id"), F.col("pq_codes")
+    )
+
+
+def ivfpq_probes(
+    queries: DataFrame,
+    coarse,
+    n_probe: int = IVFPQ_PROBE,
+    query_id: str = "query_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """(query_id, list_id, __qres) — each query's ``n_probe`` nearest
+    coarse lists with the per-list residual query (q − centroid): rank
+    ALL lists per query by L2, keep n_probe; n_lists rows per query
+    before the cut, so the frame is broadcast-sized.  Shared by
+    ``ivfpq_search`` and emb13's probed-exact gate twin, which must
+    agree on the probe set for the recall comparison to isolate
+    ADC + rerank quality from probe coverage."""
+    from pyspark.sql import Window
+
+    ccb = _coarse_lits(coarse)
+    return (
+        queries.select(F.col(query_id), F.col(vec).alias("__qvec"))
+        .select(
+            query_id, "__qvec",
+            F.posexplode(
+                F.transform(ccb, lambda c: _sq_l2(F.col("__qvec"), c))
+            ).alias("list_id", "__cdist"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy(query_id).orderBy(
+                    F.col("__cdist").asc(), F.col("list_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= n_probe)
+        .withColumn(
+            "__qres",
+            F.zip_with(
+                F.col("__qvec"),
+                F.element_at(ccb, F.col("list_id") + 1),
+                lambda x, c: x.cast("double") - c,
+            ),
+        )
+        .select(query_id, "list_id", "__qres")
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    index: DataFrame,
+    corpus: DataFrame,
+    coarse,
+    fine,
+    k: int = 10,
+    n_probe: int = IVFPQ_PROBE,
+    shortlist: int = 50,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Two-stage probe-and-rerank: each query expands to its ``n_probe``
+    nearest coarse lists WITH the per-list residual query (q − centroid),
+    candidates come from an EQUI-JOIN on list_id (never a cross join —
+    the IVF point: candidate work ∝ corpus·n_probe/n_lists), residual
+    codes are ADC-scored against the fine codebooks, and the per-query
+    shortlist is re-ranked EXACTLY against the float corpus.  Output:
+    (query_id, vec_id, l2_dist, rk) — same contract as pq_rerank_topk."""
+    from pyspark.sql import Window
+
+    m = len(fine)
+    d_sub = len(fine[0][0])
+    fcb = _pq_lits(fine)
+    probes = ivfpq_probes(
+        queries, coarse, n_probe=n_probe, query_id=query_id, vec=vec
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sq_l2(
+            F.slice(F.col("__qres"), j * d_sub + 1, d_sub),
+            F.element_at(
+                F.element_at(fcb, (j + 1).cast("int")),
+                F.element_at(F.col("__codes"), (j + 1).cast("int")) + 1,
+            ),
+        ),
+    )
+    cand = (
+        index.select(F.col(vec_id), "list_id", F.col("pq_codes").alias("__codes"))
+        .join(F.broadcast(probes), "list_id")
+        .withColumn("pq_dist", dist)
+    )
+    wq = Window.partitionBy(query_id).orderBy(
+        F.col("pq_dist").asc(), F.col(vec_id).asc()
+    )
+    short = (
+        cand.withColumn("__rk", F.row_number().over(wq))
+        .filter(F.col("__rk") <= shortlist)
+        .select(query_id, vec_id)
+    )
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    c = corpus.select(F.col(vec_id), F.col(vec).alias("__cv"))
+    scored = (
+        short.join(c, vec_id)
+        .join(F.broadcast(q), query_id)
+        .withColumn("l2_dist", _sq_l2(F.col("__cv"), F.col("__qv")))
+        .drop("__qv", "__cv")
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("l2_dist").asc(), F.col(vec_id).asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

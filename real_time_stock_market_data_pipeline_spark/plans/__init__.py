@@ -107,7 +107,7 @@ _PRIORITY = [
     "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
     # 6 — registered late in r9 (window already full): parity-pinned now,
     # r10-window leads alongside the 16 frozen queries above
-    "emb12_incremental_pq", "dq3_embedding_audit",
+    "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

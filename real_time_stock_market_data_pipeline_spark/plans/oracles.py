@@ -1017,3 +1017,13 @@ SELECT CAST(2 AS INT), n_odd, n_odd, true FROM c
 UNION ALL
 SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
 """
+
+# EMB13: IVF-PQ gate — the composite index's top-10 overlaps the exact
+# L2 top-10 RESTRICTED TO THE SAME PROBED LISTS at >= 0.8 recall per
+# query (computed in-plan; codebook/probe math is engine-internal, so
+# the oracle pins the gate + shape).
+ORACLES["emb13_ivfpq_recall"] = """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       true AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""

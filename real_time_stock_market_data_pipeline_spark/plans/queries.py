@@ -2098,3 +2098,89 @@ def emb12_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "batch INT, n_batch BIGINT, n_new BIGINT, table_matches_oneshot BOOLEAN",
     )
+
+
+@register("emb13_ivfpq_recall")
+def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB13 — IVF-PQ composite index with an in-plan recall gate
+    (operators/similarity.py ivfpq_fit/ivfpq_encode/ivfpq_search): the
+    FAISS-style serving layout (Jégou et al. PAMI'11 §V) as DataFrame
+    ops — an 8-list coarse quantizer (trained by the SAME grouped-Lloyd
+    trainer: pq_fit(m=1) IS L2 k-means) partitions the corpus, each
+    vector stores list id + 8-byte PQ codes of its RESIDUAL, and a query
+    probes its 4 nearest lists, ADC-scores residual codes through an
+    EQUI-JOIN on list_id (candidate work ∝ corpus·n_probe/n_lists —
+    never a cross join), then re-ranks a max(50, corpus/10) shortlist
+    exactly.  The gate compares against exact L2 search RESTRICTED TO
+    THE SAME PROBED LISTS (the shared ivfpq_probes frame) at ≥ 0.8
+    recall per query — isolating what the compression pipeline can lose
+    (ADC + shortlist) from what probing deliberately trades away (on
+    structureless synthetic embeddings, unprobed-list coverage ≈ the
+    probed mass fraction; n_probe is that knob and full-corpus recall is
+    emb11's exhaustive-PQ territory).  Oracle pins the gate TRUE."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _sq_l2,
+        ivfpq_build,
+        ivfpq_probes,
+        ivfpq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ivfpq_build shares the residual frame between the fine trainer and
+    # the encoder, and the returned index is checkpoint-materialized —
+    # it feeds THREE consumers in the one gate plan (ADC candidates, the
+    # probed-exact twin, the shortlist); recomputing its literal-codebook
+    # encode subtree per consumer measured 38 s at sf0.1 (the dd2/j3
+    # materialization pattern applied twice)
+    # n_iter=2: the gate is vs probed-exact, so coarse quality moves
+    # COVERAGE (not the gate) and fine quality only has to keep true
+    # neighbours inside a corpus/10 shortlist — a third Lloyd pass buys
+    # nothing the gate can see, and each pass is a fixed-overhead job
+    coarse, fine, idx = ivfpq_build(emb, n_iter=2)
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    shortlist = max(50, emb.count() // 10)
+    probes = ivfpq_probes(queries_df, coarse)
+    pe = (
+        idx.select("vec_id", "list_id")
+        .join(F.broadcast(probes.select("query_id", "list_id")), "list_id")
+        .join(emb.select("vec_id", F.col("embedding").alias("__cv")), "vec_id")
+        .join(
+            F.broadcast(
+                queries_df.select("query_id", F.col("embedding").alias("__qv"))
+            ),
+            "query_id",
+        )
+        .withColumn("l2", _sq_l2(F.col("__cv"), F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("vec_id").asc()
+    )
+    probed_exact = (
+        pe.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .select("query_id", "vec_id")
+    )
+    approx = ivfpq_search(
+        queries_df, idx, emb, coarse, fine, k=10, shortlist=shortlist
+    )
+    overlap = (
+        probed_exact.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_results"))
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            "n_results",
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(8)).alias(
+                "recall_ok"
+            ),
+        )
+    )

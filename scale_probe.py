@@ -64,7 +64,7 @@ N_WIDE_EVENTS, N_WIDE_SYMBOLS = 1_000_000, 1_500
 EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
     "emb7_embedding_clusters", "emb10_incremental_ivf", "emb11_pq_recall",
-    "emb12_incremental_pq", "dq3_embedding_audit",
+    "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
 ]
 
 

@@ -156,3 +156,39 @@ def test_pq_encode_arrow_path_matches_jvm(spark):
         .collect()
     }
     assert jvm == arrow and len(jvm) > 0
+
+
+def test_ivfpq_full_probe_equals_exact(spark):
+    """IVF-PQ collapses to exact search when nothing is traded away:
+    probing ALL lists with a corpus-sized shortlist makes the ADC stage
+    a pure pre-filter and the exact re-rank decides everything — the
+    result must equal l2_topk rank-for-rank and distance-for-distance.
+    Pins probe expansion, the list_id equi-join, residual encode/decode
+    plumbing, and the rerank cut in one identity."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_fit,
+        ivfpq_search,
+        l2_topk,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").filter(
+        "vec_id < 200"
+    )
+    coarse, fine = ivfpq_fit(emb, n_lists=4, n_iter=1)
+    idx = ivfpq_encode(emb, coarse, fine)
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = l2_topk(q, emb, k=5).collect()
+    full = ivfpq_search(
+        q, idx, emb, coarse, fine, k=5, n_probe=4, shortlist=200
+    ).collect()
+    key = lambda rows: sorted((r.query_id, r.rk, r.vec_id) for r in rows)
+    assert key(full) == key(exact) and len(full) == 15
+    d_exact = {(r.query_id, r.vec_id): r.l2_dist for r in exact}
+    for r in full:
+        assert r.l2_dist == d_exact[(r.query_id, r.vec_id)]
