@@ -37,6 +37,20 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _release_persisted(spark) -> None:
+    """Unpersist every cached/checkpointed RDD left behind by a query.
+
+    Several plans materialize shared subtrees with LAZY localCheckpoints
+    (dd2/j3/emb13 pattern) — correct inside one execution, but the
+    blocks live until session end, and 5 passes × 119 queries would
+    accumulate hundreds of corpus-sized cached RDDs whose memory
+    pressure slows every LATER sample (measured as a uniform drift on
+    otherwise-untouched queries).  Releasing between runs keeps each
+    sample's memory baseline flat."""
+    for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        rdd.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -66,6 +80,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
+            _release_persisted(spark)
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = sum(statistics.median(s) for s in samples.values())
 
