@@ -108,6 +108,7 @@ _PRIORITY = [
     # 6 — registered late in r9 (window already full): parity-pinned now,
     # r10-window leads alongside the 16 frozen queries above
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
+    "txt14_doc_retrieval",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

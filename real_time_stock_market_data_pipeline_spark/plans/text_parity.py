@@ -1264,3 +1264,59 @@ def _sp7_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp7_corpus_pipeline"] = _sp7_pipeline
 TEXT_ORACLES["sp7_corpus_pipeline"] = sql_corpus_pipeline("duck")
+
+
+def sql_doc_retrieval(dialect: str) -> str:
+    """TXT14 — document similarity RETRIEVAL: for a bounded query set
+    (doc_id % 97 = 0, a handful of docs), the top-5 most similar corpus
+    documents by trigram-shingle Jaccard.  The broadcast-query
+    counterpart to dd2's all-pairs near-dup sweep — the same
+    w12 (one query ⇒ broadcast) vs w13 (exact all-pairs) relationship on
+    the text modality: dedup asks "which pairs collide anywhere", a
+    training-data pipeline ALSO asks "what do we already hold that looks
+    like THIS doc" (provenance checks, eval-set curation, targeted
+    decontamination triage).
+
+    Scale shape: shingle pipeline + dd2's stop-shingle cut (a viral
+    shingle would fan the candidate join out quadratically; sizes count
+    the KEPT shingles so Jaccard stays consistent), then one equi-join
+    on the shingle hash whose QUERY side is query-set-sized — at 100 TB
+    the query side broadcasts and the corpus side streams through one
+    shuffle on sh.  Top-5 per query by ROUNDED Jaccard with a match-id
+    tiebreak — engine-deterministic cut."""
+    jac = r6t(
+        f"{d('n_common')} / ({d('n_q')} + {d('n_c')} - {d('n_common')})"
+    )
+    return f"""
+WITH {shingles_cte(dialect)},
+kept AS (
+  SELECT doc_id, sh FROM (
+    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM hashed
+  ) t WHERE df <= {MAX_SHINGLE_FREQ}
+),
+sized AS (
+  SELECT doc_id, sh, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM kept
+),
+pairs AS (
+  SELECT q.doc_id AS query_doc, c.doc_id AS match_doc,
+         CAST(count(*) AS BIGINT) AS n_common,
+         min(q.n_sh) AS n_q, min(c.n_sh) AS n_c
+  FROM sized q
+  JOIN sized c ON c.sh = q.sh AND c.doc_id <> q.doc_id
+  WHERE q.doc_id % 97 = 0
+  GROUP BY q.doc_id, c.doc_id
+),
+scored AS (
+  SELECT query_doc, match_doc, n_common,
+         {jac} AS jaccard,
+         row_number() OVER (PARTITION BY query_doc
+                            ORDER BY {jac} DESC, match_doc ASC) AS rnk
+  FROM pairs
+)
+SELECT query_doc, match_doc, n_common, jaccard, CAST(rnk AS BIGINT) AS rnk
+FROM scored WHERE rnk <= 5
+"""
+
+
+QUERIES["txt14_doc_retrieval"] = _make_query(sql_doc_retrieval)
+TEXT_ORACLES["txt14_doc_retrieval"] = sql_doc_retrieval("duck")

@@ -53,7 +53,7 @@ DOC_QUERIES = [
     "txt11_pii_redaction", "txt12_bigram_lm", "txt13_feature_hash",
     "mm7_dhash_pairs",
     "dd11_incremental_decontamination", "mm8_audio_pairs",
-    "mm9_video_pairs",
+    "mm9_video_pairs", "txt14_doc_retrieval",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
