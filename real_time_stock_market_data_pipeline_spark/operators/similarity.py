@@ -606,9 +606,10 @@ def pq_fit(
     """Train per-subspace codebooks with ONE GROUPED Lloyd loop: vectors
     explode to (vec_id, sub_id, subvec) rows once, seeds are the same
     stride-by-rank rule as clustering.kmeans_fit applied per subspace,
-    and each iteration is a single job — min-L2 assignment against the
-    broadcast literal codebooks (JVM expressions, the same arithmetic
-    pq_encode uses) + one per-(sub, centroid, dim) mean shuffle — so all
+    and each iteration is a single job — min-L2 assignment via the
+    Arrow/numpy argmin (_pq_argmin_pandas; training-only, so its pairwise
+    numpy summation needn't match the JVM fold bit-for-bit — pq_encode's
+    serving paths do) + one per-(sub, centroid, dim) mean shuffle — so all
     ``m`` codebooks train in ``n_iter + 2`` actions instead of
     ``m·(n_iter + 1)`` (measured 32 s → ~4 s at sf0.1 for M=16; seeding is a single
     collect with the per-sub total computed in-plan).
@@ -944,6 +945,14 @@ def update_pq_codes(
     from pyspark.sql.utils import AnalysisException
 
     cbs = load_pq_codebooks(spark, path)
+    # NULL / wrong-length vectors would make the Arrow encode's np.stack
+    # raise and fail the WHOLE micro-batch; drop them up front instead
+    # (ivf_topk's tolerated-rows behavior — a bad vector skips indexing,
+    # it doesn't poison the stream)
+    dim = len(cbs) * len(cbs[0][0])
+    batch = batch.filter(
+        F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
+    )
     try:
         existing = spark.read.parquet(f"{path}/codes").select(vec_id)
     except AnalysisException:  # first batch: no codes yet

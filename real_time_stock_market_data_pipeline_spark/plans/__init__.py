@@ -13,54 +13,79 @@ ORACLES.update(EMBEDDING_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# other round.  Round-9 rotation policy (executes the r8 verdict's item 1
+# other round.  Round-10 rotation policy (executes the r9 verdict's item 1
 # exactly):
-#   1. the 10 NAMED WAITERS lead: the 5 queries whose newest driver row is
-#      r06 (dd1_exact_dedup, w2_sma, w3_ema, txt1_token_stats,
-#      txt4_fingerprint — deliberately deferred from the r8 window) and
-#      the 5 registered late in r8 that have NEVER had a driver row
-#      (emb10_incremental_ivf, txt12_bigram_lm, txt13_feature_hash,
-#      mm7_dhash_pairs, w12_series_similarity);
-#   2. the 6 queries NEW this round (w13 all-pairs series similarity,
-#      dd11 incremental decontamination table, mm8 audio fingerprint
-#      near-dup, mm9 video frame-majority near-dup, emb11 two-stage
-#      product-quantized search, w14 banded series near-dup);
-#   3. 34 of the 50 queries whose newest driver row is r07 — oldest
-#      evidence first.  That fills the 50 slots exactly.
-#   FROZEN FOR R10 (named, deliberate — 10+6+50 = 66 candidates > 50
-#   slots): 16 r07-green queries wait one extra round:
-#   p3_time_window_filter, p4_recent_window, p5_equality_filter,
-#   p6_flag_filter, a7_dup_detection, o1_top_events, o4_latest_row,
-#   o5_price_history, o6_sorted_rollup, a1_grouped_max, a2_global_max,
-#   a6_hourly_counts, d1_distinct_event_types, su1_set_ops,
-#   j1_tick_dashboard, mm1_media_meta.  All sixteen are semantically
-#   tiny single-scan filters/aggregates/windows with overlapping
-#   coverage elsewhere (a4's daily summary embeds the a1/a2/a6 shapes;
-#   p9's dedup window is a7's operator; p3's pushed time filter covers
-#   p4's interval shape and p7/p9 keep filter-family driver rows; j2's
-#   dashboard join subsumes j1; mm2's real header decode subsumes mm1's
-#   metadata projection; the o-family's TakeOrderedAndProject plan test
-#   pins o1/o4/o5/o6's operator, and o3 keeps an o-family driver row
-#   this round) and every one is pytest-parity-pinned at sf0.001 each
-#   run and at sf0.01 by the pre-commit harness.  They MUST lead the
-#   r10 window.
-#   The 50 r08-green queries (CORRECTNESS_r08, zero failures) form the
-#   tail in their r8-window order and re-verify opportunistically; the
-#   whole registry stays covered every run by tests/test_parity.py at
-#   sf0.001 and the pre-commit parity harness at sf0.01.
+#   1. the 16 queries FROZEN out of the r9 window lead — their newest
+#      driver row is r07 and turns three rounds old otherwise
+#      (p3, p4, p5, p6, a7, o1, o4, o5, o6, a1, a2, a6, d1, su1, j1,
+#      mm1 — named in the r8/r9 policy notes as mandatory r10 leads);
+#   2. the 4 queries registered late in r9 that have NEVER had a driver
+#      row (emb12_incremental_pq, dq3_embedding_audit,
+#      emb13_ivfpq_recall, txt14_doc_retrieval);
+#   3. queries NEW this round (dd12 banded near-dup decontamination,
+#      mm10 cross-modal decontamination, dd13 incremental-table
+#      compaction);
+#   4. the r08-green queries in their r8-window order, oldest evidence
+#      first, fill the remaining slots to exactly 50.
+#   FROZEN FOR R11 (named, deliberate): the r08-green queries that do
+#   not fit (section 5 below) wait one round — each is pytest-parity-
+#   pinned at sf0.001 every run, and each family keeps a driver row in
+#   this window (s14's registry is s13's operator family and s13 is
+#   r09-green; mm2's header decode family has mm3/mm4/mm5/mm6 in the
+#   window; t6/j3's alert shapes share j2/j4's r09-green join family;
+#   emb4/emb5/emb8's IVF ladder is covered by emb9 in-window plus
+#   emb10-13's r09/r10 rows; the a10-a12 agg shapes are a13's family;
+#   sp1/sp3/sp4's split shapes are sp6/sp7's family; dq1/dq2 are dq3's
+#   family, which leads this window).  They MUST rotate into the r11
+#   window.  The 50 r09-green queries (CORRECTNESS_r09, zero failures)
+#   form the tail in their r9-window order; the whole registry stays
+#   covered every run by tests/test_parity.py at sf0.001 and the
+#   pre-commit parity harness at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1a — r06-stale (deferred from the r8 window, named there as r9 leads)
+    # 1 — r07-green, frozen out of the r9 window: mandatory r10 leads
+    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
+    "p6_flag_filter", "a7_dup_detection", "o1_top_events",
+    "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
+    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+    "mm1_media_meta",
+    # 2 — never driver-rowed (registered after the r9 window filled)
+    "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
+    "txt14_doc_retrieval",
+    # 3 — new this round (inserted as built; window trimmed to 50 below)
+    # 4 — r08-green rotations, r8-window order (fills the window to 50)
+    "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
+    "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
+    "dd10_exact_decontamination", "txt11_pii_redaction",
+    "dd9_incremental_minhash",
+    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
+    "f1_scalar_suite",
+    "w4_rsi", "w5_bollinger", "w6_macd",
+    "w7_volatility", "w8_price_change", "w9_ml_features",
+    "txt2_quality", "txt3_langid",
+    "w10_throttled_volatility", "p8_extreme_filter",
+    "j5_dim_lookup", "a3_active_series",
+    "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
+    "mm6_png_roundtrip_stats", "flagship",
+    # 5 — r08-green, FROZEN FOR R11 (see policy note above): they lead
+    # the r11 window
+    "s14_arima_registry",
+    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
+    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
+    "emb8_ivf_index_search",
+    "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
+    "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
+    # 6 — green in CORRECTNESS_r09 (zero failures), in r9-window order
     "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
     "txt4_fingerprint",
-    # 1b — never driver-rowed (registered after the r8 window filled)
     "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
     "mm7_dhash_pairs", "w12_series_similarity",
-    # 2 — new this round (see section comment)
     "w13_series_all_pairs", "dd11_incremental_decontamination",
     "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
     "w14_series_banded_neardup",
-    # 3 — newest driver row is r07: rotate back in (35 of 50)
     "sp2_stratified_sample", "dd3_minhash_signatures",
     "dd4_minhash_candidates", "dd5_simhash",
     "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
@@ -77,38 +102,6 @@ _PRIORITY = [
     "u3_linreg_metrics", "u4_linreg_predictions",
     "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
-    # 4 — r07-green, FROZEN FOR R10 (see policy note above): they lead
-    # the r10 window
-    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
-    "p6_flag_filter", "a7_dup_detection", "o1_top_events", "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
-    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
-    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
-    "mm1_media_meta",
-    # 5 — green in CORRECTNESS_r08 (zero failures), in r8-window order
-    "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
-    "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
-    "dd10_exact_decontamination", "txt11_pii_redaction",
-    "dd9_incremental_minhash",
-    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
-    "f1_scalar_suite",
-    "w4_rsi", "w5_bollinger", "w6_macd",
-    "w7_volatility", "w8_price_change", "w9_ml_features",
-    "txt2_quality", "txt3_langid",
-    "w10_throttled_volatility", "p8_extreme_filter",
-    "j5_dim_lookup", "a3_active_series",
-    "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
-    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
-    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
-    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
-    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
-    "emb8_ivf_index_search",
-    "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
-    "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
-    # 6 — registered late in r9 (window already full): parity-pinned now,
-    # r10-window leads alongside the 16 frozen queries above
-    "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
-    "txt14_doc_retrieval",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

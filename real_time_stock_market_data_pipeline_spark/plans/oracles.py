@@ -990,7 +990,7 @@ WHERE d1.doc_id % 2 = 0 AND d1.text IS NOT NULL AND d2.text IS NOT NULL
 """
 
 # EMB11: product-quantization gate — PQ top-10 overlaps the exact L2
-# top-10 at >= 0.5 recall per query (the comparison is computed in-plan;
+# top-10 at >= 0.8 recall per query (the comparison is computed in-plan;
 # codebook math is engine-internal, so the oracle pins the gate + shape).
 ORACLES["emb11_pq_recall"] = """
 SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,

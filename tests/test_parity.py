@@ -31,26 +31,29 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r9_driver_window_pinned():
+def test_r10_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 10
-    named r9 waiters must lead (5 r06-stale + 5 never-rowed), the 6 new
-    r9 queries follow, and the total window is exactly 50.  An accidental
+    only, so the window IS part of the round's evidence plan: the 16
+    queries frozen out of the r9 window lead (their newest driver row is
+    r07), the 4 never-rowed late-r9 registrations follow, new r10 queries
+    come next, and r08-green rotations fill to exactly 50.  An accidental
     import-order or registration change would silently spend the
     evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    assert names[:10] == [
-        "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
-        "txt4_fingerprint", "emb10_incremental_ivf", "txt12_bigram_lm",
-        "txt13_feature_hash", "mm7_dhash_pairs", "w12_series_similarity",
+    assert names[:16] == [
+        "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
+        "p6_flag_filter", "a7_dup_detection", "o1_top_events",
+        "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
+        "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+        "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+        "mm1_media_meta",
     ]
-    assert names[10:16] == [
-        "w13_series_all_pairs", "dd11_incremental_decontamination",
-        "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
-        "w14_series_banded_neardup",
+    assert names[16:20] == [
+        "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
+        "txt14_doc_retrieval",
     ]
-    # slot 50 boundary: the frozen-for-r10 block starts at index 50
-    assert names[49] == "dd7_dedup_summary"
-    assert names[50] == "p3_time_window_filter"
+    # slot 50 boundary: the frozen-for-r11 block starts at index 50
+    assert names[49] == "flagship"
+    assert names[50] == "s14_arima_registry"

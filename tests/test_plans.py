@@ -284,3 +284,39 @@ def test_w14_banded_join_never_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "w14_series_banded_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb13_candidates_equi_join_on_list_id(spark, sf_dir):
+    """emb13's candidate stage must stay an EQUI-join on list_id with the
+    probe side broadcast (candidate work ∝ corpus·n_probe/n_lists — the
+    IVF point).  A CartesianProduct/BNLJ anywhere in the gate plan means
+    the list_id key got lost and candidate generation degenerated to
+    all-pairs ADC — the failure mode the coarse quantizer exists to
+    prevent (r9 verdict item 2; same pin as
+    test_w14_banded_join_never_nested_loop)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "emb13_ivfpq_recall")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"BroadcastHashJoin \[list_id#", plan), plan[:2000]
+
+
+def test_emb11_rerank_joins_are_hash_equi_joins(spark, sf_dir):
+    """emb11's two-stage serving shape: the ADC scan is a DELIBERATE
+    broadcast-queries nested-loop (5 query rows against the code table —
+    same shape as l2_topk/cosine_topk), but the shortlist→corpus float
+    fetch and the →queries rerank must be HASH equi-joins on
+    vec_id/query_id, never a CartesianProduct (an unkeyed rerank would
+    re-scan the float corpus per candidate — exactly the cost the
+    shortlist exists to bound)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "emb11_pq_recall")
+    assert "CartesianProduct" not in plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[vec_id#", plan
+    ), plan[:2000]
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[query_id#", plan
+    ), plan[:2000]

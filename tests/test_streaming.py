@@ -932,3 +932,35 @@ def test_pq_codes_stream_matches_batch(spark, sf_dir, tmp_path):
 
     run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
     assert table_rows(stream_tab) == stream_rows
+
+
+def test_pq_ingest_tolerates_null_and_ragged_vectors(spark, sf_dir, tmp_path):
+    """A NULL or wrong-length embedding in an ingest micro-batch must NOT
+    fail the whole batch (the Arrow encode's np.stack would raise): the
+    bad rows are dropped up front — ivf_topk's tolerated-rows behavior —
+    and every valid row in the same batch still lands in the code
+    table."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_pq_index,
+        pq_fit,
+        update_pq_codes,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cbs = pq_fit(emb, m=4, k=8, n_iter=1)
+    tab = str(tmp_path / "pq_tol")
+    init_pq_index(spark, cbs, tab)
+
+    good = emb.filter("vec_id < 20")
+    bad = spark.createDataFrame(
+        [(100000, None), (100001, [1.0, 2.0, 3.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    metrics = update_pq_codes(
+        spark, good.unionByName(bad.selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")), tab
+    )
+    got = spark.read.parquet(f"{tab}/codes")
+    assert metrics["n_new"] == good.count()
+    assert got.count() == good.count()
+    assert got.filter("vec_id >= 100000").count() == 0
