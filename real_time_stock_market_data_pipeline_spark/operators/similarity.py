@@ -592,6 +592,17 @@ def assign_centroids_join(
 # PQ-scored SHORTLIST and re-ranks it exactly (pq_rerank_topk below).
 PQ_M = 16      # subspaces (4 dims each at D=64)
 PQ_K = 16      # centroids per subspace → 4-bit codes
+# Production rerank shortlist: a FIXED constant, so the exact-rerank
+# stage fetches O(shortlist) floats per query NO MATTER how large the
+# corpus grows — the property that makes two-stage PQ serve 100 TB
+# (codes filter in RAM, a constant number of floats re-rank per query).
+# A corpus-proportional shortlist (e.g. max(50, n/10)) is an explicit
+# NEAR-RANDOM-DATA fallback only: distance concentration on
+# structureless synthetic embeddings pushes true neighbours into the
+# ADC noise floor, so recall there needs shortlist depth that real
+# clustered embeddings do not.  Never ship the proportional form as a
+# default — pass it explicitly where the data is known adversarial.
+PQ_SHORTLIST = 256
 
 
 def pq_fit(
@@ -861,7 +872,7 @@ def pq_rerank_topk(
     corpus: DataFrame,
     codebooks: list[list[list[float]]],
     k: int = 10,
-    shortlist: int = 50,
+    shortlist: int = PQ_SHORTLIST,
     query_id: str = "query_id",
     vec_id: str = "vec_id",
     vec: str = "embedding",
@@ -870,9 +881,12 @@ def pq_rerank_topk(
     (``pq_search`` top-``shortlist``, corpus side touches 8-byte codes
     only), then re-rank just those candidates EXACTLY against the float
     corpus and cut to top-``k``.  The expensive float fetch is
-    shortlist-sized per query — independent of corpus size — which is
-    the whole point: RAM-resident codes filter, disk-resident floats
-    re-rank.  Output: (query_id, vec_id, l2_dist, rk)."""
+    shortlist-sized per query — the default is the FIXED constant
+    ``PQ_SHORTLIST``, independent of corpus size — which is the whole
+    point: RAM-resident codes filter, disk-resident floats re-rank.
+    Pass a corpus-proportional value explicitly only for near-random
+    corpora (see the ``PQ_SHORTLIST`` note).  Output: (query_id,
+    vec_id, l2_dist, rk)."""
     from pyspark.sql import Window
 
     cand = pq_search(
@@ -1141,7 +1155,7 @@ def ivfpq_search(
     fine,
     k: int = 10,
     n_probe: int = IVFPQ_PROBE,
-    shortlist: int = 50,
+    shortlist: int = PQ_SHORTLIST,
     query_id: str = "query_id",
     vec_id: str = "vec_id",
     vec: str = "embedding",
@@ -1151,7 +1165,10 @@ def ivfpq_search(
     candidates come from an EQUI-JOIN on list_id (never a cross join —
     the IVF point: candidate work ∝ corpus·n_probe/n_lists), residual
     codes are ADC-scored against the fine codebooks, and the per-query
-    shortlist is re-ranked EXACTLY against the float corpus.  Output:
+    shortlist — the FIXED ``PQ_SHORTLIST`` by default, so rerank cost
+    never scales with the corpus; pass a proportional value explicitly
+    only for near-random corpora (see the ``PQ_SHORTLIST`` note) — is
+    re-ranked EXACTLY against the float corpus.  Output:
     (query_id, vec_id, l2_dist, rk) — same contract as pq_rerank_topk."""
     from pyspark.sql import Window
 

@@ -1974,11 +1974,13 @@ def emb11_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids over the 64-dim corpus — 4-bit codes, 8 BYTES per vector,
     32× vs float32: the Jégou et al. PAMI'11 memory cut that puts a
     100 TB embedding corpus in an ANN serving tier's RAM), queries
-    ADC-score a shortlist of max(50, corpus/10) candidates against codes
-    only (the corpus side never rehydrates floats; near-random synthetic
-    embeddings are PQ's hardest case — distance concentration means the
-    true neighbours sit barely below the noise floor, so the shortlist
-    must deepen with corpus size), the shortlist is re-ranked EXACTLY,
+    ADC-score a FIXED shortlist of PQ_SHORTLIST=256 candidates against
+    codes only (the corpus side never rehydrates floats, and the
+    constant shortlist keeps the exact-rerank float fetch O(256) per
+    query NO MATTER the corpus size — the 100 TB serving property; a
+    corpus-proportional shortlist remains available as an explicit
+    near-random-data fallback, see operators/similarity.PQ_SHORTLIST),
+    the shortlist is re-ranked EXACTLY,
     and the result must overlap the exact squared-L2 top-10 at ≥ 0.8
     recall per query (measured 0.8–1.0 at sf0.001/0.01/0.1).  ~13 s at
     sf0.1 BY DESIGN — trains the codebooks, encodes the corpus, and runs
@@ -1997,11 +1999,8 @@ def emb11_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    shortlist = max(50, emb.count() // 10)
     exact = l2_topk(queries_df, emb, k=10)
-    approx = pq_rerank_topk(
-        queries_df, codes, emb, cbs, k=10, shortlist=shortlist
-    )
+    approx = pq_rerank_topk(queries_df, codes, emb, cbs, k=10)
     overlap = (
         exact.select("query_id", "vec_id")
         .join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
@@ -2110,8 +2109,10 @@ def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector stores list id + 8-byte PQ codes of its RESIDUAL, and a query
     probes its 4 nearest lists, ADC-scores residual codes through an
     EQUI-JOIN on list_id (candidate work ∝ corpus·n_probe/n_lists —
-    never a cross join), then re-ranks a max(50, corpus/10) shortlist
-    exactly.  The gate compares against exact L2 search RESTRICTED TO
+    never a cross join), then re-ranks a FIXED PQ_SHORTLIST=256
+    shortlist exactly (constant float-fetch per query at any corpus
+    size; the proportional form is an explicit near-random-data
+    fallback, see operators/similarity.PQ_SHORTLIST).  The gate compares against exact L2 search RESTRICTED TO
     THE SAME PROBED LISTS (the shared ivfpq_probes frame) at ≥ 0.8
     recall per query — isolating what the compression pipeline can lose
     (ADC + shortlist) from what probing deliberately trades away (on
@@ -2142,7 +2143,6 @@ def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    shortlist = max(50, emb.count() // 10)
     probes = ivfpq_probes(queries_df, coarse)
     pe = (
         idx.select("vec_id", "list_id")
@@ -2164,9 +2164,7 @@ def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rk <= 10")
         .select("query_id", "vec_id")
     )
-    approx = ivfpq_search(
-        queries_df, idx, emb, coarse, fine, k=10, shortlist=shortlist
-    )
+    approx = ivfpq_search(queries_df, idx, emb, coarse, fine, k=10)
     overlap = (
         probed_exact.join(approx.select("query_id", "vec_id"), ["query_id", "vec_id"])
         .groupBy("query_id")

@@ -179,6 +179,53 @@ def timed(fn, *args) -> float:
     return round(time.perf_counter() - t0, 2)
 
 
+def probe_pq_serving(spark, base: str, scaled: str) -> list[dict]:
+    """Isolates the PQ SERVE stage (fit + encode happen once, outside the
+    timer — production amortizes them) to evidence the r9 verdict's
+    fixed-shortlist requirement: with the constant PQ_SHORTLIST default
+    the exact-rerank stage touches a FIXED number of float rows per
+    query at any corpus size, while the old corpus-proportional
+    max(50, n/10) fallback's rerank input grows with the corpus.  The
+    deterministic evidence is rerank_rows (shortlist×queries actually
+    entering the float fetch); the timings show the serve-path trend."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        PQ_SHORTLIST,
+        pq_encode,
+        pq_fit,
+        pq_rerank_topk,
+        pq_search,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    rows = []
+    for variant in ("fixed", "proportional"):
+        rec: dict[str, float] = {}
+        for tag, d in (("base", base), ("scaled", scaled)):
+            emb = load_table(spark, d, "embeddings")
+            n = emb.count()
+            cbs = pq_fit(emb, n_iter=1)
+            codes = pq_encode(emb, cbs).select("vec_id", "pq_codes").persist()
+            codes.count()
+            q = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            shortlist = (
+                PQ_SHORTLIST if variant == "fixed" else max(50, n // 10)
+            )
+            rec[tag] = timed(
+                lambda *_: pq_rerank_topk(
+                    q, codes, emb, cbs, k=10, shortlist=shortlist
+                )
+            )
+            rec[f"{tag}_rerank_rows"] = pq_search(
+                q, codes, cbs, k=shortlist
+            ).count()
+            codes.unpersist()
+        rec["factor"] = round(rec["scaled"] / max(rec["base"], 1e-9), 2)
+        rows.append({"probe": f"pq_serve_{variant}_shortlist", **rec})
+    return rows
+
+
 def main() -> None:
     only = None
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
@@ -189,6 +236,7 @@ def main() -> None:
            if only is None or n in only]
     wide = [n for n in WIDE_DAY_QUERIES if only is None or n in only]
     want_flagship = only is None or "flagship" in only
+    scaled = None
     if std or want_flagship:
         scaled = build_scaled(spark)
         for name in std:
@@ -211,6 +259,11 @@ def main() -> None:
     for name, r in results.items():
         r["factor"] = round(r["scaled"] / max(r["base"], 1e-9), 2)
         print(json.dumps({"probe": name, **r}))
+    if only is None or "pq_serve" in only:
+        if scaled is None:
+            scaled = build_scaled(spark)
+        for row in probe_pq_serving(spark, BASE, scaled):
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":
