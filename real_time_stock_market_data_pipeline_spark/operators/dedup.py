@@ -152,17 +152,24 @@ def minhash_signatures(
 
 
 def minhash_band_rows(
-    df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    band_size: int = BAND_SIZE,
 ) -> DataFrame:
     """(id, band_id, band_sig) — the LSH banded form of the signatures
-    (4 bands × 4 rows), the join-ready layout candidate generation and the
-    persisted signature table both consume."""
+    (default 4 bands × 4 rows), the join-ready layout candidate generation
+    and the persisted signature table both consume.  ``band_size`` tunes
+    the S-curve threshold t ≈ (1/b)^(1/r): the dedup default (r=4, b=4)
+    targets t ≈ 0.71 Jaccard; the decontamination gate uses r=2, b=8
+    (t ≈ 0.35) because a missed leak costs more than a false flag."""
     sigs = minhash_signatures(df, id_col, text, n)
     # one struct array exploded per row — a unionAll of per-band selects
     # would re-inline the signature aggregation once per branch per side
     band_structs = []
-    for band in range(N_HASHES // BAND_SIZE):
-        cols = [f"h{band * BAND_SIZE + j}" for j in range(1, BAND_SIZE + 1)]
+    for band in range(N_HASHES // band_size):
+        cols = [f"h{band * band_size + j}" for j in range(1, band_size + 1)]
         band_structs.append(
             F.struct(
                 F.lit(band).alias("band_id"),
@@ -448,22 +455,27 @@ def update_signature_table(
     id_col: str = "doc_id",
     text: str = "text",
     n: int = 3,
+    band_size: int = BAND_SIZE,
 ) -> dict[str, int]:
     """Incrementally maintain the persisted banded-signature table at
     ``path``: signature ONLY the batch's docs not already in the table and
     append their band rows (the ``_update_doc_keyed_table`` contract).
+    ``band_size`` must stay fixed for the life of a table (it is part of
+    the row derivation, like the MinHash params).
 
     At 100 TB: per batch, one anti-join against the table keyed on the doc
     id (high-cardinality), and shingle+MinHash work proportional to NEW
     docs only — steady-state ingest cost is independent of corpus size.
     """
     return _update_doc_keyed_table(
-        df, path, id_col, lambda nd: minhash_band_rows(nd, id_col, text, n)
+        df, path, id_col,
+        lambda nd: minhash_band_rows(nd, id_col, text, n, band_size),
     )
 
 
 def signature_table_sink(
-    path: str, id_col: str = "doc_id", text: str = "text", n: int = 3
+    path: str, id_col: str = "doc_id", text: str = "text", n: int = 3,
+    band_size: int = BAND_SIZE,
 ):
     """``foreachBatch`` writer maintaining the signature table from a
     DOCUMENT STREAM: each micro-batch runs ``update_signature_table``, so
@@ -474,7 +486,7 @@ def signature_table_sink(
     batch-built, and a full replay appends zero rows)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        update_signature_table(batch_df, path, id_col, text, n)
+        update_signature_table(batch_df, path, id_col, text, n, band_size)
 
     return write_batch
 
@@ -599,3 +611,63 @@ def contaminated_docs_from_table(
         .agg(F.count("*").alias("n_shared"))
     )
     return shared.join(sizes, id_col).select(id_col, "n_grams", "n_shared")
+
+
+# --- Near-dup decontamination (fuzzy test-set protection) --------------------
+# The dd10/dd11 gate is EXACT 13-grams only — the GPT-3/C4 bar — but real
+# eval leakage is fuzzy: a paraphrased or re-tokenized test document keeps
+# no 13 consecutive original tokens yet is still the same document.  The
+# banded-MinHash machinery the dedup family already has closes that hole:
+# the accumulated TEST corpus maintains an insert-only banded-signature
+# table (update_signature_table — the same _update_doc_keyed_table
+# contract as dd9/dd11), and the per-training-run gate is one equi-join of
+# the train side's band rows against the table on (band_id, band_sig).
+# Banding is recall-tuned (DECON_BAND_SIZE=2 → 8 bands × 2 rows, S-curve
+# threshold ≈ (1/8)^(1/2) ≈ 0.35 Jaccard) because a leaked eval doc that
+# slips through costs far more than a false flag a verify pass can clear.
+# Reference analogue: the same J7 exists-check before insert
+# (producer/producer.py:368-380) the exact path mirrors.
+
+DECON_BAND_SIZE = 2  # 8 bands × 2 rows over the 16 MinHash values
+# dd12's planted-leak fixture (shared by the Spark query and the DuckDB
+# oracle): every PLANT_STRIDE-th test doc re-enters the training corpus
+# with every 12th token replaced — NO 13 consecutive original tokens
+# survive, so the exact dd10/dd11 gate is blind to it by construction,
+# while trigram Jaccard stays high enough for the banded gate.
+DECON_PLANT_STRIDE = 10
+DECON_PLANT_BASE = 10_000_000
+
+
+def near_contaminated_docs_from_table(
+    train_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    band_size: int = DECON_BAND_SIZE,
+) -> DataFrame:
+    """(doc_id, n_test_matches, max_shared_bands) for every train doc whose
+    MinHash bands collide with ≥1 PERSISTED test-doc signature — the fuzzy
+    twin of ``contaminated_docs_from_table``: no test-side computation at
+    check time, candidates from one equi-join on (band_id, band_sig), never
+    train×test all-pairs.  ``band_size`` must match the table's.
+
+    Scale shape: the table side is the accumulated test corpus's band rows
+    (small next to a training corpus); the train side streams through one
+    signature pipeline + one shuffle on the band key.  Flagged output is
+    collision-sized."""
+    spark = train_df.sparkSession
+    test_bands = spark.read.parquet(path).select(
+        F.col(id_col).alias("__test_id"), "band_id", "band_sig"
+    )
+    train_bands = minhash_band_rows(train_df, id_col, text, n, band_size)
+    return (
+        train_bands.join(test_bands, ["band_id", "band_sig"])
+        .groupBy(id_col, "__test_id")
+        .agg(F.count("*").alias("__n_bands"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_test_matches"),
+            F.max("__n_bands").alias("max_shared_bands"),
+        )
+    )

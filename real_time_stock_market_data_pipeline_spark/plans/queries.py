@@ -1847,6 +1847,122 @@ def dd11_incremental_decontamination(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@register("dd12_neardup_decontamination")
+def dd12_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD12 — NEAR-DUP decontamination from the persisted test-set BAND
+    table (operators/dedup.update_signature_table with DECON_BAND_SIZE +
+    near_contaminated_docs_from_table): dd10/dd11 gate exact 13-grams
+    only, but real eval leakage is fuzzy — the planted fixture re-enters
+    every DECON_PLANT_STRIDE-th test doc into training with every 12th
+    token replaced, so NO 13 consecutive original tokens survive (the
+    exact gate is blind by construction, pinned by test) while trigram
+    Jaccard stays high.  The test corpus accumulates into an insert-only
+    banded-signature table (two batches + a REPLAY — replay_zero exposes
+    idempotence), banded 8×2 over the 16 MinHash values (S-curve
+    threshold ≈ 0.35: recall-tuned, a missed leak costs more than a
+    false flag); the per-training-run gate is ONE equi-join on
+    (band_id, band_sig) with zero test-side computation at check time,
+    and must equal the one-shot twin computed fresh — checked in-plan as
+    one full-outer-join action (gate column; oracle recomputes the whole
+    banding independently in DuckDB).  Reference analogue: the same
+    exists-check shape as dd10/dd11 (producer/producer.py:368-380)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        DECON_BAND_SIZE,
+        DECON_PLANT_BASE,
+        DECON_PLANT_STRIDE,
+        minhash_band_rows,
+        near_contaminated_docs_from_table,
+        update_signature_table,
+    )
+    from ..operators.sampling import SPLIT_BOUNDS, hash_bucket_col
+    from ..operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((bucket >= lo) & (bucket < hi)).select("doc_id", "text")
+    train = docs.filter(bucket < SPLIT_BOUNDS["train"][1]).select(
+        "doc_id", "text"
+    )
+    toks = tokens_col("text")
+    planted = test.filter(F.col("doc_id") % DECON_PLANT_STRIDE == 0).select(
+        (F.col("doc_id") + DECON_PLANT_BASE).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda t, i: F.when((i + 1) % 12 == 0, F.lit("xq")).otherwise(t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    train_all = train.unionByName(planted)
+    t1 = test.filter("doc_id % 2 = 0")
+    t2 = test.filter("doc_id % 2 = 1")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_testbands",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    kw = dict(band_size=DECON_BAND_SIZE)
+    update_signature_table(t1, path, **kw)
+    update_signature_table(t2, path, **kw)
+    m3 = update_signature_table(t1, path, **kw)  # replay: appends nothing
+    # lazy localCheckpoint (the dd2 materialization pattern): the gate
+    # frame feeds BOTH the twin-comparison action and the returned plan —
+    # without it the train-side banding runs twice more
+    flagged = near_contaminated_docs_from_table(train_all, path).localCheckpoint(
+        eager=False
+    )
+    flagged_t = flagged.withColumn("__t", F.lit(1))
+    # one-shot twin: both sides banded fresh — the independent verification
+    # the table-driven gate is compared against (production runs only the
+    # table path)
+    test_bands = minhash_band_rows(test, band_size=DECON_BAND_SIZE).select(
+        F.col("doc_id").alias("__test_id"), "band_id", "band_sig"
+    )
+    train_bands = minhash_band_rows(train_all, band_size=DECON_BAND_SIZE)
+    flagged_o = (
+        train_bands.join(test_bands, ["band_id", "band_sig"])
+        .groupBy("doc_id", "__test_id")
+        .agg(F.count("*").alias("__n"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_test_matches"),
+            F.max("__n").alias("max_shared_bands"),
+        )
+        .withColumn("__o", F.lit(1))
+    )
+    row = (
+        flagged_t.join(
+            flagged_o, ["doc_id", "n_test_matches", "max_shared_bands"], "full"
+        )
+        .agg(
+            F.count("__t").alias("n_t"),
+            F.count("__o").alias("n_o"),
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff"),
+        )
+        .collect()[0]
+    )
+    gate = bool(row.n_t == row.n_o and (row.n_diff or 0) == 0)
+    return flagged.select(
+        "doc_id",
+        "n_test_matches",
+        "max_shared_bands",
+        (F.col("doc_id") >= DECON_PLANT_BASE).alias("is_planted_leak"),
+        F.lit(m3["n_new_docs"] == 0).alias("replay_zero"),
+        F.lit(gate).alias("table_matches_oneshot"),
+    )
+
+
 @register("mm8_audio_pairs")
 def mm8_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM8 — perceptual audio near-dup detection end-to-end

@@ -305,12 +305,14 @@ _CAND_CTE = """cand AS (
 )"""
 
 
-def _bands_sql(dialect: str) -> str:
+def _bands_sql(dialect: str, src: str = "sigs", band_size: int = BAND_SIZE) -> str:
     """Band-signature rows for the DD4/DD6 LSH bucket join (see
-    sql_minhash_candidates for why the renderings differ per engine)."""
+    sql_minhash_candidates for why the renderings differ per engine).
+    ``band_size`` mirrors operators/dedup.minhash_band_rows — dd12's
+    decontamination gate bands the same 16 hashes as 8×2."""
     sigs_of = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = [f"h{b * BAND_SIZE + j}" for j in range(1, BAND_SIZE + 1)]
+    for b in range(N_HASHES // band_size):
+        cols = [f"h{b * band_size + j}" for j in range(1, band_size + 1)]
         sig = " || ':' || ".join(f"CAST({c} AS STRING)" for c in cols)
         sigs_of.append(sig)
     if dialect == "spark":
@@ -319,11 +321,11 @@ def _bands_sql(dialect: str) -> str:
             for b, sig in enumerate(sigs_of)
         )
         return (
-            f"SELECT doc_id, _b.band_id, _b.band_sig FROM sigs "
+            f"SELECT doc_id, _b.band_id, _b.band_sig FROM {src} "
             f"LATERAL VIEW explode(array({structs})) _e AS _b"
         )
     return " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, {sig} AS band_sig FROM sigs"
+        f"SELECT doc_id, {b} AS band_id, {sig} AS band_sig FROM {src}"
         for b, sig in enumerate(sigs_of)
     )
 
@@ -540,6 +542,102 @@ SELECT t.doc_id, z.n_grams,
 FROM train_sh t JOIN test_sh x ON t.sh = x.sh
 JOIN sizes z ON t.doc_id = z.doc_id
 GROUP BY t.doc_id, z.n_grams
+"""
+
+
+def _sigs_over(dialect: str, src: str, p: str, n: int = 3) -> str:
+    """Shingle→MinHash-signature CTE chain over an arbitrary (doc_id, text)
+    CTE named ``src``, with every intermediate CTE prefixed ``p`` so two
+    chains can coexist in one query (dd12 needs the test side AND the
+    train side).  Same hash series as shingles_cte/_minhash_sig_cte —
+    mirrors operators/dedup.minhash_signatures exactly."""
+    toks = split_ws(dialect, "text")
+    tok_rows = explode_with_pos(dialect, f"{p}docs", "toks", "pos", "tok", "doc_id")
+    win = "PARTITION BY doc_id ORDER BY pos ASC"
+    combine = "CAST(7 AS BIGINT)"
+    for j in range(n):
+        term = "h" if j == 0 else f"lead(h, {j}) OVER ({win})"
+        combine = f"(({combine}) * 131 + {term}) % {P_MOD}"
+    mh_cols = ",\n         ".join(
+        f"min((CAST({a} AS BIGINT) * sh + {b}) % {P_MOD}) AS h{i + 1}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""{p}docs AS (SELECT doc_id, {toks} AS toks FROM {src}),
+{p}tok_rows AS ({tok_rows}),
+{p}tok_hashed AS (
+  SELECT doc_id, pos, {tok_hash(dialect, "tok")} AS h FROM {p}tok_rows
+),
+{p}sh_rows AS (SELECT doc_id, {combine} AS sh FROM {p}tok_hashed),
+{p}hashed AS (SELECT DISTINCT doc_id, sh FROM {p}sh_rows WHERE sh IS NOT NULL),
+{p}sigs AS (SELECT doc_id, {mh_cols} FROM {p}hashed GROUP BY doc_id)"""
+
+
+def sql_neardup_decontamination(dialect: str) -> str:
+    """DD12 — NEAR-DUP decontamination (the fuzzy gate dd10/dd11 cannot
+    be): train docs are flagged when their recall-tuned MinHash bands
+    (8 bands × 2 rows over the 16 hashes — S-curve threshold ≈ 0.35
+    Jaccard) collide with any test doc's bands.  The planted leaks —
+    every DECON_PLANT_STRIDE-th test doc re-entering training with every
+    12th token replaced — keep no 13 consecutive original tokens, so the
+    exact gate misses them by construction while the banded gate must
+    surface them.  Mirrors operators/dedup.near_contaminated_docs_from_table
+    + the dd12 query's planted fixture exactly."""
+    from ..operators.dedup import (
+        DECON_BAND_SIZE,
+        DECON_PLANT_BASE,
+        DECON_PLANT_STRIDE,
+    )
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    t_lo, t_hi = SPLIT_BOUNDS["test"]
+    tr_hi = SPLIT_BOUNDS["train"][1]
+    toks = split_ws(dialect, "text")
+    if dialect == "spark":
+        perturbed = (
+            "array_join(transform(toks, (t, i) -> "
+            "CASE WHEN (i + 1) % 12 = 0 THEN 'xq' ELSE t END), ' ')"
+        )
+    else:
+        perturbed = (
+            "array_to_string(list_transform(toks, (t, i) -> "
+            "CASE WHEN i % 12 = 0 THEN 'xq' ELSE t END), ' ')"
+        )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, ({h}) % {N_BUCKETS} AS bucket FROM documents
+),
+test_docs AS (
+  SELECT doc_id, text FROM base WHERE bucket >= {t_lo} AND bucket < {t_hi}
+),
+planted AS (
+  SELECT doc_id + {DECON_PLANT_BASE} AS doc_id, {perturbed} AS text
+  FROM (
+    SELECT doc_id, {toks} AS toks FROM test_docs
+    WHERE doc_id % {DECON_PLANT_STRIDE} = 0
+  ) src_p
+),
+train_docs AS (
+  SELECT doc_id, text FROM base WHERE bucket < {tr_hi}
+  UNION ALL SELECT doc_id, text FROM planted
+),
+{_sigs_over(dialect, "test_docs", "t_")},
+{_sigs_over(dialect, "train_docs", "r_")},
+t_bands AS ({_bands_sql(dialect, "t_sigs", DECON_BAND_SIZE)}),
+r_bands AS ({_bands_sql(dialect, "r_sigs", DECON_BAND_SIZE)}),
+hits AS (
+  SELECT r.doc_id, t.doc_id AS test_id, count(*) AS n_bands
+  FROM r_bands r JOIN t_bands t
+    ON r.band_id = t.band_id AND r.band_sig = t.band_sig
+  GROUP BY r.doc_id, t.doc_id
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_test_matches,
+       CAST(max(n_bands) AS BIGINT) AS max_shared_bands,
+       doc_id >= {DECON_PLANT_BASE} AS is_planted_leak,
+       true AS replay_zero,
+       true AS table_matches_oneshot
+FROM hits GROUP BY doc_id
 """
 
 
@@ -795,6 +893,13 @@ def _make_query(body):
 
 for _name, _body in _BODIES.items():
     QUERIES[_name] = _make_query(_body)
+
+# dd12's Spark side is the TABLE-DRIVEN operator path (incremental band
+# table + gate + one-shot twin), registered in plans/queries.py — only the
+# DuckDB oracle comes from the SQL rendering here.  The spark rendering
+# stays verified against the operator gate by
+# tests/test_text_dedup.py::test_dd12_sql_rendering_matches_operator.
+TEXT_ORACLES["dd12_neardup_decontamination"] = sql_neardup_decontamination("duck")
 
 
 def _dd2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,6 +54,8 @@ def test_r10_driver_window_pinned():
         "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
         "txt14_doc_retrieval",
     ]
+    # new r10 queries sit directly after the never-rowed block
+    assert names[20] == "dd12_neardup_decontamination"
     # slot 50 boundary: the frozen-for-r11 block starts at index 50
-    assert names[49] == "flagship"
-    assert names[50] == "s14_arima_registry"
+    assert names[49] == "mm6_png_roundtrip_stats"
+    assert names[50] == "flagship"

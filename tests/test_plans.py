@@ -245,7 +245,8 @@ def test_r8_banded_joins_never_nested_loop(spark, sf_dir):
     _band_self_join; mm7/mm8 are checked directly — mm8 rides the same
     generic banded join, so this also pins the audio path.)"""
     for name in ("dd9_incremental_minhash", "mm7_dhash_pairs",
-                 "mm8_audio_pairs", "mm9_video_pairs"):
+                 "mm8_audio_pairs", "mm9_video_pairs",
+                 "dd12_neardup_decontamination"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

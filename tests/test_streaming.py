@@ -964,3 +964,81 @@ def test_pq_ingest_tolerates_null_and_ragged_vectors(spark, sf_dir, tmp_path):
     assert metrics["n_new"] == good.count()
     assert got.count() == good.count()
     assert got.filter("vec_id >= 100000").count() == 0
+
+
+def test_dd12_gate_from_streamed_table_matches_batch(spark, sf_dir, tmp_path):
+    """DD12's streaming form: the test-set band table maintained by
+    foreachBatch (recall-tuned DECON_BAND_SIZE banding) over a
+    two-micro-batch test-doc stream is EXACTLY the batch-built table, a
+    replay appends zero rows, and the near-dup gate driven from the
+    streamed table flags exactly what the batch-built gate flags."""
+    from real_time_stock_market_data_pipeline_spark.operators import dedup
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        hash_bucket_col,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as SF
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((b >= lo) & (b < hi)).select("doc_id", "text")
+    train = docs.filter(b < SPLIT_BOUNDS["train"][1]).select("doc_id", "text")
+
+    src = tmp_path / "src"
+    test.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    test.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream_tab = str(tmp_path / "decon_bands_stream")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(test.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(
+                dedup.signature_table_sink(
+                    stream_tab, band_size=dedup.DECON_BAND_SIZE
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    cols = ["doc_id", "band_id", "band_sig"]
+    stream_rows = sorted(
+        map(tuple, spark.read.parquet(stream_tab).select(*cols).collect())
+    )
+
+    batch_tab = str(tmp_path / "decon_bands_batch")
+    dedup.update_signature_table(
+        test, batch_tab, band_size=dedup.DECON_BAND_SIZE
+    )
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(batch_tab).select(*cols).collect())
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+    run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
+    assert (
+        sorted(map(tuple, spark.read.parquet(stream_tab).select(*cols).collect()))
+        == stream_rows
+    )
+
+    gate_stream = sorted(
+        map(
+            tuple,
+            dedup.near_contaminated_docs_from_table(train, stream_tab).collect(),
+        )
+    )
+    gate_batch = sorted(
+        map(
+            tuple,
+            dedup.near_contaminated_docs_from_table(train, batch_tab).collect(),
+        )
+    )
+    assert gate_stream == gate_batch and len(gate_stream) > 0

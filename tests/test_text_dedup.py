@@ -790,3 +790,70 @@ def test_incremental_decontamination_planted_leak(spark, tmp_path):
     assert flagged[100].n_shared == 1
     m3 = dedup.update_test_shingle_table(test_b1, path)  # replay
     assert m3["n_new_docs"] == 0
+
+
+def test_dd12_sql_rendering_matches_operator(spark, sf_dir):
+    """The Spark-SQL dialect rendering of DD12 (the oracle's 1:1 twin)
+    stays equal to the registered table-driven operator path on the core
+    flag columns — the rendering exists for the DuckDB oracle, the
+    operator path for production; they must not drift."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_neardup_decontamination,
+    )
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    cols = ["doc_id", "n_test_matches", "max_shared_bands"]
+    sql_rows = sorted(
+        map(tuple, spark.sql(sql_neardup_decontamination("spark")).select(*cols).collect())
+    )
+    op_rows = sorted(
+        map(
+            tuple,
+            QUERIES["dd12_neardup_decontamination"](spark, sf_dir)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert sql_rows == op_rows and len(sql_rows) > 0
+
+
+def test_dd12_banded_gate_catches_what_exact_gate_cannot(spark, sf_dir):
+    """The reason dd12 exists: the planted paraphrased leaks (every 12th
+    token replaced) keep NO 13 consecutive original tokens, so the
+    dd10/dd11 exact gate finds zero of them — while the banded gate must
+    flag every one (trigram Jaccard stays far above the 8×2 banding's
+    ≈0.35 S-curve threshold)."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        hash_bucket_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((b >= lo) & (b < hi)).select("doc_id", "text")
+    toks = text.tokens_col("text")
+    planted = test.filter(
+        F.col("doc_id") % dedup.DECON_PLANT_STRIDE == 0
+    ).select(
+        (F.col("doc_id") + dedup.DECON_PLANT_BASE).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                toks,
+                lambda t, i: F.when((i + 1) % 12 == 0, F.lit("xq")).otherwise(t),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    n_planted = planted.count()
+    assert n_planted > 0
+
+    # exact 13-gram gate: blind to every planted doc
+    test_sh = dedup.shingle_hashes(test, n=13).select("sh").distinct()
+    planted_sh = dedup.shingle_hashes(planted, n=13)
+    assert planted_sh.join(test_sh, "sh").count() == 0
+
+    # banded gate: flags every planted doc
+    flagged = QUERIES["dd12_neardup_decontamination"](spark, sf_dir)
+    n_flagged_planted = flagged.filter("is_planted_leak").count()
+    assert n_flagged_planted == n_planted
