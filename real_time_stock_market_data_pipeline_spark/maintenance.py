@@ -448,6 +448,72 @@ def compact_parquet(
     return summary
 
 
+def compact_doc_keyed_table(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, tuple[int, int]]:
+    """Compact an insert-only doc-keyed derivation table (the
+    ``_update_doc_keyed_table`` family: MinHash bands dd9, test shingles
+    dd11, decontamination bands dd12, BPE segmentations txt9, PQ codes
+    emb12) — the anti-join+append contract appends one file set per
+    batch FOREVER, the classic small-files killer: after N batches every
+    table read (including each batch's own anti-join) lists and opens N
+    file sets, so steady-state ingest cost silently becomes O(batches)
+    even though the anti-join's row work stays O(new docs).
+
+    Rewrite = one RANGE-CLUSTERED pass: ``repartitionByRange`` on the id
+    key + sort within, so each output file covers a disjoint key range
+    and the per-batch anti-join's id probes prune by parquet zone maps
+    (the ``write_range_sorted`` layout applied to maintenance).  Swap =
+    the same staging/``_UPSERT_COMMIT``/rename protocol as
+    ``compact_parquet``'s flat path, so every crash window is repaired
+    by ``recover_upsert(path)``; single-writer, driver-local paths —
+    run it BETWEEN batches, never concurrently with an update.
+
+    Row content is untouched, so the family invariants survive
+    compaction verbatim: replay still appends zero rows (the anti-join
+    reads the same ids) and gates driven from the table are unchanged —
+    pinned by tests/test_maintenance.py.  Returns ``{".": (files_before,
+    files_after)}`` or ``{}`` when already compact.  Idempotent.
+    """
+    _require_local_path(path, "compact_doc_keyed_table")
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories from an interrupted "
+            f"upsert/compaction: {leftovers}; run recover_upsert({path!r}) first"
+        )
+
+    def _data_files(d: str) -> list[str]:
+        return [
+            f
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+            and os.path.isfile(os.path.join(d, f))
+        ]
+
+    files = _data_files(path)
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    need = max(1, -(-total // target_file_bytes))
+    if len(files) <= need:
+        return {}
+    merged = (
+        spark.read.parquet(path)
+        .repartitionByRange(need, F.col(id_col))
+        .sortWithinPartitions(id_col)
+    )
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staging)
+    _mark_staging_complete(staging)
+    old = f"{path}__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {".": (len(files), len(_data_files(path)))}
+
+
 def expire_partitions(path: str, partition_col: str, before: str) -> list[str]:
     """Retention: drop every ``partition_col=value`` directory with
     ``value < before`` — a METADATA-ONLY operation on a partitioned store

@@ -226,6 +226,66 @@ def probe_pq_serving(spark, base: str, scaled: str) -> list[dict]:
     return rows
 
 
+def probe_doc_table_compaction(spark) -> dict:
+    """Evidences the r9 verdict's small-files item: the anti-join+append
+    tables accrete one file set per batch forever, so after N batches
+    every table read (each batch's own anti-join included) pays O(N)
+    file listing/opens.  Build the dd11 test-shingle table as 40
+    fragmented micro-appends, time the per-run gate, compact
+    (compact_doc_keyed_table — range-clustered, crash-safe swap), time it
+    again: file count collapses to byte-need and the read cost stops
+    scaling with batch count."""
+    import shutil
+
+    from real_time_stock_market_data_pipeline_spark.maintenance import (
+        compact_doc_keyed_table,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        contaminated_docs_from_table,
+        update_test_shingle_table,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        hash_bucket_col,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, BASE, "documents")
+    b = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((b >= lo) & (b < hi)).select("doc_id", "text")
+    train = docs.filter(b < SPLIT_BOUNDS["train"][1]).select("doc_id", "text")
+    path = os.path.join(SCRATCH, "compaction_probe_tab")
+    shutil.rmtree(path, ignore_errors=True)
+    n_batches = 40
+    for k in range(n_batches):
+        update_test_shingle_table(
+            test.filter(f"doc_id % {n_batches} = {k}").repartition(4), path
+        )
+
+    def n_files() -> int:
+        return sum(
+            1
+            for f in os.listdir(path)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(path, f))
+        )
+
+    files_frag = n_files()
+    t_frag = timed(lambda *_: contaminated_docs_from_table(train, path))
+    compact_doc_keyed_table(spark, path)
+    files_comp = n_files()
+    t_comp = timed(lambda *_: contaminated_docs_from_table(train, path))
+    return {
+        "probe": "doc_table_compaction",
+        "n_batches": n_batches,
+        "files_fragmented": files_frag,
+        "files_compacted": files_comp,
+        "gate_s_fragmented": t_frag,
+        "gate_s_compacted": t_comp,
+        "factor": round(t_comp / max(t_frag, 1e-9), 2),
+    }
+
+
 def main() -> None:
     only = None
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
@@ -264,6 +324,8 @@ def main() -> None:
             scaled = build_scaled(spark)
         for row in probe_pq_serving(spark, BASE, scaled):
             print(json.dumps(row))
+    if only is None or "compaction" in only:
+        print(json.dumps(probe_doc_table_compaction(spark)))
 
 
 if __name__ == "__main__":

@@ -519,3 +519,93 @@ def test_expire_partitions_retention(spark, tmp_path, monkeypatch):
     actions = mnt.recover_upsert(path)
     assert any("superseded" in a for a in actions)
     assert not [e for e in os.listdir(str(tmp_path)) if "__old_" in e]
+
+
+def test_compact_doc_keyed_table_preserves_family_invariants(spark, sf_dir, tmp_path):
+    """Compacting an insert-only doc-keyed table (the anti-join+append
+    family's small-files fix) must change ONLY the file layout: rows
+    identical, file count down, a replayed batch still appends nothing,
+    and the decontamination gate driven from the table is unchanged.
+    Second run is a no-op; a crash mid-swap repairs through the shared
+    recover_upsert rule."""
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+    from real_time_stock_market_data_pipeline_spark.operators import dedup
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        hash_bucket_col,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((b >= lo) & (b < hi)).select("doc_id", "text")
+    train = docs.filter(b < SPLIT_BOUNDS["train"][1]).select("doc_id", "text")
+
+    path = str(tmp_path / "shingletab")
+    # 4 appends, each a multi-file write → a fragmented table
+    for k in range(4):
+        dedup.update_test_shingle_table(
+            test.filter(f"doc_id % 4 = {k}").repartition(4), path
+        )
+
+    def data_files() -> int:
+        return sum(
+            1
+            for f in os.listdir(path)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(path, f))
+        )
+
+    rows_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    gate_before = sorted(
+        map(tuple, dedup.contaminated_docs_from_table(train, path).collect())
+    )
+    files_before = data_files()
+    assert files_before > 1
+
+    summary = mnt.compact_doc_keyed_table(spark, path)
+    assert summary and summary["."][0] == files_before
+    assert data_files() < files_before
+
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before
+    # replay-zero survives compaction: the anti-join sees the same ids
+    m = dedup.update_test_shingle_table(test.filter("doc_id % 4 = 0"), path)
+    assert m["n_new_docs"] == 0
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before
+    # the gate is byte-identical
+    assert (
+        sorted(map(tuple, dedup.contaminated_docs_from_table(train, path).collect()))
+        == gate_before
+    )
+    # idempotent
+    assert mnt.compact_doc_keyed_table(spark, path) == {}
+
+
+def test_compact_doc_keyed_table_crash_recovers(spark, tmp_path, monkeypatch):
+    """A doc-keyed-table compaction killed between the two swap renames
+    repairs through the same recover_upsert rule (complete staging rolls
+    forward to the compacted table; no row lost)."""
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    path = str(tmp_path / "dk_crash")
+    spark.range(200).selectExpr("id AS doc_id", "id * 7 % 97 AS sh").repartition(
+        6
+    ).write.parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    with pytest.raises(OSError, match="simulated crash"):
+        _fail_rename_after(monkeypatch, 1)  # dies between the two renames
+        mnt.compact_doc_keyed_table(spark, path)
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="orphaned"):
+        mnt.compact_doc_keyed_table(spark, path)
+
+    actions = mnt.recover_upsert(path)
+    assert actions
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert mnt.compact_doc_keyed_table(spark, path) == {}
