@@ -1114,3 +1114,138 @@ def video_near_dup_pairs(
     bits — the shared generic banded join (see ``audio_near_dup_pairs``)."""
     return dhash_near_dup_pairs(df, id_col=id_col, hash_col=hash_col,
                                 max_hamming=max_hamming)
+
+
+def reencode_png(df: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
+    """Transcode any decodable container (BMP/PNG) to PNG in place —
+    decode to pixels with the real byte-level decoders, re-encode with the
+    real DEFLATE/CRC PNG writer.  Pixels are preserved EXACTLY (both
+    containers are lossless), so every perceptual hash downstream is
+    unchanged while the BYTES (and any exact byte/content hash) change
+    completely — which is precisely the leak shape mm10's cross-modal
+    decontamination gate exists to catch.  Non-decodable payloads → NULL.
+    Arrow mapInPandas, map-only."""
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def enc(b: bytes | None):
+            px = decode_pixels(b)
+            return None if px is None else encode_png(px)
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[bytes_col] = [enc(b) for b in pdf[bytes_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=fields)
+
+
+# --- Cross-modal decontamination (mm10) -------------------------------------
+# The perceptual triad (mm7 image / mm8 audio / mm9 video) feeds dedup but
+# not the contamination family: a benchmark's test IMAGES leak into
+# training as re-encodes/resizes, which byte-level exact dedup cannot see.
+# Same closure as dd12's for text: the accumulated test set's 64-bit
+# perceptual hashes persist as an insert-only BANDED fingerprint table
+# (the dedup._update_doc_keyed_table contract — a media object's hash
+# never changes under a fixed hash function), and the per-training-run
+# gate is one equi-join on the (band_id, band_val) key + an exact Hamming
+# verify against the stored hash.  Works for any of the triad's hashes
+# (dhash/afp/vhash) — the table schema is hash-agnostic.
+
+
+def update_media_fingerprint_table(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> dict[str, int]:
+    """Incrementally maintain the persisted banded media-fingerprint table:
+    rows (id, band_id, band_val, fp) — band-expanded up front so the gate
+    join needs ZERO test-side computation at check time.  Docs whose media
+    failed to decode (NULL hash) derive no rows and re-check each batch
+    (the documented _update_doc_keyed_table behavior).  Returns
+    ``{"n_batch_docs", "n_new_docs"}``; replay appends nothing."""
+    from .dedup import _update_doc_keyed_table
+
+    def derive(nd: DataFrame) -> DataFrame:
+        hashed = nd.select(F.col(id_col), F.col(hash_col)).filter(
+            F.col(hash_col).isNotNull()
+        )
+        band_structs = [
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.shiftright(F.col(hash_col), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("band_val"),
+            )
+            for i in range(DHASH_BANDS)
+        ]
+        return hashed.select(
+            F.col(id_col),
+            F.col(hash_col).alias("fp"),
+            F.explode(F.array(*band_structs)).alias("_b"),
+        ).select(id_col, "fp", "_b.band_id", "_b.band_val")
+
+    return _update_doc_keyed_table(df, path, id_col, derive)
+
+
+def media_fingerprint_table_sink(
+    path: str, id_col: str = "doc_id", hash_col: str = "dhash"
+):
+    """``foreachBatch`` writer maintaining the fingerprint table from a
+    hashed-media STREAM — at-least-once redelivery idempotent via the
+    anti-join (stream-built ≡ batch-built, replay appends zero rows)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_media_fingerprint_table(batch_df, path, id_col, hash_col)
+
+    return write_batch
+
+
+def media_contamination_pairs_from_table(
+    train_df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_id, test_id, hamming) for every train media object within
+    ``max_hamming`` bits of a PERSISTED test fingerprint — candidates from
+    one equi-join on (band_id, band_val) (never train×test all-pairs),
+    exact bit_count verify JVM-side.  Pigeonhole: hamming < DHASH_BANDS
+    ⇒ some 16-bit band identical, so recall is PERFECT for
+    ``max_hamming`` ≤ 3, not probabilistic — a re-encoded leak (identical
+    pixels, different container) sits at distance 0 and cannot escape."""
+    if max_hamming >= DHASH_BANDS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee for {DHASH_BANDS} bands; raise DHASH_BANDS instead"
+        )
+    spark = train_df.sparkSession
+    table = spark.read.parquet(path).select(
+        F.col(id_col).alias("test_id"), "fp", "band_id", "band_val"
+    )
+    hashed = train_df.select(F.col(id_col), F.col(hash_col)).filter(
+        F.col(hash_col).isNotNull()
+    )
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright(F.col(hash_col), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("band_val"),
+        )
+        for i in range(DHASH_BANDS)
+    ]
+    bands = hashed.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, hash_col, "_b.band_id", "_b.band_val")
+    ham = F.bit_count(F.expr(f"{hash_col} ^ fp"))
+    return (
+        bands.join(table, ["band_id", "band_val"])
+        .select(F.col(id_col), "test_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -981,6 +981,32 @@ FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
 WHERE d1.doc_id % 2 = 0 AND d1.text IS NOT NULL AND d2.text IS NOT NULL
 """
 
+# MM10: cross-modal decontamination — every DECON_PLANT_STRIDE-th test-split
+# image re-enters training transcoded BMP→PNG (identical pixels, different
+# bytes), so the banded perceptual gate must flag each planted doc against
+# its source at Hamming distance EXACTLY 0; the incremental-table and
+# replay gates pin TRUE.  Organic cross-split matches are projected out
+# in-plan (mm7's oracle-derivability pattern).
+def _mm10_oracle() -> str:
+    from ..operators.dedup import DECON_PLANT_BASE, DECON_PLANT_STRIDE
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+    from .dialect import tok_hash
+
+    h = tok_hash("duck", "CAST(doc_id AS STRING)")
+    lo, hi = SPLIT_BOUNDS["test"]
+    return f"""
+SELECT doc_id + {DECON_PLANT_BASE} AS doc_id, CAST(0 AS BIGINT) AS hamming,
+       true AS replay_zero, true AS table_matches_oneshot
+FROM (
+  SELECT doc_id, text, ({h}) % {N_BUCKETS} AS bucket FROM documents
+) t
+WHERE bucket >= {lo} AND bucket < {hi}
+  AND doc_id % {DECON_PLANT_STRIDE} = 0 AND text IS NOT NULL
+"""
+
+
+ORACLES["mm10_crossmodal_decontamination"] = _mm10_oracle()
+
 # MM9: perceptual video twin pairs — same planted-twin construction as
 # mm7/mm8 (docs 2k, 2k+1 share byte-identical AVI clips).
 ORACLES["mm9_video_pairs"] = """

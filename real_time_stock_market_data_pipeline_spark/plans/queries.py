@@ -1963,6 +1963,129 @@ def dd12_neardup_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mm10_crossmodal_decontamination")
+def mm10_crossmodal_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM10 — cross-modal decontamination (operators/multimodal
+    update_media_fingerprint_table / media_contamination_pairs_from_table):
+    dd11/dd12 protect the TEXT of an eval set, but benchmark images leak
+    into training as RE-ENCODES — identical pixels, different container
+    bytes — which exact byte/content hashing cannot see.  The test
+    split's images (mm7's per-doc synthetic BMPs, keyed by doc_id so
+    every doc's image is unique) are perceptually hashed (real decode →
+    dHash) and accumulate into an insert-only BANDED fingerprint table
+    (the _update_doc_keyed_table contract; two batches + a REPLAY —
+    replay_zero exposes idempotence); the planted leaks — every
+    DECON_PLANT_STRIDE-th test image transcoded BMP→PNG through the real
+    codecs (reencode_png) — re-enter training under new ids, and the
+    per-run gate (one equi-join on the 16-bit band key + exact bit_count
+    verify, pigeonhole-perfect recall at hamming ≤ 3) must surface every
+    one at distance 0.  The output projects the PLANTED self-matches
+    (mm7's oracle-derivability pattern — organic cross-split perceptual
+    matches are what the hash is for but not SQL-predictable); the
+    accumulated table must equal a one-shot build, checked in-plan
+    (gate column).  Reference analogue: the same exists-check shape
+    (producer/producer.py:368-380) on perceptual keys."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import DECON_PLANT_BASE, DECON_PLANT_STRIDE
+    from ..operators.multimodal import (
+        image_dhash,
+        media_contamination_pairs_from_table,
+        reencode_png,
+        update_media_fingerprint_table,
+    )
+    from ..operators.sampling import SPLIT_BOUNDS, hash_bucket_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    base = (
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("__b", bucket)
+        .withColumn("w", F.expr("pmod(doc_id, 13) + 4"))
+        .withColumn("h", F.expr("pmod(doc_id, 7) + 4"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("n", F.expr("stride * h"))
+    )
+    header = F.expr(
+        "concat(X'424D', "
+        + _le_bytes_sql("54 + n", 4)
+        + ", X'00000000', X'36000000', "
+        + "X'28000000', "
+        + _le_bytes_sql("w", 4) + ", "
+        + _le_bytes_sql("h", 4) + ", "
+        + "X'0100', X'1800', X'00000000', "
+        + _le_bytes_sql("n", 4)
+        + ", X'" + "00" * 16 + "')"
+    )
+    pixels = F.expr(
+        "unhex(array_join(transform(sequence(0, n - 1), "
+        "j -> lpad(hex(pmod(j * (2 + pmod(doc_id, 7)) + doc_id, 256)), 2, '0')), ''))"
+    )
+    media = base.withColumn("media_bytes", F.concat(header, pixels)).select(
+        "doc_id", "__b", "media_bytes"
+    )
+    test_media = media.filter((F.col("__b") >= lo) & (F.col("__b") < hi)).drop("__b")
+    train_media = media.filter(F.col("__b") < SPLIT_BOUNDS["train"][1]).drop("__b")
+    planted = reencode_png(
+        test_media.filter(F.col("doc_id") % DECON_PLANT_STRIDE == 0)
+    ).select((F.col("doc_id") + DECON_PLANT_BASE).alias("doc_id"), "media_bytes")
+    hashed_test = image_dhash(test_media).select("doc_id", "dhash")
+    hashed_train = image_dhash(train_media.unionByName(planted)).select(
+        "doc_id", "dhash"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_mediafp",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "incremental")
+    update_media_fingerprint_table(hashed_test.filter("doc_id % 2 = 0"), path)
+    update_media_fingerprint_table(hashed_test.filter("doc_id % 2 = 1"), path)
+    m3 = update_media_fingerprint_table(
+        hashed_test.filter("doc_id % 2 = 0"), path
+    )  # replay: appends nothing
+    # lazy localCheckpoint (dd12's pattern): the pair frame feeds the
+    # one-shot-equality action AND the returned plan
+    pairs = media_contamination_pairs_from_table(
+        hashed_train, path
+    ).localCheckpoint(eager=False)
+    oneshot_path = os.path.join(root, "oneshot")
+    update_media_fingerprint_table(hashed_test, oneshot_path)
+    pairs_o = media_contamination_pairs_from_table(hashed_train, oneshot_path)
+    row = (
+        pairs.withColumn("__t", F.lit(1))
+        .join(
+            pairs_o.withColumn("__o", F.lit(1)),
+            ["doc_id", "test_id", "hamming"],
+            "full",
+        )
+        .agg(
+            F.count("__t").alias("n_t"),
+            F.count("__o").alias("n_o"),
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff"),
+        )
+        .collect()[0]
+    )
+    gate = bool(row.n_t == row.n_o and (row.n_diff or 0) == 0)
+    return pairs.filter(
+        (F.col("doc_id") >= DECON_PLANT_BASE)
+        & (F.col("test_id") == F.col("doc_id") - DECON_PLANT_BASE)
+    ).select(
+        "doc_id",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.lit(m3["n_new_docs"] == 0).alias("replay_zero"),
+        F.lit(gate).alias("table_matches_oneshot"),
+    )
+
+
 @register("mm8_audio_pairs")
 def mm8_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM8 — perceptual audio near-dup detection end-to-end

@@ -751,3 +751,55 @@ def test_video_dhash_majority_robust_and_pairs(spark):
              for r in video_near_dup_pairs(hashed).collect()}
     assert pairs.get((1, 2)) == 0 and pairs.get((1, 3)) == 0
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_mm10_reencoded_leak_caught_where_byte_dedup_is_blind(spark, tmp_path):
+    """The reason mm10 exists: a BMP→PNG transcode keeps every pixel (both
+    containers lossless) so the perceptual gate flags it at Hamming 0 with
+    pigeonhole-perfect recall — while EXACT byte-level dedup sees two
+    unrelated blobs (no byte hash collides).  Also pins replay-zero on
+    the fingerprint table."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        encode_bmp24,
+        image_dhash,
+        media_contamination_pairs_from_table,
+        reencode_png,
+        update_media_fingerprint_table,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, bytearray(encode_bmp24(rng.randint(0, 256, (8, 9, 3)))))
+        for i in range(20)
+    ]
+    test_media = spark.createDataFrame(
+        [(i, bytes(b)) for i, b in rows], "doc_id BIGINT, media_bytes BINARY"
+    )
+    # leak = re-encoded test images under new ids
+    leaked = reencode_png(test_media.filter("doc_id % 4 = 0")).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "media_bytes"
+    )
+    # byte-level blindness: no leaked payload equals any test payload
+    byte_join = leaked.select(
+        F.sha2(F.col("media_bytes"), 256).alias("h")
+    ).join(
+        test_media.select(F.sha2(F.col("media_bytes"), 256).alias("h")), "h"
+    )
+    assert byte_join.count() == 0
+
+    path = str(tmp_path / "fp_tab")
+    hashed_test = image_dhash(test_media).select("doc_id", "dhash")
+    update_media_fingerprint_table(hashed_test.filter("doc_id < 10"), path)
+    update_media_fingerprint_table(hashed_test.filter("doc_id >= 10"), path)
+    m = update_media_fingerprint_table(hashed_test.filter("doc_id < 10"), path)
+    assert m["n_new_docs"] == 0  # replay-zero
+
+    hashed_leak = image_dhash(leaked).select("doc_id", "dhash")
+    pairs = media_contamination_pairs_from_table(hashed_leak, path).collect()
+    got = {(r.doc_id, r.test_id, r.hamming) for r in pairs}
+    want = {(i + 1000, i, 0) for i in range(0, 20, 4)}
+    # every planted leak flagged against its source at distance 0 (other
+    # organic matches are allowed — that is what a perceptual hash is for)
+    assert want <= got

@@ -246,7 +246,8 @@ def test_r8_banded_joins_never_nested_loop(spark, sf_dir):
     generic banded join, so this also pins the audio path.)"""
     for name in ("dd9_incremental_minhash", "mm7_dhash_pairs",
                  "mm8_audio_pairs", "mm9_video_pairs",
-                 "dd12_neardup_decontamination"):
+                 "dd12_neardup_decontamination",
+                 "mm10_crossmodal_decontamination"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name

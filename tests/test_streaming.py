@@ -1042,3 +1042,76 @@ def test_dd12_gate_from_streamed_table_matches_batch(spark, sf_dir, tmp_path):
         )
     )
     assert gate_stream == gate_batch and len(gate_stream) > 0
+
+
+def test_media_fingerprint_table_stream_matches_batch(spark, tmp_path):
+    """MM10's streaming form: the banded media-fingerprint table maintained
+    by foreachBatch over a two-micro-batch hashed-media stream equals the
+    batch-built table, a replay appends zero rows, and the contamination
+    gate driven from the streamed table flags exactly what the
+    batch-built gate flags."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        encode_bmp24,
+        image_dhash,
+        media_contamination_pairs_from_table,
+        media_fingerprint_table_sink,
+        update_media_fingerprint_table,
+    )
+    from pyspark.sql import functions as SF
+
+    rng = np.random.RandomState(11)
+    test_media = spark.createDataFrame(
+        [(i, bytes(encode_bmp24(rng.randint(0, 256, (8, 9, 3))))) for i in range(24)],
+        "doc_id BIGINT, media_bytes BINARY",
+    )
+    hashed = image_dhash(test_media).select("doc_id", "dhash")
+
+    src = tmp_path / "src"
+    hashed.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    hashed.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream_tab = str(tmp_path / "fp_stream")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(hashed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(media_fingerprint_table_sink(stream_tab))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    cols = ["doc_id", "fp", "band_id", "band_val"]
+    stream_rows = sorted(
+        map(tuple, spark.read.parquet(stream_tab).select(*cols).collect())
+    )
+
+    batch_tab = str(tmp_path / "fp_batch")
+    update_media_fingerprint_table(hashed, batch_tab)
+    batch_rows = sorted(
+        map(tuple, spark.read.parquet(batch_tab).select(*cols).collect())
+    )
+    assert stream_rows == batch_rows and len(stream_rows) > 0
+
+    run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
+    assert (
+        sorted(map(tuple, spark.read.parquet(stream_tab).select(*cols).collect()))
+        == stream_rows
+    )
+
+    probe = hashed.select(
+        (SF.col("doc_id") + 500).alias("doc_id"), "dhash"
+    )
+    gate_stream = sorted(
+        map(tuple, media_contamination_pairs_from_table(probe, stream_tab).collect())
+    )
+    gate_batch = sorted(
+        map(tuple, media_contamination_pairs_from_table(probe, batch_tab).collect())
+    )
+    assert gate_stream == gate_batch and len(gate_stream) > 0
