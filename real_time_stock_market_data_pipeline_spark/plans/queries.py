@@ -2086,6 +2086,79 @@ def mm10_crossmodal_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register("dd13_compacted_table")
+def dd13_compacted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD13 — small-file compaction for the incremental tables
+    (maintenance.compact_doc_keyed_table): the anti-join+append families
+    append one file set per batch FOREVER — the classic 100 TB
+    small-files killer, where steady-state read cost becomes O(batches)
+    from file listing/opens alone.  The dd11 test-shingle table is built
+    as three deliberately-fragmented batches (each a multi-file write),
+    then compacted in one RANGE-CLUSTERED crash-safe swap
+    (repartitionByRange on the doc id + sort-within → zone-map-tight
+    files for the anti-join's id probes; the staging/commit-marker
+    protocol recover_upsert repairs).  The driver row pins the three
+    invariants compaction must preserve and the one thing it must
+    change: files_reduced (layout DID change), rows_preserved (content
+    fingerprint identical before/after — count + order-free hash sum),
+    replay_zero_after_compaction (the anti-join still sees every id),
+    and n_rows — the exact distinct (doc, 13-gram) count the oracle
+    re-derives in DuckDB from the same split + shingle machinery."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..maintenance import compact_doc_keyed_table
+    from ..operators.dedup import update_test_shingle_table
+    from ..operators.sampling import SPLIT_BOUNDS, hash_bucket_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((bucket >= lo) & (bucket < hi)).select("doc_id", "text")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_compacttab",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    for k in range(3):
+        update_test_shingle_table(
+            test.filter(f"doc_id % 3 = {k}").repartition(4), path
+        )
+
+    def fingerprint() -> tuple:
+        row = (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("doc_id", "sh").cast("decimal(38,0)")),
+            )
+            .collect()[0]
+        )
+        return (row[0], row[1])
+
+    fp_before = fingerprint()
+    summary = compact_doc_keyed_table(spark, path)
+    files_reduced = bool(summary) and summary["."][1] < summary["."][0]
+    fp_after = fingerprint()
+    m = update_test_shingle_table(test.filter("doc_id % 3 = 0"), path)
+    return spark.createDataFrame(
+        [
+            (
+                files_reduced,
+                fp_after == fp_before,
+                m["n_new_docs"] == 0,
+                fp_after[0],
+            )
+        ],
+        "files_reduced BOOLEAN, rows_preserved BOOLEAN, "
+        "replay_zero_after_compaction BOOLEAN, n_rows BIGINT",
+    )
+
+
 @register("mm8_audio_pairs")
 def mm8_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM8 — perceptual audio near-dup detection end-to-end

@@ -545,6 +545,29 @@ GROUP BY t.doc_id, z.n_grams
 """
 
 
+def sql_compacted_table(dialect: str) -> str:
+    """DD13 — the compaction query's oracle: compaction must change ONLY
+    the file layout, so the three invariant gates pin TRUE and ``n_rows``
+    re-derives the table's exact content size — the distinct (doc,
+    13-gram) count over the test split, from the same split + shingle
+    machinery the table was built with."""
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    lo, hi = SPLIT_BOUNDS["test"]
+    return f"""
+WITH {shingles_cte(dialect, 13)},
+split AS (
+  SELECT doc_id, ({h}) % {N_BUCKETS} AS bucket FROM documents
+)
+SELECT true AS files_reduced, true AS rows_preserved,
+       true AS replay_zero_after_compaction,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM hashed x JOIN split s ON x.doc_id = s.doc_id
+WHERE s.bucket >= {lo} AND s.bucket < {hi}
+"""
+
+
 def _sigs_over(dialect: str, src: str, p: str, n: int = 3) -> str:
     """Shingle→MinHash-signature CTE chain over an arbitrary (doc_id, text)
     CTE named ``src``, with every intermediate CTE prefixed ``p`` so two
@@ -900,6 +923,11 @@ for _name, _body in _BODIES.items():
 # stays verified against the operator gate by
 # tests/test_text_dedup.py::test_dd12_sql_rendering_matches_operator.
 TEXT_ORACLES["dd12_neardup_decontamination"] = sql_neardup_decontamination("duck")
+
+# dd13's Spark side is the maintenance operator path (fragmented build →
+# compact → replay), registered in plans/queries.py; the oracle re-derives
+# the table's content size and pins the invariant gates.
+TEXT_ORACLES["dd13_compacted_table"] = sql_compacted_table("duck")
 
 
 def _dd2_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:

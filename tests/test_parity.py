@@ -55,9 +55,10 @@ def test_r10_driver_window_pinned():
         "txt14_doc_retrieval",
     ]
     # new r10 queries sit directly after the never-rowed block
-    assert names[20:22] == [
+    assert names[20:23] == [
         "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
+        "dd13_compacted_table",
     ]
     # slot 50 boundary: the frozen-for-r11 block starts at index 50
-    assert names[49] == "mm5_avi_frame_stats"
-    assert names[50] == "mm6_png_roundtrip_stats"
+    assert names[49] == "mm4_wav_stats"
+    assert names[50] == "mm5_avi_frame_stats"
