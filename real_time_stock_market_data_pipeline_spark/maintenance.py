@@ -24,7 +24,6 @@ from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
 
 from contextlib import contextmanager
 
@@ -263,10 +262,9 @@ def upsert_parquet(
             f"orphaned staging/old directories from an interrupted upsert: "
             f"{leftovers}; run recover_upsert({path!r}) before upserting"
         )
-    try:
-        store: DataFrame | None = spark.read.parquet(path)
-    except AnalysisException:
-        store = None
+    from .sources.readers import read_parquet_if_exists
+
+    store: DataFrame | None = read_parquet_if_exists(spark, path)
 
     if partition_col is None or store is None:
         merged = merge_upsert(store, updates, keys, order_col, tiebreak)

@@ -305,14 +305,12 @@ def update_segmentation_table(
     segmentation work proportional to NEW words only — the steady-state
     cost of tokenizing a growing corpus approaches the join-back alone.
     """
-    from pyspark.sql.utils import AnalysisException
+    from ..sources.readers import read_parquet_if_exists
 
     spark = df.sparkSession
     wc = word_counts(df, text).select("word")
-    try:
-        existing = spark.read.parquet(path).select("word")
-    except AnalysisException:  # PATH_NOT_FOUND on first batch, only
-        existing = None
+    table = read_parquet_if_exists(spark, path)  # None on first batch
+    existing = None if table is None else table.select("word")
     new_words = (
         wc if existing is None else wc.join(existing, "word", "left_anti")
     )

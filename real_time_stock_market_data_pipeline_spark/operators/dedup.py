@@ -428,14 +428,12 @@ def _update_doc_keyed_table(df, path: str, id_col: str, derive) -> dict[str, int
     "n_new_docs"}``; the second counts docs whose derivation actually ran
     (docs deriving zero rows re-check as "new" each batch but append
     nothing, so idempotence holds for them too)."""
-    from pyspark.sql.utils import AnalysisException
+    from ..sources.readers import read_parquet_if_exists
 
     spark = df.sparkSession
     ids = df.select(id_col).distinct()
-    try:
-        existing = spark.read.parquet(path).select(id_col).distinct()
-    except AnalysisException:  # PATH_NOT_FOUND on first batch, only
-        existing = None
+    table = read_parquet_if_exists(spark, path)  # None on first batch
+    existing = None if table is None else table.select(id_col).distinct()
     new_docs = (
         df if existing is None else df.join(existing, id_col, "left_anti")
     )

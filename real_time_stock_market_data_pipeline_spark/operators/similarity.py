@@ -442,15 +442,13 @@ def update_ivf_index(
     vector id + assignment work proportional to NEW vectors only; the
     append touches only the list partitions the new vectors land in —
     steady-state ingest cost is independent of index size."""
-    from pyspark.sql.utils import AnalysisException
+    from ..sources.readers import read_parquet_if_exists
 
     cents = _collect_codebook(
         spark.read.parquet(f"{path}/centroids"), centroid_id, vec
     )
-    try:
-        existing = spark.read.parquet(f"{path}/lists").select(vec_id)
-    except AnalysisException:  # first batch: no lists yet
-        existing = None
+    lists = read_parquet_if_exists(spark, f"{path}/lists")  # None: first batch
+    existing = None if lists is None else lists.select(vec_id)
     new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
     assigned = new.select(
         F.col(vec_id),
@@ -956,7 +954,7 @@ def update_pq_codes(
     serving tier: per batch one anti-join on the vector id plus JVM
     encode work proportional to NEW vectors only, appending 8-byte codes
     — the full-precision floats never need rewriting."""
-    from pyspark.sql.utils import AnalysisException
+    from ..sources.readers import read_parquet_if_exists
 
     cbs = load_pq_codebooks(spark, path)
     # NULL / wrong-length vectors would make the Arrow encode's np.stack
@@ -967,10 +965,8 @@ def update_pq_codes(
     batch = batch.filter(
         F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
     )
-    try:
-        existing = spark.read.parquet(f"{path}/codes").select(vec_id)
-    except AnalysisException:  # first batch: no codes yet
-        existing = None
+    codes = read_parquet_if_exists(spark, f"{path}/codes")  # None: first batch
+    existing = None if codes is None else codes.select(vec_id)
     new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
     # arrow path: per-batch encodes are small and frequent — the JVM
     # literal expression would recompile per batch (see pq_encode)

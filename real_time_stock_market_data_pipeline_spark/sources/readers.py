@@ -23,6 +23,29 @@ TABLES = (
 ).split()
 
 
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet table that may not exist yet (the incremental
+    tables' first batch; the upsert's first write) and return ``None``
+    when it doesn't.  Local paths are stat-checked up front — the
+    try/except-AnalysisException form is semantically identical but the
+    JVM logs the full PATH_NOT_FOUND stack at ERROR before the Python
+    side catches it, which pollutes bench/driver output with stacks for
+    an expected condition.  Non-local URIs (where ``os.path`` can't see)
+    keep the exception form."""
+    import os
+
+    if "://" not in path:
+        if not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
