@@ -1085,14 +1085,18 @@ def ivfpq_encode(
     fine,
     vec_id: str = "vec_id",
     vec: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """(vec_id, list_id, pq_codes) — the complete compressed index row:
     3 bits of list + 8 bytes of residual codes per vector at the
-    defaults.  Map-only JVM; at scale the output is written partitioned
-    by list_id so a probe reads only its lists (the emb8 hive-partition
-    layout)."""
+    defaults.  Map-only JVM by default; ``arrow=True`` routes the FINE
+    encode (the m·k·d_sub literal tree whose whole-stage-codegen compile
+    dominates repeated small batches — see pq_encode) through the
+    bit-identical Arrow path, the right shape for the update_ivfpq_index
+    ingest.  At scale the output is written partitioned by list_id so a
+    probe reads only its lists (the emb8 hive-partition layout)."""
     res = _with_residual(df, coarse, vec_id=vec_id, vec=vec)
-    return pq_encode(res, fine, vec="residual").select(
+    return pq_encode(res, fine, vec="residual", arrow=arrow).select(
         F.col(vec_id), F.col("list_id"), F.col("pq_codes")
     )
 
@@ -1211,3 +1215,79 @@ def ivfpq_search(
         F.col("l2_dist").asc(), F.col(vec_id).asc()
     )
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+# --- Incremental IVF-PQ index -----------------------------------------------
+# Completes the serving-tier ingest story: emb10 maintains IVF lists of
+# FLOATS, emb12 maintains flat PQ codes — the composite index (list id +
+# 8-byte residual codes, the layout a 100 TB corpus is actually served
+# from) previously only built one-shot.  Both quantizer levels are FIXED
+# for the index's life (a re-train is a new path), so a vector's
+# (list_id, residual codes) never changes — insert-only by construction,
+# the same anti-join+append contract as the whole incremental family.
+
+
+def init_ivfpq_index(spark, coarse, fine, path: str) -> None:
+    """Persist both quantizer levels — the empty-index form
+    ``update_ivfpq_index`` appends into.  Reuses the PQ codebook store
+    for each level (coarse IS a one-subspace codebook)."""
+    init_pq_index(spark, coarse, f"{path}/coarse")
+    init_pq_index(spark, fine, f"{path}/fine")
+
+
+def load_ivfpq_quantizers(spark, path: str):
+    """(coarse, fine) back in the nested-list form — two bounded collects."""
+    return (
+        load_pq_codebooks(spark, f"{path}/coarse"),
+        load_pq_codebooks(spark, f"{path}/fine"),
+    )
+
+
+def update_ivfpq_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> dict[str, int]:
+    """Incrementally maintain the persisted (vec_id, list_id, pq_codes)
+    composite index: encode ONLY the batch's vectors not already present
+    and append their rows.  Per batch: one anti-join on the vector id +
+    coarse-assign/residual/fine-encode work proportional to NEW vectors
+    only (Arrow path — repeated small-batch ingest must not pay the
+    literal-codebook codegen recompile, see pq_encode).  NULL /
+    wrong-length vectors are dropped up front (the update_pq_codes
+    tolerated-rows rule).  Returns ``{"n_batch", "n_new"}``; replay
+    appends nothing."""
+    from ..sources.readers import read_parquet_if_exists
+
+    coarse, fine = load_ivfpq_quantizers(spark, path)
+    dim = len(coarse[0][0])
+    batch = batch.filter(
+        F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
+    )
+    index = read_parquet_if_exists(spark, f"{path}/index")  # None: first batch
+    existing = None if index is None else index.select(vec_id)
+    new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
+    coded = ivfpq_encode(
+        new, coarse, fine, vec_id=vec_id, vec=vec, arrow=True
+    ).persist()
+    try:
+        n_new = coded.count()
+        if n_new:
+            coded.write.mode("append").parquet(f"{path}/index")
+    finally:
+        coded.unpersist()
+    return {"n_batch": batch.count(), "n_new": n_new}
+
+
+def ivfpq_index_sink(path: str, vec_id: str = "vec_id", vec: str = "embedding"):
+    """``foreachBatch`` writer maintaining the composite index from a
+    VECTOR STREAM — at-least-once redelivery idempotent via the anti-join
+    (stream-built ≡ batch-built, replay appends zero rows).  Call
+    ``init_ivfpq_index`` with trained quantizers before starting."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_ivfpq_index(batch_df.sparkSession, batch_df, path, vec_id, vec)
+
+    return write_batch

@@ -1044,6 +1044,26 @@ UNION ALL
 SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
 """
 
+# EMB14: incremental IVF-PQ index — same counting shape as emb12 (the
+# anti-join append semantics on the composite layout; batch 3 replays
+# batch 1: zero new vectors IS the idempotence property); every vector is
+# encodable, so n_new = n_batch on first ingest.  The accumulated ≡
+# one-shot gate is computed in-plan; the oracle pins it TRUE.
+ORACLES["emb14_incremental_ivfpq"] = """
+WITH c AS (
+  SELECT
+    CAST(count(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+    CAST(count(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd
+  FROM embeddings
+)
+SELECT CAST(1 AS INT) AS batch, n_even AS n_batch, n_even AS n_new,
+       true AS table_matches_oneshot FROM c
+UNION ALL
+SELECT CAST(2 AS INT), n_odd, n_odd, true FROM c
+UNION ALL
+SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), true FROM c
+"""
+
 # EMB13: IVF-PQ gate — the composite index's top-10 overlaps the exact
 # L2 top-10 RESTRICTED TO THE SAME PROBED LISTS at >= 0.8 recall per
 # query (computed in-plan; codebook/probe math is engine-internal, so

@@ -2086,6 +2086,86 @@ def mm10_crossmodal_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register("emb14_incremental_ivfpq")
+def emb14_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB14 — incrementally-maintained IVF-PQ composite index
+    (operators/similarity.py init_ivfpq_index / update_ivfpq_index):
+    completes the serving-tier ingest story — emb10 maintains IVF lists
+    of floats and emb12 flat PQ codes, but the COMPOSITE layout a 100 TB
+    corpus is actually served from (list id + 8-byte residual codes,
+    emb13) previously only built one-shot.  Both quantizer levels train
+    once (ivfpq_build — its materialized index IS the one-shot twin) and
+    persist; the corpus then arrives in two batches plus a REPLAY of
+    batch 1 (n_new = 0 exposes idempotence), each batch Arrow-encoding
+    ONLY unseen vectors (coarse assign → residual → fine codes, no
+    literal-codebook codegen recompile per batch), and the accumulated
+    index must equal the one-shot build — checked in-plan as ONE
+    full-outer-join action over the full (vec_id, list_id,
+    codes-as-string) tuples (gate column; oracle pins TRUE and the
+    batch counts).  Reference analogue: the producer's exists-check
+    before insert (producer/producer.py:368-380)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.similarity import (
+        init_ivfpq_index,
+        ivfpq_build,
+        update_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b1 = emb.filter("vec_id % 2 = 0")
+    b2 = emb.filter("vec_id % 2 = 1")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_ivfpqtab",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    # n_iter=0 (seed-only quantizers): the gate is accumulated ≡ one-shot
+    # under the SAME quantizers, so codebook QUALITY is irrelevant to
+    # what it checks (recall quality is emb13's gate) — every Lloyd pass
+    # here is a fixed-cost job buying nothing the gate can see, and the
+    # stride-by-rank seeds are already valid codebooks
+    coarse, fine, oneshot = ivfpq_build(emb, n_iter=0)
+    init_ivfpq_index(spark, coarse, fine, path)
+    m1 = update_ivfpq_index(spark, b1, path)
+    m2 = update_ivfpq_index(spark, b2, path)
+    m3 = update_ivfpq_index(spark, b1, path)  # replay: must append nothing
+    codes_str = F.concat_ws(",", F.transform("pq_codes", lambda c: c.cast("string")))
+    t = (
+        spark.read.parquet(f"{path}/index")
+        .select("vec_id", "list_id", codes_str.alias("cs"))
+        .withColumn("__t", F.lit(1))
+    )
+    o = oneshot.select("vec_id", "list_id", codes_str.alias("cs")).withColumn(
+        "__o", F.lit(1)
+    )
+    row = (
+        t.join(o, ["vec_id", "list_id", "cs"], "full")
+        .agg(
+            F.count("__t").alias("n_t"),
+            F.count("__o").alias("n_o"),
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff"),
+        )
+        .collect()[0]
+    )
+    gate = bool(row.n_t == row.n_o and (row.n_diff or 0) == 0)
+    return spark.createDataFrame(
+        [
+            (1, m1["n_batch"], m1["n_new"], gate),
+            (2, m2["n_batch"], m2["n_new"], gate),
+            (3, m3["n_batch"], m3["n_new"], gate),
+        ],
+        "batch INT, n_batch BIGINT, n_new BIGINT, table_matches_oneshot BOOLEAN",
+    )
+
+
 @register("dd13_compacted_table")
 def dd13_compacted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DD13 — small-file compaction for the incremental tables

@@ -55,10 +55,10 @@ def test_r10_driver_window_pinned():
         "txt14_doc_retrieval",
     ]
     # new r10 queries sit directly after the never-rowed block
-    assert names[20:23] == [
+    assert names[20:24] == [
         "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
-        "dd13_compacted_table",
+        "dd13_compacted_table", "emb14_incremental_ivfpq",
     ]
     # slot 50 boundary: the frozen-for-r11 block starts at index 50
-    assert names[49] == "mm4_wav_stats"
-    assert names[50] == "mm5_avi_frame_stats"
+    assert names[49] == "mm3_bmp_pixel_stats"
+    assert names[50] == "mm4_wav_stats"

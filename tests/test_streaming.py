@@ -1115,3 +1115,70 @@ def test_media_fingerprint_table_stream_matches_batch(spark, tmp_path):
         map(tuple, media_contamination_pairs_from_table(probe, batch_tab).collect())
     )
     assert gate_stream == gate_batch and len(gate_stream) > 0
+
+
+def test_ivfpq_index_stream_matches_batch(spark, sf_dir, tmp_path):
+    """EMB14's streaming form: foreachBatch composite-index maintenance
+    over a two-micro-batch vector stream builds EXACTLY the batch-built
+    (vec_id, list_id, pq_codes) index (quantizers trained once,
+    persisted, reloaded by every update), a full replay appends zero
+    rows, and a NULL/ragged vector cannot fail its micro-batch."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivfpq_index,
+        ivfpq_fit,
+        ivfpq_index_sink,
+        update_ivfpq_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as SF
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    coarse, fine = ivfpq_fit(emb, n_lists=4, m=4, k=8, n_iter=1)
+    src = tmp_path / "src"
+    bad = spark.createDataFrame(
+        [(900000, None), (900001, [1.0, 2.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    ).selectExpr("vec_id", "CAST(embedding AS ARRAY<FLOAT>) AS embedding")
+    emb.filter("vec_id % 2 = 0").unionByName(bad).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+
+    stream_tab = str(tmp_path / "ivfpq_stream")
+    init_ivfpq_index(spark, coarse, fine, stream_tab)
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(ivfpq_index_sink(stream_tab))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    as_str = SF.concat_ws(",", SF.transform("pq_codes", lambda c: c.cast("string")))
+
+    def table_rows(path):
+        return sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{path}/index")
+                .select("vec_id", "list_id", as_str.alias("cs"))
+                .collect(),
+            )
+        )
+
+    stream_rows = table_rows(stream_tab)
+    assert all(r[0] < 900000 for r in stream_rows)  # bad vectors skipped
+
+    batch_tab = str(tmp_path / "ivfpq_batch")
+    init_ivfpq_index(spark, coarse, fine, batch_tab)
+    update_ivfpq_index(spark, emb, batch_tab)
+    assert stream_rows == table_rows(batch_tab) and len(stream_rows) > 0
+
+    run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
+    assert table_rows(stream_tab) == stream_rows
