@@ -346,6 +346,41 @@ def upsert_parquet(
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def _require_no_orphans(path: str) -> None:
+    """Refuse to start a swap while orphaned staging/old siblings exist —
+    the single-writer precondition every swap operation shares."""
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories from an interrupted "
+            f"upsert/compaction: {leftovers}; run recover_upsert({path!r}) first"
+        )
+
+
+def _data_files(d: str) -> list[str]:
+    return [
+        f
+        for f in os.listdir(d)
+        if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(d, f))
+    ]
+
+
+def _flat_swap(path: str, merged: DataFrame) -> None:
+    """The flat-store arm of the shared crash-safe swap: write ``merged``
+    to a staging sibling, commit-mark, displace, install.  ONE
+    implementation on purpose — every compaction/rewrite that swaps a
+    whole directory must stay byte-compatible with ``recover_upsert``'s
+    repair rule, and a protocol fix applied to one copy but not another
+    would silently re-open a crash window."""
+    staging = f"{path}__staging_{uuid.uuid4().hex}"
+    merged.write.mode("overwrite").parquet(staging)
+    _mark_staging_complete(staging)
+    old = f"{path}__old_{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -382,20 +417,7 @@ def compact_parquet(
     file-count control for that overhead when backlogs are the norm.
     """
     _require_local_path(path, "compact_parquet")
-    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
-    if leftovers:
-        raise RuntimeError(
-            f"orphaned staging/old directories from an interrupted "
-            f"upsert/compaction: {leftovers}; run recover_upsert({path!r}) first"
-        )
-
-    def _data_files(d: str) -> list[str]:
-        return [
-            f
-            for f in os.listdir(d)
-            if not f.startswith(("_", "."))
-            and os.path.isfile(os.path.join(d, f))
-        ]
+    _require_no_orphans(path)
 
     def _need(d: str, files: list[str]) -> int:
         total = sum(os.path.getsize(os.path.join(d, f)) for f in files)
@@ -407,14 +429,7 @@ def compact_parquet(
         need = _need(path, files)
         if len(files) <= need:
             return {}
-        merged = spark.read.parquet(path).coalesce(need)
-        staging = f"{path}__staging_{uuid.uuid4().hex}"
-        merged.write.mode("overwrite").parquet(staging)
-        _mark_staging_complete(staging)
-        old = f"{path}__old_{uuid.uuid4().hex}"
-        os.rename(path, old)
-        os.rename(staging, path)
-        shutil.rmtree(old)
+        _flat_swap(path, spark.read.parquet(path).coalesce(need))
         return {".": (len(files), len(_data_files(path)))}
 
     plan: list[tuple[str, int, int]] = []
@@ -477,38 +492,18 @@ def compact_doc_keyed_table(
     files_after)}`` or ``{}`` when already compact.  Idempotent.
     """
     _require_local_path(path, "compact_doc_keyed_table")
-    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
-    if leftovers:
-        raise RuntimeError(
-            f"orphaned staging/old directories from an interrupted "
-            f"upsert/compaction: {leftovers}; run recover_upsert({path!r}) first"
-        )
-
-    def _data_files(d: str) -> list[str]:
-        return [
-            f
-            for f in os.listdir(d)
-            if not f.startswith(("_", "."))
-            and os.path.isfile(os.path.join(d, f))
-        ]
-
+    _require_no_orphans(path)
     files = _data_files(path)
     total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
     need = max(1, -(-total // target_file_bytes))
     if len(files) <= need:
         return {}
-    merged = (
+    _flat_swap(
+        path,
         spark.read.parquet(path)
         .repartitionByRange(need, F.col(id_col))
-        .sortWithinPartitions(id_col)
+        .sortWithinPartitions(id_col),
     )
-    staging = f"{path}__staging_{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(staging)
-    _mark_staging_complete(staging)
-    old = f"{path}__old_{uuid.uuid4().hex}"
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
     return {".": (len(files), len(_data_files(path)))}
 
 

@@ -872,6 +872,24 @@ def extract_features(
 DHASH_BANDS = 4  # 4 × 16-bit bands over the 64-bit hash
 
 
+def _hash_band_structs(hash_col: str):
+    """The ONE banding of a 64-bit perceptual hash into DHASH_BANDS
+    16-bit (band_id, band_val) structs.  Every consumer — the near-dup
+    self-join, the persisted fingerprint table, and the contamination
+    gate — must band identically or the equi-join keys silently stop
+    matching (zero candidates, no error), so the derivation lives here
+    exactly once."""
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("band_id"),
+            F.shiftright(F.col(hash_col), i * 16)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("band_val"),
+        )
+        for i in range(DHASH_BANDS)
+    ])
+
+
 def image_dhash(df: DataFrame, bytes_col: str = "media_bytes") -> DataFrame:
     """Adds ``dhash bigint`` — the 64-bit difference hash: decode (real
     PNG/BMP path), collapse to integer luminance (channel sum — monotone,
@@ -936,17 +954,10 @@ def dhash_near_dup_pairs(
     hashed = df.select(F.col(id_col), F.col(hash_col)).filter(
         F.col(hash_col).isNotNull()
     )
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band_id"),
-            F.shiftright(F.col(hash_col), i * 16).bitwiseAND(F.lit(0xFFFF)).alias(
-                "band_val"
-            ),
-        )
-        for i in range(DHASH_BANDS)
-    ]
     bands = hashed.select(
-        F.col(id_col), F.col(hash_col), F.explode(F.array(*band_structs)).alias("_b")
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(_hash_band_structs(hash_col)).alias("_b"),
     ).select(id_col, hash_col, "_b.band_id", "_b.band_val")
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(
@@ -1173,19 +1184,10 @@ def update_media_fingerprint_table(
         hashed = nd.select(F.col(id_col), F.col(hash_col)).filter(
             F.col(hash_col).isNotNull()
         )
-        band_structs = [
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.shiftright(F.col(hash_col), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("band_val"),
-            )
-            for i in range(DHASH_BANDS)
-        ]
         return hashed.select(
             F.col(id_col),
             F.col(hash_col).alias("fp"),
-            F.explode(F.array(*band_structs)).alias("_b"),
+            F.explode(_hash_band_structs(hash_col)).alias("_b"),
         ).select(id_col, "fp", "_b.band_id", "_b.band_val")
 
     return _update_doc_keyed_table(df, path, id_col, derive)
@@ -1230,17 +1232,10 @@ def media_contamination_pairs_from_table(
     hashed = train_df.select(F.col(id_col), F.col(hash_col)).filter(
         F.col(hash_col).isNotNull()
     )
-    band_structs = [
-        F.struct(
-            F.lit(i).alias("band_id"),
-            F.shiftright(F.col(hash_col), i * 16)
-            .bitwiseAND(F.lit(0xFFFF))
-            .alias("band_val"),
-        )
-        for i in range(DHASH_BANDS)
-    ]
     bands = hashed.select(
-        F.col(id_col), F.col(hash_col), F.explode(F.array(*band_structs)).alias("_b")
+        F.col(id_col),
+        F.col(hash_col),
+        F.explode(_hash_band_structs(hash_col)).alias("_b"),
     ).select(id_col, hash_col, "_b.band_id", "_b.band_val")
     ham = F.bit_count(F.expr(f"{hash_col} ^ fp"))
     return (

@@ -957,6 +957,10 @@ def update_pq_codes(
     from ..sources.readers import read_parquet_if_exists
 
     cbs = load_pq_codebooks(spark, path)
+    # n_batch counts rows DELIVERED (pre-filter): n_batch − n_new on a
+    # first-ingest batch is the dropped-row signal a poisoned upstream
+    # monitor needs — counting post-filter would hide the drops entirely
+    n_batch = batch.count()
     # NULL / wrong-length vectors would make the Arrow encode's np.stack
     # raise and fail the WHOLE micro-batch; drop them up front instead
     # (ivf_topk's tolerated-rows behavior — a bad vector skips indexing,
@@ -979,7 +983,7 @@ def update_pq_codes(
             coded.write.mode("append").parquet(f"{path}/codes")
     finally:
         coded.unpersist()
-    return {"n_batch": batch.count(), "n_new": n_new}
+    return {"n_batch": n_batch, "n_new": n_new}
 
 
 def pq_codes_sink(path: str, vec_id: str = "vec_id", vec: str = "embedding"):
@@ -1262,6 +1266,9 @@ def update_ivfpq_index(
     from ..sources.readers import read_parquet_if_exists
 
     coarse, fine = load_ivfpq_quantizers(spark, path)
+    # pre-filter count: n_batch − n_new exposes dropped rows (see
+    # update_pq_codes)
+    n_batch = batch.count()
     dim = len(coarse[0][0])
     batch = batch.filter(
         F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
@@ -1278,7 +1285,7 @@ def update_ivfpq_index(
             coded.write.mode("append").parquet(f"{path}/index")
     finally:
         coded.unpersist()
-    return {"n_batch": batch.count(), "n_new": n_new}
+    return {"n_batch": n_batch, "n_new": n_new}
 
 
 def ivfpq_index_sink(path: str, vec_id: str = "vec_id", vec: str = "embedding"):

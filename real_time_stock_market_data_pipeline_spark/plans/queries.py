@@ -640,6 +640,40 @@ def mm3_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_bmp_media(docs: DataFrame, key: str) -> DataFrame:
+    """The mm7/mm10 deterministic 24-bit BMP fixture in pure JVM SQL,
+    keyed by ``key``: w = key%13+4, h = key%7+4, pixel byte j =
+    (j·(2+key%7)+key) mod 256.  ONE definition on purpose — mm10's
+    planted transcode must stay pixel-identical to the mm7-family
+    images, and a header/stride edit applied to one copy but not the
+    other would silently diverge the fixtures.  Appends ``media_bytes``
+    and drops the geometry scratch columns."""
+    d = (
+        docs.withColumn("w", F.expr(f"pmod({key}, 13) + 4"))
+        .withColumn("h", F.expr(f"pmod({key}, 7) + 4"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("n", F.expr("stride * h"))
+    )
+    header = F.expr(
+        "concat(X'424D', "
+        + _le_bytes_sql("54 + n", 4)
+        + ", X'00000000', X'36000000', "
+        + "X'28000000', "
+        + _le_bytes_sql("w", 4) + ", "
+        + _le_bytes_sql("h", 4) + ", "
+        + "X'0100', X'1800', X'00000000', "
+        + _le_bytes_sql("n", 4)
+        + ", X'" + "00" * 16 + "')"
+    )
+    pixels = F.expr(
+        "unhex(array_join(transform(sequence(0, n - 1), "
+        f"j -> lpad(hex(pmod(j * (2 + pmod({key}, 7)) + {key}, 256)), 2, '0')), ''))"
+    )
+    return d.withColumn("media_bytes", F.concat(header, pixels)).drop(
+        "w", "h", "stride", "n"
+    )
+
+
 @register("mm7_dhash_pairs")
 def mm7_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM7 — perceptual near-dup detection end-to-end (operators/multimodal
@@ -661,27 +695,8 @@ def mm7_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull())
         .withColumn("gid", F.expr("doc_id DIV 2"))
-        .withColumn("w", F.expr("pmod(gid, 13) + 4"))
-        .withColumn("h", F.expr("pmod(gid, 7) + 4"))
-        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
-        .withColumn("n", F.expr("stride * h"))
     )
-    header = F.expr(
-        "concat(X'424D', "
-        + _le_bytes_sql("54 + n", 4)
-        + ", X'00000000', X'36000000', "
-        + "X'28000000', "
-        + _le_bytes_sql("w", 4) + ", "
-        + _le_bytes_sql("h", 4) + ", "
-        + "X'0100', X'1800', X'00000000', "
-        + _le_bytes_sql("n", 4)
-        + ", X'" + "00" * 16 + "')"
-    )
-    pixels = F.expr(
-        "unhex(array_join(transform(sequence(0, n - 1), "
-        "j -> lpad(hex(pmod(j * (2 + pmod(gid, 7)) + gid, 256)), 2, '0')), ''))"
-    )
-    media = docs.withColumn("media_bytes", F.concat(header, pixels))
+    media = _synthetic_bmp_media(docs, "gid")
     hashed = image_dhash(media).select("doc_id", "dhash")
     pairs = dhash_near_dup_pairs(hashed)
     return pairs.filter(
@@ -2003,32 +2018,10 @@ def mm10_crossmodal_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bucket = hash_bucket_col()
     lo, hi = SPLIT_BOUNDS["test"]
-    base = (
-        docs.filter(F.col("text").isNotNull())
-        .withColumn("__b", bucket)
-        .withColumn("w", F.expr("pmod(doc_id, 13) + 4"))
-        .withColumn("h", F.expr("pmod(doc_id, 7) + 4"))
-        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
-        .withColumn("n", F.expr("stride * h"))
-    )
-    header = F.expr(
-        "concat(X'424D', "
-        + _le_bytes_sql("54 + n", 4)
-        + ", X'00000000', X'36000000', "
-        + "X'28000000', "
-        + _le_bytes_sql("w", 4) + ", "
-        + _le_bytes_sql("h", 4) + ", "
-        + "X'0100', X'1800', X'00000000', "
-        + _le_bytes_sql("n", 4)
-        + ", X'" + "00" * 16 + "')"
-    )
-    pixels = F.expr(
-        "unhex(array_join(transform(sequence(0, n - 1), "
-        "j -> lpad(hex(pmod(j * (2 + pmod(doc_id, 7)) + doc_id, 256)), 2, '0')), ''))"
-    )
-    media = base.withColumn("media_bytes", F.concat(header, pixels)).select(
-        "doc_id", "__b", "media_bytes"
-    )
+    media = _synthetic_bmp_media(
+        docs.filter(F.col("text").isNotNull()).withColumn("__b", bucket),
+        "doc_id",
+    ).select("doc_id", "__b", "media_bytes")
     test_media = media.filter((F.col("__b") >= lo) & (F.col("__b") < hi)).drop("__b")
     train_media = media.filter(F.col("__b") < SPLIT_BOUNDS["train"][1]).drop("__b")
     planted = reencode_png(

@@ -30,16 +30,22 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     try/except-AnalysisException form is semantically identical but the
     JVM logs the full PATH_NOT_FOUND stack at ERROR before the Python
     side catches it, which pollutes bench/driver output with stacks for
-    an expected condition.  Non-local URIs (where ``os.path`` can't see)
-    keep the exception form."""
+    an expected condition.  The stat check is an optimization of the
+    exception form, NOT a replacement: a path that EXISTS but is
+    unreadable as parquet (a kill mid-first-write leaves a dir holding
+    only ``_temporary``) must still be treated as table-absent so the
+    next batch self-heals — both branches keep the catch for that rare
+    case, where one logged stack is correct.  Scheme-prefixed URIs
+    (``hdfs://``, ``s3a://``, and the single-slash ``file:/`` form —
+    anything ``os.path`` can't see) skip the stat check."""
     import os
+    import re
 
-    if "://" not in path:
-        if not os.path.exists(path):
-            return None
-        return spark.read.parquet(path)
     from pyspark.sql.utils import AnalysisException
 
+    is_uri = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path) is not None
+    if not is_uri and not os.path.exists(path):
+        return None
     try:
         return spark.read.parquet(path)
     except AnalysisException:

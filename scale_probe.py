@@ -54,6 +54,8 @@ DOC_QUERIES = [
     "mm7_dhash_pairs",
     "dd11_incremental_decontamination", "mm8_audio_pairs",
     "mm9_video_pairs", "txt14_doc_retrieval",
+    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
+    "dd13_compacted_table",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
@@ -65,6 +67,7 @@ EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
     "emb7_embedding_clusters", "emb10_incremental_ivf", "emb11_pq_recall",
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
+    "emb14_incremental_ivfpq",
 ]
 
 

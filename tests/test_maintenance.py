@@ -609,3 +609,22 @@ def test_compact_doc_keyed_table_crash_recovers(spark, tmp_path, monkeypatch):
     assert actions
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
     assert mnt.compact_doc_keyed_table(spark, path) == {}
+
+
+def test_read_if_exists_heals_interrupted_first_write(spark, tmp_path):
+    """A kill mid-first-write leaves the table dir holding only
+    _temporary: read_parquet_if_exists must report table-absent (None)
+    so the next incremental batch self-heals, not crash every batch."""
+    import os
+
+    from real_time_stock_market_data_pipeline_spark.sources.readers import (
+        read_parquet_if_exists,
+    )
+
+    path = str(tmp_path / "interrupted")
+    os.makedirs(os.path.join(path, "_temporary"))
+    assert read_parquet_if_exists(spark, path) is None
+    assert read_parquet_if_exists(spark, str(tmp_path / "missing")) is None
+    good = str(tmp_path / "good")
+    spark.range(3).write.parquet(good)
+    assert read_parquet_if_exists(spark, good).count() == 3
