@@ -568,12 +568,13 @@ WHERE s.bucket >= {lo} AND s.bucket < {hi}
 """
 
 
-def _sigs_over(dialect: str, src: str, p: str, n: int = 3) -> str:
-    """Shingle→MinHash-signature CTE chain over an arbitrary (doc_id, text)
-    CTE named ``src``, with every intermediate CTE prefixed ``p`` so two
-    chains can coexist in one query (dd12 needs the test side AND the
-    train side).  Same hash series as shingles_cte/_minhash_sig_cte —
-    mirrors operators/dedup.minhash_signatures exactly."""
+def _shingle_cte_over(dialect: str, src: str, p: str, n: int = 3) -> str:
+    """Distinct token-n-gram shingle hashes ({p}hashed) over an arbitrary
+    (doc_id, text) CTE named ``src``, every intermediate CTE prefixed
+    ``p`` so several chains can coexist in one query (dd12 bands the
+    test AND train sides; sp8 13-gram-shingles both splits).  Same hash
+    series as shingles_cte — mirrors operators/dedup.shingle_hashes for
+    every n."""
     toks = split_ws(dialect, "text")
     tok_rows = explode_with_pos(dialect, f"{p}docs", "toks", "pos", "tok", "doc_id")
     win = "PARTITION BY doc_id ORDER BY pos ASC"
@@ -581,17 +582,24 @@ def _sigs_over(dialect: str, src: str, p: str, n: int = 3) -> str:
     for j in range(n):
         term = "h" if j == 0 else f"lead(h, {j}) OVER ({win})"
         combine = f"(({combine}) * 131 + {term}) % {P_MOD}"
-    mh_cols = ",\n         ".join(
-        f"min((CAST({a} AS BIGINT) * sh + {b}) % {P_MOD}) AS h{i + 1}"
-        for i, (a, b) in enumerate(MINHASH_PARAMS)
-    )
     return f"""{p}docs AS (SELECT doc_id, {toks} AS toks FROM {src}),
 {p}tok_rows AS ({tok_rows}),
 {p}tok_hashed AS (
   SELECT doc_id, pos, {tok_hash(dialect, "tok")} AS h FROM {p}tok_rows
 ),
 {p}sh_rows AS (SELECT doc_id, {combine} AS sh FROM {p}tok_hashed),
-{p}hashed AS (SELECT DISTINCT doc_id, sh FROM {p}sh_rows WHERE sh IS NOT NULL),
+{p}hashed AS (SELECT DISTINCT doc_id, sh FROM {p}sh_rows WHERE sh IS NOT NULL)"""
+
+
+def _sigs_over(dialect: str, src: str, p: str, n: int = 3) -> str:
+    """Shingle→MinHash-signature CTE chain ({p}sigs) over an arbitrary
+    (doc_id, text) CTE — ``_shingle_cte_over`` plus the 16-min signature
+    aggregate; mirrors operators/dedup.minhash_signatures exactly."""
+    mh_cols = ",\n         ".join(
+        f"min((CAST({a} AS BIGINT) * sh + {b}) % {P_MOD}) AS h{i + 1}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""{_shingle_cte_over(dialect, src, p, n)},
 {p}sigs AS (SELECT doc_id, {mh_cols} FROM {p}hashed GROUP BY doc_id)"""
 
 
@@ -1397,6 +1405,111 @@ def _sp7_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp7_corpus_pipeline"] = _sp7_pipeline
 TEXT_ORACLES["sp7_corpus_pipeline"] = sql_corpus_pipeline("duck")
+
+
+def sql_decontaminated_pipeline(dialect: str) -> str:
+    """SP8 oracle — sp7's corpus-prep composition with the dd10 HARD GATE
+    actually GATING: quality gate → exact dedup → hash split → every
+    train doc sharing an exact 13-gram with the test split is DROPPED
+    (not just reported), with the per-split kept/dropped/token rollup
+    exposing exactly what the gate cost.  The decontaminate-before-
+    training order every real pipeline runs; each stage reuses the exact
+    semantics its standalone query pins (txt2's length gate, dd1's
+    survivor rule, sp1's bounds, dd10's 13-gram join)."""
+    from ..operators.dedup import DECONTAMINATION_NGRAM
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    nt = list_len(dialect, split_ws(dialect, "text"))
+    arms = " ".join(
+        f"WHEN bucket < {hi} THEN '{name}'"
+        for name, (_, hi) in sorted(SPLIT_BOUNDS.items(), key=lambda kv: kv[1])
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id, text, {nt} AS n_tok FROM documents
+  WHERE {nt} >= {SP7_MIN_TOKENS}
+),
+surv AS (
+  SELECT doc_id, text, n_tok FROM (
+    SELECT q.*, min(doc_id) OVER (PARTITION BY text) AS min_id FROM q
+  ) t WHERE doc_id = min_id
+),
+sp AS (
+  SELECT doc_id, text, n_tok, CASE {arms} END AS split
+  FROM (SELECT surv.*, ({h}) % {N_BUCKETS} AS bucket FROM surv) b
+),
+te_src AS (SELECT doc_id, text FROM sp WHERE split = 'test'),
+tr_src AS (SELECT doc_id, text FROM sp WHERE split = 'train'),
+{_shingle_cte_over(dialect, "te_src", "te_", DECONTAMINATION_NGRAM)},
+{_shingle_cte_over(dialect, "tr_src", "tr_", DECONTAMINATION_NGRAM)},
+cont AS (
+  SELECT DISTINCT t.doc_id
+  FROM tr_hashed t JOIN (SELECT DISTINCT sh FROM te_hashed) x ON t.sh = x.sh
+)
+SELECT split,
+       CAST(count(CASE WHEN c.doc_id IS NULL THEN 1 END) AS BIGINT) AS n_docs,
+       CAST(COALESCE(sum(CASE WHEN c.doc_id IS NULL THEN n_tok END), 0)
+            AS BIGINT) AS n_tokens,
+       CAST(count(c.doc_id) AS BIGINT) AS n_dropped
+FROM sp LEFT JOIN cont c ON sp.doc_id = c.doc_id
+GROUP BY split
+"""
+
+
+def _sp8_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP8 — the decontamination-aware corpus-prep pipeline, composed
+    from the OPERATORS: quality gate → dd1 exact dedup → sp1
+    assign_split → dd10's exact-13-gram gate DROPS contaminated train
+    docs (test-side shingles DISTINCT'd, one equi-join on the shingle
+    hash — at 100 TB the gate's production form reads the dd11 table
+    instead of re-shingling, same join) → per-split rollup with the
+    dropped count exposed.  sp7 shows the prep chain composing; sp8
+    shows the contamination family GATING inside it — the
+    'decontaminate before training' order every real pipeline runs."""
+    from pyspark.sql import Window as W
+
+    from ..operators.dedup import DECONTAMINATION_NGRAM, shingle_hashes
+    from ..operators.sampling import assign_split
+    from ..operators.text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.withColumn("n_tok", F.size(tokens_col("text"))).filter(
+        F.col("n_tok") >= SP7_MIN_TOKENS
+    )
+    surv = (
+        q.withColumn("__min_id", F.min("doc_id").over(W.partitionBy("text")))
+        .filter("doc_id = __min_id")
+        .drop("__min_id")
+    )
+    sp = assign_split(surv)
+    n = DECONTAMINATION_NGRAM
+    test_sh = (
+        shingle_hashes(sp.filter("split = 'test'"), n=n).select("sh").distinct()
+    )
+    cont = (
+        shingle_hashes(sp.filter("split = 'train'"), n=n)
+        .join(test_sh, "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    kept = F.col("__c").isNull()
+    return (
+        sp.join(cont, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_docs"),
+            F.coalesce(F.sum(F.when(kept, F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.count("__c").alias("n_dropped"),
+        )
+    )
+
+
+QUERIES["sp8_decontaminated_pipeline"] = _sp8_pipeline
+TEXT_ORACLES["sp8_decontaminated_pipeline"] = sql_decontaminated_pipeline("duck")
 
 
 def sql_doc_retrieval(dialect: str) -> str:
