@@ -229,12 +229,14 @@ def test_txt11_redaction_jvm_only(spark, sf_dir):
 
 
 def test_dd10_decontamination_joins_on_shingle_hash(spark, sf_dir):
-    """dd10 shuffles on the shingle hash (the dedup family's key) and
-    never degenerates to a nested-loop join; no Python eval nodes."""
-    plan = plan_of(spark, sf_dir, "dd10_exact_decontamination")
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    """dd10 (and sp8, which embeds the same gate inside the corpus-prep
+    composition) shuffles on the shingle hash (the dedup family's key)
+    and never degenerates to a nested-loop join; no Python eval nodes."""
+    for name in ("dd10_exact_decontamination", "sp8_decontaminated_pipeline"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
 def test_r8_banded_joins_never_nested_loop(spark, sf_dir):
