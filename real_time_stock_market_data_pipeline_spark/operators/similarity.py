@@ -1298,3 +1298,56 @@ def ivfpq_index_sink(path: str, vec_id: str = "vec_id", vec: str = "embedding"):
         update_ivfpq_index(batch_df.sparkSession, batch_df, path, vec_id, vec)
 
     return write_batch
+
+
+# --- SemDeDup (cluster, then dedup within clusters) -------------------------
+def semantic_dedup_pairs(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) candidate generation: assign every
+    vector to its max-cosine centroid (lowest-cid ties), then emit
+    (vec_a, vec_b, cid, cosine_sim) ONLY for same-cluster pairs at
+    ``cosine_sim ≥ threshold`` — pair work is Σ_c n_c², never n², which
+    is what scales semantic dedup to web corpora.  Feed the pairs to
+    ``dedup.dup_clusters`` for canonical survivors.
+
+    ``centroids`` is the collected (cid, vector) codebook —
+    ``clustering.kmeans_fit(...).collect()`` rows, the same bounded
+    contract as IVF.  Assignment here is the JVM sequential-fold cosine
+    over the literal codebook (bit-identical to the dual-dialect SQL
+    rendering in plans/embedding_parity — pinned by test), the right
+    shape for a small k; a large-k production assignment swaps in the
+    Arrow matmul (``centroid_argmax_pandas``) at the cost of that
+    bit-parity.  The self-join shuffles on cid; clusters ARE the
+    buckets, so skew = one giant cluster — split it by raising k, the
+    same remedy as a hot IVF list."""
+    from ..functions.scalars import r6
+
+    ordered = sorted(centroids, key=lambda c: int(c[0]))
+    lits = [
+        F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered
+    ]
+    cos_arr = F.array(*[cosine_col(F.col(vec), c) for c in lits])
+    cid = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+    assigned = df.select(F.col(vec_id), F.col(vec), cid.alias("cid"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.{vec_id}") < F.col(f"b.{vec_id}")),
+        )
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            F.col(f"a.{vec_id}").alias("vec_a"),
+            F.col(f"b.{vec_id}").alias("vec_b"),
+            F.col("a.cid").alias("cid"),
+            r6(F.col("__cos")).alias("cosine_sim"),
+        )
+    )

@@ -25,7 +25,7 @@ ORACLES.update(EMBEDDING_ORACLES)
 #   3. queries NEW this round (dd12 banded near-dup decontamination,
 #      mm10 cross-modal decontamination, dd13 incremental-table
 #      compaction, emb14 incremental IVF-PQ index, sp8 decontamination-
-#      gated corpus pipeline);
+#      gated corpus pipeline, emb15 SemDeDup semantic dedup);
 #   4. the r08-green queries in their r8-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
 #   FROZEN FOR R11 (named, deliberate): the r08-green queries that do
@@ -57,7 +57,7 @@ _PRIORITY = [
     # 3 — new this round (inserted as built; window trimmed to 50 below)
     "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
     "dd13_compacted_table", "emb14_incremental_ivfpq",
-    "sp8_decontaminated_pipeline",
+    "sp8_decontaminated_pipeline", "emb15_semantic_dedup",
     # 4 — r08-green rotations, r8-window order (fills the window to 50)
     "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
     "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
@@ -69,16 +69,18 @@ _PRIORITY = [
     "w7_volatility", "w8_price_change", "w9_ml_features",
     "txt2_quality", "txt3_langid",
     "w10_throttled_volatility", "p8_extreme_filter",
-    "j5_dim_lookup", "a3_active_series",
+    "j5_dim_lookup",
     # 5 — r08-green, FROZEN FOR R11 (see policy note above): they lead
     # the r11 window.  flagship heads this block when new-r10 queries
     # displace it from the 50 — its driver evidence also rides entry()'s
     # per-round smoke check, so it is the cheapest fill to displace;
     # mm3-mm6 follow because the media family keeps fresh rows via mm10
     # (transcode + BMP decode end-to-end) and mm7-mm9's r09 rows (dHash
-    # pixel path, WAV/AVI walks).
-    "mm3_bmp_pixel_stats", "mm4_wav_stats", "mm5_avi_frame_stats",
-    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
+    # pixel path, WAV/AVI walks); a3's HAVING shape rides a13's in-window
+    # row and the a-family's r09 a4 row.
+    "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
+    "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
+    "s14_arima_registry",
     "mm2_image_dims", "t6_alerts", "j3_alert_feed",
     "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
     "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",

@@ -354,3 +354,161 @@ GROUP BY label
 
 QUERIES["dq3_embedding_audit"] = _make_query(sql_embedding_audit)
 EMBEDDING_ORACLES["dq3_embedding_audit"] = sql_embedding_audit("duck")
+
+
+# --- EMB15: SemDeDup (semantic dedup: cluster, then dedup within) -----------
+SEMDEDUP_K = 16  # coarse clusters — shrinks the pairwise term by ~k
+# Within-cluster verification threshold.  NOT emb3's 0.2: LSH sign buckets
+# are tiny (16-bit keys), so a loose floor stays selective there, but a
+# coarse cluster holds ~n/k vectors and random 64-dim cosines reach 0.2
+# routinely (σ ≈ d^-1/2 = 0.125) — at 0.2 the transitive closure chains
+# ~98% of the corpus into one component and "dedup" ≈ drop everything.
+# 0.95 keeps only true semantic duplicates (SemDeDup's operating range).
+SEMDEDUP_THRESHOLD = "0.95"
+
+
+def _semantic_ctes(dialect: str) -> str:
+    """assigned + nd CTE text shared by EMB15's Spark side and its DuckDB
+    oracle: deterministic stride-seed clustering (kmeans_fit's n_iter=0
+    seed rule — rank by vec_id, every ⌊n/k⌋-th vector, EXPRESSIBLE in
+    both engines so the oracle can recompute membership), argmax-cosine
+    assignment with lowest-cid ties, then candidate pairs ONLY within a
+    cluster (the SemDeDup point: pair work drops from n² to Σ_c n_c²),
+    exact-cosine verified at the strict SemDeDup threshold (see SEMDEDUP_THRESHOLD).  All numerics are
+    sequential folds — bit-identical across engines, so the argmax and
+    the threshold cut agree exactly."""
+    k = SEMDEDUP_K
+    # norms are precomputed per vector/seed: sqrt(dot(x,x)) cached in a
+    # column is the SAME IEEE ops as _cosine's inline form, so values stay
+    # bit-identical while the pair stage drops from three 64-dim folds per
+    # pair to one (the fold is interpreted per element — it dominates)
+    cos_assign = (
+        f"({_dot(dialect, 'r.embedding', 's.cvec')}) / (r.nrm * s.cnrm)"
+    )
+    cos_pair = (
+        f"({_dot(dialect, 'a.embedding', 'b.embedding')}) / (a.nrm * b.nrm)"
+    )
+    # Planted fixture: the synthetic corpus holds no true semantic twins
+    # (max organic within-cluster cosine ≈ 0.48), so every 25th vector
+    # re-enters under a new id with a deterministic ±0.3% per-dim gain
+    # ripple — cosine ≈ 0.999 to its source, the "same content,
+    # different encoder-run noise" case SemDeDup exists to catch.  Both
+    # dialects compute the identical ripple (index bases aligned).
+    if dialect == "spark":
+        ident = "transform(embedding, x -> CAST(x AS DOUBLE))"
+        pert = (
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * "
+            "CAST(pmod(i + 1, 7) - 3 AS DOUBLE)))"
+        )
+    else:
+        ident = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        pert = (
+            "list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(1.0 + 0.001 * (CAST(i % 7 AS DOUBLE) - 3)))"
+        )
+    return f"""corpus AS (
+  SELECT vec_id, {ident} AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, {pert} AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+),
+ranked AS (
+  SELECT vec_id, embedding, sqrt({_dot(dialect, "embedding", "embedding")}) AS nrm,
+         row_number() OVER (ORDER BY vec_id ASC) AS rn,
+         count(*) OVER () AS n
+  FROM corpus
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY rn ASC) - 1 AS INT) AS cid,
+         embedding AS cvec, nrm AS cnrm
+  FROM (
+    SELECT rn, embedding, nrm FROM ranked
+    WHERE (rn - 1) % greatest(CAST(floor(CAST(n AS DOUBLE) / {k}) AS BIGINT), 1) = 0
+    ORDER BY rn ASC LIMIT {k}
+  ) s0
+),
+scored AS (
+  SELECT r.vec_id, r.embedding, r.nrm, s.cid, {cos_assign} AS cs
+  FROM ranked r CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, embedding, nrm, cid FROM (
+    SELECT vec_id, embedding, nrm, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+    FROM scored
+  ) t WHERE rk = 1
+),
+nd AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {cos_pair} >= {d(SEMDEDUP_THRESHOLD)}
+)"""
+
+
+def sql_semantic_dedup(dialect: str) -> str:
+    """EMB15 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster the
+    corpus coarsely, then find duplicates ONLY within clusters and keep
+    one canonical survivor per connected component.  The embedding twin
+    of sp8's gate-the-pipeline story: emb3/emb6 bucket by hyperplane
+    SIGNS, SemDeDup buckets by cluster MEMBERSHIP — the shape that
+    scales semantic dedup to web corpora (pair work Σ_c n_c², never n²).
+    Output: every vector with its cluster id, its dup-component label
+    (itself when unique), and the keep flag.  SQL = recursive closure
+    (DuckDB oracle only — see sql_embedding_clusters); the engine path
+    composes kmeans_fit seeds + operators/similarity.semantic_dedup_pairs
+    + dedup.dup_clusters."""
+    return f"""
+WITH RECURSIVE {_semantic_ctes(dialect)},
+edges AS (
+  SELECT vec_a AS u, vec_b AS v FROM nd
+  UNION
+  SELECT vec_b AS u, vec_a AS v FROM nd
+),
+reach AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
+SELECT a.vec_id, a.cid,
+       COALESCE(cc.cluster_id, a.vec_id) AS dup_group,
+       (COALESCE(cc.cluster_id, a.vec_id) = a.vec_id) AS keep
+FROM assigned a LEFT JOIN cc ON a.vec_id = cc.vec_id
+"""
+
+
+def _emb15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB15, Spark side: the shared CTE rendering produces assignment +
+    within-cluster pairs (bit-identical to the oracle's), dup_clusters
+    runs the closure (Spark cannot run set-UNION recursion), and every
+    vector comes back with its keep flag.  Production uses
+    operators/similarity.semantic_dedup_pairs (same math from a trained
+    kmeans codebook — pinned ≡ this rendering by test) and trains with
+    n_iter > 0; the seed-only rule here exists so the ORACLE can
+    recompute cluster membership exactly."""
+    from ..operators.dedup import dup_clusters
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    ctes = _semantic_ctes("spark")
+    assigned = spark.sql(
+        f"WITH {ctes} SELECT vec_id, cid FROM assigned"
+    ).localCheckpoint(eager=False)
+    pairs = spark.sql(f"WITH {ctes} SELECT vec_a, vec_b FROM nd")
+    cc = dup_clusters(
+        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    ).select(F.col("doc_id").alias("vec_id"), F.col("cluster_id"))
+    return (
+        assigned.join(cc, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("cluster_id", "vec_id").alias("dup_group"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
+QUERIES["emb15_semantic_dedup"] = _emb15_semantic_dedup
+EMBEDDING_ORACLES["emb15_semantic_dedup"] = sql_semantic_dedup("duck")

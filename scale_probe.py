@@ -67,7 +67,7 @@ EMB_QUERIES = [
     "emb2_label_centroids", "emb4_ivf_topk", "emb5_ivf_trained_recall",
     "emb7_embedding_clusters", "emb10_incremental_ivf", "emb11_pq_recall",
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
-    "emb14_incremental_ivfpq",
+    "emb14_incremental_ivfpq", "emb15_semantic_dedup",
 ]
 
 

@@ -192,3 +192,75 @@ def test_ivfpq_full_probe_equals_exact(spark):
     d_exact = {(r.query_id, r.vec_id): r.l2_dist for r in exact}
     for r in full:
         assert r.l2_dist == d_exact[(r.query_id, r.vec_id)]
+
+
+def test_semantic_dedup_operator_matches_sql_rendering(spark, sf_dir):
+    """EMB15's production operator (kmeans seeds + JVM literal-codebook
+    assignment + within-cluster cosine verify) must emit EXACTLY the
+    pairs the dual-dialect SQL rendering emits on the same planted
+    corpus — the operator is the scale path, the rendering is what the
+    DuckDB oracle recomputes; they must not drift."""
+    from pyspark.sql import functions as SF
+
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        SEMDEDUP_K,
+        SEMDEDUP_THRESHOLD,
+        _semantic_ctes,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb.createOrReplaceTempView("embeddings")
+    corpus = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    ).unionByName(
+        emb.filter("vec_id % 25 = 0").selectExpr(
+            "vec_id + 1000000 AS vec_id",
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * "
+            "CAST(pmod(i + 1, 7) - 3 AS DOUBLE))) AS embedding",
+        )
+    )
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.embedding])
+        for r in kmeans_fit(corpus, k=SEMDEDUP_K, n_iter=0).collect()
+    ]
+    op_pairs = sorted(
+        map(
+            tuple,
+            semantic_dedup_pairs(
+                corpus, cents, threshold=float(SEMDEDUP_THRESHOLD)
+            )
+            .select("vec_a", "vec_b", "cid")
+            .collect(),
+        )
+    )
+    sql_pairs = sorted(
+        map(
+            tuple,
+            spark.sql(
+                f"WITH {_semantic_ctes('spark')} SELECT vec_a, vec_b, cid FROM nd"
+            ).collect(),
+        )
+    )
+    assert op_pairs == sql_pairs and len(op_pairs) > 0
+
+
+def test_emb15_drops_exactly_the_planted_twins(spark, sf_dir):
+    """The planted ±0.3% gain-ripple twins (cosine ≈ 0.999 to their
+    sources) must ALL be dropped, every survivor must be an original,
+    and no organic pair reaches the 0.95 threshold (max organic
+    within-cluster cosine ≈ 0.48 on this corpus) — the SemDeDup
+    operating point: remove re-encodes, never distinct content."""
+    from real_time_stock_market_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["emb15_semantic_dedup"](spark, sf_dir).collect()
+    dropped = {r.vec_id for r in rows if not r.keep}
+    planted = {r.vec_id for r in rows if r.vec_id >= 1000000}
+    assert dropped == planted and len(planted) > 0

@@ -55,11 +55,11 @@ def test_r10_driver_window_pinned():
         "txt14_doc_retrieval",
     ]
     # new r10 queries sit directly after the never-rowed block
-    assert names[20:25] == [
+    assert names[20:26] == [
         "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
         "dd13_compacted_table", "emb14_incremental_ivfpq",
-        "sp8_decontaminated_pipeline",
+        "sp8_decontaminated_pipeline", "emb15_semantic_dedup",
     ]
     # slot 50 boundary: the frozen-for-r11 block starts at index 50
-    assert names[49] == "a3_active_series"
-    assert names[50] == "mm3_bmp_pixel_stats"
+    assert names[49] == "j5_dim_lookup"
+    assert names[50] == "a3_active_series"
