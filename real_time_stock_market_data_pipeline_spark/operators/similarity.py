@@ -1307,6 +1307,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     vec_id: str = "vec_id",
     vec: str = "embedding",
+    arrow: bool = False,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) candidate generation: assign every
     vector to its max-cosine centroid (lowest-cid ties), then emit
@@ -1317,22 +1318,27 @@ def semantic_dedup_pairs(
 
     ``centroids`` is the collected (cid, vector) codebook —
     ``clustering.kmeans_fit(...).collect()`` rows, the same bounded
-    contract as IVF.  Assignment here is the JVM sequential-fold cosine
-    over the literal codebook (bit-identical to the dual-dialect SQL
-    rendering in plans/embedding_parity — pinned by test), the right
-    shape for a small k; a large-k production assignment swaps in the
-    Arrow matmul (``centroid_argmax_pandas``) at the cost of that
-    bit-parity.  The self-join shuffles on cid; clusters ARE the
-    buckets, so skew = one giant cluster — split it by raising k, the
-    same remedy as a hot IVF list."""
+    contract as IVF.  Default assignment is the JVM sequential-fold
+    cosine over the literal codebook (bit-identical to the dual-dialect
+    SQL rendering in plans/embedding_parity — pinned by test), the right
+    shape for a small k; ``arrow=True`` swaps in the Arrow matmul
+    (``centroid_argmax_pandas`` — same max-cosine/lowest-cid rule) for
+    large k, where a k·d literal tree would blow up codegen, at the cost
+    of oracle bit-parity.  The self-join shuffles on cid; clusters ARE
+    the buckets, so skew = one giant cluster — and k is the knob: grow
+    it with the corpus so Σ_c n_c² stays bounded (probed in
+    scale_probe.py), the same remedy as a hot IVF list."""
     from ..functions.scalars import r6
 
     ordered = sorted(centroids, key=lambda c: int(c[0]))
-    lits = [
-        F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered
-    ]
-    cos_arr = F.array(*[cosine_col(F.col(vec), c) for c in lits])
-    cid = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
+    if arrow:
+        cid = centroid_argmax_pandas(ordered)(F.col(vec)).cast("int")
+    else:
+        lits = [
+            F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered
+        ]
+        cos_arr = F.array(*[cosine_col(F.col(vec), c) for c in lits])
+        cid = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
     assigned = df.select(F.col(vec_id), F.col(vec), cid.alias("cid"))
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}"))

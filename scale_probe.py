@@ -229,6 +229,37 @@ def probe_pq_serving(spark, base: str, scaled: str) -> list[dict]:
     return rows
 
 
+def probe_semdedup_k_scaling(spark, scaled: str) -> list[dict]:
+    """emb15's documented scale knob, measured: with k FIXED, cluster
+    sizes grow with the corpus and the within-cluster pair stage pays
+    Σ_c n_c² ≈ n²/k — the quadratic term behind the emb15 probe's ~9×
+    at 10× vectors.  Growing k WITH the corpus (constant expected
+    cluster size) bounds the pair work per vector; this probe runs the
+    production operator on the ×10 corpus at k=16 (the sf0.1 setting)
+    vs k=160 (same vectors-per-cluster as base) and records the drop.
+    Arrow assignment at both k so only the pair stage varies."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{scaled}/embeddings.parquet")
+    rows = []
+    for k in (16, 160):
+        cents = [
+            (int(r.centroid_id), [float(x) for x in r.embedding])
+            for r in kmeans_fit(emb, k=k, n_iter=0).collect()
+        ]
+        t = timed(
+            lambda *_: semantic_dedup_pairs(emb, cents, arrow=True)
+        )
+        rows.append({"probe": f"semdedup_pairs_k{k}_10x", "scaled": t})
+    rows[-1]["vs_fixed_k"] = round(rows[-1]["scaled"] / max(rows[0]["scaled"], 1e-9), 2)
+    return rows
+
+
 def probe_doc_table_compaction(spark) -> dict:
     """Evidences the r9 verdict's small-files item: the anti-join+append
     tables accrete one file set per batch forever, so after N batches
@@ -329,6 +360,11 @@ def main() -> None:
             print(json.dumps(row))
     if only is None or "compaction" in only:
         print(json.dumps(probe_doc_table_compaction(spark)))
+    if only is None or "semdedup_k" in only:
+        if scaled is None:
+            scaled = build_scaled(spark)
+        for row in probe_semdedup_k_scaling(spark, scaled):
+            print(json.dumps(row))
 
 
 if __name__ == "__main__":
