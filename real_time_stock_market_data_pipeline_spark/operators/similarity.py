@@ -1338,10 +1338,29 @@ def semantic_dedup_pairs(
             F.array(*[F.lit(float(x)) for x in cv]) for _, cv in ordered
         ]
         cos_arr = F.array(*[cosine_col(F.col(vec), c) for c in lits])
-        cid = (F.array_position(cos_arr, F.array_max(cos_arr)) - 1).cast("int")
-    assigned = df.select(F.col(vec_id), F.col(vec), cid.alias("cid"))
+        pos = F.array_position(cos_arr, F.array_max(cos_arr))
+        # map the argmax POSITION back to the centroid's actual id —
+        # the codebook need not be dense 0..k-1 (a filtered/subsetted
+        # codebook is legal), and the Arrow path emits real cids
+        cid = F.element_at(
+            F.array(*[F.lit(int(c)) for c, _ in ordered]), pos.cast("int")
+        )
+    # norm precomputed per vector (the same IEEE ops as the inline
+    # cosine, cached): the Σ_c n_c² pair stage then pays ONE fold per
+    # pair instead of three — the dominant cost, since the fold is
+    # interpreted per element.  Lazy localCheckpoint: both join sides
+    # (and downstream dup_clusters + reporting) read one computed
+    # assignment instead of re-running the k-cosine subtree per side.
+    assigned = df.select(
+        F.col(vec_id),
+        F.col(vec),
+        norm_col(F.col(vec)).alias("__nrm"),
+        cid.alias("cid"),
+    ).localCheckpoint(eager=False)
     a, b = assigned.alias("a"), assigned.alias("b")
-    cos = cosine_col(F.col(f"a.{vec}"), F.col(f"b.{vec}"))
+    cos = dot_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")) / (
+        F.col("a.__nrm") * F.col("b.__nrm")
+    )
     return (
         a.join(
             b,

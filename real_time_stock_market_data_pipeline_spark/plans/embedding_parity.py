@@ -410,7 +410,7 @@ def _semantic_ctes(dialect: str) -> str:
     return f"""corpus AS (
   SELECT vec_id, {ident} AS embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 1000000 AS vec_id, {pert} AS embedding
+  SELECT vec_id + {SEMDEDUP_PLANT_BASE} AS vec_id, {pert} AS embedding
   FROM embeddings WHERE vec_id % 25 = 0
 ),
 ranked AS (
@@ -479,9 +479,42 @@ FROM assigned a LEFT JOIN cc ON a.vec_id = cc.vec_id
 """
 
 
+SEMDEDUP_PLANT_BASE = 1_000_000
+
+
+def planted_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The emb15 fixture as a DataFrame — the SAME spark-dialect exprs the
+    CTE rendering uses (one definition; the operator-vs-rendering pin
+    test consumes this), with a guard: organic vec_ids must sit below
+    the planted-id offset or twin ids would collide with real ones and
+    the rank-based seed selection would tie nondeterministically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= SEMDEDUP_PLANT_BASE:
+        raise ValueError(
+            f"emb15 fixture: corpus vec_ids reach {max_id} ≥ the planted-id "
+            f"offset {SEMDEDUP_PLANT_BASE}; raise SEMDEDUP_PLANT_BASE (and "
+            "the CTE rendering's literal) above the id range"
+        )
+    return emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    ).unionByName(
+        emb.filter("vec_id % 25 = 0").selectExpr(
+            f"vec_id + {SEMDEDUP_PLANT_BASE} AS vec_id",
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * "
+            "CAST(pmod(i + 1, 7) - 3 AS DOUBLE))) AS embedding",
+        )
+    )
+
+
 def _emb15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMB15, Spark side: the shared CTE rendering produces assignment +
-    within-cluster pairs (bit-identical to the oracle's), dup_clusters
+    """EMB15, Spark side: ONE rendered plan computes the assignment
+    (bit-identical to the oracle's CTEs), a lazy localCheckpoint pins it,
+    and the within-cluster pair stage self-joins the CHECKPOINTED frame
+    (dot/(nrm·nrm) — the same IEEE ops as the rendering's nd CTE, which
+    only the DuckDB oracle executes; a second spark.sql plan would
+    re-run the O(n·k) scoring subtree three more times).  dup_clusters
     runs the closure (Spark cannot run set-UNION recursion), and every
     vector comes back with its keep flag.  Production uses
     operators/similarity.semantic_dedup_pairs (same math from a trained
@@ -490,15 +523,37 @@ def _emb15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recompute cluster membership exactly."""
     from ..operators.dedup import dup_clusters
 
+    planted_semantic_corpus(spark, sf_dir)  # runs the id-range guard
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    ctes = _semantic_ctes("spark")
     assigned = spark.sql(
-        f"WITH {ctes} SELECT vec_id, cid FROM assigned"
+        f"WITH {_semantic_ctes('spark')} "
+        "SELECT vec_id, embedding, nrm, cid FROM assigned"
     ).localCheckpoint(eager=False)
-    pairs = spark.sql(f"WITH {ctes} SELECT vec_a, vec_b FROM nd")
-    cc = dup_clusters(
-        pairs.select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
-    ).select(F.col("doc_id").alias("vec_id"), F.col("cluster_id"))
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a.embedding"),
+                F.col("b.embedding"),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= float(SEMDEDUP_THRESHOLD))
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
+    )
+    cc = dup_clusters(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
+    )
     return (
         assigned.join(cc, "vec_id", "left")
         .select(

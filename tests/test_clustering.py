@@ -212,21 +212,12 @@ def test_semantic_dedup_operator_matches_sql_rendering(spark, sf_dir):
         SEMDEDUP_K,
         SEMDEDUP_THRESHOLD,
         _semantic_ctes,
+        planted_semantic_corpus,
     )
     from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb.createOrReplaceTempView("embeddings")
-    corpus = emb.selectExpr(
-        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
-    ).unionByName(
-        emb.filter("vec_id % 25 = 0").selectExpr(
-            "vec_id + 1000000 AS vec_id",
-            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
-            "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * "
-            "CAST(pmod(i + 1, 7) - 3 AS DOUBLE))) AS embedding",
-        )
-    )
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    corpus = planted_semantic_corpus(spark, sf_dir)
     cents = [
         (int(r.centroid_id), [float(x) for x in r.embedding])
         for r in kmeans_fit(corpus, k=SEMDEDUP_K, n_iter=0).collect()
