@@ -13,71 +13,38 @@ ORACLES.update(EMBEDDING_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# other round.  Round-10 rotation policy (executes the r9 verdict's item 1
-# exactly):
-#   1. the 16 queries FROZEN out of the r9 window lead — their newest
-#      driver row is r07 and turns three rounds old otherwise
-#      (p3, p4, p5, p6, a7, o1, o4, o5, o6, a1, a2, a6, d1, su1, j1,
-#      mm1 — named in the r8/r9 policy notes as mandatory r10 leads);
-#   2. the 4 queries registered late in r9 that have NEVER had a driver
-#      row (emb12_incremental_pq, dq3_embedding_audit,
-#      emb13_ivfpq_recall, txt14_doc_retrieval);
-#   3. queries NEW this round (dd12 banded near-dup decontamination,
-#      mm10 cross-modal decontamination, dd13 incremental-table
-#      compaction, emb14 incremental IVF-PQ index, sp8 decontamination-
-#      gated corpus pipeline, emb15 SemDeDup semantic dedup);
-#   4. the r08-green queries in their r8-window order, oldest evidence
+# other round.  Round-11 rotation policy (executes the r10 verdict's item 2
+# exactly — CORRECTNESS_r10 was 50/50 green, so every query rotates in on
+# evidence age alone):
+#   1. the 26 r08-green queries FROZEN out of the r10 window lead — their
+#      newest driver row is r08 and turns three rounds old otherwise
+#      (named as mandatory r11 leads in the r10 policy note and the r10
+#      verdict);
+#   2. queries NEW or REWORKED this round: emb15_semantic_dedup re-rows
+#      because its r10 `weak` scale shape is replaced (auto-scaled k,
+#      auto-Arrow pair stage, no corpus-wide window) and its oracle moves
+#      from the dual-dialect membership recompute to the planted-twin
+#      oracle; emb16 (SemDeDup farthest-from-centroid keep policy) and
+#      mm11 (full-triad cross-modal decontamination) are new;
+#   3. the r09-green queries in their r9-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
-#   FROZEN FOR R11 (named, deliberate): the r08-green queries that do
-#   not fit (section 5 below) wait one round — each is pytest-parity-
-#   pinned at sf0.001 every run, and each family keeps a driver row in
-#   this window (s14's registry is s13's operator family and s13 is
-#   r09-green; mm2's header decode family has mm3/mm4/mm5/mm6 in the
-#   window; t6/j3's alert shapes share j2/j4's r09-green join family;
-#   emb4/emb5/emb8's IVF ladder is covered by emb9 in-window plus
-#   emb10-13's r09/r10 rows; the a10-a12 agg shapes are a13's family;
-#   sp1/sp3/sp4's split shapes are sp6/sp7's family; dq1/dq2 are dq3's
-#   family, which leads this window).  They MUST rotate into the r11
-#   window.  The 50 r09-green queries (CORRECTNESS_r09, zero failures)
-#   form the tail in their r9-window order; the whole registry stays
-#   covered every run by tests/test_parity.py at sf0.001 and the
-#   pre-commit parity harness at sf0.01.
+#   FROZEN FOR R12 (named, deliberate): the r09-green queries that do not
+#   fit (section 4 below) wait one round — each is pytest-parity-pinned
+#   at sf0.001 every run, and each family keeps a driver row in this
+#   window (emb6's centered-LSH rides emb1-3's in-window rows; the
+#   j2/j4/j11 join shapes share j3/j5-family rows across r10/r11; the
+#   a4/w1/o3/sk1/q1 relational shapes are the a/w/o-family's in-window
+#   rows; s13/u2-u4's ML family rides s14's in-window registry row; the
+#   txt8/txt9/t10/sp5/dd6/dd7 shapes ride txt7/sp1/dd8's in-window rows).
+#   They MUST lead the r12 window, together with any r10-green queries
+#   whose evidence is then two rounds old.  The 50 r10-green queries
+#   (CORRECTNESS_r10, zero failures) form the tail in their r10-window
+#   order; the whole registry stays covered every run by
+#   tests/test_parity.py at sf0.001 and the pre-commit parity harness at
+#   sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — r07-green, frozen out of the r9 window: mandatory r10 leads
-    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
-    "p6_flag_filter", "a7_dup_detection", "o1_top_events",
-    "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
-    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
-    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
-    "mm1_media_meta",
-    # 2 — never driver-rowed (registered after the r9 window filled)
-    "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
-    "txt14_doc_retrieval",
-    # 3 — new this round (inserted as built; window trimmed to 50 below)
-    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
-    "dd13_compacted_table", "emb14_incremental_ivfpq",
-    "sp8_decontaminated_pipeline", "emb15_semantic_dedup",
-    # 4 — r08-green rotations, r8-window order (fills the window to 50)
-    "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
-    "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
-    "dd10_exact_decontamination", "txt11_pii_redaction",
-    "dd9_incremental_minhash",
-    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
-    "f1_scalar_suite",
-    "w4_rsi", "w5_bollinger", "w6_macd",
-    "w7_volatility", "w8_price_change", "w9_ml_features",
-    "txt2_quality", "txt3_langid",
-    "w10_throttled_volatility", "p8_extreme_filter",
-    "j5_dim_lookup",
-    # 5 — r08-green, FROZEN FOR R11 (see policy note above): they lead
-    # the r11 window.  flagship heads this block when new-r10 queries
-    # displace it from the 50 — its driver evidence also rides entry()'s
-    # per-round smoke check, so it is the cheapest fill to displace;
-    # mm3-mm6 follow because the media family keeps fresh rows via mm10
-    # (transcode + BMP decode end-to-end) and mm7-mm9's r09 rows (dHash
-    # pixel path, WAV/AVI walks); a3's HAVING shape rides a13's in-window
-    # row and the a-family's r09 a4 row.
+    # 1 — r08-green, frozen out of the r10 window: mandatory r11 leads
     "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
     "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
     "s14_arima_registry",
@@ -88,7 +55,9 @@ _PRIORITY = [
     "emb8_ivf_index_search",
     "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
     "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
-    # 6 — green in CORRECTNESS_r09 (zero failures), in r9-window order
+    # 2 — new/reworked this round (window trimmed to 50 below)
+    "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
+    # 3 — r09-green rotations, r9-window order (fills the window to 50)
     "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
     "txt4_fingerprint",
     "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
@@ -98,8 +67,9 @@ _PRIORITY = [
     "w14_series_banded_neardup",
     "sp2_stratified_sample", "dd3_minhash_signatures",
     "dd4_minhash_candidates", "dd5_simhash",
-    "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
-    "emb6_centered_lsh",
+    "emb1_knn_cosine", "emb2_label_centroids",
+    # 4 — r09-green, FROZEN FOR R12 (see policy note above)
+    "emb3_lsh_near_dup", "emb6_centered_lsh",
     "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
     "p7_validated_ticks", "p9_dedup_ticks",
     "j6_region_revenue", "j7_orders_without_big_lineitems",
@@ -112,6 +82,29 @@ _PRIORITY = [
     "u3_linreg_metrics", "u4_linreg_predictions",
     "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+    # 5 — green in CORRECTNESS_r10 (zero failures), in r10-window order
+    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
+    "p6_flag_filter", "a7_dup_detection", "o1_top_events",
+    "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
+    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+    "mm1_media_meta",
+    "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
+    "txt14_doc_retrieval",
+    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
+    "dd13_compacted_table", "emb14_incremental_ivfpq",
+    "sp8_decontaminated_pipeline",
+    "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
+    "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
+    "dd10_exact_decontamination", "txt11_pii_redaction",
+    "dd9_incremental_minhash",
+    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
+    "f1_scalar_suite",
+    "w4_rsi", "w5_bollinger", "w6_macd",
+    "w7_volatility", "w8_price_change", "w9_ml_features",
+    "txt2_quality", "txt3_langid",
+    "w10_throttled_volatility", "p8_extreme_filter",
+    "j5_dim_lookup",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

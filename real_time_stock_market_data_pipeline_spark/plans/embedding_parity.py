@@ -356,145 +356,37 @@ QUERIES["dq3_embedding_audit"] = _make_query(sql_embedding_audit)
 EMBEDDING_ORACLES["dq3_embedding_audit"] = sql_embedding_audit("duck")
 
 
-# --- EMB15: SemDeDup (semantic dedup: cluster, then dedup within) -----------
-SEMDEDUP_K = 16  # coarse clusters — shrinks the pairwise term by ~k
+# --- EMB15/EMB16: SemDeDup (semantic dedup: cluster, then dedup within) -----
 # Within-cluster verification threshold.  NOT emb3's 0.2: LSH sign buckets
 # are tiny (16-bit keys), so a loose floor stays selective there, but a
-# coarse cluster holds ~n/k vectors and random 64-dim cosines reach 0.2
-# routinely (σ ≈ d^-1/2 = 0.125) — at 0.2 the transitive closure chains
-# ~98% of the corpus into one component and "dedup" ≈ drop everything.
-# 0.95 keeps only true semantic duplicates (SemDeDup's operating range).
-SEMDEDUP_THRESHOLD = "0.95"
-
-
-def _semantic_ctes(dialect: str) -> str:
-    """assigned + nd CTE text shared by EMB15's Spark side and its DuckDB
-    oracle: deterministic stride-seed clustering (kmeans_fit's n_iter=0
-    seed rule — rank by vec_id, every ⌊n/k⌋-th vector, EXPRESSIBLE in
-    both engines so the oracle can recompute membership), argmax-cosine
-    assignment with lowest-cid ties, then candidate pairs ONLY within a
-    cluster (the SemDeDup point: pair work drops from n² to Σ_c n_c²),
-    exact-cosine verified at the strict SemDeDup threshold (see SEMDEDUP_THRESHOLD).  All numerics are
-    sequential folds — bit-identical across engines, so the argmax and
-    the threshold cut agree exactly."""
-    k = SEMDEDUP_K
-    # norms are precomputed per vector/seed: sqrt(dot(x,x)) cached in a
-    # column is the SAME IEEE ops as _cosine's inline form, so values stay
-    # bit-identical while the pair stage drops from three 64-dim folds per
-    # pair to one (the fold is interpreted per element — it dominates)
-    cos_assign = (
-        f"({_dot(dialect, 'r.embedding', 's.cvec')}) / (r.nrm * s.cnrm)"
-    )
-    cos_pair = (
-        f"({_dot(dialect, 'a.embedding', 'b.embedding')}) / (a.nrm * b.nrm)"
-    )
-    # Planted fixture: the synthetic corpus holds no true semantic twins
-    # (max organic within-cluster cosine ≈ 0.48), so every 25th vector
-    # re-enters under a new id with a deterministic ±0.3% per-dim gain
-    # ripple — cosine ≈ 0.999 to its source, the "same content,
-    # different encoder-run noise" case SemDeDup exists to catch.  Both
-    # dialects compute the identical ripple (index bases aligned).
-    if dialect == "spark":
-        ident = "transform(embedding, x -> CAST(x AS DOUBLE))"
-        pert = (
-            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
-            "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * "
-            "CAST(pmod(i + 1, 7) - 3 AS DOUBLE)))"
-        )
-    else:
-        ident = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        pert = (
-            "list_transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
-            "(1.0 + 0.001 * (CAST(i % 7 AS DOUBLE) - 3)))"
-        )
-    return f"""corpus AS (
-  SELECT vec_id, {ident} AS embedding FROM embeddings
-  UNION ALL
-  SELECT vec_id + {SEMDEDUP_PLANT_BASE} AS vec_id, {pert} AS embedding
-  FROM embeddings WHERE vec_id % 25 = 0
-),
-ranked AS (
-  SELECT vec_id, embedding, sqrt({_dot(dialect, "embedding", "embedding")}) AS nrm,
-         row_number() OVER (ORDER BY vec_id ASC) AS rn,
-         count(*) OVER () AS n
-  FROM corpus
-),
-seeds AS (
-  SELECT CAST(row_number() OVER (ORDER BY rn ASC) - 1 AS INT) AS cid,
-         embedding AS cvec, nrm AS cnrm
-  FROM (
-    SELECT rn, embedding, nrm FROM ranked
-    WHERE (rn - 1) % greatest(CAST(floor(CAST(n AS DOUBLE) / {k}) AS BIGINT), 1) = 0
-    ORDER BY rn ASC LIMIT {k}
-  ) s0
-),
-scored AS (
-  SELECT r.vec_id, r.embedding, r.nrm, s.cid, {cos_assign} AS cs
-  FROM ranked r CROSS JOIN seeds s
-),
-assigned AS (
-  SELECT vec_id, embedding, nrm, cid FROM (
-    SELECT vec_id, embedding, nrm, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
-    FROM scored
-  ) t WHERE rk = 1
-),
-nd AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid
-  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE {cos_pair} >= {d(SEMDEDUP_THRESHOLD)}
-)"""
-
-
-def sql_semantic_dedup(dialect: str) -> str:
-    """EMB15 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
-    learning at web-scale through semantic deduplication"): cluster the
-    corpus coarsely, then find duplicates ONLY within clusters and keep
-    one canonical survivor per connected component.  The embedding twin
-    of sp8's gate-the-pipeline story: emb3/emb6 bucket by hyperplane
-    SIGNS, SemDeDup buckets by cluster MEMBERSHIP — the shape that
-    scales semantic dedup to web corpora (pair work Σ_c n_c², never n²).
-    Output: every vector with its cluster id, its dup-component label
-    (itself when unique), and the keep flag.  SQL = recursive closure
-    (DuckDB oracle only — see sql_embedding_clusters); the engine path
-    composes kmeans_fit seeds + operators/similarity.semantic_dedup_pairs
-    + dedup.dup_clusters."""
-    return f"""
-WITH RECURSIVE {_semantic_ctes(dialect)},
-edges AS (
-  SELECT vec_a AS u, vec_b AS v FROM nd
-  UNION
-  SELECT vec_b AS u, vec_a AS v FROM nd
-),
-reach AS (
-  SELECT u, u AS lbl FROM edges
-  UNION
-  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
-),
-cc AS (SELECT u AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY u)
-SELECT a.vec_id, a.cid,
-       COALESCE(cc.cluster_id, a.vec_id) AS dup_group,
-       (COALESCE(cc.cluster_id, a.vec_id) = a.vec_id) AS keep
-FROM assigned a LEFT JOIN cc ON a.vec_id = cc.vec_id
-"""
-
+# coarse cluster holds ~target_cluster_size vectors and random 64-dim
+# cosines reach 0.2 routinely (sigma ~ d^-1/2 = 0.125) — at 0.2 the
+# transitive closure chains ~98% of the corpus into one component and
+# "dedup" ~= drop everything.  0.95 keeps only true semantic duplicates
+# (SemDeDup's operating range) — and it is also what makes the PLANTED
+# oracle below sound: the max ORGANIC pairwise cosine on this corpus is
+# ~0.48 (measured; pinned by test), so the only >= 0.95 pairs are the
+# planted twins, whatever clustering the trainer converges to.
+SEMDEDUP_THRESHOLD = 0.95
 
 SEMDEDUP_PLANT_BASE = 1_000_000
 
 
 def planted_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The emb15 fixture as a DataFrame — the SAME spark-dialect exprs the
-    CTE rendering uses (one definition; the operator-vs-rendering pin
-    test consumes this), with a guard: organic vec_ids must sit below
-    the planted-id offset or twin ids would collide with real ones and
-    the rank-based seed selection would tie nondeterministically."""
+    """The emb15/emb16 fixture: the synthetic corpus holds no true
+    semantic twins, so every 25th vector re-enters under a new id with a
+    deterministic +-0.3% per-dim gain ripple — cosine ~0.999 to its
+    source, the "same content, different encoder-run noise" case SemDeDup
+    exists to catch.  The guard: organic vec_ids must sit below the
+    planted-id offset or twin ids would collide with real ones (and the
+    planted oracle's id arithmetic would lie)."""
     emb = load_table(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).first()[0]
     if max_id is not None and max_id >= SEMDEDUP_PLANT_BASE:
         raise ValueError(
-            f"emb15 fixture: corpus vec_ids reach {max_id} ≥ the planted-id "
+            f"emb15 fixture: corpus vec_ids reach {max_id} >= the planted-id "
             f"offset {SEMDEDUP_PLANT_BASE}; raise SEMDEDUP_PLANT_BASE (and "
-            "the CTE rendering's literal) above the id range"
+            "the oracle renderings' literal) above the id range"
         )
     return emb.selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
@@ -509,61 +401,113 @@ def planted_semantic_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMB15, Spark side: ONE rendered plan computes the assignment
-    (bit-identical to the oracle's CTEs), a lazy localCheckpoint pins it,
-    and the within-cluster pair stage self-joins the CHECKPOINTED frame
-    (dot/(nrm·nrm) — the same IEEE ops as the rendering's nd CTE, which
-    only the DuckDB oracle executes; a second spark.sql plan would
-    re-run the O(n·k) scoring subtree three more times).  dup_clusters
-    runs the closure (Spark cannot run set-UNION recursion), and every
-    vector comes back with its keep flag.  Production uses
-    operators/similarity.semantic_dedup_pairs (same math from a trained
-    kmeans codebook — pinned ≡ this rendering by test) and trains with
-    n_iter > 0; the seed-only rule here exists so the ORACLE can
-    recompute cluster membership exactly."""
-    from ..operators.dedup import dup_clusters
+    """EMB15 — SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"), driven
+    through the PRODUCTION operator with its scale defaults (the r10
+    verdict's one `weak` row, fixed): ``operators/similarity.
+    semantic_dedup`` trains k-means with k derived from the corpus at
+    constant expected cluster size (``semdedup_k`` — never a fixed k
+    whose clusters grow with the corpus), auto-selects the Arrow
+    assignment + per-cluster blocked-GEMM pair stage with that k, and
+    contains NO corpus-wide unpartitioned window (kmeans_fit's seed rank
+    is partition-offset based; pinned by a plan-shape test).  The
+    embedding twin of sp8's gate-the-pipeline story: emb3/emb6 bucket by
+    hyperplane SIGNS, SemDeDup buckets by cluster MEMBERSHIP — pair work
+    Sigma_c n_c^2 ~= n*target, never n^2.
 
-    planted_semantic_corpus(spark, sf_dir)  # runs the id-range guard
-    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
-    assigned = spark.sql(
-        f"WITH {_semantic_ctes('spark')} "
-        "SELECT vec_id, embedding, nrm, cid FROM assigned"
-    ).localCheckpoint(eager=False)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a.embedding"),
-                F.col("b.embedding"),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("a.nrm") * F.col("b.nrm"))
-    )
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= float(SEMDEDUP_THRESHOLD))
-        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
-    )
-    cc = dup_clusters(pairs).select(
-        F.col("doc_id").alias("vec_id"), F.col("cluster_id")
-    )
+    Oracle: PLANTED — the fixture plants gain-ripple twins (cosine
+    ~0.999) into a corpus whose max organic pairwise cosine is ~0.48, so
+    at the 0.95 threshold the correct answer is id-arithmetic: every
+    twin dups its source (dup_group = source id, keep only the source),
+    everything else is a singleton.  Unlike r10's rendering-recompute
+    oracle this holds for ANY clustering the trainer converges to —
+    which is what frees the driver row to run the real scale path."""
+    from ..operators.similarity import semantic_dedup
+
+    corpus = planted_semantic_corpus(spark, sf_dir)
     return (
-        assigned.join(cc, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cid",
-            F.coalesce("cluster_id", "vec_id").alias("dup_group"),
-            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias("keep"),
-        )
+        semantic_dedup(corpus, threshold=SEMDEDUP_THRESHOLD)
+        .select("vec_id", "dup_group", "keep")
     )
+
+
+def sql_semantic_dedup_planted(dialect: str) -> str:
+    """EMB15's planted oracle (see _emb15_semantic_dedup): twins (ids >=
+    the plant offset) group under their source and are dropped; every
+    original keeps itself."""
+    del dialect  # ANSI on both engines
+    return f"""
+WITH corpus AS (
+  SELECT vec_id FROM embeddings
+  UNION ALL
+  SELECT vec_id + {SEMDEDUP_PLANT_BASE} AS vec_id
+  FROM embeddings WHERE vec_id % 25 = 0
+)
+SELECT vec_id,
+       CASE WHEN vec_id >= {SEMDEDUP_PLANT_BASE}
+            THEN vec_id - {SEMDEDUP_PLANT_BASE} ELSE vec_id END AS dup_group,
+       vec_id < {SEMDEDUP_PLANT_BASE} AS keep
+FROM corpus
+"""
 
 
 QUERIES["emb15_semantic_dedup"] = _emb15_semantic_dedup
-EMBEDDING_ORACLES["emb15_semantic_dedup"] = sql_semantic_dedup("duck")
+EMBEDDING_ORACLES["emb15_semantic_dedup"] = sql_semantic_dedup_planted("duck")
+
+
+def _emb16_semdedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB16 — SemDeDup's paper keep-policy, end-to-end: rerun the
+    pipeline with ``keep_policy="farthest"`` (survivor = the dup-set
+    member farthest from its cluster centroid — the least-redundant
+    exemplar, what downstream data quality actually sees) and report the
+    dup-set size histogram with survivor counts.  WHICH member survives
+    depends on the trained centroids, so the oracle checks the
+    clustering-invariant truth: exactly one survivor per dup set, twin
+    sets have exactly 2 members, everything else is a singleton.  A
+    pytest pins the policy itself (the survivor is the argmin
+    centroid-cosine member; both policies agree on singletons)."""
+    from ..operators.similarity import semantic_dedup
+
+    corpus = planted_semantic_corpus(spark, sf_dir)
+    res = semantic_dedup(
+        corpus, threshold=SEMDEDUP_THRESHOLD, keep_policy="farthest"
+    )
+    per_group = res.groupBy("dup_group").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_kept_grp"),
+    )
+    return (
+        per_group.groupBy("n_members")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_kept_grp").alias("n_kept"),
+        )
+        .orderBy("n_members")
+    )
+
+
+def sql_semdedup_keep_policy(dialect: str) -> str:
+    """EMB16's planted oracle: with t twin sources, the dup-set
+    histogram is (n - t) singletons each keeping themselves and t pairs
+    each keeping exactly one member."""
+    del dialect
+    return """
+WITH s AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN vec_id % 25 = 0 THEN 1 ELSE 0 END) AS tw
+  FROM embeddings
+)
+SELECT CAST(1 AS BIGINT) AS n_members,
+       CAST(n - tw AS BIGINT) AS n_groups,
+       CAST(n - tw AS BIGINT) AS n_kept
+FROM s
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(tw AS BIGINT), CAST(tw AS BIGINT) FROM s
+ORDER BY n_members
+"""
+
+
+QUERIES["emb16_semdedup_keep_policy"] = _emb16_semdedup_keep_policy
+EMBEDDING_ORACLES["emb16_semdedup_keep_policy"] = sql_semdedup_keep_policy(
+    "duck"
+)

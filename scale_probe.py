@@ -68,6 +68,7 @@ EMB_QUERIES = [
     "emb7_embedding_clusters", "emb10_incremental_ivf", "emb11_pq_recall",
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
     "emb14_incremental_ivfpq", "emb15_semantic_dedup",
+    "emb16_semdedup_keep_policy",
 ]
 
 
@@ -230,33 +231,54 @@ def probe_pq_serving(spark, base: str, scaled: str) -> list[dict]:
 
 
 def probe_semdedup_k_scaling(spark, scaled: str) -> list[dict]:
-    """emb15's documented scale knob, measured: with k FIXED, cluster
-    sizes grow with the corpus and the within-cluster pair stage pays
-    Σ_c n_c² ≈ n²/k — the quadratic term behind the emb15 probe's ~9×
-    at 10× vectors.  Growing k WITH the corpus (constant expected
-    cluster size) bounds the pair work per vector; this probe runs the
-    production operator on the ×10 corpus at k=16 (the sf0.1 setting)
-    vs k=160 (same vectors-per-cluster as base) and records the drop.
-    Arrow assignment at both k so only the pair stage varies."""
+    """emb15's scale knob, now the DEFAULT (r10 verdict item 1): with k
+    FIXED, cluster sizes grow with the corpus and the within-cluster
+    pair stage pays Σ_c n_c² ≈ n²/k — the quadratic term behind the old
+    emb15 probe's ~9× at 10× vectors.  ``semdedup_k`` derives k from the
+    corpus at constant expected cluster size and ``semantic_dedup_pairs``
+    auto-selects Arrow assignment + the blocked per-cluster GEMM with
+    that k.  This probe isolates the PAIR stage (fit outside the timer)
+    at base and ×10 under (a) the shipped defaults and (b) the old fixed
+    k=16, recording that the DEFAULT path is the ≈flat one — not a knob
+    a caller must remember to turn."""
     from real_time_stock_market_data_pipeline_spark.operators.clustering import (
         kmeans_fit,
     )
     from real_time_stock_market_data_pipeline_spark.operators.similarity import (
         semantic_dedup_pairs,
+        semdedup_k,
     )
 
-    emb = spark.read.parquet(f"{scaled}/embeddings.parquet")
+    timings: dict[str, dict[str, float]] = {
+        "default_autok": {},
+        "fixed_k16": {},
+    }
+    ks: dict[str, dict[str, int]] = {"default_autok": {}, "fixed_k16": {}}
+    for tag, d in (("base", BASE), ("scaled", scaled)):
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        n = emb.count()
+        for mode in timings:
+            k = semdedup_k(n) if mode == "default_autok" else 16
+            cents = [
+                (int(r.centroid_id), [float(x) for x in r.embedding])
+                for r in kmeans_fit(emb, k=k, n_iter=0).collect()
+            ]
+            # arrow=None: the auto path under test — switches with k
+            timings[mode][tag] = timed(
+                lambda *_: semantic_dedup_pairs(emb, cents)
+            )
+            ks[mode][tag] = k
     rows = []
-    for k in (16, 160):
-        cents = [
-            (int(r.centroid_id), [float(x) for x in r.embedding])
-            for r in kmeans_fit(emb, k=k, n_iter=0).collect()
-        ]
-        t = timed(
-            lambda *_: semantic_dedup_pairs(emb, cents, arrow=True)
+    for mode, rec in timings.items():
+        rows.append(
+            {
+                "probe": f"semdedup_pairs_{mode}",
+                **rec,
+                "k_base": ks[mode]["base"],
+                "k_scaled": ks[mode]["scaled"],
+                "factor": round(rec["scaled"] / max(rec["base"], 1e-9), 2),
+            }
         )
-        rows.append({"probe": f"semdedup_pairs_k{k}_10x", "scaled": t})
-    rows[-1]["vs_fixed_k"] = round(rows[-1]["scaled"] / max(rows[0]["scaled"], 1e-9), 2)
     return rows
 
 

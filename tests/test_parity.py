@@ -31,35 +31,35 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r10_driver_window_pinned():
+def test_r11_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 16
-    queries frozen out of the r9 window lead (their newest driver row is
-    r07), the 4 never-rowed late-r9 registrations follow, new r10 queries
-    come next, and r08-green rotations fill to exactly 50.  An accidental
-    import-order or registration change would silently spend the
-    evidence budget on the wrong queries — fail loudly instead."""
+    only, so the window IS part of the round's evidence plan: the 26
+    r08-green queries frozen out of the r10 window lead (their newest
+    driver row is r08), the new/reworked r11 queries follow (emb15's
+    scale rework replaces its plan AND oracle, so its r10 row is for the
+    old query), and r09-green rotations fill to exactly 50.  An
+    accidental import-order or registration change would silently spend
+    the evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    assert names[:16] == [
-        "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
-        "p6_flag_filter", "a7_dup_detection", "o1_top_events",
-        "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
-        "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
-        "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
-        "mm1_media_meta",
+    assert names[:26] == [
+        "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
+        "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
+        "s14_arima_registry",
+        "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+        "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+        "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
+        "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
+        "emb8_ivf_index_search",
+        "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
+        "sp3_capped_per_group", "sp4_balanced_mixture",
+        "dq2_volume_anomalies",
     ]
-    assert names[16:20] == [
-        "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
-        "txt14_doc_retrieval",
+    # new/reworked r11 queries sit directly after the r08 leads
+    assert names[26:28] == [
+        "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
     ]
-    # new r10 queries sit directly after the never-rowed block
-    assert names[20:26] == [
-        "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
-        "dd13_compacted_table", "emb14_incremental_ivfpq",
-        "sp8_decontaminated_pipeline", "emb15_semantic_dedup",
-    ]
-    # slot 50 boundary: the frozen-for-r11 block starts at index 50
-    assert names[49] == "j5_dim_lookup"
-    assert names[50] == "a3_active_series"
+    # slot 50 boundary: the frozen-for-r12 block starts at index 50
+    assert names[49] == "emb2_label_centroids"
+    assert names[50] == "emb3_lsh_near_dup"

@@ -324,3 +324,36 @@ def test_emb11_rerank_joins_are_hash_equi_joins(spark, sf_dir):
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[query_id#", plan
     ), plan[:2000]
+
+
+def test_emb15_no_corpus_window_and_no_cartesian(spark, sf_dir):
+    """emb15's r10 weakness, pinned closed: the old rendered plan dragged
+    the whole corpus through ONE partition via an unpartitioned
+    row_number()/count(*) OVER () seed CTE (the bench tail's WindowExec
+    warnings).  The reworked driver plan — kmeans seeds via
+    partition-offset ranks, Arrow/JVM assignment, within-cluster pairs,
+    min-id survivors — must contain NO window at all and no
+    CartesianProduct/BNLJ (the pair stage is keyed on cid)."""
+    plan = plan_of(spark, sf_dir, "emb15_semantic_dedup")
+    assert "Window" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb16_windows_all_partitioned(spark, sf_dir):
+    """emb16's farthest-from-centroid ranking uses a row_number window —
+    legal ONLY because it is partitioned by the dup set (a frame far
+    smaller than the corpus).  Every windowspecdefinition in the plan
+    must lead with a partition column (an ordering expression first =
+    unpartitioned = the single-partition corpus drag this suite
+    exists to prevent)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "emb16_semdedup_keep_policy")
+    specs = re.findall(r"windowspecdefinition\(([^,)]+)", plan)
+    assert specs, "expected the keep-policy ranking window in the plan"
+    for first_arg in specs:
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"unpartitioned window: windowspecdefinition({first_arg}, ..."
+        )
+    assert "CartesianProduct" not in plan
