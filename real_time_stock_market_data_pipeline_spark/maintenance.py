@@ -507,6 +507,51 @@ def compact_doc_keyed_table(
     return {".": (len(files), len(_data_files(path)))}
 
 
+AUTO_COMPACT_FILES = 64
+
+
+def maybe_compact_table(
+    spark: SparkSession,
+    path: str,
+    id_col: str | None = None,
+    max_files: int = AUTO_COMPACT_FILES,
+    target_file_bytes: int = 128 << 20,
+) -> dict[str, tuple[int, int]]:
+    """File-count compaction trigger — the piece that makes compaction
+    part of the INGEST story instead of an operator a maintainer must
+    remember: the anti-join+append sinks call this BETWEEN batches
+    (foreachBatch serializes batches per query, so the single-writer rule
+    is preserved), and the table's file count stays bounded by
+    max(max_files, byte-need) however many micro-batches have run —
+    without a trigger the O(batches) listing/open term the compactor
+    exists to kill silently returns as soon as nobody remembers to run
+    it.
+
+    Cheap until triggered: one listdir per batch while under the bound.
+    Flat doc-keyed tables rewrite RANGE-CLUSTERED on ``id_col``
+    (``compact_doc_keyed_table`` — zone-map-prunable anti-join probes);
+    partitioned or id-less stores bin-pack per partition
+    (``compact_parquet``).  Missing and non-local paths are no-ops (the
+    swap protocol is driver-local by design — remote object stores get
+    their own OPTIMIZE cadence).  An interrupted previous rewrite is
+    repaired first via ``recover_upsert`` — the same one rule every swap
+    consumer uses — so a crash inside auto-compaction never wedges the
+    sink."""
+    if not os.path.isdir(path):
+        return {}
+    entries = _partition_entries(path)
+    if entries:
+        n = sum(len(_data_files(os.path.join(path, e))) for e in entries)
+    else:
+        n = len(_data_files(path))
+    if n <= max_files:
+        return {}
+    recover_upsert(path)
+    if id_col is not None and not entries:
+        return compact_doc_keyed_table(spark, path, id_col, target_file_bytes)
+    return compact_parquet(spark, path, target_file_bytes)
+
+
 def expire_partitions(path: str, partition_col: str, before: str) -> list[str]:
     """Retention: drop every ``partition_col=value`` directory with
     ``value < before`` — a METADATA-ONLY operation on a partitioned store

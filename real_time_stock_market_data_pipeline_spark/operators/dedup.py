@@ -474,6 +474,7 @@ def update_signature_table(
 def signature_table_sink(
     path: str, id_col: str = "doc_id", text: str = "text", n: int = 3,
     band_size: int = BAND_SIZE,
+    auto_compact_files: int | None = None,
 ):
     """``foreachBatch`` writer maintaining the signature table from a
     DOCUMENT STREAM: each micro-batch runs ``update_signature_table``, so
@@ -481,10 +482,20 @@ def signature_table_sink(
     at-least-once, but the anti-join update is idempotent — the table
     converges to exactly the batch-built state without transactional
     coordination (pinned by tests/test_streaming.py: stream-built ≡
-    batch-built, and a full replay appends zero rows)."""
+    batch-built, and a full replay appends zero rows).
+
+    ``auto_compact_files`` (None = ``maintenance.AUTO_COMPACT_FILES``)
+    schedules ``maintenance.maybe_compact_table`` between batches, so the
+    anti-join+append file count stays bounded for the life of the sink;
+    pass 0-or-negative semantics are not supported — use a huge bound to
+    effectively disable."""
+    from ..maintenance import AUTO_COMPACT_FILES, maybe_compact_table
+
+    bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         update_signature_table(batch_df, path, id_col, text, n, band_size)
+        maybe_compact_table(batch_df.sparkSession, path, id_col, bound)
 
     return write_batch
 
@@ -568,14 +579,21 @@ def update_test_shingle_table(
 def test_shingle_table_sink(
     path: str, id_col: str = "doc_id", text: str = "text",
     n: int = DECONTAMINATION_NGRAM,
+    auto_compact_files: int | None = None,
 ):
     """``foreachBatch`` writer maintaining the test-shingle table from a
     TEST-DOCUMENT STREAM: at-least-once redelivery is idempotent via the
     anti-join (stream-built ≡ batch-built and a full replay appends zero
-    rows — tests/test_streaming.py)."""
+    rows — tests/test_streaming.py).  ``auto_compact_files`` schedules
+    ``maintenance.maybe_compact_table`` between batches (see
+    ``signature_table_sink``)."""
+    from ..maintenance import AUTO_COMPACT_FILES, maybe_compact_table
+
+    bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         update_test_shingle_table(batch_df, path, id_col, text, n)
+        maybe_compact_table(batch_df.sparkSession, path, id_col, bound)
 
     return write_batch
 

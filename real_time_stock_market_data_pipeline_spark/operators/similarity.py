@@ -471,6 +471,7 @@ def ivf_index_sink(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     centroid_id: str = "centroid_id",
+    auto_compact_files: int | None = None,
 ):
     """``foreachBatch`` writer maintaining a persisted IVF index from a
     VECTOR STREAM: each micro-batch runs ``update_ivf_index``, so per batch
@@ -479,11 +480,20 @@ def ivf_index_sink(
     converges to exactly the batch-built state without transactional
     coordination (pinned by tests/test_streaming.py: stream-built ≡
     batch-built, and a full replay appends zero rows).  Call
-    ``init_ivf_index`` with the codebook before starting the stream."""
+    ``init_ivf_index`` with the codebook before starting the stream.
+    ``auto_compact_files`` schedules ``maintenance.maybe_compact_table``
+    on the hive-partitioned lists between batches (per-list bin-packing —
+    the lists keep their centroid_id directory layout)."""
+    from ..maintenance import AUTO_COMPACT_FILES, maybe_compact_table
+
+    bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         update_ivf_index(
             batch_df.sparkSession, batch_df, path, vec_id, vec, centroid_id
+        )
+        maybe_compact_table(
+            batch_df.sparkSession, f"{path}/lists", None, bound
         )
 
     return write_batch
@@ -986,15 +996,28 @@ def update_pq_codes(
     return {"n_batch": n_batch, "n_new": n_new}
 
 
-def pq_codes_sink(path: str, vec_id: str = "vec_id", vec: str = "embedding"):
+def pq_codes_sink(
+    path: str,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    auto_compact_files: int | None = None,
+):
     """``foreachBatch`` writer maintaining the PQ code table from a VECTOR
     STREAM — at-least-once redelivery is idempotent via the anti-join
     (stream-built ≡ batch-built, replay appends zero rows; pinned by
     tests/test_streaming.py).  Call ``init_pq_index`` with trained
-    codebooks before starting the stream."""
+    codebooks before starting the stream.  ``auto_compact_files``
+    schedules ``maintenance.maybe_compact_table`` on the code table
+    between batches (see ``dedup.signature_table_sink``)."""
+    from ..maintenance import AUTO_COMPACT_FILES, maybe_compact_table
+
+    bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         update_pq_codes(batch_df.sparkSession, batch_df, path, vec_id, vec)
+        maybe_compact_table(
+            batch_df.sparkSession, f"{path}/codes", vec_id, bound
+        )
 
     return write_batch
 
@@ -1288,14 +1311,28 @@ def update_ivfpq_index(
     return {"n_batch": n_batch, "n_new": n_new}
 
 
-def ivfpq_index_sink(path: str, vec_id: str = "vec_id", vec: str = "embedding"):
+def ivfpq_index_sink(
+    path: str,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    auto_compact_files: int | None = None,
+):
     """``foreachBatch`` writer maintaining the composite index from a
     VECTOR STREAM — at-least-once redelivery idempotent via the anti-join
     (stream-built ≡ batch-built, replay appends zero rows).  Call
-    ``init_ivfpq_index`` with trained quantizers before starting."""
+    ``init_ivfpq_index`` with trained quantizers before starting.
+    ``auto_compact_files`` schedules ``maintenance.maybe_compact_table``
+    on the index table between batches (see
+    ``dedup.signature_table_sink``)."""
+    from ..maintenance import AUTO_COMPACT_FILES, maybe_compact_table
+
+    bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         update_ivfpq_index(batch_df.sparkSession, batch_df, path, vec_id, vec)
+        maybe_compact_table(
+            batch_df.sparkSession, f"{path}/index", vec_id, bound
+        )
 
     return write_batch
 

@@ -628,3 +628,63 @@ def test_read_if_exists_heals_interrupted_first_write(spark, tmp_path):
     good = str(tmp_path / "good")
     spark.range(3).write.parquet(good)
     assert read_parquet_if_exists(spark, good).count() == 3
+
+
+def test_sink_auto_compaction_bounds_files_long_run(spark, sf_dir, tmp_path):
+    """The r10 verdict's item 4: compact_doc_keyed_table existed but
+    nothing SCHEDULED it, so a long-lived sink still accreted one file
+    set per batch.  The sinks now call maintenance.maybe_compact_table
+    between batches — a long run of fragmented micro-batches must keep
+    the table's data-file count bounded by the trigger (not O(batches)),
+    with rows, replay-zero, and the gate unchanged."""
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+    from real_time_stock_market_data_pipeline_spark.operators import dedup
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        SPLIT_BOUNDS,
+        hash_bucket_col,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket_col()
+    lo, hi = SPLIT_BOUNDS["test"]
+    test = docs.filter((b >= lo) & (b < hi)).select("doc_id", "text")
+    train = docs.filter(b < SPLIT_BOUNDS["train"][1]).select("doc_id", "text")
+
+    path = str(tmp_path / "shingletab_auto")
+    write_batch = dedup.test_shingle_table_sink(path, auto_compact_files=6)
+
+    def data_files() -> int:
+        return sum(
+            1
+            for f in os.listdir(path)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(path, f))
+        )
+
+    n_batches = 12
+    max_seen = 0
+    for k in range(n_batches):
+        # each batch writes 3 files → 36 files over the run without the
+        # trigger; the bound is max_files + one batch's append
+        write_batch(test.filter(f"doc_id % {n_batches} = {k}").repartition(3), k)
+        max_seen = max(max_seen, data_files())
+    assert max_seen <= 6 + 3, max_seen
+
+    # content identical to the one-shot build; replay still appends zero
+    ref_path = str(tmp_path / "shingletab_oneshot")
+    dedup.update_test_shingle_table(test, ref_path)
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == sorted(
+        map(tuple, spark.read.parquet(ref_path).collect())
+    )
+    m = dedup.update_test_shingle_table(test, path)
+    assert m["n_new_docs"] == 0
+    # the gate reads through the compacted layout unchanged
+    assert sorted(
+        map(tuple, dedup.contaminated_docs_from_table(train, path).collect())
+    ) == sorted(
+        map(tuple, dedup.contaminated_docs_from_table(train, ref_path).collect())
+    )
+    # under the bound the trigger is a listdir no-op
+    assert mnt.maybe_compact_table(spark, path, "doc_id", max_files=10_000) == {}
