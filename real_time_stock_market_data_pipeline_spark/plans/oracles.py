@@ -1007,6 +1007,35 @@ WHERE bucket >= {lo} AND bucket < {hi}
 
 ORACLES["mm10_crossmodal_decontamination"] = _mm10_oracle()
 
+
+# MM11: full-triad decontamination — one planted re-master per modality
+# (BMP→PNG transcode, half-gain WAV, 25→30fps AVI remux) for every
+# DECON_PLANT_STRIDE-th test-split doc; each must surface against its
+# source at hamming EXACTLY 0 through the ONE shared fingerprint table,
+# and the replay gate pins TRUE.
+def _mm11_oracle() -> str:
+    from ..operators.dedup import DECON_PLANT_STRIDE
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+    from .dialect import tok_hash
+
+    h = tok_hash("duck", "CAST(doc_id AS STRING)")
+    lo, hi = SPLIT_BOUNDS["test"]
+    return f"""
+SELECT t.doc_id, m.modality, CAST(0 AS BIGINT) AS hamming,
+       true AS replay_zero
+FROM (
+  SELECT doc_id FROM (
+    SELECT doc_id, text, ({h}) % {N_BUCKETS} AS bucket FROM documents
+  ) s
+  WHERE bucket >= {lo} AND bucket < {hi}
+    AND doc_id % {DECON_PLANT_STRIDE} = 0 AND text IS NOT NULL
+) t
+CROSS JOIN (VALUES ('image'), ('audio'), ('video')) m(modality)
+"""
+
+
+ORACLES["mm11_triad_decontamination"] = _mm11_oracle()
+
 # MM9: perceptual video twin pairs — same planted-twin construction as
 # mm7/mm8 (docs 2k, 2k+1 share byte-identical AVI clips).
 ORACLES["mm9_video_pairs"] = """

@@ -674,6 +674,94 @@ def _synthetic_bmp_media(docs: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _synthetic_avi_media(
+    docs: DataFrame, key: str, usec_hex: str = "409C0000"
+) -> DataFrame:
+    """The mm9/mm11 deterministic RIFF/AVI fixture in pure JVM SQL, keyed
+    by ``key``: geometry w = key%5+4, h = key%3+4, nf = key%4+4 frames,
+    frame f's DIB payload byte j = (j·3 + f·31 + key·7) mod 256.  ONE
+    definition on purpose (the ``_synthetic_bmp_media`` rule) — mm11's
+    planted re-encode must stay frame-identical to the mm9-family clips.
+    ``usec_hex`` is the avih µs-per-frame dword (little-endian hex,
+    default 40000 µs = 25 fps): container metadata the pixel payload
+    never sees, which is exactly how mm11 fabricates a "same frames,
+    different container bytes" re-encode (30 fps remux).  Appends
+    ``media_bytes`` and drops the geometry scratch columns."""
+    d = (
+        docs.withColumn("w", F.expr(f"pmod({key}, 5) + 4"))
+        .withColumn("h", F.expr(f"pmod({key}, 3) + 4"))
+        .withColumn("nf", F.expr(f"pmod({key}, 4) + 4"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("fsize", F.expr("stride * h"))
+    )
+    avih = F.expr(
+        "concat(X'61766968', X'38000000', "     # 'avih', size 56
+        f"X'{usec_hex}', "                      # µs/frame
+        + "X'" + "00" * 12 + "', "              # max_bps, granularity, flags
+        + _le_bytes_sql("nf", 4)                # total_frames
+        + ", X'00000000', X'01000000', "        # initial_frames, streams=1
+        + _le_bytes_sql("fsize", 4) + ", "      # suggested buffer
+        + _le_bytes_sql("w", 4) + ", " + _le_bytes_sql("h", 4)
+        + ", X'" + "00" * 16 + "')"             # reserved
+    )
+    frames = F.expr(
+        "aggregate(transform(sequence(0, nf - 1), f -> "
+        "concat(X'30306462', "                  # '00db'
+        + _le_bytes_sql("fsize", 4)
+        + ", unhex(array_join(transform(sequence(0, fsize - 1), "
+        f"j -> lpad(hex(pmod(j * 3 + f * 31 + {key} * 7, 256)), 2, '0')), '')))), "
+        "CAST(X'' AS BINARY), (acc, x) -> concat(acc, x))"
+    )
+    hdrl = F.concat(F.expr("concat(X'4C495354', X'44000000', X'6864726C')"), avih)
+    movi = F.concat(
+        F.expr("X'4C495354'"),
+        F.expr(_le_bytes_sql("4 + nf * (8 + fsize)", 4)),
+        F.expr("X'6D6F7669'"),
+        frames,
+    )
+    return d.withColumn(
+        "media_bytes",
+        F.concat(
+            F.expr("X'52494646'"),
+            F.expr(_le_bytes_sql("92 + nf * (8 + fsize)", 4)),
+            F.expr("X'41564920'"),
+            hdrl,
+            movi,
+        ),
+    ).drop("w", "h", "nf", "stride", "fsize")
+
+
+def _synthetic_wav_media(docs: DataFrame, key: str, gain: int) -> DataFrame:
+    """The mm11 deterministic mono 8-bit PCM RIFF/WAVE fixture, keyed by
+    ``key`` with an EXACT power-of-two gain knob: ns = 160 + key%96
+    samples, sample byte j = gain·((j·(3 + key%11) + 7·key) mod 128).
+    ``gain=2`` is the "master" (even bytes 0..254); ``gain=1`` the
+    re-mastered half-gain copy.  Halving is the one gain that is
+    BIT-EXACT through the float64 FFT (scaling by a power of two only
+    shifts exponents, so every intermediate — and every band-energy
+    comparison in ``audio_fingerprint``, which is gain-invariant by
+    construction — is reproduced exactly), making the planted leak's
+    hamming EXACTLY 0, SQL-derivable.  mm8 keeps its own inline fixture:
+    its samples span the full 0..255 byte range (mod 256) to exercise the
+    decoder, which cannot express an exact half-gain twin."""
+    d = docs.withColumn("ns", F.expr(f"160 + pmod({key}, 96)"))
+    header = F.expr(
+        "concat(X'52494646', "                  # RIFF
+        + _le_bytes_sql("36 + ns", 4)           # riff size = 36 + data bytes
+        + ", X'57415645', X'666D7420', X'10000000', "  # WAVE, fmt , 16
+        + "X'0100', X'0100', "                  # PCM, mono
+        + "X'401F0000', X'401F0000', "          # rate 8000, byte rate 8000
+        + "X'0100', X'0800', "                  # block align 1, 8 bits
+        + "X'64617461', "                       # data
+        + _le_bytes_sql("ns", 4) + ")"
+    )
+    samples = F.expr(
+        "unhex(array_join(transform(sequence(0, ns - 1), "
+        f"j -> lpad(hex({gain} * pmod(j * (3 + pmod({key}, 11)) + 7 * {key}, 128)), 2, '0')), ''))"
+    )
+    return d.withColumn("media_bytes", F.concat(header, samples)).drop("ns")
+
+
 @register("mm7_dhash_pairs")
 def mm7_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM7 — perceptual near-dup detection end-to-end (operators/multimodal
@@ -2079,6 +2167,133 @@ def mm10_crossmodal_decontamination(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register("mm11_triad_decontamination")
+def mm11_triad_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM11 — the mm10 gate extended to the FULL perceptual triad through
+    ONE fingerprint table (r10 verdict item 5): the table contract is
+    hash-agnostic (rows are (id, fp, band_id, band_val) whatever 64-bit
+    perceptual hash produced them), so the test split's image dHashes,
+    audio spectral fingerprints, AND video frame-majority hashes
+    accumulate into a single insert-only store keyed by media_id =
+    doc_id·4 + modality (image 0 / audio 1 / video 2 — one keyspace, no
+    cross-modal id collisions in the anti-join), and ONE equi-join gate
+    sweeps training media of all three modalities per run.  Planted
+    leaks, one per modality, each a bytes-change/content-keep re-master
+    the exact gate is provably blind to: the BMP→PNG transcode (mm10's),
+    a HALF-GAIN re-mastered WAV (audio_fingerprint is gain-invariant by
+    construction, and a power-of-two gain is bit-exact through the FFT —
+    see _synthetic_wav_media), and a 25→30 fps AVI remux (identical DIB
+    frames, different avih metadata).  Every planted leak must surface
+    against its source at hamming EXACTLY 0; the two-batch + replay
+    build pins replay_zero (the shared _update_doc_keyed_table
+    idempotence).  Planted self-matches are projected for oracle
+    derivability (mm7/mm8/mm10's pattern).  Reference analogue: the
+    exists-check shape (producer/producer.py:368-380) on perceptual
+    keys across every asset type the pipeline carries."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import DECON_PLANT_BASE, DECON_PLANT_STRIDE
+    from ..operators.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        media_contamination_pairs_from_table,
+        reencode_png,
+        update_media_fingerprint_table,
+        video_dhash,
+    )
+    from ..operators.sampling import SPLIT_BOUNDS, hash_bucket_col
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .withColumn("__b", hash_bucket_col())
+    )
+    lo, hi = SPLIT_BOUNDS["test"]
+    test_docs = docs.filter((F.col("__b") >= lo) & (F.col("__b") < hi)).drop("__b")
+    train_docs = docs.filter(F.col("__b") < SPLIT_BOUNDS["train"][1]).drop("__b")
+
+    def triad(d: DataFrame, id_expr: str) -> DataFrame:
+        """(media_id, fp64) for all three modalities of ``d``'s docs —
+        the single keyspace both table and gate run on."""
+        img = image_dhash(_synthetic_bmp_media(d, "doc_id")).select(
+            F.expr(f"({id_expr}) * 4").alias("media_id"),
+            F.col("dhash").alias("fp64"),
+        )
+        aud = audio_fingerprint(_synthetic_wav_media(d, "doc_id", 2)).select(
+            F.expr(f"({id_expr}) * 4 + 1").alias("media_id"),
+            F.col("afp").alias("fp64"),
+        )
+        vid = video_dhash(_synthetic_avi_media(d, "doc_id")).select(
+            F.expr(f"({id_expr}) * 4 + 2").alias("media_id"),
+            F.col("vhash").alias("fp64"),
+        )
+        return img.unionByName(aud).unionByName(vid)
+
+    hashed_test = triad(test_docs, "doc_id").localCheckpoint(eager=False)
+    leak_src = test_docs.filter(F.col("doc_id") % DECON_PLANT_STRIDE == 0)
+    planted = (
+        image_dhash(reencode_png(_synthetic_bmp_media(leak_src, "doc_id")))
+        .select(
+            F.expr(f"(doc_id + {DECON_PLANT_BASE}) * 4").alias("media_id"),
+            F.col("dhash").alias("fp64"),
+        )
+        .unionByName(
+            audio_fingerprint(
+                _synthetic_wav_media(leak_src, "doc_id", 1)  # half-gain master
+            ).select(
+                F.expr(f"(doc_id + {DECON_PLANT_BASE}) * 4 + 1").alias("media_id"),
+                F.col("afp").alias("fp64"),
+            )
+        )
+        .unionByName(
+            video_dhash(
+                _synthetic_avi_media(leak_src, "doc_id", usec_hex="35820000")
+            ).select(
+                F.expr(f"(doc_id + {DECON_PLANT_BASE}) * 4 + 2").alias("media_id"),
+                F.col("vhash").alias("fp64"),
+            )
+        )
+    )
+    hashed_train = triad(train_docs, "doc_id").unionByName(planted)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_triadfp",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "table")
+    update_media_fingerprint_table(
+        hashed_test.filter("media_id % 8 < 4"), path, "media_id", "fp64"
+    )
+    update_media_fingerprint_table(
+        hashed_test.filter("media_id % 8 >= 4"), path, "media_id", "fp64"
+    )
+    m3 = update_media_fingerprint_table(  # replay: appends nothing
+        hashed_test.filter("media_id % 8 < 4"), path, "media_id", "fp64"
+    )
+    pairs = media_contamination_pairs_from_table(
+        hashed_train, path, "media_id", "fp64"
+    )
+    return pairs.filter(
+        (F.col("media_id") >= DECON_PLANT_BASE * 4)
+        & (F.col("test_id") == F.col("media_id") - DECON_PLANT_BASE * 4)
+    ).select(
+        F.expr("test_id DIV 4").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.pmod(F.col("test_id"), F.lit(4)) + 1).cast("int"),
+        ).alias("modality"),
+        F.col("hamming").cast("long").alias("hamming"),
+        F.lit(m3["n_new_docs"] == 0).alias("replay_zero"),
+    )
+
+
 @register("emb14_incremental_ivfpq")
 def emb14_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EMB14 — incrementally-maintained IVF-PQ composite index
@@ -2301,47 +2516,8 @@ def mm9_video_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull())
         .withColumn("gid", F.expr("doc_id DIV 2"))
-        .withColumn("w", F.expr("pmod(gid, 5) + 4"))
-        .withColumn("h", F.expr("pmod(gid, 3) + 4"))
-        .withColumn("nf", F.expr("pmod(gid, 4) + 4"))
-        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
-        .withColumn("fsize", F.expr("stride * h"))
     )
-    avih = F.expr(
-        "concat(X'61766968', X'38000000', "     # 'avih', size 56
-        "X'409C0000', "                         # 40000 µs/frame (25 fps)
-        + "X'" + "00" * 12 + "', "              # max_bps, granularity, flags
-        + _le_bytes_sql("nf", 4)                # total_frames
-        + ", X'00000000', X'01000000', "        # initial_frames, streams=1
-        + _le_bytes_sql("fsize", 4) + ", "      # suggested buffer
-        + _le_bytes_sql("w", 4) + ", " + _le_bytes_sql("h", 4)
-        + ", X'" + "00" * 16 + "')"             # reserved
-    )
-    frames = F.expr(
-        "aggregate(transform(sequence(0, nf - 1), f -> "
-        "concat(X'30306462', "                  # '00db'
-        + _le_bytes_sql("fsize", 4)
-        + ", unhex(array_join(transform(sequence(0, fsize - 1), "
-        "j -> lpad(hex(pmod(j * 3 + f * 31 + gid * 7, 256)), 2, '0')), '')))), "
-        "CAST(X'' AS BINARY), (acc, x) -> concat(acc, x))"
-    )
-    hdrl = F.concat(F.expr("concat(X'4C495354', X'44000000', X'6864726C')"), avih)
-    movi = F.concat(
-        F.expr("X'4C495354'"),
-        F.expr(_le_bytes_sql("4 + nf * (8 + fsize)", 4)),
-        F.expr("X'6D6F7669'"),
-        frames,
-    )
-    media = docs.withColumn(
-        "media_bytes",
-        F.concat(
-            F.expr("X'52494646'"),
-            F.expr(_le_bytes_sql("92 + nf * (8 + fsize)", 4)),
-            F.expr("X'41564920'"),
-            hdrl,
-            movi,
-        ),
-    )
+    media = _synthetic_avi_media(docs, "gid")
     hashed = video_dhash(media.select("doc_id", "media_bytes")).select(
         "doc_id", "vhash"
     )

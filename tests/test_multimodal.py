@@ -803,3 +803,65 @@ def test_mm10_reencoded_leak_caught_where_byte_dedup_is_blind(spark, tmp_path):
     # every planted leak flagged against its source at distance 0 (other
     # organic matches are allowed — that is what a perceptual hash is for)
     assert want <= got
+
+
+def test_triad_remaster_invariance(spark, sf_dir):
+    """mm11's planted-leak physics, pinned at the operator level: a
+    half-gain WAV re-master (power-of-two gain — bit-exact through the
+    float64 FFT) and a 25→30 fps AVI remux (identical DIB frames,
+    different avih metadata) must change the BYTES while leaving the
+    perceptual hash EXACTLY unchanged — the leak shape the exact gate is
+    provably blind to and the perceptual gate must catch at hamming 0."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint,
+        video_dhash,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.queries import (
+        _synthetic_avi_media,
+        _synthetic_wav_media,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+        .limit(40)
+    )
+    wav_m = _synthetic_wav_media(docs, "doc_id", 2)
+    wav_r = _synthetic_wav_media(docs, "doc_id", 1)
+    a = audio_fingerprint(wav_m).select("doc_id", F.col("afp").alias("x"))
+    b = audio_fingerprint(wav_r).select("doc_id", F.col("afp").alias("y"))
+    j = a.join(b, "doc_id")
+    assert j.count() == 40
+    assert j.filter("x IS NULL OR NOT (x <=> y)").count() == 0
+    avi_m = _synthetic_avi_media(docs, "doc_id")
+    avi_r = _synthetic_avi_media(docs, "doc_id", usec_hex="35820000")
+    va = video_dhash(avi_m).select("doc_id", F.col("vhash").alias("x"))
+    vb = video_dhash(avi_r).select("doc_id", F.col("vhash").alias("y"))
+    j2 = va.join(vb, "doc_id")
+    assert j2.count() == 40
+    assert j2.filter("x IS NULL OR NOT (x <=> y)").count() == 0
+    # and the container BYTES really differ (else the plant proves nothing)
+    bm = {r.doc_id: bytes(r.media_bytes) for r in wav_m.collect()}
+    br = {r.doc_id: bytes(r.media_bytes) for r in wav_r.collect()}
+    assert all(bm[k] != br[k] for k in bm)
+    vm = {r.doc_id: bytes(r.media_bytes) for r in avi_m.collect()}
+    vr = {r.doc_id: bytes(r.media_bytes) for r in avi_r.collect()}
+    assert all(vm[k] != vr[k] for k in vm)
+
+
+def test_mm11_flags_every_planted_modal_leak(spark, sf_dir):
+    """Every test-split doc at the plant stride must produce EXACTLY
+    three flagged leaks — image, audio, video — all at hamming 0 with
+    the replay gate true, through the ONE shared fingerprint table."""
+    from real_time_stock_market_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["mm11_triad_decontamination"](spark, sf_dir).collect()
+    assert rows and all(r.hamming == 0 and r.replay_zero for r in rows)
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.modality)
+    assert all(mods == {"image", "audio", "video"} for mods in by_doc.values())

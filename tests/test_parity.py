@@ -57,9 +57,10 @@ def test_r11_driver_window_pinned():
         "dq2_volume_anomalies",
     ]
     # new/reworked r11 queries sit directly after the r08 leads
-    assert names[26:28] == [
+    assert names[26:29] == [
         "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
+        "mm11_triad_decontamination",
     ]
     # slot 50 boundary: the frozen-for-r12 block starts at index 50
-    assert names[49] == "emb2_label_centroids"
-    assert names[50] == "emb3_lsh_near_dup"
+    assert names[49] == "emb1_knn_cosine"
+    assert names[50] == "emb2_label_centroids"
