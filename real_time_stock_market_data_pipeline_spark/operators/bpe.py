@@ -397,8 +397,18 @@ def token_vocab(spark, path: str) -> DataFrame:
     """(token, token_id) — contiguous ids over the distinct tokens of a
     persisted segmentation table, ranked by corpus-weight-free frequency
     across mapping entries then token text (deterministic under reruns).
-    Vocab-sized everywhere; the ranking window runs after a distinct-token
-    aggregate, never over the corpus."""
+
+    The ranking window is global (no partition key) but its input is
+    STRUCTURALLY bounded, not just empirically small: the frame is the
+    distinct SUBWORD set of a BPE tokenizer, and BPE algebra caps it at
+    |alphabet| + |merges| (each merge mints exactly one new token) —
+    independent of corpus size, unlike a word vocabulary.  The
+    segmentation table grows with distinct WORDS, but the groupBy above
+    collapses it to that bounded token set before the window ever runs.
+    If this were ever generalized to an unbounded id space, switch the
+    ranking to the partition-offset pattern (clustering.kmeans_fit's
+    seed rank) or cut top-k before ranking (the txt6 vocab plan's shape,
+    plans/text_parity.sql_vocab)."""
     from pyspark.sql import Window
 
     toks = (

@@ -163,7 +163,15 @@ def minhash_band_rows(
     and the persisted signature table both consume.  ``band_size`` tunes
     the S-curve threshold t ≈ (1/b)^(1/r): the dedup default (r=4, b=4)
     targets t ≈ 0.71 Jaccard; the decontamination gate uses r=2, b=8
-    (t ≈ 0.35) because a missed leak costs more than a false flag."""
+    (t ≈ 0.35) because a missed leak costs more than a false flag.
+    ``band_size`` must divide ``N_HASHES`` — a remainder would silently
+    drop the trailing hash columns from every banding (e.g. band_size=3
+    would band h1..h15 and never h16), weakening recall with no error."""
+    if N_HASHES % band_size != 0:
+        raise ValueError(
+            f"band_size={band_size} does not divide N_HASHES={N_HASHES}; "
+            "a remainder would silently drop trailing hashes from banding"
+        )
     sigs = minhash_signatures(df, id_col, text, n)
     # one struct array exploded per row — a unionAll of per-band selects
     # would re-inline the signature aggregation once per branch per side
@@ -666,7 +674,16 @@ def near_contaminated_docs_from_table(
     MinHash bands collide with ≥1 PERSISTED test-doc signature — the fuzzy
     twin of ``contaminated_docs_from_table``: no test-side computation at
     check time, candidates from one equi-join on (band_id, band_sig), never
-    train×test all-pairs.  ``band_size`` must match the table's.
+    train×test all-pairs.  ``band_size`` must match the table's — and
+    that is VALIDATED, not trusted: the producer default
+    (``update_signature_table``'s 4×4) and this gate's default (8×2)
+    deliberately differ, band_sig is a plain string, and low band_ids
+    overlap, so a mismatched pair would join cleanly and match (almost)
+    nothing — a decontamination gate that silently under-flags.  Every
+    doc emits every band, so the table's banding is recoverable from the
+    data itself: max(band_id)+1 bands must equal N_HASHES/band_size (one
+    column-pruned min/max-footer agg on the test-sized table per gate
+    run; raises on mismatch, empty table passes trivially).
 
     Scale shape: the table side is the accumulated test corpus's band rows
     (small next to a training corpus); the train side streams through one
@@ -676,6 +693,16 @@ def near_contaminated_docs_from_table(
     test_bands = spark.read.parquet(path).select(
         F.col(id_col).alias("__test_id"), "band_id", "band_sig"
     )
+    top_band = test_bands.agg(F.max("band_id")).first()[0]
+    if top_band is not None and top_band + 1 != N_HASHES // band_size:
+        raise ValueError(
+            f"signature table at {path} holds {top_band + 1} bands "
+            f"(band_size={N_HASHES // (top_band + 1)}), but the gate was "
+            f"called with band_size={band_size} "
+            f"({N_HASHES // band_size} bands) — a mismatched banding "
+            "joins cleanly and silently under-flags leaks; pass the "
+            "band_size the table was built with"
+        )
     train_bands = minhash_band_rows(train_df, id_col, text, n, band_size)
     return (
         train_bands.join(test_bands, ["band_id", "band_sig"])

@@ -309,7 +309,14 @@ def _bands_sql(dialect: str, src: str = "sigs", band_size: int = BAND_SIZE) -> s
     """Band-signature rows for the DD4/DD6 LSH bucket join (see
     sql_minhash_candidates for why the renderings differ per engine).
     ``band_size`` mirrors operators/dedup.minhash_band_rows — dd12's
-    decontamination gate bands the same 16 hashes as 8×2."""
+    decontamination gate bands the same 16 hashes as 8×2 (and the same
+    divisibility rule: a remainder would silently drop trailing
+    hashes)."""
+    if N_HASHES % band_size != 0:
+        raise ValueError(
+            f"band_size={band_size} does not divide N_HASHES={N_HASHES}; "
+            "a remainder would silently drop trailing hashes from banding"
+        )
     sigs_of = []
     for b in range(N_HASHES // band_size):
         cols = [f"h{b * band_size + j}" for j in range(1, band_size + 1)]

@@ -43,7 +43,10 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
 
     from pyspark.sql.utils import AnalysisException
 
-    is_uri = re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path) is not None
+    # 2+ char scheme: a Windows drive path ("C:\\tables\\t") is NOT a URI
+    # and must take the cheap stat-check branch, not the logged-exception
+    # fallback this helper exists to avoid
+    is_uri = re.match(r"^[A-Za-z][A-Za-z0-9+.-]+:", path) is not None
     if not is_uri and not os.path.exists(path):
         return None
     try:

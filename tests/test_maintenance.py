@@ -688,3 +688,25 @@ def test_sink_auto_compaction_bounds_files_long_run(spark, sf_dir, tmp_path):
     )
     # under the bound the trigger is a listdir no-op
     assert mnt.maybe_compact_table(spark, path, "doc_id", max_files=10_000) == {}
+
+
+def test_read_if_exists_windows_drive_path_takes_stat_branch():
+    """A Windows drive path ("C:\\tables\\t") is not a scheme URI: it must
+    short-circuit through the cheap os.path stat check (returning None
+    for a missing table) instead of falling into the logged
+    AnalysisException path the helper exists to avoid.  A real 2+ char
+    scheme still skips the stat check."""
+    from real_time_stock_market_data_pipeline_spark.sources.readers import (
+        read_parquet_if_exists,
+    )
+
+    class _NeverRead:
+        @property
+        def read(self):
+            raise AssertionError("missing local path must not reach spark.read")
+
+    assert read_parquet_if_exists(_NeverRead(), r"C:\tables\missing") is None
+    assert read_parquet_if_exists(_NeverRead(), "C:/tables/missing") is None
+    assert read_parquet_if_exists(_NeverRead(), "/no/such/local/table") is None
+    with pytest.raises(AssertionError, match="spark.read"):
+        read_parquet_if_exists(_NeverRead(), "hdfs://nn/x")  # URI: no stat

@@ -857,3 +857,47 @@ def test_dd12_banded_gate_catches_what_exact_gate_cannot(spark, sf_dir):
     flagged = QUERIES["dd12_neardup_decontamination"](spark, sf_dir)
     n_flagged_planted = flagged.filter("is_planted_leak").count()
     assert n_flagged_planted == n_planted
+
+
+def test_band_size_must_divide_n_hashes(spark):
+    """band_size=3 over 16 hashes would band h1..h15 and silently never
+    band h16 — recall loss with no error.  Refused loudly instead, on
+    both the operator and the SQL-rendering side."""
+    import pytest
+
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        minhash_band_rows,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        _bands_sql,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="does not divide"):
+        minhash_band_rows(df, band_size=3)
+    with pytest.raises(ValueError, match="does not divide"):
+        _bands_sql("duck", band_size=3)
+
+
+def test_decontamination_gate_validates_table_band_size(spark, sf_dir, tmp_path):
+    """The producer default (4x4 near-dup banding) and the gate default
+    (8x2 decontamination banding) deliberately differ, and a table built
+    with one but queried with the other joins cleanly while matching
+    (almost) nothing — an under-flagging gate.  The banding is
+    recoverable from the data (every doc emits every band), so the gate
+    now validates it and refuses a mismatch."""
+    import pytest
+
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        near_contaminated_docs_from_table,
+        update_signature_table,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    path = str(tmp_path / "sigtab_4x4")
+    update_signature_table(docs, path, band_size=4)  # producer default
+    with pytest.raises(ValueError, match="band_size"):
+        near_contaminated_docs_from_table(docs, path).count()  # gate default 2
+    # matching band_size passes
+    near_contaminated_docs_from_table(docs, path, band_size=4).count()
