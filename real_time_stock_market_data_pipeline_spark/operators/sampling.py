@@ -61,6 +61,36 @@ def assign_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def dup_aware_split(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster-coherent split assignment — closes the leak channel plain
+    per-doc hash splitting leaves open: if doc A lands in train and its
+    near-duplicate A' in test, the test set is contaminated even though
+    both splits are individually deterministic (``assign_split`` hashes
+    each doc independently, so a dup PAIR straddles the boundary with
+    probability ≈ 2·p_train·p_test).  Here every doc hashes by its
+    DUP-COMPONENT label instead — ``coalesce(cluster_id, own id)``, with
+    ``clusters`` = ``dedup.dup_clusters`` output (doc_id, cluster_id) —
+    so an entire near-dup component lands in ONE split by construction;
+    singletons (absent from ``clusters``) keep their own-id assignment,
+    identical to ``assign_split``'s.
+
+    Scale shape: one left join on the doc id (high-cardinality equi-join;
+    the cluster map is collision-sized — far smaller than the corpus)
+    plus a pure projection.  Deterministic, stable under reruns and
+    repartitioning, nested with every other hash-derived op (same id
+    hash).  Adds (cluster_id nullable, bucket, split)."""
+    joined = df.join(
+        clusters.select(F.col(id_col), "cluster_id"), id_col, "left"
+    ).withColumn("__skey", F.coalesce(F.col("cluster_id"), F.col(id_col)))
+    return (
+        joined.withColumn("bucket", hash_bucket_col("__skey"))
+        .withColumn("split", split_col("__skey"))
+        .drop("__skey")
+    )
+
+
 def deterministic_sample(
     df: DataFrame, rate: float, id_col: str = "doc_id", n_buckets: int = N_BUCKETS
 ) -> DataFrame:

@@ -1404,7 +1404,11 @@ def semantic_assignment(
 
 
 def _pairs_blocked(
-    assigned: DataFrame, threshold: float, vec_id: str, vec: str
+    assigned: DataFrame,
+    threshold: float,
+    vec_id: str,
+    vec: str,
+    flag: str | None = None,
 ) -> DataFrame:
     """Within-cluster ≥threshold pairs via per-cluster Arrow GEMM
     (``applyInPandas`` over ``groupBy(cid)``): each cluster's vector
@@ -1416,7 +1420,12 @@ def _pairs_blocked(
     is the knob that bounds n_c (``semdedup_k``), the same remedy as a
     hot IVF list.  NULL / ragged vectors become zero rows (cosine 0,
     below any real threshold) — the ``_vec_matrix`` rule, matching the
-    JVM join path where a NULL cosine fails the filter."""
+    JVM join path where a NULL cosine fails the filter.
+
+    ``flag`` (incremental ingest): name of a boolean column — only pairs
+    with at least one flagged (NEW) member are emitted, so a batch pays
+    new×cluster work, never the standing corpus re-paired per batch.
+    """
     idt = assigned.schema[vec_id].dataType.simpleString()
     out_schema = f"vec_a {idt}, vec_b {idt}, cid int, __cos double"
     thr = float(threshold)
@@ -1437,12 +1446,17 @@ def _pairs_blocked(
         nrm = pdf["__nrm"].to_numpy(dtype=np.float64)
         cid_val = int(pdf["cid"].iloc[0])
         cols = np.arange(n)
+        isnew = (
+            pdf[flag].to_numpy(dtype=bool) if flag is not None else None
+        )
         out_a, out_b, out_c = [], [], []
         for s in range(0, n, _SEMDEDUP_GEMM_BLOCK):
             e = min(s + _SEMDEDUP_GEMM_BLOCK, n)
             S = X[s:e] @ X.T
             S /= np.maximum(nrm[s:e, None] * nrm[None, :], 1e-300)
             mask = (S >= thr) & (cols[None, :] > np.arange(s, e)[:, None])
+            if isnew is not None:
+                mask &= isnew[s:e, None] | isnew[None, :]
             bi, j = np.nonzero(mask)
             out_a.append(ids[bi + s])
             out_b.append(ids[j])
@@ -1465,6 +1479,7 @@ def _pairs_from_assignment(
     vec_id: str,
     vec: str,
     blocked: bool,
+    flag: str | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cid, cosine_sim) from a ``semantic_assignment``
     frame.  ``blocked=True`` → per-cluster Arrow GEMM (the scale path);
@@ -1475,7 +1490,7 @@ def _pairs_from_assignment(
     from ..functions.scalars import r6
 
     if blocked:
-        raw = _pairs_blocked(assigned, threshold, vec_id, vec)
+        raw = _pairs_blocked(assigned, threshold, vec_id, vec, flag)
         return raw.select(
             "vec_a", "vec_b", "cid", r6(F.col("__cos")).alias("cosine_sim")
         )
@@ -1483,12 +1498,13 @@ def _pairs_from_assignment(
     cos = dot_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")) / (
         F.col("a.__nrm") * F.col("b.__nrm")
     )
+    cond = (F.col("a.cid") == F.col("b.cid")) & (
+        F.col(f"a.{vec_id}") < F.col(f"b.{vec_id}")
+    )
+    if flag is not None:
+        cond = cond & (F.col(f"a.{flag}") | F.col(f"b.{flag}"))
     return (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col(f"a.{vec_id}") < F.col(f"b.{vec_id}")),
-        )
+        a.join(b, cond)
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= threshold)
         .select(
@@ -1632,3 +1648,119 @@ def semantic_dedup(
         F.coalesce("cluster_id", F.col(vec_id)).alias("dup_group"),
         F.coalesce("keep", F.lit(True)).alias("keep"),
     )
+
+
+# --- Incremental SemDeDup (semantic-dedup index maintained batch by batch) ---
+def init_semantic_index(centroids: DataFrame, path: str,
+                        vec: str = "embedding") -> None:
+    """Persist ONLY the codebook — the empty-index form
+    ``update_semantic_index`` appends into (the ``init_ivf_index``
+    split: an index can be populated incrementally from batch one, the
+    streaming-ingest shape).  The codebook is FIXED for the life of the
+    index — a vector's assignment never changes, which is what makes the
+    dup-pair set insert-only (a re-train is a NEW index path)."""
+    centroids.select(F.col("centroid_id"), F.col(vec)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def update_semantic_index(
+    spark,
+    batch: DataFrame,
+    path: str,
+    threshold: float = 0.95,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    arrow: bool | None = None,
+) -> dict[str, int]:
+    """Incrementally maintain a persisted SEMANTIC-DEDUP index: per batch,
+    assign ONLY unseen vectors to their (fixed) max-cosine centroid,
+    emit the ≥threshold pairs those NEW vectors form — against standing
+    same-cluster members and among themselves — and append both to the
+    store.  The accumulated state is exactly what one-shot SemDeDup
+    computes over the union of every batch (pinned in-plan by emb17's
+    gate): ``{path}/assigned`` holds (vec_id, <vec>, __nrm, cid) for the
+    corpus so far, ``{path}/pairs`` the dup pairs.
+
+    Per-batch cost is the incremental shape, not a rerun: one anti-join
+    on the vector id (the five-table ``_update_doc_keyed_table``
+    contract), assignment work ∝ NEW vectors, and the pair stage —
+    NEW×cluster via the ``flag`` rule in the shared pair kernel, with
+    the standing side PRUNED to the clusters the batch actually touched
+    (a cid semi-join) — never the standing corpus re-paired.
+    At-least-once replay appends nothing to either table.  Returns
+    ``{"n_batch", "n_new", "n_new_pairs"}``."""
+    from ..sources.readers import read_parquet_if_exists
+
+    cents = _collect_codebook(
+        spark.read.parquet(f"{path}/centroids"), "centroid_id", vec
+    )
+    if arrow is None:
+        arrow = len(cents) >= SEMDEDUP_AUTO_ARROW_K
+    n_batch = batch.count()
+    standing = read_parquet_if_exists(spark, f"{path}/assigned")
+    new = (
+        batch
+        if standing is None
+        else batch.join(standing.select(vec_id), vec_id, "left_anti")
+    )
+    assigned_new = semantic_assignment(new, cents, vec_id, vec, arrow)
+    n_new = assigned_new.count()  # materializes the lazy checkpoint
+    if not n_new:
+        return {"n_batch": n_batch, "n_new": 0, "n_new_pairs": 0}
+    flagged_new = assigned_new.withColumn("__new", F.lit(True))
+    if standing is None:
+        scope = flagged_new
+    else:
+        touched = standing.join(
+            assigned_new.select("cid").distinct(), "cid", "semi"
+        )
+        scope = touched.withColumn("__new", F.lit(False)).unionByName(
+            flagged_new
+        )
+    pairs = _pairs_from_assignment(
+        scope, threshold, vec_id, vec, blocked=arrow, flag="__new"
+    ).persist()
+    try:
+        n_pairs = pairs.count()
+        if n_pairs:
+            pairs.write.mode("append").parquet(f"{path}/pairs")
+        assigned_new.drop("__new").write.mode("append").parquet(
+            f"{path}/assigned"
+        )
+    finally:
+        pairs.unpersist()
+    return {"n_batch": n_batch, "n_new": n_new, "n_new_pairs": n_pairs}
+
+
+def semantic_index_sink(
+    path: str,
+    threshold: float = 0.95,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    auto_compact_files: int | None = None,
+):
+    """``foreachBatch`` writer maintaining the semantic-dedup index from a
+    VECTOR STREAM — at-least-once redelivery idempotent via the
+    anti-join (stream-built ≡ batch-built, replay appends zero rows to
+    both tables).  Call ``init_semantic_index`` with trained centroids
+    before starting.  ``auto_compact_files`` schedules
+    ``maintenance.maybe_compact_table`` on the assigned table between
+    batches (the pairs table is collision-sized — compact it on the same
+    trigger)."""
+    from ..maintenance import AUTO_COMPACT_FILES, maybe_compact_table
+
+    bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_semantic_index(
+            batch_df.sparkSession, batch_df, path, threshold, vec_id, vec
+        )
+        maybe_compact_table(
+            batch_df.sparkSession, f"{path}/assigned", vec_id, bound
+        )
+        maybe_compact_table(
+            batch_df.sparkSession, f"{path}/pairs", None, bound
+        )
+
+    return write_batch

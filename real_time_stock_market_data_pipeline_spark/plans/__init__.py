@@ -57,7 +57,8 @@ _PRIORITY = [
     "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
     # 2 — new/reworked this round (window trimmed to 50 below)
     "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
-    "mm11_triad_decontamination",
+    "mm11_triad_decontamination", "sp9_dup_aware_split",
+    "emb17_incremental_semdedup",
     # 3 — r09-green rotations, r9-window order (fills the window to 50)
     "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
     "txt4_fingerprint",
@@ -67,10 +68,11 @@ _PRIORITY = [
     "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
     "w14_series_banded_neardup",
     "sp2_stratified_sample", "dd3_minhash_signatures",
-    "dd4_minhash_candidates", "dd5_simhash",
-    "emb1_knn_cosine",
+    "dd4_minhash_candidates",
     # 4 — r09-green, FROZEN FOR R12 (see policy note above)
-    "emb2_label_centroids", "emb3_lsh_near_dup", "emb6_centered_lsh",
+    "dd5_simhash",
+    "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
+    "emb6_centered_lsh",
     "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
     "p7_validated_ticks", "p9_dedup_ticks",
     "j6_region_revenue", "j7_orders_without_big_lineitems",

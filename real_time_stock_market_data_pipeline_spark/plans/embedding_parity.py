@@ -511,3 +511,107 @@ QUERIES["emb16_semdedup_keep_policy"] = _emb16_semdedup_keep_policy
 EMBEDDING_ORACLES["emb16_semdedup_keep_policy"] = sql_semdedup_keep_policy(
     "duck"
 )
+
+
+def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB17 — incrementally-maintained semantic-dedup index
+    (operators/similarity init_semantic_index / update_semantic_index):
+    emb15 answers "dedup THIS corpus"; production ingest asks the other
+    question — do TODAY'S vectors duplicate anything already ingested,
+    without re-pairing the standing corpus per batch.  The codebook
+    trains once on the initial corpus and freezes (assignments never
+    change ⇒ the pair set is insert-only, the five-table anti-join
+    contract); batch 1 ingests every original, batch 2 every planted
+    gain-ripple twin — so each twin pair is found as NEW×STANDING, the
+    exact cross-batch shape — and a batch-2 REPLAY appends zero rows to
+    both tables.  The accumulated pair set must equal one-shot
+    semantic_dedup_pairs over the full corpus with the same codebook,
+    compared in-plan (full-outer count gate, emb14's pattern).  The
+    planted projection keeps the oracle id-arithmetic (organic pairs:
+    none at the 0.95 threshold — see _emb15_semantic_dedup)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import (
+        init_semantic_index,
+        semantic_dedup_pairs,
+        semdedup_k,
+        update_semantic_index,
+    )
+
+    corpus = planted_semantic_corpus(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    originals = corpus.filter(F.col("vec_id") < SEMDEDUP_PLANT_BASE)
+    twins = corpus.filter(F.col("vec_id") >= SEMDEDUP_PLANT_BASE)
+    k = semdedup_k(corpus.count())
+    cents_df = kmeans_fit(originals, k=k, n_iter=2)
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.embedding])
+        for r in cents_df.collect()
+    ]
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_semidx",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "index")
+    init_semantic_index(cents_df, path)
+    update_semantic_index(spark, originals, path, SEMDEDUP_THRESHOLD)
+    update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
+    m3 = update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
+    acc = (
+        spark.read.parquet(f"{path}/pairs")
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    oneshot = semantic_dedup_pairs(
+        corpus, cents, threshold=SEMDEDUP_THRESHOLD
+    ).select("vec_a", "vec_b")
+    row = (
+        acc.withColumn("__a", F.lit(1))
+        .join(
+            oneshot.withColumn("__o", F.lit(1)), ["vec_a", "vec_b"], "full"
+        )
+        .agg(
+            F.count("__a").alias("n_a"),
+            F.count("__o").alias("n_o"),
+            F.sum(
+                (F.col("__a").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff"),
+        )
+        .collect()[0]
+    )
+    gate = bool(row.n_a == row.n_o and (row.n_diff or 0) == 0)
+    return acc.filter(
+        (F.col("vec_b") >= SEMDEDUP_PLANT_BASE)
+        & (F.col("vec_a") == F.col("vec_b") - SEMDEDUP_PLANT_BASE)
+    ).select(
+        F.col("vec_a").alias("src_id"),
+        F.col("vec_b").alias("twin_id"),
+        F.lit(m3["n_new"] == 0 and m3["n_new_pairs"] == 0).alias("replay_zero"),
+        F.lit(gate).alias("pairs_match_oneshot"),
+    )
+
+
+def sql_incremental_semdedup(dialect: str) -> str:
+    """EMB17's planted oracle: every 25th original's twin — and nothing
+    else — pairs across the batch boundary; the replay and
+    accumulated≡one-shot gates pin TRUE."""
+    del dialect
+    return f"""
+SELECT vec_id AS src_id, vec_id + {SEMDEDUP_PLANT_BASE} AS twin_id,
+       true AS replay_zero, true AS pairs_match_oneshot
+FROM embeddings WHERE vec_id % 25 = 0
+"""
+
+
+QUERIES["emb17_incremental_semdedup"] = _emb17_incremental_semdedup
+EMBEDDING_ORACLES["emb17_incremental_semdedup"] = sql_incremental_semdedup(
+    "duck"
+)

@@ -1573,3 +1573,130 @@ FROM scored WHERE rnk <= 5
 
 QUERIES["txt14_doc_retrieval"] = _make_query(sql_doc_retrieval)
 TEXT_ORACLES["txt14_doc_retrieval"] = sql_doc_retrieval("duck")
+
+
+# --- SP9: dup-aware (cluster-coherent) split assignment ----------------------
+def sql_dup_aware_split(dialect: str) -> str:
+    """SP9 — near-dup-coherent train/val/test assignment, with the leak
+    accounting that motivates it: sp1's per-doc hash split is
+    deterministic but INDEPENDENT per doc, so the two halves of a
+    near-dup pair straddle a split boundary with probability
+    ≈ 2·p_train·p_test — train/test contamination no text gate can see
+    (the docs are different strings).  The fix hashes the DUP-COMPONENT
+    label (DD4 candidates → DD6 closure, min-id label; singletons keep
+    their own id, so their assignment is bit-identical to sp1's) —
+    whole components move as one.  Output: per-split doc and dup-member
+    counts plus two whole-corpus gates — leaky_coherent (components
+    spanning >1 split under the coherent rule: 0 by construction) and
+    leaky_naive (the same count under sp1's per-doc rule: what the
+    operator exists to eliminate).  SQL form = recursive closure, DuckDB
+    oracle only (see sql_dup_clusters); the ENGINE path is
+    dedup.dup_clusters + sampling.dup_aware_split."""
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+
+    bands_sql = _bands_sql(dialect)
+    hk = tok_hash(dialect, "CAST(skey AS STRING)")
+    hd = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    arms = " ".join(
+        f"WHEN {{b}} < {hi} THEN '{name}'"
+        for name, (_, hi) in sorted(SPLIT_BOUNDS.items(), key=lambda kv: kv[1])
+    )
+    return f"""
+WITH RECURSIVE {_minhash_sig_cte(dialect)},
+bands AS ({bands_sql}),
+{_CAND_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+keyed AS (
+  SELECT d.doc_id, cc.cluster_id,
+         COALESCE(cc.cluster_id, d.doc_id) AS skey
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+),
+assigned AS (
+  SELECT doc_id, cluster_id,
+         CASE {arms.format(b=f"(({hk}) % {N_BUCKETS})")} END AS split,
+         CASE {arms.format(b=f"(({hd}) % {N_BUCKETS})")} END AS naive_split
+  FROM keyed
+),
+gates AS (
+  SELECT
+    CAST(COALESCE(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS leaky_coherent,
+    CAST(COALESCE(sum(CASE WHEN nns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS leaky_naive
+  FROM (
+    SELECT cluster_id,
+           count(DISTINCT split) AS ns,
+           count(DISTINCT naive_split) AS nns
+    FROM assigned WHERE cluster_id IS NOT NULL GROUP BY cluster_id
+  ) g
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_members,
+       gates.leaky_coherent, gates.leaky_naive
+FROM assigned CROSS JOIN gates
+GROUP BY split, gates.leaky_coherent, gates.leaky_naive
+ORDER BY split
+"""
+
+
+def _sp9_dup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP9, Spark side: DD4's SQL pair plan feeding the ITERATIVE
+    connected-components operator (dd6's pattern), then
+    sampling.dup_aware_split keys every doc by its component label; the
+    per-split rollup carries the two leak gates in-plan (one
+    collision-sized aggregate each — never a corpus self-join)."""
+    from ..operators.dedup import dup_clusters
+    from ..operators.sampling import dup_aware_split, split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    pairs = spark.sql(sql_minhash_candidates("spark"))
+    cc = dup_clusters(pairs)
+    # naive_split is a pure per-row expression over the SAME frame (sp1's
+    # per-doc rule) — no second join, just one more projected column
+    res = dup_aware_split(docs.select("doc_id"), cc).withColumn(
+        "naive_split", split_col("doc_id")
+    )
+    gates = (
+        res.filter(F.col("cluster_id").isNotNull())
+        .groupBy("cluster_id")
+        .agg(
+            F.count_distinct("split").alias("ns"),
+            F.count_distinct("naive_split").alias("nns"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum((F.col("ns") > 1).cast("bigint")), F.lit(0)
+            ).alias("leaky_coherent"),
+            F.coalesce(
+                F.sum((F.col("nns") > 1).cast("bigint")), F.lit(0)
+            ).alias("leaky_naive"),
+        )
+    )
+    return (
+        res.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("cluster_id").isNotNull().cast("bigint")).alias(
+                "n_dup_members"
+            ),
+        )
+        .crossJoin(F.broadcast(gates))
+        .orderBy("split")
+    )
+
+
+QUERIES["sp9_dup_aware_split"] = _sp9_dup_aware_split
+TEXT_ORACLES["sp9_dup_aware_split"] = sql_dup_aware_split("duck")

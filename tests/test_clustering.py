@@ -325,3 +325,62 @@ def test_emb15_drops_exactly_the_planted_twins(spark, sf_dir):
     dropped = {r.vec_id for r in rows if not r.keep}
     planted = {r.vec_id for r in rows if r.vec_id >= 1000000}
     assert dropped == planted and len(planted) > 0
+
+
+def test_update_semantic_index_incremental_equals_oneshot(spark, sf_dir, tmp_path):
+    """emb17's operator contract: three fragmented ingest batches (twins
+    always land in a different batch than their source — 10^6 % 3 = 1 —
+    so the NEW×STANDING path is always exercised) must accumulate
+    EXACTLY the one-shot SemDeDup pair set, under BOTH pair kernels
+    (JVM join and blocked GEMM, via the __new flag rule); a replayed
+    batch appends zero rows to both tables."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_semantic_index,
+        semantic_dedup_pairs,
+        update_semantic_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        SEMDEDUP_THRESHOLD,
+        planted_semantic_corpus,
+    )
+
+    corpus = planted_semantic_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    cents_df = kmeans_fit(corpus, k=16, n_iter=1).localCheckpoint(eager=False)
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.embedding])
+        for r in cents_df.collect()
+    ]
+    oneshot = sorted(
+        (r.vec_a, r.vec_b)
+        for r in semantic_dedup_pairs(
+            corpus, cents, threshold=SEMDEDUP_THRESHOLD, arrow=False
+        ).collect()
+    )
+    assert oneshot
+    for arrow in (False, True):
+        path = str(tmp_path / f"semidx_arrow_{arrow}")
+        init_semantic_index(cents_df, path)
+        for k in range(3):
+            m = update_semantic_index(
+                spark,
+                corpus.filter(f"vec_id % 3 = {k}"),
+                path,
+                SEMDEDUP_THRESHOLD,
+                arrow=arrow,
+            )
+            assert m["n_new"] > 0
+        replay = update_semantic_index(
+            spark, corpus.filter("vec_id % 3 = 0"), path,
+            SEMDEDUP_THRESHOLD, arrow=arrow,
+        )
+        assert replay["n_new"] == 0 and replay["n_new_pairs"] == 0
+        acc = sorted(
+            (r.vec_a, r.vec_b)
+            for r in spark.read.parquet(f"{path}/pairs").collect()
+        )
+        assert acc == oneshot
+        n_assigned = spark.read.parquet(f"{path}/assigned").count()
+        assert n_assigned == corpus.count()

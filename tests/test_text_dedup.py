@@ -901,3 +901,41 @@ def test_decontamination_gate_validates_table_band_size(spark, sf_dir, tmp_path)
         near_contaminated_docs_from_table(docs, path).count()  # gate default 2
     # matching band_size passes
     near_contaminated_docs_from_table(docs, path, band_size=4).count()
+
+
+def test_dup_aware_split_component_coherent_and_singleton_identical(spark, sf_dir):
+    """sp9's operator contract: every near-dup component lands in EXACTLY
+    one split; singleton docs (absent from the cluster map) keep the
+    assignment plain per-doc hashing gives them — so a pipeline can
+    switch to the leak-free rule without reshuffling its unduplicated
+    majority."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        dup_clusters,
+        minhash_candidate_pairs,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        assign_split,
+        dup_aware_split,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cc = dup_clusters(minhash_candidate_pairs(docs))
+    res = dup_aware_split(docs.select("doc_id"), cc).collect()
+    naive = {
+        r.doc_id: r.split
+        for r in assign_split(docs.select("doc_id")).collect()
+    }
+    by_cluster: dict = {}
+    n_single = 0
+    for r in res:
+        if r.cluster_id is None:
+            n_single += 1
+            assert r.split == naive[r.doc_id]  # singletons unchanged
+        else:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert by_cluster and n_single > 0
+    assert all(len(s) == 1 for s in by_cluster.values())  # one split/component
+    # and the member docs all inherit the LABEL doc's own-id assignment
+    for cid, splits in by_cluster.items():
+        assert splits == {naive[cid]}
