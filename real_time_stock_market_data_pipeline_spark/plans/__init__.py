@@ -24,8 +24,10 @@ ORACLES.update(EMBEDDING_ORACLES)
 #      because its r10 `weak` scale shape is replaced (auto-scaled k,
 #      auto-Arrow pair stage, no corpus-wide window) and its oracle moves
 #      from the dual-dialect membership recompute to the planted-twin
-#      oracle; emb16 (SemDeDup farthest-from-centroid keep policy) and
-#      mm11 (full-triad cross-modal decontamination) are new;
+#      oracle; new are emb16 (SemDeDup farthest-from-centroid keep
+#      policy), mm11 (full-triad cross-modal decontamination), sp9
+#      (dup-aware split), emb17 (incremental semantic-dedup index), and
+#      txt15 (perplexity-gated corpus filter);
 #   3. the r09-green queries in their r9-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
 #   FROZEN FOR R12 (named, deliberate): the r09-green queries that do not
@@ -58,7 +60,7 @@ _PRIORITY = [
     # 2 — new/reworked this round (window trimmed to 50 below)
     "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
     "mm11_triad_decontamination", "sp9_dup_aware_split",
-    "emb17_incremental_semdedup",
+    "emb17_incremental_semdedup", "txt15_perplexity_filter",
     # 3 — r09-green rotations, r9-window order (fills the window to 50)
     "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
     "txt4_fingerprint",
@@ -68,9 +70,8 @@ _PRIORITY = [
     "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
     "w14_series_banded_neardup",
     "sp2_stratified_sample", "dd3_minhash_signatures",
-    "dd4_minhash_candidates",
     # 4 — r09-green, FROZEN FOR R12 (see policy note above)
-    "dd5_simhash",
+    "dd4_minhash_candidates", "dd5_simhash",
     "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
     "emb6_centered_lsh",
     "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",

@@ -1700,3 +1700,59 @@ def _sp9_dup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp9_dup_aware_split"] = _sp9_dup_aware_split
 TEXT_ORACLES["sp9_dup_aware_split"] = sql_dup_aware_split("duck")
+
+
+# --- TXT15: perplexity-gated corpus filter -----------------------------------
+PPL_MAX = "31.0"  # keep iff perplexity <= this (r6-rounded on both engines)
+
+
+def sql_perplexity_filter(dialect: str) -> str:
+    """TXT15 — the FILTER txt12's score exists for (CCNet's operating
+    shape: score every document under an LM, train on the low-perplexity
+    band): keep a doc iff its bigram-LM perplexity ≤ PPL_MAX, and report
+    the per-language accounting a pipeline owner reads before training —
+    docs kept/total, characters surviving, and the mean perplexity of
+    the kept band.  Unscored docs (NULL text or fewer than two tokens —
+    no bigram evidence at all) count as DROPPED: at web scale an
+    unscorable document is noise until proven otherwise, and silently
+    keeping it would leak the exact junk the gate exists to remove.
+
+    The threshold compares the SHARED r6-rounded perplexity, so both
+    engines cut identically even for a doc sitting exactly on the
+    boundary; the kept-band mean accumulates those rounded values in
+    DECIMAL (order-independent — a float sum could differ in the last
+    ulp across engines).  Scale shape: txt12's scoring plan (one explode
+    + per-doc lead window + map-combinable count aggregates) + one
+    doc-id equi-join + one rollup — nothing new shuffles."""
+    inner = sql_bigram_lm(dialect)
+    return f"""
+WITH scores AS ({inner}),
+marked AS (
+  SELECT d.doc_id, d.lang, d.n_chars, s.perplexity,
+         CASE WHEN s.perplexity IS NOT NULL
+               AND s.perplexity <= {d(PPL_MAX)} THEN 1 ELSE 0 END AS keep
+  FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       {r6t("CAST(sum(CASE WHEN keep = 1 THEN CAST(perplexity AS DECIMAL(18,6)) END) AS DOUBLE) / sum(keep)")}
+         AS mean_kept_ppl
+FROM marked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+def _txt15_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT15, Spark side: the pure rendering (txt12's measured choice —
+    the explode is a cheap narrow transform, so pipelined CTE re-reads
+    beat a materialize)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_perplexity_filter("spark"))
+
+
+QUERIES["txt15_perplexity_filter"] = _txt15_perplexity_filter
+TEXT_ORACLES["txt15_perplexity_filter"] = sql_perplexity_filter("duck")

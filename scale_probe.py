@@ -56,7 +56,8 @@ DOC_QUERIES = [
     "mm9_video_pairs", "txt14_doc_retrieval",
     "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
     "dd13_compacted_table", "sp8_decontaminated_pipeline",
-    "mm11_triad_decontamination",
+    "mm11_triad_decontamination", "sp9_dup_aware_split",
+    "txt15_perplexity_filter",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
@@ -69,7 +70,7 @@ EMB_QUERIES = [
     "emb7_embedding_clusters", "emb10_incremental_ivf", "emb11_pq_recall",
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
     "emb14_incremental_ivfpq", "emb15_semantic_dedup",
-    "emb16_semdedup_keep_policy",
+    "emb16_semdedup_keep_policy", "emb17_incremental_semdedup",
 ]
 
 

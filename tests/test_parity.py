@@ -57,11 +57,11 @@ def test_r11_driver_window_pinned():
         "dq2_volume_anomalies",
     ]
     # new/reworked r11 queries sit directly after the r08 leads
-    assert names[26:31] == [
+    assert names[26:32] == [
         "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
         "mm11_triad_decontamination", "sp9_dup_aware_split",
-        "emb17_incremental_semdedup",
+        "emb17_incremental_semdedup", "txt15_perplexity_filter",
     ]
     # slot 50 boundary: the frozen-for-r12 block starts at index 50
-    assert names[49] == "dd4_minhash_candidates"
-    assert names[50] == "dd5_simhash"
+    assert names[49] == "dd3_minhash_signatures"
+    assert names[50] == "dd4_minhash_candidates"
