@@ -1182,3 +1182,82 @@ def test_ivfpq_index_stream_matches_batch(spark, sf_dir, tmp_path):
 
     run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
     assert table_rows(stream_tab) == stream_rows
+
+
+def test_semantic_index_stream_matches_batch(spark, sf_dir, tmp_path):
+    """emb17's sink through a REAL stream: the planted corpus arrives as
+    two micro-batch files (twins in a different batch than their
+    sources), and the stream-built semantic-dedup index — assigned AND
+    pairs tables — must equal the batch-built one; a full REPLAY with a
+    fresh checkpoint appends nothing to either table (the anti-join
+    idempotence every sink in this file pins)."""
+    from pyspark.sql import functions as SF
+
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_semantic_index,
+        semantic_index_sink,
+        update_semantic_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        SEMDEDUP_PLANT_BASE,
+        SEMDEDUP_THRESHOLD,
+        planted_semantic_corpus,
+    )
+
+    corpus = planted_semantic_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    cents_df = kmeans_fit(
+        corpus.filter(SF.col("vec_id") < SEMDEDUP_PLANT_BASE), k=16, n_iter=1
+    ).localCheckpoint(eager=False)
+    src = tmp_path / "src"
+    corpus.filter(SF.col("vec_id") < SEMDEDUP_PLANT_BASE).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    corpus.filter(SF.col("vec_id") >= SEMDEDUP_PLANT_BASE).coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+
+    stream_tab = str(tmp_path / "semidx_stream")
+    init_semantic_index(cents_df, stream_tab)
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(corpus.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(
+                semantic_index_sink(stream_tab, SEMDEDUP_THRESHOLD)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+
+    def tables(path):
+        pairs = sorted(
+            (r.vec_a, r.vec_b, r.cid)
+            for r in spark.read.parquet(f"{path}/pairs").collect()
+        )
+        assigned = sorted(
+            (r.vec_id, r.cid)
+            for r in spark.read.parquet(f"{path}/assigned")
+            .select("vec_id", "cid")
+            .collect()
+        )
+        return pairs, assigned
+
+    stream_pairs, stream_assigned = tables(stream_tab)
+    assert stream_pairs and len(stream_assigned) == corpus.count()
+
+    batch_tab = str(tmp_path / "semidx_batch")
+    init_semantic_index(cents_df, batch_tab)
+    update_semantic_index(spark, corpus, batch_tab, SEMDEDUP_THRESHOLD)
+    assert (stream_pairs, stream_assigned) == tables(batch_tab)
+
+    run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
+    assert (stream_pairs, stream_assigned) == tables(stream_tab)
