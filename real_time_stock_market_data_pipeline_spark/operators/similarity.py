@@ -372,6 +372,7 @@ def build_ivf_index(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     centroid_id: str = "centroid_id",
+    meta_cols: tuple[str, ...] | list[str] = (),
 ) -> None:
     """Persist the IVF search structure — index ONCE, search many:
 
@@ -386,6 +387,13 @@ def build_ivf_index(
     shuffle on the list id for the partitioned write.  This is the
     ANN analogue of the model registry (ml/persistence): the expensive
     artifact (codebook + assignment) outlives the session.
+
+    ``meta_cols``: extra corpus columns stored IN the lists (label, date,
+    source, …) — what makes ``search_ivf_index(where=...)`` a real
+    filtered search: the predicate pushes into the probed partitions'
+    parquet scan instead of forcing a join back to the corpus per query.
+    Store the columns you filter on; everything else stays joinable by
+    the vector id.
     """
     cents = _collect_codebook(centroids, centroid_id, vec)
     centroids.select(F.col(centroid_id), F.col(vec)).write.mode(
@@ -395,6 +403,7 @@ def build_ivf_index(
         corpus.select(
             F.col(vec_id),
             F.col(vec),
+            *[F.col(c) for c in meta_cols],
             centroid_argmax_pandas(cents)(F.col(vec)).alias(centroid_id),
         )
         .write.mode("overwrite")
@@ -509,11 +518,23 @@ def search_ivf_index(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     centroid_id: str = "centroid_id",
+    where: Column | None = None,
 ) -> DataFrame:
     """Search a persisted IVF index: rank the stored codebook per query
     (Arrow batch, driver-side k·d doubles), read ONLY the probed list
     partitions (the ``isin`` filter on the partition column prunes at the
     directory level — plan-tested), exact cosine inside them, top-k.
+
+    ``where`` is the FILTERED-SEARCH hook (the vector-DB "metadata
+    pre-filter" feature): a predicate over the lists' stored columns,
+    applied before scoring — Catalyst pushes it into the probed
+    partitions' parquet scan (plan-tested), so a selective filter cuts
+    the candidate rows READ, not just the rows scored.  Post-filtering a
+    plain top-k would instead return < k (or zero) survivors; the
+    pre-filter keeps top-k semantics over exactly the qualifying
+    vectors.  Equivalent by construction to searching an index built on
+    the filtered corpus — assignment is a pure per-vector function, so
+    filtering commutes with it (pinned by emb18's in-plan gate).
 
     The probed-list collect is bounded by the codebook size (≤ k lists),
     not the query count — same bounded-driver-footprint contract as the
@@ -532,6 +553,8 @@ def search_ivf_index(
     lists = spark.read.parquet(f"{path}/lists").filter(
         F.col(centroid_id).isin(probed_ids)
     )
+    if where is not None:
+        lists = lists.filter(where)
     scored = (
         probes.join(lists, centroid_id)
         .withColumn("cosine_sim", cosine_col(F.col("__qvec"), F.col(vec)))

@@ -619,3 +619,98 @@ QUERIES["emb17_incremental_semdedup"] = _emb17_incremental_semdedup
 EMBEDDING_ORACLES["emb17_incremental_semdedup"] = sql_incremental_semdedup(
     "duck"
 )
+
+
+FILTER_LABEL = 7  # emb18's metadata predicate (present at every sf)
+
+
+def _emb18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB18 — FILTERED similarity search (the vector-DB "metadata
+    pre-filter" feature: "nearest neighbours WHERE label = 7"): the
+    persisted IVF index stores filterable metadata in its lists
+    (build_ivf_index meta_cols), and search_ivf_index(where=...) pushes
+    the predicate into the probed partitions' parquet scan — PRE-filter
+    semantics, so top-k ranks exactly the qualifying vectors (a
+    post-filtered top-k would return fewer-than-k survivors; at a
+    selective filter, mostly none).  Assignment is a pure per-vector
+    function, so filtering COMMUTES with indexing: the filtered search
+    of the full-corpus index must equal the in-memory ivf_topk over the
+    PRE-FILTERED corpus with the same codebook, rank-for-rank — the
+    in-plan gate (emb8's pattern), plus an every-hit-matches-the-filter
+    check.  Oracle pins both gates TRUE and the full k results per query
+    (label 7 holds ≥45 vectors at every sf, spread across lists)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, k=8, n_iter=1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_ivf_filtered",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_ivf_index(emb, cents, path, meta_cols=("label",))
+    from_index = search_ivf_index(
+        spark, path, queries_df, k=10, n_probe=7,
+        where=F.col("label") == FILTER_LABEL,
+    )
+    fresh = ivf_topk(
+        queries_df,
+        emb.filter(F.col("label") == FILTER_LABEL),
+        cents,
+        k=10,
+        n_probe=7,
+    )
+    labels = emb.select("vec_id", "label")
+    joined = (
+        from_index.select("query_id", "rk", F.col("vec_id").alias("v_idx"))
+        .join(
+            fresh.select("query_id", "rk", F.col("vec_id").alias("v_fresh")),
+            ["query_id", "rk"],
+            "full",
+        )
+        .join(labels, F.col("v_idx") == F.col("vec_id"), "left")
+    )
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        (
+            F.sum(F.when(F.col("v_idx") == F.col("v_fresh"), 1).otherwise(0))
+            == F.count(F.lit(1))
+        ).alias("index_matches_fresh"),
+        (
+            F.sum(
+                F.when(F.col("label") == FILTER_LABEL, 1).otherwise(0)
+            )
+            == F.count(F.lit(1))
+        ).alias("all_match_filter"),
+    )
+
+
+def sql_filtered_ann(dialect: str) -> str:
+    """EMB18's gate oracle (emb8's pattern): persistence + predicate
+    pushdown change storage and IO, never results — both gates TRUE,
+    full k per query."""
+    del dialect
+    return """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       true AS index_matches_fresh, true AS all_match_filter
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+QUERIES["emb18_filtered_ann"] = _emb18_filtered_ann
+EMBEDDING_ORACLES["emb18_filtered_ann"] = sql_filtered_ann("duck")

@@ -391,3 +391,26 @@ def test_txt15_filter_jvm_only_no_cartesian(spark, sf_dir):
     assert re.search(
         r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[doc_id#", plan
     ), plan[:2000]
+
+
+def test_emb18_filter_pushed_into_probed_lists_scan(spark, sf_dir):
+    """emb18's filtered search must be a PRE-filter in the SCAN, not a
+    post-filter on scored rows: the lists FileScan carries BOTH the
+    probed-partition pruning (centroid_id partition filter) and the
+    label predicate as a data filter — a selective filter cuts candidate
+    bytes read, which is the feature's entire point at 100 TB."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "emb18_filtered_ann")
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "centroid_id" in l
+    ]
+    assert scan_lines, "expected the probed-lists FileScan in the plan"
+    assert any(
+        re.search(r"DataFilters: \[[^\]]*label#\d+ = 7", l)
+        or re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,7\)", l)
+        for l in scan_lines
+    ), scan_lines[0][:300]
+    assert any("PartitionFilters" in l and "centroid_id" in l for l in scan_lines)
+    assert "CartesianProduct" not in plan
