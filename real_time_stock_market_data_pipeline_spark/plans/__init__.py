@@ -61,7 +61,7 @@ _PRIORITY = [
     "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
     "mm11_triad_decontamination", "sp9_dup_aware_split",
     "emb17_incremental_semdedup", "txt15_perplexity_filter",
-    "emb18_filtered_ann",
+    "emb18_filtered_ann", "txt16_duplicated_ngrams",
     # 3 — r09-green rotations, r9-window order (fills the window to 50)
     "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
     "txt4_fingerprint",
@@ -70,8 +70,8 @@ _PRIORITY = [
     "w13_series_all_pairs", "dd11_incremental_decontamination",
     "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
     "w14_series_banded_neardup",
-    "sp2_stratified_sample",
     # 4 — r09-green, FROZEN FOR R12 (see policy note above)
+    "sp2_stratified_sample",
     "dd3_minhash_signatures", "dd4_minhash_candidates", "dd5_simhash",
     "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
     "emb6_centered_lsh",

@@ -1756,3 +1756,54 @@ def _txt15_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt15_perplexity_filter"] = _txt15_perplexity_filter
 TEXT_ORACLES["txt15_perplexity_filter"] = sql_perplexity_filter("duck")
+
+
+# --- TXT16: duplicated-ngram share (exact-substring duplication signal) ------
+def sql_duplicated_ngram_share(dialect: str) -> str:
+    """TXT16 — per-document EXACT-substring duplication accounting (the
+    signal behind Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": verbatim 13-gram-or-longer overlap is what
+    memorization tracks): for every doc, how many of its distinct token
+    13-grams also occur in ≥1 OTHER document, and the share that makes
+    up.  dd10/dd11 use the same 13-gram bar as a binary train/test GATE;
+    this is the graded corpus-wide form — the per-doc score a curation
+    pass ranks on (a doc at share 1.0 is pure boilerplate/verbatim copy
+    even if no single partner passes a pair threshold; dd2's
+    pair-Jaccard cannot see diffuse many-partner duplication).
+
+    Scale shape: the shingle layout (one explode + one per-doc window +
+    distinct), a map-combinable document-frequency aggregate on the
+    shingle hash — the dedup family's shuffle key — and one join back.
+    No pair enumeration anywhere: cost is corpus-linear in shingle
+    occurrences, never Σ collisions² (the dd2 trap this query
+    deliberately avoids)."""
+    return f"""
+WITH {shingles_cte(dialect, 13)},
+df AS (
+  SELECT sh, count(*) AS ndocs FROM hashed GROUP BY sh
+),
+per AS (
+  SELECT h.doc_id,
+         count(*) AS n_ngrams,
+         sum(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS n_dup
+  FROM hashed h JOIN df ON h.sh = df.sh
+  GROUP BY h.doc_id
+)
+SELECT doc_id,
+       CAST(n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(n_dup AS BIGINT) AS n_dup_ngrams,
+       {r6t("CAST(n_dup AS DOUBLE) / n_ngrams")} AS dup_share
+FROM per
+"""
+
+
+def _txt16_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT16, Spark side: the pure rendering (the shingle explode is a
+    cheap narrow transform — txt12's measured materialize-vs-inline
+    rule)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_duplicated_ngram_share("spark"))
+
+
+QUERIES["txt16_duplicated_ngrams"] = _txt16_duplicated_ngrams
+TEXT_ORACLES["txt16_duplicated_ngrams"] = sql_duplicated_ngram_share("duck")

@@ -57,7 +57,7 @@ DOC_QUERIES = [
     "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
     "dd13_compacted_table", "sp8_decontaminated_pipeline",
     "mm11_triad_decontamination", "sp9_dup_aware_split",
-    "txt15_perplexity_filter",
+    "txt15_perplexity_filter", "txt16_duplicated_ngrams",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so

@@ -57,12 +57,12 @@ def test_r11_driver_window_pinned():
         "dq2_volume_anomalies",
     ]
     # new/reworked r11 queries sit directly after the r08 leads
-    assert names[26:33] == [
+    assert names[26:34] == [
         "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
         "mm11_triad_decontamination", "sp9_dup_aware_split",
         "emb17_incremental_semdedup", "txt15_perplexity_filter",
-        "emb18_filtered_ann",
+        "emb18_filtered_ann", "txt16_duplicated_ngrams",
     ]
     # slot 50 boundary: the frozen-for-r12 block starts at index 50
-    assert names[49] == "sp2_stratified_sample"
-    assert names[50] == "dd3_minhash_signatures"
+    assert names[49] == "w14_series_banded_neardup"
+    assert names[50] == "sp2_stratified_sample"
