@@ -1712,7 +1712,13 @@ def update_semantic_index(
     the standing side PRUNED to the clusters the batch actually touched
     (a cid semi-join) — never the standing corpus re-paired.
     At-least-once replay appends nothing to either table.  Returns
-    ``{"n_batch", "n_new", "n_new_pairs"}``."""
+    ``{"n_batch", "n_new", "n_new_pairs"}``.
+
+    ``{path}/pairs`` materializes with the FIRST dup pair — a dup-free
+    index has an assigned table but no pairs directory (an empty
+    parquet write would leave a schema-less stub), so readers use
+    ``sources.readers.read_parquet_if_exists`` and treat None as zero
+    pairs."""
     from ..sources.readers import read_parquet_if_exists
 
     cents = _collect_codebook(
