@@ -448,3 +448,27 @@ def test_dhash_banding_recall_guarantee(spark, pairs):
     # every planted ≤3-bit pair MUST be recovered (perfect recall);
     # cross-pair collisions may legitimately add extra rows
     assert expected <= got
+
+
+@given(
+    n=st.integers(min_value=0, max_value=10**12),
+    target=st.integers(min_value=1, max_value=10**6),
+    floor=st.integers(min_value=1, max_value=10**4),
+)
+@settings(max_examples=200, deadline=None)
+def test_semdedup_k_properties(n, target, floor):
+    """The SemDeDup scale knob's contract, for ANY corpus size: k never
+    drops below the floor, k·target covers the corpus (ceil semantics —
+    expected cluster size never exceeds target), k is minimal above the
+    floor (k−1 clusters would overflow target), and k is monotone in n
+    (a bigger corpus never gets fewer clusters)."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        semdedup_k,
+    )
+
+    k = semdedup_k(n, target, floor)
+    assert k >= floor
+    assert k * target >= n
+    if k > floor:
+        assert (k - 1) * target < n
+    assert semdedup_k(n + 1, target, floor) >= k
