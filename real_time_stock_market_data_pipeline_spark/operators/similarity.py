@@ -434,6 +434,7 @@ def update_ivf_index(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     centroid_id: str = "centroid_id",
+    meta_cols: tuple[str, ...] | list[str] = (),
 ) -> dict[str, int]:
     """Incrementally maintain a persisted IVF index (txt9/dd9's anti-join +
     append pattern applied to ANN): assign ONLY the batch's vectors not
@@ -450,18 +451,35 @@ def update_ivf_index(
     At 100 TB: per batch, one anti-join against the lists keyed on the
     vector id + assignment work proportional to NEW vectors only; the
     append touches only the list partitions the new vectors land in —
-    steady-state ingest cost is independent of index size."""
+    steady-state ingest cost is independent of index size.
+
+    ``meta_cols`` must MATCH the index's (build_ivf_index's filtered-
+    search metadata): appending rows without a column the lists already
+    carry would silently split the store's schema and break
+    ``search_ivf_index(where=...)`` on the mixed files — so the update
+    validates the batch covers the existing lists schema and fails
+    loudly instead."""
     from ..sources.readers import read_parquet_if_exists
 
     cents = _collect_codebook(
         spark.read.parquet(f"{path}/centroids"), centroid_id, vec
     )
     lists = read_parquet_if_exists(spark, f"{path}/lists")  # None: first batch
+    if lists is not None:
+        missing = set(lists.columns) - {vec_id, vec, centroid_id} - set(meta_cols)
+        if missing:
+            raise ValueError(
+                f"IVF lists at {path} carry metadata columns {sorted(missing)} "
+                f"not in meta_cols={sorted(meta_cols)}; appending without them "
+                "would split the store schema and break filtered search — "
+                "pass the meta_cols the index was built with"
+            )
     existing = None if lists is None else lists.select(vec_id)
     new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
     assigned = new.select(
         F.col(vec_id),
         F.col(vec),
+        *[F.col(c) for c in meta_cols],
         centroid_argmax_pandas(cents)(F.col(vec)).alias(centroid_id),
     ).persist()
     try:
@@ -481,6 +499,7 @@ def ivf_index_sink(
     vec: str = "embedding",
     centroid_id: str = "centroid_id",
     auto_compact_files: int | None = None,
+    meta_cols: tuple[str, ...] | list[str] = (),
 ):
     """``foreachBatch`` writer maintaining a persisted IVF index from a
     VECTOR STREAM: each micro-batch runs ``update_ivf_index``, so per batch
@@ -499,7 +518,8 @@ def ivf_index_sink(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         update_ivf_index(
-            batch_df.sparkSession, batch_df, path, vec_id, vec, centroid_id
+            batch_df.sparkSession, batch_df, path, vec_id, vec, centroid_id,
+            meta_cols,
         )
         maybe_compact_table(
             batch_df.sparkSession, f"{path}/lists", None, bound

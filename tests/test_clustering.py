@@ -384,3 +384,55 @@ def test_update_semantic_index_incremental_equals_oneshot(spark, sf_dir, tmp_pat
         assert acc == oneshot
         n_assigned = spark.read.parquet(f"{path}/assigned").count()
         assert n_assigned == corpus.count()
+
+
+def test_incremental_ivf_with_metadata_serves_filtered_search(spark, sf_dir, tmp_path):
+    """An index built INCREMENTALLY with metadata must serve
+    emb18's filtered search identically to the one-shot build — and an
+    update that omits the index's meta_cols must fail loudly instead of
+    silently splitting the lists schema (mixed files would make the
+    pushed filter read garbage)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        init_ivf_index,
+        search_ivf_index,
+        update_ivf_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=1).localCheckpoint(eager=False)
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    oneshot = str(tmp_path / "oneshot")
+    build_ivf_index(emb, cents, oneshot, meta_cols=("label",))
+    inc = str(tmp_path / "incremental")
+    init_ivf_index(cents, inc)
+    for k in range(3):
+        update_ivf_index(
+            spark, emb.filter(f"vec_id % 3 = {k}"), inc, meta_cols=("label",)
+        )
+
+    def hits(path):
+        return sorted(
+            (r.query_id, r.rk, r.vec_id)
+            for r in search_ivf_index(
+                spark, path, q, k=10, n_probe=7,
+                where=F.col("label") == 7,
+            ).collect()
+        )
+
+    a, b = hits(oneshot), hits(inc)
+    assert a == b and len(a) == 30
+    # replay appends nothing and keeps the filtered answer
+    m = update_ivf_index(spark, emb, inc, meta_cols=("label",))
+    assert m["n_new"] == 0 and hits(inc) == a
+    # omitting meta_cols against a metadata-carrying index: loud failure
+    with pytest.raises(ValueError, match="meta_cols"):
+        update_ivf_index(spark, emb, inc)

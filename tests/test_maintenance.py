@@ -710,3 +710,58 @@ def test_read_if_exists_windows_drive_path_takes_stat_branch():
     assert read_parquet_if_exists(_NeverRead(), "/no/such/local/table") is None
     with pytest.raises(AssertionError, match="spark.read"):
         read_parquet_if_exists(_NeverRead(), "hdfs://nn/x")  # URI: no stat
+
+
+def test_maybe_compact_table_partitioned_ivf_lists(spark, sf_dir, tmp_path):
+    """The compaction trigger's PARTITIONED arm: fragmented hive-
+    partitioned IVF lists (many micro-appends per list) must bin-pack
+    per partition when the total file count crosses the bound — layout
+    only, search results identical; under the bound it is a listdir
+    no-op."""
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivf_index,
+        search_ivf_index,
+        update_ivf_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(emb, k=4, n_iter=1)
+    path = str(tmp_path / "ivf")
+    init_ivf_index(cents, path)
+    for k in range(6):
+        update_ivf_index(spark, emb.filter(f"vec_id % 6 = {k}").repartition(3), path)
+    lists = f"{path}/lists"
+
+    def n_files() -> int:
+        total = 0
+        for e in os.listdir(lists):
+            d = os.path.join(lists, e)
+            if os.path.isdir(d) and "=" in e:
+                total += sum(
+                    1 for f in os.listdir(d)
+                    if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(d, f))
+                )
+        return total
+
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+
+    def hits():
+        return sorted(
+            (r.query_id, r.rk, r.vec_id)
+            for r in search_ivf_index(spark, path, q, k=10, n_probe=4).collect()
+        )
+
+    before_files, before_hits = n_files(), hits()
+    assert before_files > 8
+    assert mnt.maybe_compact_table(spark, lists, None, max_files=10_000) == {}
+    summary = mnt.maybe_compact_table(spark, lists, None, max_files=8)
+    assert summary and n_files() < before_files
+    assert hits() == before_hits
