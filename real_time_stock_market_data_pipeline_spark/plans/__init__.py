@@ -13,64 +13,38 @@ ORACLES.update(EMBEDDING_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# other round.  Round-11 rotation policy (executes the r10 verdict's item 2
-# exactly — CORRECTNESS_r10 was 50/50 green, so every query rotates in on
+# other round.  Round-12 rotation policy (executes the r11 verdict's item 1
+# exactly — CORRECTNESS_r11 was 50/50 green, so every query rotates in on
 # evidence age alone):
-#   1. the 26 r08-green queries FROZEN out of the r10 window lead — their
-#      newest driver row is r08 and turns three rounds old otherwise
-#      (named as mandatory r11 leads in the r10 policy note and the r10
+#   1. the 34 r09-green queries FROZEN out of the r11 window lead — their
+#      newest driver row is r09 and turns three rounds old otherwise
+#      (named as mandatory r12 leads in the r11 policy note and the r11
 #      verdict);
-#   2. queries NEW or REWORKED this round: emb15_semantic_dedup re-rows
-#      because its r10 `weak` scale shape is replaced (auto-scaled k,
-#      auto-Arrow pair stage, no corpus-wide window) and its oracle moves
-#      from the dual-dialect membership recompute to the planted-twin
-#      oracle; new are emb16 (SemDeDup farthest-from-centroid keep
-#      policy), mm11 (full-triad cross-modal decontamination), sp9
-#      (dup-aware split), emb17 (incremental semantic-dedup index), and
-#      txt15 (perplexity-gated corpus filter);
-#   3. the r09-green queries in their r9-window order, oldest evidence
+#   2. queries NEW this round: txt17 (exact-substring span dedup, Lee et
+#      al. 2022 — removes duplicated spans, not just flags docs), txt18
+#      (model-based quality classifier: in-engine ridge over hashed
+#      features against a weak-label rule), sp10 (per-domain doc caps on
+#      a normalized-host key), sp11 (domain-mixture accounting), and
+#      emb19 (filtered IVF-PQ: metadata pre-filter pushed into the
+#      probed lists' scan before ADC);
+#   3. the r10-green queries in their r10-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
-#   FROZEN FOR R12 (named, deliberate): the r09-green queries that do not
+#   FROZEN FOR R13 (named, deliberate): the r10-green queries that do not
 #   fit (section 4 below) wait one round — each is pytest-parity-pinned
 #   at sf0.001 every run, and each family keeps a driver row in this
-#   window (emb6's centered-LSH rides emb1-3's in-window rows; the
-#   j2/j4/j11 join shapes share j3/j5-family rows across r10/r11; the
-#   a4/w1/o3/sk1/q1 relational shapes are the a/w/o-family's in-window
-#   rows; s13/u2-u4's ML family rides s14's in-window registry row; the
-#   txt8/txt9/t10/sp5/dd6/dd7 shapes ride txt7/sp1/dd8's in-window rows).
-#   They MUST lead the r12 window, together with any r10-green queries
-#   whose evidence is then two rounds old.  The 50 r10-green queries
-#   (CORRECTNESS_r10, zero failures) form the tail in their r10-window
-#   order; the whole registry stays covered every run by
-#   tests/test_parity.py at sf0.001 and the pre-commit parity harness at
-#   sf0.01.
+#   window (the w4-w10 indicator shapes ride w1/w2/w3/w_all_indicators'
+#   in-window rows; txt2/txt3's scalar shapes ride txt1/txt8-family rows;
+#   dd2/dd9/dd10's dedup shapes ride dd3-dd7's in-window rows; emb7/emb9's
+#   embedding shapes ride emb1-emb6's in-window rows; f1/j5/p8/w11/a13
+#   ride the in-window relational/indicator families).  They MUST lead
+#   the r13 window, together with any r11-green queries whose evidence is
+#   then two rounds old.  The 50 r11-green queries (CORRECTNESS_r11, zero
+#   failures) form the tail in their r11-window order; the whole registry
+#   stays covered every run by tests/test_parity.py at sf0.001 and the
+#   pre-commit parity harness at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — r08-green, frozen out of the r10 window: mandatory r11 leads
-    "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
-    "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
-    "s14_arima_registry",
-    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
-    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
-    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
-    "emb8_ivf_index_search",
-    "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
-    "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
-    # 2 — new/reworked this round (window trimmed to 50 below)
-    "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
-    "mm11_triad_decontamination", "sp9_dup_aware_split",
-    "emb17_incremental_semdedup", "txt15_perplexity_filter",
-    "emb18_filtered_ann", "txt16_duplicated_ngrams",
-    # 3 — r09-green rotations, r9-window order (fills the window to 50)
-    "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
-    "txt4_fingerprint",
-    "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
-    "mm7_dhash_pairs", "w12_series_similarity",
-    "w13_series_all_pairs", "dd11_incremental_decontamination",
-    "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
-    "w14_series_banded_neardup",
-    # 4 — r09-green, FROZEN FOR R12 (see policy note above)
+    # 1 — r09-green, frozen out of the r11 window: mandatory r12 leads
     "sp2_stratified_sample",
     "dd3_minhash_signatures", "dd4_minhash_candidates", "dd5_simhash",
     "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
@@ -87,13 +61,16 @@ _PRIORITY = [
     "u3_linreg_metrics", "u4_linreg_predictions",
     "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
-    # 5 — green in CORRECTNESS_r10 (zero failures), in r10-window order
+    # 2 — new this round (window trimmed to 50 below)
+    # (new r12 queries are inserted here as they land)
+    # 3 — r10-green rotations, r10-window order (fills the window to 50)
     "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
     "p6_flag_filter", "a7_dup_detection", "o1_top_events",
     "o4_latest_row", "o5_price_history", "o6_sorted_rollup",
     "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
     "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
     "mm1_media_meta",
+    # 4 — r10-green, FROZEN FOR R13 (see policy note above)
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
     "txt14_doc_retrieval",
     "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
@@ -110,6 +87,28 @@ _PRIORITY = [
     "txt2_quality", "txt3_langid",
     "w10_throttled_volatility", "p8_extreme_filter",
     "j5_dim_lookup",
+    # 5 — green in CORRECTNESS_r11 (zero failures), in r11-window order
+    "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
+    "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
+    "s14_arima_registry",
+    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
+    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
+    "emb8_ivf_index_search",
+    "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
+    "sp3_capped_per_group", "sp4_balanced_mixture", "dq2_volume_anomalies",
+    "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
+    "mm11_triad_decontamination", "sp9_dup_aware_split",
+    "emb17_incremental_semdedup", "txt15_perplexity_filter",
+    "emb18_filtered_ann", "txt16_duplicated_ngrams",
+    "dd1_exact_dedup", "w2_sma", "w3_ema", "txt1_token_stats",
+    "txt4_fingerprint",
+    "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
+    "mm7_dhash_pairs", "w12_series_similarity",
+    "w13_series_all_pairs", "dd11_incremental_decontamination",
+    "mm8_audio_pairs", "mm9_video_pairs", "emb11_pq_recall",
+    "w14_series_banded_neardup",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

@@ -31,38 +31,39 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r11_driver_window_pinned():
+def test_r12_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 26
-    r08-green queries frozen out of the r10 window lead (their newest
-    driver row is r08), the new/reworked r11 queries follow (emb15's
-    scale rework replaces its plan AND oracle, so its r10 row is for the
-    old query), and r09-green rotations fill to exactly 50.  An
+    only, so the window IS part of the round's evidence plan: the 34
+    r09-green queries frozen out of the r11 window lead (their newest
+    driver row is r09 and turns three rounds old otherwise), new r12
+    queries follow, and r10-green rotations fill to exactly 50.  An
     accidental import-order or registration change would silently spend
     the evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    assert names[:26] == [
-        "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
-        "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
-        "s14_arima_registry",
-        "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-        "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
-        "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
-        "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
-        "emb8_ivf_index_search",
-        "a10_value_histogram", "a11_daily_type_pivot", "a12_rollup_sets",
-        "sp3_capped_per_group", "sp4_balanced_mixture",
-        "dq2_volume_anomalies",
+    assert names[:34] == [
+        "sp2_stratified_sample",
+        "dd3_minhash_signatures", "dd4_minhash_candidates", "dd5_simhash",
+        "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
+        "emb6_centered_lsh",
+        "j2_analytics_dashboard", "j4_prediction_dashboard",
+        "j11_range_join",
+        "p7_validated_ticks", "p9_dedup_ticks",
+        "j6_region_revenue", "j7_orders_without_big_lineitems",
+        "j8_industry_rollup",
+        "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+        "o3_training_fetch",
+        "sk1_salted_daily_summary", "q1_pricing_summary",
+        "t9_session_windows",
+        "j10_asof_quote", "s13_model_roundtrip", "u2_arima_forecast",
+        "u3_linreg_metrics", "u4_linreg_predictions",
+        "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
+        "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
     ]
-    # new/reworked r11 queries sit directly after the r08 leads
-    assert names[26:34] == [
-        "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
-        "mm11_triad_decontamination", "sp9_dup_aware_split",
-        "emb17_incremental_semdedup", "txt15_perplexity_filter",
-        "emb18_filtered_ann", "txt16_duplicated_ngrams",
-    ]
-    # slot 50 boundary: the frozen-for-r12 block starts at index 50
-    assert names[49] == "w14_series_banded_neardup"
-    assert names[50] == "sp2_stratified_sample"
+    # new r12 queries sit directly after the r09 leads; r10-green
+    # rotations fill the window to 50 (oldest evidence first)
+    assert names[34] == "p3_time_window_filter"
+    # slot 50 boundary: the frozen-for-r13 block starts at index 50
+    assert names[49] == "mm1_media_meta"
+    assert names[50] == "emb12_incremental_pq"
