@@ -537,6 +537,7 @@ def maybe_compact_table(
     repaired first via ``recover_upsert`` — the same one rule every swap
     consumer uses — so a crash inside auto-compaction never wedges the
     sink."""
+    heal_if_interrupted(path)
     if not os.path.isdir(path):
         return {}
     entries = _partition_entries(path)
@@ -546,7 +547,6 @@ def maybe_compact_table(
         n = len(_data_files(path))
     if n <= max_files:
         return {}
-    recover_upsert(path)
     if id_col is not None and not entries:
         return compact_doc_keyed_table(spark, path, id_col, target_file_bytes)
     return compact_parquet(spark, path, target_file_bytes)
@@ -675,6 +675,28 @@ def recover_upsert(path: str) -> list[str]:
         os.rename(olds[0], path)
         actions.append(f"rolled back: restored pre-upsert store from {olds[0]}")
     return actions
+
+
+def heal_if_interrupted(path: str) -> list[str]:
+    """Crash-heal gate for every consumer that READS a swap-protocol store:
+    detect orphaned ``__staging_``/``__old_`` siblings (one parent listdir —
+    free on the clean path) and run ``recover_upsert`` before anyone reads
+    the store.  This must run BEFORE the read, not only before the next
+    rewrite: a compaction killed between ``_flat_swap``'s two renames
+    leaves the store ABSENT with a complete staging pending, and an
+    ``update_*`` that reads first would see "no table", rebuild the store
+    from one batch (silently breaking anti-join idempotence), after which
+    a later roll-forward would swap the stale staging OVER the rebuilt
+    rows — losing everything ingested since the crash.  Healing at read
+    time closes that window: the store a reader sees is always either the
+    pre-swap or the post-swap state, never a fresh rebuild.  Remote
+    (scheme-prefixed) paths are no-ops — they never use the rename
+    protocol.  Returns ``recover_upsert``'s action list (empty = clean)."""
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
+        return []
+    if not (_sibling_dirs(path, "staging") or _sibling_dirs(path, "old")):
+        return []
+    return recover_upsert(path)
 
 
 def upsert_sink(

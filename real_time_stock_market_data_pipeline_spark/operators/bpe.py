@@ -305,10 +305,12 @@ def update_segmentation_table(
     segmentation work proportional to NEW words only — the steady-state
     cost of tokenizing a growing corpus approaches the join-back alone.
     """
+    from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
 
     spark = df.sparkSession
     wc = word_counts(df, text).select("word")
+    heal_if_interrupted(path)  # repair an interrupted compaction pre-read
     table = read_parquet_if_exists(spark, path)  # None on first batch
     existing = None if table is None else table.select("word")
     new_words = (

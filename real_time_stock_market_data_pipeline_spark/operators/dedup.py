@@ -139,6 +139,114 @@ def jaccard_near_dup_pairs(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 13,
+    materialize: bool = False,
+) -> DataFrame:
+    """Exact-substring SPAN dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): REMOVE duplicated token spans from
+    each document instead of dropping or merely flagging whole docs —
+    the operation the paper actually performs on C4/RealNews.  txt16
+    grades docs by duplicated-13-gram share and dd10/dd11 gate on the
+    same bar; this operator is the missing curative half.
+
+    Semantics: a token-``n``-gram occurrence is REMOVABLE when its hash
+    occurs in more than one document (corpus document frequency > 1) and
+    this document is not the canonical occurrence (canonical = the
+    minimum doc id containing the hash — exactly one copy of every
+    duplicated passage survives corpus-wide).  A token is dropped when
+    ANY removable n-gram covers it; maximal runs of dropped tokens are
+    the removed spans (every run is ≥ n tokens by construction).
+    Within-doc repeats (df = 1) are untouched — this is the
+    cross-document memorization signal, like txt16.
+
+    Returns (id, n_tokens, n_dropped_tokens, n_dropped_spans,
+    dropped_share, text_deduped) — text rebuilt from the kept tokens,
+    single-space joined ('' when the whole doc was one duplicated span).
+
+    Scale shape: one token explode, one per-doc window chain (the n-gram
+    combine, the coverage max, the run-start lag — all share one sort),
+    one document-frequency aggregate shuffled on the shingle hash (the
+    dedup family's key; map-combinable), one equi-join back, one per-doc
+    aggregate.  NO pair enumeration anywhere — cost is corpus-linear in
+    token occurrences, never Σ collisions² (the dd2 trap).  A viral
+    shingle costs a count, not a join fan-out.  ``materialize=True``
+    snapshots the positioned-shingle frame with a lazy localCheckpoint so
+    the df-aggregate branch and the token branch share one computation
+    (the jaccard_near_dup_pairs rule); default off keeps the plan pure.
+
+    Mirrored by plans/text_parity.sql_span_dedup (the txt17 DuckDB
+    oracle recomputes the kept-token accounting AND the rebuilt text).
+    """
+    toks = tokens_col(text)
+    token_hash = F.expr(
+        "aggregate(transform(sequence(1, length(tok)), "
+        "i -> ascii(substr(tok, CAST(i AS INT), 1))), "
+        f"CAST(7 AS BIGINT), (acc, x) -> (acc * 131 + x) % {P_MOD})"
+    )
+    tok_rows = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    ).select(F.col(id_col), "pos", "tok", token_hash.alias("h"))
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    sh = F.lit(7).cast("bigint")
+    for j in range(n):
+        term = F.col("h") if j == 0 else F.lead("h", j).over(w)
+        sh = (sh * 131 + term) % F.lit(P_MOD)
+    # sh is NULL for the last n-1 positions (lead past the doc end): those
+    # positions start no n-gram, exactly the shingle_hashes boundary rule
+    starts = tok_rows.withColumn("sh", sh)
+    if materialize:
+        starts = starts.localCheckpoint(eager=False)
+    dfreq = (
+        starts.filter(F.col("sh").isNotNull())
+        .select(id_col, "sh")
+        .distinct()
+        .groupBy("sh")
+        .agg(
+            F.count("*").alias("__ndocs"),
+            F.min(id_col).alias("__min_doc"),
+        )
+    )
+    flagged = starts.join(dfreq, "sh", "left").withColumn(
+        "__rm",
+        F.when(
+            F.col("sh").isNotNull()
+            & (F.col("__ndocs") > 1)
+            & (F.col(id_col) != F.col("__min_doc")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    cov_w = w.rowsBetween(-(n - 1), 0)
+    runs = flagged.withColumn("__cov", F.max("__rm").over(cov_w)).withColumn(
+        "__span_start",
+        F.when(
+            (F.col("__cov") == 1)
+            & (F.coalesce(F.lag("__cov").over(w), F.lit(0)) == 0),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    from ..functions.scalars import r6
+
+    kept = F.when(
+        F.col("__cov") == 0, F.struct(F.col("pos").alias("p"), F.col("tok").alias("t"))
+    )
+    return runs.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("__cov").alias("n_dropped_tokens"),
+        F.sum("__span_start").alias("n_dropped_spans"),
+        r6(
+            F.sum("__cov").cast("double") / F.count("*").cast("double")
+        ).alias("dropped_share"),
+        F.concat_ws(
+            " ",
+            F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["t"]),
+        ).alias("text_deduped"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:
@@ -436,10 +544,15 @@ def _update_doc_keyed_table(df, path: str, id_col: str, derive) -> dict[str, int
     "n_new_docs"}``; the second counts docs whose derivation actually ran
     (docs deriving zero rows re-check as "new" each batch but append
     nothing, so idempotence holds for them too)."""
+    from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
 
     spark = df.sparkSession
     ids = df.select(id_col).distinct()
+    # heal BEFORE reading: a compaction killed mid-swap leaves the store
+    # momentarily absent — reading through that window would rebuild the
+    # table from one batch and break replay idempotence (maintenance note)
+    heal_if_interrupted(path)
     table = read_parquet_if_exists(spark, path)  # None on first batch
     existing = None if table is None else table.select(id_col).distinct()
     new_docs = (

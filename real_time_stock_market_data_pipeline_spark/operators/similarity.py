@@ -459,11 +459,13 @@ def update_ivf_index(
     ``search_ivf_index(where=...)`` on the mixed files — so the update
     validates the batch covers the existing lists schema and fails
     loudly instead."""
+    from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
 
     cents = _collect_codebook(
         spark.read.parquet(f"{path}/centroids"), centroid_id, vec
     )
+    heal_if_interrupted(f"{path}/lists")  # repair a mid-swap compaction crash
     lists = read_parquet_if_exists(spark, f"{path}/lists")  # None: first batch
     if lists is not None:
         missing = set(lists.columns) - {vec_id, vec, centroid_id} - set(meta_cols)
@@ -473,6 +475,19 @@ def update_ivf_index(
                 f"not in meta_cols={sorted(meta_cols)}; appending without them "
                 "would split the store schema and break filtered search — "
                 "pass the meta_cols the index was built with"
+            )
+        # symmetric direction: meta_cols the existing lists DON'T have
+        # (e.g. adding `label` to an index built without metadata) would
+        # append files with an extra column — the same silent schema
+        # split, with every pre-existing vector reading back null-label
+        extra = set(meta_cols) - set(lists.columns)
+        if extra:
+            raise ValueError(
+                f"meta_cols={sorted(meta_cols)} include columns "
+                f"{sorted(extra)} the IVF lists at {path} were built "
+                "without; appending them would split the store schema and "
+                "make filtered search treat all pre-existing vectors as "
+                "non-matches — rebuild the index with the full meta_cols"
             )
     existing = None if lists is None else lists.select(vec_id)
     new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
@@ -1022,6 +1037,9 @@ def update_pq_codes(
     batch = batch.filter(
         F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
     )
+    from ..maintenance import heal_if_interrupted
+
+    heal_if_interrupted(f"{path}/codes")  # repair a mid-swap compaction crash
     codes = read_parquet_if_exists(spark, f"{path}/codes")  # None: first batch
     existing = None if codes is None else codes.select(vec_id)
     new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
@@ -1339,6 +1357,9 @@ def update_ivfpq_index(
     batch = batch.filter(
         F.col(vec).isNotNull() & (F.size(F.col(vec)) == dim)
     )
+    from ..maintenance import heal_if_interrupted
+
+    heal_if_interrupted(f"{path}/index")  # repair a mid-swap compaction crash
     index = read_parquet_if_exists(spark, f"{path}/index")  # None: first batch
     existing = None if index is None else index.select(vec_id)
     new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
@@ -1527,16 +1548,26 @@ def _pairs_from_assignment(
     """(vec_a, vec_b, cid, cosine_sim) from a ``semantic_assignment``
     frame.  ``blocked=True`` → per-cluster Arrow GEMM (the scale path);
     ``blocked=False`` → cid-equi self-join with the JVM sequential-fold
-    cosine (bit-pinnable against SQL, right for small k).  Both apply
-    the r6 rounding as a Spark column so the emitted cosine follows one
-    rounding rule."""
+    cosine (bit-pinnable against SQL, right for small k).
+
+    BOTH paths cut on the SAME boundary rule: the Spark-side
+    ``r6(cos) >= threshold`` filter.  The two kernels sum the dot
+    product in different orders (numpy GEMM vs sequential ``zip_with``
+    fold), so their raw cosines can differ by an ulp — cutting each on
+    its own raw value would let auto-selection (``arrow=None`` flipping
+    at the ``semdedup_k`` boundary) change the dedup answer for a pair
+    sitting within an ulp of the threshold.  The GEMM mask therefore
+    prunes with an epsilon of slack and the shared r6-rounded Spark
+    filter is the deciding cut, identical across execution paths."""
     from ..functions.scalars import r6
 
     if blocked:
-        raw = _pairs_blocked(assigned, threshold, vec_id, vec, flag)
+        # kernel mask = pruning only (epsilon slack); the Spark filter
+        # below is the authoritative boundary, shared with the JVM path
+        raw = _pairs_blocked(assigned, threshold - 1e-9, vec_id, vec, flag)
         return raw.select(
             "vec_a", "vec_b", "cid", r6(F.col("__cos")).alias("cosine_sim")
-        )
+        ).filter(F.col("cosine_sim") >= threshold)
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = dot_col(F.col(f"a.{vec}"), F.col(f"b.{vec}")) / (
         F.col("a.__nrm") * F.col("b.__nrm")
@@ -1549,12 +1580,13 @@ def _pairs_from_assignment(
     return (
         a.join(b, cond)
         .withColumn("__cos", cos)
-        .filter(F.col("__cos") >= threshold)
+        .withColumn("cosine_sim", r6(F.col("__cos")))
+        .filter(F.col("cosine_sim") >= threshold)
         .select(
             F.col(f"a.{vec_id}").alias("vec_a"),
             F.col(f"b.{vec_id}").alias("vec_b"),
             F.col("a.cid").alias("cid"),
-            r6(F.col("__cos")).alias("cosine_sim"),
+            "cosine_sim",
         )
     )
 
@@ -1731,8 +1763,12 @@ def update_semantic_index(
     NEW×cluster via the ``flag`` rule in the shared pair kernel, with
     the standing side PRUNED to the clusters the batch actually touched
     (a cid semi-join) — never the standing corpus re-paired.
-    At-least-once replay appends nothing to either table.  Returns
-    ``{"n_batch", "n_new", "n_new_pairs"}``.
+    At-least-once replay appends nothing to either table — including
+    across the mid-batch crash window between the two appends: the
+    assigned write is the batch's commit point, and the pairs append
+    anti-joins against the standing pairs table so a replay that
+    recomputes an already-durable pair set re-appends zero rows.
+    Returns ``{"n_batch", "n_new", "n_new_pairs"}``.
 
     ``{path}/pairs`` materializes with the FIRST dup pair — a dup-free
     index has an assigned table but no pairs directory (an empty
@@ -1747,6 +1783,10 @@ def update_semantic_index(
     if arrow is None:
         arrow = len(cents) >= SEMDEDUP_AUTO_ARROW_K
     n_batch = batch.count()
+    from ..maintenance import heal_if_interrupted
+
+    heal_if_interrupted(f"{path}/assigned")  # repair mid-swap compaction crash
+    heal_if_interrupted(f"{path}/pairs")
     standing = read_parquet_if_exists(spark, f"{path}/assigned")
     new = (
         batch
@@ -1769,7 +1809,23 @@ def update_semantic_index(
         )
     pairs = _pairs_from_assignment(
         scope, threshold, vec_id, vec, blocked=arrow, flag="__new"
-    ).persist()
+    )
+    # Idempotent pairs append: the assigned write below is the batch's
+    # COMMIT POINT (replay anti-joins on it), but a crash between the two
+    # appends leaves this batch's pairs durable while its vectors are
+    # still "unseen" — the replay then recomputes the same pairs, and a
+    # blind append would duplicate them.  Anti-join against the standing
+    # pairs table on the (vec_a, vec_b) key so the replay's re-append adds
+    # zero rows; the probe side is two id columns, zone-map-prunable after
+    # compaction, and it only runs when a pairs table exists at all.
+    standing_pairs = read_parquet_if_exists(spark, f"{path}/pairs")
+    if standing_pairs is not None:
+        pairs = pairs.join(
+            standing_pairs.select("vec_a", "vec_b"),
+            ["vec_a", "vec_b"],
+            "left_anti",
+        )
+    pairs = pairs.persist()
     try:
         n_pairs = pairs.count()
         if n_pairs:

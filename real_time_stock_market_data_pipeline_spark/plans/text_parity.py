@@ -1807,3 +1807,101 @@ def _txt16_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt16_duplicated_ngrams"] = _txt16_duplicated_ngrams
 TEXT_ORACLES["txt16_duplicated_ngrams"] = sql_duplicated_ngram_share("duck")
+
+
+# --- TXT17: exact-substring span dedup (Lee et al. 2022 — the curative op) ---
+def _kept_text_agg(dialect: str, keep_cond: str) -> str:
+    """Ordered aggregate rebuilding a doc from its kept tokens, '' when
+    nothing survives.  Spark has no ordered string_agg, so it sorts a
+    collected (pos, tok) struct array; DuckDB uses native ORDER BY in
+    string_agg.  Both skip NULLs (the dropped tokens)."""
+    if dialect == "spark":
+        return (
+            f"concat_ws(' ', transform(array_sort(collect_list("
+            f"CASE WHEN {keep_cond} THEN named_struct('p', pos, 't', tok) END"
+            f")), s -> s.t))"
+        )
+    return (
+        f"coalesce(string_agg(CASE WHEN {keep_cond} THEN tok END, "
+        f"' ' ORDER BY pos), '')"
+    )
+
+
+def sql_span_dedup(dialect: str, n: int = 13) -> str:
+    """TXT17 — exact-substring SPAN dedup: remove duplicated token spans,
+    keep one canonical occurrence corpus-wide (min doc id).  The operation
+    Lee et al. 2022 actually perform on C4/RealNews — txt16 grades the
+    signal, dd10/dd11 gate on it, this CURES it.  Mirrors
+    operators/dedup.span_dedup exactly (same hash series, same canonical
+    rule, same coverage windows); the Spark driver row runs the operator,
+    this SQL is the DuckDB oracle (and the spark rendering is pinned ≡
+    the operator by tests/test_text_dedup.py).
+
+    Shape: token explode → per-doc window n-gram combine → df-aggregate
+    on the shingle hash → join back → two more functions over the SAME
+    per-doc window (coverage max, run-start lag) → per-doc aggregate.
+    No pair term anywhere; a viral boilerplate passage costs a count,
+    never a join fan-out."""
+    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    combine = "CAST(7 AS BIGINT)"
+    for j in range(n):
+        term = "h" if j == 0 else f"lead(h, {j}) OVER ({SH_WIN})"
+        combine = f"(({combine}) * 131 + {term}) % {P_MOD}"
+    share = f"CAST(sum(cov) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+tok_hashed AS (
+  SELECT doc_id, pos, tok, {tok_hash(dialect, "tok")} AS h FROM tok_rows
+),
+starts AS (
+  SELECT doc_id, pos, tok, {combine} AS sh FROM tok_hashed
+),
+pairs AS (
+  SELECT DISTINCT doc_id, sh FROM starts WHERE sh IS NOT NULL
+),
+dfreq AS (
+  SELECT sh, count(*) AS ndocs, min(doc_id) AS min_doc FROM pairs GROUP BY sh
+),
+flagged AS (
+  SELECT s.doc_id, s.pos, s.tok,
+         CASE WHEN s.sh IS NOT NULL AND f.ndocs > 1
+                   AND s.doc_id <> f.min_doc
+              THEN 1 ELSE 0 END AS rm
+  FROM starts s LEFT JOIN dfreq f ON s.sh = f.sh
+),
+covered AS (
+  SELECT doc_id, pos, tok,
+         max(rm) OVER ({SH_WIN} ROWS BETWEEN {n - 1} PRECEDING
+                       AND CURRENT ROW) AS cov
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, pos, tok, cov,
+         CASE WHEN cov = 1
+                   AND coalesce(lag(cov) OVER ({SH_WIN}), 0) = 0
+              THEN 1 ELSE 0 END AS span_start
+  FROM covered
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(cov) AS BIGINT) AS n_dropped_tokens,
+       CAST(sum(span_start) AS BIGINT) AS n_dropped_spans,
+       {r6t(share)} AS dropped_share,
+       {_kept_text_agg(dialect, "cov = 0")} AS text_deduped
+FROM spans
+GROUP BY doc_id
+"""
+
+
+def _txt17_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT17, Spark side: the span_dedup DataFrame OPERATOR (the engine
+    API a curation pipeline composes), oracle-pinned against the pure
+    DuckDB recompute — the dd2 materialized-operator pattern."""
+    from ..operators.dedup import span_dedup
+
+    return span_dedup(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES["txt17_span_dedup"] = _txt17_span_dedup
+TEXT_ORACLES["txt17_span_dedup"] = sql_span_dedup("duck")

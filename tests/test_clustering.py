@@ -436,3 +436,76 @@ def test_incremental_ivf_with_metadata_serves_filtered_search(spark, sf_dir, tmp
     # omitting meta_cols against a metadata-carrying index: loud failure
     with pytest.raises(ValueError, match="meta_cols"):
         update_ivf_index(spark, emb, inc)
+    # symmetric direction (ADVICE r12): ADDING meta_cols to an index
+    # built without them is the same silent schema split the other way —
+    # every pre-existing vector would read back null-label and filtered
+    # search would treat the standing corpus as non-matching
+    bare = str(tmp_path / "bare")
+    init_ivf_index(cents, bare)
+    update_ivf_index(spark, emb.filter("vec_id % 3 = 0"), bare)
+    with pytest.raises(ValueError, match="rebuild the index"):
+        update_ivf_index(spark, emb, bare, meta_cols=("label",))
+
+
+def test_update_semantic_index_pairs_idempotent_across_crash_window(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r12: update_semantic_index appends pairs BEFORE assigned
+    (assigned is the batch's commit point).  A crash between the two
+    appends leaves the batch's pairs durable while its vectors are still
+    "unseen" — the at-least-once replay recomputes the same pairs, and a
+    blind append would duplicate them (accumulated != one-shot).  The
+    pairs append now anti-joins the standing pairs table, so replaying
+    through that exact crash window converges to the one-shot state with
+    zero duplicate rows."""
+    import shutil
+
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_semantic_index,
+        semantic_dedup_pairs,
+        update_semantic_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        SEMDEDUP_THRESHOLD,
+        planted_semantic_corpus,
+    )
+
+    corpus = planted_semantic_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    cents_df = kmeans_fit(corpus, k=16, n_iter=1).localCheckpoint(eager=False)
+    cents = [
+        (int(r.centroid_id), [float(x) for x in r.embedding])
+        for r in cents_df.collect()
+    ]
+    oneshot = sorted(
+        (r.vec_a, r.vec_b)
+        for r in semantic_dedup_pairs(
+            corpus, cents, threshold=SEMDEDUP_THRESHOLD, arrow=False
+        ).collect()
+    )
+    assert oneshot
+
+    path = str(tmp_path / "semidx_crash")
+    b1 = corpus.filter("vec_id % 3 = 0")
+    b2 = corpus.filter("vec_id % 3 != 0")  # twins land here (10^6 % 3 = 1)
+    init_semantic_index(cents_df, path)
+    update_semantic_index(spark, b1, path, SEMDEDUP_THRESHOLD, arrow=False)
+    # snapshot assigned, run batch 2 fully, then roll assigned back —
+    # exactly the crash-after-pairs-before-assigned window
+    snap = str(tmp_path / "assigned_snap")
+    shutil.copytree(f"{path}/assigned", snap)
+    m2 = update_semantic_index(spark, b2, path, SEMDEDUP_THRESHOLD, arrow=False)
+    assert m2["n_new_pairs"] > 0  # batch 2's pairs are durable...
+    shutil.rmtree(f"{path}/assigned")
+    shutil.copytree(snap, f"{path}/assigned")  # ...but its vectors are not
+
+    replay = update_semantic_index(spark, b2, path, SEMDEDUP_THRESHOLD, arrow=False)
+    assert replay["n_new"] > 0  # the replay really did recompute batch 2
+    assert replay["n_new_pairs"] == 0  # and re-appended zero pairs
+    acc = sorted(
+        (r.vec_a, r.vec_b)
+        for r in spark.read.parquet(f"{path}/pairs").collect()
+    )
+    assert acc == oneshot  # no duplicates, exactly the one-shot pair set

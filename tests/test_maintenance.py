@@ -765,3 +765,56 @@ def test_maybe_compact_table_partitioned_ivf_lists(spark, sf_dir, tmp_path):
     summary = mnt.maybe_compact_table(spark, lists, None, max_files=8)
     assert summary and n_files() < before_files
     assert hits() == before_hits
+
+
+def test_update_heals_mid_swap_compaction_before_read(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (high): a compaction killed between _flat_swap's two
+    renames leaves the store ABSENT with a complete staging pending.
+    The next batch's update_* used to read through that window, see "no
+    table", and rebuild the store from that one batch — breaking
+    anti-join idempotence — after which a later recover_upsert would
+    roll the stale staging forward OVER the rebuilt rows, silently
+    discarding everything ingested since the crash.  update_* now heals
+    BEFORE reading: the post-crash replay batch must see the full
+    pre-crash table (appending zero docs) and leave no orphans."""
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        update_signature_table,
+    )
+
+    path = str(tmp_path / "sig_heal")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i} eta theta") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    # fragmented ingest: several appends so compaction has work to do
+    for k in range(4):
+        update_signature_table(docs.filter(f"doc_id % 4 = {k}"), path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+
+    with pytest.raises(OSError, match="simulated crash"):
+        _fail_rename_after(monkeypatch, 1)  # dies between the two renames
+        mnt.compact_doc_keyed_table(spark, path)
+    monkeypatch.undo()
+    assert not os.path.exists(path)  # the store-absent crash window
+
+    # the very next batch (an at-least-once replay here) heals, then reads
+    m = update_signature_table(docs, path)
+    assert m["n_new_docs"] == 0  # saw the healed FULL table, not a rebuild
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == before
+    assert mnt._sibling_dirs(path, "staging") == []
+    assert mnt._sibling_dirs(path, "old") == []
+
+
+def test_heal_if_interrupted_is_cheap_noop_paths(tmp_path):
+    """heal_if_interrupted: clean stores, missing paths and remote URIs
+    are no-ops (one listdir, no recover machinery)."""
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    assert mnt.heal_if_interrupted(str(tmp_path / "absent")) == []
+    assert mnt.heal_if_interrupted("s3a://bucket/table") == []
+    d = tmp_path / "clean"
+    d.mkdir()
+    assert mnt.heal_if_interrupted(str(d)) == []
