@@ -139,3 +139,32 @@ def batch_predictions(
         "predicted_date timestamp, confidence_score double, prediction_type string"
     )
     return grouped_map_input(df, key, ts, price).groupBy(key).applyInPandas(score, schema=schema)
+
+
+def gj_solve(A: list[list[int]], b: list[int]) -> list[float]:
+    """Gauss-Jordan elimination WITHOUT pivoting, fixed operation order —
+    the bit-exact twin of the unrolled SQL elimination in
+    plans/text_parity.sql_quality_classifier (txt18).  Both sides start
+    from the same exact-integer normal equations and perform the same
+    IEEE-754 double ops in the same order, so the coefficients come out
+    bit-identical and the scored corpus hash-compares across engines —
+    which is why this is a hand-rolled scalar loop and NOT
+    numpy.linalg.solve (LAPACK pivots and blocks; its op order is
+    unspecified and differs from any SQL rendering).
+
+    No pivoting is safe here by construction: A is a ridge-regularized
+    Gram matrix (positive definite — every leading principal minor is
+    positive), so pivots never vanish.  d is the FEATURE dimension
+    (17 for txt18): d³ scalar ops on the driver, microseconds —
+    training cost lives in the distributed aggregate, never here."""
+    d = len(b)
+    M = [[float(A[i][j]) for j in range(d)] + [float(b[i])] for i in range(d)]
+    for k in range(d):
+        piv = M[k][k]
+        norm = [M[k][j] / piv for j in range(d + 1)]
+        for i in range(d):
+            if i != k:
+                f = M[i][k]
+                M[i] = [M[i][j] - f * norm[j] for j in range(d + 1)]
+        M[k] = norm
+    return [M[i][d] for i in range(d)]

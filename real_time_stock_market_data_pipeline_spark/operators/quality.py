@@ -207,3 +207,77 @@ def audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     tables = {n: load_table(spark, sf_dir, n) for n in names}
     return expectations_report(tables)
+
+
+# --- Model-based quality classifier (txt18) ----------------------------------
+QC_DIM = 17  # 16 hashed feature buckets + intercept
+QC_RIDGE = 1  # integer ridge keeps the normal equations exact integers
+QC_CUT = 0.5  # keep iff r6(score) >= this
+
+
+def train_quality_classifier(
+    marked: DataFrame, dim: int = QC_DIM, ridge: int = QC_RIDGE
+) -> list[float]:
+    """Fit a ridge-regularized linear quality classifier IN-ENGINE (the
+    C4/fastText curation shape: a cheap linear model over hashed
+    bag-of-token features, trained against a weak-label rule — no
+    sklearn, no external model).  ``marked`` carries integer features
+    x0..x{dim-1} (x0 = 1 intercept, x1.. = txt13's exact ±1 bucket sums)
+    and the weak label y ∈ {0, 1} (txt10 non-repetitive ∧ txt15
+    perplexity band in the registered txt18 plan).
+
+    Training is ONE distributed aggregate: all dim·(dim+1) normal-
+    equation sums (XᵀX and Xᵀy) are exact INTEGER map-combinable sums
+    computed in a single corpus pass — the classic scan-bound shape; the
+    driver then solves the (dim×dim ≈ 17×17) ridge system with the
+    fixed-order Gauss-Jordan twin (ml/regression.gj_solve), a
+    codebook-sized O(d³) step.  Because XᵀX is integer-exact, the
+    coefficients are bit-identical to the txt18 DuckDB oracle's in-SQL
+    elimination — a fully value-checkable trained model.
+
+    Scale: the aggregate state is dim² longs per partition (~2.4 KB) —
+    independent of corpus size; nothing corpus-sized reaches the driver.
+    """
+    exprs = []
+    for i in range(dim):
+        for j in range(dim):
+            exprs.append(
+                F.sum(F.col(f"x{i}") * F.col(f"x{j}"))
+                .cast("long")
+                .alias(f"a_{i}_{j}")
+            )
+        exprs.append(
+            F.sum(F.col(f"x{i}") * F.col("y")).cast("long").alias(f"b_{i}")
+        )
+    row = marked.agg(*exprs).collect()[0]
+    A = [
+        [row[f"a_{i}_{j}"] + (ridge if i == j else 0) for j in range(dim)]
+        for i in range(dim)
+    ]
+    b = [row[f"b_{i}"] for i in range(dim)]
+    from ..ml.regression import gj_solve
+
+    return gj_solve(A, b)
+
+
+def score_quality(
+    marked: DataFrame, beta: list[float], cut: float = QC_CUT
+) -> DataFrame:
+    """Score every document under a trained linear quality model:
+    score = β₀ + Σ βⱼ·xⱼ accumulated in FIXED left-to-right order (the
+    same chain the txt18 oracle SQL writes out), r6-rounded, and cut at
+    ``cut`` on the ROUNDED value so both engines decide boundary docs
+    identically (the txt15 rule).  Pure JVM column arithmetic — scoring
+    a 100 TB corpus is one scan, no Python, no shuffle."""
+    from ..functions.scalars import r6
+
+    score = F.lit(0.0)
+    for i, w in enumerate(beta):
+        score = score + F.lit(float(w)) * F.col(f"x{i}").cast("double")
+    rounded = r6(score)
+    return marked.select(
+        "doc_id",
+        F.col("y").alias("weak_label"),
+        rounded.alias("quality_score"),
+        (rounded >= F.lit(float(cut))).alias("keep"),
+    )

@@ -1905,3 +1905,132 @@ def _txt17_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt17_span_dedup"] = _txt17_span_dedup
 TEXT_ORACLES["txt17_span_dedup"] = sql_span_dedup("duck")
+
+
+# --- TXT18: model-based quality classifier (trained in-engine) ---------------
+def _qc_marked_sql(dialect: str, dim: int = 16) -> str:
+    """(doc_id, x0=1, x1..x16 = txt13's integer bucket sums, y) — the
+    classifier's design matrix plus the weak label: y = 1 iff the doc is
+    NOT txt10-repetitive AND sits inside txt15's perplexity band.  Every
+    ingredient is an existing oracle-green query body (sql_feature_hash,
+    sql_repetition, sql_bigram_lm) — the weak-label rule composes them
+    with three doc-id left joins.  Docs outside any signal (no tokens,
+    no bigrams) get zero features / label 0: unscorable is junk until
+    proven otherwise, the txt15 rule."""
+    feats = sql_feature_hash(dialect)
+    rep = sql_repetition(dialect)
+    ppl = sql_bigram_lm(dialect)
+    xs = ",\n       ".join(
+        f"coalesce(f.b{j}, CAST(0 AS BIGINT)) AS x{j + 1}" for j in range(dim)
+    )
+    return f"""
+SELECT d.doc_id,
+       CAST(1 AS BIGINT) AS x0,
+       {xs},
+       CASE WHEN r.repetitive = false AND s.perplexity IS NOT NULL
+                 AND s.perplexity <= {d(PPL_MAX)} THEN 1 ELSE 0 END AS y
+FROM documents d
+LEFT JOIN ({feats}) f ON d.doc_id = f.doc_id
+LEFT JOIN ({rep}) r ON d.doc_id = r.doc_id
+LEFT JOIN ({ppl}) s ON d.doc_id = s.doc_id
+"""
+
+
+def sql_quality_classifier(dialect: str) -> str:
+    """TXT18 — the quality classifier END-TO-END in one SQL body: weak
+    labels, exact-integer normal equations (XᵀX, Xᵀy via a j-sequence
+    cross join — ONE pass over the marked corpus, no 306-column
+    unpivot), ridge (+1 on the diagonal, still integer), then the
+    17-step Gauss-Jordan elimination UNROLLED as chained CTEs — each
+    step reads its predecessor exactly once (pivot / factor-column /
+    pivot-row broadcast via three window maxes), so the chain stays
+    linear even under CTE inlining — and finally every document scored
+    under the solved coefficients with the same left-to-right
+    accumulation the Spark operator uses.  Because the normal equations
+    are integers and the elimination op order is fixed, the DuckDB
+    oracle reproduces the Spark-trained model BIT-FOR-BIT
+    (ml/regression.gj_solve is the scalar twin of the CTE chain) — a
+    trained-model driver row with a full value oracle, not a shape
+    reduction.
+
+    Scale shape (the registered Spark plan uses the operator, not this
+    rendering): one corpus pass for the label signals, one
+    map-combinable integer aggregate for the normal equations (dim²
+    longs of state), an O(d³) driver solve, one scan to score.  The
+    rendering twin exists for the oracle and the bit-exactness pin."""
+    dim = 17
+    from ..operators.quality import QC_CUT, QC_RIDGE
+
+    marked = _qc_marked_sql(dialect)
+    if dialect == "spark":
+        jseq = "SELECT explode(sequence(0, 16)) AS j"
+    else:
+        jseq = "SELECT unnest(generate_series(0, 16)) AS j"
+    xcase = " ".join(f"WHEN {i} THEN x{i}" for i in range(dim))
+    steps = []
+    for k in range(dim):
+        steps.append(f"""g{k + 1} AS (
+  SELECT i, j,
+         CASE WHEN i = {k} THEN v / pv ELSE v - fv * (prv / pv) END AS v
+  FROM (
+    SELECT i, j, v,
+           max(CASE WHEN i = {k} AND j = {k} THEN v END) OVER () AS pv,
+           max(CASE WHEN j = {k} THEN v END) OVER (PARTITION BY i) AS fv,
+           max(CASE WHEN i = {k} THEN v END) OVER (PARTITION BY j) AS prv
+    FROM g{k}
+  ) t{k}
+)""")
+    steps_sql = ",\n".join(steps)
+    betasel = ", ".join(
+        f"max(CASE WHEN i = {i} THEN v END) AS w{i}" for i in range(dim)
+    )
+    score = d("0.0")
+    for i in range(dim):
+        score = f"(({score}) + w{i} * CAST(x{i} AS DOUBLE))"
+    return f"""
+WITH marked AS ({marked}),
+jseq AS ({jseq}),
+xrows AS (
+  SELECT doc_id, j, CASE j {xcase} END AS v, y FROM marked CROSS JOIN jseq
+),
+gram AS (
+  SELECT a.j AS i, b2.j AS j, CAST(sum(a.v * b2.v) AS BIGINT) AS s
+  FROM xrows a JOIN xrows b2 ON a.doc_id = b2.doc_id
+  GROUP BY a.j, b2.j
+),
+bvec AS (
+  SELECT j AS i, {dim} AS j, CAST(sum(v * y) AS BIGINT) AS s
+  FROM xrows GROUP BY j
+),
+g0 AS (
+  SELECT i, j,
+         CAST(s + CASE WHEN i = j AND j < {dim} THEN {QC_RIDGE}
+                       ELSE 0 END AS DOUBLE) AS v
+  FROM (SELECT * FROM gram UNION ALL SELECT * FROM bvec) u
+),
+{steps_sql},
+beta AS (SELECT {betasel} FROM g{dim} WHERE j = {dim})
+SELECT m.doc_id, m.y AS weak_label,
+       {r6t(score)} AS quality_score,
+       ({r6t(score)} >= {d(str(QC_CUT))}) AS keep
+FROM marked m CROSS JOIN beta
+"""
+
+
+def _txt18_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT18, Spark side: the OPERATOR path — the marked frame (features
+    + weak label, the shared dialect body) is snapshotted once with a
+    lazy localCheckpoint (it feeds BOTH the training aggregate and the
+    scoring scan; Spark would otherwise execute the three-signal label
+    pipeline twice — the dd2/txt12 materialize rule), trained via one
+    integer aggregate + driver Gauss-Jordan, then scored JVM-side."""
+    from ..operators.quality import score_quality, train_quality_classifier
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    marked = spark.sql(_qc_marked_sql("spark")).localCheckpoint(eager=False)
+    beta = train_quality_classifier(marked)
+    return score_quality(marked, beta)
+
+
+QUERIES["txt18_quality_classifier"] = _txt18_quality_classifier
+TEXT_ORACLES["txt18_quality_classifier"] = sql_quality_classifier("duck")
