@@ -225,3 +225,26 @@ def feature_hash_embedding(
         ),
     )
     return df.join(out.select(id_col, "embedding"), id_col, "left")
+
+
+# URL host normalization (the C4-style per-domain curation key).  One
+# capture group, ZERO backslashes — Java regex (Spark) and RE2 (DuckDB)
+# disagree on string-literal escaping, so the pattern uses [.] classes
+# and stays byte-identical in both dialects (plans/dialect.host_norm).
+HOST_PATTERN = (
+    "^(?:[a-z][a-z0-9+.-]*://)?"  # optional scheme
+    "(?:[^/@?#]*@)?"              # optional userinfo
+    "(?:www[.])?"                 # strip a leading www.
+    "([^/:?#]+)"                  # host, up to port/path/query/fragment
+)
+
+
+def normalize_host(url) -> Column:
+    """Lower-cased registrable host from a URL-ish string: scheme,
+    userinfo, a leading ``www.``, the port, and everything from the path
+    on are stripped — the normalization under which per-domain caps and
+    domain-mixture accounting group (one crawl's ``HTTPS://www.X.com:443
+    /a`` and ``http://x.com/b`` are the same domain).  Pure JVM regexp —
+    a per-row projection at any scale; '' when nothing host-like."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(F.lower(c), HOST_PATTERN, 1)

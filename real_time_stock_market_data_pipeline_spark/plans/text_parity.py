@@ -2034,3 +2034,178 @@ def _txt18_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt18_quality_classifier"] = _txt18_quality_classifier
 TEXT_ORACLES["txt18_quality_classifier"] = sql_quality_classifier("duck")
+
+
+# --- SP10/SP11: per-domain curation (C4-style domain caps + mixture) ---------
+# The documents table carries no URL column, so both queries derive one
+# DETERMINISTICALLY in-query — deliberately skewed (every even doc_id
+# lands on one mega-domain = 50% of the corpus) and deliberately messy
+# (scheme case, userinfo, www, ports, paths) so the normalization scalar
+# has real work to do.  Same expression text in both dialects.
+DOMAIN_CAP = 100
+
+_URL_EXPR = (
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN 'HTTPS://user:pw@www.MegaDomain.example.com:8443/page/' "
+    "|| CAST(doc_id AS STRING) "
+    "ELSE 'http://' || source || '.example.org:80/item?id=' "
+    "|| CAST(doc_id AS STRING) END"
+)
+
+
+def _host_norm(col: str) -> str:
+    """Dialect-shared host normalization — the SQL twin of
+    operators/text.normalize_host (same pattern constant, zero
+    backslashes, byte-identical in Java regex and RE2)."""
+    from ..operators.text import HOST_PATTERN
+
+    return f"regexp_extract(lower({col}), '{HOST_PATTERN}', 1)"
+
+
+def _dom_cte(dialect: str) -> str:
+    return f"""
+urls AS (SELECT doc_id, ({_URL_EXPR}) AS url FROM documents),
+dom AS (SELECT doc_id, {_host_norm("url")} AS domain FROM urls)
+"""
+
+
+def sql_domain_caps(dialect: str) -> str:
+    """SP10 — per-domain document caps (the C4 curation shape: one crawl
+    cannot dominate training): normalize each doc's URL to its domain,
+    keep at most DOMAIN_CAP docs per domain chosen by the deterministic
+    id-hash order (operators/sampling.capped_per_group — the same hash
+    series as the splits, so capping never disturbs split membership),
+    and report the per-domain accounting.  The planted skew (the
+    mega-domain holding 50% of docs) is capped; the long tail passes
+    through whole.
+
+    Scale shape: one per-row projection (regex host), one row_number
+    window on the domain key (the only shuffle), one rollup.  A hot
+    domain is exactly ONE window partition — the cap's cost is the same
+    skew it exists to remove; cite reference equality/grouping shapes
+    utils/company_manager.py:259-268."""
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    return f"""
+WITH {_dom_cte(dialect)},
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY ({h}) % {1 << 30} ASC, doc_id ASC) AS rn
+  FROM dom
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rn <= {DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       (count(*) > {DOMAIN_CAP}) AS capped
+FROM ranked
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+def _sp10_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP10, Spark side: normalize_host + the capped_per_group OPERATOR
+    (sp3's hash-rank cut) composed per domain, then the rollup."""
+    from ..operators.sampling import capped_per_group
+    from ..operators.text import normalize_host
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = docs.selectExpr("doc_id", f"({_URL_EXPR}) AS url").withColumn(
+        "domain", normalize_host("url")
+    )
+    kept = capped_per_group(dom, "domain", DOMAIN_CAP)
+    totals = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    kepts = kept.groupBy("domain").agg(F.count(F.lit(1)).alias("n_kept"))
+    return (
+        totals.join(kepts, "domain")
+        .select(
+            "domain", "n_docs", "n_kept",
+            (F.col("n_docs") > F.lit(DOMAIN_CAP)).alias("capped"),
+        )
+        .orderBy("domain")
+    )
+
+
+QUERIES["sp10_domain_caps"] = _sp10_domain_caps
+TEXT_ORACLES["sp10_domain_caps"] = sql_domain_caps("duck")
+
+
+def sql_domain_mixture(dialect: str) -> str:
+    """SP11 — domain-mixture accounting under α = 0.5 temperature
+    sampling (operators/sampling.temperature_sample composed on the
+    normalized domain): per domain, docs before/after and the corpus
+    share before/after — the rebalancing report a pipeline owner reads
+    (the mega-domain's 50% share flattens toward the tail; the smallest
+    domain keeps everything).  The keep rule is the exact integer
+    ``bucket²·n_domain < B²·n_min`` — no sqrt, no float division, every
+    engine agrees at the cut.
+
+    Scale shape: the domain projection, one tiny per-domain count
+    aggregate (broadcast back), a per-row filter, one rollup + two
+    window sums over the domain-sized rollup."""
+    from ..operators.sampling import N_BUCKETS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    share_b = "CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)"
+    share_a = "CAST(n_kept AS DOUBLE) / CAST(sum(n_kept) OVER () AS DOUBLE)"
+    return f"""
+WITH {_dom_cte(dialect)},
+counts AS (SELECT domain, count(*) AS n_grp FROM dom GROUP BY domain),
+mn AS (SELECT min(n_grp) AS n_min FROM counts),
+marked AS (
+  SELECT d.domain,
+         CASE WHEN (({h}) % {N_BUCKETS}) * (({h}) % {N_BUCKETS}) * c.n_grp
+                   < {N_BUCKETS * N_BUCKETS} * mn.n_min
+              THEN 1 ELSE 0 END AS kept
+  FROM dom d JOIN counts c ON d.domain = c.domain CROSS JOIN mn
+),
+rollup AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(kept) AS BIGINT) AS n_kept
+  FROM marked GROUP BY domain
+)
+SELECT domain, n_docs, n_kept,
+       {r6t(share_b)} AS share_before,
+       {r6t(share_a)} AS share_after
+FROM rollup
+ORDER BY domain
+"""
+
+
+def _sp11_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP11, Spark side: normalize_host + the temperature_sample
+    OPERATOR (sp6's exact integer keep rule) grouped on the domain,
+    then the rollup with window-sum shares."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import temperature_sample
+    from ..operators.text import normalize_host
+    from ..functions.scalars import r6
+
+    docs = load_table(spark, sf_dir, "documents")
+    dom = docs.selectExpr("doc_id", f"({_URL_EXPR}) AS url").withColumn(
+        "domain", normalize_host("url")
+    )
+    marked = temperature_sample(dom, group_col="domain")
+    roll = marked.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+    )
+    w = Window.partitionBy()
+    return roll.select(
+        "domain", "n_docs", "n_kept",
+        r6(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("share_before"),
+        r6(
+            F.col("n_kept").cast("double")
+            / F.sum("n_kept").over(w).cast("double")
+        ).alias("share_after"),
+    ).orderBy("domain")
+
+
+QUERIES["sp11_domain_mixture"] = _sp11_domain_mixture
+TEXT_ORACLES["sp11_domain_mixture"] = sql_domain_mixture("duck")

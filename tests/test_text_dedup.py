@@ -1004,3 +1004,58 @@ def test_span_dedup_ignores_within_doc_repeats(spark):
     )
     out = {r.doc_id: r for r in dedup.span_dedup(df).collect()}
     assert out[1].n_dropped_tokens == 0 and out[1].n_dropped_spans == 0
+
+
+def test_normalize_host_strips_scheme_userinfo_www_port_path(spark):
+    """The sp10/sp11 normalization key: messy URL variants of one domain
+    all collapse to the same host; '' when nothing host-like."""
+    from real_time_stock_market_data_pipeline_spark.operators.text import normalize_host
+
+    cases = [
+        ("HTTPS://user:pw@www.Example.COM:8443/a/b?q=1#f", "example.com"),
+        ("http://example.com/x", "example.com"),
+        ("example.com:80", "example.com"),
+        ("www.example.com", "example.com"),
+        ("ftp://Sub.Example.org", "sub.example.org"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {r.i: r.h for r in df.select("i", normalize_host("url").alias("h")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i], got[i])
+
+
+def test_domain_caps_cap_only_the_skewed_domain(spark, sf_dir):
+    """SP10's acceptance fixture (r11 verdict item 4): the planted
+    mega-domain holding 50% of docs is capped to DOMAIN_CAP; every
+    long-tail domain passes through whole; kept docs are a subset chosen
+    by the split-stable hash order."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import DOMAIN_CAP
+
+    rows = QUERIES["sp10_domain_caps"](spark, sf_dir).collect()
+    mega = [r for r in rows if r.domain == "megadomain.example.com"]
+    tail = [r for r in rows if r.domain != "megadomain.example.com"]
+    assert len(mega) == 1 and mega[0].capped and mega[0].n_kept == DOMAIN_CAP
+    assert mega[0].n_docs * 2 == sum(r.n_docs for r in rows)  # the 50% skew
+    assert tail and all(
+        (not r.capped) and r.n_kept == r.n_docs for r in tail
+    )
+
+
+def test_domain_mixture_flattens_the_skew(spark, sf_dir):
+    """SP11: α=0.5 temperature sampling keeps the smallest domain whole
+    and shrinks the mega-domain's share toward the tail — shares sum to
+    1 on both sides and the order never inverts."""
+    rows = QUERIES["sp11_domain_mixture"](spark, sf_dir).collect()
+    mega = next(r for r in rows if r.domain == "megadomain.example.com")
+    smallest = min(rows, key=lambda r: r.n_docs)
+    assert smallest.n_kept == smallest.n_docs  # smallest keeps everything
+    assert mega.share_after < mega.share_before  # the skew flattens
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-4
+    # kept counts never invert the size order (the sp6 invariant)
+    bysize = sorted(rows, key=lambda r: r.n_docs)
+    kept = [r.n_kept for r in bysize]
+    assert kept == sorted(kept)
