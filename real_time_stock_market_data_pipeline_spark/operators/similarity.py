@@ -1174,18 +1174,24 @@ def ivfpq_encode(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     arrow: bool = False,
+    meta_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
-    """(vec_id, list_id, pq_codes) — the complete compressed index row:
-    3 bits of list + 8 bytes of residual codes per vector at the
-    defaults.  Map-only JVM by default; ``arrow=True`` routes the FINE
-    encode (the m·k·d_sub literal tree whose whole-stage-codegen compile
-    dominates repeated small batches — see pq_encode) through the
-    bit-identical Arrow path, the right shape for the update_ivfpq_index
-    ingest.  At scale the output is written partitioned by list_id so a
-    probe reads only its lists (the emb8 hive-partition layout)."""
+    """(vec_id, list_id, pq_codes[, meta…]) — the complete compressed
+    index row: 3 bits of list + 8 bytes of residual codes per vector at
+    the defaults.  Map-only JVM by default; ``arrow=True`` routes the
+    FINE encode (the m·k·d_sub literal tree whose whole-stage-codegen
+    compile dominates repeated small batches — see pq_encode) through
+    the bit-identical Arrow path, the right shape for the
+    update_ivfpq_index ingest.  ``meta_cols`` carries filterable
+    metadata into the index rows (the emb18 filtered-search feature on
+    the SERVING tier) — both encode stages append to their input frame,
+    so passing the columns through is projection, not a join.  At scale
+    the output is written partitioned by list_id so a probe reads only
+    its lists (the emb8 hive-partition layout)."""
     res = _with_residual(df, coarse, vec_id=vec_id, vec=vec)
     return pq_encode(res, fine, vec="residual", arrow=arrow).select(
-        F.col(vec_id), F.col("list_id"), F.col("pq_codes")
+        F.col(vec_id), F.col("list_id"), F.col("pq_codes"),
+        *[F.col(c) for c in meta_cols],
     )
 
 
@@ -1337,16 +1343,25 @@ def update_ivfpq_index(
     path: str,
     vec_id: str = "vec_id",
     vec: str = "embedding",
+    meta_cols: tuple[str, ...] | list[str] = (),
 ) -> dict[str, int]:
-    """Incrementally maintain the persisted (vec_id, list_id, pq_codes)
-    composite index: encode ONLY the batch's vectors not already present
-    and append their rows.  Per batch: one anti-join on the vector id +
-    coarse-assign/residual/fine-encode work proportional to NEW vectors
-    only (Arrow path — repeated small-batch ingest must not pay the
-    literal-codebook codegen recompile, see pq_encode).  NULL /
+    """Incrementally maintain the persisted (vec_id, list_id, pq_codes
+    [, meta…]) composite index: encode ONLY the batch's vectors not
+    already present and append their rows, HIVE-PARTITIONED BY list_id —
+    the probed-lists layout, so ``search_ivfpq_index`` prunes whole
+    directories per probe set.  Per batch: one anti-join on the vector
+    id + coarse-assign/residual/fine-encode work proportional to NEW
+    vectors only (Arrow path — repeated small-batch ingest must not pay
+    the literal-codebook codegen recompile, see pq_encode).  NULL /
     wrong-length vectors are dropped up front (the update_pq_codes
     tolerated-rows rule).  Returns ``{"n_batch", "n_new"}``; replay
-    appends nothing."""
+    appends nothing.
+
+    ``meta_cols`` must MATCH the index's across every batch, in BOTH
+    directions (the update_ivf_index rule): appending rows without a
+    column the index already carries — or WITH a column it was built
+    without — silently splits the store schema and breaks filtered
+    search on the mixed files; the update fails loudly instead."""
     from ..sources.readers import read_parquet_if_exists
 
     coarse, fine = load_ivfpq_quantizers(spark, path)
@@ -1361,18 +1376,88 @@ def update_ivfpq_index(
 
     heal_if_interrupted(f"{path}/index")  # repair a mid-swap compaction crash
     index = read_parquet_if_exists(spark, f"{path}/index")  # None: first batch
+    if index is not None:
+        missing = set(index.columns) - {vec_id, "list_id", "pq_codes"} - set(meta_cols)
+        if missing:
+            raise ValueError(
+                f"IVF-PQ index at {path} carries metadata columns "
+                f"{sorted(missing)} not in meta_cols={sorted(meta_cols)}; "
+                "appending without them would split the store schema and "
+                "break filtered search — pass the meta_cols the index was "
+                "built with"
+            )
+        extra = set(meta_cols) - set(index.columns)
+        if extra:
+            raise ValueError(
+                f"meta_cols={sorted(meta_cols)} include columns "
+                f"{sorted(extra)} the IVF-PQ index at {path} was built "
+                "without; appending them would split the store schema and "
+                "make filtered search treat all pre-existing vectors as "
+                "non-matches — rebuild the index with the full meta_cols"
+            )
     existing = None if index is None else index.select(vec_id)
     new = batch if existing is None else batch.join(existing, vec_id, "left_anti")
     coded = ivfpq_encode(
-        new, coarse, fine, vec_id=vec_id, vec=vec, arrow=True
+        new, coarse, fine, vec_id=vec_id, vec=vec, arrow=True,
+        meta_cols=meta_cols,
     ).persist()
     try:
         n_new = coded.count()
         if n_new:
-            coded.write.mode("append").parquet(f"{path}/index")
+            coded.write.mode("append").partitionBy("list_id").parquet(
+                f"{path}/index"
+            )
     finally:
         coded.unpersist()
     return {"n_batch": n_batch, "n_new": n_new}
+
+
+def search_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_probe: int = IVFPQ_PROBE,
+    shortlist: int = PQ_SHORTLIST,
+    query_id: str = "query_id",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    where: Column | None = None,
+) -> DataFrame:
+    """Search the PERSISTED composite index with optional metadata
+    pre-filtering — emb18's filtered-search feature carried to the
+    SERVING tier (the layout a 100 TB corpus actually queries): the
+    probe set is computed from the stored coarse quantizer, the index
+    read is cut to the probed ``list_id=`` partitions (directory-level
+    pruning) with ``where`` pushed into the SAME parquet scan
+    (plan-tested) — so a selective filter cuts candidate bytes READ
+    before any ADC arithmetic runs — then the standard two-stage
+    ADC-shortlist-rerank executes over exactly the qualifying rows.
+    PRE-filter semantics: top-k ranks the qualifying vectors; shortlist
+    survivors already satisfy the predicate, so the exact rerank against
+    ``corpus`` needs no second filter.  Filtering commutes with
+    encoding (a vector's list/codes are pure per-vector functions), so
+    the result equals searching an index built on the filtered corpus —
+    emb19's in-plan gate.
+
+    The probed-ids collect is bounded by n_lists, never the corpus."""
+    coarse, fine = load_ivfpq_quantizers(spark, path)
+    probes = ivfpq_probes(
+        queries, coarse, n_probe=n_probe, query_id=query_id, vec=vec
+    )
+    probed_ids = sorted(
+        r[0] for r in probes.select("list_id").distinct().collect()
+    )
+    index = spark.read.parquet(f"{path}/index").filter(
+        F.col("list_id").isin(probed_ids)
+    )
+    if where is not None:
+        index = index.filter(where)
+    return ivfpq_search(
+        queries, index, corpus, coarse, fine, k=k, n_probe=n_probe,
+        shortlist=shortlist, query_id=query_id, vec_id=vec_id, vec=vec,
+    )
 
 
 def ivfpq_index_sink(
@@ -1380,6 +1465,7 @@ def ivfpq_index_sink(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     auto_compact_files: int | None = None,
+    meta_cols: tuple[str, ...] | list[str] = (),
 ):
     """``foreachBatch`` writer maintaining the composite index from a
     VECTOR STREAM — at-least-once redelivery idempotent via the anti-join
@@ -1393,7 +1479,9 @@ def ivfpq_index_sink(
     bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        update_ivfpq_index(batch_df.sparkSession, batch_df, path, vec_id, vec)
+        update_ivfpq_index(
+            batch_df.sparkSession, batch_df, path, vec_id, vec, meta_cols
+        )
         maybe_compact_table(
             batch_df.sparkSession, f"{path}/index", vec_id, bound
         )

@@ -63,7 +63,7 @@ _PRIORITY = [
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
     # 2 — new this round (window trimmed to 50 below)
     "txt17_span_dedup", "txt18_quality_classifier",
-    "sp10_domain_caps", "sp11_domain_mixture",
+    "sp10_domain_caps", "sp11_domain_mixture", "emb19_filtered_ivfpq",
     # 3 — r10-green rotations, r10-window order (fills the window to 50)
     "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
     "p6_flag_filter", "a7_dup_detection", "o1_top_events",

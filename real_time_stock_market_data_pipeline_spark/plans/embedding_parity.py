@@ -714,3 +714,135 @@ FROM embeddings WHERE vec_id < 5
 
 QUERIES["emb18_filtered_ann"] = _emb18_filtered_ann
 EMBEDDING_ORACLES["emb18_filtered_ann"] = sql_filtered_ann("duck")
+
+
+def _emb19_filtered_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB19 — FILTERED search on the SERVING tier (emb18's metadata
+    pre-filter carried from IVF-flat to the persisted IVF-PQ composite
+    index — the layout a 100 TB corpus actually queries): the index
+    stores filterable metadata next to its 8-byte codes
+    (update_ivfpq_index meta_cols), hive-partitioned by list_id, and
+    search_ivfpq_index(where=...) cuts the read to the probed
+    partitions WITH the predicate pushed into the same scan — candidate
+    bytes drop BEFORE any ADC arithmetic.  Encoding is a pure
+    per-vector function, so filtering commutes with it: the filtered
+    search must match exact L2 over the FILTERED corpus RESTRICTED TO
+    THE SAME PROBED LISTS at ≥ 0.8 recall (emb13's isolation — probing
+    coverage is a knob, not a defect), and every hit must satisfy the
+    filter.  The index is built INCREMENTALLY (three fragmented batches
+    + a replay that must append nothing) so the filtered path and the
+    ingest path are exercised together.  Oracle pins the gates TRUE and
+    full k per query (label 7 holds ≥45 vectors at every sf)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _sq_l2,
+        init_ivfpq_index,
+        ivfpq_fit,
+        ivfpq_probes,
+        search_ivfpq_index,
+        update_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    coarse, fine = ivfpq_fit(emb, n_iter=2)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_ivfpq_filtered",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    init_ivfpq_index(spark, coarse, fine, path)
+    for r in range(3):
+        update_ivfpq_index(
+            spark, emb.filter(F.col("vec_id") % 3 == r), path,
+            meta_cols=("label",),
+        )
+    replay = update_ivfpq_index(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), path,
+        meta_cols=("label",),
+    )
+    approx = search_ivfpq_index(
+        spark, path, queries_df, emb, k=10, n_probe=7,
+        where=F.col("label") == FILTER_LABEL,
+    )
+    # exact L2 over the FILTERED corpus, restricted to the same probed
+    # lists (read back from the index so probe membership is the store's)
+    probes = ivfpq_probes(queries_df, coarse, n_probe=7)
+    pe = (
+        spark.read.parquet(f"{path}/index")
+        .filter(F.col("label") == FILTER_LABEL)
+        .select("vec_id", "list_id")
+        .join(F.broadcast(probes.select("query_id", "list_id")), "list_id")
+        .join(emb.select("vec_id", F.col("embedding").alias("__cv")), "vec_id")
+        .join(
+            F.broadcast(
+                queries_df.select("query_id", F.col("embedding").alias("__qv"))
+            ),
+            "query_id",
+        )
+        .withColumn("l2", _sq_l2(F.col("__cv"), F.col("__qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("vec_id").asc()
+    )
+    probed_exact = (
+        pe.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+        .select("query_id", "vec_id")
+    )
+    labels = emb.select("vec_id", "label")
+    hits = approx.select("query_id", "vec_id").join(labels, "vec_id")
+    overlap = (
+        probed_exact.join(
+            approx.select("query_id", "vec_id"), ["query_id", "vec_id"]
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_results"),
+            (
+                F.sum((F.col("label") == FILTER_LABEL).cast("int"))
+                == F.count(F.lit(1))
+            ).alias("all_match_filter"),
+        )
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id", "n_results",
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= F.lit(8)).alias(
+                "recall_ok"
+            ),
+            (F.col("all_match_filter") & F.lit(replay["n_new"] == 0)).alias(
+                "all_match_filter"
+            ),
+        )
+    )
+
+
+def sql_filtered_ivfpq(dialect: str) -> str:
+    """EMB19's gate oracle (emb13/emb18's pattern): compression,
+    persistence and predicate pushdown trade recall only within the
+    gate's tolerance and never leak a non-matching row; the replay
+    appends nothing.  Gates TRUE, full k per query."""
+    del dialect
+    return """
+SELECT vec_id AS query_id, CAST(10 AS BIGINT) AS n_results,
+       true AS recall_ok, true AS all_match_filter
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+QUERIES["emb19_filtered_ivfpq"] = _emb19_filtered_ivfpq
+EMBEDDING_ORACLES["emb19_filtered_ivfpq"] = sql_filtered_ivfpq("duck")

@@ -509,3 +509,84 @@ def test_update_semantic_index_pairs_idempotent_across_crash_window(
         for r in spark.read.parquet(f"{path}/pairs").collect()
     )
     assert acc == oneshot  # no duplicates, exactly the one-shot pair set
+
+
+def test_incremental_ivfpq_with_metadata_serves_filtered_search(
+    spark, sf_dir, tmp_path
+):
+    """emb19's operator contract: an IVF-PQ index built incrementally
+    WITH metadata serves filtered search identically to searching an
+    index of the pre-filtered corpus (filtering commutes with encoding);
+    meta_cols drift fails loudly in BOTH directions (the
+    update_ivf_index rule applied to the serving tier)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_fit,
+        search_ivfpq_index,
+        update_ivfpq_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    coarse, fine = ivfpq_fit(emb, n_iter=1)
+
+    inc = str(tmp_path / "ivfpq_inc")
+    init_ivfpq_index(spark, coarse, fine, inc)
+    for r in range(3):
+        m = update_ivfpq_index(
+            spark, emb.filter(f"vec_id % 3 = {r}"), inc, meta_cols=("label",)
+        )
+        assert m["n_new"] > 0
+    replay = update_ivfpq_index(spark, emb, inc, meta_cols=("label",))
+    assert replay["n_new"] == 0
+
+    def key(rows):
+        return sorted((r.query_id, r.rk, r.vec_id) for r in rows)
+
+    filtered = key(
+        search_ivfpq_index(
+            spark, inc, q, emb, k=10, n_probe=7,
+            where=F.col("label") == 7,
+        ).collect()
+    )
+    # the commutation twin: an index holding ONLY the filtered corpus
+    pre = str(tmp_path / "ivfpq_pre")
+    init_ivfpq_index(spark, coarse, fine, pre)
+    update_ivfpq_index(
+        spark, emb.filter(F.col("label") == 7), pre, meta_cols=("label",)
+    )
+    twin = key(
+        search_ivfpq_index(
+            spark, pre, q, emb.filter(F.col("label") == 7), k=10, n_probe=7
+        ).collect()
+    )
+    assert filtered == twin and len(filtered) == 30
+
+    # schema-drift guards, both directions
+    with pytest.raises(ValueError, match="meta_cols"):
+        update_ivfpq_index(spark, emb, inc)  # omit existing metadata
+    bare = str(tmp_path / "ivfpq_bare")
+    init_ivfpq_index(spark, coarse, fine, bare)
+    update_ivfpq_index(spark, emb.filter("vec_id % 3 = 0"), bare)
+    with pytest.raises(ValueError, match="rebuild the index"):
+        update_ivfpq_index(spark, emb, bare, meta_cols=("label",))
+
+    # the incremental store's rows equal the one-shot encode (meta too)
+    stored = sorted(
+        (r.vec_id, r.list_id, tuple(r.pq_codes), r.label)
+        for r in spark.read.parquet(f"{inc}/index").collect()
+    )
+    oneshot = sorted(
+        (r.vec_id, r.list_id, tuple(r.pq_codes), r.label)
+        for r in ivfpq_encode(
+            emb, coarse, fine, meta_cols=("label",)
+        ).collect()
+    )
+    assert stored == oneshot

@@ -63,11 +63,11 @@ def test_r12_driver_window_pinned():
     ]
     # new r12 queries sit directly after the r09 leads; r10-green
     # rotations fill the window to 50 (oldest evidence first)
-    assert names[34:38] == [
+    assert names[34:39] == [
         "txt17_span_dedup", "txt18_quality_classifier",
-        "sp10_domain_caps", "sp11_domain_mixture",
+        "sp10_domain_caps", "sp11_domain_mixture", "emb19_filtered_ivfpq",
     ]
-    assert names[38] == "p3_time_window_filter"
+    assert names[39] == "p3_time_window_filter"
     # slot 50 boundary: the frozen-for-r13 block starts at index 50
-    assert names[49] == "a6_hourly_counts"
-    assert names[50] == "d1_distinct_event_types"
+    assert names[49] == "a2_global_max"
+    assert names[50] == "a6_hourly_counts"

@@ -414,3 +414,29 @@ def test_emb18_filter_pushed_into_probed_lists_scan(spark, sf_dir):
     ), scan_lines[0][:300]
     assert any("PartitionFilters" in l and "centroid_id" in l for l in scan_lines)
     assert "CartesianProduct" not in plan
+
+
+def test_emb19_filter_pushed_into_probed_index_scan(spark, sf_dir):
+    """emb19's filtered IVF-PQ search must cut the INDEX scan, not the
+    scored rows: the index FileScan carries the probed-partition pruning
+    (list_id partition filter — the hive layout update_ivfpq_index
+    writes) AND the label predicate as a data filter in the SAME scan —
+    candidate bytes drop before any ADC arithmetic runs."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "emb19_filtered_ivfpq")
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan parquet" in l and "list_id" in l and "pq_codes" in l
+    ]
+    assert scan_lines, "expected the probed-index FileScan in the plan"
+    assert any(
+        "PartitionFilters" in l and re.search(r"list_id#\d+ IN", l)
+        for l in scan_lines
+    ), scan_lines[0][:300]
+    assert any(
+        re.search(r"DataFilters: \[[^\]]*label#\d+ = 7", l)
+        or re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,7\)", l)
+        for l in scan_lines
+    ), scan_lines[0][:300]
+    assert "CartesianProduct" not in plan
