@@ -83,12 +83,34 @@ def main() -> None:
             _release_persisted(spark)
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
     total = sum(statistics.median(s) for s in samples.values())
+    # Per-query spread (r11 verdict item 6): cross-round comparisons on
+    # this shared box need their own variance denominator — a median
+    # alone can't say whether a 1.3× delta is a regression or the
+    # measured same-day load noise (COVERAGE.md "Bench drift").  min/max
+    # over the interleaved samples IS that denominator: samples of one
+    # query land ~a full pass apart, so the spread captures the box's
+    # burst amplitude at measurement time.
+    spread = {
+        name: {
+            "min": round(min(s), 3),
+            "max": round(max(s), 3),
+            "iqr": round(
+                statistics.quantiles(s, n=4)[2]
+                - statistics.quantiles(s, n=4)[0],
+                3,
+            )
+            if len(s) >= 4
+            else round(max(s) - min(s), 3),
+        }
+        for name, s in samples.items()
+    }
 
     full = {
         "metric": "total_query_wall_time",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
         "runs_per_query": n_runs,
         "aggregation": "median(interleaved)",
@@ -107,6 +129,10 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": top,
+        # [min, max] over the interleaved samples for the top-10 — the
+        # variance denominator travels WITH the recorded bench line, so a
+        # cross-round delta inside a query's own spread adjudicates nothing
+        "spread": {name: [spread[name]["min"], spread[name]["max"]] for name in top},
         "n_queries": len(timings),
         "sf": sf,
         "runs_per_query": n_runs,

@@ -58,6 +58,8 @@ DOC_QUERIES = [
     "dd13_compacted_table", "sp8_decontaminated_pipeline",
     "mm11_triad_decontamination", "sp9_dup_aware_split",
     "txt15_perplexity_filter", "txt16_duplicated_ngrams",
+    "txt17_span_dedup", "txt18_quality_classifier",
+    "sp10_domain_caps", "sp11_domain_mixture",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
@@ -71,7 +73,7 @@ EMB_QUERIES = [
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
     "emb14_incremental_ivfpq", "emb15_semantic_dedup",
     "emb16_semdedup_keep_policy", "emb17_incremental_semdedup",
-    "emb18_filtered_ann",
+    "emb18_filtered_ann", "emb19_filtered_ivfpq",
 ]
 
 
