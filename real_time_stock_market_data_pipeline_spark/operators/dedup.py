@@ -181,6 +181,22 @@ def span_dedup(
     Mirrored by plans/text_parity.sql_span_dedup (the txt17 DuckDB
     oracle recomputes the kept-token accounting AND the rebuilt text).
     """
+    starts = _positioned_starts(df, id_col, text, n)
+    if materialize:
+        starts = starts.localCheckpoint(eager=False)
+    dfreq = _shingle_dfreq(
+        starts.filter(F.col("sh").isNotNull()).select(id_col, "sh").distinct(),
+        id_col,
+    )
+    return _span_cleanup(starts, dfreq, id_col, n)
+
+
+def _positioned_starts(
+    df: DataFrame, id_col: str, text: str, n: int
+) -> DataFrame:
+    """(id, pos, tok, sh) — every token with the hash of the n-gram
+    STARTING at it (NULL for the last n−1 positions: lead past the doc
+    end starts no n-gram, exactly the shingle_hashes boundary rule)."""
     toks = tokens_col(text)
     token_hash = F.expr(
         "aggregate(transform(sequence(1, length(tok)), "
@@ -195,21 +211,30 @@ def span_dedup(
     for j in range(n):
         term = F.col("h") if j == 0 else F.lead("h", j).over(w)
         sh = (sh * 131 + term) % F.lit(P_MOD)
-    # sh is NULL for the last n-1 positions (lead past the doc end): those
-    # positions start no n-gram, exactly the shingle_hashes boundary rule
-    starts = tok_rows.withColumn("sh", sh)
-    if materialize:
-        starts = starts.localCheckpoint(eager=False)
-    dfreq = (
-        starts.filter(F.col("sh").isNotNull())
-        .select(id_col, "sh")
-        .distinct()
-        .groupBy("sh")
-        .agg(
-            F.count("*").alias("__ndocs"),
-            F.min(id_col).alias("__min_doc"),
-        )
+    return tok_rows.withColumn("sh", sh)
+
+
+def _shingle_dfreq(pairs: DataFrame, id_col: str) -> DataFrame:
+    """(sh, __ndocs, __min_doc) from DISTINCT (id, sh) rows — the
+    document-frequency + canonical-owner aggregate both span-dedup paths
+    cut on (map-combinable, shuffled on the shingle hash)."""
+    return pairs.groupBy("sh").agg(
+        F.count("*").alias("__ndocs"),
+        F.min(id_col).alias("__min_doc"),
     )
+
+
+def _span_cleanup(
+    starts: DataFrame, dfreq: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """The shared span-removal tail: flag removable starts against the
+    document-frequency frame, cover tokens (per-doc window max over n−1
+    preceding starts), count maximal dropped runs, rebuild the text from
+    kept tokens.  One per-doc window sort serves all three window
+    functions."""
+    from ..functions.scalars import r6
+
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
     flagged = starts.join(dfreq, "sh", "left").withColumn(
         "__rm",
         F.when(
@@ -228,8 +253,6 @@ def span_dedup(
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
-    from ..functions.scalars import r6
-
     kept = F.when(
         F.col("__cov") == 0, F.struct(F.col("pos").alias("p"), F.col("tok").alias("t"))
     )
@@ -245,6 +268,36 @@ def span_dedup(
             F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["t"]),
         ).alias("text_deduped"),
     )
+
+
+def span_dedup_from_table(
+    spark,
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    n: int = 13,  # DECONTAMINATION_NGRAM (defined below span_dedup)
+) -> DataFrame:
+    """Span dedup driven from the PERSISTED (id, sh) shingle table — the
+    production form at 100 TB: document frequencies come from the table
+    the ingest stream maintains (``update_test_shingle_table`` — the
+    same insert-only anti-join+append contract, here over the CORPUS),
+    so cleaning a batch never re-shingles the standing corpus.  Per
+    call: one positioned-shingle pass over the docs BEING CLEANED
+    (linear in the batch), one df-aggregate over the table (shuffled on
+    the shingle hash — the family key, zone-map-prunable after
+    compaction), one join-back + the shared window tail.
+
+    Cleaning ALL ingested docs against the fully-accumulated table
+    equals the one-shot ``span_dedup`` over the same corpus (the
+    canonical min-id rule depends only on the accumulated (id, sh) set,
+    which the table reproduces exactly) — txt19's driver gate."""
+    from ..maintenance import heal_if_interrupted
+
+    heal_if_interrupted(path)
+    table = spark.read.parquet(path).select(id_col, "sh")
+    starts = _positioned_starts(df, id_col, text, n)
+    return _span_cleanup(starts, _shingle_dfreq(table, id_col), id_col, n)
 
 
 def minhash_signatures(

@@ -24,9 +24,10 @@ ORACLES.update(EMBEDDING_ORACLES)
 #      al. 2022 — removes duplicated spans, not just flags docs), txt18
 #      (model-based quality classifier: in-engine ridge over hashed
 #      features against a weak-label rule), sp10 (per-domain doc caps on
-#      a normalized-host key), sp11 (domain-mixture accounting), and
-#      emb19 (filtered IVF-PQ: metadata pre-filter pushed into the
-#      probed lists' scan before ADC);
+#      a normalized-host key), sp11 (domain-mixture accounting), emb19
+#      (filtered IVF-PQ: metadata pre-filter pushed into the probed
+#      lists' scan before ADC), and txt19 (incremental span dedup:
+#      cleaning driven from the persisted shingle table);
 #   3. the r10-green queries in their r10-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
 #   FROZEN FOR R13 (named, deliberate): the r10-green queries that do not
@@ -64,6 +65,7 @@ _PRIORITY = [
     # 2 — new this round (window trimmed to 50 below)
     "txt17_span_dedup", "txt18_quality_classifier",
     "sp10_domain_caps", "sp11_domain_mixture", "emb19_filtered_ivfpq",
+    "txt19_incremental_span_dedup",
     # 3 — r10-green rotations, r10-window order (fills the window to 50)
     "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
     "p6_flag_filter", "a7_dup_detection", "o1_top_events",

@@ -2209,3 +2209,62 @@ def _sp11_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp11_domain_mixture"] = _sp11_domain_mixture
 TEXT_ORACLES["sp11_domain_mixture"] = sql_domain_mixture("duck")
+
+
+# --- TXT19: incremental span dedup (table-driven cleaning) --------------------
+def sql_incremental_span_dedup(dialect: str) -> str:
+    """TXT19's oracle — the table-driven cleaning recomputed one-shot:
+    once the shingle table has accumulated every batch, its (doc_id, sh)
+    content equals the one-shot shingle set, so the cleaned corpus is
+    EXACTLY txt17's answer plus the replay-zero pin (the insert-only
+    contract's own gate)."""
+    body = sql_span_dedup(dialect)
+    return f"""
+WITH oneshot AS ({body})
+SELECT doc_id, n_tokens, n_dropped_tokens, n_dropped_spans,
+       dropped_share, text_deduped, true AS replay_zero
+FROM oneshot
+"""
+
+
+def _txt19_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT19, Spark side: the INGEST form of txt17 — three fragmented
+    batches maintain the corpus (doc_id, sh) 13-gram table
+    (update_test_shingle_table, the shared insert-only anti-join+append
+    contract), a replayed batch must append zero docs, and every doc is
+    then cleaned AGAINST THE TABLE (span_dedup_from_table: document
+    frequencies come from the store, the batch side only re-shingles the
+    docs being cleaned).  The driver hash pins table-driven cleaning ≡
+    an independent one-shot recompute — per-doc accounting AND rebuilt
+    text — plus the replay-zero flag."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        span_dedup_from_table,
+        update_test_shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_spantab",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    for r in range(3):
+        update_test_shingle_table(docs.filter(F.col("doc_id") % 3 == r), path)
+    replay = update_test_shingle_table(
+        docs.filter(F.col("doc_id") % 3 == 0), path
+    )
+    cleaned = span_dedup_from_table(spark, docs, path)
+    return cleaned.withColumn(
+        "replay_zero", F.lit(replay["n_new_docs"] == 0)
+    )
+
+
+QUERIES["txt19_incremental_span_dedup"] = _txt19_incremental_span_dedup
+TEXT_ORACLES["txt19_incremental_span_dedup"] = sql_incremental_span_dedup("duck")

@@ -63,11 +63,65 @@ def test_r12_driver_window_pinned():
     ]
     # new r12 queries sit directly after the r09 leads; r10-green
     # rotations fill the window to 50 (oldest evidence first)
-    assert names[34:39] == [
+    assert names[34:40] == [
         "txt17_span_dedup", "txt18_quality_classifier",
         "sp10_domain_caps", "sp11_domain_mixture", "emb19_filtered_ivfpq",
+        "txt19_incremental_span_dedup",
     ]
-    assert names[39] == "p3_time_window_filter"
+    assert names[40] == "p3_time_window_filter"
     # slot 50 boundary: the frozen-for-r13 block starts at index 50
-    assert names[49] == "a2_global_max"
-    assert names[50] == "a6_hourly_counts"
+    assert names[49] == "a1_grouped_max"
+    assert names[50] == "a2_global_max"
+
+
+def test_window_rotation_never_starves_a_query():
+    """The AUTOMATED form of the rotation policy (the r11 verdict flagged
+    the window as growing hand-maintained state): the driver's 50-row
+    window must contain (a) every query with no green driver row yet and
+    (b) only queries whose newest green evidence is no FRESHER than any
+    query left outside — i.e. no query outside the window has strictly
+    older evidence than one inside.  The pinned-order test above checks
+    the round's exact plan; this one checks the POLICY, so a future
+    rotation that silently starves a query fails even if someone updates
+    the pin to match it."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    newest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        try:
+            rows = json.load(open(f))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and not row.get("err")
+            )
+            if green and name in QUERIES:
+                newest[name] = max(newest.get(name, 0), rnd)
+    if not newest:
+        pytest.skip("no driver CORRECTNESS artifacts present")
+    names = list(QUERIES)
+    window, outside = names[:50], names[50:]
+    never_rowed = [n for n in names if n not in newest]
+    assert all(n in window for n in never_rowed), (
+        f"queries with no driver evidence left outside the window: "
+        f"{[n for n in never_rowed if n not in window]}"
+    )
+    rowed_in = [newest[n] for n in window if n in newest]
+    missing_outside = [n for n in outside if n not in newest]
+    assert not missing_outside  # outside queries must all carry evidence
+    if rowed_in and outside:
+        assert max(rowed_in) <= min(newest[n] for n in outside), (
+            "a query outside the window has strictly older evidence than "
+            "one inside — the rotation is starving it"
+        )

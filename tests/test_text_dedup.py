@@ -1059,3 +1059,45 @@ def test_domain_mixture_flattens_the_skew(spark, sf_dir):
     bysize = sorted(rows, key=lambda r: r.n_docs)
     kept = [r.n_kept for r in bysize]
     assert kept == sorted(kept)
+
+
+def test_span_dedup_from_table_matches_oneshot_and_replays_zero(spark, tmp_path):
+    """txt19's operator contract on the planted boilerplate fixture:
+    fragmented ingest into the shingle table (the boilerplate sharers
+    split across batches so the table's accumulated df is what flags
+    them), a replayed batch appends zero docs, and table-driven cleaning
+    equals the one-shot span_dedup row-for-row — including the rebuilt
+    text."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        span_dedup,
+        span_dedup_from_table,
+        update_test_shingle_table,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(20))
+
+    def uniq(tag, k):
+        return " ".join(f"{tag}{j}" for j in range(k))
+
+    rows = [
+        (1, f"{uniq('alpha', 15)} {boiler} {uniq('omega', 15)}"),
+        (2, f"{uniq('beta', 15)} {boiler} {uniq('psi', 15)}"),
+        (3, f"{uniq('gamma', 15)} {boiler} {uniq('chi', 15)}"),
+        (4, uniq("delta", 30)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "spantab")
+    for r in range(2):  # docs 1,3 land in batch 1; 2,4 in batch 0
+        update_test_shingle_table(df.filter(f"doc_id % 2 = {r}"), path)
+    replay = update_test_shingle_table(df, path)
+    assert replay["n_new_docs"] == 0
+
+    from_table = sorted(
+        map(tuple, span_dedup_from_table(spark, df, path).collect())
+    )
+    oneshot = sorted(map(tuple, span_dedup(df).collect()))
+    assert from_table == oneshot and len(from_table) == 4
+    by_id = {t[0]: t for t in from_table}
+    assert by_id[1][2] == 0  # canonical keeps everything
+    assert by_id[2][2] == 20 and by_id[3][2] == 20  # others lose the span
+    assert by_id[4][2] == 0
