@@ -590,3 +590,37 @@ def test_incremental_ivfpq_with_metadata_serves_filtered_search(
         ).collect()
     )
     assert stored == oneshot
+
+
+def test_pair_kernels_apply_identical_threshold_boundary(spark):
+    """ADVICE r12: the blocked-GEMM and JVM-fold pair kernels sum dot
+    products in different orders, so raw cosines can differ by an ulp —
+    both paths must cut on the SAME Spark-side r6-rounded value, or
+    arrow auto-selection flipping at the semdedup_k boundary could
+    change the dedup answer for a threshold-straddling pair.  Random
+    data with a LOW threshold makes boundary crossings dense: the two
+    kernels must emit identical pair sets with identical rounded
+    cosines."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        _pairs_from_assignment,
+        semantic_assignment,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = [(int(i), rng.normal(0, 1, 16).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, rng.normal(0, 1, 16).tolist()), (1, rng.normal(0, 1, 16).tolist())]
+
+    def pairs(blocked):
+        assigned = semantic_assignment(df, cents, "vec_id", "embedding", blocked)
+        return sorted(
+            (r.vec_a, r.vec_b, r.cosine_sim)
+            for r in _pairs_from_assignment(
+                assigned, 0.2, "vec_id", "embedding", blocked=blocked
+            ).collect()
+        )
+
+    jvm, gemm = pairs(False), pairs(True)
+    assert jvm == gemm and len(jvm) > 50
