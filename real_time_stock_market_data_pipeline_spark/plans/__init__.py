@@ -29,9 +29,12 @@ ORACLES.update(EMBEDDING_ORACLES)
 #      lists' scan before ADC), and txt19 (incremental span dedup:
 #      cleaning driven from the persisted shingle table);
 #   3. the r10-green queries in their r10-window order, oldest evidence
-#      first, fill the remaining slots to exactly 50.
+#      first, fill the remaining slots to exactly 50 (with 6 new r12
+#      queries the cut lands INSIDE section 3: p3..a1_grouped_max are
+#      the 10 in-window fills, a2_global_max..mm1_media_meta overflow
+#      into the frozen set).
 #   FROZEN FOR R13 (named, deliberate): the r10-green queries that do not
-#   fit (section 4 below) wait one round — each is pytest-parity-pinned
+#   fit (section 3's overflow + section 4 below) wait one round — each is pytest-parity-pinned
 #   at sf0.001 every run, and each family keeps a driver row in this
 #   window (the w4-w10 indicator shapes ride w1/w2/w3/w_all_indicators'
 #   in-window rows; txt2/txt3's scalar shapes ride txt1/txt8-family rows;
