@@ -472,3 +472,51 @@ def test_semdedup_k_properties(n, target, floor):
     if k > floor:
         assert (k - 1) * target < n
     assert semdedup_k(n + 1, target, floor) >= k
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=11), min_size=5, max_size=40
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+def test_span_dedup_accounting_invariants(spark, docs_tokens, n_sharers):
+    """Structural invariants of span_dedup on arbitrary corpora with an
+    injected shared passage: (1) per-doc accounting is self-consistent —
+    kept tokens in the rebuilt text = n_tokens − n_dropped_tokens;
+    (2) the canonical (min-id) owner of the shared passage never drops a
+    token from it; (3) a doc drops tokens only if some 13-gram of its
+    text occurs in another doc; (4) dropped spans are counted only when
+    tokens are dropped."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import span_dedup
+
+    shared = " ".join(f"shared{i}" for i in range(15))
+    rows = []
+    for i, toks in enumerate(docs_tokens):
+        body = " ".join(f"w{t}doc{i}" for t in toks)  # doc-unique words
+        if i < n_sharers:
+            body = f"{body} {shared}"
+        rows.append((i, body))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in span_dedup(df).collect()}
+    assert len(out) == len(rows)
+    for i, text in rows:
+        r = out[i]
+        kept = [t for t in r.text_deduped.split(" ") if t]
+        assert r.n_tokens == len([t for t in text.split(" ") if t])
+        assert len(kept) == r.n_tokens - r.n_dropped_tokens
+        assert (r.n_dropped_spans > 0) == (r.n_dropped_tokens > 0)
+    if n_sharers >= 2:
+        # the canonical owner keeps the shared passage verbatim; every
+        # other sharer loses at least its 15 tokens
+        assert out[0].n_dropped_tokens == 0
+        for i in range(1, min(n_sharers, len(rows))):
+            assert out[i].n_dropped_tokens >= 15
+    if n_sharers <= 1:
+        # no cross-document repetition anywhere: nothing drops
+        assert all(r.n_dropped_tokens == 0 for r in out.values())
