@@ -26,12 +26,13 @@ ORACLES.update(EMBEDDING_ORACLES)
 #      features against a weak-label rule), sp10 (per-domain doc caps on
 #      a normalized-host key), sp11 (domain-mixture accounting), emb19
 #      (filtered IVF-PQ: metadata pre-filter pushed into the probed
-#      lists' scan before ADC), and txt19 (incremental span dedup:
-#      cleaning driven from the persisted shingle table);
+#      lists' scan before ADC), txt19 (incremental span dedup: cleaning
+#      driven from the persisted shingle table), and sp12 (the curated-
+#      corpus pipeline: caps → rule-quality → span dedup, composed);
 #   3. the r10-green queries in their r10-window order, oldest evidence
-#      first, fill the remaining slots to exactly 50 (with 6 new r12
-#      queries the cut lands INSIDE section 3: p3..a1_grouped_max are
-#      the 10 in-window fills, a2_global_max..mm1_media_meta overflow
+#      first, fill the remaining slots to exactly 50 (with 7 new r12
+#      queries the cut lands INSIDE section 3: p3..o6_sorted_rollup are
+#      the 9 in-window fills, a1_grouped_max..mm1_media_meta overflow
 #      into the frozen set).
 #   FROZEN FOR R13 (named, deliberate): the r10-green queries that do not
 #   fit (section 3's overflow + section 4 below) wait one round — each is pytest-parity-pinned
@@ -68,7 +69,7 @@ _PRIORITY = [
     # 2 — new this round (window trimmed to 50 below)
     "txt17_span_dedup", "txt18_quality_classifier",
     "sp10_domain_caps", "sp11_domain_mixture", "emb19_filtered_ivfpq",
-    "txt19_incremental_span_dedup",
+    "txt19_incremental_span_dedup", "sp12_curated_corpus",
     # 3 — r10-green rotations, r10-window order (fills the window to 50)
     "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
     "p6_flag_filter", "a7_dup_detection", "o1_top_events",

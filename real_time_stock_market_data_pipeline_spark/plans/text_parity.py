@@ -1842,14 +1842,35 @@ def sql_span_dedup(dialect: str, n: int = 13) -> str:
     per-doc window (coverage max, run-start lag) → per-doc aggregate.
     No pair term anywhere; a viral boilerplate passage costs a count,
     never a join fan-out."""
+    share = "CAST(sum(cov) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+    return f"""
+WITH {span_cte_chain(dialect, n)}
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(cov) AS BIGINT) AS n_dropped_tokens,
+       CAST(sum(span_start) AS BIGINT) AS n_dropped_spans,
+       {r6t(share)} AS dropped_share,
+       {_kept_text_agg(dialect, "cov = 0")} AS text_deduped
+FROM spans
+GROUP BY doc_id
+"""
+
+
+def span_cte_chain(dialect: str, n: int = 13, docs_body: str | None = None) -> str:
+    """The span-dedup CTE chain (docs → positioned starts → df-aggregate
+    → coverage → spans), reusable over any doc source: ``docs_body``
+    overrides the ``docs AS (…)`` head (sp12 points it at the pipeline's
+    surviving-doc set, so duplicated-span frequencies are computed over
+    the CURATED corpus — dedup is relative to what survives, not what
+    was crawled).  Ends with the ``spans`` CTE (doc_id, pos, tok, cov,
+    span_start)."""
+    docs_body = docs_body or docs_cte(dialect).strip()
     tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
     combine = "CAST(7 AS BIGINT)"
     for j in range(n):
         term = "h" if j == 0 else f"lead(h, {j}) OVER ({SH_WIN})"
         combine = f"(({combine}) * 131 + {term}) % {P_MOD}"
-    share = f"CAST(sum(cov) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
-    return f"""
-WITH {docs_cte(dialect)},
+    return f"""{docs_body},
 tok_rows AS ({tok_rows}),
 tok_hashed AS (
   SELECT doc_id, pos, tok, {tok_hash(dialect, "tok")} AS h FROM tok_rows
@@ -1882,16 +1903,7 @@ spans AS (
                    AND coalesce(lag(cov) OVER ({SH_WIN}), 0) = 0
               THEN 1 ELSE 0 END AS span_start
   FROM covered
-)
-SELECT doc_id,
-       count(*) AS n_tokens,
-       CAST(sum(cov) AS BIGINT) AS n_dropped_tokens,
-       CAST(sum(span_start) AS BIGINT) AS n_dropped_spans,
-       {r6t(share)} AS dropped_share,
-       {_kept_text_agg(dialect, "cov = 0")} AS text_deduped
-FROM spans
-GROUP BY doc_id
-"""
+)"""
 
 
 def _txt17_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,3 +2280,177 @@ def _txt19_incremental_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["txt19_incremental_span_dedup"] = _txt19_incremental_span_dedup
 TEXT_ORACLES["txt19_incremental_span_dedup"] = sql_incremental_span_dedup("duck")
+
+
+# --- SP12: end-to-end curated corpus (caps → quality → span dedup) -----------
+def sql_curated_corpus(dialect: str) -> str:
+    """SP12 — the curation PIPELINE with every r12 stage actually acting
+    (sp7/sp8's composition pattern extended to the new family members):
+    per-domain caps (sp10's hash-rank cut over the normalized host — one
+    crawl cannot dominate), the rule-quality gate (txt10 non-repetitive
+    ∧ txt15 perplexity band; per-doc/corpus-LM signals computed over the
+    FULL corpus — capping is sampling, not a statistics change), then
+    exact-substring SPAN dedup over the SURVIVORS — duplicated-13-gram
+    frequencies computed over the CURATED set (dedup is relative to what
+    survives: a passage whose other copies were capped away is no longer
+    a duplicate), via the shared span CTE chain pointed at the kept
+    docs.  Output: the per-domain accounting a pipeline owner signs off
+    on — docs at each stage, tokens before/after span removal, spans
+    removed, token keep share.
+
+    Scale shape: each stage is a previously-probed query shape (host
+    regex + one domain window; two signal scans + doc-id joins; the span
+    chain's one window sort + df-aggregate on the shingle hash) glued by
+    doc-id equi-joins; the rollup is domain-sized."""
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    rep = sql_repetition(dialect)
+    scores = sql_bigram_lm(dialect)
+    toks = split_ws(dialect, "d.text")
+    kept_docs = (
+        "docs AS (\n"
+        "  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, "
+        f"{toks} AS toks\n"
+        "  FROM documents d JOIN kept k ON d.doc_id = k.doc_id\n"
+        ")"
+    )
+    keep_share = (
+        "CAST(k.n_tokens_final AS DOUBLE) / CAST(k.n_tokens_kept AS DOUBLE)"
+    )
+    return f"""
+WITH urls AS (SELECT doc_id, ({_URL_EXPR}) AS url FROM documents),
+dom AS (SELECT doc_id, {_host_norm("url")} AS domain FROM urls),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY ({h}) % {1 << 30} ASC, doc_id ASC) AS rn
+  FROM dom
+),
+capped AS (SELECT doc_id, domain FROM ranked WHERE rn <= {DOMAIN_CAP}),
+rep AS ({rep}),
+scores AS ({scores}),
+kept AS (
+  SELECT c.doc_id, c.domain
+  FROM capped c
+  LEFT JOIN rep r ON c.doc_id = r.doc_id
+  LEFT JOIN scores s ON c.doc_id = s.doc_id
+  WHERE r.repetitive = false AND s.perplexity IS NOT NULL
+        AND s.perplexity <= {d(PPL_MAX)}
+),
+{span_cte_chain(dialect, 13, docs_body=kept_docs)},
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(cov) AS BIGINT) AS n_drop,
+         CAST(sum(span_start) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+dstats AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+           FROM dom GROUP BY domain),
+cstats AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_capped
+           FROM capped GROUP BY domain),
+kstats AS (
+  SELECT k.domain,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(coalesce(sum(p.n_toks), 0) AS BIGINT) AS n_tokens_kept,
+         CAST(coalesce(sum(p.n_toks - p.n_drop), 0) AS BIGINT)
+           AS n_tokens_final,
+         CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS n_spans_removed
+  FROM kept k LEFT JOIN per_doc p ON k.doc_id = p.doc_id
+  GROUP BY k.domain
+)
+SELECT d.domain, d.n_docs,
+       coalesce(c.n_capped, CAST(0 AS BIGINT)) AS n_capped,
+       coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       coalesce(k.n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept,
+       coalesce(k.n_tokens_final, CAST(0 AS BIGINT)) AS n_tokens_final,
+       coalesce(k.n_spans_removed, CAST(0 AS BIGINT)) AS n_spans_removed,
+       CASE WHEN coalesce(k.n_tokens_kept, CAST(0 AS BIGINT)) = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE {r6t(keep_share)} END AS token_keep_share
+FROM dstats d
+LEFT JOIN cstats c ON d.domain = c.domain
+LEFT JOIN kstats k ON d.domain = k.domain
+ORDER BY d.domain
+"""
+
+
+def _sp12_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP12, Spark side: the OPERATORS composed — normalize_host +
+    capped_per_group (sp10), the rule gate from the rendered txt10/txt12
+    signal plans, span_dedup over the surviving docs (txt17's operator —
+    df over the curated set by construction, since the operator computes
+    frequencies from its input), one domain rollup.  The kept set is
+    snapshotted (lazy localCheckpoint): it feeds the span operator AND
+    two rollup branches."""
+    from ..functions.scalars import r6
+    from ..operators.dedup import span_dedup
+    from ..operators.sampling import capped_per_group
+    from ..operators.text import normalize_host
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    dom = (
+        docs.selectExpr("doc_id", "text", "source", f"({_URL_EXPR}) AS url")
+        .withColumn("domain", normalize_host("url"))
+        .drop("url", "source")
+    )
+    capped = capped_per_group(dom, "domain", DOMAIN_CAP)
+    rep = spark.sql(sql_repetition("spark")).select("doc_id", "repetitive")
+    ppl = spark.sql(sql_bigram_lm("spark")).select("doc_id", "perplexity")
+    kept = (
+        capped.join(rep, "doc_id", "left")
+        .join(ppl, "doc_id", "left")
+        .filter(
+            (F.col("repetitive") == F.lit(False))
+            & F.col("perplexity").isNotNull()
+            & (F.col("perplexity") <= F.lit(float(PPL_MAX)))
+        )
+        .select("doc_id", "domain", "text")
+        .localCheckpoint(eager=False)
+    )
+    cleaned = span_dedup(kept.select("doc_id", "text"))
+    per_doc = kept.select("doc_id", "domain").join(cleaned, "doc_id", "left")
+    kstats = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias(
+            "n_tokens_kept"
+        ),
+        F.coalesce(
+            F.sum(F.col("n_tokens") - F.col("n_dropped_tokens")), F.lit(0)
+        ).cast("bigint").alias("n_tokens_final"),
+        F.coalesce(F.sum("n_dropped_spans"), F.lit(0)).cast("bigint").alias(
+            "n_spans_removed"
+        ),
+    )
+    dstats = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    cstats = capped.groupBy("domain").agg(F.count(F.lit(1)).alias("n_capped"))
+    share = F.col("n_tokens_final").cast("double") / F.col(
+        "n_tokens_kept"
+    ).cast("double")
+    return (
+        dstats.join(cstats, "domain", "left")
+        .join(kstats, "domain", "left")
+        .select(
+            "domain", "n_docs",
+            F.coalesce("n_capped", F.lit(0).cast("bigint")).alias("n_capped"),
+            F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0).cast("bigint")).alias(
+                "n_tokens_kept"
+            ),
+            F.coalesce("n_tokens_final", F.lit(0).cast("bigint")).alias(
+                "n_tokens_final"
+            ),
+            F.coalesce("n_spans_removed", F.lit(0).cast("bigint")).alias(
+                "n_spans_removed"
+            ),
+            F.when(
+                F.coalesce("n_tokens_kept", F.lit(0).cast("bigint")) == 0,
+                F.lit(None).cast("double"),
+            ).otherwise(r6(share)).alias("token_keep_share"),
+        )
+        .orderBy("domain")
+    )
+
+
+QUERIES["sp12_curated_corpus"] = _sp12_curated_corpus
+TEXT_ORACLES["sp12_curated_corpus"] = sql_curated_corpus("duck")

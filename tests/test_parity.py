@@ -63,15 +63,15 @@ def test_r12_driver_window_pinned():
     ]
     # new r12 queries sit directly after the r09 leads; r10-green
     # rotations fill the window to 50 (oldest evidence first)
-    assert names[34:40] == [
+    assert names[34:41] == [
         "txt17_span_dedup", "txt18_quality_classifier",
         "sp10_domain_caps", "sp11_domain_mixture", "emb19_filtered_ivfpq",
-        "txt19_incremental_span_dedup",
+        "txt19_incremental_span_dedup", "sp12_curated_corpus",
     ]
-    assert names[40] == "p3_time_window_filter"
+    assert names[41] == "p3_time_window_filter"
     # slot 50 boundary: the frozen-for-r13 block starts at index 50
-    assert names[49] == "a1_grouped_max"
-    assert names[50] == "a2_global_max"
+    assert names[49] == "o6_sorted_rollup"
+    assert names[50] == "a1_grouped_max"
 
 
 def test_window_rotation_never_starves_a_query():

@@ -1101,3 +1101,19 @@ def test_span_dedup_from_table_matches_oneshot_and_replays_zero(spark, tmp_path)
     assert by_id[1][2] == 0  # canonical keeps everything
     assert by_id[2][2] == 20 and by_id[3][2] == 20  # others lose the span
     assert by_id[4][2] == 0
+
+
+def test_curated_corpus_every_stage_acts(spark, sf_dir):
+    """SP12: each pipeline stage must visibly act on the fixture corpus —
+    the mega-domain is capped, the quality gate drops docs, span dedup
+    removes tokens — and the stage counts are monotone."""
+    rows = QUERIES["sp12_curated_corpus"](spark, sf_dir).collect()
+    mega = next(r for r in rows if r.domain == "megadomain.example.com")
+    assert mega.n_capped < mega.n_docs  # caps acted
+    assert sum(r.n_kept for r in rows) < sum(r.n_capped for r in rows)
+    assert sum(r.n_spans_removed for r in rows) > 0  # span dedup acted
+    for r in rows:
+        assert r.n_kept <= r.n_capped <= r.n_docs
+        assert r.n_tokens_final <= r.n_tokens_kept
+        if r.n_tokens_kept:
+            assert 0.0 < r.token_keep_share <= 1.0
