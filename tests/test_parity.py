@@ -31,47 +31,54 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r12_driver_window_pinned():
+def test_r13_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 34
-    r09-green queries frozen out of the r11 window lead (their newest
-    driver row is r09 and turns three rounds old otherwise), new r12
-    queries follow, and r10-green rotations fill to exactly 50.  An
+    only, so the window IS part of the round's evidence plan: the 40
+    r10-green queries frozen out of the r12 window lead (their newest
+    driver row is r10 and turns three rounds old otherwise), new r13
+    queries follow, and r11-green rotations fill to exactly 50.  An
     accidental import-order or registration change would silently spend
     the evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    assert names[:34] == [
-        "sp2_stratified_sample",
-        "dd3_minhash_signatures", "dd4_minhash_candidates", "dd5_simhash",
-        "emb1_knn_cosine", "emb2_label_centroids", "emb3_lsh_near_dup",
-        "emb6_centered_lsh",
-        "j2_analytics_dashboard", "j4_prediction_dashboard",
-        "j11_range_join",
-        "p7_validated_ticks", "p9_dedup_ticks",
-        "j6_region_revenue", "j7_orders_without_big_lineitems",
-        "j8_industry_rollup",
-        "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
-        "o3_training_fetch",
-        "sk1_salted_daily_summary", "q1_pricing_summary",
-        "t9_session_windows",
-        "j10_asof_quote", "s13_model_roundtrip", "u2_arima_forecast",
-        "u3_linreg_metrics", "u4_linreg_predictions",
-        "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
-        "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+    assert names[:40] == [
+        "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+        "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+        "mm1_media_meta",
+        "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
+        "txt14_doc_retrieval", "dd12_neardup_decontamination",
+        "mm10_crossmodal_decontamination", "dd13_compacted_table",
+        "emb14_incremental_ivfpq", "sp8_decontaminated_pipeline",
+        "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
+        "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
+        "dd10_exact_decontamination", "txt11_pii_redaction",
+        "dd9_incremental_minhash", "emb7_embedding_clusters",
+        "dd2_ngram_jaccard", "txt5_bpe_tokens", "f1_scalar_suite",
+        "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
+        "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
+        "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
     ]
-    # new r12 queries sit directly after the r09 leads; r10-green
+    # new r13 queries sit directly after the r10 leads; r11-green
     # rotations fill the window to 50 (oldest evidence first)
-    assert names[34:41] == [
-        "txt17_span_dedup", "txt18_quality_classifier",
-        "sp10_domain_caps", "sp11_domain_mixture", "emb19_filtered_ivfpq",
-        "txt19_incremental_span_dedup", "sp12_curated_corpus",
-    ]
-    assert names[41] == "p3_time_window_filter"
-    # slot 50 boundary: the frozen-for-r13 block starts at index 50
-    assert names[49] == "o6_sorted_rollup"
-    assert names[50] == "a1_grouped_max"
+    new_r13 = [n for n in names[40:50] if n not in _R11_FILL_ORDER]
+    n_new = len(new_r13)
+    assert names[40:40 + n_new] == new_r13  # new queries are contiguous
+    assert names[40 + n_new:50] == _R11_FILL_ORDER[: 10 - n_new]
+    # slot 50 boundary: the frozen-for-r14 block starts at index 50 with
+    # the first displaced r11 fill (emb4_ivf_topk when all ten fills fit)
+    assert names[50] == _R11_FILL_ORDER[10 - n_new]
+
+
+# the r11-window order the round-13 fills draw from (r12 policy note):
+# any slot of the 50 not taken by a new r13 query is filled from this
+# list front-to-b, and displaced entries head the frozen-for-r14 block.
+_R11_FILL_ORDER = [
+    "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
+    "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
+    "s14_arima_registry", "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+    "emb4_ivf_topk",
+]
 
 
 def test_window_rotation_never_starves_a_query():
@@ -104,6 +111,7 @@ def test_window_rotation_never_starves_a_query():
                 isinstance(row, dict)
                 and row.get("rows_match")
                 and row.get("schema_match")
+                and row.get("hash_match", True)
                 and not row.get("err")
             )
             if green and name in QUERIES:
