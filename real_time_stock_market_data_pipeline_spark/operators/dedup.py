@@ -288,16 +288,40 @@ def span_dedup_from_table(
     the shingle hash — the family key, zone-map-prunable after
     compaction), one join-back + the shared window tail.
 
+    Docs being cleaned need NOT be ingested yet (ADVICE r12): the
+    batch's own distinct (id, sh) rows are unioned into the
+    df-aggregate input for any doc id ABSENT from the table, so a batch
+    doc sharing a passage with one standing doc sees ndocs=2 (removed
+    from the non-canonical side) and batch-internal duplicates among
+    not-yet-ingested docs are visible to each other.  Docs already in
+    the table contribute through their table rows alone — docs ingest
+    atomically (all shingles in one append), so presence of the id
+    implies presence of every shingle, and the union stays
+    duplicate-free without a distinct over the standing table.  The
+    extra cost is one map-combinable doc-id aggregate over the table
+    plus a batch-sized anti-join; the sh-shuffle of the df-aggregate is
+    unchanged.  (Doc ids are immutable once ingested — re-using an
+    ingested id with different text is outside the insert-only
+    contract, same as every other incremental family here.)
+
     Cleaning ALL ingested docs against the fully-accumulated table
     equals the one-shot ``span_dedup`` over the same corpus (the
     canonical min-id rule depends only on the accumulated (id, sh) set,
-    which the table reproduces exactly) — txt19's driver gate."""
+    which the table reproduces exactly, and the not-yet-ingested union
+    leg is empty) — txt19's driver gate."""
     from ..maintenance import heal_if_interrupted
 
     heal_if_interrupted(path)
     table = spark.read.parquet(path).select(id_col, "sh")
     starts = _positioned_starts(df, id_col, text, n)
-    return _span_cleanup(starts, _shingle_dfreq(table, id_col), id_col, n)
+    batch_pairs = (
+        starts.filter(F.col("sh").isNotNull()).select(id_col, "sh").distinct()
+    )
+    new_doc_pairs = batch_pairs.join(
+        table.select(id_col).distinct(), id_col, "left_anti"
+    )
+    dfreq = _shingle_dfreq(table.unionByName(new_doc_pairs), id_col)
+    return _span_cleanup(starts, dfreq, id_col, n)
 
 
 def minhash_signatures(

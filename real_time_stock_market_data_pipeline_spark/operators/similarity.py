@@ -1650,9 +1650,12 @@ def _pairs_from_assignment(
     from ..functions.scalars import r6
 
     if blocked:
-        # kernel mask = pruning only (epsilon slack); the Spark filter
+        # kernel mask = pruning only; the slack must cover the r6
+        # half-up rounding half-width (5e-7: a raw cosine as low as
+        # threshold-5e-7 still rounds UP to the threshold and survives
+        # the JVM path) plus kernel ulps, so 1e-6 — the Spark filter
         # below is the authoritative boundary, shared with the JVM path
-        raw = _pairs_blocked(assigned, threshold - 1e-9, vec_id, vec, flag)
+        raw = _pairs_blocked(assigned, threshold - 1e-6, vec_id, vec, flag)
         return raw.select(
             "vec_a", "vec_b", "cid", r6(F.col("__cos")).alias("cosine_sim")
         ).filter(F.col("cosine_sim") >= threshold)

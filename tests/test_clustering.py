@@ -624,3 +624,72 @@ def test_pair_kernels_apply_identical_threshold_boundary(spark):
 
     jvm, gemm = pairs(False), pairs(True)
     assert jvm == gemm and len(jvm) > 50
+
+
+def test_pair_kernels_agree_on_planted_rounding_band(spark):
+    """ADVICE r12 (the sharper form): random vectors at a low threshold
+    almost never land inside the 5e-7 half-up rounding band, so the
+    test above cannot see a kernel whose PRE-MASK discards raw cosines
+    in [thr-5e-7, thr) before the shared r6 filter runs.  Plant pairs
+    whose raw cosine sits a few 1e-7 below/above the threshold and
+    assert both kernels keep/drop them identically — and as r6 says
+    they must: raw ≥ thr-5e-7 rounds UP to the threshold (keep), below
+    that rounds down (drop).  Offsets stay ≥1e-7 from the exact half
+    (5e-7) so kernel-order ulps cannot legitimately flip a pair."""
+    import math
+
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        _pairs_from_assignment,
+        semantic_assignment,
+    )
+
+    thr, dim = 0.95, 16
+    # (target raw cosine, expected survival under r6 half-up at thr)
+    planted = [
+        (thr + 3e-7, True),   # above: trivially kept
+        (thr - 1e-7, True),   # inside the band: rounds up to thr
+        (thr - 3e-7, True),   # inside the band: rounds up to thr
+        (thr - 7e-7, False),  # below the band: rounds down, dropped
+        (thr - 2e-6, False),  # clearly below
+    ]
+    rows, cents = [], []
+    for i, (target, _) in enumerate(planted):
+        # pair i lives alone in cluster i: centroid = e_i, members
+        # a = e_i and b = target·e_i + sqrt(1-target²)·e_{8+i}; both
+        # have cosine 0 with every other centroid, so assignment is
+        # unambiguous and the only same-cluster pair has cosine=target
+        cent = [0.0] * dim
+        cent[i] = 1.0
+        cents.append((i, cent))
+        a = list(cent)
+        b = [0.0] * dim
+        b[i] = target
+        b[8 + i] = math.sqrt(1.0 - target * target)
+        rows.append((2 * i, a))
+        rows.append((2 * i + 1, b))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def survivors(blocked):
+        assigned = semantic_assignment(df, cents, "vec_id", "embedding", blocked)
+        return {
+            r.vec_a // 2
+        for r in _pairs_from_assignment(
+                assigned, thr, "vec_id", "embedding", blocked=blocked
+            ).collect()
+        }
+
+    expected = {i for i, (_, keep) in enumerate(planted) if keep}
+    jvm, gemm = survivors(False), survivors(True)
+    assert jvm == expected, f"JVM kernel: {jvm} != {expected}"
+    assert gemm == expected, f"GEMM kernel: {gemm} != {expected}"
+    # the realized raw cosines really do sit inside the band (the
+    # construction holds to ~1e-16, far inside the 1e-7 margins)
+    for target, _ in planted:
+        u = np.zeros(dim)
+        u[0] = 1.0
+        v = np.zeros(dim)
+        v[0], v[8] = target, math.sqrt(1.0 - target * target)
+        raw = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+        assert abs(raw - target) < 5e-8

@@ -1103,6 +1103,63 @@ def test_span_dedup_from_table_matches_oneshot_and_replays_zero(spark, tmp_path)
     assert by_id[4][2] == 0
 
 
+def test_span_dedup_from_table_cleans_not_yet_ingested_docs(spark, tmp_path):
+    """ADVICE r12: a batch doc sharing a passage with exactly ONE
+    standing doc must lose the span (the batch side contributes to the
+    df-aggregate — before the fix ndocs stayed 1 and the duplicate was
+    silently kept), and batch-internal duplicates among not-yet-ingested
+    docs must see each other.  The whole call equals the one-shot
+    span_dedup over (standing ∪ batch) restricted to the batch ids —
+    the min-id canonical rule depends only on the accumulated (id, sh)
+    set, which table+union now reproduces exactly."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        span_dedup,
+        span_dedup_from_table,
+        update_test_shingle_table,
+    )
+
+    boiler = " ".join(f"boiler{i}" for i in range(20))
+    boiler2 = " ".join(f"novel{i}" for i in range(20))
+
+    def uniq(tag, k):
+        return " ".join(f"{tag}{j}" for j in range(k))
+
+    standing = spark.createDataFrame(
+        [
+            (1, f"{uniq('alpha', 15)} {boiler} {uniq('omega', 15)}"),
+            (4, uniq("delta", 30)),
+        ],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "spantab")
+    update_test_shingle_table(standing, path)
+
+    batch = spark.createDataFrame(
+        [
+            (9, f"{uniq('rho', 15)} {boiler} {uniq('sigma', 15)}"),
+            (10, f"{uniq('mu', 15)} {boiler2}"),
+            (11, f"{boiler2} {uniq('nu', 15)}"),
+            (12, uniq("tau", 30)),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in span_dedup_from_table(spark, batch, path).collect()}
+    assert set(got) == {9, 10, 11, 12}
+    assert got[9].n_dropped_tokens == 20   # shared with standing doc 1
+    assert got[10].n_dropped_tokens == 0   # canonical (min id) keeps
+    assert got[11].n_dropped_tokens == 20  # batch-internal duplicate
+    assert got[12].n_dropped_tokens == 0   # unique doc untouched
+
+    oneshot = {
+        r.doc_id: r
+        for r in span_dedup(standing.unionByName(batch)).collect()
+        if r.doc_id in got
+    }
+    assert sorted(map(tuple, got.values())) == sorted(
+        map(tuple, oneshot.values())
+    )
+
+
 def test_curated_corpus_every_stage_acts(spark, sf_dir):
     """SP12: each pipeline stage must visibly act on the fixture corpus —
     the mega-domain is capped, the quality gate drops docs, span dedup
