@@ -1816,6 +1816,147 @@ def semantic_dedup(
     )
 
 
+# --- D4 diversification (prototype pruning after semantic dedup) ------------
+def d4_prototype_filter(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    drop_frac: float = 0.25,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    arrow: bool | None = None,
+) -> DataFrame:
+    """SSL-prototypes pruning — the diversification half of D4 (Tirumala
+    et al. 2023, "D4: Improving LLM Pretraining via Document
+    De-Duplication and Diversification"): SemDeDup removes near-exact
+    semantic twins; this drops the over-PROTOTYPICAL points — the ones
+    closest to their cluster centroid, which carry the least marginal
+    information — to diversify the corpus.
+
+    Per vector: assign to its max-cosine centroid
+    (``semantic_assignment`` — the same raw-argmax/lowest-cid rule as
+    SemDeDup), score by the r6-rounded cosine to the ASSIGNED centroid
+    (prototypicality), and per cluster drop the
+    ``floor(drop_frac · n_c)`` most-prototypical members (score DESC,
+    ``vec_id`` ASC total order — ties at the cut are deterministic).
+    Returns (``vec_id``, cid, proto_score, keep); singleton clusters are
+    never emptied (floor(drop_frac·1) = 0 for drop_frac < 1).
+
+    Scale shape: one broadcast join against the k-row codebook, one
+    window partitioned by cid — cluster sizes stay constant under the
+    ``semdedup_k`` knob, so the per-cluster sort is bounded and the
+    whole pass is one shuffle on cid.  No pair work at all (unlike the
+    dedup half): cost is corpus-linear."""
+    from pyspark.sql import Window
+
+    from ..functions.scalars import r6
+
+    if not 0.0 <= float(drop_frac) < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    spark = df.sparkSession
+    assigned = semantic_assignment(df, centroids, vec_id, vec, arrow)
+    cent_df = spark.createDataFrame(
+        [
+            (
+                int(c),
+                [float(x) for x in v],
+                float(sum(float(x) * float(x) for x in v) ** 0.5),
+            )
+            for c, v in centroids
+        ],
+        "cid int, __cvec array<double>, __cnrm double",
+    )
+    ccos = dot_col(F.col(vec), F.col("__cvec")) / (
+        F.col("__nrm") * F.col("__cnrm")
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("proto_score").desc(), F.col(vec_id).asc()
+    )
+    wall = Window.partitionBy("cid")
+    return (
+        assigned.join(F.broadcast(cent_df), "cid")
+        .withColumn("proto_score", r6(ccos))
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__nc", F.count(F.lit(1)).over(wall))
+        .select(
+            F.col(vec_id),
+            "cid",
+            "proto_score",
+            (
+                F.col("__rk")
+                > F.floor(F.lit(float(drop_frac)) * F.col("__nc"))
+            ).alias("keep"),
+        )
+    )
+
+
+def d4_diversify(
+    df: DataFrame,
+    k: int | None = None,
+    threshold: float = 0.95,
+    drop_frac: float = 0.25,
+    n_iter: int = 2,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    arrow: bool | None = None,
+) -> DataFrame:
+    """Full D4 curation (Tirumala et al. 2023): SemDeDup the corpus,
+    then RECLUSTER the survivors and prototype-prune them — the paper
+    re-embeds/re-clusters after dedup because duplicate mass distorts
+    the density the prototype score measures.  Returns one row per
+    input vector: (``vec_id``, dup_group, semdedup_keep, proto_score,
+    keep) where ``keep`` = survived BOTH stages (proto_score is NULL
+    for vectors already dropped by dedup — they never enter the second
+    clustering).
+
+    Same driver-side artifacts as ``semantic_dedup``: two corpus
+    counts, two k·d codebook collects, the dedup-edge set — the corpus
+    itself never moves."""
+    from .clustering import kmeans_fit
+
+    sd = semantic_dedup(
+        df,
+        k=k,
+        threshold=threshold,
+        n_iter=n_iter,
+        target_cluster_size=target_cluster_size,
+        vec_id=vec_id,
+        vec=vec,
+        arrow=arrow,
+    )
+    survivors = df.join(
+        sd.filter(F.col("keep")).select(vec_id), vec_id, "left_semi"
+    )
+    k2 = semdedup_k(survivors.count(), target_cluster_size)
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r[vec]])
+        for r in kmeans_fit(
+            survivors, k=k2, n_iter=n_iter, vec_id=vec_id, vec=vec
+        ).collect()
+    ]
+    pf = d4_prototype_filter(
+        survivors, cents, drop_frac, vec_id, vec, arrow
+    ).select(
+        F.col(vec_id),
+        "proto_score",
+        F.col("keep").alias("__proto_keep"),
+    )
+    return (
+        sd.select(F.col(vec_id), "dup_group", F.col("keep").alias("semdedup_keep"))
+        .join(pf, vec_id, "left")
+        .select(
+            F.col(vec_id),
+            "dup_group",
+            "semdedup_keep",
+            "proto_score",
+            (
+                F.col("semdedup_keep")
+                & F.coalesce(F.col("__proto_keep"), F.lit(False))
+            ).alias("keep"),
+        )
+    )
+
+
 # --- Incremental SemDeDup (semantic-dedup index maintained batch by batch) ---
 def init_semantic_index(centroids: DataFrame, path: str,
                         vec: str = "embedding") -> None:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .dialect import d, elem, fold, list_len, r6t, seq
+from .dialect import d, elem, fold, list_len, r6t, seq, transform
 from .queries import QUERIES
 
 N_QUERY_VECS = 5
@@ -846,3 +846,123 @@ FROM embeddings WHERE vec_id < 5
 
 QUERIES["emb19_filtered_ivfpq"] = _emb19_filtered_ivfpq
 EMBEDDING_ORACLES["emb19_filtered_ivfpq"] = sql_filtered_ivfpq("duck")
+
+
+# --- EMB20: D4 prototype diversification -------------------------------------
+D4_N_PLANT = 40       # ripple copies of vec 0 planted as a dense cluster
+D4_DROP_FRAC = 0.25   # fraction of every cluster dropped as prototypical
+
+
+def _d4_corpus_sql(dialect: str) -> str:
+    """The emb20 fixture corpus, one text for both engines: the organic
+    embeddings (double-cast) plus ``D4_N_PLANT`` deterministic ripple
+    copies of vec 0 under ids >= the plant offset — a DENSE prototype
+    cluster (pairwise cosine ~0.999998) the D4 cut must visibly thin.
+    The ripple multiplies dim ``di`` of copy ``i`` by
+    1 + 0.001·((i+di) mod 7 − 3): integer arithmetic inside the cast, so
+    the planted doubles are bit-identical across engines."""
+    dims = seq(dialect, "1", list_len(dialect, "embedding"))
+    ripple = transform(
+        dialect,
+        dims,
+        f"CAST({elem(dialect, 'embedding', 'CAST(di AS INT)')} AS DOUBLE) * "
+        f"({d('1.0')} + {d('0.001')} * CAST((i + di) % 7 - 3 AS DOUBLE))",
+        var="di",
+    )
+    organic = transform(
+        dialect, "embedding", "CAST(x AS DOUBLE)"
+    )
+    if dialect == "spark":
+        planted_from = (
+            f"embeddings LATERAL VIEW explode(sequence(1, {D4_N_PLANT})) _i AS i"
+        )
+    else:
+        planted_from = (
+            "embeddings CROSS JOIN (SELECT unnest(generate_series(1, "
+            f"{D4_N_PLANT})) AS i) _i"
+        )
+    return f"""
+  SELECT vec_id, {organic} AS embedding FROM embeddings
+  UNION ALL
+  SELECT {SEMDEDUP_PLANT_BASE} + i AS vec_id, {ripple} AS embedding
+  FROM {planted_from} WHERE vec_id = 0
+"""
+
+
+def _emb20_d4_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB20 — D4 diversification (Tirumala et al. 2023): after SemDeDup
+    removes near-exact twins, D4 additionally drops over-PROTOTYPICAL
+    points — per cluster, the top ``drop_frac`` fraction by cosine to
+    the assigned centroid — so the kept corpus is DIVERSE, not just
+    duplicate-free.  Driven through the production operator
+    ``operators/similarity.d4_prototype_filter`` (assignment =
+    ``semantic_assignment``'s raw-argmax/lowest-cid rule; cut =
+    row_number over (r6 score DESC, vec_id ASC) > floor(frac·n_c)).
+
+    Deterministic codebook: the ``N_LISTS`` lowest-id ORGANIC
+    embeddings act as centroids (the emb4 rule — kmeans_fit replaces
+    this in production; the composed trained-path is pytest-pinned),
+    which is what lets the DuckDB oracle recompute assignment AND the
+    per-cluster quantile cut value-exactly.  The planted dense
+    prototype cluster (ids >= the plant offset, all ~0.999998 cosine to
+    centroid 0) must land at the top of cluster 0's ranking and be
+    thinned first — asserted by pytest, visible in the rows."""
+    from ..operators.similarity import d4_prototype_filter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= SEMDEDUP_PLANT_BASE:
+        raise ValueError(
+            f"emb20 fixture: corpus vec_ids reach {max_id} >= the planted-id "
+            f"offset {SEMDEDUP_PLANT_BASE}"
+        )
+    emb.createOrReplaceTempView("embeddings")
+    corpus = spark.sql(f"SELECT * FROM ({_d4_corpus_sql('spark')})")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in corpus.filter(F.col("vec_id") < N_LISTS).collect()
+    ]
+    return d4_prototype_filter(
+        corpus, cents, drop_frac=D4_DROP_FRAC, arrow=False
+    )
+
+
+def sql_d4_prototypes(dialect: str) -> str:
+    """EMB20's oracle: rebuild the planted corpus, assign every vector to
+    its max-RAW-cosine centroid (lowest-cid ties — row_number on the
+    unrounded fold, exactly ``semantic_assignment``'s rule), score by the
+    r6-rounded cosine to the assigned centroid, and apply the D4 cut:
+    rank > floor(drop_frac·n_c) survives."""
+    acos = _cosine(dialect, "v.embedding", "c.cvec")
+    return f"""
+WITH corpus AS ({_d4_corpus_sql(dialect)}),
+cent AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM corpus
+  WHERE vec_id < {N_LISTS}
+),
+asim AS (
+  SELECT v.vec_id, c.cid, {acos} AS c0
+  FROM corpus v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, cid, c0 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY c0 DESC, cid ASC) AS rk
+    FROM asim
+  ) t WHERE rk = 1
+),
+ranked AS (
+  SELECT vec_id, CAST(cid AS INT) AS cid, {r6t('c0')} AS proto_score,
+         row_number() OVER (
+           PARTITION BY cid ORDER BY {r6t('c0')} DESC, vec_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cid) AS nc
+  FROM assigned
+)
+SELECT vec_id, cid, proto_score,
+       rn > floor({d(str(D4_DROP_FRAC))} * nc) AS keep
+FROM ranked
+"""
+
+
+QUERIES["emb20_d4_prototypes"] = _emb20_d4_prototypes
+EMBEDDING_ORACLES["emb20_d4_prototypes"] = sql_d4_prototypes("duck")

@@ -74,7 +74,7 @@ EMB_QUERIES = [
     "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
     "emb14_incremental_ivfpq", "emb15_semantic_dedup",
     "emb16_semdedup_keep_policy", "emb17_incremental_semdedup",
-    "emb18_filtered_ann", "emb19_filtered_ivfpq",
+    "emb18_filtered_ann", "emb19_filtered_ivfpq", "emb20_d4_prototypes",
 ]
 
 

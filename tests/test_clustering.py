@@ -693,3 +693,80 @@ def test_pair_kernels_agree_on_planted_rounding_band(spark):
         v[0], v[8] = target, math.sqrt(1.0 - target * target)
         raw = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
         assert abs(raw - target) < 5e-8
+
+
+def test_d4_prototype_filter_cut_accounting_and_planted_thinning(spark, sf_dir):
+    """EMB20's operator contract: per cluster exactly floor(frac·n_c)
+    members are dropped, the dropped members are the highest-scoring
+    prefix of the (score DESC, vec_id ASC) order, singletons are never
+    emptied — and the planted dense prototype cluster is visibly
+    thinned: every dropped member of cluster 0 is either vec 0 itself
+    or a planted ripple copy (they occupy the entire top of the
+    ranking), with a majority of the planted copies gone."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        D4_DROP_FRAC,
+        D4_N_PLANT,
+        SEMDEDUP_PLANT_BASE,
+    )
+
+    rows = QUERIES["emb20_d4_prototypes"](spark, sf_dir).collect()
+    by_cid: dict = {}
+    for r in rows:
+        by_cid.setdefault(r.cid, []).append(r)
+    for cid, rs in by_cid.items():
+        n_drop = int(D4_DROP_FRAC * len(rs))
+        assert sum(not r.keep for r in rs) == n_drop
+        ordered = sorted(rs, key=lambda r: (-r.proto_score, r.vec_id))
+        assert all(not r.keep for r in ordered[:n_drop])
+        assert all(r.keep for r in ordered[n_drop:])
+        if len(rs) < 1.0 / D4_DROP_FRAC:
+            assert all(r.keep for r in rs)  # small clusters never emptied
+
+    planted = [r for r in rows if r.vec_id >= SEMDEDUP_PLANT_BASE]
+    assert len(planted) == D4_N_PLANT
+    assert {r.cid for r in planted} == {0}  # the dense cluster is cid 0
+    c0 = by_cid[0]
+    dropped0 = {r.vec_id for r in c0 if not r.keep}
+    assert dropped0  # the cut acted on the planted cluster
+    allowed = {0} | {r.vec_id for r in planted}
+    assert dropped0 <= allowed  # only the prototypes got dropped
+    n_planted_dropped = sum(1 for r in planted if not r.keep)
+    assert n_planted_dropped >= len(dropped0) - 1  # vec 0 aside, all planted
+    assert n_planted_dropped * 2 >= D4_N_PLANT  # majority of copies thinned
+
+
+def test_d4_diversify_composes_semdedup_then_prototypes(spark, sf_dir):
+    """The full trained-path composition (kmeans_fit → semantic_dedup →
+    recluster survivors → prototype cut): keep implies semdedup_keep,
+    proto_score exists exactly for dedup survivors, the prototype stage
+    drops a nonzero but bounded fraction of them, and the dedup half
+    still matches emb15's planted id-arithmetic truth."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        d4_diversify,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        SEMDEDUP_PLANT_BASE,
+        SEMDEDUP_THRESHOLD,
+        planted_semantic_corpus,
+    )
+
+    corpus = planted_semantic_corpus(spark, sf_dir).localCheckpoint(eager=False)
+    rows = d4_diversify(
+        corpus, threshold=SEMDEDUP_THRESHOLD, drop_frac=0.25
+    ).collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        assert not (r.keep and not r.semdedup_keep)
+        assert (r.proto_score is not None) == bool(r.semdedup_keep)
+        # planted twins are the dedup's non-survivors (emb15's truth)
+        if r.vec_id >= SEMDEDUP_PLANT_BASE:
+            assert not r.semdedup_keep and r.dup_group == (
+                r.vec_id - SEMDEDUP_PLANT_BASE
+            )
+    n_dedup = sum(r.semdedup_keep for r in rows)
+    n_final = sum(r.keep for r in rows)
+    assert 0 < n_final < n_dedup
+    # the prototype stage drops ~drop_frac of the survivors (cluster
+    # granularity makes it <= the exact fraction)
+    assert n_dedup - n_final <= 0.25 * n_dedup + 1
