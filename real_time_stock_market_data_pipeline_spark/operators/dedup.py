@@ -48,6 +48,32 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
 
 
+def keep_latest_dedup(
+    df: DataFrame, key_cols: list[str], ts_col: str, id_col: str
+) -> DataFrame:
+    """Snapshot-aware exact dedup with a RECENCY keep-policy: one row
+    survives per key tuple — the one with the greatest ``ts_col``
+    (greatest ``id_col`` on ties, a total order).  The CC-dump shape:
+    the same URL re-crawled across snapshots should keep the LATEST
+    revision, where ``exact_dedup``'s min-id canonical would freeze the
+    first crawl forever.  W1's latest-per-group window applied as a
+    dedup policy (reference analogue: the latest-row-per-day pattern,
+    db/current_schema.sql:134-162).
+
+    Same scale shape as ``exact_dedup``: one row_number window on the
+    key — a single shuffle; a hot key (a URL recrawled in every
+    snapshot) is one window partition, bounded by the snapshot count,
+    not the corpus."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter("__rn = 1")
+        .drop("__rn")
+    )
+
+
 def shingle_hashes(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:

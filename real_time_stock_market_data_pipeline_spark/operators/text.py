@@ -248,3 +248,31 @@ def normalize_host(url) -> Column:
     a per-row projection at any scale; '' when nothing host-like."""
     c = F.col(url) if isinstance(url, str) else url
     return F.regexp_extract(F.lower(c), HOST_PATTERN, 1)
+
+
+# Path extraction for the full-URL re-crawl key: same zero-backslash
+# discipline as HOST_PATTERN (byte-identical in Java regex and RE2).
+# Group 1 = the path — everything after host[:port] up to ? or #.
+URL_PATH_PATTERN = (
+    "^(?:[a-z][a-z0-9+.-]*://)?"  # optional scheme
+    "(?:[^/@?#]*@)?"              # optional userinfo
+    "[^/?#]*"                     # host[:port]
+    "([^?#]*)"                    # path, up to query/fragment
+)
+
+
+def normalize_url_key(url) -> Column:
+    """Full-URL identity for snapshot dedup (the CC re-crawl key):
+    normalized host + path with the query/fragment and any trailing
+    slashes stripped, all lower-cased — ``HTTPS://www.X.com:443/a/`` and
+    ``http://x.com/a?utm=1`` are the SAME document re-crawled.  Lower-
+    casing the path is a deliberate normalization choice (crawl dedup
+    favors recall; it also keeps the expression engine-identical — both
+    regexps run on one lower() projection).  Pure JVM regexp, per-row,
+    no shuffle."""
+    c = F.col(url) if isinstance(url, str) else url
+    low = F.lower(c)
+    path = F.regexp_replace(
+        F.regexp_extract(low, URL_PATH_PATTERN, 1), "/+$", ""
+    )
+    return F.concat(F.regexp_extract(low, HOST_PATTERN, 1), path)

@@ -2454,3 +2454,139 @@ def _sp12_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp12_curated_corpus"] = _sp12_curated_corpus
 TEXT_ORACLES["sp12_curated_corpus"] = sql_curated_corpus("duck")
+
+
+# --- DD14: snapshot-aware dedup with recency keep-policy ---------------------
+# The documents table carries no URL/snapshot columns, so the fixture
+# derives both deterministically in-query (the sp10 rule): every doc is
+# one CRAWL of url (doc_id % SNAP_URLS) taken at snapshot index
+# (doc_id*13) % 7 — NON-monotone in doc_id, so the latest revision is
+# provably NOT the min-id canonical — and the raw URL string varies per
+# revision (scheme case, userinfo, www, port, trailing slash) so the
+# full-URL normalization has real work to do before any two revisions
+# even compare equal.
+SNAP_URLS = 40          # distinct normalized URLs (-> ~12 revisions each)
+SNAP_EPOCH_DAY = 19723  # 2024-01-01 as an epoch day; snapshot_day = +s
+
+_SNAP_RAW_URL = (
+    "CASE WHEN doc_id % 3 = 0 THEN "
+    "  'HTTPS://www.crawl' || CAST((doc_id % 40) % 5 AS STRING)"
+    "  || '.Example.net:443/doc/' || CAST(doc_id % 40 AS STRING) "
+    "WHEN doc_id % 3 = 1 THEN "
+    "  'http://bot@crawl' || CAST((doc_id % 40) % 5 AS STRING)"
+    "  || '.example.net/doc/' || CAST(doc_id % 40 AS STRING) || '/' "
+    "ELSE "
+    "  'crawl' || CAST((doc_id % 40) % 5 AS STRING)"
+    "  || '.example.net/doc/' || CAST(doc_id % 40 AS STRING)"
+    "  || '?session=' || CAST(doc_id AS STRING) "
+    "END"
+)
+
+
+def _url_key_norm(col: str) -> str:
+    """Dialect-shared full-URL key — the SQL twin of
+    operators/text.normalize_url_key (host + path, query/fragment and
+    trailing slashes stripped, lower-cased; zero-backslash patterns,
+    byte-identical in Java regex and RE2)."""
+    from ..operators.text import HOST_PATTERN, URL_PATH_PATTERN
+
+    return (
+        f"regexp_extract(lower({col}), '{HOST_PATTERN}', 1) || "
+        f"regexp_replace(regexp_extract(lower({col}), "
+        f"'{URL_PATH_PATTERN}', 1), '/+$', '')"
+    )
+
+
+def sql_snapshot_dedup(dialect: str) -> str:
+    """DD14 — snapshot-aware exact dedup with a RECENCY keep-policy
+    (operators/dedup.keep_latest_dedup is the DataFrame twin): the same
+    URL re-crawled across snapshots keeps its LATEST revision (max
+    snapshot_day, max doc_id ties), not the min-id canonical every
+    other dedup family member uses — the CC-dump freshness rule
+    (reference analogue: the latest-row-per-day current-state pattern,
+    db/current_schema.sql:134-162).  Per-domain survival accounting in
+    the dd7 shape, plus the policy-difference count: in how many URL
+    groups the latest revision differs from the min-id canonical —
+    the column that PROVES the recency policy changed the answer."""
+    from ..operators.text import HOST_PATTERN
+
+    return f"""
+WITH snap AS (
+  SELECT doc_id, ({_SNAP_RAW_URL}) AS url,
+         {SNAP_EPOCH_DAY} + (doc_id * 13) % 7 AS snapshot_day
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, snapshot_day,
+         regexp_extract(lower(url), '{HOST_PATTERN}', 1) AS domain,
+         {_url_key_norm("url")} AS url_key
+  FROM snap
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY url_key ORDER BY snapshot_day DESC, doc_id DESC) AS rn
+  FROM keyed
+),
+grp AS (
+  SELECT url_key, min(domain) AS domain,
+         CAST(count(*) AS BIGINT) AS n_rev,
+         min(doc_id) AS min_id,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS kept_id
+  FROM ranked GROUP BY url_key
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(sum(n_rev) AS BIGINT) AS n_revisions,
+       CAST(sum(n_rev) - count(*) AS BIGINT) AS n_dropped,
+       CAST(sum(CASE WHEN kept_id <> min_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_keep_latest_differs
+FROM grp GROUP BY domain ORDER BY domain
+"""
+
+
+def _dd14_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD14, Spark side: normalize_url_key + normalize_host (per-row JVM
+    regexp projections) feed the keep_latest_dedup OPERATOR (one
+    row_number window on the url key — the only revision-level
+    shuffle), then the dd7-style per-domain rollup.  The min-id side of
+    the policy-difference column reuses exact_dedup's rule on the same
+    key."""
+    from ..operators.dedup import keep_latest_dedup
+    from ..operators.text import normalize_host, normalize_url_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = (
+        docs.selectExpr(
+            "doc_id",
+            f"({_SNAP_RAW_URL}) AS url",
+            f"{SNAP_EPOCH_DAY} + (doc_id * 13) % 7 AS snapshot_day",
+        )
+        .withColumn("domain", normalize_host("url"))
+        .withColumn("url_key", normalize_url_key("url"))
+        .select("doc_id", "snapshot_day", "domain", "url_key")
+    )
+    kept = keep_latest_dedup(keyed, ["url_key"], "snapshot_day", "doc_id")
+    grp = keyed.groupBy("url_key").agg(
+        F.min("domain").alias("domain"),
+        F.count(F.lit(1)).alias("n_rev"),
+        F.min("doc_id").alias("min_id"),
+    )
+    grp = grp.join(
+        kept.select("url_key", F.col("doc_id").alias("kept_id")), "url_key"
+    )
+    return (
+        grp.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.sum("n_rev").alias("n_revisions"),
+            (F.sum("n_rev") - F.count(F.lit(1))).alias("n_dropped"),
+            F.sum(
+                (F.col("kept_id") != F.col("min_id")).cast("bigint")
+            ).alias("n_keep_latest_differs"),
+        )
+        .orderBy("domain")
+    )
+
+
+QUERIES["dd14_snapshot_dedup"] = _dd14_snapshot_dedup
+TEXT_ORACLES["dd14_snapshot_dedup"] = sql_snapshot_dedup("duck")

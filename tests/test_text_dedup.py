@@ -1174,3 +1174,69 @@ def test_curated_corpus_every_stage_acts(spark, sf_dir):
         assert r.n_tokens_final <= r.n_tokens_kept
         if r.n_tokens_kept:
             assert 0.0 < r.token_keep_share <= 1.0
+
+
+def test_keep_latest_dedup_policy_differs_from_min_id(spark):
+    """DD14's operator contract on a hand-built multi-snapshot fixture:
+    keep_latest_dedup keeps the max-(ts, id) row per normalized URL key,
+    exact_dedup keeps the min id — and on a re-crawled URL whose latest
+    snapshot is NOT the first crawl the two policies provably differ.
+    The messy raw URLs (scheme case, userinfo, www, port, query,
+    trailing slash) must normalize to the same key first."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        exact_dedup,
+        keep_latest_dedup,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        normalize_url_key,
+    )
+
+    rows = [
+        # one URL, three crawls: latest (day 30) is id 11, min id is 10
+        (10, "HTTPS://www.News.example.com:443/a/b/", 20),
+        (11, "http://news.example.com/a/b?utm=x", 30),
+        (12, "news.example.com/a/b", 10),
+        # a second URL crawled once: both policies keep it
+        (20, "http://solo.example.org/only", 5),
+        # same day twice: max-id tie-break keeps 31
+        (30, "http://tie.example.net/p", 7),
+        (31, "https://TIE.example.net/p/", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, url string, snapshot_day int"
+    ).withColumn("url_key", normalize_url_key("url"))
+
+    keys = {r.doc_id: r.url_key for r in df.collect()}
+    assert keys[10] == keys[11] == keys[12] == "news.example.com/a/b"
+    assert keys[30] == keys[31] == "tie.example.net/p"
+
+    latest = {
+        r.url_key: r.doc_id
+        for r in keep_latest_dedup(
+            df, ["url_key"], "snapshot_day", "doc_id"
+        ).collect()
+    }
+    first = {
+        r.url_key: r.doc_id
+        for r in exact_dedup(df, ["url_key"], "doc_id").collect()
+    }
+    assert latest["news.example.com/a/b"] == 11  # day 30 wins
+    assert first["news.example.com/a/b"] == 10   # min id
+    assert latest["solo.example.org/only"] == first["solo.example.org/only"] == 20
+    assert latest["tie.example.net/p"] == 31     # same-day max-id tie
+    assert set(latest) == set(first)             # one survivor per key either way
+
+
+def test_dd14_snapshot_dedup_rows(spark, sf_dir):
+    """DD14's driver rows: every domain shows real re-crawl compression
+    (revisions > urls) and a nonzero policy difference — the fixture's
+    snapshot index is non-monotone in doc_id, so keep-latest provably
+    deviates from the min-id canonical."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["dd14_snapshot_dedup"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_revisions > r.n_urls
+        assert r.n_dropped == r.n_revisions - r.n_urls
+        assert 0 < r.n_keep_latest_differs <= r.n_urls
