@@ -1251,3 +1251,37 @@ def media_contamination_pairs_from_table(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def image_patch_costs(patch: int = 16):
+    """Arrow ``pandas_udf``: an ``array<binary>`` column of image payloads
+    → the document's total vision-token cost, Σ ceil(w/patch)·ceil(h/patch)
+    over its parseable images (the ViT patch-grid accounting every
+    multimodal training loader budgets sequences by).  Dims come from the
+    REAL byte-struct header parse (``parse_image_header``); an
+    unparseable, truncated, or NULL payload contributes 0 — cost
+    accounting must skip a corrupt container, never crash the pack job.
+    Per-row Python is the honest path here (header parsing is byte-struct
+    work no built-in expression does); Arrow batching keeps it off the
+    row-at-a-time slow path."""
+    p = int(patch)
+    if p <= 0:
+        raise ValueError(f"patch must be positive, got {patch}")
+
+    @F.pandas_udf("long")
+    def costs(imgs: pd.Series) -> pd.Series:
+        out = [0] * len(imgs)
+        for i, lst in enumerate(imgs):
+            if lst is None:
+                continue
+            total = 0
+            for b in lst:
+                _, w, h, _ = parse_image_header(
+                    bytes(b) if b is not None else None
+                )
+                if w and h:
+                    total += (-(-w // p)) * (-(-h // p))
+            out[i] = total
+        return pd.Series(out, dtype="int64")
+
+    return costs

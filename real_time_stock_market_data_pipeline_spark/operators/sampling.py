@@ -191,6 +191,91 @@ def pack_sequences(
     ).drop("__ord")
 
 
+MM_PACK_CAPACITY = 160  # joint token+patch budget per multimodal sequence
+
+
+def pack_multimodal_sequences(
+    df: DataFrame,
+    capacity: int = MM_PACK_CAPACITY,
+    n_shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text: str = "text",
+    images: str = "images",
+    patch: int = 16,
+) -> DataFrame:
+    """Sequence packing for INTERLEAVED text+image training data: a doc's
+    cost = its token count + Σ per-image patch cost (ceil(w/p)·ceil(h/p)
+    from the REAL container headers — ``multimodal.image_patch_costs``),
+    and bins respect the joint budget with documents (hence images) kept
+    WHOLE — the no-split rule multimodal loaders need because an image's
+    patches cannot straddle two training sequences.  Contrast
+    ``pack_sequences``: text-only pretraining concatenates-and-chunks
+    (docs may straddle), so its bin is a pure cumsum; the whole-doc rule
+    here is next-fit — a doc that would overflow the open bin closes it
+    and starts the next — which is a RECURSIVE fold (the wasted tail of
+    each bin depends on every earlier placement), not a window cumsum.
+
+    Scale shape mirrors ``throttle_batch``'s sequential-walk contract:
+    one shuffle on the shard key, a per-partition sort, then ONE Arrow
+    ``mapInPandas`` walk (linear, carrying (shard, bin, fill) across
+    batch boundaries — safe because a shard's rows are contiguous in
+    partition-sort order).  Shards are independent packing streams; at
+    100 TB you raise ``n_shards`` so a shard stays task-sized.  A doc
+    larger than ``capacity`` gets a bin of its own (next-fit never
+    splits it).  Returns (id, shard, n_tok, n_patches, cost, bin) with
+    bin numbering per shard."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .multimodal import image_patch_costs
+    from .text import tokens_col
+
+    cap = int(capacity)
+    if cap <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity}")
+    idt = df.schema[id_col].dataType.simpleString()
+    base = df.select(
+        F.col(id_col),
+        hash_bucket_col(id_col, n_shards).cast("int").alias("shard"),
+        F.size(tokens_col(text)).cast("long").alias("n_tok"),
+        image_patch_costs(patch)(F.col(images)).alias("n_patches"),
+        hash_bucket_col(id_col, 1 << 30).alias("__ord"),
+    ).withColumn("cost", F.col("n_tok") + F.col("n_patches"))
+    out_cols = [id_col, "shard", "n_tok", "n_patches", "cost"]
+    out_schema = (
+        f"{id_col} {idt}, shard int, n_tok long, n_patches long, "
+        "cost long, bin int"
+    )
+
+    def walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cur = None
+        b = 0
+        fill = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            shards = pdf["shard"].to_numpy()
+            costs = pdf["cost"].to_numpy()
+            bins = [0] * len(pdf)
+            for i in range(len(pdf)):
+                if shards[i] != cur:
+                    cur, b, fill = shards[i], 0, 0
+                c = int(costs[i])
+                if fill > 0 and fill + c > cap:
+                    b += 1
+                    fill = 0
+                bins[i] = b
+                fill += c
+            yield pdf[out_cols].assign(bin=bins)
+
+    return (
+        base.repartition("shard")
+        .sortWithinPartitions("shard", "__ord", id_col)
+        .mapInPandas(walk, out_schema)
+    )
+
+
 def capped_per_group(
     df: DataFrame,
     group_col: str,

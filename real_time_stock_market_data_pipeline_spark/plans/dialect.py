@@ -185,3 +185,8 @@ def explode_with_pos(dialect: str, table: str, lst_col: str, pos: str, alias: st
 def bxor(dialect: str, a: str, b: str) -> str:
     """Bitwise XOR — Spark spells it ``^`` (DuckDB's ``^`` is POWER)."""
     return f"(({a}) ^ ({b}))" if dialect == "spark" else f"xor({a}, {b})"
+
+
+def idiv(dialect: str, a: str, b: str) -> str:
+    """Integer division on integer operands (Spark DIV / DuckDB //)."""
+    return f"(({a}) DIV ({b}))" if dialect == "spark" else f"(({a}) // ({b}))"

@@ -31,6 +31,7 @@ from .dialect import (
     explode_from,
     explode_with_pos,
     fold,
+    idiv,
     list_len,
     map_fold_sum,
     r6t,
@@ -2590,3 +2591,108 @@ def _dd14_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dd14_snapshot_dedup"] = _dd14_snapshot_dedup
 TEXT_ORACLES["dd14_snapshot_dedup"] = sql_snapshot_dedup("duck")
+
+
+# --- MM12: multimodal sequence packing ---------------------------------------
+# The fixture gives doc_id % 4 images per document, each a REAL PNG
+# container (signature + IHDR) whose dims derive from the text length and
+# the image index — so the Spark side proves the build-bytes →
+# parse-header → patch-cost → pack chain end-to-end while the oracle
+# re-derives the dims arithmetically from the same construction rule.
+MM12_PATCH = 16
+
+_MM12_W = "({L} + 37 * j) % 48 + 16"   # 16..63 → 1..4 patches wide
+_MM12_H = "({L} * 3 + 5 * j) % 48 + 16"
+
+_MM12_IMAGES_SQL = (
+    # always build 3 PNGs, slice to n_img (sequence(1,0) would DESCEND in
+    # Spark; slice length 0 keeps the empty case type-stable)
+    "slice(transform(sequence(1, 3), j -> "
+    "concat(X'89504E470D0A1A0A', X'0000000D', CAST('IHDR' AS BINARY), "
+    f"unhex(lpad(hex({_MM12_W.format(L='octet_length(text)')}), 8, '0')), "
+    f"unhex(lpad(hex({_MM12_H.format(L='octet_length(text)')}), 8, '0')), "
+    "X'0806000000')), 1, CAST(doc_id % 4 AS INT))"
+)
+
+
+def sql_multimodal_packing(dialect: str) -> str:
+    """MM12's oracle: per-image patch cost from the SAME dim arithmetic
+    the fixture builds the PNG headers with, doc cost = tokens + patches,
+    then the whole-doc next-fit recursion per shard as a recursive CTE
+    (the t10 pattern) — bin and fill carried row to row in the
+    deterministic hash order."""
+    from ..operators.sampling import MM_PACK_CAPACITY, PACK_SHARDS
+
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    nt = list_len(dialect, split_ws(dialect, "text"))
+    olen = (
+        "octet_length(text)" if dialect == "spark"
+        else "octet_length(encode(text))"
+    )
+    w = _MM12_W.format(L="L")
+    hh = _MM12_H.format(L="L")
+    per_img = (
+        f"({idiv(dialect, f'({w}) + {MM12_PATCH - 1}', str(MM12_PATCH))}) * "
+        f"({idiv(dialect, f'({hh}) + {MM12_PATCH - 1}', str(MM12_PATCH))})"
+    )
+    npat = map_fold_sum(
+        dialect, seq(dialect, "1", "CAST(doc_id % 4 AS INT)"),
+        per_img, var="j", init="CAST(0 AS BIGINT)",
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {olen} AS L,
+         ({h}) % {PACK_SHARDS} AS shard,
+         CAST({nt} AS BIGINT) AS n_tok,
+         ({h}) % {1 << 30} AS ord_k
+  FROM documents WHERE text IS NOT NULL
+),
+costed AS (
+  SELECT doc_id, CAST(shard AS INT) AS shard, n_tok,
+         CAST(CASE WHEN doc_id % 4 = 0 THEN 0 ELSE {npat} END AS BIGINT)
+           AS n_patches,
+         ord_k
+  FROM base
+),
+ordered AS (
+  SELECT doc_id, shard, n_tok, n_patches, n_tok + n_patches AS cost,
+         row_number() OVER (PARTITION BY shard ORDER BY ord_k, doc_id)
+           AS rn
+  FROM costed
+),
+step AS (
+  SELECT shard, rn, cost, 0 AS bin, cost AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.cost,
+         CASE WHEN s.fill > 0 AND s.fill + o.cost > {MM_PACK_CAPACITY}
+              THEN s.bin + 1 ELSE s.bin END,
+         CASE WHEN s.fill > 0 AND s.fill + o.cost > {MM_PACK_CAPACITY}
+              THEN o.cost ELSE s.fill + o.cost END
+  FROM step s JOIN ordered o ON o.shard = s.shard AND o.rn = s.rn + 1
+)
+SELECT o.doc_id, o.shard, o.n_tok, o.n_patches, o.cost,
+       CAST(s.bin AS INT) AS bin
+FROM ordered o JOIN step s ON s.shard = o.shard AND s.rn = o.rn
+"""
+
+
+def _mm12_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM12 — multimodal sequence packing (operators/sampling.
+    pack_multimodal_sequences): real PNG containers are assembled per
+    document in JVM SQL, the operator parses their headers back
+    (multimodal.parse_image_header inside the Arrow cost UDF), prices
+    each doc at tokens + ViT patches, and next-fit packs whole docs into
+    joint-budget bins per shard — images never split across bins."""
+    from ..operators.sampling import pack_multimodal_sequences
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("images", F.expr(_MM12_IMAGES_SQL))
+    )
+    return pack_multimodal_sequences(docs, patch=MM12_PATCH)
+
+
+QUERIES["mm12_multimodal_packing"] = _mm12_multimodal_packing
+TEXT_ORACLES["mm12_multimodal_packing"] = sql_multimodal_packing("duck")

@@ -520,3 +520,75 @@ def test_span_dedup_accounting_invariants(spark, docs_tokens, n_sharers):
     if n_sharers <= 1:
         # no cross-document repetition anywhere: nothing drops
         assert all(r.n_dropped_tokens == 0 for r in out.values())
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),  # doc id
+            st.integers(min_value=1, max_value=60),      # token count
+            st.integers(min_value=0, max_value=3),       # image count
+            st.integers(min_value=1, max_value=200),     # image w
+            st.integers(min_value=1, max_value=200),     # image h
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: t[0],
+    ),
+    capacity=st.integers(min_value=20, max_value=200),
+)
+def test_multimodal_packing_invariants(spark, docs, capacity):
+    """mm12's accounting invariants on arbitrary corpora (the 493a734
+    discipline): (1) no doc splits — every input id appears exactly once;
+    (2) capacity holds — a bin's total cost exceeds the budget only when
+    it holds a single oversized doc (next-fit never splits); (3) bins
+    number contiguously from 0 per shard with no empty bin between used
+    ones; (4) costs decompose as tokens + Σ ceil(w/p)·ceil(h/p) over the
+    REAL parsed headers; (5) the assignment is invariant under input
+    repartitioning (determinism)."""
+    from real_time_stock_market_data_pipeline_spark.operators.sampling import (
+        pack_multimodal_sequences,
+    )
+
+    rows = []
+    for did, ntok, nimg, w, h in docs:
+        text = " ".join(f"t{j}" for j in range(ntok))
+        png = (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + b"\x08\x06\x00\x00\x00"
+        )
+        imgs = [png] * nimg + [b"not an image", None]  # corrupt+NULL: cost 0
+        rows.append((did, text, imgs))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, images array<binary>"
+    )
+    out = pack_multimodal_sequences(df, capacity=capacity, patch=16).collect()
+
+    assert sorted(r.doc_id for r in out) == sorted(t[0] for t in docs)
+    by_doc = {r.doc_id: r for r in out}
+    for did, ntok, nimg, w, h in docs:
+        r = by_doc[did]
+        per_img = -(-w // 16) * (-(-h // 16))
+        assert r.n_tok == ntok
+        assert r.n_patches == nimg * per_img  # corrupt/NULL contribute 0
+        assert r.cost == r.n_tok + r.n_patches
+
+    bins: dict = {}
+    for r in out:
+        bins.setdefault((r.shard, r.bin), []).append(r.cost)
+    for (shard, _), costs in bins.items():
+        if sum(costs) > capacity:
+            assert len(costs) == 1  # only a lone oversized doc overflows
+    for shard in {r.shard for r in out}:
+        used = sorted(b for (s, b) in bins if s == shard)
+        assert used == list(range(len(used)))  # contiguous from 0
+
+    again = {
+        r.doc_id: (r.shard, r.bin)
+        for r in pack_multimodal_sequences(
+            df.repartition(7), capacity=capacity, patch=16
+        ).collect()
+    }
+    assert again == {r.doc_id: (r.shard, r.bin) for r in out}
