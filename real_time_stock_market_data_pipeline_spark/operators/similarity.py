@@ -20,6 +20,9 @@ the per-element interpreted HOF evaluation for per-row × k scans.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -462,6 +465,7 @@ def update_ivf_index(
     from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
 
+    heal_if_interrupted(path)  # a rebuild_ivf_index killed mid-swap
     cents = _collect_codebook(
         spark.read.parquet(f"{path}/centroids"), centroid_id, vec
     )
@@ -543,6 +547,89 @@ def ivf_index_sink(
     return write_batch
 
 
+def rebuild_ivf_index(
+    spark,
+    path: str,
+    k: int | None = None,
+    n_iter: int = 2,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+) -> dict[str, int]:
+    """Index-lifecycle completion: RETRAIN the quantizer on the
+    accumulated vectors and SWAP the rebuilt index in atomically.  Every
+    incremental index here freezes its codebook at init (that is what
+    makes the stores insert-only); under distribution drift the frozen
+    lists stop matching the data and recall decays — dq4 is the monitor
+    that says WHEN, this is the repair.  A rebuild is the ONE operation
+    allowed to change assignments, so it must be all-or-nothing: the new
+    tree (centroids + re-encoded lists, metadata columns carried over
+    automatically) is written to a ``__staging_`` sibling, durability-
+    marked, and installed with the same two-rename swap + commit-marker
+    protocol as ``maintenance.upsert_parquet`` — every crash window is
+    repaired by ``heal_if_interrupted`` (run here first, and by
+    ``search_ivf_index``/``update_ivf_index`` before every read), so a
+    reader always sees the OLD index or the NEW one, never a mix or a
+    hole.
+
+    ``k=None`` keeps the current codebook size; pass a larger k when the
+    corpus has outgrown it (the dq4 drift scenario).  Cost: one corpus
+    scan for the fit (n_iter Lloyd passes), one assignment pass, one
+    partitioned write — the same as the original build, amortized over
+    however long the rebuilt quantizer serves."""
+    import uuid as _uuid
+
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        _sibling_dirs,
+        heal_if_interrupted,
+    )
+    from .clustering import kmeans_fit
+
+    _require_local_path(path, "rebuild_ivf_index")
+    heal_if_interrupted(path)
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories {leftovers} survive healing; "
+            "resolve manually before rebuilding"
+        )
+    heal_if_interrupted(f"{path}/lists")  # a mid-swap compaction crash
+    lists = spark.read.parquet(f"{path}/lists")
+    meta = [c for c in lists.columns if c not in (vec_id, vec, centroid_id)]
+    acc = lists.select(vec_id, vec, *meta).localCheckpoint(eager=False)
+    if k is None:
+        k = spark.read.parquet(f"{path}/centroids").count()
+    cents_df = kmeans_fit(
+        acc.select(vec_id, vec), k=int(k), n_iter=n_iter,
+        vec_id=vec_id, vec=vec,
+    )
+    cents = _collect_codebook(cents_df, centroid_id, vec)
+    staging = f"{path}__staging_{_uuid.uuid4().hex}"
+    cents_df.select(F.col(centroid_id), F.col(vec)).write.mode(
+        "overwrite"
+    ).parquet(f"{staging}/centroids")
+    (
+        acc.select(
+            F.col(vec_id),
+            F.col(vec),
+            *[F.col(c) for c in meta],
+            centroid_argmax_pandas(cents)(F.col(vec)).alias(centroid_id),
+        )
+        .write.mode("overwrite")
+        .partitionBy(centroid_id)
+        .parquet(f"{staging}/lists")
+    )
+    n_vectors = acc.count()
+    _mark_staging_complete(staging)
+    old = f"{path}__old_{_uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"n_vectors": int(n_vectors), "k": int(k)}
+
+
 def search_ivf_index(
     spark,
     path: str,
@@ -576,6 +663,13 @@ def search_ivf_index(
     codebook itself."""
     from pyspark.sql import Window
 
+    from ..maintenance import heal_if_interrupted
+
+    # heal-before-read (r12 discipline), now at the index ROOT too: a
+    # rebuild_ivf_index killed mid-swap leaves the whole index displaced
+    # with a complete staging pending — roll it forward before serving
+    heal_if_interrupted(path)
+    heal_if_interrupted(f"{path}/lists")
     cents = _collect_codebook(spark.read.parquet(f"{path}/centroids"), centroid_id, vec)
     probes = queries.select(
         F.col(query_id),

@@ -966,3 +966,178 @@ FROM ranked
 
 QUERIES["emb20_d4_prototypes"] = _emb20_d4_prototypes
 EMBEDDING_ORACLES["emb20_d4_prototypes"] = sql_d4_prototypes("duck")
+
+
+# --- DQ4: index recall-drift monitor + rebuild lifecycle ----------------------
+DQ4_PLANT_BASE = 100_000   # old-era ids; new era at 2x
+DQ4_GROUPS = 16            # planted neighbor groups per era
+DQ4_MEMBERS = 13           # members per group (top-10 lives in-group)
+DQ4_RECALL_FLOOR = 0.8     # the serving bar the monitor gates on
+
+
+def _dq4_planted_groups(g_lo: int, g_hi: int, id_base: int):
+    """Era fixture: group g's member j = organic vec (g·3) + 0.5 × an
+    organic noise vec keyed by (g,j) — within-group cosine ≈ 0.85 ≫
+    cross-group, so each member's exact top-10 is its group-mates, while
+    the 0.5 noise component swings a FROZEN quantizer's argmax from
+    member to member (the scatter that decays recall under drift)."""
+    return f"""
+      SELECT {id_base} + g * 100 + j AS vec_id,
+             zip_with(b.embedding, n.embedding,
+                      (x, y) -> x + CAST(0.5 AS DOUBLE) * y) AS embedding
+      FROM (SELECT explode(sequence({g_lo}, {g_hi})) AS g) gs
+      JOIN (SELECT explode(sequence(0, {DQ4_MEMBERS - 1})) AS j) js
+      JOIN (SELECT vec_id AS bid,
+                   transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings) b ON b.bid = g * 3
+      JOIN (SELECT vec_id AS nid,
+                   transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+            FROM embeddings) n ON n.nid = 200 + (g * 13 + j * 7) % 280
+    """
+
+
+def _dq4_index_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4 — the monitoring query that tells you WHEN to rebuild, plus
+    the rebuild itself (operators/similarity.rebuild_ivf_index): every
+    incremental index freezes its quantizer at init; under distribution
+    drift recall decays silently unless something measures it.  The
+    fixture plants 16 neighbor groups, trains the IVF codebook on them,
+    then ingests 16 NEW groups the frozen codebook never saw — their
+    members scatter across lists, so recall@10 vs exact cosine (computed
+    in-plan over a sampled query set, one query per group) drops below
+    the serving floor on the post-drift segment while the pre-drift
+    segment stays above it.  rebuild_ivf_index retrains on the
+    accumulated vectors (k doubled — the corpus doubled) and swaps via
+    the staging/commit-marker protocol; both segments then clear the
+    floor.  Output: one row per (phase, segment) with the gate —
+    deterministic (seeded fit, fixed data), so the oracle pins the
+    truth table: drift detected standing, repaired after rebuild."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import (
+        cosine_col,
+        init_ivf_index,
+        rebuild_ivf_index,
+        search_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= DQ4_PLANT_BASE:
+        raise ValueError(
+            f"dq4 fixture: corpus vec_ids reach {max_id} >= the planted-id "
+            f"offset {DQ4_PLANT_BASE}"
+        )
+    emb.createOrReplaceTempView("embeddings")
+    old = spark.sql(
+        _dq4_planted_groups(0, DQ4_GROUPS - 1, DQ4_PLANT_BASE)
+    ).localCheckpoint(eager=False)
+    new = spark.sql(
+        _dq4_planted_groups(DQ4_GROUPS, 2 * DQ4_GROUPS - 1, 2 * DQ4_PLANT_BASE)
+    ).localCheckpoint(eager=False)
+    corpus = old.unionByName(new).localCheckpoint(eager=False)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_dq4idx",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "index")
+    init_ivf_index(kmeans_fit(old, k=DQ4_GROUPS, n_iter=3), path)
+    update_ivf_index(spark, old, path)
+    update_ivf_index(spark, new, path)
+
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    exact = (
+        queries.alias("q")
+        .join(corpus.alias("c"), F.col("q.query_id") != F.col("c.vec_id"))
+        .select(
+            "q.query_id",
+            "c.vec_id",
+            cosine_col(F.col("q.embedding"), F.col("c.embedding")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def segment_gates(phase: str) -> DataFrame:
+        got = search_ivf_index(
+            spark, path, queries, k=10, n_probe=2
+        ).select("query_id", "vec_id")
+        hits = exact.join(got, ["query_id", "vec_id"]).groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        per_q = (
+            exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                (
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double")
+                ).alias("recall"),
+            )
+        )
+        return (
+            per_q.withColumn(
+                "segment",
+                F.when(
+                    F.col("query_id") >= 2 * DQ4_PLANT_BASE,
+                    F.lit("post_drift"),
+                ).otherwise(F.lit("pre_drift")),
+            )
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                (F.avg("recall") >= F.lit(DQ4_RECALL_FLOOR)).alias("recall_ok"),
+            )
+            .select(F.lit(phase).alias("phase"), "segment", "n_queries", "recall_ok")
+            # materialize NOW: the rebuild below swaps the index this
+            # plan reads, so a lazy 'standing' scan would see the new one
+            .localCheckpoint()
+        )
+
+    standing = segment_gates("standing")
+    rebuild_ivf_index(spark, path, k=2 * DQ4_GROUPS, n_iter=3)
+    rebuilt = segment_gates("rebuilt")
+    return standing.unionByName(rebuilt).orderBy("phase", "segment")
+
+
+def sql_index_recall_drift(dialect: str) -> str:
+    """DQ4's oracle — the deterministic truth table: the frozen index
+    serves the pre-drift segment above the floor, FAILS it on the
+    drifted segment (the rebuild trigger), and the retrained+swapped
+    index clears the floor on both."""
+    del dialect
+    return f"""
+SELECT 'rebuilt' AS phase, 'post_drift' AS segment,
+       CAST({DQ4_GROUPS} AS BIGINT) AS n_queries, true AS recall_ok
+UNION ALL
+SELECT 'rebuilt', 'pre_drift', CAST({DQ4_GROUPS} AS BIGINT), true
+UNION ALL
+SELECT 'standing', 'post_drift', CAST({DQ4_GROUPS} AS BIGINT), false
+UNION ALL
+SELECT 'standing', 'pre_drift', CAST({DQ4_GROUPS} AS BIGINT), true
+ORDER BY phase, segment
+"""
+
+
+QUERIES["dq4_index_recall_drift"] = _dq4_index_recall_drift
+EMBEDDING_ORACLES["dq4_index_recall_drift"] = sql_index_recall_drift("duck")

@@ -770,3 +770,138 @@ def test_d4_diversify_composes_semdedup_then_prototypes(spark, sf_dir):
     # the prototype stage drops ~drop_frac of the survivors (cluster
     # granularity makes it <= the exact fraction)
     assert n_dedup - n_final <= 0.25 * n_dedup + 1
+
+
+def _ivf_fixture(spark, tmp_path, meta=False):
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import kmeans_fit
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivf_index,
+        update_ivf_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+        "label",
+    )
+    if not meta:
+        emb = emb.drop("label")
+    path = str(tmp_path / "ivf")
+    init_ivf_index(kmeans_fit(emb, k=4, n_iter=1), path)
+    update_ivf_index(
+        spark, emb, path, meta_cols=("label",) if meta else ()
+    )
+    return emb, path
+
+
+def test_rebuild_ivf_index_retrains_swaps_and_keeps_rows(spark, tmp_path):
+    """rebuild_ivf_index must retrain to the requested k, re-encode every
+    accumulated vector exactly once (ids preserved, metadata columns
+    carried over), leave no staging/old orphans, and keep serving:
+    search results equal a fresh one-shot index built from the same
+    accumulated vectors with the same deterministic fit."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        rebuild_ivf_index,
+        search_ivf_index,
+    )
+
+    emb, path = _ivf_fixture(spark, tmp_path, meta=True)
+    before_ids = sorted(
+        r.vec_id for r in spark.read.parquet(f"{path}/lists").collect()
+    )
+    out = rebuild_ivf_index(spark, path, k=8, n_iter=2)
+    assert out == {"n_vectors": len(before_ids), "k": 8}
+    import os
+
+    assert sorted(e for e in os.listdir(tmp_path) if e.startswith("ivf__")) == []
+    cents = spark.read.parquet(f"{path}/centroids")
+    assert cents.count() == 8
+    lists = spark.read.parquet(f"{path}/lists")
+    assert sorted(r.vec_id for r in lists.collect()) == before_ids
+    assert "label" in lists.columns  # metadata survived the rebuild
+    q = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = search_ivf_index(spark, path, q, k=5, n_probe=3).collect()
+    assert {r.query_id for r in got} == {0, 1, 2}
+    assert all(r.rk <= 5 for r in got)
+    # filtered search still works on the carried metadata
+    lab = emb.first().label
+    flt = search_ivf_index(
+        spark, path, q, k=5, n_probe=3, where=F.col("label") == lab
+    ).collect()
+    assert flt and all(r.rk <= 5 for r in flt)
+
+
+@pytest.mark.parametrize("fail_at", [1, 2])
+def test_rebuild_ivf_index_crash_mid_swap_heals_on_search(
+    spark, tmp_path, monkeypatch, fail_at
+):
+    """Kill the rebuild in either swap window (before displacing the old
+    index / between the two renames): the next search must heal-before-
+    read (roll the complete staging FORWARD) and serve the REBUILT
+    index — never a hole, never a mix."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+
+    emb, path = _ivf_fixture(spark, tmp_path)
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] >= fail_at:
+            raise OSError("simulated crash mid-swap")
+        real(src, dst)
+
+    monkeypatch.setattr(sim.os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated crash"):
+        sim.rebuild_ivf_index(spark, path, k=8, n_iter=1)
+    monkeypatch.undo()
+    orphans = sorted(
+        e for e in _os.listdir(tmp_path) if e.startswith("ivf__")
+    )
+    assert orphans  # the crash left the protocol mid-flight
+    if fail_at == 2:
+        assert not _os.path.exists(path)  # the momentary-absence window
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.search_ivf_index(spark, path, q, k=5, n_probe=3).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    # healed forward: the rebuilt 8-centroid codebook is serving
+    assert spark.read.parquet(f"{path}/centroids").count() == 8
+    assert sorted(
+        e for e in _os.listdir(tmp_path) if e.startswith("ivf__")
+    ) == []
+
+
+def test_rebuild_ivf_index_incomplete_staging_rolls_back(spark, tmp_path):
+    """A rebuild that died DURING the staging write (no commit marker)
+    must roll back on the next read: the staging is discarded and the
+    OLD index keeps serving unchanged."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+
+    emb, path = _ivf_fixture(spark, tmp_path)
+    staging = f"{path}__staging_deadbeef"
+    _os.makedirs(f"{staging}/centroids")  # half-written tree, NO marker
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.search_ivf_index(spark, path, q, k=5, n_probe=2).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    assert spark.read.parquet(f"{path}/centroids").count() == 4  # old codebook
+    assert not _os.path.exists(staging)
