@@ -56,7 +56,7 @@ _PRIORITY = [
     "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
     # 2 — new this round (window trimmed to 50 below)
     "emb20_d4_prototypes", "dd14_snapshot_dedup", "mm12_multimodal_packing",
-    "dq4_index_recall_drift",
+    "dq4_index_recall_drift", "sp13_model_curated_corpus",
     # 3 — r11-green rotations, r11-window order (fill the window to 50)
     "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
     "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",

@@ -2696,3 +2696,172 @@ def _mm12_multimodal_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm12_multimodal_packing"] = _mm12_multimodal_packing
 TEXT_ORACLES["mm12_multimodal_packing"] = sql_multimodal_packing("duck")
+
+
+# --- SP13: curated corpus gated by the TRAINED classifier --------------------
+def sql_model_curated_corpus(dialect: str) -> str:
+    """SP13 — sp12's pipeline with the quality gate DISTILLED: the rule
+    gate (txt10 ∧ txt15) is replaced by the trained model's ``keep``
+    (txt18's classifier, trained on the FULL corpus — training is a
+    statistics pass, capping is sampling), and the per-domain
+    rule-vs-model disagreement is reported alongside — the distillation-
+    fidelity number a pipeline owner reads before trusting the cheap
+    scan-time model over the expensive rule signals.  Span dedup then
+    runs over the MODEL's survivors (frequencies relative to what
+    survives, the sp12 principle).
+
+    The oracle reuses txt18's bit-exact coefficient CTE wholesale (the
+    integer normal equations + unrolled Gauss-Jordan), so the trained
+    gate inside the pipeline is value-checked, not shape-checked."""
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    model = sql_quality_classifier(dialect)
+    toks = split_ws(dialect, "d.text")
+    kept_docs = (
+        "docs AS (\n"
+        "  SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, "
+        f"{toks} AS toks\n"
+        "  FROM documents d JOIN kept k ON d.doc_id = k.doc_id\n"
+        ")"
+    )
+    keep_share = (
+        "CAST(k.n_tokens_final AS DOUBLE) / CAST(k.n_tokens_kept AS DOUBLE)"
+    )
+    return f"""
+WITH urls AS (SELECT doc_id, ({_URL_EXPR}) AS url FROM documents),
+dom AS (SELECT doc_id, {_host_norm("url")} AS domain FROM urls),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY ({h}) % {1 << 30} ASC, doc_id ASC) AS rn
+  FROM dom
+),
+capped AS (SELECT doc_id, domain FROM ranked WHERE rn <= {DOMAIN_CAP}),
+model AS ({model}),
+gated AS (
+  SELECT c.doc_id, c.domain, m.weak_label, m.keep
+  FROM capped c JOIN model m ON c.doc_id = m.doc_id
+),
+kept AS (SELECT doc_id, domain FROM gated WHERE keep),
+{span_cte_chain(dialect, 13, docs_body=kept_docs)},
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(cov) AS BIGINT) AS n_drop,
+         CAST(sum(span_start) AS BIGINT) AS n_spans
+  FROM spans GROUP BY doc_id
+),
+dstats AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+           FROM dom GROUP BY domain),
+gstats AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_capped,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_model_kept,
+         CAST(sum(weak_label) AS BIGINT) AS n_rule_kept,
+         CAST(sum(CASE WHEN (weak_label = 1) <> keep THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_disagree
+  FROM gated GROUP BY domain
+),
+kstats AS (
+  SELECT k.domain,
+         CAST(coalesce(sum(p.n_toks), 0) AS BIGINT) AS n_tokens_kept,
+         CAST(coalesce(sum(p.n_toks - p.n_drop), 0) AS BIGINT)
+           AS n_tokens_final,
+         CAST(coalesce(sum(p.n_spans), 0) AS BIGINT) AS n_spans_removed
+  FROM kept k LEFT JOIN per_doc p ON k.doc_id = p.doc_id
+  GROUP BY k.domain
+)
+SELECT d.domain, d.n_docs,
+       coalesce(g.n_capped, CAST(0 AS BIGINT)) AS n_capped,
+       coalesce(g.n_model_kept, CAST(0 AS BIGINT)) AS n_model_kept,
+       coalesce(g.n_rule_kept, CAST(0 AS BIGINT)) AS n_rule_kept,
+       coalesce(g.n_disagree, CAST(0 AS BIGINT)) AS n_disagree,
+       coalesce(k.n_tokens_kept, CAST(0 AS BIGINT)) AS n_tokens_kept,
+       coalesce(k.n_tokens_final, CAST(0 AS BIGINT)) AS n_tokens_final,
+       coalesce(k.n_spans_removed, CAST(0 AS BIGINT)) AS n_spans_removed,
+       CASE WHEN coalesce(k.n_tokens_kept, CAST(0 AS BIGINT)) = 0
+            THEN CAST(NULL AS DOUBLE)
+            ELSE {r6t(keep_share)} END AS token_keep_share
+FROM dstats d
+LEFT JOIN gstats g ON d.domain = g.domain
+LEFT JOIN kstats k ON d.domain = k.domain
+ORDER BY d.domain
+"""
+
+
+def _sp13_model_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP13, Spark side: the OPERATOR composition — one marked frame
+    (snapshotted: it feeds training AND scoring), train_quality_classifier
+    (one integer aggregate + driver Gauss-Jordan), score_quality's JVM
+    scan as the gate, capped_per_group for the caps, span_dedup over the
+    model's survivors, one domain rollup carrying the rule-vs-model
+    disagreement."""
+    from ..operators.dedup import span_dedup
+    from ..operators.quality import score_quality, train_quality_classifier
+    from ..operators.sampling import capped_per_group
+    from ..operators.text import normalize_host
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    marked = spark.sql(_qc_marked_sql("spark")).localCheckpoint(eager=False)
+    beta = train_quality_classifier(marked)
+    scored = score_quality(marked, beta).select("doc_id", "weak_label", "keep")
+    dom = (
+        docs.selectExpr("doc_id", "text", f"({_URL_EXPR}) AS url")
+        .withColumn("domain", normalize_host("url"))
+        .drop("url")
+    )
+    capped = capped_per_group(dom, "domain", DOMAIN_CAP)
+    gated = capped.join(scored, "doc_id").localCheckpoint(eager=False)
+    kept = gated.filter(F.col("keep")).select("doc_id", "domain", "text")
+    cleaned = span_dedup(kept.select("doc_id", "text"))
+    per_doc = kept.select("doc_id", "domain").join(cleaned, "doc_id", "left")
+    kstats = per_doc.groupBy("domain").agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias(
+            "n_tokens_kept"
+        ),
+        F.coalesce(
+            F.sum(F.col("n_tokens") - F.col("n_dropped_tokens")), F.lit(0)
+        ).cast("bigint").alias("n_tokens_final"),
+        F.coalesce(F.sum("n_dropped_spans"), F.lit(0)).cast("bigint").alias(
+            "n_spans_removed"
+        ),
+    )
+    gstats = gated.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_capped"),
+        F.sum(F.col("keep").cast("bigint")).alias("n_model_kept"),
+        F.sum("weak_label").cast("bigint").alias("n_rule_kept"),
+        F.sum(
+            ((F.col("weak_label") == 1) != F.col("keep")).cast("bigint")
+        ).alias("n_disagree"),
+    )
+    dstats = dom.groupBy("domain").agg(F.count(F.lit(1)).alias("n_docs"))
+    share = F.col("n_tokens_final").cast("double") / F.col(
+        "n_tokens_kept"
+    ).cast("double")
+    from ..functions.scalars import r6
+
+    z = F.lit(0).cast("bigint")
+    return (
+        dstats.join(gstats, "domain", "left")
+        .join(kstats, "domain", "left")
+        .select(
+            "domain", "n_docs",
+            F.coalesce("n_capped", z).alias("n_capped"),
+            F.coalesce("n_model_kept", z).alias("n_model_kept"),
+            F.coalesce("n_rule_kept", z).alias("n_rule_kept"),
+            F.coalesce("n_disagree", z).alias("n_disagree"),
+            F.coalesce("n_tokens_kept", z).alias("n_tokens_kept"),
+            F.coalesce("n_tokens_final", z).alias("n_tokens_final"),
+            F.coalesce("n_spans_removed", z).alias("n_spans_removed"),
+            F.when(
+                F.coalesce("n_tokens_kept", z) == 0,
+                F.lit(None).cast("double"),
+            ).otherwise(r6(share)).alias("token_keep_share"),
+        )
+        .orderBy("domain")
+    )
+
+
+QUERIES["sp13_model_curated_corpus"] = _sp13_model_curated_corpus
+TEXT_ORACLES["sp13_model_curated_corpus"] = sql_model_curated_corpus("duck")

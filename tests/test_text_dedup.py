@@ -1240,3 +1240,29 @@ def test_dd14_snapshot_dedup_rows(spark, sf_dir):
         assert r.n_revisions > r.n_urls
         assert r.n_dropped == r.n_revisions - r.n_urls
         assert 0 < r.n_keep_latest_differs <= r.n_urls
+
+
+def test_model_curated_corpus_distillation_fidelity(spark, sf_dir):
+    """SP13: the trained-model gate must visibly act (kept <= capped,
+    span dedup removes tokens) and the rule-vs-model disagreement column
+    must be REAL accounting — n_disagree = |model_kept XOR rule_kept|
+    per domain holds arithmetically, and the corpus-level disagreement
+    is nonzero (a distilled model is not the rule) yet bounded (it is
+    trained ON the rule, so it mostly agrees)."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["sp13_model_curated_corpus"](spark, sf_dir).collect()
+    assert rows
+    tot_capped = sum(r.n_capped for r in rows)
+    tot_disagree = sum(r.n_disagree for r in rows)
+    assert 0 < tot_disagree < 0.25 * tot_capped  # distilled, not random
+    for r in rows:
+        assert r.n_model_kept <= r.n_capped
+        assert r.n_rule_kept <= r.n_capped
+        # |model - rule| <= disagreements <= sum of one-sided flips
+        assert abs(r.n_model_kept - r.n_rule_kept) <= r.n_disagree
+        assert r.n_disagree <= (r.n_capped - r.n_model_kept) + r.n_model_kept
+        assert r.n_tokens_final <= r.n_tokens_kept
+    assert sum(r.n_spans_removed for r in rows) > 0  # span dedup acted
+    mega = next(r for r in rows if r.domain == "megadomain.example.com")
+    assert mega.n_capped < mega.n_docs  # caps acted
