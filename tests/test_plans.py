@@ -77,7 +77,8 @@ def test_scalar_suite_whole_stage_codegen(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["p7_validated_ticks", "w2_sma", "dd3_minhash_signatures", "txt2_quality"],
+    ["p7_validated_ticks", "w2_sma", "dd3_minhash_signatures", "txt2_quality",
+     "dd14_snapshot_dedup"],
 )
 def test_no_python_udfs_in_jvm_paths(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
