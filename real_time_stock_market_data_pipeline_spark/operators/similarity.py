@@ -1456,8 +1456,10 @@ def update_ivfpq_index(
     column the index already carries — or WITH a column it was built
     without — silently splits the store schema and breaks filtered
     search on the mixed files; the update fails loudly instead."""
+    from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
 
+    heal_if_interrupted(path)  # a rebuild_ivfpq_index killed mid-swap
     coarse, fine = load_ivfpq_quantizers(spark, path)
     # pre-filter count: n_batch − n_new exposes dropped rows (see
     # update_pq_codes)
@@ -1506,6 +1508,97 @@ def update_ivfpq_index(
     return {"n_batch": n_batch, "n_new": n_new}
 
 
+def rebuild_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    n_lists: int | None = None,
+    m: int | None = None,
+    k: int | None = None,
+    n_iter: int = 3,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> dict[str, int]:
+    """``rebuild_ivf_index`` for the SERVING tier: retrain BOTH quantizer
+    levels of a persisted IVF-PQ index on the accumulated corpus and
+    swap the whole coarse/fine/index tree in atomically (staging +
+    commit marker + two renames — the upsert_parquet protocol; healed by
+    ``heal_if_interrupted`` at every read path).  The index stores only
+    8-byte codes, not vectors, so the caller passes the CORPUS the
+    update batches came from; the rebuild re-encodes exactly the vec_ids
+    the standing index accumulated (a left-semi join — rows the update
+    contract never ingested cannot sneak in through a rebuild) and fails
+    loudly if the corpus does not cover them.  Metadata columns the index
+    carries are re-read from the corpus, so filtered search keeps
+    working across the retrain.  Quantizer geometry defaults to the
+    standing index's (n_lists/m/k) — pass a larger ``n_lists`` when the
+    corpus has outgrown it, the dq4 drift remedy."""
+    import uuid as _uuid
+
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        _sibling_dirs,
+        heal_if_interrupted,
+    )
+
+    _require_local_path(path, "rebuild_ivfpq_index")
+    heal_if_interrupted(path)
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories {leftovers} survive healing; "
+            "resolve manually before rebuilding"
+        )
+    heal_if_interrupted(f"{path}/index")
+    old_coarse, old_fine = load_ivfpq_quantizers(spark, path)
+    index = spark.read.parquet(f"{path}/index")
+    meta = [c for c in index.columns if c not in (vec_id, "list_id", "pq_codes")]
+    missing_meta = set(meta) - set(corpus.columns)
+    if missing_meta:
+        raise ValueError(
+            f"the standing index carries metadata columns "
+            f"{sorted(missing_meta)} the rebuild corpus lacks — filtered "
+            "search would break; pass a corpus with the full columns"
+        )
+    ids = index.select(vec_id)
+    n_index = ids.count()
+    acc = corpus.join(ids, vec_id, "left_semi").localCheckpoint(eager=False)
+    n_acc = acc.count()
+    if n_acc != n_index:
+        raise ValueError(
+            f"rebuild corpus covers {n_acc} of the index's {n_index} "
+            f"vectors — every accumulated vec_id must be re-encodable"
+        )
+    coarse, fine = ivfpq_fit(
+        acc,
+        n_lists=n_lists or len(old_coarse[0]),
+        m=m or len(old_fine),
+        k=k or len(old_fine[0]),
+        vec_id=vec_id,
+        vec=vec,
+        n_iter=n_iter,
+    )
+    staging = f"{path}__staging_{_uuid.uuid4().hex}"
+    init_pq_index(spark, coarse, f"{staging}/coarse")
+    init_pq_index(spark, fine, f"{staging}/fine")
+    (
+        ivfpq_encode(
+            acc, coarse, fine, vec_id=vec_id, vec=vec, arrow=True,
+            meta_cols=meta,
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{staging}/index")
+    )
+    _mark_staging_complete(staging)
+    old = f"{path}__old_{_uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"n_vectors": int(n_acc), "n_lists": int(n_lists or len(old_coarse[0]))}
+
+
 def search_ivfpq_index(
     spark,
     path: str,
@@ -1536,6 +1629,12 @@ def search_ivfpq_index(
     emb19's in-plan gate.
 
     The probed-ids collect is bounded by n_lists, never the corpus."""
+    from ..maintenance import heal_if_interrupted
+
+    # heal-before-read at the index ROOT: a rebuild_ivfpq_index killed
+    # mid-swap rolls forward (or an unmarked staging rolls back) here
+    heal_if_interrupted(path)
+    heal_if_interrupted(f"{path}/index")
     coarse, fine = load_ivfpq_quantizers(spark, path)
     probes = ivfpq_probes(
         queries, coarse, n_probe=n_probe, query_id=query_id, vec=vec

@@ -21,7 +21,15 @@ ORACLES.update(EMBEDDING_ORACLES)
 #      (named as mandatory r13 leads in the r12 policy note and the r12
 #      verdict: section-3 overflow a1_grouped_max..mm1_media_meta plus the
 #      whole frozen section 4 emb12_incremental_pq..j5_dim_lookup);
-#   2. queries NEW this round (inserted here as they land);
+#   2. queries NEW this round: emb20 (D4 prototype diversification —
+#      drop the top-drop_frac most-prototypical members per cluster,
+#      Tirumala et al. 2023), dd14 (snapshot-aware exact dedup with the
+#      keep-LATEST recency policy over the normalized full-URL key),
+#      mm12 (multimodal sequence packing: joint token+patch budget,
+#      whole-doc next-fit, images never split), dq4 (index recall-drift
+#      monitor + rebuild_ivf_index retrain-and-swap lifecycle), and
+#      sp13 (sp12's pipeline gated by the TRAINED txt18 classifier,
+#      with per-domain rule-vs-model disagreement);
 #   3. the r11-green queries in their r11-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50;
 #   FROZEN FOR R14 (named, deliberate): the r11-green queries that do not

@@ -905,3 +905,98 @@ def test_rebuild_ivf_index_incomplete_staging_rolls_back(spark, tmp_path):
     assert {r.query_id for r in got} == {0, 1}
     assert spark.read.parquet(f"{path}/centroids").count() == 4  # old codebook
     assert not _os.path.exists(staging)
+
+
+def test_rebuild_ivfpq_index_retrains_swaps_and_serves(spark, tmp_path):
+    """The serving-tier rebuild: retrain both quantizer levels on the
+    accumulated corpus, re-encode exactly the index's vec_ids (metadata
+    carried over), swap atomically, keep serving — and refuse a corpus
+    that does not cover the accumulated ids."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivfpq_index,
+        ivfpq_fit,
+        rebuild_ivfpq_index,
+        search_ivfpq_index,
+        update_ivfpq_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+        "label",
+    )
+    path = str(tmp_path / "ivfpq")
+    coarse, fine = ivfpq_fit(emb.filter("vec_id < 100"), n_lists=4, n_iter=1)
+    init_ivfpq_index(spark, coarse, fine, path)
+    update_ivfpq_index(spark, emb, path, meta_cols=("label",))
+    ids_before = sorted(
+        r.vec_id for r in spark.read.parquet(f"{path}/index").collect()
+    )
+    out = rebuild_ivfpq_index(spark, emb, path, n_lists=8, n_iter=1)
+    assert out == {"n_vectors": len(ids_before), "n_lists": 8}
+    import os
+
+    assert [e for e in os.listdir(tmp_path) if e.startswith("ivfpq__")] == []
+    idx = spark.read.parquet(f"{path}/index")
+    assert sorted(r.vec_id for r in idx.collect()) == ids_before
+    assert "label" in idx.columns
+    assert idx.select("list_id").distinct().count() <= 8
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = search_ivfpq_index(spark, path, q, emb, k=5, n_probe=8).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    # replay after rebuild is still idempotent under the new quantizers
+    rep = update_ivfpq_index(spark, emb, path, meta_cols=("label",))
+    assert rep["n_new"] == 0
+    # a corpus missing accumulated ids must fail loudly, store untouched
+    with pytest.raises(ValueError, match="re-encodable"):
+        rebuild_ivfpq_index(spark, emb.filter("vec_id >= 100"), path)
+    assert [e for e in os.listdir(tmp_path) if e.startswith("ivfpq__")] == []
+
+
+def test_rebuild_ivfpq_index_crash_mid_swap_heals_on_search(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the serving-tier rebuild between the two renames: the next
+    search must heal the index root forward and serve the REBUILT
+    quantizers."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    coarse, fine = sim.ivfpq_fit(emb.filter("vec_id < 100"), n_lists=4, n_iter=1)
+    sim.init_ivfpq_index(spark, coarse, fine, path)
+    sim.update_ivfpq_index(spark, emb, path)
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("simulated crash mid-swap")
+        real(src, dst)
+
+    monkeypatch.setattr(sim.os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated crash"):
+        sim.rebuild_ivfpq_index(spark, emb, path, n_lists=8, n_iter=1)
+    monkeypatch.undo()
+    assert not _os.path.exists(path)  # the momentary-absence window
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.search_ivfpq_index(spark, path, q, emb, k=5, n_probe=8).collect()
+    assert {r.query_id for r in got} == {0, 1}
+    assert spark.read.parquet(f"{path}/coarse/codebooks").count() == 8
+    assert [e for e in _os.listdir(tmp_path) if e.startswith("ivfpq__")] == []
