@@ -74,6 +74,86 @@ def keep_latest_dedup(
     )
 
 
+def upsert_latest_revisions(
+    spark,
+    batch: DataFrame,
+    path: str,
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+) -> dict[str, int]:
+    """``keep_latest_dedup``'s INGEST form — the current-state table a
+    crawl pipeline maintains: the persisted store holds, per key, the
+    max-(``ts_col``, ``id_col``) revision seen across ALL batches so
+    far.  ORDER-ROBUST where a plain upsert is not: ``merge_upsert`` is
+    last-batch-wins, so a late-arriving OLD snapshot would regress the
+    stored row; here a batch row wins only if it strictly beats the
+    stored revision under the same total order the one-shot operator
+    cuts on — so ingesting snapshots in ANY batch order converges to
+    exactly ``keep_latest_dedup`` over the union of every batch, and a
+    replay changes nothing (at-least-once safe without coordination,
+    the family contract).
+
+    Per batch: one within-batch latest-per-key window, one key equi-join
+    against the store's (key, ts, id) projection, then the shared
+    ``upsert_parquet`` staging/commit-marker swap for the winners only —
+    a batch with no winners never rewrites the store.  Returns
+    ``{"n_batch", "n_winners"}``."""
+    from ..maintenance import heal_if_interrupted, upsert_parquet
+    from ..sources.readers import read_parquet_if_exists
+
+    winners = keep_latest_dedup(batch, key_cols, ts_col, id_col)
+    heal_if_interrupted(path)
+    store = read_parquet_if_exists(spark, path)
+    if store is not None:
+        cur = store.select(
+            *key_cols,
+            F.col(ts_col).alias("__cur_ts"),
+            F.col(id_col).alias("__cur_id"),
+        )
+        beats = (
+            F.col("__cur_ts").isNull()
+            | (F.col(ts_col) > F.col("__cur_ts"))
+            | (
+                (F.col(ts_col) == F.col("__cur_ts"))
+                & (F.col(id_col) > F.col("__cur_id"))
+            )
+        )
+        winners = (
+            winners.join(cur, key_cols, "left")
+            .filter(beats)
+            .drop("__cur_ts", "__cur_id")
+        )
+    winners = winners.localCheckpoint(eager=False)
+    n_winners = winners.count()
+    if n_winners:
+        # winners are unique per key and strictly newer than the store,
+        # so the plain key-merge (update takes the full payload) IS the
+        # max-compare merge here
+        upsert_parquet(spark, winners, path, key_cols)
+    return {"n_batch": batch.count(), "n_winners": int(n_winners)}
+
+
+def latest_revisions_sink(
+    path: str, key_cols: list[str], ts_col: str, id_col: str
+):
+    """``foreachBatch`` writer maintaining the current-state revision
+    table from a SNAPSHOT STREAM: each micro-batch runs
+    ``upsert_latest_revisions`` — order-robust and replay-idempotent by
+    construction (a redelivered batch has zero winners), so
+    at-least-once delivery needs no transactional coordination; the
+    heal-before-read call repairs a swap interrupted by a crash before
+    the redelivered batch applies (the ``upsert_sink`` self-healing
+    contract)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_latest_revisions(
+            batch_df.sparkSession, batch_df, path, key_cols, ts_col, id_col
+        )
+
+    return write_batch
+
+
 def shingle_hashes(
     df: DataFrame, id_col: str = "doc_id", text: str = "text", n: int = 3
 ) -> DataFrame:

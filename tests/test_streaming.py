@@ -1261,3 +1261,61 @@ def test_semantic_index_stream_matches_batch(spark, sf_dir, tmp_path):
 
     run_stream(str(tmp_path / "ck2"))  # replay: must append nothing
     assert (stream_pairs, stream_assigned) == tables(stream_tab)
+
+
+def test_latest_revisions_stream_matches_batch(spark, tmp_path):
+    """dd14's streaming form: foreachBatch current-state maintenance over
+    a snapshot stream whose micro-batches arrive OUT of snapshot order
+    converges to exactly keep_latest_dedup over every revision, and a
+    full replay (at-least-once delivery) changes nothing."""
+    from real_time_stock_market_data_pipeline_spark.operators import dedup
+
+    schema = "doc_id bigint, url_key string, snapshot_day int, body string"
+    revs = spark.createDataFrame(
+        [
+            (10, "u/a", 20, "v20"), (30, "u/b", 7, "b7"),
+            (11, "u/a", 30, "v30"), (31, "u/b", 7, "b7-tie"),
+            (12, "u/a", 10, "v10"), (40, "u/c", 5, "c5"),
+        ],
+        schema,
+    )
+    src = tmp_path / "src"
+    # batch files chosen so the NEWEST u/a revision arrives in the middle
+    revs.filter("doc_id IN (10, 30)").coalesce(1).write.parquet(str(src / "b1"))
+    revs.filter("doc_id IN (11, 31)").coalesce(1).write.parquet(str(src / "b2"))
+    revs.filter("doc_id IN (12, 40)").coalesce(1).write.parquet(str(src / "b3"))
+
+    table = str(tmp_path / "current_stream")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(revs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(
+                dedup.latest_revisions_sink(
+                    table, ["url_key"], "snapshot_day", "doc_id"
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    cols = ["doc_id", "url_key", "snapshot_day", "body"]
+
+    def norm(rows):
+        return sorted(tuple(r[c] for c in cols) for r in rows)
+
+    got = norm(spark.read.parquet(table).collect())
+    want = norm(
+        dedup.keep_latest_dedup(
+            revs, ["url_key"], "snapshot_day", "doc_id"
+        ).collect()
+    )
+    assert got == want and len(got) == 3
+
+    run_stream(str(tmp_path / "ck2"))  # full replay: nothing regresses
+    assert norm(spark.read.parquet(table).collect()) == want

@@ -1266,3 +1266,65 @@ def test_model_curated_corpus_distillation_fidelity(spark, sf_dir):
     assert sum(r.n_spans_removed for r in rows) > 0  # span dedup acted
     mega = next(r for r in rows if r.domain == "megadomain.example.com")
     assert mega.n_capped < mega.n_docs  # caps acted
+
+
+def test_upsert_latest_revisions_order_robust_and_idempotent(spark, tmp_path):
+    """dd14's ingest form: batches arriving OUT of snapshot order (the
+    late-old-crawl case a plain last-batch-wins upsert gets wrong) must
+    converge to exactly keep_latest_dedup over the union of all batches;
+    a replay changes nothing; a no-winner batch never rewrites."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        keep_latest_dedup,
+        upsert_latest_revisions,
+    )
+
+    schema = "doc_id bigint, url_key string, snapshot_day int, body string"
+    b1 = spark.createDataFrame(
+        [(10, "u/a", 20, "v20"), (30, "u/b", 7, "b7")], schema
+    )
+    b2 = spark.createDataFrame(
+        [(11, "u/a", 30, "v30"), (31, "u/b", 7, "b7-tie")], schema
+    )
+    # LATE batch: an older snapshot of u/a plus a within-batch dup pair
+    b3 = spark.createDataFrame(
+        [(12, "u/a", 10, "v10"), (40, "u/c", 5, "c5a"), (41, "u/c", 5, "c5b")],
+        schema,
+    )
+    path = str(tmp_path / "current")
+    r1 = upsert_latest_revisions(spark, b1, path, ["url_key"], "snapshot_day", "doc_id")
+    r2 = upsert_latest_revisions(spark, b2, path, ["url_key"], "snapshot_day", "doc_id")
+    r3 = upsert_latest_revisions(spark, b3, path, ["url_key"], "snapshot_day", "doc_id")
+    assert (r1["n_winners"], r2["n_winners"], r3["n_winners"]) == (2, 2, 1)
+
+    cols = ["doc_id", "url_key", "snapshot_day", "body"]
+
+    def norm(rows):
+        return sorted(tuple(r[c] for c in cols) for r in rows)
+
+    oneshot = norm(
+        keep_latest_dedup(
+            b1.unionByName(b2).unionByName(b3),
+            ["url_key"], "snapshot_day", "doc_id",
+        ).collect()
+    )
+    stored = norm(spark.read.parquet(path).collect())
+    assert stored == oneshot
+    by_key = {t[1]: t for t in stored}
+    assert by_key["u/a"][0] == 11   # day 30 wins despite arriving mid-stream
+    assert by_key["u/b"][0] == 31   # same-day max-id tie
+    assert by_key["u/c"][0] == 41   # within-batch dup resolved
+
+    # replay of the late batch: zero winners, store byte-stable
+    import os
+
+    def sig():
+        d = path
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before = sig()
+    rep = upsert_latest_revisions(spark, b3, path, ["url_key"], "snapshot_day", "doc_id")
+    assert rep["n_winners"] == 0
+    assert sig() == before  # no rewrite happened at all
