@@ -2200,16 +2200,16 @@ def update_semantic_index(
     parquet write would leave a schema-less stub), so readers use
     ``sources.readers.read_parquet_if_exists`` and treat None as zero
     pairs."""
+    from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
 
+    heal_if_interrupted(path)  # a rebuild_semantic_index killed mid-swap
     cents = _collect_codebook(
         spark.read.parquet(f"{path}/centroids"), "centroid_id", vec
     )
     if arrow is None:
         arrow = len(cents) >= SEMDEDUP_AUTO_ARROW_K
     n_batch = batch.count()
-    from ..maintenance import heal_if_interrupted
-
     heal_if_interrupted(f"{path}/assigned")  # repair mid-swap compaction crash
     heal_if_interrupted(f"{path}/pairs")
     standing = read_parquet_if_exists(spark, f"{path}/assigned")
@@ -2261,6 +2261,90 @@ def update_semantic_index(
     finally:
         pairs.unpersist()
     return {"n_batch": n_batch, "n_new": n_new, "n_new_pairs": n_pairs}
+
+
+def rebuild_semantic_index(
+    spark,
+    path: str,
+    threshold: float = 0.95,
+    k: int | None = None,
+    n_iter: int = 2,
+    target_cluster_size: int = SEMDEDUP_TARGET_CLUSTER,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    arrow: bool | None = None,
+) -> dict[str, int]:
+    """The lifecycle completion for the SEMANTIC index: retrain the
+    codebook on the accumulated vectors and swap atomically.  Unlike the
+    IVF rebuilds, the pair set is codebook-DEPENDENT (pairs only form
+    within clusters), so a retrain cannot keep any standing pairs: the
+    rebuild recomputes assignment AND the full ≥threshold pair set
+    one-shot under the new codebook — exactly the state incremental
+    ingest would have accumulated had the index been initialized with
+    these centroids (``update_semantic_index``'s invariant), so ingest
+    resumes seamlessly after the swap.  ``threshold`` must be the one
+    the index ingests with (it is per-call state, not stored).
+
+    ``k=None`` rescales with the corpus via ``semdedup_k`` — the usual
+    reason to rebuild: clusters grown past the constant-size knob make
+    the pair stage quadratic again.  Cost: one fit + one assignment +
+    one within-cluster pair pass over the corpus — the price of ONE
+    one-shot SemDeDup, amortized over the rebuilt index's lifetime.
+    Crash-safe via the shared staging/commit-marker swap; every reader
+    heals the index root first."""
+    import uuid as _uuid
+
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        _sibling_dirs,
+        heal_if_interrupted,
+    )
+    from .clustering import kmeans_fit
+
+    _require_local_path(path, "rebuild_semantic_index")
+    heal_if_interrupted(path)
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories {leftovers} survive healing; "
+            "resolve manually before rebuilding"
+        )
+    heal_if_interrupted(f"{path}/assigned")
+    heal_if_interrupted(f"{path}/pairs")
+    acc = (
+        spark.read.parquet(f"{path}/assigned")
+        .select(vec_id, vec)
+        .localCheckpoint(eager=False)
+    )
+    n_vectors = acc.count()
+    if k is None:
+        k = semdedup_k(n_vectors, target_cluster_size)
+    cents_df = kmeans_fit(acc, k=int(k), n_iter=n_iter, vec_id=vec_id, vec=vec)
+    cents = [
+        (int(r["centroid_id"]), [float(x) for x in r[vec]])
+        for r in cents_df.collect()
+    ]
+    if arrow is None:
+        arrow = len(cents) >= SEMDEDUP_AUTO_ARROW_K
+    assigned = semantic_assignment(acc, cents, vec_id, vec, arrow)
+    pairs = _pairs_from_assignment(assigned, threshold, vec_id, vec, arrow)
+    staging = f"{path}__staging_{_uuid.uuid4().hex}"
+    cents_df.select(F.col("centroid_id"), F.col(vec)).write.mode(
+        "overwrite"
+    ).parquet(f"{staging}/centroids")
+    assigned.write.mode("overwrite").parquet(f"{staging}/assigned")
+    n_pairs = pairs.count()
+    if n_pairs:
+        # the pairs directory materializes with the first dup pair — the
+        # update contract's empty-store rule, preserved across rebuilds
+        pairs.write.mode("overwrite").parquet(f"{staging}/pairs")
+    _mark_staging_complete(staging)
+    old = f"{path}__old_{_uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"n_vectors": int(n_vectors), "k": int(k), "n_pairs": int(n_pairs)}
 
 
 def semantic_index_sink(

@@ -1000,3 +1000,110 @@ def test_rebuild_ivfpq_index_crash_mid_swap_heals_on_search(
     assert {r.query_id for r in got} == {0, 1}
     assert spark.read.parquet(f"{path}/coarse/codebooks").count() == 8
     assert [e for e in _os.listdir(tmp_path) if e.startswith("ivfpq__")] == []
+
+
+def test_rebuild_semantic_index_matches_oneshot_and_resumes(spark, tmp_path):
+    """Semantic-index lifecycle: the pair set is codebook-dependent, so a
+    rebuild recomputes assignment AND pairs one-shot under the retrained
+    centroids — the stored state must equal semantic_dedup_pairs over
+    the accumulated corpus with the REBUILT codebook (update's
+    invariant, so ingest resumes seamlessly: a replay after the rebuild
+    appends zero to both tables)."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import kmeans_fit
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_semantic_index,
+        rebuild_semantic_index,
+        semantic_dedup_pairs,
+        update_semantic_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        SEMDEDUP_PLANT_BASE,
+        SEMDEDUP_THRESHOLD,
+        planted_semantic_corpus,
+    )
+
+    corpus = planted_semantic_corpus(
+        spark, "/root/testdata/sf0.001"
+    ).localCheckpoint(eager=False)
+    originals = corpus.filter(F.col("vec_id") < SEMDEDUP_PLANT_BASE)
+    twins = corpus.filter(F.col("vec_id") >= SEMDEDUP_PLANT_BASE)
+    path = str(tmp_path / "semidx")
+    init_semantic_index(kmeans_fit(originals, k=4, n_iter=1), path)
+    update_semantic_index(spark, originals, path, SEMDEDUP_THRESHOLD)
+    update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
+
+    out = rebuild_semantic_index(
+        spark, path, threshold=SEMDEDUP_THRESHOLD, k=16, n_iter=1
+    )
+    assert out["k"] == 16 and out["n_vectors"] == corpus.count()
+    assert out["n_pairs"] > 0  # the planted twins still pair
+    import os
+
+    assert [e for e in os.listdir(tmp_path) if e.startswith("semidx__")] == []
+
+    cents_stored = [
+        (int(r.centroid_id), [float(x) for x in r.embedding])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    assert len(cents_stored) == 16
+    key = lambda df: sorted((r.vec_a, r.vec_b) for r in df.collect())
+    stored_pairs = key(spark.read.parquet(f"{path}/pairs"))
+    oneshot = key(
+        semantic_dedup_pairs(corpus, cents_stored, SEMDEDUP_THRESHOLD)
+    )
+    assert stored_pairs == oneshot and len(stored_pairs) > 0
+    # ingest resumes: full replay appends zero to both tables
+    rep = update_semantic_index(spark, corpus, path, SEMDEDUP_THRESHOLD)
+    assert rep["n_new"] == 0 and rep["n_new_pairs"] == 0
+
+
+def test_rebuild_semantic_index_crash_mid_swap_heals_on_update(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the semantic rebuild between the two renames: the next
+    update heals the index root forward and ingests against the
+    REBUILT codebook."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import kmeans_fit
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        SEMDEDUP_PLANT_BASE,
+        SEMDEDUP_THRESHOLD,
+        planted_semantic_corpus,
+    )
+
+    corpus = planted_semantic_corpus(
+        spark, "/root/testdata/sf0.001"
+    ).localCheckpoint(eager=False)
+    originals = corpus.filter(F.col("vec_id") < SEMDEDUP_PLANT_BASE)
+    twins = corpus.filter(F.col("vec_id") >= SEMDEDUP_PLANT_BASE)
+    path = str(tmp_path / "semidx")
+    sim.init_semantic_index(kmeans_fit(originals, k=4, n_iter=1), path)
+    sim.update_semantic_index(spark, originals, path, SEMDEDUP_THRESHOLD)
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise OSError("simulated crash mid-swap")
+        real(src, dst)
+
+    monkeypatch.setattr(sim.os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated crash"):
+        sim.rebuild_semantic_index(
+            spark, path, threshold=SEMDEDUP_THRESHOLD, k=16, n_iter=1
+        )
+    monkeypatch.undo()
+    assert not _os.path.exists(path)
+    # the next ingest heals forward and runs against the rebuilt codebook
+    m = sim.update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
+    assert m["n_new"] == twins.count() and m["n_new_pairs"] > 0
+    assert spark.read.parquet(f"{path}/centroids").count() == 16
+    assert [e for e in _os.listdir(tmp_path) if e.startswith("semidx__")] == []
