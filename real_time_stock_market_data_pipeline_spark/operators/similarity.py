@@ -1116,8 +1116,10 @@ def update_pq_codes(
     serving tier: per batch one anti-join on the vector id plus JVM
     encode work proportional to NEW vectors only, appending 8-byte codes
     — the full-precision floats never need rewriting."""
+    from ..maintenance import heal_if_interrupted as _heal
     from ..sources.readers import read_parquet_if_exists
 
+    _heal(path)  # a rebuild_pq_codes killed mid-swap
     cbs = load_pq_codebooks(spark, path)
     # n_batch counts rows DELIVERED (pre-filter): n_batch − n_new on a
     # first-ingest batch is the dropped-row signal a poisoned upstream
@@ -1175,6 +1177,71 @@ def pq_codes_sink(
         )
 
     return write_batch
+
+
+def rebuild_pq_codes(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    m: int | None = None,
+    k: int | None = None,
+    n_iter: int = 3,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> dict[str, int]:
+    """The rebuild lifecycle for the flat PQ code table: retrain the
+    codebooks on the accumulated corpus and swap the codebooks+codes
+    tree atomically (the ``rebuild_ivfpq_index`` contract — codes store
+    no vectors, so the caller passes the corpus; a left-semi join
+    re-encodes exactly the accumulated vec_ids and partial coverage
+    fails loudly).  Quantizer geometry defaults to the standing
+    codebooks'."""
+    import uuid as _uuid
+
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        _sibling_dirs,
+        heal_if_interrupted,
+    )
+
+    _require_local_path(path, "rebuild_pq_codes")
+    heal_if_interrupted(path)
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories {leftovers} survive healing; "
+            "resolve manually before rebuilding"
+        )
+    heal_if_interrupted(f"{path}/codes")
+    old_cbs = load_pq_codebooks(spark, path)
+    ids = spark.read.parquet(f"{path}/codes").select(vec_id)
+    n_codes = ids.count()
+    acc = corpus.join(ids, vec_id, "left_semi").localCheckpoint(eager=False)
+    n_acc = acc.count()
+    if n_acc != n_codes:
+        raise ValueError(
+            f"rebuild corpus covers {n_acc} of the code table's {n_codes} "
+            f"vectors — every accumulated vec_id must be re-encodable"
+        )
+    cbs = pq_fit(
+        acc, m=m or len(old_cbs), k=k or len(old_cbs[0]),
+        vec_id=vec_id, vec=vec, n_iter=n_iter,
+    )
+    staging = f"{path}__staging_{_uuid.uuid4().hex}"
+    init_pq_index(spark, cbs, staging)
+    (
+        pq_encode(acc, cbs, vec=vec, arrow=True)
+        .select(F.col(vec_id), F.col("pq_codes"))
+        .write.mode("overwrite")
+        .parquet(f"{staging}/codes")
+    )
+    _mark_staging_complete(staging)
+    old = f"{path}__old_{_uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return {"n_vectors": int(n_acc), "m": int(m or len(old_cbs))}
 
 
 # --- IVF-PQ (coarse quantizer + residual product codes) ---------------------

@@ -1107,3 +1107,40 @@ def test_rebuild_semantic_index_crash_mid_swap_heals_on_update(
     assert m["n_new"] == twins.count() and m["n_new_pairs"] > 0
     assert spark.read.parquet(f"{path}/centroids").count() == 16
     assert [e for e in _os.listdir(tmp_path) if e.startswith("semidx__")] == []
+
+
+def test_rebuild_pq_codes_retrains_swaps_and_replays_zero(spark, tmp_path):
+    """Flat PQ code-table rebuild: retrain to the requested geometry,
+    re-encode exactly the accumulated ids, swap cleanly, replay appends
+    zero under the new codebooks, partial-coverage corpus refused."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_pq_index,
+        load_pq_codebooks,
+        pq_fit,
+        rebuild_pq_codes,
+        update_pq_codes,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    path = str(tmp_path / "pq")
+    init_pq_index(spark, pq_fit(emb.filter("vec_id < 100"), m=4, k=8, n_iter=1), path)
+    update_pq_codes(spark, emb, path)
+    ids = sorted(r.vec_id for r in spark.read.parquet(f"{path}/codes").collect())
+
+    out = rebuild_pq_codes(spark, emb, path, m=8, k=16, n_iter=1)
+    assert out == {"n_vectors": len(ids), "m": 8}
+    import os
+
+    assert [e for e in os.listdir(tmp_path) if e.startswith("pq__")] == []
+    cbs = load_pq_codebooks(spark, path)
+    assert len(cbs) == 8 and len(cbs[0]) == 16
+    codes = spark.read.parquet(f"{path}/codes")
+    assert sorted(r.vec_id for r in codes.collect()) == ids
+    assert all(len(r.pq_codes) == 8 for r in codes.limit(5).collect())
+    rep = update_pq_codes(spark, emb, path)
+    assert rep["n_new"] == 0
+    with pytest.raises(ValueError, match="re-encodable"):
+        rebuild_pq_codes(spark, emb.filter("vec_id >= 100"), path)
