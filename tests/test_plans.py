@@ -441,3 +441,15 @@ def test_emb19_filter_pushed_into_probed_index_scan(spark, sf_dir):
         for l in scan_lines
     ), scan_lines[0][:300]
     assert "CartesianProduct" not in plan
+
+
+def test_mm12_packing_single_shuffle_arrow_only(spark, sf_dir):
+    """mm12's contract: the whole multimodal pack is ONE shuffle (the
+    shard repartition) feeding one per-partition sort and the linear
+    mapInPandas walk; Python appears only as Arrow nodes (the header-
+    parse cost UDF + the walk), never row-at-a-time."""
+    plan = plan_of(spark, sf_dir, "mm12_multimodal_packing")
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan  # the patch-cost UDF, Arrow-batched
+    assert "MapInPandas" in plan      # the sequential next-fit walk
