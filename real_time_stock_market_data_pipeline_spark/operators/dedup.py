@@ -404,9 +404,12 @@ def span_dedup_from_table(
     atomically (all shingles in one append), so presence of the id
     implies presence of every shingle, and the union stays
     duplicate-free without a distinct over the standing table.  The
-    extra cost is one map-combinable doc-id aggregate over the table
-    plus a batch-sized anti-join; the sh-shuffle of the df-aggregate is
-    unchanged.  (Doc ids are immutable once ingested — re-using an
+    extra cost is ONE additional id-column scan of the table with the
+    batch's doc ids BROADCAST into a map-side semi-join (no table-sized
+    shuffle anywhere — the batch-≪-corpus contract every incremental
+    family assumes; the broadcast is bounded by the batch's distinct doc
+    ids), plus two batch-sized joins; the sh-shuffle of the df-aggregate
+    is unchanged.  (Doc ids are immutable once ingested — re-using an
     ingested id with different text is outside the insert-only
     contract, same as every other incremental family here.)
 
@@ -419,13 +422,27 @@ def span_dedup_from_table(
 
     heal_if_interrupted(path)
     table = spark.read.parquet(path).select(id_col, "sh")
-    starts = _positioned_starts(df, id_col, text, n)
+    # the positioned-starts frame feeds BOTH the cleanup tail and the
+    # batch's own (id, sh) df-contribution — snapshot it or the whole
+    # explode+window chain executes twice (the span_dedup materialize
+    # rule, unconditional here because the second consumer always exists)
+    starts = _positioned_starts(df, id_col, text, n).localCheckpoint(
+        eager=False
+    )
     batch_pairs = (
         starts.filter(F.col("sh").isNotNull()).select(id_col, "sh").distinct()
     )
-    new_doc_pairs = batch_pairs.join(
-        table.select(id_col).distinct(), id_col, "left_anti"
+    batch_ids = batch_pairs.select(id_col).distinct()
+    # which batch docs the table already holds: the batch ids broadcast
+    # into a map-side semi-join over the table's id column — a plain
+    # anti-join against the table would shuffle the WHOLE table's ids
+    # per cleaning call (measured +41% on txt19)
+    present = (
+        table.select(id_col)
+        .join(F.broadcast(batch_ids), id_col, "left_semi")
+        .distinct()
     )
+    new_doc_pairs = batch_pairs.join(F.broadcast(present), id_col, "left_anti")
     dfreq = _shingle_dfreq(table.unionByName(new_doc_pairs), id_col)
     return _span_cleanup(starts, dfreq, id_col, n)
 
