@@ -572,11 +572,15 @@ def rebuild_ivf_index(
     reader always sees the OLD index or the NEW one, never a mix or a
     hole.
 
-    ``k=None`` keeps the current codebook size; pass a larger k when the
-    corpus has outgrown it (the dq4 drift scenario).  Cost: one corpus
-    scan for the fit (n_iter Lloyd passes), one assignment pass, one
-    partitioned write — the same as the original build, amortized over
-    however long the rebuilt quantizer serves."""
+    ``k=None`` RESCALES the codebook to the accumulated corpus via the
+    ``ivf_lists_for`` √n rule — a rebuild is exactly the moment the
+    index re-sizes to what it accumulated (with the init-time list
+    count frozen, per-query candidate work grows linearly in the
+    corpus); pass an explicit k to keep or choose a size (the dq4
+    scenario doubles it by hand).  Cost: one corpus scan for the fit
+    (n_iter Lloyd passes), one assignment pass, one partitioned write —
+    the same as the original build, amortized over however long the
+    rebuilt quantizer serves."""
     import uuid as _uuid
 
     from ..maintenance import (
@@ -599,8 +603,9 @@ def rebuild_ivf_index(
     lists = spark.read.parquet(f"{path}/lists")
     meta = [c for c in lists.columns if c not in (vec_id, vec, centroid_id)]
     acc = lists.select(vec_id, vec, *meta).localCheckpoint(eager=False)
+    n_vectors = acc.count()
     if k is None:
-        k = spark.read.parquet(f"{path}/centroids").count()
+        k = ivf_lists_for(n_vectors)
     cents_df = kmeans_fit(
         acc.select(vec_id, vec), k=int(k), n_iter=n_iter,
         vec_id=vec_id, vec=vec,
@@ -621,7 +626,6 @@ def rebuild_ivf_index(
         .partitionBy(centroid_id)
         .parquet(f"{staging}/lists")
     )
-    n_vectors = acc.count()
     _mark_staging_complete(staging)
     old = f"{path}__old_{_uuid.uuid4().hex}"
     os.rename(path, old)
@@ -1256,6 +1260,22 @@ IVFPQ_LISTS = 8
 IVFPQ_PROBE = 4
 
 
+def ivf_lists_for(n: int, floor: int = IVFPQ_LISTS) -> int:
+    """List count that keeps IVF search BALANCED as the corpus grows —
+    the FAISS ``√n`` rule: per-query cost ≈ n·n_probe/n_lists (candidate
+    scan) + n_lists (probe ranking), minimized around n_lists ∝ √n.
+    With n_lists FIXED the candidate term grows linearly with the corpus
+    (the same trap ``semdedup_k`` closed for the pair stage — fixed k
+    measured 9.4× for 10× there); √-scaling holds per-query candidate
+    growth to √n while the codebook collect stays bounded (√(10¹²) ≈ 10⁶
+    rows at a trillion vectors — still driver-safe).  Used as the
+    ``k=None`` default by the REBUILD family: a rebuild is exactly the
+    moment the index re-sizes to the corpus it accumulated."""
+    import math
+
+    return max(int(floor), math.isqrt(max(int(n), 1)))
+
+
 def ivfpq_fit(
     df: DataFrame,
     n_lists: int = IVFPQ_LISTS,
@@ -1597,9 +1617,11 @@ def rebuild_ivfpq_index(
     contract never ingested cannot sneak in through a rebuild) and fails
     loudly if the corpus does not cover them.  Metadata columns the index
     carries are re-read from the corpus, so filtered search keeps
-    working across the retrain.  Quantizer geometry defaults to the
-    standing index's (n_lists/m/k) — pass a larger ``n_lists`` when the
-    corpus has outgrown it, the dq4 drift remedy."""
+    working across the retrain.  ``n_lists=None`` RESCALES the coarse
+    level to the accumulated corpus (``ivf_lists_for``'s √n rule — the
+    rebuild is when the index re-sizes); the PQ geometry (m/k) is
+    dimension-bound, not corpus-bound, and defaults to the standing
+    codebooks'."""
     import uuid as _uuid
 
     from ..maintenance import (
@@ -1618,7 +1640,7 @@ def rebuild_ivfpq_index(
             "resolve manually before rebuilding"
         )
     heal_if_interrupted(f"{path}/index")
-    old_coarse, old_fine = load_ivfpq_quantizers(spark, path)
+    _, old_fine = load_ivfpq_quantizers(spark, path)
     index = spark.read.parquet(f"{path}/index")
     meta = [c for c in index.columns if c not in (vec_id, "list_id", "pq_codes")]
     missing_meta = set(meta) - set(corpus.columns)
@@ -1637,9 +1659,11 @@ def rebuild_ivfpq_index(
             f"rebuild corpus covers {n_acc} of the index's {n_index} "
             f"vectors — every accumulated vec_id must be re-encodable"
         )
+    if n_lists is None:
+        n_lists = ivf_lists_for(n_acc)
     coarse, fine = ivfpq_fit(
         acc,
-        n_lists=n_lists or len(old_coarse[0]),
+        n_lists=n_lists,
         m=m or len(old_fine),
         k=k or len(old_fine[0]),
         vec_id=vec_id,
@@ -1663,7 +1687,7 @@ def rebuild_ivfpq_index(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
-    return {"n_vectors": int(n_acc), "n_lists": int(n_lists or len(old_coarse[0]))}
+    return {"n_vectors": int(n_acc), "n_lists": int(n_lists)}
 
 
 def search_ivfpq_index(

@@ -290,6 +290,89 @@ def probe_semdedup_k_scaling(spark, scaled: str) -> list[dict]:
     return rows
 
 
+def probe_ivf_lists_scaling(spark, scaled: str) -> list[dict]:
+    """The IVF analogue of probe_semdedup_k_scaling: with the list count
+    FROZEN at the init-time default, the candidate rows a query batch
+    scans grow LINEARLY with the corpus (n·n_probe/n_lists); with
+    ``ivf_lists_for``'s √n rule — the ``rebuild_*(k=None)`` default —
+    candidate growth is √n at the same n_probe.  The deterministic
+    evidence is candidate_rows (rows inside the probed list partitions,
+    exactly what the search scans and scores); timings show the local
+    trend but under-state the gap at this scale, where 50k×64 floats fit
+    in page cache and per-partition file overhead dominates — at 100 TB
+    the candidate bytes ARE the cost.  Fit + build happen outside the
+    timer (production amortizes them across the rebuilt index's life)."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        IVFPQ_LISTS,
+        build_ivf_index,
+        centroid_topn_pandas,
+        ivf_lists_for,
+        search_ivf_index,
+    )
+
+    n_probe = 2
+    rows = []
+    for mode in ("sqrt_lists", "fixed_lists"):
+        rec: dict[str, float] = {}
+        nl: dict[str, int] = {}
+        for tag, d in (("base", BASE), ("scaled", scaled)):
+            emb = spark.read.parquet(f"{d}/embeddings.parquet").selectExpr(
+                "vec_id",
+                "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+            )
+            n = emb.count()
+            n_lists = ivf_lists_for(n) if mode == "sqrt_lists" else IVFPQ_LISTS
+            idx = os.path.join(SCRATCH, f"ivf_{mode}_{tag}")
+            cents_df = kmeans_fit(emb, k=n_lists, n_iter=1)
+            build_ivf_index(emb, cents_df, idx)
+            q = emb.filter(F.col("vec_id") < 20).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            )
+            rec[tag] = timed(
+                lambda *_: search_ivf_index(
+                    spark, idx, q, k=10, n_probe=n_probe
+                )
+            )
+            cents = [
+                (int(r.centroid_id), [float(x) for x in r.embedding])
+                for r in cents_df.collect()
+            ]
+            probed = (
+                q.select(
+                    F.explode(
+                        centroid_topn_pandas(sorted(cents), n_probe)(
+                            F.col("embedding")
+                        )
+                    ).alias("centroid_id")
+                )
+                .distinct()
+            )
+            rec[f"{tag}_candidate_rows"] = (
+                spark.read.parquet(f"{idx}/lists")
+                .join(probed, "centroid_id", "semi")
+                .count()
+            )
+            nl[tag] = n_lists
+        rows.append(
+            {
+                "probe": f"ivf_search_{mode}",
+                **rec,
+                "lists_base": nl["base"],
+                "lists_scaled": nl["scaled"],
+                "factor": round(rec["scaled"] / max(rec["base"], 1e-9), 2),
+                "candidate_factor": round(
+                    rec["scaled_candidate_rows"]
+                    / max(rec["base_candidate_rows"], 1),
+                    2,
+                ),
+            }
+        )
+    return rows
+
+
 def probe_doc_table_compaction(spark) -> dict:
     """Evidences the r9 verdict's small-files item: the anti-join+append
     tables accrete one file set per batch forever, so after N batches
@@ -394,6 +477,11 @@ def main() -> None:
         if scaled is None:
             scaled = build_scaled(spark)
         for row in probe_semdedup_k_scaling(spark, scaled):
+            print(json.dumps(row))
+    if only is None or "ivf_lists" in only:
+        if scaled is None:
+            scaled = build_scaled(spark)
+        for row in probe_ivf_lists_scaling(spark, scaled):
             print(json.dumps(row))
 
 

@@ -1144,3 +1144,60 @@ def test_rebuild_pq_codes_retrains_swaps_and_replays_zero(spark, tmp_path):
     assert rep["n_new"] == 0
     with pytest.raises(ValueError, match="re-encodable"):
         rebuild_pq_codes(spark, emb.filter("vec_id >= 100"), path)
+
+
+def test_ivf_lists_for_sqrt_rule():
+    """The √n list-count rule: floor below, √n above, monotone."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        IVFPQ_LISTS,
+        ivf_lists_for,
+    )
+
+    assert ivf_lists_for(0) == IVFPQ_LISTS
+    assert ivf_lists_for(IVFPQ_LISTS**2 - 1) == IVFPQ_LISTS
+    assert ivf_lists_for(10_000) == 100
+    assert ivf_lists_for(1_000_000) == 1000
+    assert ivf_lists_for(500, floor=4) == 22
+    ns = [10, 100, 10_000, 10**6, 10**8]
+    ks = [ivf_lists_for(n) for n in ns]
+    assert ks == sorted(ks)
+
+
+def test_rebuild_defaults_rescale_with_the_corpus(spark, tmp_path):
+    """k=None on a rebuild must RESCALE the codebook to the accumulated
+    corpus via the √n rule (a frozen list count makes per-query
+    candidate work linear in corpus growth — the semdedup fixed-k trap),
+    for both the IVF index and the IVF-PQ serving tier."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivfpq_index,
+        ivf_lists_for,
+        ivfpq_fit,
+        rebuild_ivf_index,
+        rebuild_ivfpq_index,
+        update_ivfpq_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb, path = _ivf_fixture(spark, tmp_path)
+    n = spark.read.parquet(f"{path}/lists").count()
+    out = rebuild_ivf_index(spark, path, n_iter=1)
+    assert out == {"n_vectors": n, "k": ivf_lists_for(n)}
+    assert spark.read.parquet(f"{path}/centroids").count() == ivf_lists_for(n)
+
+    emb2 = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    p2 = str(tmp_path / "ivfpq")
+    coarse, fine = ivfpq_fit(emb2.filter("vec_id < 100"), n_lists=4, n_iter=1)
+    init_ivfpq_index(spark, coarse, fine, p2)
+    update_ivfpq_index(spark, emb2, p2)
+    out2 = rebuild_ivfpq_index(spark, emb2, p2, n_iter=1)
+    assert out2 == {"n_vectors": 500, "n_lists": ivf_lists_for(500)}
+    # PQ geometry stayed dimension-bound (the standing codebooks')
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        load_ivfpq_quantizers,
+    )
+
+    new_coarse, new_fine = load_ivfpq_quantizers(spark, p2)
+    assert len(new_coarse[0]) == ivf_lists_for(500)
+    assert (len(new_fine), len(new_fine[0])) == (len(fine), len(fine[0]))
