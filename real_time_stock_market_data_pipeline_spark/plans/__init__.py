@@ -29,7 +29,10 @@ ORACLES.update(EMBEDDING_ORACLES)
 #      whole-doc next-fit, images never split), dq4 (index recall-drift
 #      monitor + rebuild_ivf_index retrain-and-swap lifecycle), and
 #      sp13 (sp12's pipeline gated by the TRAINED txt18 classifier,
-#      with per-domain rule-vs-model disagreement);
+#      with per-domain rule-vs-model disagreement), and txt20 (CCNet
+#      head/middle/tail perplexity buckets per language — the graded
+#      form txt15's binary gate ships as, with the per-bucket cut
+#      values in the rows);
 #   3. the r11-green queries in their r11-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50;
 #   FROZEN FOR R14 (named, deliberate): the r11-green queries that do not
@@ -65,6 +68,7 @@ _PRIORITY = [
     # 2 — new this round (window trimmed to 50 below)
     "emb20_d4_prototypes", "dd14_snapshot_dedup", "mm12_multimodal_packing",
     "dq4_index_recall_drift", "sp13_model_curated_corpus",
+    "txt20_ccnet_buckets",
     # 3 — r11-green rotations, r11-window order (fill the window to 50)
     "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
     "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",

@@ -2865,3 +2865,69 @@ def _sp13_model_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp13_model_curated_corpus"] = _sp13_model_curated_corpus
 TEXT_ORACLES["sp13_model_curated_corpus"] = sql_model_curated_corpus("duck")
+
+
+# --- TXT20: CCNet head/middle/tail perplexity buckets ------------------------
+def sql_ccnet_buckets(dialect: str) -> str:
+    """TXT20 — CCNet's actual OUTPUT shape (Wenzek et al. 2020): per
+    language, rank documents by LM perplexity and split them into
+    equal-thirds HEAD / MIDDLE / TAIL buckets — downstream consumers
+    train on head (+middle), and the published per-bucket perplexity
+    cut-offs are what make the split reproducible.  txt15 is the binary
+    keep/drop form; this is the graded form a pipeline owner actually
+    ships, with the cut values (per-bucket min/max perplexity) in the
+    rows.  Unscored docs (NULL text / <2 tokens — no bigram evidence)
+    land in an explicit 'unscored' bucket rather than silently joining
+    tail: they are a different CLASS of document, and CCNet drops them
+    before bucketing.
+
+    Determinism: ntile(3) over the total order (r6-rounded perplexity
+    ASC, doc_id ASC) — the standard first-buckets-take-the-remainder
+    rule is identical in Spark and DuckDB, and the total order makes
+    boundary assignment exact, so bucket membership (not just counts)
+    is engine-identical.  Scale shape: txt12's scoring plan + one
+    doc-id equi-join + ONE per-language window (the ntile rank — a
+    language is one partition; languages are the parallelism unit) +
+    one rollup."""
+    inner = sql_bigram_lm(dialect)
+    return f"""
+WITH scores AS ({inner}),
+scored AS (
+  SELECT d.doc_id, d.lang, d.n_chars, s.perplexity
+  FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+),
+ranked AS (
+  SELECT lang, doc_id, n_chars, perplexity,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY perplexity ASC, doc_id ASC) AS nt
+  FROM scored WHERE perplexity IS NOT NULL
+),
+buckets AS (
+  SELECT lang,
+         CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+         doc_id, n_chars, perplexity
+  FROM ranked
+  UNION ALL
+  SELECT lang, 'unscored' AS bucket, doc_id, n_chars,
+         CAST(NULL AS DOUBLE) AS perplexity
+  FROM scored WHERE perplexity IS NULL
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       min(perplexity) AS ppl_lo,
+       max(perplexity) AS ppl_hi
+FROM buckets
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+def _txt20_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_ccnet_buckets("spark"))
+
+
+QUERIES["txt20_ccnet_buckets"] = _txt20_ccnet_buckets
+TEXT_ORACLES["txt20_ccnet_buckets"] = sql_ccnet_buckets("duck")

@@ -1328,3 +1328,28 @@ def test_upsert_latest_revisions_order_robust_and_idempotent(spark, tmp_path):
     rep = upsert_latest_revisions(spark, b3, path, ["url_key"], "snapshot_day", "doc_id")
     assert rep["n_winners"] == 0
     assert sig() == before  # no rewrite happened at all
+
+
+def test_ccnet_buckets_are_equal_thirds_with_monotone_cuts(spark, sf_dir):
+    """TXT20: per language the scored docs split head/middle/tail with
+    the standard ntile remainder rule (sizes differ by <=1, earlier
+    buckets take the extra), the perplexity ranges are disjoint and
+    monotone head < middle < tail, and unscored docs land in their own
+    bucket with NULL cuts."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["txt20_ccnet_buckets"](spark, sf_dir).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    assert by_lang
+    for lang, bk in by_lang.items():
+        assert {"head", "middle", "tail"} <= set(bk)
+        sizes = [bk["head"].n_docs, bk["middle"].n_docs, bk["tail"].n_docs]
+        assert max(sizes) - min(sizes) <= 1
+        assert sizes == sorted(sizes, reverse=True)  # remainder to the front
+        assert bk["head"].ppl_hi <= bk["middle"].ppl_lo
+        assert bk["middle"].ppl_hi <= bk["tail"].ppl_lo
+        assert bk["head"].ppl_lo <= bk["head"].ppl_hi
+        if "unscored" in bk:
+            assert bk["unscored"].ppl_lo is None and bk["unscored"].ppl_hi is None
