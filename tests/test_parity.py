@@ -31,53 +31,56 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r13_driver_window_pinned():
+def test_r14_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 40
-    r10-green queries frozen out of the r12 window lead (their newest
-    driver row is r10 and turns three rounds old otherwise), new r13
-    queries follow, and r11-green rotations fill to exactly 50.  An
+    only, so the window IS part of the round's evidence plan: the 46
+    r11-green queries frozen out of the r13 window lead (their newest
+    driver row is r11 and turns three rounds old otherwise), new r14
+    queries follow, and r12-green rotations fill to exactly 50.  An
     accidental import-order or registration change would silently spend
     the evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    assert names[:40] == [
-        "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
-        "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
-        "mm1_media_meta",
-        "emb12_incremental_pq", "dq3_embedding_audit", "emb13_ivfpq_recall",
-        "txt14_doc_retrieval", "dd12_neardup_decontamination",
-        "mm10_crossmodal_decontamination", "dd13_compacted_table",
-        "emb14_incremental_ivfpq", "sp8_decontaminated_pipeline",
-        "txt10_repetition", "sp6_temperature_mixture", "sp7_corpus_pipeline",
-        "a13_ohlc_candles", "w11_vwap", "emb9_quantized_recall",
-        "dd10_exact_decontamination", "txt11_pii_redaction",
-        "dd9_incremental_minhash", "emb7_embedding_clusters",
-        "dd2_ngram_jaccard", "txt5_bpe_tokens", "f1_scalar_suite",
-        "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
-        "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
-        "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
+    assert names[:46] == [
+        # the 6 r11 fills displaced by the six new r13 queries
+        "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
+        "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+        # the frozen-for-r14 block, in its committed order
+        "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+        "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
+        "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
+        "emb8_ivf_index_search", "a10_value_histogram",
+        "a11_daily_type_pivot", "a12_rollup_sets", "sp3_capped_per_group",
+        "sp4_balanced_mixture", "dq2_volume_anomalies",
+        "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
+        "mm11_triad_decontamination", "sp9_dup_aware_split",
+        "emb17_incremental_semdedup", "txt15_perplexity_filter",
+        "emb18_filtered_ann", "txt16_duplicated_ngrams", "dd1_exact_dedup",
+        "w2_sma", "w3_ema", "txt1_token_stats", "txt4_fingerprint",
+        "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
+        "mm7_dhash_pairs", "w12_series_similarity", "w13_series_all_pairs",
+        "dd11_incremental_decontamination", "mm8_audio_pairs",
+        "mm9_video_pairs", "emb11_pq_recall", "w14_series_banded_neardup",
     ]
-    # new r13 queries sit directly after the r10 leads; r11-green
+    # new r14 queries sit directly after the r11 leads; r12-green
     # rotations fill the window to 50 (oldest evidence first)
-    new_r13 = [n for n in names[40:50] if n not in _R11_FILL_ORDER]
-    n_new = len(new_r13)
-    assert names[40:40 + n_new] == new_r13  # new queries are contiguous
-    assert names[40 + n_new:50] == _R11_FILL_ORDER[: 10 - n_new]
-    # slot 50 boundary: the frozen-for-r14 block starts at index 50 with
-    # the first displaced r11 fill (emb4_ivf_topk when all ten fills fit)
-    assert names[50] == _R11_FILL_ORDER[10 - n_new]
+    new_r14 = [n for n in names[46:50] if n not in _R12_FILL_ORDER]
+    n_new = len(new_r14)
+    assert names[46:46 + n_new] == new_r14  # new queries are contiguous
+    assert names[46 + n_new:50] == _R12_FILL_ORDER[: 4 - n_new]
+    # slot 50 boundary: the frozen-for-r15 block starts at index 50 with
+    # the first displaced r12 fill (sp2_stratified_sample when all four
+    # new queries landed)
+    assert names[50] == _R12_FILL_ORDER[4 - n_new]
 
 
-# the r11-window order the round-13 fills draw from (r12 policy note):
-# any slot of the 50 not taken by a new r13 query is filled from this
-# list front-to-b, and displaced entries head the frozen-for-r14 block.
-_R11_FILL_ORDER = [
-    "a3_active_series", "mm3_bmp_pixel_stats", "mm4_wav_stats",
-    "mm5_avi_frame_stats", "mm6_png_roundtrip_stats", "flagship",
-    "s14_arima_registry", "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-    "emb4_ivf_topk",
+# the r12-window order the round-14 fills draw from (r13 policy note):
+# any slot of the 50 not taken by a new r14 query is filled from this
+# list front-to-back, and displaced entries head the frozen-for-r15 block.
+_R12_FILL_ORDER = [
+    "sp2_stratified_sample", "dd3_minhash_signatures",
+    "dd4_minhash_candidates", "dd5_simhash", "emb1_knn_cosine",
 ]
 
 
