@@ -586,7 +586,9 @@ def expire_partitions(path: str, partition_col: str, before: str) -> list[str]:
     return entries
 
 
-def recover_upsert(path: str) -> list[str]:
+def recover_upsert(
+    path: str, preserve_unmarked_staging: bool = False
+) -> list[str]:
     """Repair an ``upsert_parquet`` interrupted in any crash window; returns
     the actions taken (empty list = nothing to repair).  Deterministic
     decision rule, keyed on the ``_UPSERT_COMMIT`` marker that
@@ -619,6 +621,16 @@ def recover_upsert(path: str) -> list[str]:
     store) cannot arise from single-writer operation because
     ``upsert_parquet`` refuses to start while orphans exist; if found
     anyway, raise rather than guess.
+
+    ``preserve_unmarked_staging=True`` is the READ-path mode: an
+    unmarked staging is left untouched instead of rolled back.  A
+    staging without the commit marker means the store itself was never
+    touched — a pure reader can serve the store as-is — and the staging
+    may belong to a LIVE ``rebuild_*``/``upsert_parquet`` writer that
+    simply hasn't marked it yet; deleting it from a read path would
+    destroy the writer's in-progress work (the r13 ADVICE finding).
+    Only a WRITER (which holds the single-writer slot, so a leftover
+    unmarked staging is provably a crash orphan) may roll it back.
     """
     _require_local_path(path, "recover_upsert")
     actions: list[str] = []
@@ -626,6 +638,8 @@ def recover_upsert(path: str) -> list[str]:
     for s in _sibling_dirs(path, "staging"):
         if os.path.exists(os.path.join(s, _COMMIT_MARKER)):
             complete.append(s)
+        elif preserve_unmarked_staging:
+            actions.append(f"left in-progress (unmarked) staging {s} alone")
         else:
             shutil.rmtree(s)
             actions.append(f"rolled back incomplete staging {s}")
@@ -677,7 +691,7 @@ def recover_upsert(path: str) -> list[str]:
     return actions
 
 
-def heal_if_interrupted(path: str) -> list[str]:
+def heal_if_interrupted(path: str, for_read: bool = False) -> list[str]:
     """Crash-heal gate for every consumer that READS a swap-protocol store:
     detect orphaned ``__staging_``/``__old_`` siblings (one parent listdir —
     free on the clean path) and run ``recover_upsert`` before anyone reads
@@ -691,12 +705,26 @@ def heal_if_interrupted(path: str) -> list[str]:
     time closes that window: the store a reader sees is always either the
     pre-swap or the post-swap state, never a fresh rebuild.  Remote
     (scheme-prefixed) paths are no-ops — they never use the rename
-    protocol.  Returns ``recover_upsert``'s action list (empty = clean)."""
+    protocol.  Returns ``recover_upsert``'s action list (empty = clean).
+
+    ``for_read=True`` is for PURE readers (``search_*``, recall gates):
+    an unmarked staging is preserved rather than rolled back, because it
+    may belong to a LIVE writer that hasn't durability-marked it yet —
+    the store itself is untouched until the marker lands, so the reader
+    can serve it unchanged.  A COMPLETE (marked) staging is still rolled
+    forward even under ``for_read`` — that is required for correctness
+    when the store directory is mid-swap-absent — so the narrow window
+    between a live writer's marker write and its final rename remains
+    single-party: a rebuild concurrent with readers can lose the
+    roll-forward race there, failing LOUDLY on its own rename (never
+    corrupting data — both parties perform the identical swap).  Hold
+    rebuilds to the documented exclusive-writer contract to avoid that
+    benign-but-noisy race."""
     if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", path):
         return []
     if not (_sibling_dirs(path, "staging") or _sibling_dirs(path, "old")):
         return []
-    return recover_upsert(path)
+    return recover_upsert(path, preserve_unmarked_staging=for_read)
 
 
 def upsert_sink(

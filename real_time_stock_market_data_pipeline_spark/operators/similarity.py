@@ -610,6 +610,11 @@ def rebuild_ivf_index(
         acc.select(vec_id, vec), k=int(k), n_iter=n_iter,
         vec_id=vec_id, vec=vec,
     )
+    # kmeans_fit always emits a column literally named 'centroid_id' —
+    # rename to the caller's name so a custom centroid_id round-trips
+    # (r13 ADVICE: the select/collect below would otherwise raise)
+    if centroid_id != "centroid_id":
+        cents_df = cents_df.withColumnRenamed("centroid_id", centroid_id)
     cents = _collect_codebook(cents_df, centroid_id, vec)
     staging = f"{path}__staging_{_uuid.uuid4().hex}"
     cents_df.select(F.col(centroid_id), F.col(vec)).write.mode(
@@ -672,8 +677,8 @@ def search_ivf_index(
     # heal-before-read (r12 discipline), now at the index ROOT too: a
     # rebuild_ivf_index killed mid-swap leaves the whole index displaced
     # with a complete staging pending — roll it forward before serving
-    heal_if_interrupted(path)
-    heal_if_interrupted(f"{path}/lists")
+    heal_if_interrupted(path, for_read=True)
+    heal_if_interrupted(f"{path}/lists", for_read=True)
     cents = _collect_codebook(spark.read.parquet(f"{path}/centroids"), centroid_id, vec)
     probes = queries.select(
         F.col(query_id),
@@ -1069,6 +1074,49 @@ def pq_rerank_topk(
         F.col("l2_dist").asc(), F.col(vec_id).asc()
     )
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def pq_self_distortion(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Per-vector PQ RECONSTRUCTION error — ``pq_dist(v, codes(v))``,
+    the ADC distance between a vector and its OWN codes.  This is the
+    flat code table's drift monitor metric (dq5): codebooks trained on
+    one data era reconstruct that era tightly; vectors from a drifted
+    distribution land far from every sub-centroid, so their
+    reconstruction error rises BEFORE search quality visibly degrades —
+    the standard quantizer-health signal (Jégou et al. PAMI'11 measure
+    quantizer quality exactly as mean squared reconstruction error).
+
+    One equi-join of floats to codes on the vector id + JVM fold per
+    row — no pair work, no top-k, corpus-linear; at 100 TB the monitor
+    runs on a sample exactly like dq4's query sampling.  Output:
+    (vec_id, pq_dist)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    cb = _pq_lits(codebooks)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + _sq_l2(
+            F.slice(F.col(vec), j * d_sub + 1, d_sub),
+            F.element_at(
+                F.element_at(cb, (j + 1).cast("int")),
+                F.element_at(F.col("pq_codes"), (j + 1).cast("int")) + 1,
+            ),
+        ),
+    )
+    return (
+        corpus.select(vec_id, vec)
+        .join(codes.select(vec_id, "pq_codes"), vec_id)
+        .withColumn("pq_dist", dist)
+        .select(vec_id, "pq_dist")
+    )
 
 
 # --- Incremental PQ code table ----------------------------------------------
@@ -1723,9 +1771,10 @@ def search_ivfpq_index(
     from ..maintenance import heal_if_interrupted
 
     # heal-before-read at the index ROOT: a rebuild_ivfpq_index killed
-    # mid-swap rolls forward (or an unmarked staging rolls back) here
-    heal_if_interrupted(path)
-    heal_if_interrupted(f"{path}/index")
+    # mid-swap rolls forward here; for_read preserves a live writer's
+    # not-yet-marked staging (readers never destroy in-progress work)
+    heal_if_interrupted(path, for_read=True)
+    heal_if_interrupted(f"{path}/index", for_read=True)
     coarse, fine = load_ivfpq_quantizers(spark, path)
     probes = ivfpq_probes(
         queries, coarse, n_probe=n_probe, query_id=query_id, vec=vec
@@ -2419,7 +2468,12 @@ def rebuild_semantic_index(
     if arrow is None:
         arrow = len(cents) >= SEMDEDUP_AUTO_ARROW_K
     assigned = semantic_assignment(acc, cents, vec_id, vec, arrow)
-    pairs = _pairs_from_assignment(assigned, threshold, vec_id, vec, arrow)
+    # checkpoint the pair frame: .count() below and the staged write
+    # would otherwise EACH run the full within-cluster GEMM pass,
+    # doubling the "price of ONE one-shot SemDeDup" (r13 ADVICE)
+    pairs = _pairs_from_assignment(
+        assigned, threshold, vec_id, vec, arrow
+    ).localCheckpoint(eager=False)
     staging = f"{path}__staging_{_uuid.uuid4().hex}"
     cents_df.select(F.col("centroid_id"), F.col(vec)).write.mode(
         "overwrite"

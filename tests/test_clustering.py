@@ -887,13 +887,17 @@ def test_rebuild_ivf_index_crash_mid_swap_heals_on_search(
 
 def test_rebuild_ivf_index_incomplete_staging_rolls_back(spark, tmp_path):
     """A rebuild that died DURING the staging write (no commit marker)
-    must roll back on the next read: the staging is discarded and the
-    OLD index keeps serving unchanged."""
+    left the store untouched, so a READER keeps serving the OLD index
+    and — r13 ADVICE — must NOT delete the staging: an unmarked staging
+    is indistinguishable from a LIVE writer's in-progress work, and only
+    a writer (which owns the single-writer slot, so the orphan is
+    provably a crash leftover) may roll it back."""
     import os as _os
 
     from pyspark.sql import functions as F
 
     import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+    from real_time_stock_market_data_pipeline_spark import maintenance as mnt
 
     emb, path = _ivf_fixture(spark, tmp_path)
     staging = f"{path}__staging_deadbeef"
@@ -904,7 +908,46 @@ def test_rebuild_ivf_index_incomplete_staging_rolls_back(spark, tmp_path):
     got = sim.search_ivf_index(spark, path, q, k=5, n_probe=2).collect()
     assert {r.query_id for r in got} == {0, 1}
     assert spark.read.parquet(f"{path}/centroids").count() == 4  # old codebook
+    # the reader preserved the (possibly live) staging ...
+    assert _os.path.exists(staging)
+    # ... and the next WRITER-side heal rolls it back
+    actions = mnt.heal_if_interrupted(path)
+    assert any("rolled back incomplete staging" in a for a in actions)
     assert not _os.path.exists(staging)
+
+
+def test_rebuild_ivf_index_honors_custom_centroid_id(spark, tmp_path):
+    """r13 ADVICE: kmeans_fit emits a column literally named
+    'centroid_id'; rebuild_ivf_index must alias it to the caller's
+    centroid_id or the select/collect raises AnalysisException."""
+    from pyspark.sql import functions as F
+
+    import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import kmeans_fit
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+    )
+    path = str(tmp_path / "ivf_custom")
+    cents = kmeans_fit(emb, k=4, n_iter=1).withColumnRenamed(
+        "centroid_id", "list_no"
+    )
+    sim.init_ivf_index(cents, path, centroid_id="list_no")
+    sim.update_ivf_index(spark, emb, path, centroid_id="list_no")
+    out = sim.rebuild_ivf_index(spark, path, k=8, n_iter=1, centroid_id="list_no")
+    assert out["k"] == 8
+    lists = spark.read.parquet(f"{path}/lists")
+    assert "list_no" in lists.columns
+    assert spark.read.parquet(f"{path}/centroids").count() == 8
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sim.search_ivf_index(
+        spark, path, q, k=5, n_probe=2, centroid_id="list_no"
+    ).collect()
+    assert {r.query_id for r in got} == {0, 1}
 
 
 def test_rebuild_ivfpq_index_retrains_swaps_and_serves(spark, tmp_path):
@@ -1201,3 +1244,55 @@ def test_rebuild_defaults_rescale_with_the_corpus(spark, tmp_path):
     new_coarse, new_fine = load_ivfpq_quantizers(spark, p2)
     assert len(new_coarse[0]) == ivf_lists_for(500)
     assert (len(new_fine), len(new_fine[0])) == (len(fine), len(fine[0]))
+
+
+def test_pq_self_distortion_matches_adc_and_orders_drift(spark):
+    """pq_self_distortion(v) must equal the ADC distance pq_search
+    computes between v and its own codes (same codebooks, same fold),
+    and codebooks trained on one segment must reconstruct a shifted
+    segment strictly worse — the dq5 monitor's signal."""
+    from pyspark.sql import functions as F
+
+    import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+    ).filter("vec_id < 128")
+    cbs = sim.pq_fit(emb, m=8, k=8, n_iter=2)
+    codes = sim.pq_encode(emb, cbs, arrow=False).select("vec_id", "pq_codes")
+
+    got = {
+        r.vec_id: r.pq_dist
+        for r in sim.pq_self_distortion(emb, codes, cbs).collect()
+    }
+    # ADC twin: pq_search with the corpus as queries; self distance =
+    # the row where query_id == vec_id (k large enough to keep it)
+    twin = {
+        r.query_id: r.pq_dist
+        for r in sim.pq_search(
+            emb.select(F.col("vec_id").alias("query_id"), "embedding"),
+            codes, cbs, k=128,
+        ).filter("query_id = vec_id").collect()
+    }
+    assert set(got) == set(twin) and len(got) == 128
+    assert all(abs(got[i] - twin[i]) < 1e-12 for i in got)
+
+    # drift signal: reconstruct a shifted copy (the codebooks never saw
+    # it) — mean error must be strictly larger than on the fit segment
+    shifted = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> x * CAST(-1.0 AS DOUBLE) + "
+            "CAST(0.25 AS DOUBLE))"
+        ).alias("embedding"),
+    )
+    scodes = sim.pq_encode(shifted, cbs, arrow=False).select("vec_id", "pq_codes")
+    fit_err = sim.pq_self_distortion(emb, codes, cbs).agg(
+        F.avg("pq_dist")
+    ).first()[0]
+    drift_err = sim.pq_self_distortion(shifted, scodes, cbs).agg(
+        F.avg("pq_dist")
+    ).first()[0]
+    assert drift_err > fit_err

@@ -818,3 +818,42 @@ def test_heal_if_interrupted_is_cheap_noop_paths(tmp_path):
     d = tmp_path / "clean"
     d.mkdir()
     assert mnt.heal_if_interrupted(str(d)) == []
+
+
+def test_heal_for_read_preserves_unmarked_staging(tmp_path):
+    """r13 ADVICE: an unmarked staging may belong to a LIVE writer — a
+    read-path heal must leave it alone (the store is untouched until the
+    marker lands, so the reader serves the current store safely); only a
+    writer-mode heal rolls it back.  A COMPLETE (marked) staging still
+    rolls forward under for_read: that repair is required when the store
+    is mid-swap-absent."""
+    import os
+
+    import real_time_stock_market_data_pipeline_spark.maintenance as mnt
+
+    store = tmp_path / "table"
+    store.mkdir()
+    (store / "part-0.parquet").write_bytes(b"x")
+    staging = tmp_path / "table__staging_live"
+    staging.mkdir()
+    (staging / "part-0.parquet").write_bytes(b"y")
+
+    # read-mode: preserved, store untouched
+    actions = mnt.heal_if_interrupted(str(store), for_read=True)
+    assert staging.exists() and (store / "part-0.parquet").exists()
+    assert any("left in-progress" in a for a in actions)
+
+    # writer-mode: rolled back
+    actions = mnt.heal_if_interrupted(str(store))
+    assert not staging.exists()
+    assert any("rolled back incomplete staging" in a for a in actions)
+
+    # complete staging + absent store: for_read still rolls FORWARD
+    gone = tmp_path / "swapped"
+    stg2 = tmp_path / "swapped__staging_done"
+    stg2.mkdir()
+    (stg2 / "part-0.parquet").write_bytes(b"z")
+    (stg2 / mnt._COMMIT_MARKER).write_bytes(b"")
+    mnt.heal_if_interrupted(str(gone), for_read=True)
+    assert gone.exists() and not stg2.exists()
+    assert (gone / "part-0.parquet").read_bytes() == b"z"
