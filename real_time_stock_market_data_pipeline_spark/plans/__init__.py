@@ -64,7 +64,7 @@ _PRIORITY = [
     "dd11_incremental_decontamination", "mm8_audio_pairs", "mm9_video_pairs",
     "emb11_pq_recall", "w14_series_banded_neardup",
     # 2 — new this round (window trimmed to 50 below)
-    # (added as implemented: dq5, txt21, txt22, dd15)
+    "dq5_serving_drift_monitors", "txt21_dsir_resample",
     # 3 — green in CORRECTNESS_r12 (zero failures), r12-window order;
     #     entries past slot 50 are FROZEN FOR R15
     "sp2_stratified_sample", "dd3_minhash_signatures",

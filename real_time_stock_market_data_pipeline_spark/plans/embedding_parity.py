@@ -1141,3 +1141,262 @@ ORDER BY phase, segment
 
 QUERIES["dq4_index_recall_drift"] = _dq4_index_recall_drift
 EMBEDDING_ORACLES["dq4_index_recall_drift"] = sql_index_recall_drift("duck")
+
+
+# --- DQ5: drift monitors for the OTHER three index families -------------------
+# dq4 monitors the plain IVF index; r13 shipped rebuilds for all FOUR
+# incremental families but monitors for only one — dq5 closes the gap
+# with one family-appropriate drift metric each:
+#   ivfpq    — recall@10 of the SERVING tier (search_ivfpq_index) vs the
+#              exact L2 top-10, the dq4 gate on the layout 100 TB
+#              actually queries;
+#   pq       — mean RECONSTRUCTION error (pq_self_distortion): the flat
+#              code table has no list scatter, so quantizer health is
+#              the drift signal (Jégou et al. PAMI'11's quality metric);
+#   semantic — COVERAGE of the planted same-group pair watchlist in the
+#              accumulated pairs table: drift scatters group members
+#              across frozen clusters, and pairs only form WITHIN
+#              clusters, so missed true pairs are the decay.
+# Shared planted-drift fixture with dq4 (two eras of 16 neighbor
+# groups); every gate measured at sf0.001/0.01/0.1: ivfpq recall 0.90
+# pre / 0.63-0.69 post / 0.90-0.90 rebuilt; pq distortion 0.196-0.200
+# pre / 0.538-0.562 post / 0.276-0.294 rebuilt; semantic coverage
+# 0.999-1.0 pre / 0.40-0.51 post / 0.999-1.0 rebuilt.
+DQ5_DISTORTION_CAP = 0.4   # between rebuilt≈0.29 and drifted≈0.54
+DQ5_SEM_THRESHOLD = 0.7    # below the 0.69-0.71 within-group cosine floor
+DQ5_COVERAGE_FLOOR = 0.8
+
+
+def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5 — the dq4 monitor generalized to the whole index-lifecycle
+    family: every incremental store freezes its quantizer/codebook at
+    init, so every family decays under drift in its own way and needs
+    its own WHEN-to-rebuild signal.  One planted-drift fixture (dq4's
+    two eras), three monitors, three rebuilds
+    (``rebuild_ivfpq_index`` / ``rebuild_pq_codes`` /
+    ``rebuild_semantic_index``, each the staging/commit-marker/two-
+    rename swap), and the deterministic truth table: each family's gate
+    holds pre-drift, FAILS on the drifted segment standing, and clears
+    on both segments after its rebuild.  Output: one row per
+    (family, phase, segment)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import (
+        _sq_l2,
+        init_ivfpq_index,
+        init_pq_index,
+        init_semantic_index,
+        ivfpq_fit,
+        load_pq_codebooks,
+        pq_fit,
+        pq_self_distortion,
+        rebuild_ivfpq_index,
+        rebuild_pq_codes,
+        rebuild_semantic_index,
+        search_ivfpq_index,
+        update_ivfpq_index,
+        update_pq_codes,
+        update_semantic_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= DQ4_PLANT_BASE:
+        raise ValueError(
+            f"dq5 fixture: corpus vec_ids reach {max_id} >= the planted-id "
+            f"offset {DQ4_PLANT_BASE}"
+        )
+    emb.createOrReplaceTempView("embeddings")
+    old = spark.sql(
+        _dq4_planted_groups(0, DQ4_GROUPS - 1, DQ4_PLANT_BASE)
+    ).localCheckpoint(eager=False)
+    new = spark.sql(
+        _dq4_planted_groups(DQ4_GROUPS, 2 * DQ4_GROUPS - 1, 2 * DQ4_PLANT_BASE)
+    ).localCheckpoint(eager=False)
+    corpus = old.unionByName(new).localCheckpoint(eager=False)
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_dq5idx",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    seg_col = F.when(
+        F.col("vec_id") >= 2 * DQ4_PLANT_BASE, F.lit("post_drift")
+    ).otherwise(F.lit("pre_drift"))
+
+    def gate_rows(family: str, phase: str, per_item: DataFrame,
+                  metric: str, ok) -> DataFrame:
+        """(family, phase, segment, n_items, gate_ok) from a per-item
+        metric frame carrying vec_id; `ok` maps the segment-avg column
+        to the boolean gate."""
+        return (
+            per_item.withColumn("segment", seg_col)
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                ok(F.avg(metric)).alias("gate_ok"),
+            )
+            .select(
+                F.lit(family).alias("family"),
+                F.lit(phase).alias("phase"),
+                "segment",
+                "n_items",
+                "gate_ok",
+            )
+            # materialize NOW: the rebuild swaps the store this plan
+            # reads, so a lazy 'standing' scan would see the new one
+            .localCheckpoint()
+        )
+
+    out: list[DataFrame] = []
+
+    # --- family 1: IVF-PQ serving tier (recall@10 vs exact L2) -----------
+    ivfp = os.path.join(root, "ivfpq")
+    coarse, fine = ivfpq_fit(old, n_lists=DQ4_GROUPS, n_iter=3)
+    init_ivfpq_index(spark, coarse, fine, ivfp)
+    update_ivfpq_index(spark, old, ivfp)
+    update_ivfpq_index(spark, new, ivfp)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        queries.alias("q")
+        .join(corpus.alias("c"), F.col("q.query_id") != F.col("c.vec_id"))
+        .select(
+            "q.query_id",
+            "c.vec_id",
+            _sq_l2(F.col("q.embedding"), F.col("c.embedding")).alias("l2"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+
+    def ivfpq_recall(phase: str) -> DataFrame:
+        got = search_ivfpq_index(
+            spark, ivfp, queries, corpus, k=10, n_probe=2
+        ).select("query_id", "vec_id")
+        hits = exact.join(got, ["query_id", "vec_id"]).groupBy(
+            "query_id"
+        ).agg(F.count(F.lit(1)).alias("n_hit"))
+        per_q = (
+            exact.groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_exact"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.col("query_id").alias("vec_id"),
+                (
+                    F.coalesce("n_hit", F.lit(0)).cast("double")
+                    / F.col("n_exact").cast("double")
+                ).alias("recall"),
+            )
+        )
+        return gate_rows(
+            "ivfpq", phase, per_q, "recall",
+            lambda avg: avg >= F.lit(DQ4_RECALL_FLOOR),
+        )
+
+    out.append(ivfpq_recall("standing"))
+    rebuild_ivfpq_index(spark, corpus, ivfp, n_lists=2 * DQ4_GROUPS, n_iter=3)
+    out.append(ivfpq_recall("rebuilt"))
+
+    # --- family 2: flat PQ code table (mean reconstruction error) --------
+    pqp = os.path.join(root, "pq")
+    init_pq_index(spark, pq_fit(old, n_iter=3), pqp)
+    update_pq_codes(spark, old, pqp)
+    update_pq_codes(spark, new, pqp)
+
+    def pq_health(phase: str) -> DataFrame:
+        per_v = pq_self_distortion(
+            corpus,
+            spark.read.parquet(f"{pqp}/codes"),
+            load_pq_codebooks(spark, pqp),
+        )
+        return gate_rows(
+            "pq", phase, per_v, "pq_dist",
+            lambda avg: avg <= F.lit(DQ5_DISTORTION_CAP),
+        )
+
+    out.append(pq_health("standing"))
+    rebuild_pq_codes(spark, corpus, pqp, n_iter=3)
+    out.append(pq_health("rebuilt"))
+
+    # --- family 3: semantic index (planted-pair coverage) ----------------
+    semp = os.path.join(root, "sem")
+    init_semantic_index(kmeans_fit(old, k=DQ4_GROUPS, n_iter=3), semp)
+    update_semantic_index(spark, old, semp, threshold=DQ5_SEM_THRESHOLD)
+    update_semantic_index(spark, new, semp, threshold=DQ5_SEM_THRESHOLD)
+    grp = lambda side: (F.col(f"{side}.vec_id") / 100).cast("int")  # noqa: E731
+    truth = (
+        corpus.alias("a")
+        .join(
+            corpus.alias("b"),
+            (grp("a") == grp("b")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def sem_coverage(phase: str) -> DataFrame:
+        got = spark.read.parquet(f"{semp}/pairs").select(
+            "vec_a", "vec_b", F.lit(1.0).alias("__found")
+        )
+        per_pair = truth.join(got, ["vec_a", "vec_b"], "left").select(
+            F.col("vec_a").alias("vec_id"),  # pair era = either end's era
+            F.coalesce("__found", F.lit(0.0)).alias("covered"),
+        )
+        return gate_rows(
+            "semantic", phase, per_pair, "covered",
+            lambda avg: avg >= F.lit(DQ5_COVERAGE_FLOOR),
+        )
+
+    out.append(sem_coverage("standing"))
+    rebuild_semantic_index(
+        spark, semp, threshold=DQ5_SEM_THRESHOLD, k=2 * DQ4_GROUPS, n_iter=3
+    )
+    out.append(sem_coverage("rebuilt"))
+
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("family", "phase", "segment")
+
+
+def sql_serving_drift_monitors(dialect: str) -> str:
+    """DQ5's oracle — the deterministic truth table across all three
+    families: every gate holds pre-drift, fails on the drifted segment
+    standing, and clears on both segments after the family's rebuild.
+    n_items: 16 sampled queries (ivfpq), 208 vectors (pq), and 16·C(13,2)
+    = 1248 same-group watchlist pairs (semantic) per segment."""
+    del dialect
+    rows = []
+    for family, n in (("ivfpq", 16), ("pq", 208), ("semantic", 1248)):
+        for phase in ("rebuilt", "standing"):
+            for segment in ("post_drift", "pre_drift"):
+                ok = not (phase == "standing" and segment == "post_drift")
+                rows.append(
+                    f"SELECT '{family}' AS family, '{phase}' AS phase, "
+                    f"'{segment}' AS segment, CAST({n} AS BIGINT) AS n_items, "
+                    f"{str(ok).lower()} AS gate_ok"
+                )
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY family, phase, segment"
+
+
+QUERIES["dq5_serving_drift_monitors"] = _dq5_serving_drift_monitors
+EMBEDDING_ORACLES["dq5_serving_drift_monitors"] = sql_serving_drift_monitors(
+    "duck"
+)
