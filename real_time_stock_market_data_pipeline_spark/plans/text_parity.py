@@ -2931,3 +2931,155 @@ def _txt20_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt20_ccnet_buckets"] = _txt20_ccnet_buckets
 TEXT_ORACLES["txt20_ccnet_buckets"] = sql_ccnet_buckets("duck")
+
+
+# --- TXT21: DSIR importance resampling (Xie et al. 2023) ----------------------
+DSIR_BUCKETS = 64     # hashed n-gram feature buckets (DSIR's hashing trick)
+DSIR_K = 100          # resampled corpus size
+DSIR_TARGET = "en"    # target distribution = the English slice
+
+
+def sql_dsir(dialect: str) -> str:
+    """TXT21 — DSIR-style data selection (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): estimate
+    importance weights between a TARGET distribution (here the
+    ``lang='{DSIR_TARGET}'`` slice) and the RAW corpus over hashed
+    n-gram features, then resample the raw corpus by those weights.
+
+    Faithful-to-paper pieces, each made bit-exact across engines:
+
+    * features = unigrams + bigrams hashed into ``DSIR_BUCKETS`` buckets
+      (txt13's hashing trick, tok_hash — engine-neutral);
+    * the two distributions are map-combinable INTEGER count tables
+      (txt12's layout) with add-one smoothing, so every per-bucket ratio
+      is a ratio of two BIGINTs;
+    * the per-bucket log-ratio is rounded HALF-UP AT 1e-6 INTO INTEGER
+      MICRO-UNITS (``floor(ln(r)·1e6 + 0.5)``) — the txt18 trick: the
+      only float op is one ln per BUCKET (64 rows), and the per-document
+      weight is then an exact BIGINT sum, order-independent under any
+      shuffle, identical in both engines;
+    * log-weight is length-normalized (mean per-feature log-ratio — the
+      bag-of-ngrams weight divided by feature count, the standard
+      normalization that keeps exp() in range for any doc length);
+    * sampling is deterministic weighted reservoir (Efraimidis-Spirakis
+      A-Res): key = ln(u)/w with u a hash-derived uniform in (0,1) — no
+      RNG, replayable, same top-``DSIR_K`` in both engines.
+
+    Scale shape: one explode + one groupBy for each count table (the
+    target table is a filtered second aggregate of the SAME exploded
+    frame), a broadcast-sized 64-row ratio join, one per-doc integer
+    aggregate, one global top-k window.  At 100 TB the count tables are
+    64 rows (map-side combine does all the work) and the only wide
+    operation is the final rank — replaceable by a threshold on the key
+    when k is a fraction, exactly as the paper samples."""
+    toks = "toks"
+    n = list_len(dialect, toks)
+    # bigram list; both engines: 1-based element_at/[] indexing
+    big_body = (
+        f"{elem_str(dialect, toks, 'CAST(i AS INT)')} || ' ' || "
+        f"{elem_str(dialect, toks, 'CAST(i + 1 AS INT)')}"
+    )
+    bigrams = transform(
+        dialect, seq(dialect, "1", f"{n} - 1"), big_body, var="i"
+    )
+    # docs all carry >= 10 tokens (min pinned by test); the n>=2 guard
+    # keeps the sequence() endpoints ordered for single-token docs, where
+    # Spark's sequence(1, 0) would DESCEND while DuckDB's is empty
+    feats = (
+        f"CASE WHEN {n} >= 2 THEN "
+        f"concat(toks, {bigrams}) ELSE toks END"
+        if dialect == "spark"
+        else f"CASE WHEN {n} >= 2 THEN list_concat(toks, {bigrams}) ELSE toks END"
+    )
+    b = f"({tok_hash(dialect, 'feat')}) % {DSIR_BUCKETS}"
+    # u in (0,1): hash the doc id string — integer-derived, exact
+    u = (
+        f"(CAST(({tok_hash(dialect, squote_concat(dialect))}) + 1 AS DOUBLE)"
+        f" / CAST({P_MOD} + 1 AS DOUBLE))"
+    )
+    lr = (
+        f"ln((CAST(coalesce(np, 0) + 1 AS DOUBLE) * "
+        f"CAST(nq_total + {DSIR_BUCKETS} AS DOUBLE)) / "
+        f"(CAST(nq + 1 AS DOUBLE) * "
+        f"CAST(np_total + {DSIR_BUCKETS} AS DOUBLE)))"
+    )
+    feat_rows = explode_from(
+        dialect, "featdocs", "feats", "feat", "doc_id, lang"
+    )
+    return f"""
+WITH {docs_cte(dialect)},
+featdocs AS (
+  SELECT doc_id, lang, {feats} AS feats FROM docs
+),
+feat_rows AS ({feat_rows}),
+bucketed AS (
+  SELECT doc_id, lang, {b} AS b FROM feat_rows
+),
+raw_counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS nq FROM bucketed GROUP BY b
+),
+tgt_counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS np FROM bucketed
+  WHERE lang = '{DSIR_TARGET}' GROUP BY b
+),
+totals AS (
+  SELECT CAST(sum(nq) AS BIGINT) AS nq_total FROM raw_counts
+),
+tgt_totals AS (
+  SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS np_total FROM tgt_counts
+),
+ratios AS (
+  SELECT r.b,
+         CAST(floor(({lr}) * {d('1000000.0')} + {d('0.5')}) AS BIGINT)
+           AS lr_micro
+  FROM raw_counts r
+  LEFT JOIN tgt_counts t ON r.b = t.b
+  CROSS JOIN totals CROSS JOIN tgt_totals
+),
+perdoc AS (
+  SELECT bu.doc_id,
+         CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(lr_micro) AS BIGINT) AS lr_micro_sum
+  FROM bucketed bu JOIN ratios ra ON bu.b = ra.b
+  GROUP BY bu.doc_id
+),
+weighted AS (
+  SELECT d2.doc_id, d2.lang, n_feats, lr_micro_sum,
+         {r6t(f"CAST(lr_micro_sum AS DOUBLE) / {d('1000000.0')} / CAST(n_feats AS DOUBLE)")} AS logw
+  FROM perdoc p JOIN docs d2 ON p.doc_id = d2.doc_id
+),
+keyed AS (
+  SELECT doc_id, lang, n_feats, lr_micro_sum, logw,
+         {r6t(f"ln({u}) / exp(logw)")} AS res_key
+  FROM weighted
+)
+SELECT doc_id, lang, n_feats, lr_micro_sum, logw,
+       CAST(row_number() OVER (ORDER BY res_key DESC, doc_id ASC) AS BIGINT)
+         AS sample_rank,
+       row_number() OVER (ORDER BY res_key DESC, doc_id ASC) <= {DSIR_K}
+         AS sampled
+FROM keyed
+"""
+
+
+def elem_str(dialect: str, lst: str, i: str) -> str:
+    """1-based list element access (string result) — both engines."""
+    if dialect == "spark":
+        return f"element_at({lst}, {i})"
+    return f"({lst})[{i}]"
+
+
+def squote_concat(dialect: str) -> str:
+    """The A-Res uniform's hash input: 'u' || doc_id as a string —
+    the canonical BIGINT decimal rendering in both engines."""
+    t = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"'u' || CAST(doc_id AS {t})"
+
+
+def _txt21_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_dsir("spark"))
+
+
+QUERIES["txt21_dsir_resample"] = _txt21_dsir_resample
+TEXT_ORACLES["txt21_dsir_resample"] = sql_dsir("duck")

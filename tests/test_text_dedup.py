@@ -1353,3 +1353,38 @@ def test_ccnet_buckets_are_equal_thirds_with_monotone_cuts(spark, sf_dir):
         assert bk["head"].ppl_lo <= bk["head"].ppl_hi
         if "unscored" in bk:
             assert bk["unscored"].ppl_lo is None and bk["unscored"].ppl_hi is None
+
+
+def test_dsir_upweights_the_target_domain(spark):
+    """TXT21's visible signal, pinned on a planted fixture: docs written
+    in the target slice's (disjoint) vocabulary must receive strictly
+    larger importance weights than off-target docs — every en doc above
+    every fr doc — and on the real sf0.001 corpus the target language's
+    mean log-weight must be the maximum across languages."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import sql_dsir
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(["alpha beta gamma delta"] * 3), "en", "s", 60))
+    for i in range(20, 40):
+        rows.append((i, " ".join(["rouge vert bleu jaune"] * 3), "fr", "s", 60))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    out = spark.sql(sql_dsir("spark")).collect()
+    en_w = [r.logw for r in out if r.lang == "en"]
+    fr_w = [r.logw for r in out if r.lang == "fr"]
+    assert len(en_w) == len(fr_w) == 20
+    assert min(en_w) > max(fr_w)
+
+    load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .createOrReplaceTempView("documents")
+    means = {
+        r.lang: r.m
+        for r in spark.sql(sql_dsir("spark"))
+        .groupBy("lang").agg(F.avg("logw").alias("m")).collect()
+    }
+    assert max(means, key=means.get) == "en"
