@@ -65,6 +65,7 @@ _PRIORITY = [
     "emb11_pq_recall", "w14_series_banded_neardup",
     # 2 — new this round (window trimmed to 50 below)
     "dq5_serving_drift_monitors", "txt21_dsir_resample",
+    "txt22_bm25_retrieval", "dd15_paragraph_dedup",
     # 3 — green in CORRECTNESS_r12 (zero failures), r12-window order;
     #     entries past slot 50 are FROZEN FOR R15
     "sp2_stratified_sample", "dd3_minhash_signatures",

@@ -3083,3 +3083,210 @@ def _txt21_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt21_dsir_resample"] = _txt21_dsir_resample
 TEXT_ORACLES["txt21_dsir_resample"] = sql_dsir("duck")
+
+
+# --- TXT22: BM25 retrieval ----------------------------------------------------
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_TOPK = 10
+
+
+def sql_bm25(dialect: str) -> str:
+    """TXT22 — BM25 (Robertson/Spärck Jones) corpus retrieval, the
+    standard lexical scorer for corpus curation & retrieval-based data
+    selection: for txt14's bounded query set (doc_id % 97 = 0), the
+    top-10 corpus docs by
+
+        score(q,d) = Σ_{{t ∈ q}} idf(t) · tf(t,d)·(k1+1) /
+                      (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+
+    with the non-negative idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    k1=1.2, b=0.75 (the Lucene/Robertson defaults).
+
+    Bit-exactness across engines (the txt18/txt21 integer trick): the
+    per-(query,term,doc) contribution is rounded half-up into INTEGER
+    MICRO-UNITS, so the per-(query,doc) score is an exact BIGINT sum —
+    order-independent under any shuffle — and the top-10 cut ranks on
+    (score_micro DESC, match_doc ASC), a pure integer total order.  The
+    only float ops are one idf ln per distinct TERM and one tf
+    normalization per scored row, identical expression text in both
+    engines.
+
+    Scale shape: tf and df are ONE df-aggregate each on the token key
+    (txt16's layout, map-combinable counts); the query side is
+    query-set-sized and broadcasts; candidates stream through a single
+    corpus-side shuffle on the term key (the w12/txt14 relationship).
+    At 100 TB the fan-out knob is the standard high-df stop-term cut /
+    impact-ordered (WAND) pruning — df is already computed here, so the
+    cut is one predicate; this corpus' tiny synthetic vocabulary makes
+    every term common, so the query keeps all terms and lets the
+    near-zero idf of common terms do the down-weighting, exactly as
+    BM25 defines."""
+    k1 = d(BM25_K1)
+    bb = d(BM25_B)
+    idf = "ln(1 + (CAST(n_docs - df AS DOUBLE) + {h}) / (CAST(df AS DOUBLE) + {h}))".format(
+        h=d("0.5")
+    )
+    tfnorm = (
+        f"(CAST(tf AS DOUBLE) * ({k1} + {d('1.0')})) / "
+        f"(CAST(tf AS DOUBLE) + {k1} * ({d('1.0')} - {bb} + {bb} * "
+        f"CAST(dl AS DOUBLE) / avgdl))"
+    )
+    tok_rows = explode_from(dialect, "docs", "toks", "tok", "doc_id")
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok_rows GROUP BY doc_id, tok
+),
+doclen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok_rows GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM doclen
+),
+df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+qterms AS (
+  SELECT doc_id AS query_doc, tok FROM tf WHERE doc_id % 97 = 0
+),
+contrib AS (
+  SELECT q.query_doc, c.doc_id AS match_doc,
+         CAST(floor(({idf}) * ({tfnorm}) * {d('1000000.0')} + {d('0.5')})
+              AS BIGINT) AS w_micro
+  FROM qterms q
+  JOIN tf c ON c.tok = q.tok AND c.doc_id <> q.query_doc
+  JOIN df ON df.tok = q.tok
+  JOIN doclen ON doclen.doc_id = c.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_doc, match_doc,
+         CAST(count(*) AS BIGINT) AS n_common_terms,
+         CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_doc, match_doc
+),
+ranked AS (
+  SELECT query_doc, match_doc, n_common_terms, score_micro,
+         row_number() OVER (PARTITION BY query_doc
+                            ORDER BY score_micro DESC, match_doc ASC) AS rnk
+  FROM scored
+)
+SELECT query_doc, match_doc, n_common_terms, score_micro,
+       {r6t(f"CAST(score_micro AS DOUBLE) / {d('1000000.0')}")} AS bm25,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {BM25_TOPK}
+"""
+
+
+def _txt22_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_bm25("spark"))
+
+
+QUERIES["txt22_bm25_retrieval"] = _txt22_bm25_retrieval
+TEXT_ORACLES["txt22_bm25_retrieval"] = sql_bm25("duck")
+
+
+# --- DD15: paragraph-hash dedup (the CCNet pre-LM step) -----------------------
+DD15_PAR_TOKENS = 20   # pseudo-paragraph size (tokens)
+DD15_PLANT_BASE = 1_000_000
+DD15_N_PLANT = 5
+
+
+def _par_slice(dialect: str, s: str) -> str:
+    """Paragraph text = tokens [s, s+P-1] joined by one space."""
+    p = DD15_PAR_TOKENS
+    if dialect == "spark":
+        return f"array_join(slice(toks, {s}, {p}), ' ')"
+    return f"array_to_string(list_slice(toks, {s}, ({s}) + {p - 1}), ' ')"
+
+
+def sql_paragraph_dedup(dialect: str) -> str:
+    """DD15 — paragraph-hash deduplication, CCNet's step BEFORE LM
+    scoring (Wenzek et al. 2020 dedup by paragraph hash; txt20 ships the
+    head/middle/tail output that FOLLOWS this step): hash every
+    paragraph, keep the globally FIRST occurrence (lowest (doc_id,
+    position) — the min-id policy; dd14's keep-latest is the same window
+    with the order flipped), drop the rest, and report per-doc damage.
+    The paragraph sits between the engine's existing dedup units — whole
+    docs (dd1/dd14) and 13-gram spans (txt17): an exact repeated
+    paragraph is invisible to dd1 when the docs differ elsewhere, and a
+    shared run that CROSSES a paragraph boundary is invisible here while
+    txt17 catches it (pinned by test).
+
+    The corpus has no newline breaks, so the paragraph unit is a fixed
+    {P}-token segmentation (documented pseudo-paragraphs — the unit is a
+    parameter, the machinery is the point).  Synthetic corpora also
+    carry no natural cross-doc repeats, so the plan PLANTS them (dq4's
+    in-plan fixture pattern): for each doc_id < {NP}, a planted doc
+    ({BASE}+doc_id) whose text IS that doc's first paragraph — the
+    original wins the min-id race, the planted doc's single paragraph
+    dedups away (n_kept_pars = 0), visible in the rows.
+
+    Scale shape: one explode to paragraph rows (bounded fan-out:
+    n_tokens/{P} rows per doc), ONE shuffle on the paragraph hash for
+    the first-occurrence window, one count-back per doc.  All counts
+    integer — hash-exact across engines.  At 100 TB this is txt17's
+    scale shape with a ~{P}× smaller explode; the hash key is
+    high-cardinality by construction."""
+    tok_hash_par = tok_hash(dialect, "par_text")
+    n = list_len(dialect, "toks")
+    n_pars = idiv(dialect, f"({n}) + {DD15_PAR_TOKENS - 1}", str(DD15_PAR_TOKENS))
+    planted_text = _par_slice(dialect, "1")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT {DD15_PLANT_BASE} + doc_id AS doc_id,
+         {planted_text} AS text,
+         lang, source, CAST(length({planted_text}) AS BIGINT) AS n_chars
+  FROM (
+    SELECT doc_id, lang, source, {split_ws(dialect, "text")} AS toks
+    FROM documents WHERE doc_id < {DD15_N_PLANT}
+  ) seeds
+),
+docs AS (
+  SELECT doc_id, lang, {split_ws(dialect, "text")} AS toks FROM base
+),
+par_idx AS (
+  {explode_from(dialect, f"(SELECT doc_id, lang, toks, {n_pars} AS np FROM docs)",
+                f"{seq(dialect, '0', 'np - 1')}", "pi", "doc_id, lang, toks")}
+),
+pars AS (
+  SELECT doc_id, lang, pi,
+         {_par_slice(dialect, f"CAST(pi AS INT) * {DD15_PAR_TOKENS} + 1")}
+           AS par_text
+  FROM par_idx
+),
+hashed AS (
+  SELECT doc_id, lang, pi, {tok_hash_par} AS ph FROM pars
+),
+marked AS (
+  SELECT doc_id, lang, pi, ph,
+         row_number() OVER (PARTITION BY ph
+                            ORDER BY doc_id ASC, pi ASC) AS occ
+  FROM hashed
+)
+SELECT doc_id, lang,
+       CAST(count(*) AS BIGINT) AS n_pars,
+       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_pars,
+       CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_pars
+FROM marked
+GROUP BY doc_id, lang
+"""
+
+
+def _dd15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_paragraph_dedup("spark"))
+
+
+QUERIES["dd15_paragraph_dedup"] = _dd15_paragraph_dedup
+TEXT_ORACLES["dd15_paragraph_dedup"] = sql_paragraph_dedup("duck")

@@ -1388,3 +1388,66 @@ def test_dsir_upweights_the_target_domain(spark):
         .groupBy("lang").agg(F.avg("logw").alias("m")).collect()
     }
     assert max(means, key=means.get) == "en"
+
+
+def test_paragraph_vs_span_dedup_units_provably_differ(spark):
+    """DD15's unit sits between txt17's 13-gram spans and dd1's whole
+    docs, and the difference is directional:
+
+    * a shared run that CROSSES the 20-token paragraph boundary (and is
+      aligned differently in each doc) is invisible to paragraph dedup
+      but caught by span dedup;
+    * an ALIGNED identical paragraph dedups here (the later doc loses
+      it) — while the docs as wholes differ, so dd1 keeps both."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import span_dedup
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        DD15_PLANT_BASE,
+        sql_paragraph_dedup,
+    )
+
+    shared = [f"s{i}" for i in range(15)]          # the 15-token shared run
+    a = [f"a{i}" for i in range(10)] + shared + [f"a{i}" for i in range(10, 25)]
+    b = [f"b{i}" for i in range(18)] + shared + [f"b{i}" for i in range(18, 25)]
+    par = [f"p{i}" for i in range(20)]             # the aligned paragraph
+    c = par + [f"c{i}" for i in range(20)]
+    e = par + [f"e{i}" for i in range(20)]
+    docs = spark.createDataFrame(
+        [
+            (10, " ".join(a), "en", "s", 0),
+            (11, " ".join(b), "en", "s", 0),
+            (12, " ".join(c), "en", "s", 0),
+            (13, " ".join(e), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("documents")
+    rows = {
+        r.doc_id: r
+        for r in spark.sql(sql_paragraph_dedup("spark"))
+        .filter(F.col("doc_id") < DD15_PLANT_BASE)
+        .collect()
+    }
+    # boundary-crossing run: NO paragraph dedups in docs 10/11
+    assert rows[10].n_dup_pars == 0 and rows[11].n_dup_pars == 0
+    # aligned paragraph: doc 12 keeps it, doc 13 loses exactly one
+    assert rows[12].n_dup_pars == 0
+    assert rows[13].n_dup_pars == 1 and rows[13].n_kept_pars == 1
+
+    # span dedup DOES catch the boundary-crossing run (13-gram unit)
+    spans = {r.doc_id: r for r in span_dedup(docs, n=13).collect()}
+    assert spans[10].n_dropped_tokens > 0 or spans[11].n_dropped_tokens > 0
+    # and the planted-fixture rows are visible on the real corpus: every
+    # planted doc's single paragraph loses the min-id race to its seed
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    load_table(spark, "/root/testdata/sf0.001", "documents") \
+        .createOrReplaceTempView("documents")
+    planted = (
+        spark.sql(sql_paragraph_dedup("spark"))
+        .filter(F.col("doc_id") >= DD15_PLANT_BASE)
+        .collect()
+    )
+    assert len(planted) == 5
+    assert all(r.n_dup_pars == 1 and r.n_kept_pars == 0 for r in planted)
