@@ -63,6 +63,7 @@ DOC_QUERIES = [
     "txt19_incremental_span_dedup", "sp12_curated_corpus",
     "dd14_snapshot_dedup", "mm12_multimodal_packing",
     "sp13_model_curated_corpus", "txt20_ccnet_buckets",
+    "txt21_dsir_resample", "txt22_bm25_retrieval", "dd15_paragraph_dedup",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
