@@ -453,3 +453,27 @@ def test_mm12_packing_single_shuffle_arrow_only(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan  # the patch-cost UDF, Arrow-batched
     assert "MapInPandas" in plan      # the sequential next-fit walk
+
+
+def test_bm25_plan_broadcast_query_side_and_grouplimit(spark, sf_dir):
+    """txt22's scale shape, pinned physically: the fixed query workload
+    reaches the scan as a pushed filter (doc_id < 5000), every join is
+    broadcast (no SortMergeJoin, no CartesianProduct — the corpus side
+    shuffles once for its tf aggregate, then streams), and the top-10
+    cut runs as partial+final WindowGroupLimit, never a full sort."""
+    plan = plan_of(spark, sf_dir, "txt22_bm25_retrieval")
+    assert "LessThan(doc_id,5000)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_paragraph_dedup_plan_single_hash_shuffle(spark, sf_dir):
+    """dd15: the only wide operations are the first-occurrence window on
+    the paragraph hash and the per-doc count-back — no joins at all, so
+    nothing quadratic can hide in the plan."""
+    plan = plan_of(spark, sf_dir, "dd15_paragraph_dedup")
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert node not in plan, node
+    assert "ph#" in plan or "hashpartitioning(ph" in plan
