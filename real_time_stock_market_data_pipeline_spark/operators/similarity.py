@@ -2523,3 +2523,99 @@ def semantic_index_sink(
         )
 
     return write_batch
+
+
+# --- SRP banded decontamination (the embedding gate of the dd-family) --------
+
+def srp_band_sig(vec: str, band: int, bits: int) -> Column:
+    """Sign-random-projection band signature: bit ``j-1`` set iff the
+    band's ``j``-th coordinate is strictly positive (Charikar 2002 SimHash
+    restricted to one band of coordinates).  Integer CASE-sum — exact, and
+    textually mirrored by plans/embedding_parity.d16_band_sig so the
+    operator and the DuckDB oracle agree bit-for-bit."""
+    sig = F.lit(0)
+    for j in range(1, bits + 1):
+        bit = F.when(
+            F.element_at(F.col(vec), band * bits + j) > F.lit(0.0),
+            F.lit(1 << (j - 1)),
+        ).otherwise(F.lit(0))
+        sig = sig + bit
+    return sig.cast("bigint")
+
+
+def srp_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    bands: int = 3,
+    bits: int = 10,
+    threshold: float = 0.9,
+    vec_id: str = "vec_id",
+    vec: str = "emb",
+) -> DataFrame:
+    """Flag corpus vectors semantically contaminated by a benchmark set:
+    candidates where any SRP band signature collides (OR-construction,
+    dd12's MinHash-band shape applied to the embedding), verified by the
+    exact r6-rounded cosine ≥ ``threshold``.  Returns one row per flagged
+    corpus vector: (vec_id, n_test_matches, best_test_id, max_cosine) with
+    best = highest rounded cosine, benchmark id ascending on ties — a
+    total order, so the row set is deterministic in both engines.
+
+    Scale shape: the benchmark side is BROADCAST twice (bands, then
+    vectors) — benchmarks are MB-sized while the corpus is the 100 TB
+    side, so the corpus is touched by exactly one linear scan producing
+    ``bands`` sig rows per vector, a map-side band join, and a
+    candidate-bounded shuffle for the pair-distinct + rollup.  Candidate
+    volume ∝ corpus · bands / 2^bits — tune ``bits`` up for precision,
+    ``bands`` up for recall, exactly the dd12 S-curve trade."""
+    from pyspark.sql import Window
+
+    from ..functions.scalars import r6
+    from ..plans.dialect import cosine_expr  # leaf module (tok_hash precedent)
+
+    def band_rows(df: DataFrame, out_id: str) -> DataFrame:
+        sigs = F.array(*[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                srp_band_sig(vec, b, bits).alias("sig"),
+            )
+            for b in range(bands)
+        ])
+        return df.select(
+            F.col(vec_id).alias(out_id), F.explode(sigs).alias("_b")
+        ).select(out_id, "_b.band_id", "_b.sig")
+
+    cand = (
+        band_rows(corpus, "train_id")
+        .join(F.broadcast(band_rows(bench, "test_id")), ["band_id", "sig"])
+        .select("train_id", "test_id")
+        .distinct()
+    )
+    tr = corpus.select(F.col(vec_id).alias("train_id"), F.col(vec).alias("__tr_emb"))
+    te = bench.select(F.col(vec_id).alias("test_id"), F.col(vec).alias("__te_emb"))
+    scored = (
+        cand.join(tr, "train_id")
+        .join(F.broadcast(te), "test_id")
+        .select(
+            "train_id",
+            "test_id",
+            r6(F.expr(cosine_expr("spark", "__tr_emb", "__te_emb"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("test_id").asc()
+    )
+    return (
+        scored.filter(F.col("cosine_sim") >= F.lit(threshold))
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test_matches"),
+            F.max(F.when(F.col("rk") == 1, F.col("test_id"))).alias(
+                "best_test_id"
+            ),
+            F.max("cosine_sim").alias("max_cosine"),
+        )
+        .withColumnRenamed("train_id", vec_id)
+    )

@@ -41,6 +41,17 @@ ORACLES.update(EMBEDDING_ORACLES)
 #   r13-window order; the whole registry stays covered every run by
 #   tests/test_parity.py at sf0.001 and the pre-commit parity harness
 #   at sf0.01.
+#   R15 WINDOW PLAN (committed r14): all four r14 new-query slots were
+#   spent, so the round's three additional finished queries are STAGED
+#   instead of registered (R15_STAGED below — sp14_doremi_mixture,
+#   sp15_curriculum_shards, dd16_semantic_decontamination; parity-pinned
+#   by tests/test_staged_r15.py).  At r15: promote all three into
+#   QUERIES/ORACLES and put them in the window TOGETHER WITH 47 of the
+#   49 r12-green queries (r12-window order, oldest first) = exactly 50;
+#   the displaced r12-green tail entries wait for r16 — legal under the
+#   no-starvation policy because inside/outside evidence both bottom out
+#   at r12 (max(inside) <= min(outside) holds), and every further new
+#   r15 query can displace one more r12 fill under the same argument.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # 1 — r11-green, frozen out of the r13 window: mandatory r14 leads
@@ -115,3 +126,17 @@ assert not _unlisted, f"queries missing from priority list: {_unlisted}"
 _ordered = {name: QUERIES[name] for name in _PRIORITY}
 QUERIES.clear()
 QUERIES.update(_ordered)
+
+# --- STAGED FOR R15 -----------------------------------------------------------
+# Finished queries whose REGISTRATION waits for the r15 window (the r14
+# evidence window is exactly full: 46 rotation leads + 4 new queries; a
+# fifth registration would sit outside the driver's 50-row window with no
+# evidence and trip test_window_rotation_never_starves_a_query).  Each is
+# parity-checked against its DuckDB oracle at sf0.001 on every pytest run
+# (tests/test_staged_r15.py).  R15 promotion: move each into QUERIES/
+# ORACLES in its home module and slot the name into the r15 window leads.
+from .embedding_parity import R15_STAGED_EMBEDDING  # noqa: E402
+from .text_parity import R15_STAGED_TEXT  # noqa: E402
+
+R15_STAGED = {**R15_STAGED_TEXT, **R15_STAGED_EMBEDDING}
+assert not set(R15_STAGED) & set(QUERIES), "staged query already registered"

@@ -190,3 +190,26 @@ def bxor(dialect: str, a: str, b: str) -> str:
 def idiv(dialect: str, a: str, b: str) -> str:
     """Integer division on integer operands (Spark DIV / DuckDB //)."""
     return f"(({a}) DIV ({b}))" if dialect == "spark" else f"(({a}) // ({b}))"
+
+
+def dot_expr(dialect: str, a: str, b: str) -> str:
+    """Sequential-fold dot product of two numeric lists — the ONE op
+    sequence every cosine in the engine uses (plans and operators alike),
+    so Spark and DuckDB produce bit-identical doubles."""
+    prods = (
+        f"{'transform' if dialect == 'spark' else 'list_transform'}"
+        f"({seq(dialect, '1', list_len(dialect, a))}, i -> "
+        f"CAST({elem(dialect, a, 'CAST(i AS INT)')} AS DOUBLE) * "
+        f"CAST({elem(dialect, b, 'CAST(i AS INT)')} AS DOUBLE))"
+    )
+    return fold(dialect, prods, "acc + x")
+
+
+def cosine_expr(dialect: str, a: str, b: str) -> str:
+    """Cosine similarity over ``dot_expr`` folds — shared by the
+    embedding plans and operators/similarity.srp_decontaminate so the
+    operator's Spark values match the oracle text exactly."""
+    return (
+        f"({dot_expr(dialect, a, b)}) / "
+        f"(sqrt({dot_expr(dialect, a, a)}) * sqrt({dot_expr(dialect, b, b)}))"
+    )

@@ -19,28 +19,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
-from .dialect import d, elem, fold, list_len, r6t, seq, transform
+from .dialect import (
+    cosine_expr,
+    d,
+    dot_expr,
+    elem,
+    fold,
+    list_len,
+    r6t,
+    seq,
+    transform,
+)
 from .queries import QUERIES
 
 N_QUERY_VECS = 5
 TOP_K = 10
 
 
-def _dot(dialect: str, a: str, b: str) -> str:
-    prods = (
-        f"{'transform' if dialect == 'spark' else 'list_transform'}"
-        f"({seq(dialect, '1', list_len(dialect, a))}, i -> "
-        f"CAST({elem(dialect, a, 'CAST(i AS INT)')} AS DOUBLE) * "
-        f"CAST({elem(dialect, b, 'CAST(i AS INT)')} AS DOUBLE))"
-    )
-    return fold(dialect, prods, "acc + x")
-
-
-def _cosine(dialect: str, a: str, b: str) -> str:
-    return (
-        f"({_dot(dialect, a, b)}) / "
-        f"(sqrt({_dot(dialect, a, a)}) * sqrt({_dot(dialect, b, b)}))"
-    )
+# the fold texts moved to dialect.dot_expr/cosine_expr so that
+# operators/similarity.srp_decontaminate shares them — these aliases keep
+# every existing call site unchanged
+_dot = dot_expr
+_cosine = cosine_expr
 
 
 def sql_knn(dialect: str) -> str:
@@ -1414,3 +1414,188 @@ QUERIES["dq5_serving_drift_monitors"] = _dq5_serving_drift_monitors
 EMBEDDING_ORACLES["dq5_serving_drift_monitors"] = sql_serving_drift_monitors(
     "duck"
 )
+
+
+# --- DD16 (STAGED FOR R15): semantic decontamination ------------------------
+# The decontamination family gates on exact 13-grams (dd10/dd11), MinHash
+# bands over the text (dd12), and perceptual hashes across modalities
+# (mm10/mm11) — every gate so far needs the LEAK to share surface form
+# with the benchmark.  A paraphrased or re-encoded leak shares none; the
+# embedding is where it still shows.  dd16 closes that class: training
+# vectors are flagged when a sign-random-projection band (Charikar 2002's
+# SimHash family applied to the embedding, banded like dd12's MinHash
+# OR-construction) collides with a benchmark vector's band AND the exact
+# r6-rounded cosine clears the threshold — candidates by LSH, verdicts by
+# the true similarity, precisely the banded-then-verify shape every other
+# near-dup gate in the engine uses.
+#
+# REGISTRATION DEFERRED: the r14 evidence window is exactly full (46
+# rotation leads + dq5/txt21/txt22/dd15), so registering another query
+# this round would leave it without a driver row and trip
+# tests/test_parity.py::test_window_rotation_never_starves_a_query.  The
+# query + oracle are finished and parity-tested at sf0.001 on every
+# pytest run (tests/test_staged_r15.py); r15 promotes them into QUERIES/
+# ORACLES as window leads (see plans/__init__ "FROZEN FOR R15").
+#
+# Fixture (mirrors dd12's planted-leak design): train/test split by the
+# sp1 hash rule on vec_id; every D16_PLANT_STRIDE-th test vector re-enters
+# training MULTIPLICATIVELY perturbed (x_i · (1 + ε_i), |ε_i| ≤ 0.008,
+# ε deterministic from (vec_id + i) — so the copy is never byte-identical
+# and exact dedup misses it, but every sign bucket is PRESERVED and the
+# cosine stays ≥ 0.9999).  Natural pairs top out at cosine 0.479 in this
+# corpus (measured at sf0.001), so with D16_TAU = 0.9 the truth set is
+# exactly the planted re-entries, while the band stage still surfaces
+# natural candidate pairs for the cosine gate to reject — both halves of
+# the banded-then-verify contract are exercised.
+#
+# Scale shape (100 TB): the benchmark side is small and broadcast — the
+# corpus side is ONE linear scan producing D16_BANDS sig rows per vector,
+# a map-side band join against the broadcast benchmark bands, and a
+# candidate-bounded shuffle for the pair-distinct + verify stage.  No
+# corpus self-join anywhere; candidate volume ∝ corpus · bands / 2^bits,
+# tunable exactly like dd12's band geometry.
+D16_BANDS = 3
+D16_BAND_BITS = 10  # 3 bands × 10 sign bits over dims 1..30 of 64
+D16_TAU = "0.9"     # exact 6-decimal literal — the shared r6 cut
+D16_PLANT_BASE = 10_000_000
+D16_PLANT_STRIDE = 3
+
+
+def _d16_emb_double(dialect: str, col: str = "embedding") -> str:
+    """The float embedding as a DOUBLE list — cast ONCE here so every
+    downstream op (signs, perturbation, cosine) is double·double in both
+    engines (float→double widening is exact)."""
+    return transform(dialect, col, "CAST(x AS DOUBLE)")
+
+
+def _d16_fixture_ctes(dialect: str) -> str:
+    """base / test_vecs / planted / train_vecs — shared verbatim by the
+    oracle and the Spark fixture so the planted corpus is written once."""
+    from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+    from .dialect import tok_hash
+
+    h = tok_hash(dialect, "CAST(vec_id AS STRING)")
+    t_lo, t_hi = SPLIT_BOUNDS["test"]
+    tr_hi = SPLIT_BOUNDS["train"][1]
+    # ε_i ∈ {-0.008, -0.004, 0, 0.004, 0.008} keyed by (vec_id + dim):
+    # multiplicative, so signs (and hence every band sig) are preserved
+    eps = f"CAST((vec_id + i) % 5 - 2 AS DOUBLE) * {d('0.004')}"
+    perturbed = transform(
+        dialect,
+        seq(dialect, "1", list_len(dialect, "emb")),
+        f"{elem(dialect, 'emb', 'CAST(i AS INT)')} * ({d('1.0')} + {eps})",
+        var="i",
+    )
+    return f"""base AS (
+  SELECT vec_id, {_d16_emb_double(dialect)} AS emb,
+         ({h}) % {N_BUCKETS} AS bucket
+  FROM embeddings
+),
+test_vecs AS (
+  SELECT vec_id, emb FROM base WHERE bucket >= {t_lo} AND bucket < {t_hi}
+),
+planted AS (
+  SELECT vec_id + {D16_PLANT_BASE} AS vec_id, {perturbed} AS emb
+  FROM test_vecs WHERE vec_id % {D16_PLANT_STRIDE} = 0
+),
+train_vecs AS (
+  SELECT vec_id, emb FROM base WHERE bucket < {tr_hi}
+  UNION ALL SELECT vec_id, emb FROM planted
+)"""
+
+
+def d16_band_sig(dialect: str, band: int, vec: str = "emb") -> str:
+    """Band ``band``'s sign signature: bit j-1 set iff coordinate
+    band·bits + j is strictly positive — integer arithmetic only."""
+    terms = " + ".join(
+        f"(CASE WHEN {elem(dialect, vec, str(band * D16_BAND_BITS + j))} "
+        f"> {d('0.0')} THEN {1 << (j - 1)} ELSE 0 END)"
+        for j in range(1, D16_BAND_BITS + 1)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def _d16_bands_union(dialect: str, src: str) -> str:
+    """(vec_id, band_id, sig) — one row per band per vector."""
+    return "\nUNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band_id, {d16_band_sig(dialect, b)} AS sig "
+        f"FROM {src}"
+        for b in range(D16_BANDS)
+    )
+
+
+def sql_semantic_decontamination(dialect: str) -> str:
+    """DD16's full dual-dialect body: fixture CTEs + banded candidates +
+    the r6-rounded cosine verify + the per-train-vector rollup.  The
+    Spark side reaches the same values through
+    operators/similarity.srp_decontaminate (broadcast test side); this
+    text IS the oracle and the parity pin for that operator."""
+    cos = _cosine(dialect, "tr.emb", "te.emb")
+    return f"""
+WITH {_d16_fixture_ctes(dialect)},
+t_bands AS (
+{_d16_bands_union(dialect, "test_vecs")}
+),
+r_bands AS (
+{_d16_bands_union(dialect, "train_vecs")}
+),
+cand AS (
+  SELECT DISTINCT r.vec_id AS train_id, t.vec_id AS test_id
+  FROM r_bands r JOIN t_bands t
+    ON r.band_id = t.band_id AND r.sig = t.sig
+),
+scored AS (
+  SELECT c.train_id, c.test_id, {r6t(cos)} AS cosine_sim
+  FROM cand c
+  JOIN train_vecs tr ON c.train_id = tr.vec_id
+  JOIN test_vecs te ON c.test_id = te.vec_id
+),
+hits AS (
+  SELECT train_id, test_id, cosine_sim,
+         row_number() OVER (
+           PARTITION BY train_id
+           ORDER BY cosine_sim DESC, test_id ASC) AS rk
+  FROM scored WHERE cosine_sim >= {d(D16_TAU)}
+)
+SELECT train_id AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_test_matches,
+       max(CASE WHEN rk = 1 THEN test_id END) AS best_test_id,
+       max(cosine_sim) AS max_cosine,
+       max(train_id >= {D16_PLANT_BASE}) AS is_planted_leak
+FROM hits GROUP BY train_id
+"""
+
+
+def _dd16_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD16, Spark side: the shared fixture CTEs build train/test frames,
+    then operators/similarity.srp_decontaminate runs the banded-then-
+    verify gate with the benchmark side BROADCAST — the production shape
+    (benchmarks are MBs; the corpus is the 100 TB side)."""
+    from ..operators.similarity import srp_decontaminate
+
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    ctes = _d16_fixture_ctes("spark")
+    train = spark.sql(f"WITH {ctes} SELECT vec_id, emb FROM train_vecs")
+    test = spark.sql(f"WITH {ctes} SELECT vec_id, emb FROM test_vecs")
+    out = srp_decontaminate(
+        train,
+        test,
+        bands=D16_BANDS,
+        bits=D16_BAND_BITS,
+        threshold=float(D16_TAU),
+    )
+    return out.withColumn(
+        "is_planted_leak", F.col("vec_id") >= F.lit(D16_PLANT_BASE)
+    )
+
+
+# r15 promotion = move these two lines into the module body above
+# (QUERIES[...] / EMBEDDING_ORACLES[...]) and slot the name into the r15
+# window leads; until then tests/test_staged_r15.py parity-checks them on
+# every run.
+R15_STAGED_EMBEDDING = {
+    "dd16_semantic_decontamination": (
+        _dd16_semantic_decontamination,
+        sql_semantic_decontamination("duck"),
+    ),
+}

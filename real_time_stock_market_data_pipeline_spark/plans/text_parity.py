@@ -3296,3 +3296,287 @@ def _dd15_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dd15_paragraph_dedup"] = _dd15_paragraph_dedup
 TEXT_ORACLES["dd15_paragraph_dedup"] = sql_paragraph_dedup("duck")
+
+
+# --- SP14 (STAGED FOR R15): DoReMi domain reweighting -------------------------
+# REGISTRATION DEFERRED: the r14 evidence window is exactly full (46
+# rotation leads + dq5/txt21/txt22/dd15) — registering another query this
+# round would leave it without a driver row and trip test_parity.py::
+# test_window_rotation_never_starves_a_query.  Finished and parity-tested
+# at sf0.001 every pytest run (tests/test_staged_r15.py); r15 promotes it
+# (see plans/__init__ "FROZEN FOR R15").
+DOREMI_ETA = "1.0"       # exponentiated-gradient step size (paper's η)
+DOREMI_SMOOTH = "0.01"   # uniform-smoothing mass (paper's c)
+DOREMI_BUDGET = 1_000_000  # tokens to allocate across domains
+
+
+def sql_doremi(dialect: str) -> str:
+    """SP14 — DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"): one
+    exponentiated-gradient step  α'_d ∝ α_d · exp(η · excess_d)  from the
+    baseline token-share mixture, smoothed with the uniform distribution
+    ((1-c)·α'_norm + c/K), then an EXACT integer largest-remainder
+    allocation of a token budget by the new weights — the artifact a
+    training launch consumes.
+
+    The paper's excess loss is proxy-vs-reference NLL measured per domain
+    while training the proxy under group DRO; a deterministic engine has
+    no SGD, so the excess here is the in-engine LEARNABILITY GAP: mean
+    unigram NLL − mean bigram NLL per domain (both models add-one-smoothed
+    and self-trained on the corpus, txt12's layout), clipped at 0 — the
+    gain context provides, largest exactly where the richer model finds
+    learnable structure.  Any externally-measured per-domain excess drops
+    into the same EG arithmetic unchanged.
+
+    Bit-exactness (the txt18/txt21 integer discipline): both count tables
+    are BIGINT; per-DISTINCT-token/-bigram NLL is rounded half-up into
+    integer MICRO-NATS (one ln per vocab/bigram row), so every per-domain
+    sum is an exact BIGINT under any shuffle order.  The EG step runs on
+    K ≈ 20 domain rows — exp/division on BIGINT-derived doubles, identical
+    IEEE ops in both engines — and every CROSS-ROW reduction after it
+    (weight normalization, budget allocation) is again over BIGINTs
+    (w_micro), so no float window-sum order can differ.  The allocation is
+    pure integer arithmetic: alloc₀ = ⌊B·w_micro/Σw_micro⌋, remainders
+    ranked (DESC, domain ASC), leftover = B − Σalloc₀ spread one token
+    each — Σalloc = B exactly, every engine, every partitioning.
+
+    Scale shape: one explode + lead window (the txt12 layout); count
+    tables are map-combinable and vocab/bigram-bounded; the two NLL joins
+    shuffle on token keys (natural Zipf only — the hot function words are
+    the well-estimated ones); domain rollups are K rows and the EG/
+    allocation math never touches the corpus again."""
+    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    micro = d("1000000.0")
+    uni_nll = (
+        f"CAST(floor(-ln(CAST(cu + 1 AS DOUBLE) / CAST(n_tok + v AS DOUBLE))"
+        f" * {micro} + {d('0.5')}) AS BIGINT)"
+    )
+    big_nll = (
+        f"CAST(floor(-ln(CAST(cb + 1 AS DOUBLE) / CAST(cx + v AS DOUBLE))"
+        f" * {micro} + {d('0.5')}) AS BIGINT)"
+    )
+    uni_mean = "CAST(nll_uni_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+    big_mean = "CAST(nll_big_micro AS DOUBLE) / CAST(n_bigrams AS DOUBLE)"
+    share0 = "CAST(n_tokens AS DOUBLE) / CAST(sum(n_tokens) OVER () AS DOUBLE)"
+    w_raw_nano = (
+        f"CAST(floor(({share0}) * exp({d(DOREMI_ETA)} * "
+        f"CAST(excess_micro AS DOUBLE) / {micro}) * {d('1000000000.0')}"
+        f" + {d('0.5')}) AS BIGINT)"
+    )
+    w_smooth = (
+        f"({d('1.0')} - {d(DOREMI_SMOOTH)}) * "
+        f"(CAST(w_raw_nano AS DOUBLE) / CAST(w_raw_tot AS DOUBLE)) + "
+        f"{d(DOREMI_SMOOTH)} / CAST(k_domains AS DOUBLE)"
+    )
+    b = DOREMI_BUDGET
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+doc_dom AS (SELECT doc_id, source AS domain FROM docs),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM tok_rows GROUP BY tok),
+tot AS (
+  SELECT CAST(sum(cu) AS BIGINT) AS n_tok, CAST(count(*) AS BIGINT) AS v
+  FROM uc
+),
+uni_lp AS (
+  SELECT tok, {uni_nll} AS nll_micro FROM uc CROSS JOIN tot
+),
+big AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS w2
+  FROM tok_rows
+),
+bigp AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bigp GROUP BY w1, w2
+),
+cxt AS (SELECT w1, CAST(count(*) AS BIGINT) AS cx FROM bigp GROUP BY w1),
+big_lp AS (
+  SELECT bc.w1, bc.w2, {big_nll} AS nll_micro
+  FROM bc JOIN cxt ON bc.w1 = cxt.w1 CROSS JOIN tot
+),
+uni_dom AS (
+  SELECT dd.domain,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(ul.nll_micro) AS BIGINT) AS nll_uni_micro
+  FROM tok_rows tr
+  JOIN uni_lp ul ON tr.tok = ul.tok
+  JOIN doc_dom dd ON tr.doc_id = dd.doc_id
+  GROUP BY dd.domain
+),
+big_dom AS (
+  SELECT dd.domain,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(bl.nll_micro) AS BIGINT) AS nll_big_micro
+  FROM bigp bp
+  JOIN big_lp bl ON bp.w1 = bl.w1 AND bp.w2 = bl.w2
+  JOIN doc_dom dd ON bp.doc_id = dd.doc_id
+  GROUP BY dd.domain
+),
+ndocs AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs FROM doc_dom
+  GROUP BY domain
+),
+loss AS (
+  SELECT n.domain, n.n_docs, u.n_tokens, b2.n_bigrams,
+         u.nll_uni_micro, b2.nll_big_micro,
+         CAST(floor(greatest({d('0.0')}, ({uni_mean}) - ({big_mean}))
+              + {d('0.5')}) AS BIGINT) AS excess_micro
+  FROM ndocs n
+  JOIN uni_dom u ON n.domain = u.domain
+  JOIN big_dom b2 ON n.domain = b2.domain
+),
+raw AS (
+  SELECT *, {w_raw_nano} AS w_raw_nano,
+         CAST(count(*) OVER () AS BIGINT) AS k_domains
+  FROM loss
+),
+normed AS (
+  SELECT *, CAST(sum(w_raw_nano) OVER () AS BIGINT) AS w_raw_tot FROM raw
+),
+weighted AS (
+  SELECT *, CAST(floor(({w_smooth}) * {micro} + {d('0.5')}) AS BIGINT)
+              AS w_micro
+  FROM normed
+),
+alloc0 AS (
+  SELECT *, CAST(sum(w_micro) OVER () AS BIGINT) AS w_tot,
+         {idiv(dialect, f"{b} * w_micro", "CAST(sum(w_micro) OVER () AS BIGINT)")}
+           AS alloc_base
+  FROM weighted
+),
+ranked AS (
+  SELECT *, {b} * w_micro - alloc_base * w_tot AS remainder,
+         CAST({b} - sum(alloc_base) OVER () AS BIGINT) AS leftover,
+         row_number() OVER (
+           ORDER BY {b} * w_micro - alloc_base * w_tot DESC, domain ASC
+         ) AS rrank
+  FROM alloc0
+)
+SELECT domain, n_docs, n_tokens, n_bigrams, nll_uni_micro, nll_big_micro,
+       excess_micro,
+       {r6t(w_smooth)} AS weight,
+       CAST(alloc_base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+def _sp14_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP14, Spark side: the pure rendering (txt12's measured lesson —
+    the explode is a cheap narrow transform; 3 pipelined CTE re-reads
+    beat one materialize + three reads at sf0.1)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_doremi("spark"))
+
+
+# r15 promotion = QUERIES["sp14_doremi_mixture"] = _sp14_doremi_mixture /
+# TEXT_ORACLES[...] = sql_doremi("duck") + the r15 window slot.
+R15_STAGED_TEXT = {
+    "sp14_doremi_mixture": (_sp14_doremi_mixture, sql_doremi("duck")),
+}
+
+
+# --- SP15 (STAGED FOR R15): curriculum shard manifests ------------------------
+SP15_SHARDS = 8
+SP15_CKSUM_MOD = 1_000_000_007
+
+
+def sql_curriculum_shards(dialect: str) -> str:
+    """SP15 — curriculum shard manifests: the training-launch artifact
+    after the corpus is curated (sp7/sp12) and packed (sp5/mm12) — an
+    easy-to-hard GLOBAL order (Bengio et al. 2009 curriculum learning;
+    difficulty = txt12's bigram-LM perplexity, the CCNet-style proxy)
+    cut into ``SP15_SHARDS`` contiguous, ±1-equal-count phases, one
+    manifest row per shard: doc/token counts, the difficulty band
+    covered, and an order-independent integer content checksum a resume
+    or re-shard can verify against.
+
+    The global rank is the scale problem: ``row_number() OVER (ORDER BY
+    ...)`` is a SINGLE-PARTITION window — the one shape that cannot
+    survive 100 TB.  Ranked here with the TWO-LEVEL decomposition
+    instead: coarse integer difficulty buckets (floor of the rounded
+    perplexity — a FEW DOZEN rows at any corpus size) carry a running
+    offset computed by a window over that tiny bucket table, and the
+    expensive ranking runs as ``row_number() PARTITION BY bucket`` —
+    fully parallel, shuffled on the bucket key.  global_rank = bucket
+    offset + within-bucket rank reproduces the exact total order
+    (perplexity ASC, doc_id ASC) with no single-partition stage; shard
+    assignment is then pure integer arithmetic, ⌊S·(rank−1)/N⌋.
+
+    Determinism: the order key is the SHARED r6-rounded perplexity with
+    the doc_id tie-break (a total order, so both engines agree even
+    when a shard boundary splits equal-difficulty docs); counts and the
+    checksum (Σ char-fold hash per doc) are exact BIGINT sums; the only
+    floats in the output are the min/max of already-rounded values.
+    n_tokens = n_bigrams + 1 per doc (every corpus doc carries ≥ 10
+    tokens — pinned by test; unscorable docs would be dropped by txt15
+    upstream of a training launch).
+
+    Scale shape: txt12's scoring plan + one small-table window + one
+    bucket-key window + a shard rollup.  The manifest is S rows; the
+    physical write of the shards themselves is the same range-partition
+    this rank defines."""
+    h = tok_hash(dialect, "'s' || CAST(doc_id AS STRING)")
+    s, m = SP15_SHARDS, SP15_CKSUM_MOD
+    grank = "boff.offset_0 + w.wrk"
+    return f"""
+WITH scores AS ({sql_bigram_lm(dialect)}),
+scored AS (
+  SELECT doc_id, perplexity AS ppl,
+         CAST(n_bigrams + 1 AS BIGINT) AS n_tokens,
+         CAST(floor(perplexity) AS BIGINT) AS bucket
+  FROM scores
+),
+bcounts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY bucket
+),
+boffsets AS (
+  SELECT bucket,
+         CAST(sum(n) OVER (ORDER BY bucket ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS offset_0,
+         CAST(sum(n) OVER () AS BIGINT) AS n_total
+  FROM bcounts
+),
+ranked AS (
+  SELECT w.doc_id, w.ppl, w.n_tokens,
+         CAST({grank} AS BIGINT) AS grank, boff.n_total
+  FROM (
+    SELECT doc_id, ppl, n_tokens, bucket,
+           CAST(row_number() OVER (
+             PARTITION BY bucket ORDER BY ppl ASC, doc_id ASC
+           ) AS BIGINT) AS wrk
+    FROM scored
+  ) w
+  JOIN boffsets boff ON w.bucket = boff.bucket
+),
+sharded AS (
+  SELECT doc_id, ppl, n_tokens,
+         {idiv(dialect, f"{s} * (grank - 1)", "n_total")} AS shard_id
+  FROM ranked
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(ppl) AS ppl_min,
+       max(ppl) AS ppl_max,
+       CAST(sum(({h}) % {m}) AS BIGINT) AS checksum
+FROM sharded
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def _sp15_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP15, Spark side: the pure rendering (the scoring explode is the
+    txt12/txt15 narrow transform; the two-level rank adds one tiny
+    window and one bucket-partitioned window on top)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_curriculum_shards("spark"))
+
+
+R15_STAGED_TEXT["sp15_curriculum_shards"] = (
+    _sp15_curriculum_shards,
+    sql_curriculum_shards("duck"),
+)

@@ -26,7 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from real_time_stock_market_data_pipeline_spark.plans import QUERIES, flagship
+from real_time_stock_market_data_pipeline_spark.plans import (
+    QUERIES,
+    R15_STAGED,
+    flagship,
+)
 from real_time_stock_market_data_pipeline_spark.session import get_spark
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -64,6 +68,8 @@ DOC_QUERIES = [
     "dd14_snapshot_dedup", "mm12_multimodal_packing",
     "sp13_model_curated_corpus", "txt20_ccnet_buckets",
     "txt21_dsir_resample", "txt22_bm25_retrieval", "dd15_paragraph_dedup",
+    "sp14_doremi_mixture",  # staged for r15 (plans.R15_STAGED)
+    "sp15_curriculum_shards",  # staged for r15 (plans.R15_STAGED)
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
@@ -78,6 +84,7 @@ EMB_QUERIES = [
     "emb14_incremental_ivfpq", "emb15_semantic_dedup",
     "emb16_semdedup_keep_policy", "emb17_incremental_semdedup",
     "emb18_filtered_ann", "emb19_filtered_ivfpq", "emb20_d4_prototypes",
+    "dd16_semantic_decontamination",  # staged for r15 (plans.R15_STAGED)
 ]
 
 
@@ -448,9 +455,10 @@ def main() -> None:
     if std or want_flagship:
         scaled = build_scaled(spark)
         for name in std:
+            fn = QUERIES[name] if name in QUERIES else R15_STAGED[name][0]
             results[name] = {
-                "base": timed(QUERIES[name], spark, BASE),
-                "scaled": timed(QUERIES[name], spark, scaled),
+                "base": timed(fn, spark, BASE),
+                "scaled": timed(fn, spark, scaled),
             }
         if want_flagship:
             results["flagship"] = {

@@ -1,0 +1,206 @@
+"""Parity + fixture tests for the r15-STAGED queries (plans/__init__
+``R15_STAGED``): finished this round, registration deferred because the
+r14 evidence window is exactly full.  These tests give them the same
+sf0.001 oracle gate every REGISTERED query gets from test_parity, so the
+r15 promotion is a two-line move, not new surface."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from real_time_stock_market_data_pipeline_spark.plans import QUERIES, R15_STAGED
+from real_time_stock_market_data_pipeline_spark.plans.parity import (
+    check_query,
+    duck_connection,
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    return duck_connection(sf_dir)
+
+
+def test_staged_not_yet_registered():
+    # the whole point of staging: the r14 window stays exactly as pinned
+    assert not set(R15_STAGED) & set(QUERIES)
+    assert set(R15_STAGED) == {
+        "sp14_doremi_mixture",
+        "sp15_curriculum_shards",
+        "dd16_semantic_decontamination",
+    }
+
+
+@pytest.mark.parametrize("name", sorted(R15_STAGED))
+def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
+    fn, oracle = R15_STAGED[name]
+    res = check_query(name, fn(spark, sf_dir), oracle, duck)
+    assert res.ok, f"{name}: {res.errors}"
+
+
+def test_dd16_flags_exactly_the_planted_leaks(spark, sf_dir):
+    """The planted re-entries are multiplicatively perturbed (never
+    byte-identical, every sign bucket preserved, cosine >= 0.9999) and
+    natural pairs top out at cosine 0.479 in this corpus — so the flag
+    set must be EXACTLY the planted set, each matched back to its own
+    benchmark original."""
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        D16_PLANT_BASE,
+        D16_PLANT_STRIDE,
+        _d16_fixture_ctes,
+    )
+
+    fn, _ = R15_STAGED["dd16_semantic_decontamination"]
+    out = fn(spark, sf_dir).collect()
+    n_planted = spark.sql(
+        f"WITH {_d16_fixture_ctes('spark')} SELECT count(*) AS n FROM planted"
+    ).first()["n"]
+    assert n_planted > 0
+    assert len(out) == n_planted
+    for r in out:
+        assert r.is_planted_leak
+        assert r.vec_id >= D16_PLANT_BASE
+        assert r.best_test_id == r.vec_id - D16_PLANT_BASE
+        assert r.best_test_id % D16_PLANT_STRIDE == 0
+        assert r.max_cosine >= 0.999
+
+
+def test_dd16_plan_broadcasts_the_benchmark_side(spark, sf_dir):
+    """The 100 TB contract: the benchmark side is broadcast in BOTH the
+    band join and the verify join — the corpus is never shuffled for a
+    join, only the candidate pairs are."""
+    fn, _ = R15_STAGED["dd16_semantic_decontamination"]
+    plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    # no sort-merge join anywhere: cand-distinct + rollup are the only
+    # shuffles
+    assert "SortMergeJoin" not in plan
+
+
+def test_sp14_alloc_is_exact_and_weights_normalize(spark, sf_dir):
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        DOREMI_BUDGET,
+    )
+
+    fn, _ = R15_STAGED["sp14_doremi_mixture"]
+    rows = fn(spark, sf_dir).collect()
+    assert len(rows) == 20  # src0..src19
+    assert sum(r.alloc for r in rows) == DOREMI_BUDGET
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert all(r.excess_micro >= 0 for r in rows)
+
+
+def test_sp14_planted_structured_domain_is_upweighted(spark):
+    """The EG step's direction on a PLANTED fixture: one domain's text is
+    pure repeated bigram structure (the bigram model learns it almost
+    perfectly; the unigram model cannot), the others are shuffled word
+    salad with the same tokens — the structured domain's final weight
+    must exceed its baseline token share, and the salad domains' must
+    not gain."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        sql_doremi,
+    )
+
+    import random
+
+    # one shared 12-token vocabulary, so the UNIGRAM distribution is
+    # identical across domains and only the bigram structure differs:
+    # the cycle domain has high unigram entropy (ln 12) but deterministic
+    # bigrams; the shuffled salads have the same unigrams and ~flat
+    # bigrams (excess clips to 0 there — measured)
+    vocab = [f"w{i}" for i in range(12)]
+    structured = " ".join(vocab * 20)
+    rng = random.Random(42)
+
+    def salad() -> str:
+        toks = vocab * 20
+        rng.shuffle(toks)
+        return " ".join(toks)
+
+    rows = []
+    did = 0
+    for dom, texts in (
+        ("structured", [structured] * 4),
+        ("salad_a", [salad() for _ in range(4)]),
+        ("salad_b", [salad() for _ in range(4)]),
+    ):
+        for text in texts:
+            rows.append((did, text, "en", dom, len(text)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.createOrReplaceTempView("documents")
+    try:
+        out = {r.domain: r for r in spark.sql(sql_doremi("spark")).collect()}
+        tot_tokens = sum(r.n_tokens for r in out.values())
+        share = {k: r.n_tokens / tot_tokens for k, r in out.items()}
+        assert out["structured"].excess_micro > out["salad_a"].excess_micro
+        assert out["structured"].weight > share["structured"]
+        assert out["structured"].alloc > out["salad_a"].alloc
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+def test_dd16_duck_truth_matches_independent_bruteforce(sf_dir):
+    """Independent oracle-of-the-oracle: a brute-force cosine scan (no
+    bands) over the same planted fixture finds the same contaminated
+    set — the banded gate lost nothing at this geometry."""
+    from real_time_stock_market_data_pipeline_spark.plans.embedding_parity import (
+        D16_TAU,
+        _d16_fixture_ctes,
+        sql_semantic_decontamination,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.dialect import (
+        cosine_expr,
+        r6t,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    banded = {
+        r[0] for r in con.execute(
+            sql_semantic_decontamination("duck")
+        ).fetchall()
+    }
+    cos = r6t(cosine_expr("duck", "tr.emb", "te.emb"))
+    brute = {
+        r[0]
+        for r in con.execute(f"""
+WITH {_d16_fixture_ctes("duck")}
+SELECT DISTINCT tr.vec_id
+FROM train_vecs tr JOIN test_vecs te ON ({cos}) >= CAST({D16_TAU} AS DOUBLE)
+""").fetchall()
+    }
+    assert banded == brute
+
+
+def test_sp15_shards_are_balanced_contiguous_and_parallel_ranked(spark, sf_dir):
+    """Equal-count (±1) contiguous curriculum phases covering every doc,
+    AND the scale contract: the expensive per-doc ranking window is
+    PARTITIONED (by the coarse difficulty bucket) — the only global
+    window in the plan runs over the few-dozen-row bucket table."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        SP15_SHARDS,
+    )
+
+    fn, _ = R15_STAGED["sp15_curriculum_shards"]
+    df = fn(spark, sf_dir)
+    rows = sorted(df.collect(), key=lambda r: r.shard_id)
+    assert [r.shard_id for r in rows] == list(range(SP15_SHARDS))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    n_corpus = spark.sql("SELECT count(*) AS n FROM documents").first()["n"]
+    assert sum(sizes) == n_corpus
+    for a, b in zip(rows, rows[1:]):
+        assert a.ppl_max <= b.ppl_min  # contiguous in the total order
+    # the per-doc row_number window must carry a partition spec: its
+    # sort order starts with the bucket key, never a bare global sort
+    # over doc-sized input
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    doc_windows = [
+        ln for ln in plan.splitlines() if "row_number" in ln
+    ]
+    assert doc_windows and all("bucket" in ln for ln in doc_windows)
