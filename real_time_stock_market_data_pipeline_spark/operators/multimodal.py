@@ -1285,3 +1285,53 @@ def image_patch_costs(patch: int = 16):
         return pd.Series(out, dtype="int64")
 
     return costs
+
+
+def image_position_embedding(
+    df: DataFrame, bytes_col: str = "media_bytes", classes: int = 16
+) -> DataFrame:
+    """Per-image POSITION-CLASS byte embedding from REAL decode: the
+    pixels come back through ``decode_pixels`` (the genuine BMP/PNG
+    byte-struct path), each decoded byte is mapped back to its FILE
+    position (bottom-up row flip, RGB→BGR, stride arithmetic — all
+    derivable from the decoded array's own geometry), and the embedding
+    is the exact BIGINT sum of byte values per position class
+    ``file_pos % classes``.  The in-engine "image encoder" of the mm13
+    alignment gate: deterministic, integer-exact, and honest about the
+    plumbing a learned encoder would ride (Arrow batches through
+    ``mapInPandas``, one numpy pass per image — swap ``_embed`` for a
+    model forward and the operator is a CLIP image tower).
+
+    Appends ``img_embedding array<bigint>`` (NULL for undecodable
+    payloads).  Scale: map-only, corpus-linear, no shuffle."""
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = f"{fields}, img_embedding array<bigint>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def _embed(b: bytes | None):
+            px = decode_pixels(b)
+            if px is None:
+                return None
+            h, w = px.shape[0], px.shape[1]
+            stride = (w * 3 + 3) // 4 * 4
+            r, c, ch = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            file_pos = (h - 1 - r) * stride + c * 3 + (2 - ch)
+            sums = np.bincount(
+                (file_pos % classes).ravel(),
+                weights=px.astype(np.int64).ravel(),
+                minlength=classes,
+            )
+            return [int(x) for x in sums]
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["img_embedding"] = [_embed(b) for b in pdf[bytes_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -42,12 +42,13 @@ ORACLES.update(EMBEDDING_ORACLES)
 #   tests/test_parity.py at sf0.001 and the pre-commit parity harness
 #   at sf0.01.
 #   R15 WINDOW PLAN (committed r14): all four r14 new-query slots were
-#   spent, so the round's three additional finished queries are STAGED
+#   spent, so the round's four additional finished queries are STAGED
 #   instead of registered (R15_STAGED below — sp14_doremi_mixture,
-#   sp15_curriculum_shards, dd16_semantic_decontamination; parity-pinned
-#   by tests/test_staged_r15.py).  At r15: promote all three into
-#   QUERIES/ORACLES and put them in the window TOGETHER WITH 47 of the
-#   49 r12-green queries (r12-window order, oldest first) = exactly 50;
+#   sp15_curriculum_shards, dd16_semantic_decontamination,
+#   mm13_image_text_alignment; parity-pinned by tests/test_staged_r15.py).
+#   At r15: promote all four into QUERIES/ORACLES and put them in the
+#   window TOGETHER WITH 46 of the 49 r12-green queries (r12-window
+#   order, oldest first) = exactly 50;
 #   the displaced r12-green tail entries wait for r16 — legal under the
 #   no-starvation policy because inside/outside evidence both bottom out
 #   at r12 (max(inside) <= min(outside) holds), and every further new
@@ -136,7 +137,8 @@ QUERIES.update(_ordered)
 # (tests/test_staged_r15.py).  R15 promotion: move each into QUERIES/
 # ORACLES in its home module and slot the name into the r15 window leads.
 from .embedding_parity import R15_STAGED_EMBEDDING  # noqa: E402
+from .queries import R15_STAGED_MM  # noqa: E402
 from .text_parity import R15_STAGED_TEXT  # noqa: E402
 
-R15_STAGED = {**R15_STAGED_TEXT, **R15_STAGED_EMBEDDING}
+R15_STAGED = {**R15_STAGED_TEXT, **R15_STAGED_EMBEDDING, **R15_STAGED_MM}
 assert not set(R15_STAGED) & set(QUERIES), "staged query already registered"

@@ -2743,3 +2743,223 @@ def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- MM13 (STAGED FOR R15): image-text alignment gate -------------------------
+# REGISTRATION DEFERRED: the r14 evidence window is exactly full (see
+# plans/__init__ "R15 WINDOW PLAN"); parity-pinned every pytest run by
+# tests/test_staged_r15.py, promoted r15.
+MM13_CLASSES = 16
+MM13_MISMATCH_STRIDE = 5   # every 5th doc carries its NEIGHBOR's image
+MM13_TAU = "0.8"           # exact 6-decimal literal — measured gap: matched
+                           # alignment = 1.0 EXACTLY (the decode is lossless
+                           # by construction), mismatched <= 0.766 at all
+                           # three SFs (see tests/test_staged_r15.py)
+
+
+def _mm13_pair_geometry_sql() -> str:
+    """Shared fixture text (Spark dialect): every doc paired with the
+    text its image RENDERS — itself, or for every MISMATCH_STRIDE-th doc
+    the NEXT doc (a wrong caption, the class CLIP-score filtering
+    removes); BMP geometry sized so the image holds the WHOLE media
+    text (w ∈ {4,8,12} so stride = 3w — no padding positions — and
+    h = ceil(L/3w) rows with a zero-byte tail)."""
+    return (
+        f"b.doc_id = CASE WHEN a.doc_id % {MM13_MISMATCH_STRIDE} = 0 "
+        "THEN a.doc_id + 1 ELSE a.doc_id END"
+    )
+
+
+def _mm13_class_sums(len_col: str, byte_body: str) -> str:
+    """array(16 exact per-class byte sums) — position class = i % 16 over
+    byte positions 0..len-1; Spark dialect (the oracle mirrors with
+    DuckDB list comprehensions)."""
+    sums = ", ".join(
+        f"aggregate(sequence(0, {len_col} - 1), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + CASE WHEN pmod(i, {MM13_CLASSES}) = {k} "
+        f"THEN CAST({byte_body} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+        for k in range(MM13_CLASSES)
+    )
+    return f"array({sums})"
+
+
+def _mm13_centered(arr: str) -> str:
+    """Mean-center by integers: c[k] = K·v[k] − Σv (cosine is scale-
+    invariant, so the ×K avoids a float mean) — kills the all-positive
+    byte-sum bias that would push EVERY cosine toward 1 (emb6's centered-
+    LSH lesson applied to the alignment score)."""
+    total = f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    return f"transform({arr}, x -> CAST({MM13_CLASSES} AS DOUBLE) * x - ({total}))"
+
+
+def _mm13_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM13 — image-text ALIGNMENT gate (the CLIP-score curation step of
+    LAION/DataComp: drop pairs whose image does not match its caption;
+    Radford et al. 2021 for the score, Schuhmann et al. 2021 for the
+    filter).  A deterministic engine has no learned towers, so both
+    encoders are honest in-engine stand-ins wired exactly like the real
+    thing: the IMAGE tower is a REAL byte-struct decode
+    (operators/multimodal.image_position_embedding — Arrow batches,
+    numpy pass, swap the embed fn for a model forward and it IS a CLIP
+    tower) producing 16 position-class byte sums; the TEXT tower is the
+    same 16-class statistic computed from the caption bytes directly in
+    JVM SQL.  Alignment = r6-rounded MEAN-CENTERED cosine: a matched
+    pair's image renders its own caption (score ≈ 1 minus stride-padding
+    loss + filler tail), a planted wrong-caption pair decorrelates
+    (measured ≤ 0.62 vs matched ≥ 0.96 at every SF).
+
+    The fixture builds complete 24-bit BMPs in pure JVM SQL whose pixel
+    payload IS the caption's bytes (geometry sized to hold the whole
+    text), so the gate exercises decode → featurize → score end-to-end
+    with zero Python outside the Arrow image tower.
+
+    Scale shape: corpus-linear map-only work (BMP assembly + decode +
+    two 16-fold HOFs per row), ONE broadcast-sized self-join for the
+    planted partners (production pairs arrive joined), no shuffle after
+    it.  At 100 TB the image tower is the only Arrow exchange; the gate
+    itself is a projection."""
+    from ..operators.multimodal import image_position_embedding
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    pair = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.expr(_mm13_pair_geometry_sql()))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.text").alias("text"),
+            F.col("b.doc_id").alias("media_src_id"),
+            F.col("b.text").alias("media_text"),
+        )
+        .withColumn("lt", F.expr("CAST(octet_length(text) AS BIGINT)"))
+        .withColumn("lm", F.expr("CAST(octet_length(media_text) AS BIGINT)"))
+        .withColumn("w", F.expr("4 * (pmod(lm, 3) + 1)"))
+        .withColumn("h", F.expr("(lm + 3 * w - 1) DIV (3 * w)"))
+        .withColumn("stride", F.expr("((w * 3 + 3) DIV 4) * 4"))
+        .withColumn("n", F.expr("stride * h"))
+    )
+    header = F.expr(
+        "concat(X'424D', "
+        + _le_bytes_sql("54 + n", 4)
+        + ", X'00000000', X'36000000', "
+        + "X'28000000', "
+        + _le_bytes_sql("w", 4) + ", "
+        + _le_bytes_sql("h", 4) + ", "
+        + "X'0100', X'1800', X'00000000', "
+        + _le_bytes_sql("n", 4)
+        + ", X'" + "00" * 16 + "')"
+    )
+    payload = F.expr(
+        "unhex(array_join(transform(sequence(0, n - 1), "
+        "j -> lpad(hex(CASE WHEN j < lm "
+        "THEN ascii(substr(media_text, CAST(j + 1 AS INT), 1)) "
+        "ELSE 0 END), 2, '0')), ''))"
+    )
+    media = pair.withColumn("media_bytes", F.concat(header, payload))
+    emb = image_position_embedding(media).withColumn(
+        "iv", F.expr("transform(img_embedding, y -> CAST(y AS DOUBLE))")
+    )
+    tv = _mm13_class_sums(
+        "lt", "ascii(substr(text, CAST(i + 1 AS INT), 1))"
+    )
+    from .dialect import cosine_expr
+
+    scored = (
+        emb.withColumn("tv", F.expr(tv))
+        .withColumn("__ca", F.expr(_mm13_centered("tv")))
+        .withColumn("__cb", F.expr(_mm13_centered("iv")))
+        .withColumn(
+            "alignment", r6(F.expr(cosine_expr("spark", "__ca", "__cb")))
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "media_src_id",
+        "alignment",
+        (F.col("alignment") >= F.expr(f"CAST({MM13_TAU} AS DOUBLE)")).alias(
+            "aligned"
+        ),
+        (F.col("doc_id") % MM13_MISMATCH_STRIDE == 0).alias(
+            "is_planted_mismatch"
+        ),
+    )
+
+
+def _mm13_oracle_sql() -> str:
+    """MM13's DuckDB twin: every stat re-derived arithmetically from the
+    construction rule (the mm3/mm5 oracle style) — text-class sums from
+    the caption bytes, image-class sums from the FILE layout (byte j of
+    the payload is caption byte j or the (j+L)%256 filler; padding
+    positions j%stride >= 3w never survive the decode), then the same
+    centered-cosine fold text as the Spark plan (dialect.cosine_expr)."""
+    from .dialect import cosine_expr, r6t
+
+    k_rng = f"range(0, {MM13_CLASSES})"
+    tv = (
+        f"[list_sum([CASE WHEN i % {MM13_CLASSES} = k "
+        "THEN CAST(unicode(text[CAST(i + 1 AS INT)]) AS DOUBLE) "
+        "ELSE CAST(0 AS DOUBLE) END FOR i IN range(0, CAST(lt AS INT))]) "
+        f"FOR k IN {k_rng}]"
+    )
+    iv = (
+        f"[list_sum([CASE WHEN j % stride < 3 * w AND j % {MM13_CLASSES} = k "
+        "THEN CAST(CASE WHEN j < lm THEN unicode(media_text[CAST(j + 1 AS INT)]) "
+        "ELSE 0 END AS DOUBLE) "
+        "ELSE CAST(0 AS DOUBLE) END FOR j IN range(0, CAST(n AS INT))]) "
+        f"FOR k IN {k_rng}]"
+    )
+    centered = (
+        lambda arr: f"list_transform({arr}, x -> "
+        f"CAST({MM13_CLASSES} AS DOUBLE) * x - "
+        f"(list_reduce(list_concat([CAST(0 AS DOUBLE)], {arr}), "
+        "(acc, x) -> acc + x)))"
+    )
+    cos = cosine_expr("duck", "__ca", "__cb")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+pair AS (
+  SELECT a.doc_id, a.text AS text, b.doc_id AS media_src_id,
+         b.text AS media_text
+  FROM base a JOIN base b
+    ON b.doc_id = CASE WHEN a.doc_id % {MM13_MISMATCH_STRIDE} = 0
+                       THEN a.doc_id + 1 ELSE a.doc_id END
+),
+geo AS (
+  SELECT *, octet_length(encode(text)) AS lt,
+         octet_length(encode(media_text)) AS lm,
+         4 * (octet_length(encode(media_text)) % 3 + 1) AS w
+  FROM pair
+),
+geo2 AS (
+  SELECT *, (lm + 3 * w - 1) // (3 * w) AS h,
+         ((w * 3 + 3) // 4) * 4 AS stride
+  FROM geo
+),
+geo3 AS (SELECT *, stride * h AS n FROM geo2),
+vecs AS (
+  SELECT doc_id, media_src_id, {tv} AS tv, {iv} AS iv FROM geo3
+),
+cent AS (
+  SELECT doc_id, media_src_id,
+         {centered("tv")} AS __ca, {centered("iv")} AS __cb
+  FROM vecs
+)
+SELECT doc_id, media_src_id,
+       {r6t(cos)} AS alignment,
+       {r6t(cos)} >= CAST({MM13_TAU} AS DOUBLE) AS aligned,
+       doc_id % {MM13_MISMATCH_STRIDE} = 0 AS is_planted_mismatch
+FROM cent
+"""
+
+
+R15_STAGED_MM = {
+    "mm13_image_text_alignment": (
+        _mm13_image_text_alignment,
+        _mm13_oracle_sql(),
+    ),
+}

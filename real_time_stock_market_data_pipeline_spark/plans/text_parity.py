@@ -2939,7 +2939,50 @@ DSIR_K = 100          # resampled corpus size
 DSIR_TARGET = "en"    # target distribution = the English slice
 
 
-def sql_dsir(dialect: str) -> str:
+def _dsir_head_ctes(dialect: str) -> str:
+    """docs → featdocs → feat_rows → bucketed: the (doc_id, lang, b)
+    hashed-feature frame shared by sql_dsir's pure rendering and the
+    registered plan's materialized snapshot (dsir_bucketed_sql)."""
+    toks = "toks"
+    n = list_len(dialect, toks)
+    # bigram list; both engines: 1-based element_at/[] indexing
+    big_body = (
+        f"{elem_str(dialect, toks, 'CAST(i AS INT)')} || ' ' || "
+        f"{elem_str(dialect, toks, 'CAST(i + 1 AS INT)')}"
+    )
+    bigrams = transform(
+        dialect, seq(dialect, "1", f"{n} - 1"), big_body, var="i"
+    )
+    # docs all carry >= 10 tokens (min pinned by test); the n>=2 guard
+    # keeps the sequence() endpoints ordered for single-token docs, where
+    # Spark's sequence(1, 0) would DESCEND while DuckDB's is empty
+    feats = (
+        f"CASE WHEN {n} >= 2 THEN "
+        f"concat(toks, {bigrams}) ELSE toks END"
+        if dialect == "spark"
+        else f"CASE WHEN {n} >= 2 THEN list_concat(toks, {bigrams}) ELSE toks END"
+    )
+    b = f"({tok_hash(dialect, 'feat')}) % {DSIR_BUCKETS}"
+    feat_rows = explode_from(
+        dialect, "featdocs", "feats", "feat", "doc_id, lang"
+    )
+    return f"""{docs_cte(dialect)},
+featdocs AS (
+  SELECT doc_id, lang, {feats} AS feats FROM docs
+),
+feat_rows AS ({feat_rows}),
+bucketed AS (
+  SELECT doc_id, lang, {b} AS b FROM feat_rows
+)"""
+
+
+def dsir_bucketed_sql(dialect: str) -> str:
+    """Standalone (doc_id, lang, b) rendering — what the registered txt21
+    plan localCheckpoints before the three counting consumers."""
+    return f"WITH {_dsir_head_ctes(dialect)} SELECT doc_id, lang, b FROM bucketed"
+
+
+def sql_dsir(dialect: str, bucketed_source: str | None = None) -> str:
     """TXT21 — DSIR-style data selection (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): estimate
     importance weights between a TARGET distribution (here the
@@ -2972,26 +3015,6 @@ def sql_dsir(dialect: str) -> str:
     64 rows (map-side combine does all the work) and the only wide
     operation is the final rank — replaceable by a threshold on the key
     when k is a fraction, exactly as the paper samples."""
-    toks = "toks"
-    n = list_len(dialect, toks)
-    # bigram list; both engines: 1-based element_at/[] indexing
-    big_body = (
-        f"{elem_str(dialect, toks, 'CAST(i AS INT)')} || ' ' || "
-        f"{elem_str(dialect, toks, 'CAST(i + 1 AS INT)')}"
-    )
-    bigrams = transform(
-        dialect, seq(dialect, "1", f"{n} - 1"), big_body, var="i"
-    )
-    # docs all carry >= 10 tokens (min pinned by test); the n>=2 guard
-    # keeps the sequence() endpoints ordered for single-token docs, where
-    # Spark's sequence(1, 0) would DESCEND while DuckDB's is empty
-    feats = (
-        f"CASE WHEN {n} >= 2 THEN "
-        f"concat(toks, {bigrams}) ELSE toks END"
-        if dialect == "spark"
-        else f"CASE WHEN {n} >= 2 THEN list_concat(toks, {bigrams}) ELSE toks END"
-    )
-    b = f"({tok_hash(dialect, 'feat')}) % {DSIR_BUCKETS}"
     # u in (0,1): hash the doc id string — integer-derived, exact
     u = (
         f"(CAST(({tok_hash(dialect, squote_concat(dialect))}) + 1 AS DOUBLE)"
@@ -3003,18 +3026,24 @@ def sql_dsir(dialect: str) -> str:
         f"(CAST(nq + 1 AS DOUBLE) * "
         f"CAST(np_total + {DSIR_BUCKETS} AS DOUBLE)))"
     )
-    feat_rows = explode_from(
-        dialect, "featdocs", "feats", "feat", "doc_id, lang"
-    )
+    if bucketed_source:
+        # the registered Spark plan passes a localCheckpoint snapshot of
+        # the (doc_id, lang, b) frame: Spark inlines CTEs, so the pure
+        # rendering re-runs the explode + per-feature char-fold hashing
+        # once per consumer (raw_counts / tgt_counts / perdoc = 3x the
+        # dominant cost; the dd2 lesson — see _txt21_dsir_resample for
+        # the measurement).  DuckDB materializes multi-reference CTEs
+        # itself, so the oracle keeps the inline form.
+        # docs stays: the weighted CTE joins it for lang (Catalyst prunes
+        # its unused toks column out of the scan)
+        head_ctes = (
+            f"{docs_cte(dialect)},\n"
+            f"bucketed AS (SELECT doc_id, lang, b FROM {bucketed_source}),"
+        )
+    else:
+        head_ctes = _dsir_head_ctes(dialect) + ","
     return f"""
-WITH {docs_cte(dialect)},
-featdocs AS (
-  SELECT doc_id, lang, {feats} AS feats FROM docs
-),
-feat_rows AS ({feat_rows}),
-bucketed AS (
-  SELECT doc_id, lang, {b} AS b FROM feat_rows
-),
+WITH {head_ctes}
 raw_counts AS (
   SELECT b, CAST(count(*) AS BIGINT) AS nq FROM bucketed GROUP BY b
 ),
@@ -3077,8 +3106,24 @@ def squote_concat(dialect: str) -> str:
 
 
 def _txt21_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT21, Spark side: the dd2-style SNAPSHOT form — the bucketed
+    (doc_id, lang, b) frame is localCheckpointed before its three
+    consumers (raw_counts / tgt_counts / perdoc), because Spark inlines
+    CTEs and the pure rendering re-runs the explode plus the per-feature
+    char-fold hashing — the query's dominant cost — once per consumer.
+    Unlike txt12 (whose explode is a cheap narrow transform and whose
+    snapshot was measured SLOWER), the hashing here is dd2-class heavy
+    and the snapshot is SMALLER than its input: measured standalone-warm
+    at sf0.1, pure median 6.95 s [6.24, 7.72] vs snapshot 4.39 s
+    [4.18, 5.13] over 5 runs (−37%).  Parity and
+    value-identity with the pure form are pinned by
+    test_text_dedup.py::test_txt21_snapshot_form_matches_pure."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(sql_dsir("spark"))
+    bucketed = spark.sql(dsir_bucketed_sql("spark")).localCheckpoint(eager=False)
+    bucketed.createOrReplaceTempView("txt21_bucketed_snapshot")
+    return spark.sql(
+        sql_dsir("spark", bucketed_source="txt21_bucketed_snapshot")
+    )
 
 
 QUERIES["txt21_dsir_resample"] = _txt21_dsir_resample

@@ -70,6 +70,7 @@ DOC_QUERIES = [
     "txt21_dsir_resample", "txt22_bm25_retrieval", "dd15_paragraph_dedup",
     "sp14_doremi_mixture",  # staged for r15 (plans.R15_STAGED)
     "sp15_curriculum_shards",  # staged for r15 (plans.R15_STAGED)
+    "mm13_image_text_alignment",  # staged for r15 (plans.R15_STAGED)
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so

@@ -28,6 +28,7 @@ def test_staged_not_yet_registered():
         "sp14_doremi_mixture",
         "sp15_curriculum_shards",
         "dd16_semantic_decontamination",
+        "mm13_image_text_alignment",
     }
 
 
@@ -204,3 +205,23 @@ def test_sp15_shards_are_balanced_contiguous_and_parallel_ranked(spark, sf_dir):
         ln for ln in plan.splitlines() if "row_number" in ln
     ]
     assert doc_windows and all("bucket" in ln for ln in doc_windows)
+
+
+def test_mm13_matched_pairs_score_exactly_one(spark, sf_dir):
+    """The alignment gate's two halves: every matched pair scores EXACTLY
+    1.0 (the BMP geometry is padding-free and the tail filler is zero, so
+    the decoded position-class sums equal the caption's bit-for-bit — a
+    losslessness pin on encode → real decode → file-position
+    reconstruction), and every planted wrong-caption pair falls under the
+    0.8 gate (mismatched max 0.766 across all three SFs, measured)."""
+    fn, _ = R15_STAGED["mm13_image_text_alignment"]
+    rows = fn(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if not r.is_planted_mismatch]
+    planted = [r for r in rows if r.is_planted_mismatch]
+    assert matched and planted
+    assert all(r.alignment == 1.0 and r.aligned for r in matched)
+    assert all(r.alignment < 0.8 and not r.aligned for r in planted)
+    # planted pairs really carry the NEIGHBOR's image
+    assert all(r.media_src_id == r.doc_id + 1 for r in planted)
+    assert all(r.media_src_id == r.doc_id for r in matched)

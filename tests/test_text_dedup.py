@@ -1451,3 +1451,24 @@ def test_paragraph_vs_span_dedup_units_provably_differ(spark):
     )
     assert len(planted) == 5
     assert all(r.n_dup_pars == 1 and r.n_kept_pars == 0 for r in planted)
+
+
+def test_txt21_snapshot_form_matches_pure(spark, sf_dir):
+    """The registered txt21 plan materializes the bucketed feature frame
+    (dd2's lesson — the char-fold hashing is the dominant cost and Spark
+    re-runs inlined CTEs once per consumer); the snapshot form must be
+    VALUE-identical to the pure rendering, not just parity-green."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        QUERIES,
+        sql_dsir,
+    )
+
+    snap = QUERIES["txt21_dsir_resample"](spark, sf_dir)
+    # the query fn registered the documents view; the pure rendering
+    # reads the same corpus through it
+    pure = spark.sql(sql_dsir("spark"))
+    cols = snap.columns
+    assert pure.columns == cols
+    a = sorted(map(tuple, snap.collect()))
+    b = sorted(map(tuple, pure.collect()))
+    assert a == b
