@@ -1292,15 +1292,21 @@ def image_position_embedding(
 ) -> DataFrame:
     """Per-image POSITION-CLASS byte embedding from REAL decode: the
     pixels come back through ``decode_pixels`` (the genuine BMP/PNG
-    byte-struct path), each decoded byte is mapped back to its FILE
-    position (bottom-up row flip, RGB→BGR, stride arithmetic — all
-    derivable from the decoded array's own geometry), and the embedding
-    is the exact BIGINT sum of byte values per position class
-    ``file_pos % classes``.  The in-engine "image encoder" of the mm13
-    alignment gate: deterministic, integer-exact, and honest about the
-    plumbing a learned encoder would ride (Arrow batches through
-    ``mapInPandas``, one numpy pass per image — swap ``_embed`` for a
-    model forward and the operator is a CLIP image tower).
+    byte-struct path), each decoded byte is mapped to its position in
+    the CANONICAL BMP24 raster (bottom-up row flip, RGB→BGR, stride
+    arithmetic — derivable from the decoded array's own geometry), and
+    the embedding is the exact BIGINT sum of byte values per position
+    class ``canonical_pos % classes``.  Canonical rather than
+    source-file positions makes the embedding CONTAINER-INVARIANT: a
+    PNG and a BMP holding the same pixels embed identically (the mm10
+    transcode-decontamination property), while for an actual BMP the
+    canonical raster IS the file's pixel array, which is what lets the
+    mm13 oracle re-derive the sums arithmetically.  The in-engine
+    "image encoder" of the mm13 alignment gate: deterministic,
+    integer-exact, and honest about the plumbing a learned encoder
+    would ride (Arrow batches through ``mapInPandas``, one numpy pass
+    per image — swap ``_embed`` for a model forward and the operator is
+    a CLIP image tower).
 
     Appends ``img_embedding array<bigint>`` (NULL for undecodable
     payloads).  Scale: map-only, corpus-linear, no shuffle."""

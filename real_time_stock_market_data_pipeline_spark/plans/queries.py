@@ -2957,6 +2957,10 @@ FROM cent
 """
 
 
+# r15 promotion = QUERIES["mm13_image_text_alignment"] =
+# _mm13_image_text_alignment here + ORACLES["mm13_image_text_alignment"]
+# = _mm13_oracle_sql() in plans/oracles.py (or an ORACLES.update at the
+# bottom of that module) + the r15 window slot in plans/__init__._PRIORITY.
 R15_STAGED_MM = {
     "mm13_image_text_alignment": (
         _mm13_image_text_alignment,

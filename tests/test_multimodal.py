@@ -865,3 +865,46 @@ def test_mm11_flags_every_planted_modal_leak(spark, sf_dir):
     for r in rows:
         by_doc.setdefault(r.doc_id, set()).add(r.modality)
     assert all(mods == {"image", "audio", "video"} for mods in by_doc.values())
+
+
+def test_position_embedding_is_container_invariant(spark):
+    """image_position_embedding maps decoded bytes to the CANONICAL BMP24
+    raster, so the same pixels embed identically whether they arrive as a
+    BMP or a PNG (the mm10 transcode property lifted to the embedding),
+    and differing pixels do not."""
+    import numpy as np
+
+    from real_time_stock_market_data_pipeline_spark.operators.multimodal import (
+        encode_bmp24,
+        encode_png,
+        image_position_embedding,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 8, 3), dtype=np.uint8)
+    other = px.copy()
+    other[0, 0, 0] ^= 0xFF
+    rows = [
+        (1, bytearray(encode_bmp24(px))),
+        (2, bytearray(encode_png(px))),
+        (3, bytearray(encode_bmp24(other))),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_bytes binary")
+    out = {
+        r.doc_id: r.img_embedding
+        for r in image_position_embedding(df).collect()
+    }
+    assert out[1] == out[2]          # BMP ≡ PNG for identical pixels
+    assert out[1] != out[3]          # a changed pixel changes the sums
+    assert out[4] is None            # undecodable → NULL, never a crash
+    # exact arithmetic pin: class sums re-derived from the raster rule
+    h, w = px.shape[0], px.shape[1]
+    stride = (w * 3 + 3) // 4 * 4
+    expect = [0] * 16
+    for r_ in range(h):
+        for c in range(w):
+            for ch in range(3):
+                pos = (h - 1 - r_) * stride + c * 3 + (2 - ch)
+                expect[pos % 16] += int(px[r_, c, ch])
+    assert out[1] == expect
