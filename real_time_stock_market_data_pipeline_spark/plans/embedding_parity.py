@@ -1416,7 +1416,7 @@ EMBEDDING_ORACLES["dq5_serving_drift_monitors"] = sql_serving_drift_monitors(
 )
 
 
-# --- DD16 (STAGED FOR R15): semantic decontamination ------------------------
+# --- DD16 (r15, staged in r14): semantic decontamination --------------------
 # The decontamination family gates on exact 13-grams (dd10/dd11), MinHash
 # bands over the text (dd12), and perceptual hashes across modalities
 # (mm10/mm11) — every gate so far needs the LEAK to share surface form
@@ -1428,14 +1428,6 @@ EMBEDDING_ORACLES["dq5_serving_drift_monitors"] = sql_serving_drift_monitors(
 # r6-rounded cosine clears the threshold — candidates by LSH, verdicts by
 # the true similarity, precisely the banded-then-verify shape every other
 # near-dup gate in the engine uses.
-#
-# REGISTRATION DEFERRED: the r14 evidence window is exactly full (46
-# rotation leads + dq5/txt21/txt22/dd15), so registering another query
-# this round would leave it without a driver row and trip
-# tests/test_parity.py::test_window_rotation_never_starves_a_query.  The
-# query + oracle are finished and parity-tested at sf0.001 on every
-# pytest run (tests/test_staged_r15.py); r15 promotes them into QUERIES/
-# ORACLES as window leads (see plans/__init__ "FROZEN FOR R15").
 #
 # Fixture (mirrors dd12's planted-leak design): train/test split by the
 # sp1 hash rule on vec_id; every D16_PLANT_STRIDE-th test vector re-enters
@@ -1589,13 +1581,7 @@ def _dd16_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-# r15 promotion = move these two lines into the module body above
-# (QUERIES[...] / EMBEDDING_ORACLES[...]) and slot the name into the r15
-# window leads; until then tests/test_staged_r15.py parity-checks them on
-# every run.
-R15_STAGED_EMBEDDING = {
-    "dd16_semantic_decontamination": (
-        _dd16_semantic_decontamination,
-        sql_semantic_decontamination("duck"),
-    ),
-}
+QUERIES["dd16_semantic_decontamination"] = _dd16_semantic_decontamination
+EMBEDDING_ORACLES["dd16_semantic_decontamination"] = (
+    sql_semantic_decontamination("duck")
+)

@@ -2745,16 +2745,13 @@ def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- MM13 (STAGED FOR R15): image-text alignment gate -------------------------
-# REGISTRATION DEFERRED: the r14 evidence window is exactly full (see
-# plans/__init__ "R15 WINDOW PLAN"); parity-pinned every pytest run by
-# tests/test_staged_r15.py, promoted r15.
+# --- MM13 (r15, staged in r14): image-text alignment gate ---------------------
 MM13_CLASSES = 16
 MM13_MISMATCH_STRIDE = 5   # every 5th doc carries its NEIGHBOR's image
 MM13_TAU = "0.8"           # exact 6-decimal literal — measured gap: matched
                            # alignment = 1.0 EXACTLY (the decode is lossless
                            # by construction), mismatched <= 0.766 at all
-                           # three SFs (see tests/test_staged_r15.py)
+                           # three SFs (see tests/test_r15_promoted.py)
 
 
 def _mm13_pair_geometry_sql() -> str:
@@ -2957,13 +2954,8 @@ FROM cent
 """
 
 
-# r15 promotion = QUERIES["mm13_image_text_alignment"] =
-# _mm13_image_text_alignment here + ORACLES["mm13_image_text_alignment"]
-# = _mm13_oracle_sql() in plans/oracles.py (or an ORACLES.update at the
-# bottom of that module) + the r15 window slot in plans/__init__._PRIORITY.
-R15_STAGED_MM = {
-    "mm13_image_text_alignment": (
-        _mm13_image_text_alignment,
-        _mm13_oracle_sql(),
-    ),
-}
+QUERIES["mm13_image_text_alignment"] = _mm13_image_text_alignment
+
+from .oracles import ORACLES as _ORACLES  # noqa: E402  (oracles.py never imports queries.py)
+
+_ORACLES["mm13_image_text_alignment"] = _mm13_oracle_sql()

@@ -3343,13 +3343,7 @@ QUERIES["dd15_paragraph_dedup"] = _dd15_paragraph_dedup
 TEXT_ORACLES["dd15_paragraph_dedup"] = sql_paragraph_dedup("duck")
 
 
-# --- SP14 (STAGED FOR R15): DoReMi domain reweighting -------------------------
-# REGISTRATION DEFERRED: the r14 evidence window is exactly full (46
-# rotation leads + dq5/txt21/txt22/dd15) — registering another query this
-# round would leave it without a driver row and trip test_parity.py::
-# test_window_rotation_never_starves_a_query.  Finished and parity-tested
-# at sf0.001 every pytest run (tests/test_staged_r15.py); r15 promotes it
-# (see plans/__init__ "FROZEN FOR R15").
+# --- SP14 (r15, staged in r14): DoReMi domain reweighting ---------------------
 DOREMI_ETA = "1.0"       # exponentiated-gradient step size (paper's η)
 DOREMI_SMOOTH = "0.01"   # uniform-smoothing mass (paper's c)
 DOREMI_BUDGET = 1_000_000  # tokens to allocate across domains
@@ -3515,14 +3509,11 @@ def _sp14_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql_doremi("spark"))
 
 
-# r15 promotion = QUERIES["sp14_doremi_mixture"] = _sp14_doremi_mixture /
-# TEXT_ORACLES[...] = sql_doremi("duck") + the r15 window slot.
-R15_STAGED_TEXT = {
-    "sp14_doremi_mixture": (_sp14_doremi_mixture, sql_doremi("duck")),
-}
+QUERIES["sp14_doremi_mixture"] = _sp14_doremi_mixture
+TEXT_ORACLES["sp14_doremi_mixture"] = sql_doremi("duck")
 
 
-# --- SP15 (STAGED FOR R15): curriculum shard manifests ------------------------
+# --- SP15 (r15, staged in r14): curriculum shard manifests --------------------
 SP15_SHARDS = 8
 SP15_CKSUM_MOD = 1_000_000_007
 
@@ -3621,7 +3612,5 @@ def _sp15_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(sql_curriculum_shards("spark"))
 
 
-R15_STAGED_TEXT["sp15_curriculum_shards"] = (
-    _sp15_curriculum_shards,
-    sql_curriculum_shards("duck"),
-)
+QUERIES["sp15_curriculum_shards"] = _sp15_curriculum_shards
+TEXT_ORACLES["sp15_curriculum_shards"] = sql_curriculum_shards("duck")

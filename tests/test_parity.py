@@ -31,56 +31,56 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r14_driver_window_pinned():
+def test_r15_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 46
-    r11-green queries frozen out of the r13 window lead (their newest
-    driver row is r11 and turns three rounds old otherwise), new r14
-    queries follow, and r12-green rotations fill to exactly 50.  An
+    only, so the window IS part of the round's evidence plan: the four
+    queries promoted from the r14 staging block lead (they have no
+    driver row yet), new r15 queries follow, and the r12-green rotations
+    fill to exactly 50 in r12-window order (oldest evidence first).  An
     accidental import-order or registration change would silently spend
     the evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    assert names[:46] == [
-        # the 6 r11 fills displaced by the six new r13 queries
-        "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
-        "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-        # the frozen-for-r14 block, in its committed order
-        "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
-        "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
-        "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
-        "emb8_ivf_index_search", "a10_value_histogram",
-        "a11_daily_type_pivot", "a12_rollup_sets", "sp3_capped_per_group",
-        "sp4_balanced_mixture", "dq2_volume_anomalies",
-        "emb15_semantic_dedup", "emb16_semdedup_keep_policy",
-        "mm11_triad_decontamination", "sp9_dup_aware_split",
-        "emb17_incremental_semdedup", "txt15_perplexity_filter",
-        "emb18_filtered_ann", "txt16_duplicated_ngrams", "dd1_exact_dedup",
-        "w2_sma", "w3_ema", "txt1_token_stats", "txt4_fingerprint",
-        "emb10_incremental_ivf", "txt12_bigram_lm", "txt13_feature_hash",
-        "mm7_dhash_pairs", "w12_series_similarity", "w13_series_all_pairs",
-        "dd11_incremental_decontamination", "mm8_audio_pairs",
-        "mm9_video_pairs", "emb11_pq_recall", "w14_series_banded_neardup",
+    promoted = [
+        "sp14_doremi_mixture", "sp15_curriculum_shards",
+        "dd16_semantic_decontamination", "mm13_image_text_alignment",
     ]
-    # new r14 queries sit directly after the r11 leads; r12-green
-    # rotations fill the window to 50 (oldest evidence first)
-    new_r14 = [n for n in names[46:50] if n not in _R12_FILL_ORDER]
-    n_new = len(new_r14)
-    assert names[46:46 + n_new] == new_r14  # new queries are contiguous
-    assert names[46 + n_new:50] == _R12_FILL_ORDER[: 4 - n_new]
-    # slot 50 boundary: the frozen-for-r15 block starts at index 50 with
-    # the first displaced r12 fill (sp2_stratified_sample when all four
-    # new queries landed)
-    assert names[50] == _R12_FILL_ORDER[4 - n_new]
+    assert names[:4] == promoted
+    # new r15 queries sit directly after the promoted leads; each one
+    # displaces one r12 fill off the window tail
+    new_r15 = [n for n in names[4:50] if n not in _R12_WINDOW_ORDER]
+    n_new = len(new_r15)
+    assert names[4:4 + n_new] == new_r15  # new queries are contiguous
+    assert names[4 + n_new:50] == _R12_WINDOW_ORDER[: 46 - n_new]
+    # slot 50 boundary: the frozen-for-r16 block starts at index 50 with
+    # the first displaced r12 fill
+    assert names[50] == _R12_WINDOW_ORDER[46 - n_new]
 
 
-# the r12-window order the round-14 fills draw from (r13 policy note):
-# any slot of the 50 not taken by a new r14 query is filled from this
-# list front-to-back, and displaced entries head the frozen-for-r15 block.
-_R12_FILL_ORDER = [
+# the r12-window order the round-15 fills draw from (the full 50-entry
+# r12-green block): any slot of the 50 not taken by a promoted lead or a
+# new r15 query is filled from this list front-to-back, and displaced
+# entries head the frozen-for-r16 block.
+_R12_WINDOW_ORDER = [
     "sp2_stratified_sample", "dd3_minhash_signatures",
     "dd4_minhash_candidates", "dd5_simhash", "emb1_knn_cosine",
+    "emb2_label_centroids", "emb3_lsh_near_dup", "emb6_centered_lsh",
+    "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
+    "p7_validated_ticks", "p9_dedup_ticks", "j6_region_revenue",
+    "j7_orders_without_big_lineitems", "j8_industry_rollup",
+    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+    "o3_training_fetch", "sk1_salted_daily_summary", "q1_pricing_summary",
+    "t9_session_windows", "j10_asof_quote", "s13_model_roundtrip",
+    "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
+    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
+    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+    "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
+    "sp11_domain_mixture", "emb19_filtered_ivfpq",
+    "txt19_incremental_span_dedup", "sp12_curated_corpus",
+    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
+    "p6_flag_filter", "a7_dup_detection", "o1_top_events", "o4_latest_row",
+    "o5_price_history", "o6_sorted_rollup",
 ]
 
 

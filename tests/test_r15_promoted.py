@@ -1,42 +1,16 @@
-"""Parity + fixture tests for the r15-STAGED queries (plans/__init__
-``R15_STAGED``): finished this round, registration deferred because the
-r14 evidence window is exactly full.  These tests give them the same
-sf0.001 oracle gate every REGISTERED query gets from test_parity, so the
-r15 promotion is a two-line move, not new surface."""
+"""Fixture/property tests for the four queries built in round 14 and
+PROMOTED into the registry at the r15 rotation (sp14 DoReMi, sp15
+curriculum shards, dd16 semantic decontamination, mm13 image-text
+alignment).  Their DuckDB-oracle parity gate now runs from test_parity
+like every other registered query; these tests pin the properties the
+oracle alone cannot (planted-fixture exactness, plan shapes, EG-step
+direction, lossless alignment geometry)."""
 
 from __future__ import annotations
 
 import duckdb
-import pytest
 
-from real_time_stock_market_data_pipeline_spark.plans import QUERIES, R15_STAGED
-from real_time_stock_market_data_pipeline_spark.plans.parity import (
-    check_query,
-    duck_connection,
-)
-
-
-@pytest.fixture(scope="module")
-def duck(sf_dir):
-    return duck_connection(sf_dir)
-
-
-def test_staged_not_yet_registered():
-    # the whole point of staging: the r14 window stays exactly as pinned
-    assert not set(R15_STAGED) & set(QUERIES)
-    assert set(R15_STAGED) == {
-        "sp14_doremi_mixture",
-        "sp15_curriculum_shards",
-        "dd16_semantic_decontamination",
-        "mm13_image_text_alignment",
-    }
-
-
-@pytest.mark.parametrize("name", sorted(R15_STAGED))
-def test_staged_query_matches_oracle(spark, sf_dir, duck, name):
-    fn, oracle = R15_STAGED[name]
-    res = check_query(name, fn(spark, sf_dir), oracle, duck)
-    assert res.ok, f"{name}: {res.errors}"
+from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
 
 def test_dd16_flags_exactly_the_planted_leaks(spark, sf_dir):
@@ -51,8 +25,7 @@ def test_dd16_flags_exactly_the_planted_leaks(spark, sf_dir):
         _d16_fixture_ctes,
     )
 
-    fn, _ = R15_STAGED["dd16_semantic_decontamination"]
-    out = fn(spark, sf_dir).collect()
+    out = QUERIES["dd16_semantic_decontamination"](spark, sf_dir).collect()
     n_planted = spark.sql(
         f"WITH {_d16_fixture_ctes('spark')} SELECT count(*) AS n FROM planted"
     ).first()["n"]
@@ -70,7 +43,7 @@ def test_dd16_plan_broadcasts_the_benchmark_side(spark, sf_dir):
     """The 100 TB contract: the benchmark side is broadcast in BOTH the
     band join and the verify join — the corpus is never shuffled for a
     join, only the candidate pairs are."""
-    fn, _ = R15_STAGED["dd16_semantic_decontamination"]
+    fn = QUERIES["dd16_semantic_decontamination"]
     plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 2
     # no sort-merge join anywhere: cand-distinct + rollup are the only
@@ -83,8 +56,7 @@ def test_sp14_alloc_is_exact_and_weights_normalize(spark, sf_dir):
         DOREMI_BUDGET,
     )
 
-    fn, _ = R15_STAGED["sp14_doremi_mixture"]
-    rows = fn(spark, sf_dir).collect()
+    rows = QUERIES["sp14_doremi_mixture"](spark, sf_dir).collect()
     assert len(rows) == 20  # src0..src19
     assert sum(r.alloc for r in rows) == DOREMI_BUDGET
     assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
@@ -187,8 +159,7 @@ def test_sp15_shards_are_balanced_contiguous_and_parallel_ranked(spark, sf_dir):
         SP15_SHARDS,
     )
 
-    fn, _ = R15_STAGED["sp15_curriculum_shards"]
-    df = fn(spark, sf_dir)
+    df = QUERIES["sp15_curriculum_shards"](spark, sf_dir)
     rows = sorted(df.collect(), key=lambda r: r.shard_id)
     assert [r.shard_id for r in rows] == list(range(SP15_SHARDS))
     sizes = [r.n_docs for r in rows]
@@ -214,8 +185,7 @@ def test_mm13_matched_pairs_score_exactly_one(spark, sf_dir):
     losslessness pin on encode → real decode → file-position
     reconstruction), and every planted wrong-caption pair falls under the
     0.8 gate (mismatched max 0.766 across all three SFs, measured)."""
-    fn, _ = R15_STAGED["mm13_image_text_alignment"]
-    rows = fn(spark, sf_dir).collect()
+    rows = QUERIES["mm13_image_text_alignment"](spark, sf_dir).collect()
     assert rows
     matched = [r for r in rows if not r.is_planted_mismatch]
     planted = [r for r in rows if r.is_planted_mismatch]
