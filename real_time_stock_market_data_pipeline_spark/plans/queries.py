@@ -2800,10 +2800,12 @@ def _mm13_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy pass, swap the embed fn for a model forward and it IS a CLIP
     tower) producing 16 position-class byte sums; the TEXT tower is the
     same 16-class statistic computed from the caption bytes directly in
-    JVM SQL.  Alignment = r6-rounded MEAN-CENTERED cosine: a matched
-    pair's image renders its own caption (score ≈ 1 minus stride-padding
-    loss + filler tail), a planted wrong-caption pair decorrelates
-    (measured ≤ 0.62 vs matched ≥ 0.96 at every SF).
+    JVM SQL.  Alignment = r6-rounded MEAN-CENTERED cosine: the BMP
+    geometry is padding-free and the tail filler is zero, so a matched
+    pair's decoded position-class sums equal the caption's bit-for-bit
+    and the score is EXACTLY 1.0; a planted wrong-caption pair
+    decorrelates (measured ≤ 0.766 vs matched = 1.0 at every SF —
+    MM13_TAU sits in that gap).
 
     The fixture builds complete 24-bit BMPs in pure JVM SQL whose pixel
     payload IS the caption's bytes (geometry sized to hold the whole
@@ -2889,9 +2891,10 @@ def _mm13_oracle_sql() -> str:
     """MM13's DuckDB twin: every stat re-derived arithmetically from the
     construction rule (the mm3/mm5 oracle style) — text-class sums from
     the caption bytes, image-class sums from the FILE layout (byte j of
-    the payload is caption byte j or the (j+L)%256 filler; padding
-    positions j%stride >= 3w never survive the decode), then the same
-    centered-cosine fold text as the Spark plan (dialect.cosine_expr)."""
+    the payload is caption byte j for j < L and ZERO for the tail; the
+    row stride is a multiple of 4 by construction, so no padding
+    positions exist), then the same centered-cosine fold text as the
+    Spark plan (dialect.cosine_expr)."""
     from .dialect import cosine_expr, r6t
 
     k_rng = f"range(0, {MM13_CLASSES})"

@@ -3371,8 +3371,12 @@ def sql_doremi(dialect: str) -> str:
     are BIGINT; per-DISTINCT-token/-bigram NLL is rounded half-up into
     integer MICRO-NATS (one ln per vocab/bigram row), so every per-domain
     sum is an exact BIGINT under any shuffle order.  The EG step runs on
-    K ≈ 20 domain rows — exp/division on BIGINT-derived doubles, identical
-    IEEE ops in both engines — and every CROSS-ROW reduction after it
+    K ≈ 20 domain rows — exp/division on BIGINT-derived doubles; exp/ln
+    are not correctly-rounded and may differ by ulps between libm
+    implementations, but the half-up rounding into micro/nano units
+    makes a boundary hit measurably improbable (the txt12/txt18
+    precedent; no flake observed across SFs) — and every CROSS-ROW
+    reduction after it
     (weight normalization, budget allocation) is again over BIGINTs
     (w_micro), so no float window-sum order can differ.  The allocation is
     pure integer arithmetic: alloc₀ = ⌊B·w_micro/Σw_micro⌋, remainders

@@ -195,3 +195,30 @@ def test_mm13_matched_pairs_score_exactly_one(spark, sf_dir):
     # planted pairs really carry the NEIGHBOR's image
     assert all(r.media_src_id == r.doc_id + 1 for r in planted)
     assert all(r.media_src_id == r.doc_id for r in matched)
+
+
+def test_mm13_corpus_is_ascii_at_every_sf():
+    """r14 ADVICE pin: mm13's BMP payload hex-encodes ONE byte per
+    character (``lpad(hex(ascii(ch)), 2, '0')`` silently truncates a
+    codepoint > 255 to its low hex digits) and ``lt``/``lm`` are octet
+    lengths indexed per character, while the DuckDB oracle reads full
+    ``unicode()`` codepoints — the construction is sound only while the
+    documents corpus is pure ASCII.  Pin that explicitly at all three
+    SFs: octet_length == length for every text (single-byte UTF-8 ⇔
+    every codepoint < 128), so a future corpus regeneration with
+    non-ASCII text fails HERE instead of as an opaque parity mismatch."""
+    import os
+
+    con = duckdb.connect()
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        bad = con.execute(
+            f"SELECT count(*) FROM '{path}' "
+            "WHERE text IS NOT NULL AND octet_length(encode(text)) <> length(text)"
+        ).fetchone()[0]
+        assert bad == 0, f"{sf}: {bad} non-ASCII documents"
+        checked += 1
+    assert checked > 0
