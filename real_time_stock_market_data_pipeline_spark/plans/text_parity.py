@@ -3618,3 +3618,164 @@ def _sp15_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp15_curriculum_shards"] = _sp15_curriculum_shards
 TEXT_ORACLES["sp15_curriculum_shards"] = sql_curriculum_shards("duck")
+
+
+# --- DD17: quality-aware dup-cluster survivor selection -----------------------
+def sql_quality_survivors(dialect: str) -> str:
+    """DD17 — QUALITY-AWARE survivor selection per duplicate cluster.
+
+    Every dedup family so far keeps min-id (dd6 components, emb15
+    SemDeDup) or latest-revision (dd14) — an ARBITRARY copy.  Lee et
+    al. 2022 §4 keeps one arbitrary copy and flags the choice as open;
+    production corpus dedup (C4 / FineWeb-style pipelines) ranks the
+    copies and keeps the BEST one.  dd17 closes that: for each dd6
+    connected component the survivor is argmax(quality_score) under
+    txt18's TRAINED classifier, doc_id ASC as the deterministic
+    tie-break, reported side-by-side with the min-id policy — survivor
+    identity, both scores, both char counts, the per-cluster quality
+    gain and char delta.  The report a pipeline owner reads to decide
+    whether quality-keep is worth the extra scoring pass.
+
+    Oracle = dd6's recursive-CTE closure + txt18's bit-exact trained
+    model (integer normal equations + unrolled Gauss-Jordan, nested
+    wholesale as a CTE — the sp13 pattern) + one window argmax, so the
+    composed verdict is value-checked end-to-end.  DuckDB-only for the
+    closure (sql_dup_clusters: Spark 4.1 rejects set-semantics UNION in
+    recursive CTEs); the ENGINE path is the iterative
+    operators.dedup.dup_clusters.
+
+    Scale shape: the classifier is one corpus statistics pass (txt18);
+    the cluster map covers only docs that appear in a candidate pair;
+    the argmax window partitions by cluster_id (components are bounded
+    by the LSH banding — never corpus-wide), and every join after the
+    closure is on the cluster/doc key.  100 TB: score-then-pick adds
+    ONE map-side scoring pass + one bounded window over the dup subset
+    on top of what dd6 already does."""
+    bands_sql = _bands_sql(dialect)
+    model = sql_quality_classifier(dialect)
+    return f"""
+WITH RECURSIVE {_minhash_sig_cte(dialect)},
+bands AS ({bands_sql}),
+{_CAND_CTE},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM cand
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand
+),
+reach AS (
+  SELECT u, u AS lbl FROM edges
+  UNION
+  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u
+),
+cc AS (SELECT u AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY u),
+model AS ({model}),
+member AS (
+  SELECT cc.doc_id, cc.cluster_id, m.quality_score,
+         CAST(d.n_chars AS BIGINT) AS n_chars
+  FROM cc
+  JOIN model m ON cc.doc_id = m.doc_id
+  JOIN documents d ON cc.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY quality_score DESC, doc_id ASC) AS rk
+  FROM member
+),
+surv AS (
+  SELECT cluster_id, doc_id AS survivor_id,
+         quality_score AS survivor_score, n_chars AS survivor_chars
+  FROM ranked WHERE rk = 1
+),
+minid AS (
+  SELECT cluster_id, quality_score AS minid_score,
+         n_chars AS minid_chars
+  FROM member WHERE doc_id = cluster_id
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM member GROUP BY cluster_id
+)
+SELECT s.cluster_id, z.cluster_size, s.survivor_id, s.survivor_score,
+       s.survivor_chars, m.minid_score, m.minid_chars,
+       (s.survivor_id <> s.cluster_id) AS quality_differs,
+       {r6t("s.survivor_score - m.minid_score")} AS score_gain,
+       CAST(s.survivor_chars - m.minid_chars AS BIGINT) AS chars_delta
+FROM surv s
+JOIN minid m ON s.cluster_id = m.cluster_id
+JOIN sizes z ON s.cluster_id = z.cluster_id
+"""
+
+
+def _dd17_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD17, Spark side: the operator composition — dd6's iterative
+    connected components + txt18's trained scorer (marked frame
+    snapshotted once, the dd2/txt12 materialize rule; ``member`` is
+    likewise snapshotted because it feeds the argmax window, the min-id
+    lookup AND the size rollup)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import dup_clusters
+    from ..operators.quality import score_quality, train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    pairs = spark.sql(sql_minhash_candidates("spark"))
+    cc = dup_clusters(pairs)
+    marked = spark.sql(_qc_marked_sql("spark")).localCheckpoint(eager=False)
+    beta = train_quality_classifier(marked)
+    scored = score_quality(marked, beta).select("doc_id", "quality_score")
+    member = (
+        cc.join(scored, "doc_id")
+        .join(docs.select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars")), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.desc("quality_score"), F.asc("doc_id")
+        )
+    )
+    surv = (
+        member.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality_score").alias("survivor_score"),
+            F.col("n_chars").alias("survivor_chars"),
+        )
+    )
+    minid = member.filter(F.col("doc_id") == F.col("cluster_id")).select(
+        "cluster_id",
+        F.col("quality_score").alias("minid_score"),
+        F.col("n_chars").alias("minid_chars"),
+    )
+    sizes = member.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return (
+        surv.join(minid, "cluster_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "cluster_id",
+            "cluster_size",
+            "survivor_id",
+            "survivor_score",
+            "survivor_chars",
+            "minid_score",
+            "minid_chars",
+            (F.col("survivor_id") != F.col("cluster_id")).alias(
+                "quality_differs"
+            ),
+            F.expr(
+                r6t("survivor_score - minid_score")
+            ).alias("score_gain"),
+            (F.col("survivor_chars") - F.col("minid_chars"))
+            .cast("bigint")
+            .alias("chars_delta"),
+        )
+    )
+
+
+QUERIES["dd17_quality_survivors"] = _dd17_quality_survivors
+TEXT_ORACLES["dd17_quality_survivors"] = sql_quality_survivors("duck")

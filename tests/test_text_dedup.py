@@ -1472,3 +1472,26 @@ def test_txt21_snapshot_form_matches_pure(spark, sf_dir):
     a = sorted(map(tuple, snap.collect()))
     b = sorted(map(tuple, pure.collect()))
     assert a == b
+
+
+def test_dd17_quality_keep_provably_differs_from_minid(spark, sf_dir):
+    """The point of dd17: on this corpus the trained-quality survivor is
+    NOT always the min-id survivor (otherwise the query would be dd6
+    with extra columns).  Pin that at least one cluster differs, that a
+    differing survivor strictly beats the min-id copy (score_gain > 0 —
+    with the doc_id ASC tie-break, a tie keeps min-id, so differing
+    implies strictly better), and that every survivor's score is the
+    member max (the argmax contract)."""
+    rows = QUERIES["dd17_quality_survivors"](spark, sf_dir).collect()
+    assert rows
+    differing = [r for r in rows if r.quality_differs]
+    assert differing, "quality-keep never differed from min-id"
+    for r in differing:
+        assert r.survivor_id != r.cluster_id
+        assert r.score_gain > 0
+    for r in rows:
+        if not r.quality_differs:
+            assert r.survivor_id == r.cluster_id
+            assert r.score_gain == 0.0
+        assert r.survivor_score >= r.minid_score
+        assert r.cluster_size >= 2  # a component needs at least one pair
