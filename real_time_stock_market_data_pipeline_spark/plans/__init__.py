@@ -40,7 +40,7 @@ _PRIORITY = [
     "sp14_doremi_mixture", "sp15_curriculum_shards",
     "dd16_semantic_decontamination", "mm13_image_text_alignment",
     # 2 — new this round (each displaces one r12 fill below)
-    "dd17_quality_survivors",
+    "dd17_quality_survivors", "sp16_doremi_manifest",
     # 3 — green in CORRECTNESS_r12 (zero failures), r12-window order;
     #     entries past slot 50 are FROZEN FOR R16
     "sp2_stratified_sample", "dd3_minhash_signatures",

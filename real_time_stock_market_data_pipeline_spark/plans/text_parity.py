@@ -3779,3 +3779,149 @@ def _dd17_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dd17_quality_survivors"] = _dd17_quality_survivors
 TEXT_ORACLES["dd17_quality_survivors"] = sql_quality_survivors("duck")
+
+
+# --- SP16: the DoReMi-weighted corpus manifest --------------------------------
+SP16_HKEY_MOD = 1 << 30   # sampling-order key space (sp13's capped-rank key)
+SP16_SBUCKETS = 1 << 8    # coarse sampling buckets per domain (two-level cumsum)
+
+
+def sql_doremi_manifest(dialect: str) -> str:
+    """SP16 — APPLY DoReMi: materialize the reweighted corpus manifest.
+
+    sp14 produces the target weights and an exact per-domain token
+    allocation; nothing yet SAMPLES the corpus to them.  sp16 is the
+    end of the Xie et al. 2023 pipeline: the artifact a training launch
+    actually reads — domain → kept docs (with repeats) → curriculum
+    shard assignments, Σ tokens_total = DOREMI_BUDGET exactly.
+
+    Sampling rule (integer-exact, the sp6 discipline): within each
+    domain, docs are ordered by the deterministic sampling key
+    (tok_hash % 2^30, doc_id tie-break) and the domain's alloc_d tokens
+    are consumed by CYCLING that token stream — n_cycles = alloc_d DIV
+    total_d full passes (data repetition, exactly how an upweighted
+    small domain is realized in practice), then a prefix pass of
+    rem = alloc_d % total_d tokens whose boundary doc is TRUNCATED to
+    head_tokens = rem − cum_before.  Per doc: tokens_total = n_copies ·
+    n_tokens + head_tokens; summing the telescoping cumsum per domain
+    gives n_cycles·total_d + rem = alloc_d, so Σ over the manifest is
+    the budget EXACTLY — every engine, every partitioning, because the
+    chain is BIGINT end-to-end (alloc from sp14's largest-remainder
+    step, cumsums of BIGINT token counts, DIV/% arithmetic).
+
+    Shard assignment: sp15's two-level rank decomposition over the KEPT
+    docs (coarse ⌊ppl⌋ buckets carry window offsets; the per-doc
+    row_number is bucket-partitioned), shard = ⌊S·(rank−1)/N_kept⌋ —
+    the curriculum order restricted to the sampled corpus.
+
+    Scale shape: the per-domain cumsum is the same single-partition
+    trap sp15's global rank was (a domain can be half the corpus), so
+    it uses the SAME two-level fix — 256 coarse sampling buckets per
+    domain (high bits of the sampling key, order-prefix-preserving)
+    whose token totals roll up to a domain×bucket table that carries
+    running offsets; the corpus-sized window is PARTITIONED by
+    (domain, sbucket).  No global window touches doc-sized input
+    anywhere in the plan."""
+    h = tok_hash(dialect, "'m16:' || CAST(d.doc_id AS STRING)")
+    alloc = sql_doremi(dialect)
+    scores = sql_bigram_lm(dialect)
+    s = SP15_SHARDS
+    sb_div = SP16_HKEY_MOD // SP16_SBUCKETS
+    return f"""
+WITH alloc AS ({alloc}),
+scores AS ({scores}),
+keyed AS (
+  SELECT d.doc_id, d.source AS domain,
+         CAST(s.n_bigrams + 1 AS BIGINT) AS n_tokens,
+         s.perplexity AS ppl,
+         ({h}) % {SP16_HKEY_MOD} AS hkey
+  FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+),
+sbuck AS (
+  SELECT *, {idiv(dialect, "hkey", str(sb_div))} AS sbucket FROM keyed
+),
+sb_counts AS (
+  SELECT domain, sbucket, CAST(sum(n_tokens) AS BIGINT) AS btok
+  FROM sbuck GROUP BY domain, sbucket
+),
+sb_off AS (
+  SELECT domain, sbucket,
+         CAST(sum(btok) OVER (PARTITION BY domain ORDER BY sbucket ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - btok AS BIGINT) AS tok_off,
+         CAST(sum(btok) OVER (PARTITION BY domain) AS BIGINT) AS total_d
+  FROM sb_counts
+),
+cum AS (
+  SELECT k.doc_id, k.domain, k.n_tokens, k.ppl, o.total_d,
+         o.tok_off + CAST(sum(k.n_tokens) OVER (
+             PARTITION BY k.domain, k.sbucket
+             ORDER BY k.hkey ASC, k.doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_end
+  FROM sbuck k JOIN sb_off o ON k.domain = o.domain AND k.sbucket = o.sbucket
+),
+take AS (
+  SELECT c.doc_id, c.domain, c.n_tokens, c.ppl,
+         c.cum_end - c.n_tokens AS cum_before, c.cum_end,
+         {idiv(dialect, "a.alloc", "c.total_d")} AS n_cycles,
+         a.alloc % c.total_d AS rem
+  FROM cum c JOIN alloc a ON c.domain = a.domain
+),
+manifest AS (
+  SELECT doc_id, domain, n_tokens, ppl,
+         CAST(n_copies AS BIGINT) AS n_copies,
+         CAST(head_tokens AS BIGINT) AS head_tokens,
+         CAST(n_copies * n_tokens + head_tokens AS BIGINT) AS tokens_total
+  FROM (
+    SELECT *,
+           n_cycles + CASE WHEN cum_end <= rem THEN 1 ELSE 0 END AS n_copies,
+           CASE WHEN cum_before < rem AND rem < cum_end
+                THEN rem - cum_before ELSE 0 END AS head_tokens
+    FROM take
+  ) t
+  WHERE n_copies > 0 OR head_tokens > 0
+),
+mbuck AS (
+  SELECT *, CAST(floor(ppl) AS BIGINT) AS bucket FROM manifest
+),
+bcounts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM mbuck GROUP BY bucket
+),
+boffsets AS (
+  SELECT bucket,
+         CAST(sum(n) OVER (ORDER BY bucket ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS offset_0,
+         CAST(sum(n) OVER () AS BIGINT) AS n_total
+  FROM bcounts
+),
+ranked AS (
+  SELECT w.doc_id, w.domain, w.n_tokens, w.n_copies, w.head_tokens,
+         w.tokens_total,
+         CAST(boff.offset_0 + w.wrk AS BIGINT) AS grank, boff.n_total
+  FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY bucket ORDER BY ppl ASC, doc_id ASC
+    ) AS BIGINT) AS wrk
+    FROM mbuck
+  ) w
+  JOIN boffsets boff ON w.bucket = boff.bucket
+)
+SELECT domain, doc_id, n_tokens, n_copies, head_tokens, tokens_total,
+       CAST({idiv(dialect, f"{s} * (grank - 1)", "n_total")} AS BIGINT)
+         AS shard_id
+FROM ranked
+"""
+
+
+def _sp16_doremi_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP16, Spark side: the pure rendering (sp14 + txt12 are pipelined
+    CTE re-reads — the measured txt12 lesson; the cumsum/rank tail adds
+    only partitioned windows and small-table rollups on top)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_doremi_manifest("spark"))
+
+
+QUERIES["sp16_doremi_manifest"] = _sp16_doremi_manifest
+TEXT_ORACLES["sp16_doremi_manifest"] = sql_doremi_manifest("duck")

@@ -1495,3 +1495,42 @@ def test_dd17_quality_keep_provably_differs_from_minid(spark, sf_dir):
             assert r.score_gain == 0.0
         assert r.survivor_score >= r.minid_score
         assert r.cluster_size >= 2  # a component needs at least one pair
+
+
+def test_sp16_manifest_hits_budget_exactly_and_shards_cover_kept(spark, sf_dir):
+    """SP16's contract: Σ tokens_total over the manifest equals
+    DOREMI_BUDGET exactly (the integer cycling+truncation rule), each
+    domain contributes exactly its sp14 allocation, at most one doc per
+    domain is truncated (the remainder-pass boundary), repeats realize
+    upweighted domains (n_copies > 1 somewhere on this corpus), and the
+    shard ids are a balanced contiguous 0..S-1 cover of the kept docs."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        DOREMI_BUDGET,
+        SP15_SHARDS,
+        QUERIES as TQ,
+    )
+
+    rows = TQ["sp16_doremi_manifest"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r.tokens_total for r in rows) == DOREMI_BUDGET
+    alloc = {
+        r.domain: r.alloc
+        for r in TQ["sp14_doremi_mixture"](spark, sf_dir).collect()
+    }
+    by_dom: dict[str, list] = {}
+    for r in rows:
+        by_dom.setdefault(r.domain, []).append(r)
+    for dom, rs in by_dom.items():
+        assert sum(r.tokens_total for r in rs) == alloc[dom]
+        truncated = [r for r in rs if r.head_tokens > 0]
+        assert len(truncated) <= 1
+        for r in truncated:
+            assert r.head_tokens < r.n_tokens  # a full copy is a copy
+        for r in rs:
+            assert r.n_copies > 0 or r.head_tokens > 0
+            assert r.tokens_total == r.n_copies * r.n_tokens + r.head_tokens
+    assert any(r.n_copies > 1 for r in rows), "no domain was upweighted into repeats"
+    shards = sorted({r.shard_id for r in rows})
+    assert shards == list(range(SP15_SHARDS))
+    sizes = [sum(1 for r in rows if r.shard_id == s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
