@@ -3,10 +3,12 @@ from .oracles import ORACLES  # noqa: F401
 from .indicator_parity import INDICATOR_ORACLES
 from .text_parity import TEXT_ORACLES
 from .embedding_parity import EMBEDDING_ORACLES
+from .audit_parity import AUDIT_ORACLES
 
 ORACLES.update(INDICATOR_ORACLES)
 ORACLES.update(TEXT_ORACLES)
 ORACLES.update(EMBEDDING_ORACLES)
+ORACLES.update(AUDIT_ORACLES)
 
 # ---------------------------------------------------------------------------
 # Registration order = the order the driver checks queries in; the driver's
@@ -41,6 +43,7 @@ _PRIORITY = [
     "dd16_semantic_decontamination", "mm13_image_text_alignment",
     # 2 — new this round (each displaces one r12 fill below)
     "dd17_quality_survivors", "sp16_doremi_manifest",
+    "dq6_contamination_audit",
     # 3 — green in CORRECTNESS_r12 (zero failures), r12-window order;
     #     entries past slot 50 are FROZEN FOR R16
     "sp2_stratified_sample", "dd3_minhash_signatures",

@@ -1,0 +1,415 @@
+"""DQ6 — the unified contamination audit: one per-document verdict over
+every gate class the engine has.
+
+Four independent decontamination families exist (exact 13-grams
+dd10/dd11, banded MinHash dd12, semantic embedding dd16, perceptual
+dHash mm10/mm11), each with its own fixture and its own driver row — but
+an operator deciding whether a corpus is safe to train on reads ONE
+report, not four.  dq6 composes them: for every training document, the
+four fired-flags plus the union verdict, each flag produced by its
+family's own gate mechanism (persisted-table equi-joins for the
+exact/banded/perceptual classes, the broadcast-bench SRP scan gate for
+the semantic class), over a single fixture that plants ONE leak per
+class constructed so that ONLY its own gate can see it:
+
+- exact plant  (+Q6_BASE['exact']):  the first 13 tokens of a test doc
+  verbatim, then a long unique-token salad — one exact 13-gram
+  collision, but trigram Jaccard far below the banded S-curve.
+- banded plant (+Q6_BASE['banded']): dd12's perturbation (every 12th
+  token replaced) — no 13 consecutive original tokens survive, trigram
+  Jaccard stays high.
+- semantic plant (+Q6_BASE['semantic']): salad text (no surface form
+  shared at all) carrying dd16's multiplicatively-perturbed copy of the
+  test doc's embedding — cosine >= 0.9999, every SRP sign bucket
+  preserved.
+- perceptual plant (+Q6_BASE['perceptual']): salad text, no embedding,
+  but the PIXEL-IDENTICAL synthetic BMP of its source test doc —
+  dHash distance 0.
+
+The perceptual column reports VERIFIED identical-pixel matches (the
+dHash candidates at distance 0 are byte-verified against the benchmark
+media), which is the SQL-derivable subset: media keys are unique per
+doc, so byte-identity <=> same construction key, and the oracle replays
+the flag as one equi-join on the media key.  The fuzzy hamming<=3
+re-encode sweep stays mm10/mm11's job.  Organic exact/banded/semantic
+hits (natural cross-split contamination) appear as leak_class =
+'organic' rows and are replayed arithmetically by the oracle.
+
+Scale shape: check-time cost is the sum of the four families' gate
+shapes and nothing more — one 13-gram shingle pass + equi-join, one
+MinHash band pass + equi-join, one SRP band scan against the broadcast
+benchmark, one dHash band equi-join; all candidate-bounded, no
+train x test all-pairs anywhere.  The test-side tables are built once
+from the benchmark split (their incremental/replay lifecycles are
+dd11/dd12/mm10's already-pinned property, not re-proven here).
+
+Reference analogue: the producer's exists-check-before-insert
+(producer/producer.py:368-380) generalized to a four-key audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import DECON_BAND_SIZE
+from ..operators.sampling import N_BUCKETS, SPLIT_BOUNDS
+from ..sources.readers import load_table
+from .dialect import (
+    cosine_expr,
+    d,
+    list_len,
+    r6t,
+    seq,
+    split_ws,
+    tok_hash,
+    transform,
+)
+from .embedding_parity import (
+    D16_BAND_BITS,
+    D16_BANDS,
+    _d16_bands_union,
+    _d16_emb_double,
+)
+from .queries import QUERIES
+from .text_parity import _bands_sql, _shingle_cte_over, _sigs_over
+
+AUDIT_ORACLES: dict[str, str] = {}
+
+Q6_STRIDE = 5          # residue classes 0..3 of test doc_ids seed the plants
+Q6_SALAD = 300         # unique salad tokens per plant (Jaccard ~0.02 vs test)
+Q6_TAU = "0.9"         # semantic cosine cut (dd16's)
+Q6_BASE = {
+    "exact": 20_000_000,
+    "banded": 21_000_000,
+    "semantic": 22_000_000,
+    "perceptual": 23_000_000,
+}
+
+
+def _arr_join(dialect: str, arr: str) -> str:
+    return (
+        f"array_join({arr}, ' ')"
+        if dialect == "spark"
+        else f"array_to_string({arr}, ' ')"
+    )
+
+
+def _q6_salad(dialect: str, id_expr: str) -> str:
+    """Q6_SALAD unique tokens keyed by the SOURCE doc id — tokens that
+    occur nowhere else, so a salad plant shares zero shingles and zero
+    MinHash rows with any test doc."""
+    toks = transform(
+        dialect,
+        seq(dialect, "1", str(Q6_SALAD)),
+        f"'q' || CAST({id_expr} AS STRING) || 'x' || CAST(i AS STRING)",
+        var="i",
+    )
+    return _arr_join(dialect, toks)
+
+
+def _q6_fixture_ctes(dialect: str) -> str:
+    """The shared fixture: split + four plant classes + the unioned train
+    corpus, media-key map, and vector map — rendered identically for the
+    Spark frames and the DuckDB oracle."""
+    h = tok_hash(dialect, "CAST(doc_id AS STRING)")
+    t_lo, t_hi = SPLIT_BOUNDS["test"]
+    tr_hi = SPLIT_BOUNDS["train"][1]
+    toks = split_ws(dialect, "text")
+    head13 = _arr_join(
+        dialect,
+        "slice(toks, 1, 13)" if dialect == "spark" else "list_slice(toks, 1, 13)",
+    )
+    if dialect == "spark":
+        perturbed = (
+            "array_join(transform(toks, (t, i) -> "
+            "CASE WHEN (i + 1) % 12 = 0 THEN 'xq' ELSE t END), ' ')"
+        )
+    else:
+        perturbed = (
+            "array_to_string(list_transform(toks, (t, i) -> "
+            "CASE WHEN i % 12 = 0 THEN 'xq' ELSE t END), ' ')"
+        )
+    # dd16's multiplicative embedding perturbation, keyed by the source
+    # vector id: signs (hence every SRP band) preserved, cosine >= 0.9999
+    eps = f"CAST((src_vec + i) % 5 - 2 AS DOUBLE) * {d('0.004')}"
+    from .dialect import elem
+
+    perturbed_emb = transform(
+        dialect,
+        seq(dialect, "1", list_len(dialect, "emb")),
+        f"{elem(dialect, 'emb', 'CAST(i AS INT)')} * ({d('1.0')} + {eps})",
+        var="i",
+    )
+    eb, bb, sb, pb = (
+        Q6_BASE["exact"],
+        Q6_BASE["banded"],
+        Q6_BASE["semantic"],
+        Q6_BASE["perceptual"],
+    )
+    return f"""base AS (
+  SELECT doc_id, text, ({h}) % {N_BUCKETS} AS bucket
+  FROM documents WHERE text IS NOT NULL
+),
+test_docs AS (
+  SELECT doc_id, text FROM base WHERE bucket >= {t_lo} AND bucket < {t_hi}
+),
+train_nat AS (SELECT doc_id, text FROM base WHERE bucket < {tr_hi}),
+exact_plants AS (
+  SELECT doc_id + {eb} AS doc_id,
+         ({head13}) || ' ' || ({_q6_salad(dialect, "doc_id")}) AS text
+  FROM (SELECT doc_id, {toks} AS toks FROM test_docs) s
+  WHERE doc_id % {Q6_STRIDE} = 0 AND {list_len(dialect, "toks")} >= 13
+),
+banded_plants AS (
+  SELECT doc_id + {bb} AS doc_id, {perturbed} AS text
+  FROM (SELECT doc_id, {toks} AS toks FROM test_docs) s
+  WHERE doc_id % {Q6_STRIDE} = 1
+),
+sem_plants AS (
+  SELECT t.doc_id + {sb} AS doc_id, {_q6_salad(dialect, "t.doc_id")} AS text
+  FROM test_docs t JOIN embeddings e ON e.vec_id = t.doc_id
+  WHERE t.doc_id % {Q6_STRIDE} = 2
+),
+perc_plants AS (
+  SELECT doc_id + {pb} AS doc_id, {_q6_salad(dialect, "doc_id")} AS text
+  FROM test_docs WHERE doc_id % {Q6_STRIDE} = 3
+),
+train_docs AS (
+  SELECT doc_id, text FROM train_nat
+  UNION ALL SELECT doc_id, text FROM exact_plants
+  UNION ALL SELECT doc_id, text FROM banded_plants
+  UNION ALL SELECT doc_id, text FROM sem_plants
+  UNION ALL SELECT doc_id, text FROM perc_plants
+),
+train_media AS (
+  SELECT doc_id, doc_id AS media_key FROM train_nat
+  UNION ALL SELECT doc_id, doc_id - {pb} AS media_key FROM perc_plants
+),
+bench_vecs AS (
+  SELECT e.vec_id, {_d16_emb_double(dialect, "e.embedding")} AS emb
+  FROM embeddings e JOIN test_docs t ON e.vec_id = t.doc_id
+),
+train_vecs AS (
+  SELECT e.vec_id, {_d16_emb_double(dialect, "e.embedding")} AS emb
+  FROM embeddings e JOIN train_nat t ON e.vec_id = t.doc_id
+  UNION ALL
+  SELECT s.doc_id + {sb} AS vec_id, {perturbed_emb} AS emb
+  FROM (
+    SELECT t.doc_id, e.vec_id AS src_vec,
+           {_d16_emb_double(dialect, "e.embedding")} AS emb
+    FROM embeddings e JOIN test_docs t ON e.vec_id = t.doc_id
+    WHERE t.doc_id % {Q6_STRIDE} = 2
+  ) s
+)"""
+
+
+def _q6_leak_class_sql(id_expr: str = "doc_id") -> str:
+    return f"""CASE WHEN {id_expr} >= {Q6_BASE["perceptual"]} THEN 'perceptual'
+     WHEN {id_expr} >= {Q6_BASE["semantic"]} THEN 'semantic'
+     WHEN {id_expr} >= {Q6_BASE["banded"]} THEN 'banded'
+     WHEN {id_expr} >= {Q6_BASE["exact"]} THEN 'exact'
+     ELSE 'organic' END"""
+
+
+def sql_contamination_audit(dialect: str) -> str:
+    """The full dual-dialect body: fixture + the four gate hit sets (each
+    the arithmetic replay of its family's join) + the per-doc verdict."""
+    cos = cosine_expr(dialect, "tr.emb", "te.emb")
+    return f"""
+WITH {_q6_fixture_ctes(dialect)},
+{_shingle_cte_over(dialect, "train_docs", "xe_", 13)},
+{_shingle_cte_over(dialect, "test_docs", "ye_", 13)},
+ex_hits AS (
+  SELECT DISTINCT a.doc_id
+  FROM xe_hashed a JOIN (SELECT DISTINCT sh FROM ye_hashed) b ON a.sh = b.sh
+),
+{_sigs_over(dialect, "train_docs", "xr_")},
+{_sigs_over(dialect, "test_docs", "xt_")},
+xr_bands AS ({_bands_sql(dialect, "xr_sigs", DECON_BAND_SIZE)}),
+xt_bands AS ({_bands_sql(dialect, "xt_sigs", DECON_BAND_SIZE)}),
+bd_hits AS (
+  SELECT DISTINCT r.doc_id
+  FROM xr_bands r JOIN xt_bands t
+    ON r.band_id = t.band_id AND r.band_sig = t.band_sig
+),
+sr_bands AS (
+{_d16_bands_union(dialect, "train_vecs")}
+),
+st_bands AS (
+{_d16_bands_union(dialect, "bench_vecs")}
+),
+sem_cand AS (
+  SELECT DISTINCT r.vec_id AS train_vec, t.vec_id AS test_vec
+  FROM sr_bands r JOIN st_bands t
+    ON r.band_id = t.band_id AND r.sig = t.sig
+),
+sem_hits AS (
+  SELECT DISTINCT c.train_vec AS doc_id
+  FROM sem_cand c
+  JOIN train_vecs tr ON c.train_vec = tr.vec_id
+  JOIN bench_vecs te ON c.test_vec = te.vec_id
+  WHERE {r6t(cos)} >= CAST({Q6_TAU} AS DOUBLE)
+),
+pc_hits AS (
+  SELECT DISTINCT m.doc_id
+  FROM train_media m JOIN test_docs t ON m.media_key = t.doc_id
+)
+SELECT td.doc_id,
+       eh.doc_id IS NOT NULL AS exact_hit,
+       bh.doc_id IS NOT NULL AS banded_hit,
+       sh2.doc_id IS NOT NULL AS semantic_hit,
+       ph.doc_id IS NOT NULL AS perceptual_hit,
+       CAST(CASE WHEN eh.doc_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN bh.doc_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN sh2.doc_id IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END
+          AS BIGINT) AS n_gates,
+       {_q6_leak_class_sql("td.doc_id")} AS leak_class
+FROM train_docs td
+LEFT JOIN ex_hits eh ON td.doc_id = eh.doc_id
+LEFT JOIN bd_hits bh ON td.doc_id = bh.doc_id
+LEFT JOIN sem_hits sh2 ON td.doc_id = sh2.doc_id
+LEFT JOIN pc_hits ph ON td.doc_id = ph.doc_id
+WHERE eh.doc_id IS NOT NULL OR bh.doc_id IS NOT NULL
+   OR sh2.doc_id IS NOT NULL OR ph.doc_id IS NOT NULL
+"""
+
+
+def _dq6_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ6, Spark side: the OPERATOR composition — the three table-backed
+    gates read persisted one-shot benchmark tables
+    (update_test_shingle_table / update_signature_table /
+    update_media_fingerprint_table, each family's production check-time
+    shape), the semantic gate runs srp_decontaminate with the benchmark
+    broadcast, and the verdict is four left equi-joins on doc_id."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        contaminated_docs_from_table,
+        near_contaminated_docs_from_table,
+        update_signature_table,
+        update_test_shingle_table,
+    )
+    from ..operators.multimodal import (
+        image_dhash,
+        media_contamination_pairs_from_table,
+        update_media_fingerprint_table,
+    )
+    from ..operators.similarity import srp_decontaminate
+    from .queries import _synthetic_bmp_media
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    ctes = _q6_fixture_ctes("spark")
+
+    def frame(sel: str) -> DataFrame:
+        return spark.sql(f"WITH {ctes} {sel}")
+
+    # the fixture frames feed several gates each — snapshot once (dd2 rule)
+    test_docs = frame("SELECT doc_id, text FROM test_docs").localCheckpoint(
+        eager=False
+    )
+    train_docs = frame("SELECT doc_id, text FROM train_docs").localCheckpoint(
+        eager=False
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_audit",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    p_ex, p_bd, p_mm = (os.path.join(root, k) for k in ("sh", "sig", "fp"))
+    update_test_shingle_table(test_docs, p_ex)
+    update_signature_table(test_docs, p_bd, band_size=DECON_BAND_SIZE)
+    test_media = _synthetic_bmp_media(
+        test_docs.select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
+    update_media_fingerprint_table(
+        image_dhash(test_media).select("doc_id", "dhash"), p_mm
+    )
+
+    ex_ids = (
+        contaminated_docs_from_table(train_docs, p_ex)
+        .select("doc_id")
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    bd_ids = (
+        near_contaminated_docs_from_table(
+            train_docs, p_bd, band_size=DECON_BAND_SIZE
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("banded_hit", F.lit(True))
+    )
+    sem_ids = (
+        srp_decontaminate(
+            frame("SELECT vec_id, emb FROM train_vecs"),
+            frame("SELECT vec_id, emb FROM bench_vecs"),
+            bands=D16_BANDS,
+            bits=D16_BAND_BITS,
+            threshold=float(Q6_TAU),
+        )
+        .select(F.col("vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("semantic_hit", F.lit(True))
+    )
+    tr_media = _synthetic_bmp_media(
+        frame("SELECT doc_id, media_key FROM train_media"), "media_key"
+    ).localCheckpoint(eager=False)
+    pairs0 = media_contamination_pairs_from_table(
+        image_dhash(tr_media).select("doc_id", "dhash"), p_mm
+    ).filter(F.col("hamming") == 0)
+    pc_ids = (
+        pairs0.join(
+            tr_media.select("doc_id", F.col("media_bytes").alias("__trb")),
+            "doc_id",
+        )
+        .join(
+            F.broadcast(
+                test_media.select(
+                    F.col("doc_id").alias("test_id"),
+                    F.col("media_bytes").alias("__teb"),
+                )
+            ),
+            "test_id",
+        )
+        .filter(F.col("__trb") == F.col("__teb"))  # identical-pixel verify
+        .select("doc_id")
+        .distinct()
+        .withColumn("perceptual_hit", F.lit(True))
+    )
+    return (
+        train_docs.select("doc_id")
+        .join(ex_ids, "doc_id", "left")
+        .join(bd_ids, "doc_id", "left")
+        .join(sem_ids, "doc_id", "left")
+        .join(pc_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("exact_hit", F.lit(False)).alias("exact_hit"),
+            F.coalesce("banded_hit", F.lit(False)).alias("banded_hit"),
+            F.coalesce("semantic_hit", F.lit(False)).alias("semantic_hit"),
+            F.coalesce("perceptual_hit", F.lit(False)).alias("perceptual_hit"),
+        )
+        .withColumn(
+            "n_gates",
+            (
+                F.col("exact_hit").cast("int")
+                + F.col("banded_hit").cast("int")
+                + F.col("semantic_hit").cast("int")
+                + F.col("perceptual_hit").cast("int")
+            ).cast("bigint"),
+        )
+        .filter(F.col("n_gates") > 0)
+        .withColumn("leak_class", F.expr(_q6_leak_class_sql()))
+    )
+
+
+QUERIES["dq6_contamination_audit"] = _dq6_contamination_audit
+AUDIT_ORACLES["dq6_contamination_audit"] = sql_contamination_audit("duck")

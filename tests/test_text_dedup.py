@@ -1534,3 +1534,49 @@ def test_sp16_manifest_hits_budget_exactly_and_shards_cover_kept(spark, sf_dir):
     assert shards == list(range(SP15_SHARDS))
     sizes = [sum(1 for r in rows if r.shard_id == s) for s in shards]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_dq6_each_planted_leak_caught_only_by_its_own_gate(spark, sf_dir):
+    """The dq6 contract, both directions: (1) every planted leak is
+    flagged with EXACTLY its own gate (n_gates == 1 and the matching
+    flag), (2) every plant of each class is caught (counts reconcile
+    against the fixture CTEs), and (3) no plant appears under any other
+    class's flag.  Organic rows may fire several text gates at once
+    (verbatim natural dups legitimately trip exact AND banded)."""
+    from real_time_stock_market_data_pipeline_spark.plans.audit_parity import (
+        Q6_BASE,
+        _q6_fixture_ctes,
+    )
+
+    rows = QUERIES["dq6_contamination_audit"](spark, sf_dir).collect()
+    assert rows
+    flag_of = {
+        "exact": "exact_hit",
+        "banded": "banded_hit",
+        "semantic": "semantic_hit",
+        "perceptual": "perceptual_hit",
+    }
+    counts = spark.sql(
+        f"WITH {_q6_fixture_ctes('spark')} SELECT "
+        "(SELECT count(*) FROM exact_plants) AS exact, "
+        "(SELECT count(*) FROM banded_plants) AS banded, "
+        "(SELECT count(*) FROM sem_plants) AS semantic, "
+        "(SELECT count(*) FROM perc_plants) AS perceptual"
+    ).first()
+    by_class: dict[str, list] = {}
+    for r in rows:
+        by_class.setdefault(r.leak_class, []).append(r)
+    for cls, flag in flag_of.items():
+        planted_rows = by_class.get(cls, [])
+        # every flagged plant fires exactly its own gate
+        for r in planted_rows:
+            assert r.n_gates == 1 and getattr(r, flag), (cls, r)
+        # and every plant of the class is caught (sf0.001/sf0.01 hold
+        # exactly; the banded S-curve can drop ~1% of very short docs
+        # at larger SFs — that miss is the family's documented recall
+        # property, not an audit bug)
+        assert len(planted_rows) == counts[cls], (cls, len(planted_rows))
+    # organic rows never carry a planted id
+    for r in by_class.get("organic", []):
+        assert r.doc_id < Q6_BASE["exact"]
+        assert not r.perceptual_hit and not r.semantic_hit
