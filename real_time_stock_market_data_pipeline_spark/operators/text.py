@@ -276,3 +276,126 @@ def normalize_url_key(url) -> Column:
         F.regexp_extract(low, URL_PATH_PATTERN, 1), "/+$", ""
     )
     return F.concat(F.regexp_extract(low, HOST_PATTERN, 1), path)
+
+
+# --- Incremental BM25 posting tables (txt23) ----------------------------------
+# txt22 computes tf/df one-shot; this pair merge-maintains the persisted
+# posting state so steady-state retrieval ingest is proportional to NEW
+# documents.  The state is two tables under one root:
+#   {path}/tf — INSERT-ONLY (doc_id, tok, tf, dl): a doc's term counts are
+#     a pure function of the doc, so the standard anti-join-and-append
+#     contract (_update_doc_keyed_table) applies unchanged.
+#   {path}/df — the first MERGE-MAINTAINED table in the family: document
+#     frequencies GROW as batches arrive, so each batch's per-token deltas
+#     rewrite the (vocab-bounded) table through the staging+swap protocol.
+# Replay safety needs a NEW design bit beyond the anti-join: a replayed
+# batch finds its docs already in tf, derives zero deltas, and would be a
+# no-op — EXCEPT in the crash window where the df swap landed but the tf
+# append did not (or the batch is redelivered after both).  The df table
+# therefore carries a BATCH-ID HIGH-WATER MARK (`_hwm`, a driver-local
+# file written inside the staging directory BEFORE the durability marker,
+# so it commits atomically with the swap): a batch whose id is <= hwm
+# skips the df merge entirely (its deltas are already durable) while the
+# tf append remains anti-join-guarded — every interleaving of
+# {df-swap, tf-append, crash, redeliver} converges to the one-shot state.
+# Batch ids must be monotonically increasing per table (the Structured
+# Streaming ``foreachBatch`` contract).
+
+BM25_HWM_FILE = "_hwm"  # leading underscore: ignored by parquet dir scans
+
+
+def _read_bm25_hwm(df_path: str) -> int:
+    import os
+
+    f = os.path.join(df_path, BM25_HWM_FILE)
+    if not os.path.exists(f):
+        return -1
+    return int(open(f).read().strip())
+
+
+def update_bm25_postings(
+    batch_df: DataFrame,
+    path: str,
+    batch_id: int,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> dict[str, int | bool]:
+    """Apply one document batch to the BM25 posting tables at ``path``.
+
+    Order of operations is the crash-safety argument (module note above):
+    deltas derive from the tf anti-join, the df merge commits FIRST
+    (atomically with its high-water mark via the staging swap), the tf
+    rows append LAST — so a crash after the swap leaves a replay that
+    skips df (hwm) and completes tf (anti-join), and a crash before it
+    leaves a replay that redoes both.  Returns ``{"n_batch_docs",
+    "n_new_docs", "df_applied"}``.
+
+    Scale shape: one anti-join on the doc id + tokenize/aggregate work
+    proportional to NEW docs; the df rewrite is vocab-bounded (the table
+    is (tok, df) — Heaps-law sublinear in the corpus), never
+    corpus-sized.  On Delta/Iceberg the swap becomes a real MERGE INTO."""
+    import os
+    import shutil
+    import uuid
+
+    from ..maintenance import _mark_staging_complete, heal_if_interrupted
+    from ..plans.dialect import split_ws  # leaf module (tok_hash precedent)
+    from ..sources.readers import read_parquet_if_exists
+
+    spark = batch_df.sparkSession
+    tf_path = os.path.join(path, "tf")
+    df_path = os.path.join(path, "df")
+    heal_if_interrupted(tf_path)
+    heal_if_interrupted(df_path)
+    n_batch = batch_df.select(id_col).distinct().count()
+    standing = read_parquet_if_exists(spark, tf_path)
+    new = (
+        batch_df
+        if standing is None
+        else batch_df.join(standing.select(id_col).distinct(), id_col, "left_anti")
+    )
+    counts = (
+        new.select(F.col(id_col), F.explode(F.expr(split_ws("spark", text))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    dl = counts.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
+    # feeds the delta aggregate AND the append — snapshot once
+    tf_rows = counts.join(dl, id_col).localCheckpoint(eager=False)
+    n_new = tf_rows.select(id_col).distinct().count()
+    hwm = _read_bm25_hwm(df_path)
+    df_applied = batch_id > hwm
+    if df_applied:
+        deltas = tf_rows.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("delta")
+        )
+        existing = read_parquet_if_exists(spark, df_path)
+        if existing is None:
+            merged = deltas.select("tok", F.col("delta").alias("df"))
+        else:
+            from ..maintenance import merge_upsert
+
+            updates = (
+                deltas.join(existing, "tok", "left")
+                .select(
+                    "tok",
+                    (F.coalesce(F.col("df"), F.lit(0)) + F.col("delta"))
+                    .cast("bigint")
+                    .alias("df"),
+                )
+            )
+            merged = merge_upsert(existing, updates, ["tok"])
+        staging = f"{df_path}__staging_{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, BM25_HWM_FILE), "w") as f:
+            f.write(str(batch_id))
+        _mark_staging_complete(staging)
+        old = f"{df_path}__old_{uuid.uuid4().hex}"
+        if os.path.exists(df_path):
+            os.rename(df_path, old)
+        os.rename(staging, df_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+    if n_new:
+        tf_rows.write.mode("append").parquet(tf_path)
+    return {"n_batch_docs": n_batch, "n_new_docs": n_new, "df_applied": df_applied}

@@ -3172,16 +3172,6 @@ def sql_bm25(dialect: str) -> str:
     idf ~ ln(1+0.5/N) ~ 0, so ranking is untouched) bounds every
     posting list, txt14's 1.3x shape.  The cut stays OFF here because
     it would drop the entire dense vocabulary."""
-    k1 = d(BM25_K1)
-    bb = d(BM25_B)
-    idf = "ln(1 + (CAST(n_docs - df AS DOUBLE) + {h}) / (CAST(df AS DOUBLE) + {h}))".format(
-        h=d("0.5")
-    )
-    tfnorm = (
-        f"(CAST(tf AS DOUBLE) * ({k1} + {d('1.0')})) / "
-        f"(CAST(tf AS DOUBLE) + {k1} * ({d('1.0')} - {bb} + {bb} * "
-        f"CAST(dl AS DOUBLE) / avgdl))"
-    )
     tok_rows = explode_from(dialect, "docs", "toks", "tok", "doc_id")
     return f"""
 WITH {docs_cte(dialect)},
@@ -3201,7 +3191,26 @@ stats AS (
 df AS (
   SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
 ),
-qterms AS (
+{_bm25_score_tail()}"""
+
+
+def _bm25_score_tail() -> str:
+    """The dialect-neutral scoring tail shared BYTE-FOR-BYTE by txt22's
+    one-shot body and txt23's read-from-the-posting-tables form: the
+    query workload, the integer micro-unit contribution, the per-(query,
+    doc) BIGINT sum, and the top-k cut.  Everything upstream (tf / doclen
+    / stats / df) is the part the posting tables replace."""
+    k1 = d(BM25_K1)
+    bb = d(BM25_B)
+    idf = "ln(1 + (CAST(n_docs - df AS DOUBLE) + {h}) / (CAST(df AS DOUBLE) + {h}))".format(
+        h=d("0.5")
+    )
+    tfnorm = (
+        f"(CAST(tf AS DOUBLE) * ({k1} + {d('1.0')})) / "
+        f"(CAST(tf AS DOUBLE) + {k1} * ({d('1.0')} - {bb} + {bb} * "
+        f"CAST(dl AS DOUBLE) / avgdl))"
+    )
+    return f"""qterms AS (
   SELECT doc_id AS query_doc, tok FROM tf
   WHERE doc_id % 97 = 0 AND doc_id < {BM25_MAX_QUERY_ID}
 ),
@@ -3925,3 +3934,126 @@ def _sp16_doremi_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp16_doremi_manifest"] = _sp16_doremi_manifest
 TEXT_ORACLES["sp16_doremi_manifest"] = sql_doremi_manifest("duck")
+
+
+# --- TXT23: incremental BM25 posting table -------------------------------------
+def _bm25_scores_from_postings(spark: SparkSession, path: str) -> DataFrame:
+    """BM25 retrieval READING ONLY the persisted posting tables (the
+    production check-time shape): tf/dl straight off {path}/tf, df off
+    the merge-maintained {path}/df, corpus stats re-aggregated from the
+    distinct (doc_id, dl) rows — BIGINT sum then one exact
+    double-widening division, the identical op sequence as the one-shot
+    stats CTE — and then the byte-identical scoring tail."""
+    spark.read.parquet(f"{path}/tf").createOrReplaceTempView("__bm25_tf")
+    spark.read.parquet(f"{path}/df").createOrReplaceTempView("__bm25_df")
+    return spark.sql(f"""
+WITH tf AS (SELECT doc_id, tok, tf FROM __bm25_tf),
+doclen AS (SELECT DISTINCT doc_id, dl FROM __bm25_tf),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM doclen
+),
+df AS (SELECT tok, df FROM __bm25_df),
+{_bm25_score_tail()}""")
+
+
+def _txt23_incremental_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT23 — merge-maintained BM25 posting tables
+    (operators/text.update_bm25_postings): the corpus arrives in two
+    batches plus an at-least-once REPLAY of batch 1; the insert-only tf
+    table absorbs each batch through the standard anti-join, while the
+    df table — the family's first table whose rows must be UPDATED, not
+    appended (document frequencies grow) — merge-rewrites through the
+    staging swap with its batch-id high-water mark committed atomically
+    inside the swap.  The replay batch must apply NOTHING to either
+    table (n_new_docs = 0, df_applied = false — the hwm doing its job),
+    and scores computed FROM the tables must equal txt22's one-shot
+    top-k exactly — checked in-plan as ONE full-outer-join action over
+    the complete ranked tuples (the dd11 gate pattern).
+
+    Steady-state retrieval ingest cost is thereby proportional to NEW
+    documents (tokenize + one anti-join + a vocab-bounded df rewrite),
+    not to the accumulated corpus — completing the incremental-twin
+    family across words (txt9), docs (dd9), vectors (emb10), test
+    n-grams (dd11) with the first MERGE-maintained member."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.text import update_bm25_postings
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    b1 = docs.filter("doc_id % 2 = 0")
+    b2 = docs.filter("doc_id % 2 = 1")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_bm25",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    m1 = update_bm25_postings(b1, path, batch_id=1)
+    m2 = update_bm25_postings(b2, path, batch_id=2)
+    m3 = update_bm25_postings(b1, path, batch_id=1)  # at-least-once replay
+    scored_t = _bm25_scores_from_postings(spark, path).withColumn(
+        "__t", F.lit(1)
+    )
+    scored_o = spark.sql(sql_bm25("spark")).withColumn("__o", F.lit(1))
+    cols = [
+        "query_doc", "match_doc", "n_common_terms", "score_micro", "bm25",
+        "rnk",
+    ]
+    row = (
+        scored_t.join(scored_o, cols, "full")
+        .agg(
+            F.count("__t").alias("n_t"),
+            F.count("__o").alias("n_o"),
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff"),
+        )
+        .collect()[0]
+    )
+    gate = bool(row.n_t == row.n_o and (row.n_diff or 0) == 0)
+    return spark.createDataFrame(
+        [
+            (1, m1["n_batch_docs"], m1["n_new_docs"], m1["df_applied"], gate),
+            (2, m2["n_batch_docs"], m2["n_new_docs"], m2["df_applied"], gate),
+            (3, m3["n_batch_docs"], m3["n_new_docs"], m3["df_applied"], gate),
+        ],
+        "batch INT, n_batch_docs BIGINT, n_new_docs BIGINT, "
+        "df_applied BOOLEAN, table_matches_oneshot BOOLEAN",
+    )
+
+
+def sql_incremental_bm25(dialect: str) -> str:
+    """TXT23's arithmetic truth: per-parity doc counts (docs with at
+    least one token are the ones whose tf rows land), the replay batch
+    applying nothing, and the in-plan gate pinned TRUE."""
+    n_tok = list_len(dialect, "toks")
+    return f"""
+WITH {docs_cte(dialect)},
+c AS (
+  SELECT CAST(count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_even,
+         CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_odd,
+         CAST(count(CASE WHEN doc_id % 2 = 0 AND {n_tok} >= 1 THEN 1 END)
+              AS BIGINT) AS n_even_tok,
+         CAST(count(CASE WHEN doc_id % 2 = 1 AND {n_tok} >= 1 THEN 1 END)
+              AS BIGINT) AS n_odd_tok
+  FROM docs
+)
+SELECT CAST(1 AS INT) AS batch, n_even AS n_batch_docs,
+       n_even_tok AS n_new_docs, true AS df_applied,
+       true AS table_matches_oneshot FROM c
+UNION ALL
+SELECT CAST(2 AS INT), n_odd, n_odd_tok, true, true FROM c
+UNION ALL
+SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), false, true FROM c
+"""
+
+
+QUERIES["txt23_incremental_bm25"] = _txt23_incremental_bm25
+TEXT_ORACLES["txt23_incremental_bm25"] = sql_incremental_bm25("duck")

@@ -1580,3 +1580,69 @@ def test_dq6_each_planted_leak_caught_only_by_its_own_gate(spark, sf_dir):
     for r in by_class.get("organic", []):
         assert r.doc_id < Q6_BASE["exact"]
         assert not r.perceptual_hit and not r.semantic_hit
+
+
+def test_txt23_hwm_survives_the_df_swap_crash_window(spark, tmp_path):
+    """The new design bit of the merge-maintained df table: the batch-id
+    high-water mark commits atomically WITH the df swap, so the one
+    interleaving the plain anti-join cannot handle — df merge durable,
+    tf append lost, batch redelivered — must converge: the replay skips
+    the df merge (hwm) and completes the tf append (anti-join).  A blind
+    replay after full success must change nothing at all."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        _read_bm25_hwm,
+        update_bm25_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "c d e"), (4, "a e")],
+        "doc_id long, text string",
+    )
+    b1 = docs.filter("doc_id <= 2")
+    b2 = docs.filter("doc_id > 2")
+
+    def df_counts(path):
+        return {
+            r.tok: r.df
+            for r in spark.read.parquet(os.path.join(path, "df")).collect()
+        }
+
+    # clean run for the expected end state
+    clean = str(tmp_path / "clean")
+    update_bm25_postings(b1, clean, batch_id=1)
+    update_bm25_postings(b2, clean, batch_id=2)
+    want = df_counts(clean)
+    assert want == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 2}
+
+    # crash window: batch 1 lands fully, batch 2's df swap lands but its
+    # tf append is lost (simulated by deleting the rows it appended)
+    crash = str(tmp_path / "crash")
+    update_bm25_postings(b1, crash, batch_id=1)
+    m2 = update_bm25_postings(b2, crash, batch_id=2)
+    assert m2["df_applied"]
+    tf_path = os.path.join(crash, "tf")
+    kept = spark.read.parquet(tf_path).filter("doc_id <= 2").collect()
+    import shutil
+
+    shutil.rmtree(tf_path)
+    spark.createDataFrame(kept).write.parquet(tf_path)
+    # redelivery of batch 2: df must be SKIPPED (hwm), tf re-appended
+    m2r = update_bm25_postings(b2, crash, batch_id=2)
+    assert not m2r["df_applied"] and m2r["n_new_docs"] == 2
+    assert df_counts(crash) == want
+    assert {
+        (r.doc_id, r.tok): r.tf
+        for r in spark.read.parquet(tf_path).collect()
+    } == {
+        (r.doc_id, r.tok): r.tf
+        for r in spark.read.parquet(os.path.join(clean, "tf")).collect()
+    }
+    # a full-success replay applies nothing to either table
+    m2rr = update_bm25_postings(b2, crash, batch_id=2)
+    assert not m2rr["df_applied"] and m2rr["n_new_docs"] == 0
+    assert df_counts(crash) == want
+    assert _read_bm25_hwm(os.path.join(crash, "df")) == 2
