@@ -1268,122 +1268,150 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
-    out: list[DataFrame] = []
-
     # --- family 1: IVF-PQ serving tier (recall@10 vs exact L2) -----------
-    ivfp = os.path.join(root, "ivfpq")
-    coarse, fine = ivfpq_fit(
-        old, n_lists=DQ4_GROUPS, m=DQ5_PQ_M, k=DQ5_PQ_K, n_iter=2
-    )
-    init_ivfpq_index(spark, coarse, fine, ivfp)
-    # one-shot ingest: the two-batch anti-join ingest contract is dq4's
-    # and emb14's already-rowed surface — dq5 pays for the MONITORS, so
-    # the fixture ingests once (the accumulated state is identical)
-    update_ivfpq_index(spark, corpus, ivfp)
-    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("l2").asc(), F.col("vec_id").asc()
-    )
-    exact = (
-        queries.alias("q")
-        .join(corpus.alias("c"), F.col("q.query_id") != F.col("c.vec_id"))
-        .select(
-            "q.query_id",
-            "c.vec_id",
-            _sq_l2(F.col("q.embedding"), F.col("c.embedding")).alias("l2"),
+    def leg_ivfpq() -> list[DataFrame]:
+        ivfp = os.path.join(root, "ivfpq")
+        coarse, fine = ivfpq_fit(
+            old, n_lists=DQ4_GROUPS, m=DQ5_PQ_M, k=DQ5_PQ_K, n_iter=2
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=False)
-    )
-
-    def ivfpq_recall(phase: str) -> DataFrame:
-        got = search_ivfpq_index(
-            spark, ivfp, queries, corpus, k=10, n_probe=2
-        ).select("query_id", "vec_id")
-        hits = exact.join(got, ["query_id", "vec_id"]).groupBy(
-            "query_id"
-        ).agg(F.count(F.lit(1)).alias("n_hit"))
-        per_q = (
-            exact.groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_exact"))
-            .join(hits, "query_id", "left")
+        init_ivfpq_index(spark, coarse, fine, ivfp)
+        # one-shot ingest: the two-batch anti-join ingest contract is dq4's
+        # and emb14's already-rowed surface — dq5 pays for the MONITORS, so
+        # the fixture ingests once (the accumulated state is identical)
+        update_ivfpq_index(spark, corpus, ivfp)
+        queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("l2").asc(), F.col("vec_id").asc()
+        )
+        exact = (
+            queries.alias("q")
+            .join(corpus.alias("c"), F.col("q.query_id") != F.col("c.vec_id"))
             .select(
-                F.col("query_id").alias("vec_id"),
-                (
-                    F.coalesce("n_hit", F.lit(0)).cast("double")
-                    / F.col("n_exact").cast("double")
-                ).alias("recall"),
+                "q.query_id",
+                "c.vec_id",
+                _sq_l2(F.col("q.embedding"), F.col("c.embedding")).alias("l2"),
             )
-        )
-        return gate_rows(
-            "ivfpq", phase, per_q, "recall",
-            lambda avg: avg >= F.lit(DQ4_RECALL_FLOOR),
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=False)
         )
 
-    out.append(ivfpq_recall("standing"))
-    rebuild_ivfpq_index(spark, corpus, ivfp, n_lists=2 * DQ4_GROUPS, n_iter=2)
-    out.append(ivfpq_recall("rebuilt"))
+        def ivfpq_recall(phase: str) -> DataFrame:
+            got = search_ivfpq_index(
+                spark, ivfp, queries, corpus, k=10, n_probe=2
+            ).select("query_id", "vec_id")
+            hits = exact.join(got, ["query_id", "vec_id"]).groupBy(
+                "query_id"
+            ).agg(F.count(F.lit(1)).alias("n_hit"))
+            per_q = (
+                exact.groupBy("query_id")
+                .agg(F.count(F.lit(1)).alias("n_exact"))
+                .join(hits, "query_id", "left")
+                .select(
+                    F.col("query_id").alias("vec_id"),
+                    (
+                        F.coalesce("n_hit", F.lit(0)).cast("double")
+                        / F.col("n_exact").cast("double")
+                    ).alias("recall"),
+                )
+            )
+            return gate_rows(
+                "ivfpq", phase, per_q, "recall",
+                lambda avg: avg >= F.lit(DQ4_RECALL_FLOOR),
+            )
+
+        standing = ivfpq_recall("standing")
+        rebuild_ivfpq_index(
+            spark, corpus, ivfp, n_lists=2 * DQ4_GROUPS, n_iter=2
+        )
+        return [standing, ivfpq_recall("rebuilt")]
 
     # --- family 2: flat PQ code table (mean reconstruction error) --------
-    pqp = os.path.join(root, "pq")
-    init_pq_index(spark, pq_fit(old, m=DQ5_PQ_M, k=DQ5_PQ_K, n_iter=2), pqp)
-    update_pq_codes(spark, corpus, pqp)
-
-    def pq_health(phase: str) -> DataFrame:
-        per_v = pq_self_distortion(
-            corpus,
-            spark.read.parquet(f"{pqp}/codes"),
-            load_pq_codebooks(spark, pqp),
+    def leg_pq() -> list[DataFrame]:
+        pqp = os.path.join(root, "pq")
+        init_pq_index(
+            spark, pq_fit(old, m=DQ5_PQ_M, k=DQ5_PQ_K, n_iter=2), pqp
         )
-        return gate_rows(
-            "pq", phase, per_v, "pq_dist",
-            lambda avg: avg <= F.lit(DQ5_DISTORTION_CAP),
-        )
+        update_pq_codes(spark, corpus, pqp)
 
-    out.append(pq_health("standing"))
-    rebuild_pq_codes(spark, corpus, pqp, n_iter=2)
-    out.append(pq_health("rebuilt"))
+        def pq_health(phase: str) -> DataFrame:
+            per_v = pq_self_distortion(
+                corpus,
+                spark.read.parquet(f"{pqp}/codes"),
+                load_pq_codebooks(spark, pqp),
+            )
+            return gate_rows(
+                "pq", phase, per_v, "pq_dist",
+                lambda avg: avg <= F.lit(DQ5_DISTORTION_CAP),
+            )
+
+        standing = pq_health("standing")
+        rebuild_pq_codes(spark, corpus, pqp, n_iter=2)
+        return [standing, pq_health("rebuilt")]
 
     # --- family 3: semantic index (planted-pair coverage) ----------------
-    semp = os.path.join(root, "sem")
-    init_semantic_index(kmeans_fit(old, k=DQ4_GROUPS, n_iter=2), semp)
-    update_semantic_index(spark, corpus, semp, threshold=DQ5_SEM_THRESHOLD)
-    grp = lambda side: (F.col(f"{side}.vec_id") / 100).cast("int")  # noqa: E731
-    truth = (
-        corpus.alias("a")
-        .join(
-            corpus.alias("b"),
-            (grp("a") == grp("b")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .localCheckpoint(eager=False)
-    )
-
-    def sem_coverage(phase: str) -> DataFrame:
-        got = spark.read.parquet(f"{semp}/pairs").select(
-            "vec_a", "vec_b", F.lit(1.0).alias("__found")
-        )
-        per_pair = truth.join(got, ["vec_a", "vec_b"], "left").select(
-            F.col("vec_a").alias("vec_id"),  # pair era = either end's era
-            F.coalesce("__found", F.lit(0.0)).alias("covered"),
-        )
-        return gate_rows(
-            "semantic", phase, per_pair, "covered",
-            lambda avg: avg >= F.lit(DQ5_COVERAGE_FLOOR),
+    def leg_sem() -> list[DataFrame]:
+        semp = os.path.join(root, "sem")
+        init_semantic_index(kmeans_fit(old, k=DQ4_GROUPS, n_iter=2), semp)
+        update_semantic_index(spark, corpus, semp, threshold=DQ5_SEM_THRESHOLD)
+        grp = lambda side: (F.col(f"{side}.vec_id") / 100).cast("int")  # noqa: E731
+        truth = (
+            corpus.alias("a")
+            .join(
+                corpus.alias("b"),
+                (grp("a") == grp("b")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+            )
+            .localCheckpoint(eager=False)
         )
 
-    out.append(sem_coverage("standing"))
-    rebuild_semantic_index(
-        spark, semp, threshold=DQ5_SEM_THRESHOLD, k=2 * DQ4_GROUPS, n_iter=2
-    )
-    out.append(sem_coverage("rebuilt"))
+        def sem_coverage(phase: str) -> DataFrame:
+            got = spark.read.parquet(f"{semp}/pairs").select(
+                "vec_a", "vec_b", F.lit(1.0).alias("__found")
+            )
+            per_pair = truth.join(got, ["vec_a", "vec_b"], "left").select(
+                F.col("vec_a").alias("vec_id"),  # pair era = either end's era
+                F.coalesce("__found", F.lit(0.0)).alias("covered"),
+            )
+            return gate_rows(
+                "semantic", phase, per_pair, "covered",
+                lambda avg: avg >= F.lit(DQ5_COVERAGE_FLOOR),
+            )
 
+        standing = sem_coverage("standing")
+        rebuild_semantic_index(
+            spark, semp, threshold=DQ5_SEM_THRESHOLD, k=2 * DQ4_GROUPS, n_iter=2
+        )
+        return [standing, sem_coverage("rebuilt")]
+
+    # The three lifecycles are INDEPENDENT (separate stores, shared
+    # read-only fixture checkpoints), and each is a chain of dozens of
+    # tiny fixture-sized jobs whose cost is Spark's fixed per-job
+    # overhead, not compute — so the wall-clock lever is concurrent job
+    # submission, exactly how a production monitor fleet runs its
+    # per-index checks.  Three driver threads submit the legs; the
+    # FIFO scheduler interleaves their small stages across the idle
+    # cores.  Sequencing WITHIN a leg (standing gate → rebuild →
+    # rebuilt gate) is preserved by the leg function; the eager gate
+    # materialization in gate_rows keeps each gate pinned to the store
+    # state it was measured against.  (Measured solo-warm at sf0.1:
+    # ~35 s sequential → ~26 s threaded median [23.7, 31.6]; the floor
+    # is leg_ivfpq's own serial chain — fit 7 + ingest 2 + 2 searches
+    # + rebuild 11 — which threading cannot shorten further without
+    # weakening the fixture.)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = [pool.submit(leg) for leg in (leg_ivfpq, leg_pq, leg_sem)]
+        legs = [f.result() for f in futures]
+
+    out = [df for leg in legs for df in leg]
     res = out[0]
     for df in out[1:]:
         res = res.unionByName(df)
