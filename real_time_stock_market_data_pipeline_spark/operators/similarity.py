@@ -1785,12 +1785,149 @@ def search_ivfpq_index(
     index = spark.read.parquet(f"{path}/index").filter(
         F.col("list_id").isin(probed_ids)
     )
+    # tombstone-aware serving (delete_from_ivfpq_index): deleted vectors
+    # drop out BEFORE shortlist selection, so results equal an index that
+    # never contained them (encoding is per-vector, so deletion commutes
+    # — emb21's in-plan twin gate).  The table is deletion-sized and
+    # broadcast; absent table = zero plan change.
+    from ..sources.readers import read_parquet_if_exists
+
+    tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+    if tombs is not None:
+        index = index.join(
+            F.broadcast(tombs.select(vec_id).distinct()), vec_id, "left_anti"
+        )
     if where is not None:
         index = index.filter(where)
     return ivfpq_search(
         queries, index, corpus, coarse, fine, k=k, n_probe=n_probe,
         shortlist=shortlist, query_id=query_id, vec_id=vec_id, vec=vec,
     )
+
+
+def delete_from_ivfpq_index(
+    spark,
+    ids: DataFrame,
+    path: str,
+    vec_id: str = "vec_id",
+) -> dict[str, int]:
+    """Logically DELETE vectors from the persisted IVF-PQ serving index —
+    the retraction/right-to-be-forgotten step the insert-only ingest
+    contract cannot express.  Deletions append to an insert-only
+    TOMBSTONE table at ``{path}/tombstones``; ``search_ivfpq_index``
+    anti-joins it (broadcast, deletion-sized) so a tombstoned vector
+    can never be served, and ``purge_ivfpq_tombstones`` later removes
+    the codes physically.  Only ids PRESENT in the index tombstone
+    (semi-join): an id the ingest contract never admitted has nothing
+    to delete, and admitting blind tombstones would turn a later
+    legitimate ingest of that id into a silent no-serve.  Replay is
+    idempotent via the anti-join against standing tombstones — the
+    ``_update_doc_keyed_table`` discipline applied to deletions.
+    A tombstoned id stays deleted until purge; re-ingest before purge
+    is blocked by the ingest anti-join (the row is still physically
+    present), after purge the id may legitimately re-enter.
+    Returns ``{"n_batch_ids", "n_new_tombstones"}``.
+
+    Scale shape: one semi-join against the (column-pruned) index id
+    column + one anti-join against the deletion-sized tombstone table +
+    an append ∝ the batch.  Nothing corpus-sized is rewritten — that is
+    purge's (amortized, partition-pruned) job."""
+    from ..maintenance import heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    heal_if_interrupted(path)
+    heal_if_interrupted(f"{path}/index")
+    t_path = f"{path}/tombstones"
+    batch = ids.select(vec_id).distinct()
+    n_batch = batch.count()
+    index_ids = spark.read.parquet(f"{path}/index").select(vec_id)
+    present = batch.join(index_ids, vec_id, "left_semi")
+    standing = read_parquet_if_exists(spark, t_path)
+    new = (
+        present
+        if standing is None
+        else present.join(standing.select(vec_id).distinct(), vec_id, "left_anti")
+    )
+    new = new.persist()
+    try:
+        n_new = new.count()
+        if n_new:
+            new.write.mode("append").parquet(t_path)
+    finally:
+        new.unpersist()
+    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+
+
+def purge_ivfpq_tombstones(
+    spark,
+    path: str,
+    vec_id: str = "vec_id",
+) -> dict[str, int]:
+    """Physically remove tombstoned codes from the IVF-PQ index — the
+    compaction that makes deletion durable (the GDPR erasure step) and
+    returns serving to the zero-anti-join fast path.  Partition-pruned:
+    only the ``list_id=`` directories that actually hold tombstoned
+    rows are rewritten, through the same staged-partition swap
+    ``upsert_parquet`` uses (staging + commit marker + per-partition
+    renames; ``heal_if_interrupted`` repairs every crash window).  The
+    tombstone table is cleared AFTER the swap — a crash between the two
+    leaves stale tombstones whose rows are already gone, which
+    anti-join to nothing and are dropped by the next purge
+    (idempotent).  A touched list whose rows are ALL deleted is
+    removed outright.  Returns ``{"n_purged", "n_lists_rewritten"}``.
+
+    At 100 TB: deletion batches touch few lists (tombstone-sized
+    driver collect of the touched list ids), so a purge reads and
+    rewrites only those partitions — never the corpus."""
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        _require_no_orphans,
+        heal_if_interrupted,
+    )
+    from ..sources.readers import read_parquet_if_exists
+
+    index_path = f"{path}/index"
+    _require_local_path(index_path, "purge_ivfpq_tombstones")
+    heal_if_interrupted(path)
+    heal_if_interrupted(index_path)
+    tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+    if tombs is None:
+        return {"n_purged": 0, "n_lists_rewritten": 0}
+    t_ids = tombs.select(vec_id).distinct()
+    index = spark.read.parquet(index_path)
+    doomed = index.join(t_ids, vec_id, "left_semi")
+    touched = sorted(
+        r[0] for r in doomed.select("list_id").distinct().collect()
+    )
+    n_purged = doomed.count()
+    if touched:
+        _require_no_orphans(index_path)
+        keep = index.filter(F.col("list_id").isin(touched)).join(
+            t_ids, vec_id, "left_anti"
+        )
+        staging = f"{index_path}__staging_{_uuid.uuid4().hex}"
+        keep.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+        _mark_staging_complete(staging)
+        trash = f"{index_path}__old_{_uuid.uuid4().hex}"
+        os.makedirs(trash)
+        for lid in touched:
+            entry = f"list_id={lid}"
+            dst = os.path.join(index_path, entry)
+            staged = os.path.join(staging, entry)
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(trash, entry))
+            if os.path.exists(staged):
+                # writer-formatted partition dir: survivors re-installed
+                os.rename(staged, dst)
+            # else: every row of this list was deleted — dir stays removed
+        _shutil.rmtree(trash, ignore_errors=True)
+        _shutil.rmtree(staging, ignore_errors=True)
+    _shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    return {"n_purged": int(n_purged), "n_lists_rewritten": len(touched)}
 
 
 def ivfpq_index_sink(

@@ -1613,3 +1613,155 @@ QUERIES["dd16_semantic_decontamination"] = _dd16_semantic_decontamination
 EMBEDDING_ORACLES["dd16_semantic_decontamination"] = (
     sql_semantic_decontamination("duck")
 )
+
+
+# --- EMB21: deletion lifecycle on the serving index ---------------------------
+def _emb21_index_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB21 — DELETE from the persisted IVF-PQ serving index
+    (operators/similarity.delete_from_ivfpq_index /
+    purge_ivfpq_tombstones): the retraction step that completes the
+    index family's lifecycle — insert-only ingest (emb14), rebuild
+    (dq4/dq5), filtered serving (emb19), and now takedown.  A
+    production corpus must honor removal requests without rebuilding a
+    100 TB index: deletions append to a tombstone table the serving
+    path anti-joins (broadcast, deletion-sized), and a later purge
+    physically rewrites ONLY the touched list partitions.
+
+    In-plan gates, each ONE action (the dd11 pattern):
+    - delete replay appends nothing (tombstone anti-join idempotence);
+    - no served result is ever a deleted id;
+    - tombstone-aware serving equals a TWIN index built with the SAME
+      quantizers on the corpus MINUS the deleted ids (encoding is a
+      pure per-vector function, so deletion commutes with it — emb19's
+      commute argument applied to takedown);
+    - after purge, results are unchanged, the physical row count drops
+      by exactly the deleted count, and the tombstone table is gone
+      (serving back on the zero-anti-join fast path)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.similarity import (
+        delete_from_ivfpq_index,
+        init_ivfpq_index,
+        ivfpq_fit,
+        purge_ivfpq_tombstones,
+        search_ivfpq_index,
+        update_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    coarse, fine = ivfpq_fit(emb, n_iter=2)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_ivfpq_del",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, "main")
+    init_ivfpq_index(spark, coarse, fine, path)
+    ing = update_ivfpq_index(spark, emb, path)
+    m1 = delete_from_ivfpq_index(spark, dels, path)
+    m2 = delete_from_ivfpq_index(spark, dels, path)  # at-least-once replay
+    post = search_ivfpq_index(spark, path, queries, emb, k=10).select(
+        "query_id", "vec_id", "rk"
+    ).localCheckpoint(eager=False)
+    # gate A: no deleted id is ever served (one action)
+    n_served_deleted = post.join(dels, "vec_id", "left_semi").count()
+    # gate B: tombstone-aware serving ≡ the deletion twin (same
+    # quantizers, corpus minus deleted) — full outer join, one action
+    twin_path = os.path.join(root, "twin")
+    init_ivfpq_index(spark, coarse, fine, twin_path)
+    update_ivfpq_index(spark, emb.join(dels, "vec_id", "left_anti"), twin_path)
+    twin = search_ivfpq_index(spark, twin_path, queries, emb, k=10).select(
+        "query_id", "vec_id", "rk"
+    )
+    diff_row = (
+        post.withColumn("__t", F.lit(1))
+        .join(
+            twin.withColumn("__o", F.lit(1)),
+            ["query_id", "vec_id", "rk"],
+            "full",
+        )
+        .agg(
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff")
+        )
+        .collect()[0]
+    )
+    twin_ok = (diff_row.n_diff or 0) == 0
+    # purge, then gates C/D: results unchanged, physical count dropped,
+    # tombstones gone
+    n_before = spark.read.parquet(f"{path}/index").count()
+    pg = purge_ivfpq_tombstones(spark, path)
+    n_after = spark.read.parquet(f"{path}/index").count()
+    post2 = search_ivfpq_index(spark, path, queries, emb, k=10).select(
+        "query_id", "vec_id", "rk"
+    )
+    diff2 = (
+        post.withColumn("__t", F.lit(1))
+        .join(
+            post2.withColumn("__o", F.lit(1)),
+            ["query_id", "vec_id", "rk"],
+            "full",
+        )
+        .agg(
+            F.sum(
+                (F.col("__t").isNull() | F.col("__o").isNull()).cast("int")
+            ).alias("n_diff")
+        )
+        .collect()[0]
+    )
+    purge_ok = (
+        (diff2.n_diff or 0) == 0
+        and n_before - n_after == pg["n_purged"]
+        and not os.path.exists(os.path.join(path, "tombstones"))
+    )
+    n_q = queries.count()
+    return spark.createDataFrame(
+        [
+            ("ingest", ing["n_new"], True),
+            ("delete", m1["n_new_tombstones"],
+             m1["n_new_tombstones"] == m1["n_batch_ids"]),
+            ("delete_replay", m2["n_new_tombstones"],
+             m2["n_new_tombstones"] == 0),
+            ("serve_excludes_deleted", n_q, n_served_deleted == 0),
+            ("serve_matches_deletion_twin", n_q, twin_ok),
+            ("purge", pg["n_purged"], pg["n_purged"] == m1["n_new_tombstones"]),
+            ("serve_after_purge_unchanged", n_q, purge_ok),
+        ],
+        "phase STRING, n_items BIGint, gate_ok BOOLEAN",
+    )
+
+
+def sql_index_deletion(dialect: str) -> str:
+    """EMB21's arithmetic truth: every count derives from the corpus ids
+    (ingest = all vectors, delete/purge = the %7 stride, serving = the
+    %100 query sample), replay applies nothing, every gate TRUE."""
+    del dialect
+    return """
+WITH c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         CAST(count(CASE WHEN vec_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_del,
+         CAST(count(CASE WHEN vec_id % 100 = 0 THEN 1 END) AS BIGINT) AS n_q
+  FROM embeddings
+)
+SELECT 'ingest' AS phase, n_all AS n_items, true AS gate_ok FROM c
+UNION ALL SELECT 'delete', n_del, true FROM c
+UNION ALL SELECT 'delete_replay', CAST(0 AS BIGINT), true FROM c
+UNION ALL SELECT 'serve_excludes_deleted', n_q, true FROM c
+UNION ALL SELECT 'serve_matches_deletion_twin', n_q, true FROM c
+UNION ALL SELECT 'purge', n_del, true FROM c
+UNION ALL SELECT 'serve_after_purge_unchanged', n_q, true FROM c
+"""
+
+
+QUERIES["emb21_index_deletion"] = _emb21_index_deletion
+EMBEDDING_ORACLES["emb21_index_deletion"] = sql_index_deletion("duck")

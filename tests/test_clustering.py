@@ -1296,3 +1296,73 @@ def test_pq_self_distortion_matches_adc_and_orders_drift(spark):
         F.avg("pq_dist")
     ).first()[0]
     assert drift_err > fit_err
+
+
+def test_delete_purge_lifecycle_on_ivfpq_index(spark, tmp_path):
+    """EMB21's operator layer end-to-end: tombstones hide deleted ids
+    from serving immediately, replay appends nothing, unknown ids are
+    not tombstoned, purge rewrites only the touched list partitions
+    (removing an emptied list outright), clears the tombstone table,
+    and a deleted id may legitimately re-enter AFTER the purge."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        init_ivfpq_index,
+        ivfpq_fit,
+        purge_ivfpq_tombstones,
+        search_ivfpq_index,
+        update_ivfpq_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    coarse, fine = ivfpq_fit(emb.filter("vec_id < 100"), n_lists=4, n_iter=1)
+    init_ivfpq_index(spark, coarse, fine, path)
+    update_ivfpq_index(spark, emb, path)
+    idx = spark.read.parquet(f"{path}/index")
+    n_all = idx.count()
+    # delete one whole list plus a couple of ids from another
+    lists = {r.vec_id: r.list_id for r in idx.collect()}
+    by_list: dict[int, list[int]] = {}
+    for v, l in lists.items():
+        by_list.setdefault(l, []).append(v)
+    sizes = sorted(by_list.items(), key=lambda kv: len(kv[1]))
+    whole_list, whole_ids = sizes[0]
+    other_list, other_ids = sizes[-1]
+    del_ids = sorted(whole_ids) + sorted(other_ids)[:2]
+    dels = spark.createDataFrame([(i,) for i in del_ids], "vec_id long")
+    m1 = delete_from_ivfpq_index(spark, dels, path)
+    assert m1 == {"n_batch_ids": len(del_ids), "n_new_tombstones": len(del_ids)}
+    # replay + unknown ids: nothing appended, unknown id not tombstoned
+    ghost = dels.union(spark.createDataFrame([(99_999_999,)], "vec_id long"))
+    m2 = delete_from_ivfpq_index(spark, ghost, path)
+    assert m2 == {"n_batch_ids": len(del_ids) + 1, "n_new_tombstones": 0}
+    # serving excludes every deleted id while rows are still physical
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = search_ivfpq_index(spark, path, q, emb, k=5, n_probe=4).collect()
+    assert got and not ({r.vec_id for r in got} & set(del_ids))
+    # re-ingest before purge is blocked (rows still physically present)
+    assert update_ivfpq_index(spark, emb, path)["n_new"] == 0
+    pg = purge_ivfpq_tombstones(spark, path)
+    assert pg == {"n_purged": len(del_ids), "n_lists_rewritten": 2}
+    assert not os.path.exists(f"{path}/tombstones")
+    assert not os.path.exists(f"{path}/index/list_id={whole_list}")
+    idx2 = spark.read.parquet(f"{path}/index")
+    assert idx2.count() == n_all - len(del_ids)
+    assert not ({r.vec_id for r in idx2.collect()} & set(del_ids))
+    assert [e for e in os.listdir(tmp_path) if e.startswith("ivfpq__")] == []
+    # purge with no tombstones is a no-op; deleted ids may now re-enter
+    assert purge_ivfpq_tombstones(spark, path) == {
+        "n_purged": 0, "n_lists_rewritten": 0,
+    }
+    re_ing = update_ivfpq_index(spark, emb, path)
+    assert re_ing["n_new"] == len(del_ids)
+    assert spark.read.parquet(f"{path}/index").count() == n_all
