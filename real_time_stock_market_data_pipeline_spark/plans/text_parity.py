@@ -4057,3 +4057,136 @@ SELECT CAST(3 AS INT), n_even, CAST(0 AS BIGINT), false, true FROM c
 
 QUERIES["txt23_incremental_bm25"] = _txt23_incremental_bm25
 TEXT_ORACLES["txt23_incremental_bm25"] = sql_incremental_bm25("duck")
+
+
+# --- SP17: reproducible per-epoch shuffle manifests ----------------------------
+SP17_EPOCHS = 3
+SP17_CK_MOD = 1 << 20   # bounds the position/doc factors so the BIGINT
+                        # checksum sum never overflows at any corpus size
+# Per-epoch affine mixers (a·h + b mod P), the MinHash-params construction:
+# tok_hash alone is a polynomial fold, so re-keying by a changed PREFIX
+# ('ep0:' vs 'ep2:') shifts every same-length id's hash by the SAME
+# constant — epochs would be order-correlated (measured: epoch 0 ≡ epoch 2
+# on the sf0.001 corpus).  A large multiplier mod P wraps the range ~a
+# times, decorrelating adjacent hashes; distinct (a, b) per epoch make
+# the three permutations independent.
+SP17_MIX = ((982451653, 12345), (689287573, 67890), (413158511, 24680))
+assert len(SP17_MIX) == SP17_EPOCHS
+
+
+def sql_epoch_shuffle(dialect: str) -> str:
+    """SP17 — reproducible per-EPOCH shuffle manifests: the data-loader
+    side of the launch artifacts (sp15 curriculum shards, sp16 DoReMi
+    manifest).  Distributed training needs, per epoch, a GLOBAL
+    permutation of the corpus that is (a) deterministic — every worker
+    and every resume derives the same order from the manifest alone,
+    (b) decorrelated across epochs, and (c) splittable into contiguous
+    per-worker slots.  Epoch e's order key is an epoch-specific affine
+    mix (a_e·h + b_e mod P, SP17_MIX — the MinHash permutation
+    construction) of the doc's engine hash: a fresh deterministic
+    permutation per epoch, no RNG state to persist, and genuinely
+    decorrelated — a prefix-rekeyed tok_hash is NOT (the polynomial
+    fold shifts every same-length id by a constant; measured epoch 0 ≡
+    epoch 2 before the mixer) — and the global rank uses sp15's TWO-LEVEL
+    decomposition (coarse key-prefix buckets carry window offsets; the
+    corpus-sized row_number PARTITIONS BY (epoch, bucket)), so no
+    single-partition window exists at any corpus size.  Slot =
+    ⌊S·(rank−1)/N⌋, the contiguous equal-count split a worker group
+    consumes.
+
+    The manifest row per (epoch, slot) carries doc/token counts and an
+    ORDER-PINNING checksum: Σ (rank % M)·(id-hash % M) as exact BIGINTs
+    — position-weighted, so two orders over the same membership hash
+    differently; the cross-epoch decorrelation is pinned by test (same
+    slot, different epochs, different checksums).
+
+    Scale shape: one ×E narrow explode of the corpus, the bucketed rank
+    (shuffle on (epoch, bucket)), and an E·S-row rollup."""
+    toks = split_ws(dialect, "text")
+    idh = tok_hash(dialect, "'sp17:' || CAST(doc_id AS STRING)")
+    p = 1_000_000_007
+    mix = (
+        "CASE e "
+        + " ".join(
+            f"WHEN {i} THEN ({a} * h1 + {b}) % {p}"
+            for i, (a, b) in enumerate(SP17_MIX)
+        )
+        + " END"
+    )
+    s = SP15_SHARDS
+    m = SP17_CK_MOD
+    sb_div = SP16_HKEY_MOD // SP16_SBUCKETS
+    if dialect == "spark":
+        epoch_join = (
+            f"LATERAL VIEW explode(sequence(0, {SP17_EPOCHS - 1})) _ep AS e"
+        )
+    else:
+        epoch_join = (
+            "CROSS JOIN (SELECT unnest(generate_series(0, "
+            f"{SP17_EPOCHS - 1})) AS e) _ep"
+        )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, CAST({list_len(dialect, toks)} AS BIGINT) AS n_tokens,
+         ({idh}) AS h1
+  FROM documents WHERE text IS NOT NULL
+),
+keyed AS (
+  SELECT doc_id, n_tokens, e AS epoch,
+         ({mix}) % {SP16_HKEY_MOD} AS hkey
+  FROM docs {epoch_join}
+),
+sbuck AS (
+  SELECT *, {idiv(dialect, "hkey", str(sb_div))} AS bucket FROM keyed
+),
+bcounts AS (
+  SELECT epoch, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM sbuck GROUP BY epoch, bucket
+),
+boffsets AS (
+  SELECT epoch, bucket,
+         CAST(sum(n) OVER (PARTITION BY epoch ORDER BY bucket ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS offset_0,
+         CAST(sum(n) OVER (PARTITION BY epoch) AS BIGINT) AS n_total
+  FROM bcounts
+),
+ranked AS (
+  SELECT w.epoch, w.doc_id, w.n_tokens,
+         CAST(boff.offset_0 + w.wrk AS BIGINT) AS grank, boff.n_total
+  FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY epoch, bucket ORDER BY hkey ASC, doc_id ASC
+    ) AS BIGINT) AS wrk
+    FROM sbuck
+  ) w
+  JOIN boffsets boff ON w.epoch = boff.epoch AND w.bucket = boff.bucket
+),
+slotted AS (
+  SELECT epoch, doc_id, n_tokens, grank,
+         CAST({idiv(dialect, f"{s} * (grank - 1)", "n_total")} AS BIGINT)
+           AS slot
+  FROM ranked
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, slot,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(grank) AS BIGINT) AS rank_lo,
+       CAST(max(grank) AS BIGINT) AS rank_hi,
+       CAST(sum((grank % {m}) * (({idh}) % {m})) AS BIGINT)
+         AS order_checksum
+FROM slotted
+GROUP BY epoch, slot
+ORDER BY epoch, slot
+"""
+
+
+def _sp17_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP17, Spark side: the pure rendering (one narrow ×E explode, the
+    sp15/sp16 bucketed rank, an E·S-row rollup)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_epoch_shuffle("spark"))
+
+
+QUERIES["sp17_epoch_shuffle"] = _sp17_epoch_shuffle
+TEXT_ORACLES["sp17_epoch_shuffle"] = sql_epoch_shuffle("duck")

@@ -1646,3 +1646,42 @@ def test_txt23_hwm_survives_the_df_swap_crash_window(spark, tmp_path):
     assert not m2rr["df_applied"] and m2rr["n_new_docs"] == 0
     assert df_counts(crash) == want
     assert _read_bm25_hwm(os.path.join(crash, "df")) == 2
+
+
+def test_sp17_epochs_are_permutations_balanced_and_decorrelated(spark, sf_dir):
+    """Each epoch's ranks are an exact permutation of 1..N split into
+    contiguous ±1-balanced slots, and the position-weighted checksums
+    DIFFER across epochs for the same slot (decorrelation — the whole
+    point of re-keying the permutation per epoch), while membership
+    totals are identical."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        SP15_SHARDS,
+        SP17_EPOCHS,
+        QUERIES as TQ,
+    )
+
+    rows = TQ["sp17_epoch_shuffle"](spark, sf_dir).collect()
+    n_corpus = spark.sql(
+        "SELECT count(*) AS n FROM documents WHERE text IS NOT NULL"
+    ).first()["n"]
+    by_epoch: dict[int, list] = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert sorted(by_epoch) == list(range(SP17_EPOCHS))
+    tok_totals, checksums = set(), {}
+    for e, rs in by_epoch.items():
+        rs = sorted(rs, key=lambda r: r.slot)
+        assert [r.slot for r in rs] == list(range(SP15_SHARDS))
+        assert sum(r.n_docs for r in rs) == n_corpus
+        sizes = [r.n_docs for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        # contiguous rank ranges covering exactly 1..N
+        assert rs[0].rank_lo == 1 and rs[-1].rank_hi == n_corpus
+        for a, b in zip(rs, rs[1:]):
+            assert b.rank_lo == a.rank_hi + 1
+        tok_totals.add(sum(r.n_tokens for r in rs))
+        for r in rs:
+            checksums.setdefault(r.slot, set()).add(r.order_checksum)
+    assert len(tok_totals) == 1  # same corpus every epoch
+    for slot, cks in checksums.items():
+        assert len(cks) == SP17_EPOCHS, f"slot {slot} epochs correlated"
