@@ -4190,3 +4190,128 @@ def _sp17_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp17_epoch_shuffle"] = _sp17_epoch_shuffle
 TEXT_ORACLES["sp17_epoch_shuffle"] = sql_epoch_shuffle("duck")
+
+
+# --- EMB22: late-interaction (MaxSim) retrieval --------------------------------
+EMB22_CHUNK = 20       # tokens per chunk (dd15's paragraph unit)
+EMB22_DOC_CHUNKS = 8   # doc-side chunk budget (long-doc truncation)
+EMB22_Q_CHUNKS = 4     # query-side chunk budget (the ColBERT query cap)
+EMB22_Q_STRIDE = 397   # fixed retrieval workload (txt22's |Q|·N lesson)
+EMB22_MAXQ = 5000
+EMB22_DIM = 16
+EMB22_TOPK = 10
+
+
+def sql_late_interaction(dialect: str) -> str:
+    """EMB22 — late-interaction retrieval (Khattab & Zaharia 2020,
+    ColBERT): documents and queries are MULTI-vector — one embedding
+    per 20-token chunk (txt13's hashing-trick vectors, the in-engine
+    encoder stand-in; swap in a trained encoder and the plan is
+    unchanged) — and score(q,d) = Σ_{qc} max_{dc} cos(qc, dc), the
+    MaxSim sum that beats single-vector retrieval exactly when the
+    matching evidence is local to a passage.  Sits between txt22 (BM25,
+    lexical) and emb1/emb8 (single-vector kNN) in the retrieval family.
+
+    Bit-exactness: chunk vectors are exact INTEGER bucket sums (txt13);
+    cosine = BIGINT dot / (sqrt·sqrt) — sqrt is IEEE-correctly-rounded,
+    so the double is identical in both engines — rounded HALF-UP into
+    integer micro-units BEFORE the max (max over BIGINTs is exact) and
+    the per-(q,d) score is an exact BIGINT sum of those maxes.  The
+    top-k cut ranks on (score_micro DESC, match_doc ASC), a pure
+    integer total order.  Zero-norm chunks (hash-cancelled bucket sums)
+    are dropped on both sides before any division.
+
+    Scale shape: chunking + hashing is one narrow pass (the per-doc
+    row_number normalizes Spark-0/DuckDB-1 position bases); the query
+    side is a FIXED workload (doc_id % {stride}) with ≤ {qc} chunks, so
+    the MaxSim stage is corpus-LINEAR — |Q_chunks| · corpus_chunks
+    dot products with the query side broadcast, never corpus×corpus.
+    The chunk budgets are the standard late-interaction truncations; at
+    100 TB the doc-chunk side would be pre-cut by an ANN front (emb8's
+    IVF over chunk vectors) feeding the same exact MaxSim rerank."""
+    dim = EMB22_DIM
+    toks = split_ws(dialect, "text")
+    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    sgn = f"CASE WHEN (CAST(floor(h / {dim}) AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END"
+    sums = ",\n       ".join(
+        f"CAST(sum(CASE WHEN h % {dim} = {j} THEN {sgn} ELSE 0 END) AS BIGINT)"
+        f" AS b{j}"
+        for j in range(dim)
+    )
+    norm2 = " + ".join(f"b{j} * b{j}" for j in range(dim))
+    dot = " + ".join(f"q.b{j} * c.b{j}" for j in range(dim))
+    cos = (
+        f"CAST(({dot}) AS DOUBLE) / "
+        f"(sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))"
+    )
+    w_micro = (
+        f"CAST(floor(({cos}) * {d('1000000.0')} + {d('0.5')}) AS BIGINT)"
+    )
+    return f"""
+WITH docs AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok_rows AS ({tok_rows}),
+ordered AS (
+  SELECT doc_id, tok,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC)
+              - 1 AS BIGINT) AS rn
+  FROM tok_rows
+),
+chunk_rows AS (
+  SELECT doc_id, {idiv(dialect, "rn", str(EMB22_CHUNK))} AS chunk,
+         {tok_hash(dialect, "tok")} AS h
+  FROM ordered
+  WHERE rn < {EMB22_CHUNK * EMB22_DOC_CHUNKS}
+),
+cvecs AS (
+  SELECT doc_id, chunk,
+       {sums}
+  FROM chunk_rows GROUP BY doc_id, chunk
+),
+valid AS (
+  SELECT *, CAST({norm2} AS BIGINT) AS norm2 FROM cvecs
+),
+dvecs AS (SELECT * FROM valid WHERE norm2 > 0),
+qvecs AS (
+  SELECT * FROM dvecs
+  WHERE doc_id % {EMB22_Q_STRIDE} = 0 AND doc_id < {EMB22_MAXQ}
+    AND chunk < {EMB22_Q_CHUNKS}
+),
+pairsim AS (
+  SELECT q.doc_id AS query_doc, q.chunk AS qchunk,
+         c.doc_id AS match_doc,
+         {w_micro} AS w_micro
+  FROM qvecs q JOIN dvecs c ON c.doc_id <> q.doc_id
+),
+maxsim AS (
+  SELECT query_doc, qchunk, match_doc, CAST(max(w_micro) AS BIGINT) AS mx
+  FROM pairsim GROUP BY query_doc, qchunk, match_doc
+),
+scored AS (
+  SELECT query_doc, match_doc,
+         CAST(count(*) AS BIGINT) AS n_qchunks,
+         CAST(sum(mx) AS BIGINT) AS score_micro
+  FROM maxsim GROUP BY query_doc, match_doc
+),
+ranked AS (
+  SELECT query_doc, match_doc, n_qchunks, score_micro,
+         row_number() OVER (PARTITION BY query_doc
+                            ORDER BY score_micro DESC, match_doc ASC) AS rnk
+  FROM scored
+)
+SELECT query_doc, match_doc, n_qchunks, score_micro,
+       {r6t(f"CAST(score_micro AS DOUBLE) / ({d('1000000.0')} * CAST(n_qchunks AS DOUBLE))")}
+         AS maxsim_avg,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {EMB22_TOPK}
+"""
+
+
+def _emb22_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB22, Spark side: the pure rendering (one narrow chunk/hash pass,
+    one integer aggregate per chunk, the broadcast-q MaxSim join)."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_late_interaction("spark"))
+
+
+QUERIES["emb22_late_interaction"] = _emb22_late_interaction
+TEXT_ORACLES["emb22_late_interaction"] = sql_late_interaction("duck")

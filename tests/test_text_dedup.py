@@ -1685,3 +1685,54 @@ def test_sp17_epochs_are_permutations_balanced_and_decorrelated(spark, sf_dir):
     assert len(tok_totals) == 1  # same corpus every epoch
     for slot, cks in checksums.items():
         assert len(cks) == SP17_EPOCHS, f"slot {slot} epochs correlated"
+
+
+def test_emb22_maxsim_finds_passage_local_match_single_vector_dilutes(spark):
+    """The point of late interaction: a doc that contains one of the
+    query's chunks VERBATIM inside a wall of unrelated filler must rank
+    top-1 under MaxSim (its shared chunk scores an exact cosine 1.0 →
+    a 1e6 micro-unit term), while the doc-LEVEL single hashing-trick
+    vector of the same pair is diluted by the filler."""
+    import math
+
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        EMB22_DIM,
+        QUERIES as TQ,
+        sql_late_interaction,
+    )
+
+    q_chunks = [" ".join(f"w{i}_{j}" for j in range(20)) for i in range(2)]
+    q_text = " ".join(q_chunks)
+    planted = q_chunks[0] + " " + " ".join(f"f{j}" for j in range(140))
+    others = [
+        (k, " ".join(f"o{k}_{j}" for j in range(160)))
+        for k in (1, 2, 3)
+    ]
+    rows = [(0, q_text), (777, planted)] + others
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    try:
+        out = spark.sql(sql_late_interaction("spark")).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    mine = sorted((r for r in out if r.query_doc == 0), key=lambda r: r.rnk)
+    assert mine and mine[0].match_doc == 777
+    assert mine[0].score_micro >= 1_000_000  # the verbatim chunk's exact 1.0
+
+    # doc-level single-vector cosine of the same pair, same hashing trick
+    P = 1_000_000_007
+
+    def vec(text):
+        v = [0] * EMB22_DIM
+        for tok in text.split():
+            h = 7
+            for ch in tok:
+                h = (h * 131 + ord(ch)) % P
+            v[h % EMB22_DIM] += 1 if (h // EMB22_DIM) % 2 == 0 else -1
+        return v
+
+    a, b = vec(q_text), vec(planted)
+    cos = sum(x * y for x, y in zip(a, b)) / (
+        math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    )
+    assert cos < 0.75, cos  # filler dilutes the single-vector signal
