@@ -45,7 +45,7 @@ _PRIORITY = [
     "dd17_quality_survivors", "sp16_doremi_manifest",
     "dq6_contamination_audit", "txt23_incremental_bm25",
     "emb21_index_deletion", "sp17_epoch_shuffle",
-    "emb22_late_interaction",
+    "emb22_late_interaction", "emb23_matryoshka_recall",
     # 3 — green in CORRECTNESS_r12 (zero failures), r12-window order;
     #     entries past slot 50 are FROZEN FOR R16
     "sp2_stratified_sample", "dd3_minhash_signatures",

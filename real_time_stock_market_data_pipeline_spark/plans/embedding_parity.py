@@ -1765,3 +1765,126 @@ UNION ALL SELECT 'serve_after_purge_unchanged', n_q, true FROM c
 
 QUERIES["emb21_index_deletion"] = _emb21_index_deletion
 EMBEDDING_ORACLES["emb21_index_deletion"] = sql_index_deletion("duck")
+
+
+# --- EMB23: Matryoshka truncated-dimension retrieval ---------------------------
+EMB23_DIM = 16        # serving prefix of the 64-dim embedding (4× memory cut)
+EMB23_SHORTLIST = 50  # truncated-dim funnel shortlist, full-dim reranked
+EMB23_TOPK = 10
+EMB23_NQ = 8          # fixed query workload (vec_id < 8)
+
+
+def sql_matryoshka_recall(dialect: str) -> str:
+    """EMB23 — truncated-dimension ("Matryoshka", Kusupati et al. 2022
+    MRL) retrieval: serve similarity from the first {dim} of 64
+    dimensions — a 4× memory/bandwidth cut ORTHOGONAL to emb9's int8
+    quantization (compose them for 16×) — and measure what the cut
+    costs, per query, two ways:
+
+    - head-only: top-10 by prefix cosine vs the exact full-dim top-10
+      (what you lose serving the prefix alone);
+    - the production FUNNEL: prefix-cosine shortlist of
+      {short} candidates, exact full-dim rerank to top-10 — the MRL
+      adaptive-retrieval pattern (coarse cheap pass bounds the
+      expensive exact pass; the same funnel shape as the IVF-PQ
+      shortlist-rerank, with dimension truncation as the coarse
+      quantizer instead of codebooks).
+
+    All values are ENGINE-EXACT (r6 cosines through the shared
+    dialect.dot_expr fold; overlap counts are integers; ranks are an
+    integer total order with vec_id tie-break), so the oracle hash-
+    compares real recall numbers, not shape gates.
+
+    This is an AUDIT, not a claim that truncation is free: an
+    MRL-trained encoder front-loads the signal into the prefix, while
+    this corpus's near-isotropic synthetic embeddings spread it evenly
+    — so the report correctly reads LOW head recall (0.0–0.3 across
+    SFs) with the funnel recovering only part of it, i.e. "do not
+    serve this embedding space truncated".  That number, measured
+    before switching the serving tier, is the operator's decision
+    input — the same role dq4/dq5 play for index drift.  funnel ≥ head
+    per query is pinned by test.
+
+    Scale shape: the query side is fixed and broadcast; the corpus
+    pays one linear scan per query batch — at 100 TB the prefix pass
+    runs over the head-truncated (cache-resident) copy of the corpus
+    and only the {short}-row shortlist touches full vectors, which is
+    the point."""
+    dim, short, k = EMB23_DIM, EMB23_SHORTLIST, EMB23_TOPK
+    if dialect == "spark":
+        head = lambda c: f"slice({c}, 1, {dim})"  # noqa: E731
+    else:
+        head = lambda c: f"list_slice({c}, 1, {dim})"  # noqa: E731
+    full_cos = r6t(_cosine(dialect, "p.qv", "p.cv"))
+    trunc_cos = r6t(_cosine(dialect, head("p.qv"), head("p.cv")))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_d16_emb_double(dialect)} AS qv
+  FROM embeddings WHERE vec_id < {EMB23_NQ}
+),
+c AS (
+  SELECT vec_id, {_d16_emb_double(dialect)} AS cv FROM embeddings
+),
+p AS (
+  SELECT q.query_id, c.vec_id, q.qv, c.cv
+  FROM q JOIN c ON c.vec_id <> q.query_id
+),
+scored AS (
+  SELECT p.query_id, p.vec_id,
+         {full_cos} AS full_cos,
+         {trunc_cos} AS trunc_cos
+  FROM p
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY full_cos DESC, vec_id ASC) AS full_rk,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY trunc_cos DESC, vec_id ASC) AS trunc_rk
+  FROM scored
+),
+full_topk AS (
+  SELECT query_id, vec_id FROM ranked WHERE full_rk <= {k}
+),
+trunc_topk AS (
+  SELECT query_id, vec_id FROM ranked WHERE trunc_rk <= {k}
+),
+funnel AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY full_cos DESC, vec_id ASC) AS rr
+    FROM ranked WHERE trunc_rk <= {short}
+  ) s WHERE rr <= {k}
+),
+head_hits AS (
+  SELECT f.query_id, CAST(count(t.vec_id) AS BIGINT) AS n
+  FROM full_topk f LEFT JOIN trunc_topk t
+    ON f.query_id = t.query_id AND f.vec_id = t.vec_id
+  GROUP BY f.query_id
+),
+funnel_hits AS (
+  SELECT f.query_id, CAST(count(u.vec_id) AS BIGINT) AS n
+  FROM full_topk f LEFT JOIN funnel u
+    ON f.query_id = u.query_id AND f.vec_id = u.vec_id
+  GROUP BY f.query_id
+)
+SELECT h.query_id,
+       CAST({k} AS BIGINT) AS n_exact,
+       h.n AS head_overlap,
+       fh.n AS funnel_overlap,
+       {r6t(f"CAST(h.n AS DOUBLE) / {d(f'{k}.0')}")} AS head_recall,
+       {r6t(f"CAST(fh.n AS DOUBLE) / {d(f'{k}.0')}")} AS funnel_recall
+FROM head_hits h JOIN funnel_hits fh ON h.query_id = fh.query_id
+"""
+
+
+def _emb23_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB23, Spark side: the pure rendering (fixed broadcast query side,
+    one corpus-linear scored pass, per-query windows)."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(sql_matryoshka_recall("spark"))
+
+
+QUERIES["emb23_matryoshka_recall"] = _emb23_matryoshka_recall
+EMBEDDING_ORACLES["emb23_matryoshka_recall"] = sql_matryoshka_recall("duck")

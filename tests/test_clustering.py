@@ -1366,3 +1366,21 @@ def test_delete_purge_lifecycle_on_ivfpq_index(spark, tmp_path):
     re_ing = update_ivfpq_index(spark, emb, path)
     assert re_ing["n_new"] == len(del_ids)
     assert spark.read.parquet(f"{path}/index").count() == n_all
+
+
+def test_emb23_funnel_dominates_head_only_serving(spark, sf_dir):
+    """The MRL funnel (truncated-dim shortlist -> exact full-dim rerank)
+    must per-query recover at least what head-only serving gets — the
+    shortlist is a superset of the head top-10 and the rerank restores
+    the exact order inside it — and on this untrained near-isotropic
+    corpus the audit must read LOW head recall (the 'do not serve
+    truncated' verdict, the point of measuring first)."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["emb23_matryoshka_recall"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.head_overlap <= r.funnel_overlap <= 10
+        assert r.funnel_recall >= r.head_recall
+    assert max(r.head_recall for r in rows) <= 0.5  # untrained prefix
