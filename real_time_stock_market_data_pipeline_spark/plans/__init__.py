@@ -30,12 +30,18 @@ ORACLES.update(AUDIT_ORACLES)
 #      first, fill the remaining slots to exactly 50.
 #   FROZEN FOR R16 (named, deliberate): the r12-green tail entries
 #   displaced by the leads wait one round — each is pytest-parity-pinned
-#   at sf0.001 every run.  They MUST lead the r16 window, together with
-#   the 50 r13-green queries whose evidence is then three rounds old
-#   (r16 window = displaced-r12 block + the r13 block head; the r14-green
-#   block forms the r16 tail in its r14-window order).  The whole
-#   registry stays covered every run by tests/test_parity.py at sf0.001
-#   and the pre-commit parity harness at sf0.01.
+#   at sf0.001 every run.
+#   R16 WINDOW PLAN (committed r15): once CORRECTNESS_r15 lands, the
+#   freshest-evidence blocks are 50 r15 / 50 r13 / 50 r14 / 12 r12
+#   (the displaced tail `emb19_filtered_ivfpq` … `o6_sorted_rollup`).
+#   At r16: lead with the 12 displaced r12-green entries (oldest
+#   evidence in the registry), fill with the r13-green block in its
+#   r13-window order to exactly 50 (38 fill slots; each NEW r16 query
+#   displaces one r13 fill — legal because inside/outside evidence
+#   both bottom out at r13 once the r12 block is inside); the r14-green
+#   then r15-green blocks form the tail in their window orders.  The
+#   whole registry stays covered every run by tests/test_parity.py at
+#   sf0.001 and the pre-commit parity harness at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
     # 1 — promoted from the r14 staging block: never-rowed, mandatory leads
