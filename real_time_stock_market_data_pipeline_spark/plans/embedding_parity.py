@@ -1806,10 +1806,15 @@ def sql_matryoshka_recall(dialect: str) -> str:
     per query is pinned by test.
 
     Scale shape: the query side is fixed and broadcast; the corpus
-    pays one linear scan per query batch — at 100 TB the prefix pass
-    runs over the head-truncated (cache-resident) copy of the corpus
-    and only the {short}-row shortlist touches full vectors, which is
-    the point."""
+    pays one linear scan per query batch (probed 8.6× at 10× — the
+    exact-audit cost IS corpus-linear by design, the only query in the
+    registry that is, because its job is the ground truth).  At 100 TB
+    the audit runs on a deterministic hash-sample
+    (sampling.deterministic_sample — the pq_fit training-sample
+    precedent): recall estimates need thousands of queries over a
+    sample, not the corpus; the serving path being audited is the one
+    that reads the head-truncated (cache-resident) corpus copy with
+    only the {short}-row shortlist touching full vectors."""
     dim, short, k = EMB23_DIM, EMB23_SHORTLIST, EMB23_TOPK
     if dialect == "spark":
         head = lambda c: f"slice({c}, 1, {dim})"  # noqa: E731

@@ -28,7 +28,6 @@ from pyspark.sql import functions as F
 
 from real_time_stock_market_data_pipeline_spark.plans import (
     QUERIES,
-    R15_STAGED,
     flagship,
 )
 from real_time_stock_market_data_pipeline_spark.session import get_spark
@@ -68,9 +67,11 @@ DOC_QUERIES = [
     "dd14_snapshot_dedup", "mm12_multimodal_packing",
     "sp13_model_curated_corpus", "txt20_ccnet_buckets",
     "txt21_dsir_resample", "txt22_bm25_retrieval", "dd15_paragraph_dedup",
-    "sp14_doremi_mixture",  # staged for r15 (plans.R15_STAGED)
-    "sp15_curriculum_shards",  # staged for r15 (plans.R15_STAGED)
-    "mm13_image_text_alignment",  # staged for r15 (plans.R15_STAGED)
+    "sp14_doremi_mixture", "sp15_curriculum_shards",
+    "mm13_image_text_alignment",
+    "dd17_quality_survivors", "sp16_doremi_manifest",
+    "dq6_contamination_audit", "txt23_incremental_bm25",
+    "sp17_epoch_shuffle", "emb22_late_interaction",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
@@ -85,7 +86,8 @@ EMB_QUERIES = [
     "emb14_incremental_ivfpq", "emb15_semantic_dedup",
     "emb16_semdedup_keep_policy", "emb17_incremental_semdedup",
     "emb18_filtered_ann", "emb19_filtered_ivfpq", "emb20_d4_prototypes",
-    "dd16_semantic_decontamination",  # staged for r15 (plans.R15_STAGED)
+    "dd16_semantic_decontamination",
+    "emb21_index_deletion", "emb23_matryoshka_recall",
 ]
 
 
@@ -456,7 +458,7 @@ def main() -> None:
     if std or want_flagship:
         scaled = build_scaled(spark)
         for name in std:
-            fn = QUERIES[name] if name in QUERIES else R15_STAGED[name][0]
+            fn = QUERIES[name]
             results[name] = {
                 "base": timed(fn, spark, BASE),
                 "scaled": timed(fn, spark, scaled),
