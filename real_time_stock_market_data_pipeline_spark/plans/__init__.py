@@ -15,64 +15,42 @@ ORACLES.update(AUDIT_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# third round.  Round-15 rotation policy (executes the r14 "R15 WINDOW
-# PLAN" + the r14 verdict's item 1 exactly — CORRECTNESS_r14 was 50/50
-# green, freshness 50 r14 / 50 r13 / 50 r12):
-#   1. the four queries STAGED in r14 (finished + oracle-parity-pinned all
-#      of round 14 by the then-named tests/test_staged_r15.py, but never
-#      registered because the r14 window was exactly full) lead — they
-#      have NO driver row yet and the no-starvation policy requires
-#      never-rowed queries inside the window;
-#   2. queries NEW this round follow (each displaces one r12 fill from
+# third round.  Round-16 rotation policy (executes the r15 "R16 WINDOW
+# PLAN" + the r15 verdict's item 1 exactly — CORRECTNESS_r15 was 50/50
+# green, freshness 50 r15 / 50 r14 / 50 r13 / 12 r12):
+#   1. the 12 r12-green entries displaced by the r15 leads (the named
+#      "FROZEN FOR R16" block — the oldest evidence in the registry,
+#      three rounds stale) lead;
+#   2. queries NEW this round follow (each displaces one r13 fill from
 #      the tail of the window — legal because inside/outside evidence
-#      both bottom out at r12, so max(inside) <= min(outside) holds);
-#   3. the r12-green queries in their r12-window order, oldest evidence
+#      both bottom out at r13 once the r12 block is inside, so
+#      max(inside) <= min(outside) holds);
+#   3. the r13-green queries in their r13-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
-#   FROZEN FOR R16 (named, deliberate): the r12-green tail entries
-#   displaced by the leads wait one round — each is pytest-parity-pinned
-#   at sf0.001 every run.
-#   R16 WINDOW PLAN (committed r15): once CORRECTNESS_r15 lands, the
-#   freshest-evidence blocks are 50 r15 / 50 r13 / 50 r14 / 12 r12
-#   (the displaced tail `emb19_filtered_ivfpq` … `o6_sorted_rollup`).
-#   At r16: lead with the 12 displaced r12-green entries (oldest
-#   evidence in the registry), fill with the r13-green block in its
-#   r13-window order to exactly 50 (38 fill slots; each NEW r16 query
-#   displaces one r13 fill — legal because inside/outside evidence
-#   both bottom out at r13 once the r12 block is inside); the r14-green
-#   then r15-green blocks form the tail in their window orders.  The
-#   whole registry stays covered every run by tests/test_parity.py at
-#   sf0.001 and the pre-commit parity harness at sf0.01.
+#   FROZEN FOR R17 (named, deliberate): the r13-green tail entries past
+#   slot 50 wait one round — each is pytest-parity-pinned at sf0.001
+#   every run.
+#   R17 WINDOW PLAN (committed r16): once CORRECTNESS_r16 lands, the
+#   freshest-evidence blocks are 50 r16 / 50 r15 / 50 r14 / 12+new r13
+#   (the displaced r13 tail).  At r17: lead with the displaced r13-green
+#   entries (oldest evidence in the registry), fill with the r14-green
+#   block in its r14-window order to exactly 50 (each NEW r17 query
+#   displaces one r14 fill); the r15-green then r16-green blocks form
+#   the tail in their window orders.  The whole registry stays covered
+#   every run by tests/test_parity.py at sf0.001 and the pre-commit
+#   parity harness at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — promoted from the r14 staging block: never-rowed, mandatory leads
-    "sp14_doremi_mixture", "sp15_curriculum_shards",
-    "dd16_semantic_decontamination", "mm13_image_text_alignment",
-    # 2 — new this round (each displaces one r12 fill below)
-    "dd17_quality_survivors", "sp16_doremi_manifest",
-    "dq6_contamination_audit", "txt23_incremental_bm25",
-    "emb21_index_deletion", "sp17_epoch_shuffle",
-    "emb22_late_interaction", "emb23_matryoshka_recall",
-    # 3 — green in CORRECTNESS_r12 (zero failures), r12-window order;
-    #     entries past slot 50 are FROZEN FOR R16
-    "sp2_stratified_sample", "dd3_minhash_signatures",
-    "dd4_minhash_candidates", "dd5_simhash", "emb1_knn_cosine",
-    "emb2_label_centroids", "emb3_lsh_near_dup", "emb6_centered_lsh",
-    "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
-    "p7_validated_ticks", "p9_dedup_ticks", "j6_region_revenue",
-    "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
-    "o3_training_fetch", "sk1_salted_daily_summary", "q1_pricing_summary",
-    "t9_session_windows", "j10_asof_quote", "s13_model_roundtrip",
-    "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
-    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
-    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
-    "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
-    "sp11_domain_mixture", "emb19_filtered_ivfpq",
-    "txt19_incremental_span_dedup", "sp12_curated_corpus",
-    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
-    "p6_flag_filter", "a7_dup_detection", "o1_top_events", "o4_latest_row",
-    "o5_price_history", "o6_sorted_rollup",
-    # 4 — green in CORRECTNESS_r13 (zero failures), r13-window order
+    # 1 — the 12 r12-green entries displaced by the r15 leads ("FROZEN
+    #     FOR R16"): oldest evidence in the registry, mandatory leads
+    "emb19_filtered_ivfpq", "txt19_incremental_span_dedup",
+    "sp12_curated_corpus", "p3_time_window_filter", "p4_recent_window",
+    "p5_equality_filter", "p6_flag_filter", "a7_dup_detection",
+    "o1_top_events", "o4_latest_row", "o5_price_history",
+    "o6_sorted_rollup",
+    # 2 — new this round (each displaces one r13 fill below)
+    # 3 — green in CORRECTNESS_r13, r13-window order; entries past
+    #     slot 50 are FROZEN FOR R17
     "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
     "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
     "mm1_media_meta", "emb12_incremental_pq", "dq3_embedding_audit",
@@ -91,7 +69,7 @@ _PRIORITY = [
     "dq4_index_recall_drift", "sp13_model_curated_corpus",
     "txt20_ccnet_buckets", "a3_active_series", "mm3_bmp_pixel_stats",
     "mm4_wav_stats", "mm5_avi_frame_stats",
-    # 5 — green in CORRECTNESS_r14 (zero failures), r14-window order
+    # 4 — green in CORRECTNESS_r14 (zero failures), r14-window order
     "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
     "mm2_image_dims", "t6_alerts", "j3_alert_feed",
     "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
@@ -111,6 +89,27 @@ _PRIORITY = [
     "emb11_pq_recall", "w14_series_banded_neardup",
     "dq5_serving_drift_monitors", "txt21_dsir_resample",
     "txt22_bm25_retrieval", "dd15_paragraph_dedup",
+    # 5 — green in CORRECTNESS_r15 (zero failures), r15-window order
+    "sp14_doremi_mixture", "sp15_curriculum_shards",
+    "dd16_semantic_decontamination", "mm13_image_text_alignment",
+    "dd17_quality_survivors", "sp16_doremi_manifest",
+    "dq6_contamination_audit", "txt23_incremental_bm25",
+    "emb21_index_deletion", "sp17_epoch_shuffle",
+    "emb22_late_interaction", "emb23_matryoshka_recall",
+    "sp2_stratified_sample", "dd3_minhash_signatures",
+    "dd4_minhash_candidates", "dd5_simhash", "emb1_knn_cosine",
+    "emb2_label_centroids", "emb3_lsh_near_dup", "emb6_centered_lsh",
+    "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
+    "p7_validated_ticks", "p9_dedup_ticks", "j6_region_revenue",
+    "j7_orders_without_big_lineitems", "j8_industry_rollup",
+    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+    "o3_training_fetch", "sk1_salted_daily_summary", "q1_pricing_summary",
+    "t9_session_windows", "j10_asof_quote", "s13_model_roundtrip",
+    "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
+    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
+    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+    "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
+    "sp11_domain_mixture",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

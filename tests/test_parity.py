@@ -31,56 +31,60 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r15_driver_window_pinned():
+def test_r16_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the four
-    queries promoted from the r14 staging block lead (they have no
-    driver row yet), new r15 queries follow, and the r12-green rotations
-    fill to exactly 50 in r12-window order (oldest evidence first).  An
-    accidental import-order or registration change would silently spend
-    the evidence budget on the wrong queries — fail loudly instead."""
+    only, so the window IS part of the round's evidence plan: the 12
+    r12-green entries displaced by the r15 leads (the "FROZEN FOR R16"
+    block, oldest evidence in the registry) lead, new r16 queries
+    follow, and the r13-green rotations fill to exactly 50 in r13-window
+    order (oldest evidence first).  An accidental import-order or
+    registration change would silently spend the evidence budget on the
+    wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
-    promoted = [
-        "sp14_doremi_mixture", "sp15_curriculum_shards",
-        "dd16_semantic_decontamination", "mm13_image_text_alignment",
+    leads = [
+        "emb19_filtered_ivfpq", "txt19_incremental_span_dedup",
+        "sp12_curated_corpus", "p3_time_window_filter", "p4_recent_window",
+        "p5_equality_filter", "p6_flag_filter", "a7_dup_detection",
+        "o1_top_events", "o4_latest_row", "o5_price_history",
+        "o6_sorted_rollup",
     ]
-    assert names[:4] == promoted
-    # new r15 queries sit directly after the promoted leads; each one
-    # displaces one r12 fill off the window tail
-    new_r15 = [n for n in names[4:50] if n not in _R12_WINDOW_ORDER]
-    n_new = len(new_r15)
-    assert names[4:4 + n_new] == new_r15  # new queries are contiguous
-    assert names[4 + n_new:50] == _R12_WINDOW_ORDER[: 46 - n_new]
-    # slot 50 boundary: the frozen-for-r16 block starts at index 50 with
-    # the first displaced r12 fill
-    assert names[50] == _R12_WINDOW_ORDER[46 - n_new]
+    assert names[:12] == leads
+    # new r16 queries sit directly after the displaced-r12 leads; each
+    # one displaces one r13 fill off the window tail
+    new_r16 = [n for n in names[12:50] if n not in _R13_WINDOW_ORDER]
+    n_new = len(new_r16)
+    assert names[12:12 + n_new] == new_r16  # new queries are contiguous
+    assert names[12 + n_new:50] == _R13_WINDOW_ORDER[: 38 - n_new]
+    # slot 50 boundary: the frozen-for-r17 block starts at index 50 with
+    # the first displaced r13 fill
+    assert names[50] == _R13_WINDOW_ORDER[38 - n_new]
 
 
-# the r12-window order the round-15 fills draw from (the full 50-entry
-# r12-green block): any slot of the 50 not taken by a promoted lead or a
-# new r15 query is filled from this list front-to-back, and displaced
-# entries head the frozen-for-r16 block.
-_R12_WINDOW_ORDER = [
-    "sp2_stratified_sample", "dd3_minhash_signatures",
-    "dd4_minhash_candidates", "dd5_simhash", "emb1_knn_cosine",
-    "emb2_label_centroids", "emb3_lsh_near_dup", "emb6_centered_lsh",
-    "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
-    "p7_validated_ticks", "p9_dedup_ticks", "j6_region_revenue",
-    "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
-    "o3_training_fetch", "sk1_salted_daily_summary", "q1_pricing_summary",
-    "t9_session_windows", "j10_asof_quote", "s13_model_roundtrip",
-    "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
-    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
-    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
-    "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
-    "sp11_domain_mixture", "emb19_filtered_ivfpq",
-    "txt19_incremental_span_dedup", "sp12_curated_corpus",
-    "p3_time_window_filter", "p4_recent_window", "p5_equality_filter",
-    "p6_flag_filter", "a7_dup_detection", "o1_top_events", "o4_latest_row",
-    "o5_price_history", "o6_sorted_rollup",
+# the r13-window order the round-16 fills draw from (the full 50-entry
+# r13-green block): any slot of the 50 not taken by a displaced-r12 lead
+# or a new r16 query is filled from this list front-to-back, and
+# displaced entries head the frozen-for-r17 block.
+_R13_WINDOW_ORDER = [
+    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+    "mm1_media_meta", "emb12_incremental_pq", "dq3_embedding_audit",
+    "emb13_ivfpq_recall", "txt14_doc_retrieval",
+    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
+    "dd13_compacted_table", "emb14_incremental_ivfpq",
+    "sp8_decontaminated_pipeline", "txt10_repetition",
+    "sp6_temperature_mixture", "sp7_corpus_pipeline", "a13_ohlc_candles",
+    "w11_vwap", "emb9_quantized_recall", "dd10_exact_decontamination",
+    "txt11_pii_redaction", "dd9_incremental_minhash",
+    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
+    "f1_scalar_suite", "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
+    "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
+    "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
+    "emb20_d4_prototypes", "dd14_snapshot_dedup", "mm12_multimodal_packing",
+    "dq4_index_recall_drift", "sp13_model_curated_corpus",
+    "txt20_ccnet_buckets", "a3_active_series", "mm3_bmp_pixel_stats",
+    "mm4_wav_stats", "mm5_avi_frame_stats",
 ]
 
 
