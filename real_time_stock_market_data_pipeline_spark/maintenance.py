@@ -670,6 +670,21 @@ def recover_upsert(
                     f"partition dir(s) from {staging} into the store"
                 )
             else:
+                if _partition_entries(path) and not any(
+                    e.endswith(".parquet") for e in os.listdir(staging)
+                ):
+                    # A durability-marked staging with NO partition entries
+                    # and NO data files cannot be a legitimate merge result
+                    # for a partitioned store — no writer produces an empty
+                    # committed staging — so a full swap here would replace
+                    # the whole store with nothing.  Refuse loudly instead
+                    # of destroying data (the r15 ADVICE high finding:
+                    # purge_ivfpq_tombstones used to mark such a staging).
+                    raise RuntimeError(
+                        f"refusing full-swap roll-forward: marked staging "
+                        f"{staging} is empty but store {path} holds "
+                        f"partitioned data; resolve manually"
+                    )
                 displaced = f"{path}__old_{uuid.uuid4().hex}"
                 os.rename(path, displaced)
                 os.rename(staging, path)

@@ -1911,21 +1911,42 @@ def purge_ivfpq_tombstones(
         )
         staging = f"{index_path}__staging_{_uuid.uuid4().hex}"
         keep.write.mode("overwrite").partitionBy("list_id").parquet(staging)
-        _mark_staging_complete(staging)
-        trash = f"{index_path}__old_{_uuid.uuid4().hex}"
-        os.makedirs(trash)
-        for lid in touched:
-            entry = f"list_id={lid}"
-            dst = os.path.join(index_path, entry)
-            staged = os.path.join(staging, entry)
-            if os.path.exists(dst):
-                os.rename(dst, os.path.join(trash, entry))
-            if os.path.exists(staged):
-                # writer-formatted partition dir: survivors re-installed
-                os.rename(staged, dst)
-            # else: every row of this list was deleted — dir stays removed
-        _shutil.rmtree(trash, ignore_errors=True)
-        _shutil.rmtree(staging, ignore_errors=True)
+        from ..maintenance import _partition_entries
+
+        if not _partition_entries(staging):
+            # Every row of every touched list is tombstoned: there are no
+            # survivor partitions to install, so the staging/marker swap
+            # protocol must NOT run — durability-marking an EMPTY staging
+            # would let a crash before the final rmtree make
+            # recover_upsert's full-swap branch install the empty staging
+            # over the whole index, deleting every untouched list (the
+            # r15 ADVICE high finding).  The standing tombstone table is
+            # itself the recovery signal here: remove the doomed list
+            # dirs directly and clear tombstones LAST, so a crash
+            # mid-removal leaves the remaining rows still tombstoned
+            # (never served) and the next purge resumes idempotently.
+            _shutil.rmtree(staging, ignore_errors=True)
+            for lid in touched:
+                _shutil.rmtree(
+                    os.path.join(index_path, f"list_id={lid}"),
+                    ignore_errors=True,
+                )
+        else:
+            _mark_staging_complete(staging)
+            trash = f"{index_path}__old_{_uuid.uuid4().hex}"
+            os.makedirs(trash)
+            for lid in touched:
+                entry = f"list_id={lid}"
+                dst = os.path.join(index_path, entry)
+                staged = os.path.join(staging, entry)
+                if os.path.exists(dst):
+                    os.rename(dst, os.path.join(trash, entry))
+                if os.path.exists(staged):
+                    # writer-formatted partition dir: survivors re-installed
+                    os.rename(staged, dst)
+                # else: every row of this list was deleted — dir stays removed
+            _shutil.rmtree(trash, ignore_errors=True)
+            _shutil.rmtree(staging, ignore_errors=True)
     _shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
     return {"n_purged": int(n_purged), "n_lists_rewritten": len(touched)}
 

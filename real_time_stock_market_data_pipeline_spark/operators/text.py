@@ -338,13 +338,22 @@ def update_bm25_postings(
     import shutil
     import uuid
 
-    from ..maintenance import _mark_staging_complete, heal_if_interrupted
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        heal_if_interrupted,
+    )
     from ..plans.dialect import split_ws  # leaf module (tok_hash precedent)
     from ..sources.readers import read_parquet_if_exists
 
     spark = batch_df.sparkSession
     tf_path = os.path.join(path, "tf")
     df_path = os.path.join(path, "df")
+    # the df swap (and _read_bm25_hwm / heal) uses os.rename on these
+    # paths — a scheme-prefixed path would silently rename a
+    # similarly-named DRIVER-LOCAL dir while Spark wrote elsewhere
+    _require_local_path(df_path, "update_bm25_postings")
+    _require_local_path(tf_path, "update_bm25_postings")
     heal_if_interrupted(tf_path)
     heal_if_interrupted(df_path)
     n_batch = batch_df.select(id_col).distinct().count()

@@ -303,8 +303,22 @@ def _dq6_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import srp_decontaminate
     from .queries import _synthetic_bmp_media
 
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
     load_table(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    # The plant-id bands are 1M apart and natural ids must sit below the
+    # lowest band — a regenerated/larger corpus that breaks either would
+    # otherwise misclassify leak_class or collide plant ids with natural
+    # train ids, surfacing only as an opaque parity mismatch (r15 ADVICE).
+    # One column-pruned aggregate; fail loudly instead.
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    bases = sorted(Q6_BASE.values())
+    span = min(b - a for a, b in zip(bases, bases[1:]))  # band spacing (1M)
+    assert max_id is not None and max_id < span, (
+        f"dq6 fixture assumes doc_id < {span:,} (plant-id bands are "
+        f"{span:,} apart, lowest base {bases[0]:,}); corpus has max "
+        f"doc_id {max_id} — regenerate Q6_BASE for this corpus"
+    )
     ctes = _q6_fixture_ctes("spark")
 
     def frame(sel: str) -> DataFrame:

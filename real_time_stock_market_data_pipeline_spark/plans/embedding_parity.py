@@ -1404,7 +1404,10 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~35 s sequential → ~26 s threaded median [23.7, 31.6]; the floor
     # is leg_ivfpq's own serial chain — fit 7 + ingest 2 + 2 searches
     # + rebuild 11 — which threading cannot shorten further without
-    # weakening the fixture.)
+    # weakening the fixture.)  INVARIANT: no operator the legs call may
+    # mutate session-global state (fixed-name temp views, conf.set /
+    # _scoped_conf) — the legs share one SparkSession; pinned by
+    # tests/test_plans.py::test_dq5_leg_operators_touch_no_session_global_state.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=3) as pool:

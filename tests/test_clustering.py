@@ -1368,6 +1368,55 @@ def test_delete_purge_lifecycle_on_ivfpq_index(spark, tmp_path):
     assert spark.read.parquet(f"{path}/index").count() == n_all
 
 
+def test_purge_with_zero_survivors_skips_staging_protocol(spark, tmp_path):
+    """When EVERY row of every touched list is tombstoned there are no
+    survivor partitions, and purge must NOT durability-mark an empty
+    staging — a crash before its final cleanup would make
+    recover_upsert's full-swap branch install the empty staging over the
+    whole index, deleting all untouched lists (the r15 ADVICE high
+    finding).  The zero-survivor path removes the doomed list dirs
+    directly, leaves NO staging/old siblings behind, clears tombstones
+    last, and keeps every untouched list byte-identical."""
+    import os
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        init_ivfpq_index,
+        ivfpq_fit,
+        purge_ivfpq_tombstones,
+        update_ivfpq_index,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+    )
+    path = str(tmp_path / "ivfpq")
+    coarse, fine = ivfpq_fit(emb.filter("vec_id < 100"), n_lists=4, n_iter=1)
+    init_ivfpq_index(spark, coarse, fine, path)
+    update_ivfpq_index(spark, emb, path)
+    idx = spark.read.parquet(f"{path}/index")
+    by_list: dict[int, list[int]] = {}
+    for r in idx.select("vec_id", "list_id").collect():
+        by_list.setdefault(r.list_id, []).append(r.vec_id)
+    doomed_list = min(by_list, key=lambda l: len(by_list[l]))
+    doomed_ids = sorted(by_list[doomed_list])
+    survivors = {v for l, vs in by_list.items() if l != doomed_list for v in vs}
+    dels = spark.createDataFrame([(i,) for i in doomed_ids], "vec_id long")
+    delete_from_ivfpq_index(spark, dels, path)
+    pg = purge_ivfpq_tombstones(spark, path)
+    assert pg == {"n_purged": len(doomed_ids), "n_lists_rewritten": 1}
+    assert not os.path.exists(f"{path}/tombstones")
+    assert not os.path.exists(f"{path}/index/list_id={doomed_list}")
+    # the zero-survivor path must leave no swap-protocol siblings at all
+    assert [e for e in os.listdir(tmp_path) if e.startswith("ivfpq__")] == []
+    assert [
+        e for e in os.listdir(path) if "__staging_" in e or "__old_" in e
+    ] == []
+    left = spark.read.parquet(f"{path}/index")
+    assert {r.vec_id for r in left.select("vec_id").collect()} == survivors
+
+
 def test_emb23_funnel_dominates_head_only_serving(spark, sf_dir):
     """The MRL funnel (truncated-dim shortlist -> exact full-dim rerank)
     must per-query recover at least what head-only serving gets — the

@@ -857,3 +857,46 @@ def test_heal_for_read_preserves_unmarked_staging(tmp_path):
     mnt.heal_if_interrupted(str(gone), for_read=True)
     assert gone.exists() and not stg2.exists()
     assert (gone / "part-0.parquet").read_bytes() == b"z"
+
+
+def test_recover_refuses_empty_staging_full_swap_over_partitioned_store(tmp_path):
+    """A durability-marked staging with no partition entries and no data
+    files can only be a writer bug (purge_ivfpq_tombstones used to
+    produce one in its zero-survivor window — the r15 ADVICE high
+    finding); rolling it forward as a full swap would replace the whole
+    partitioned store with nothing.  recover_upsert must refuse loudly
+    and leave the store untouched."""
+    import pytest
+
+    from real_time_stock_market_data_pipeline_spark import maintenance as mnt
+
+    store = tmp_path / "index"
+    part = store / "list_id=3"
+    part.mkdir(parents=True)
+    (part / "part-0.parquet").write_bytes(b"payload")
+    stg = tmp_path / "index__staging_dead"
+    stg.mkdir()
+    (stg / "_SUCCESS").write_bytes(b"")
+    (stg / mnt._COMMIT_MARKER).write_bytes(b"")
+    with pytest.raises(RuntimeError, match="refusing full-swap"):
+        mnt.recover_upsert(str(store))
+    assert (part / "part-0.parquet").read_bytes() == b"payload"
+    assert stg.exists()  # left for manual resolution, never installed
+
+
+def test_recover_still_full_swaps_flat_marked_staging(tmp_path):
+    """The refusal guard must not break the legitimate flat-table case:
+    a marked staging holding parquet DATA files (a compaction result)
+    still rolls forward as a full swap."""
+    from real_time_stock_market_data_pipeline_spark import maintenance as mnt
+
+    store = tmp_path / "t"
+    store.mkdir()
+    (store / "part-0.parquet").write_bytes(b"old")
+    stg = tmp_path / "t__staging_x"
+    stg.mkdir()
+    (stg / "part-0.parquet").write_bytes(b"new")
+    (stg / mnt._COMMIT_MARKER).write_bytes(b"")
+    mnt.recover_upsert(str(store))
+    assert (store / "part-0.parquet").read_bytes() == b"new"
+    assert not stg.exists()

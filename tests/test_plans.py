@@ -477,3 +477,30 @@ def test_paragraph_dedup_plan_single_hash_shuffle(spark, sf_dir):
     for node in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert node not in plan, node
     assert "ph#" in plan or "hashpartitioning(ph" in plan
+
+
+def test_dq5_leg_operators_touch_no_session_global_state():
+    """dq5 runs its three index lifecycles on CONCURRENT driver threads
+    sharing one SparkSession (plans/embedding_parity.py) — correct only
+    while no operator the legs call mutates session-global state: a
+    fixed-name createOrReplaceTempView or a spark.conf.set/_scoped_conf
+    inside ivfpq/pq/semantic maintenance would race across legs.  Every
+    leg operator lives in operators/similarity.py; pin that module free
+    of the mutation patterns so a future change introduces the race as a
+    LOUD failure here, not a flaky bench (r15 ADVICE low)."""
+    import inspect
+
+    import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+
+    src = inspect.getsource(sim)
+    for pat in (
+        "createOrReplaceTempView",
+        ".conf.set(",
+        "_scoped_conf",
+        "setLocalProperty",
+        "createGlobalTempView",
+    ):
+        assert pat not in src, (
+            f"session-global mutation {pat!r} entered operators/similarity.py "
+            "— dq5's threaded legs share one SparkSession and would race"
+        )
