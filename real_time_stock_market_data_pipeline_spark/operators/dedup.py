@@ -829,7 +829,11 @@ def candidate_pairs_from_table(
     ``minhash_candidate_pairs`` over the same corpus (pinned in-plan by
     the dd9 query gate).  The banded self-join shuffles on (band_id,
     band_sig), the same key the one-shot path uses."""
-    bands = spark.read.parquet(path).select(id_col, "band_id", "band_sig")
+    from .takedown import minus_tombstones
+
+    bands = minus_tombstones(
+        spark.read.parquet(path), spark, path, id_col
+    ).select(id_col, "band_id", "band_sig")
     return _band_self_join(bands, id_col)
 
 
@@ -843,7 +847,11 @@ def incremental_candidate_pairs(
     downstream pair store can be maintained incrementally: per batch,
     |new bands| ⋈ table instead of table ⋈ table.  Pinned by test:
     one-shot pairs ≡ batch-1 pairs ∪ batch-2 incremental pairs."""
-    bands = spark.read.parquet(path).select(id_col, "band_id", "band_sig")
+    from .takedown import minus_tombstones
+
+    bands = minus_tombstones(
+        spark.read.parquet(path), spark, path, id_col
+    ).select(id_col, "band_id", "band_sig")
     new_bands = bands.join(new_ids.select(id_col), id_col, "left_semi")
     a, b = new_bands.alias("a"), bands.alias("b")
     lo = F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}"))
@@ -938,8 +946,14 @@ def contaminated_docs_from_table(
     13-gram growth is sublinear); the train side streams through one
     shingle pipeline + one shuffle on sh.  Join output is tiny — 13-gram
     collisions essentially only occur on verbatim leaks."""
+    from .takedown import minus_tombstones
+
     spark = train_df.sparkSession
-    test_sh = spark.read.parquet(path).select("sh").distinct()
+    test_sh = (
+        minus_tombstones(spark.read.parquet(path), spark, path, id_col)
+        .select("sh")
+        .distinct()
+    )
     train_sh = shingle_hashes(train_df, id_col, text, n)
     sizes = train_sh.groupBy(id_col).agg(F.count("*").alias("n_grams"))
     shared = (
@@ -1002,10 +1016,12 @@ def near_contaminated_docs_from_table(
     (small next to a training corpus); the train side streams through one
     signature pipeline + one shuffle on the band key.  Flagged output is
     collision-sized."""
+    from .takedown import minus_tombstones
+
     spark = train_df.sparkSession
-    test_bands = spark.read.parquet(path).select(
-        F.col(id_col).alias("__test_id"), "band_id", "band_sig"
-    )
+    test_bands = minus_tombstones(
+        spark.read.parquet(path), spark, path, id_col
+    ).select(F.col(id_col).alias("__test_id"), "band_id", "band_sig")
     top_band = test_bands.agg(F.max("band_id")).first()[0]
     if top_band is not None and top_band + 1 != N_HASHES // band_size:
         raise ValueError(

@@ -1232,10 +1232,12 @@ def media_contamination_pairs_from_table(
             f"max_hamming={max_hamming} breaks the pigeonhole recall "
             f"guarantee for {DHASH_BANDS} bands; raise DHASH_BANDS instead"
         )
+    from .takedown import minus_tombstones
+
     spark = train_df.sparkSession
-    table = spark.read.parquet(path).select(
-        F.col(id_col).alias("test_id"), "fp", "band_id", "band_val"
-    )
+    table = minus_tombstones(
+        spark.read.parquet(path), spark, path, id_col
+    ).select(F.col(id_col).alias("test_id"), "fp", "band_id", "band_val")
     hashed = train_df.select(F.col(id_col), F.col(hash_col)).filter(
         F.col(hash_col).isNotNull()
     )

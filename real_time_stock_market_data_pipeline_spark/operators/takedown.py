@@ -1,0 +1,376 @@
+"""Corpus takedown: propagate document deletions to EVERY persisted
+derivation-table family (dd18).
+
+The engine's incremental tables are insert-only or merge-grow by design
+(``dedup._update_doc_keyed_table``; ``text.update_bm25_postings``) — the
+right contract for ingest, but a production removal request (GDPR
+erasure, robots revocation, a retired benchmark) must reach all of them,
+not just the IVF-PQ serving index that ``similarity.
+delete_from_ivfpq_index`` covers.  This module applies that operator's
+tombstone + purge contract uniformly:
+
+* ``tombstone_*`` — append the doc ids to a deletion-sized TOMBSTONE
+  table next to the store.  Immediate effect: every tombstone-aware
+  reader (the ``*_from_table`` gates, the pair/posting read helpers
+  here) anti-joins the tombstones — broadcast, deletion-sized — so a
+  deleted doc can never be served from the moment the append lands.
+  Only ids PRESENT in the table tombstone (semi-join), and replay is
+  idempotent via the anti-join against standing tombstones.
+* ``purge_*`` — make the deletion physically durable: rewrite the table
+  minus the tombstoned rows through the shared crash-safe staging swap
+  (``maintenance._flat_swap`` — every crash window repaired by
+  ``recover_upsert``) and clear the tombstones LAST, so a crash
+  anywhere mid-purge leaves the tombstones standing as the recovery
+  signal and the next purge resumes idempotently.
+
+Why purge ≡ rebuild-from-scratch on corpus-minus-deleted (the commute
+argument, dd18's in-plan gate): every row of every covered table is a
+PURE PER-DOC FUNCTION under fixed parameters — MinHash band rows,
+13-gram shingles, media fingerprints, BM25 term counts, and (under a
+FIXED codebook) semantic assignments — so removing a doc's rows commutes
+with deriving the table.  Pair rows (semantic) are pure functions of TWO
+docs: a pair exists iff both ends are present, so retracting every pair
+touching a deleted id is exactly the rebuilt pair set.  BM25's df table
+is the one non-doc-keyed state: document frequencies must DECREMENT,
+handled in ``operators.text.takedown_bm25_postings`` through the same
+epoch-high-water-marked staging swap txt23's ingest merge uses.
+
+Scale shape: tombstoning is deletion-sized (one semi-join against the
+column-pruned table ids + a tiny append); read-time exclusion is one
+broadcast anti-join (zero plan change while no tombstones exist).  The
+flat-table purge rewrites the table it touches — like compaction, it is
+an AMORTIZED maintenance op run at compaction cadence over batched
+takedowns, never per-request; on a bucketed-by-id layout the rewrite
+prunes to the buckets holding deleted ids (the emb21 partition-pruning
+argument; these derivation tables are orders smaller than the corpus).
+
+Reference analogue: none — the reference never deletes
+(producer/producer.py only inserts); this is the extension family's own
+completeness bar (r15 verdict, "What's missing" #3).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tombstone_path(table_path: str) -> str:
+    """Sibling tombstone dir for a FLAT table (the table path itself is
+    a parquet dir, so tombstones cannot live inside it).  The ``__``
+    sibling is invisible to ``maintenance._sibling_dirs`` orphan checks
+    (those match only ``__staging_``/``__old_``)."""
+    return f"{table_path}__tombstones"
+
+
+def _append_new_tombstones(
+    spark: SparkSession, present: DataFrame, t_path: str, id_col: str
+) -> int:
+    """Append ids not already tombstoned; returns the number appended
+    (the replay-zero counter)."""
+    from ..sources.readers import read_parquet_if_exists
+
+    standing = read_parquet_if_exists(spark, t_path)
+    new = (
+        present
+        if standing is None
+        else present.join(standing.select(id_col).distinct(), id_col, "left_anti")
+    )
+    new = new.persist()
+    try:
+        n_new = new.count()
+        if n_new:
+            new.write.mode("append").parquet(t_path)
+    finally:
+        new.unpersist()
+    return n_new
+
+
+def tombstone_doc_keyed_table(
+    spark: SparkSession,
+    ids: DataFrame,
+    table_path: str,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Logically delete docs from a flat doc-keyed derivation table
+    (signature / shingle / fingerprint / segmentation stores): ids
+    present in the table enter the sibling tombstone table; readers
+    exclude them immediately via ``minus_tombstones``."""
+    from ..maintenance import heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    heal_if_interrupted(table_path)
+    batch = ids.select(id_col).distinct()
+    n_batch = batch.count()
+    table = read_parquet_if_exists(spark, table_path)
+    if table is None:
+        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+    present = batch.join(table.select(id_col), id_col, "left_semi")
+    n_new = _append_new_tombstones(
+        spark, present, tombstone_path(table_path), id_col
+    )
+    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+
+
+def minus_tombstones(
+    df: DataFrame,
+    spark: SparkSession,
+    table_path: str,
+    id_col: str = "doc_id",
+    key: str | None = None,
+) -> DataFrame:
+    """Exclude tombstoned ids from a frame derived from ``table_path`` —
+    the uniform read-side contract.  ``key`` names the frame's column
+    when it differs from the tombstone table's ``id_col``.  Zero plan
+    change while no tombstone dir exists (one driver-side stat)."""
+    from ..sources.readers import read_parquet_if_exists
+
+    tombs = read_parquet_if_exists(spark, tombstone_path(table_path))
+    if tombs is None:
+        return df
+    t = F.broadcast(tombs.select(id_col).distinct())
+    if key is not None and key != id_col:
+        t = t.withColumnRenamed(id_col, key)
+    return df.join(t, key or id_col, "left_anti").select(*df.columns)
+
+
+def purge_doc_keyed_table(
+    spark: SparkSession,
+    table_path: str,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Physically remove tombstoned rows from a flat doc-keyed table via
+    the shared staging swap; clears the tombstones LAST (a crash leaves
+    them standing and the next purge resumes).  A table whose every row
+    is tombstoned is removed outright — NEVER through the swap protocol,
+    whose roll-forward would otherwise install an empty staging (the
+    zero-survivor lesson from ``purge_ivfpq_tombstones``); readers treat
+    the absent dir as an empty table."""
+    from ..maintenance import _flat_swap, _require_local_path, heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    _require_local_path(table_path, "purge_doc_keyed_table")
+    heal_if_interrupted(table_path)
+    t_path = tombstone_path(table_path)
+    tombs = read_parquet_if_exists(spark, t_path)
+    if tombs is None:
+        return {"n_purged": 0}
+    table = read_parquet_if_exists(spark, table_path)
+    if table is None:
+        shutil.rmtree(t_path, ignore_errors=True)
+        return {"n_purged": 0}
+    t_ids = tombs.select(id_col).distinct()
+    n_total = table.count()
+    n_purged = table.join(t_ids, id_col, "left_semi").count()
+    if n_purged:
+        if n_purged == n_total:
+            shutil.rmtree(table_path, ignore_errors=True)
+        else:
+            # the anti-join moves the key column to the front: re-select
+            # the table's own order so the rewrite is column-identical
+            keep = table.join(F.broadcast(t_ids), id_col, "left_anti").select(
+                *table.columns
+            )
+            _flat_swap(table_path, keep)
+    shutil.rmtree(t_path, ignore_errors=True)
+    return {"n_purged": int(n_purged)}
+
+
+# --- Semantic-dedup index (assigned + pairs under one root) -----------------
+
+
+def tombstone_semantic_index(
+    spark: SparkSession,
+    ids: DataFrame,
+    root: str,
+    vec_id: str = "vec_id",
+) -> dict[str, int]:
+    """Logically delete vectors from a semantic-dedup index
+    (``similarity.init_semantic_index`` layout: ``{root}/assigned`` +
+    ``{root}/pairs``): tombstoned ids leave serving immediately —
+    ``semantic_pairs_minus_tombstones`` retracts every pair touching a
+    deleted id on EITHER end (a pair is a function of both docs)."""
+    from ..maintenance import heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    heal_if_interrupted(root)
+    heal_if_interrupted(f"{root}/assigned")
+    batch = ids.select(vec_id).distinct()
+    n_batch = batch.count()
+    assigned = read_parquet_if_exists(spark, f"{root}/assigned")
+    if assigned is None:
+        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+    present = batch.join(assigned.select(vec_id), vec_id, "left_semi")
+    n_new = _append_new_tombstones(spark, present, f"{root}/tombstones", vec_id)
+    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+
+
+def semantic_assigned_minus_tombstones(
+    spark: SparkSession, root: str, vec_id: str = "vec_id"
+) -> DataFrame:
+    from ..sources.readers import read_parquet_if_exists
+
+    assigned = spark.read.parquet(f"{root}/assigned")
+    tombs = read_parquet_if_exists(spark, f"{root}/tombstones")
+    if tombs is None:
+        return assigned
+    return assigned.join(
+        F.broadcast(tombs.select(vec_id).distinct()), vec_id, "left_anti"
+    ).select(*assigned.columns)
+
+
+def semantic_pairs_minus_tombstones(
+    spark: SparkSession, root: str, vec_id: str = "vec_id"
+) -> DataFrame | None:
+    """The pair table with every pair touching a tombstoned id (either
+    end) retracted; None when no pairs table exists."""
+    from ..sources.readers import read_parquet_if_exists
+
+    pairs = read_parquet_if_exists(spark, f"{root}/pairs")
+    if pairs is None:
+        return None
+    tombs = read_parquet_if_exists(spark, f"{root}/tombstones")
+    if tombs is None:
+        return pairs
+    t = tombs.select(vec_id).distinct()
+    kept = pairs.join(
+        F.broadcast(t.withColumnRenamed(vec_id, "vec_a")), "vec_a", "left_anti"
+    ).join(
+        F.broadcast(t.withColumnRenamed(vec_id, "vec_b")), "vec_b", "left_anti"
+    )
+    return kept.select(*pairs.columns)
+
+
+def purge_semantic_index(
+    spark: SparkSession,
+    root: str,
+    vec_id: str = "vec_id",
+) -> dict[str, int]:
+    """Physically remove tombstoned vectors from the assigned table and
+    every pair touching them (either end) from the pair table — two flat
+    swaps, tombstones cleared last.  Under the index's fixed codebook
+    the result equals ``update_semantic_index`` ingest of corpus-minus-
+    deleted (assignments are per-vector pure; a pair exists iff both
+    ends survive) — dd18's commute gate.  Run purge before further
+    ingest, or the ingest's NEW×standing pair stage re-pairs against
+    physically-present deleted vectors (their pairs retract again at the
+    next purge; serving stays clean throughout via the read helpers)."""
+    from ..maintenance import _flat_swap, _require_local_path, heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    _require_local_path(root, "purge_semantic_index")
+    heal_if_interrupted(root)
+    heal_if_interrupted(f"{root}/assigned")
+    heal_if_interrupted(f"{root}/pairs")
+    t_path = f"{root}/tombstones"
+    tombs = read_parquet_if_exists(spark, t_path)
+    if tombs is None:
+        return {"n_purged_assigned": 0, "n_purged_pairs": 0}
+    t = tombs.select(vec_id).distinct()
+    n_assigned = 0
+    assigned = read_parquet_if_exists(spark, f"{root}/assigned")
+    if assigned is not None:
+        doomed = assigned.join(t, vec_id, "left_semi")
+        n_assigned = doomed.count()
+        if n_assigned:
+            if n_assigned == assigned.count():
+                shutil.rmtree(f"{root}/assigned", ignore_errors=True)
+            else:
+                _flat_swap(
+                    f"{root}/assigned",
+                    assigned.join(F.broadcast(t), vec_id, "left_anti").select(
+                        *assigned.columns
+                    ),
+                )
+    n_pairs = 0
+    pairs = read_parquet_if_exists(spark, f"{root}/pairs")
+    if pairs is not None:
+        ta = t.withColumnRenamed(vec_id, "vec_a")
+        tb = t.withColumnRenamed(vec_id, "vec_b")
+        keep = (
+            pairs.join(F.broadcast(ta), "vec_a", "left_anti")
+            .join(F.broadcast(tb), "vec_b", "left_anti")
+            .select(*pairs.columns)
+        )
+        n_keep = keep.count()
+        n_pairs = pairs.count() - n_keep
+        if n_pairs:
+            if n_keep == 0:
+                shutil.rmtree(f"{root}/pairs", ignore_errors=True)
+            else:
+                _flat_swap(f"{root}/pairs", keep)
+    shutil.rmtree(t_path, ignore_errors=True)
+    return {"n_purged_assigned": int(n_assigned), "n_purged_pairs": int(n_pairs)}
+
+
+# --- Umbrella: one removal request reaches every family ----------------------
+
+_FLAT_FAMILIES = ("signatures", "shingles", "fingerprints", "segmentations")
+
+
+def takedown(
+    spark: SparkSession,
+    ids: DataFrame,
+    roots: dict[str, str],
+    id_col: str = "doc_id",
+) -> dict[str, dict]:
+    """Apply one removal request to every persisted table family at once.
+    ``roots`` maps family → store path; recognized families:
+
+    * ``signatures`` / ``shingles`` / ``fingerprints`` /
+      ``segmentations`` — flat doc-keyed tables
+      (``tombstone_doc_keyed_table``)
+    * ``semantic`` — a semantic-dedup index root
+      (``tombstone_semantic_index``; pairs retract on either end)
+    * ``bm25`` — a BM25 posting root (``text.takedown_bm25_postings``;
+      df decrements at purge through the epoch-hwm'd swap)
+    * ``ivfpq`` — an IVF-PQ index root
+      (``similarity.delete_from_ivfpq_index``)
+
+    Returns per-family counters; replaying the same ids appends zero
+    tombstones everywhere (each family's anti-join)."""
+    from .similarity import delete_from_ivfpq_index
+    from .text import takedown_bm25_postings
+
+    out: dict[str, dict] = {}
+    for family, path in roots.items():
+        if family in _FLAT_FAMILIES:
+            out[family] = tombstone_doc_keyed_table(spark, ids, path, id_col)
+        elif family == "semantic":
+            out[family] = tombstone_semantic_index(spark, ids, path, id_col)
+        elif family == "bm25":
+            out[family] = takedown_bm25_postings(spark, ids, path, id_col)
+        elif family == "ivfpq":
+            out[family] = delete_from_ivfpq_index(spark, ids, path, id_col)
+        else:
+            raise ValueError(f"unknown takedown family {family!r}")
+    return out
+
+
+def purge_takedown(
+    spark: SparkSession,
+    roots: dict[str, str],
+    id_col: str = "doc_id",
+) -> dict[str, dict]:
+    """Make every family's standing tombstones physically durable; same
+    family keys as ``takedown``.  Idempotent per family (tombstones are
+    each purge's recovery signal and are cleared last)."""
+    from .similarity import purge_ivfpq_tombstones
+    from .text import purge_bm25_postings
+
+    out: dict[str, dict] = {}
+    for family, path in roots.items():
+        if family in _FLAT_FAMILIES:
+            out[family] = purge_doc_keyed_table(spark, path, id_col)
+        elif family == "semantic":
+            out[family] = purge_semantic_index(spark, path, id_col)
+        elif family == "bm25":
+            out[family] = purge_bm25_postings(spark, path, id_col)
+        elif family == "ivfpq":
+            out[family] = purge_ivfpq_tombstones(spark, path, id_col)
+        else:
+            raise ValueError(f"unknown takedown family {family!r}")
+    return out

@@ -302,12 +302,13 @@ def normalize_url_key(url) -> Column:
 # Streaming ``foreachBatch`` contract).
 
 BM25_HWM_FILE = "_hwm"  # leading underscore: ignored by parquet dir scans
+BM25_TD_HWM_FILE = "_td_hwm"  # takedown-epoch high-water mark (same trick)
 
 
-def _read_bm25_hwm(df_path: str) -> int:
+def _read_bm25_hwm(df_path: str, name: str = BM25_HWM_FILE) -> int:
     import os
 
-    f = os.path.join(df_path, BM25_HWM_FILE)
+    f = os.path.join(df_path, name)
     if not os.path.exists(f):
         return -1
     return int(open(f).read().strip())
@@ -398,6 +399,12 @@ def update_bm25_postings(
         merged.write.mode("overwrite").parquet(staging)
         with open(os.path.join(staging, BM25_HWM_FILE), "w") as f:
             f.write(str(batch_id))
+        # the takedown epoch hwm (purge_bm25_postings) must survive the
+        # ingest swap, or a replayed purge would re-decrement df
+        td_hwm = _read_bm25_hwm(df_path, BM25_TD_HWM_FILE)
+        if td_hwm >= 0:
+            with open(os.path.join(staging, BM25_TD_HWM_FILE), "w") as f:
+                f.write(str(td_hwm))
         _mark_staging_complete(staging)
         old = f"{df_path}__old_{uuid.uuid4().hex}"
         if os.path.exists(df_path):
@@ -408,3 +415,195 @@ def update_bm25_postings(
     if n_new:
         tf_rows.write.mode("append").parquet(tf_path)
     return {"n_batch_docs": n_batch, "n_new_docs": n_new, "df_applied": df_applied}
+
+
+def takedown_bm25_postings(
+    spark,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Logically DELETE documents from the BM25 posting tables — the
+    takedown arm of txt23's merge-maintained state (``operators.
+    takedown`` module note).  Ids present in the tf table enter
+    ``{path}/tombstones`` stamped with a monotonically increasing
+    TAKEDOWN EPOCH; ``bm25_tf_minus_tombstones`` excludes them from
+    serving immediately, and ``purge_bm25_postings`` later removes the
+    tf rows and DECREMENTS the df table (the family's first
+    delete-maintained merge) gated by the epoch against the
+    ``_td_hwm`` committed inside the df swap — the exact batch-id-hwm
+    construction txt23's ingest uses, pointed the other way.
+
+    The per-token decrements are NOT persisted here: they derive at
+    purge time from the tombstoned docs' tf rows, which provably remain
+    physical until the purge's own tf rewrite — and that rewrite runs
+    strictly after the hwm'd df swap, so no interleaving of
+    {df-swap, tf-rewrite, crash, replay} can double- or under-count
+    (see ``purge_bm25_postings``).  Replay appends nothing (anti-join
+    on standing tombstones).  Returns ``{"n_batch_ids",
+    "n_new_tombstones"}``."""
+    import os
+
+    from ..maintenance import _require_local_path, heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    tf_path = os.path.join(path, "tf")
+    df_path = os.path.join(path, "df")
+    _require_local_path(df_path, "takedown_bm25_postings")
+    heal_if_interrupted(tf_path)
+    heal_if_interrupted(df_path)
+    t_path = os.path.join(path, "tombstones")
+    batch = ids.select(id_col).distinct()
+    n_batch = batch.count()
+    tf = read_parquet_if_exists(spark, tf_path)
+    if tf is None:
+        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+    present = batch.join(tf.select(id_col), id_col, "left_semi")
+    standing = read_parquet_if_exists(spark, t_path)
+    epoch = _read_bm25_hwm(df_path, BM25_TD_HWM_FILE)
+    if standing is not None:
+        prior = standing.agg(F.max("td_epoch")).first()[0]
+        epoch = max(epoch, -1 if prior is None else int(prior))
+        present = present.join(
+            standing.select(id_col).distinct(), id_col, "left_anti"
+        )
+    new = present.withColumn("td_epoch", F.lit(epoch + 1).cast("bigint"))
+    new = new.persist()
+    try:
+        n_new = new.count()
+        if n_new:
+            new.write.mode("append").parquet(t_path)
+    finally:
+        new.unpersist()
+    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+
+
+def bm25_tf_minus_tombstones(spark, path: str, id_col: str = "doc_id"):
+    """The tf table with tombstoned docs excluded — the read-side serving
+    contract between takedown and purge (broadcast anti-join,
+    deletion-sized; zero plan change with no tombstones).  The df table
+    stays at its pre-takedown counts until the purge applies the
+    decrements — documented staleness that only perturbs idf weighting,
+    never resurfaces a deleted doc; post-purge df is exact
+    (≡ rebuilt-from-scratch, dd18's gate).  Returns None when no tf
+    table exists."""
+    import os
+
+    from ..sources.readers import read_parquet_if_exists
+
+    tf = read_parquet_if_exists(spark, os.path.join(path, "tf"))
+    if tf is None:
+        return None
+    tombs = read_parquet_if_exists(spark, os.path.join(path, "tombstones"))
+    if tombs is None:
+        return tf
+    return tf.join(
+        F.broadcast(tombs.select(id_col).distinct()), id_col, "left_anti"
+    ).select(*tf.columns)
+
+
+def purge_bm25_postings(spark, path: str, id_col: str = "doc_id") -> dict:
+    """Make BM25 takedowns physically durable.  Order of operations IS
+    the crash-safety argument (mirror of ``update_bm25_postings``):
+
+    1. df merge FIRST: per-token decrements derive from the tombstoned
+       docs' tf rows whose epoch exceeds the df table's ``_td_hwm`` —
+       rows that are still physical, because the tf rewrite below runs
+       strictly after this swap and tombstones are cleared last.  Rows
+       reaching df ≤ 0 drop out.  The new ``_td_hwm`` (and the ingest
+       ``_hwm``, preserved) commit atomically with the swap, so a
+       replayed purge finds no pending epochs and skips the merge —
+       decrements can never double-apply.
+    2. tf rewrite SECOND: drop the tombstoned docs' rows (flat swap;
+       naturally idempotent — a replay's anti-join removes nothing).
+    3. tombstones cleared LAST — the standing recovery signal for every
+       crash window above.
+
+    Returns ``{"n_purged_tf", "n_df_decremented"}``."""
+    import os
+    import shutil
+
+    from ..maintenance import (
+        _flat_swap,
+        _mark_staging_complete,
+        _require_local_path,
+        heal_if_interrupted,
+    )
+    from ..sources.readers import read_parquet_if_exists
+
+    tf_path = os.path.join(path, "tf")
+    df_path = os.path.join(path, "df")
+    _require_local_path(df_path, "purge_bm25_postings")
+    heal_if_interrupted(tf_path)
+    heal_if_interrupted(df_path)
+    t_path = os.path.join(path, "tombstones")
+    tombs = read_parquet_if_exists(spark, t_path)
+    if tombs is None:
+        return {"n_purged_tf": 0, "n_df_decremented": 0}
+    tf = read_parquet_if_exists(spark, tf_path)
+    if tf is None:
+        shutil.rmtree(t_path, ignore_errors=True)
+        return {"n_purged_tf": 0, "n_df_decremented": 0}
+    t_ids = tombs.select(id_col).distinct()
+    hwm = _read_bm25_hwm(df_path, BM25_TD_HWM_FILE)
+    pending = tombs.filter(F.col("td_epoch") > hwm)
+    n_dec = 0
+    existing = read_parquet_if_exists(spark, df_path)
+    if existing is not None and pending.first() is not None:
+        import uuid
+
+        deltas = (
+            tf.join(
+                F.broadcast(pending.select(id_col).distinct()),
+                id_col,
+                "left_semi",
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("delta"))
+        )
+        merged = (
+            existing.join(deltas, "tok", "left")
+            .select(
+                "tok",
+                (F.col("df") - F.coalesce("delta", F.lit(0)))
+                .cast("bigint")
+                .alias("df"),
+            )
+            .filter(F.col("df") > 0)
+            .localCheckpoint(eager=False)
+        )
+        n_dec = existing.count() - merged.count()
+        new_hwm = int(tombs.agg(F.max("td_epoch")).first()[0])
+        staging = f"{df_path}__staging_{uuid.uuid4().hex}"
+        if merged.isEmpty():
+            # every token's df reached zero: no parquet data to stage —
+            # hand-build the staging so the hwm files still swap in
+            # atomically and readers see an absent-as-empty table
+            os.makedirs(staging)
+        else:
+            merged.write.mode("overwrite").parquet(staging)
+        ingest_hwm = _read_bm25_hwm(df_path)
+        if ingest_hwm >= 0:
+            with open(os.path.join(staging, BM25_HWM_FILE), "w") as f:
+                f.write(str(ingest_hwm))
+        with open(os.path.join(staging, BM25_TD_HWM_FILE), "w") as f:
+            f.write(str(new_hwm))
+        _mark_staging_complete(staging)
+        old = f"{df_path}__old_{uuid.uuid4().hex}"
+        os.rename(df_path, old)
+        os.rename(staging, df_path)
+        shutil.rmtree(old)
+    doomed = tf.join(t_ids, id_col, "left_semi")
+    n_tf = doomed.count()
+    if n_tf:
+        if n_tf == tf.count():
+            shutil.rmtree(tf_path, ignore_errors=True)
+        else:
+            _flat_swap(
+                tf_path,
+                tf.join(F.broadcast(t_ids), id_col, "left_anti").select(
+                    *tf.columns
+                ),
+            )
+    shutil.rmtree(t_path, ignore_errors=True)
+    return {"n_purged_tf": int(n_tf), "n_df_decremented": int(n_dec)}

@@ -427,3 +427,305 @@ def _dq6_contamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dq6_contamination_audit"] = _dq6_contamination_audit
 AUDIT_ORACLES["dq6_contamination_audit"] = sql_contamination_audit("duck")
+
+
+# --- DD18 (r16): corpus takedown sweep ---------------------------------------
+# emb21 built deletion for ONE persisted-table family (the IVF-PQ serving
+# index); a production removal request (GDPR erasure, robots revocation, a
+# retired benchmark) must reach ALL of them.  dd18 drives the umbrella
+# operator (operators/takedown.takedown / purge_takedown) across the five
+# remaining families in one lifecycle — MinHash signature table, 13-gram
+# shingle table, media fingerprint table, semantic-dedup index (assigned +
+# pairs, either-end retraction), and the BM25 posting tables (the engine's
+# first DELETE-maintained df merge, epoch-hwm'd like txt23's ingest) — and
+# pins emb21's three gates per family:
+#   replay_zero      — re-submitting the same removal appends no tombstones;
+#   serve_clean      — between tombstone and purge, every tombstone-aware
+#                      read excludes the deleted docs (for bm25 the serving
+#                      recall path is the tf table; df staleness until purge
+#                      only perturbs idf weighting, documented);
+#   equals_rebuild   — the purged table is CONTENT-IDENTICAL to one rebuilt
+#                      from scratch on corpus-minus-deleted (the commute
+#                      argument: every row is a pure per-doc function —
+#                      per-PAIR for the semantic pair table — under fixed
+#                      params/codebook).
+# Fixture: documents doc_id < DD18_DOCS with a per-doc unique SALT token
+# appended (so deleted docs force df rows to 0 — the decrement-to-zero path
+# is exercised, not just decrements); embeddings vec_id < DD18_SEM with
+# emb15's gain-ripple twins planted every DD18_TWIN_STRIDE-th vector (pair
+# set = id arithmetic, clustering-independent).  Removal set: id % 7 == 3.
+# Oracle: exact row counts replayed from first principles over the slice
+# and slice-minus-deleted (the shared _sigs_over/_shingle_cte_over chains,
+# token explode for tf/df, DHASH_BANDS×docs for fingerprints, twin
+# arithmetic for the semantic tables) + the three gates pinned true.
+# Reference analogue: none — the reference never deletes (its
+# producer/producer.py:368-380 exists-check only ever inserts); this is the
+# extension family's completeness bar (r15 verdict "What's missing" #3).
+
+DD18_DOCS = 300
+DD18_SEM = 150
+DD18_STRIDE = 7
+DD18_RESIDUE = 3
+DD18_TWIN_STRIDE = 5
+DD18_TWIN_BASE = 1_000_000
+DD18_K = 8
+DD18_TAU = 0.95
+
+
+def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD18, Spark side: build all five family tables over the slice,
+    take down id % 7 == 3 through the one umbrella call, verify the
+    replay/serving gates, purge, and compare every purged table against
+    a from-scratch rebuild on the remaining corpus."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.dedup import (
+        minhash_band_rows,
+        shingle_hashes,
+        update_signature_table,
+        update_test_shingle_table,
+    )
+    from ..operators.multimodal import image_dhash, update_media_fingerprint_table
+    from ..operators.similarity import init_semantic_index, update_semantic_index
+    from ..operators.takedown import (
+        minus_tombstones,
+        purge_takedown,
+        semantic_assigned_minus_tombstones,
+        semantic_pairs_minus_tombstones,
+        takedown,
+    )
+    from ..operators.text import bm25_tf_minus_tombstones, update_bm25_postings
+    from ..sources.readers import read_parquet_if_exists
+    from .queries import _synthetic_bmp_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    salt = F.concat(
+        F.col("text"), F.lit(" uq"), F.col("doc_id").cast("string"), F.lit("x")
+    )
+    slice_df = (
+        docs.filter((F.col("doc_id") < DD18_DOCS) & F.col("text").isNotNull())
+        .select("doc_id", salt.alias("text"))
+        .localCheckpoint(eager=False)
+    )
+    rem_docs = slice_df.filter(
+        F.col("doc_id") % DD18_STRIDE != DD18_RESIDUE
+    ).localCheckpoint(eager=False)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < DD18_SEM)
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+        )
+        .localCheckpoint(eager=False)
+    )
+    twins = emb.filter(f"vec_id % {DD18_TWIN_STRIDE} = 0").selectExpr(
+        f"vec_id + {DD18_TWIN_BASE} AS vec_id",
+        "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+        "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * "
+        "CAST(pmod(i + 1, 7) - 3 AS DOUBLE))) AS embedding",
+    )
+    sem_corpus = emb.unionByName(twins).localCheckpoint(eager=False)
+    rem_sem = sem_corpus.filter(
+        (F.col("vec_id") >= DD18_SEM)
+        | (F.col("vec_id") % DD18_STRIDE != DD18_RESIDUE)
+    )
+    media = (
+        image_dhash(_synthetic_bmp_media(slice_df.select("doc_id"), "doc_id"))
+        .select("doc_id", "dhash")
+        .localCheckpoint(eager=False)
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_takedown",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    p = {k: os.path.join(root, k) for k in ("sig", "sh", "fp", "sem", "bm")}
+    update_signature_table(slice_df, p["sig"])
+    update_test_shingle_table(slice_df, p["sh"])
+    update_media_fingerprint_table(media, p["fp"])
+    cents = kmeans_fit(emb, k=DD18_K, n_iter=1).localCheckpoint(eager=False)
+    init_semantic_index(cents, p["sem"])
+    update_semantic_index(spark, sem_corpus, p["sem"], DD18_TAU)
+    update_bm25_postings(slice_df, p["bm"], 0)
+
+    def counts() -> dict[str, int]:
+        out = {}
+        for fam, path in (
+            ("signatures", p["sig"]),
+            ("shingles", p["sh"]),
+            ("fingerprints", p["fp"]),
+            ("sem_assigned", f"{p['sem']}/assigned"),
+            ("sem_pairs", f"{p['sem']}/pairs"),
+            ("bm25_tf", f"{p['bm']}/tf"),
+            ("bm25_df", f"{p['bm']}/df"),
+        ):
+            t = read_parquet_if_exists(spark, path)
+            out[fam] = 0 if t is None else t.count()
+        return out
+
+    before = counts()
+    doc_dels = slice_df.filter(
+        F.col("doc_id") % DD18_STRIDE == DD18_RESIDUE
+    ).select("doc_id")
+    vec_dels = doc_dels.filter(F.col("doc_id") < DD18_SEM).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    doc_roots = {
+        "signatures": p["sig"],
+        "shingles": p["sh"],
+        "fingerprints": p["fp"],
+        "bm25": p["bm"],
+    }
+    takedown(spark, doc_dels, doc_roots)
+    takedown(spark, vec_dels, {"semantic": p["sem"]}, id_col="vec_id")
+    m2 = takedown(spark, doc_dels, doc_roots)
+    m2s = takedown(spark, vec_dels, {"semantic": p["sem"]}, id_col="vec_id")
+    replay = {
+        "signatures": m2["signatures"]["n_new_tombstones"] == 0,
+        "shingles": m2["shingles"]["n_new_tombstones"] == 0,
+        "fingerprints": m2["fingerprints"]["n_new_tombstones"] == 0,
+        "bm25_tf": m2["bm25"]["n_new_tombstones"] == 0,
+        "bm25_df": m2["bm25"]["n_new_tombstones"] == 0,
+        "sem_assigned": m2s["semantic"]["n_new_tombstones"] == 0,
+        "sem_pairs": m2s["semantic"]["n_new_tombstones"] == 0,
+    }
+
+    def disjoint(df: DataFrame, key: str, dels: DataFrame, dkey: str) -> bool:
+        d = dels.withColumnRenamed(dkey, key) if dkey != key else dels
+        return df.join(d, key, "left_semi").isEmpty()
+
+    sp = semantic_pairs_minus_tombstones(spark, p["sem"])
+    tf_read = bm25_tf_minus_tombstones(spark, p["bm"])
+    serve = {
+        "signatures": disjoint(
+            minus_tombstones(spark.read.parquet(p["sig"]), spark, p["sig"]),
+            "doc_id", doc_dels, "doc_id",
+        ),
+        "shingles": disjoint(
+            minus_tombstones(spark.read.parquet(p["sh"]), spark, p["sh"]),
+            "doc_id", doc_dels, "doc_id",
+        ),
+        "fingerprints": disjoint(
+            minus_tombstones(spark.read.parquet(p["fp"]), spark, p["fp"]),
+            "doc_id", doc_dels, "doc_id",
+        ),
+        "sem_assigned": disjoint(
+            semantic_assigned_minus_tombstones(spark, p["sem"]),
+            "vec_id", vec_dels, "vec_id",
+        ),
+        "sem_pairs": disjoint(sp, "vec_a", vec_dels, "vec_id")
+        and disjoint(sp, "vec_b", vec_dels, "vec_id"),
+        "bm25_tf": disjoint(tf_read, "doc_id", doc_dels, "doc_id"),
+    }
+    serve["bm25_df"] = serve["bm25_tf"]  # df serves only weights; recall
+    # (which doc can surface) flows through the tombstone-aware tf read
+    purge_takedown(spark, doc_roots)
+    purge_takedown(spark, {"semantic": p["sem"]}, id_col="vec_id")
+    after = counts()
+
+    def tbl_eq(a_path: str, b: DataFrame) -> bool:
+        a = read_parquet_if_exists(spark, a_path)
+        if a is None:
+            return b.isEmpty()
+        b = b.select(*a.columns)
+        return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+    p2 = {k: os.path.join(root, f"{k}2") for k in ("fp", "sem", "bm")}
+    update_media_fingerprint_table(
+        media.join(doc_dels, "doc_id", "left_anti"), p2["fp"]
+    )
+    init_semantic_index(cents, p2["sem"])
+    update_semantic_index(spark, rem_sem, p2["sem"], DD18_TAU)
+    update_bm25_postings(rem_docs, p2["bm"], 0)
+    rebuilt = {
+        "signatures": tbl_eq(p["sig"], minhash_band_rows(rem_docs, "doc_id", "text")),
+        "shingles": tbl_eq(p["sh"], shingle_hashes(rem_docs, "doc_id", "text", 13)),
+        "fingerprints": tbl_eq(p["fp"], spark.read.parquet(p2["fp"])),
+        "sem_assigned": tbl_eq(
+            f"{p['sem']}/assigned", spark.read.parquet(f"{p2['sem']}/assigned")
+        ),
+        "sem_pairs": tbl_eq(
+            f"{p['sem']}/pairs", spark.read.parquet(f"{p2['sem']}/pairs")
+        ),
+        "bm25_tf": tbl_eq(f"{p['bm']}/tf", spark.read.parquet(f"{p2['bm']}/tf")),
+        "bm25_df": tbl_eq(f"{p['bm']}/df", spark.read.parquet(f"{p2['bm']}/df")),
+    }
+    rows = [
+        (fam, before[fam], after[fam], replay[fam], serve[fam], rebuilt[fam])
+        for fam in sorted(before)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "family string, n_rows_before bigint, n_rows_after bigint, "
+        "replay_zero boolean, serve_clean boolean, equals_rebuild boolean",
+    ).orderBy("family")
+
+
+def sql_corpus_takedown(dialect: str) -> str:
+    """DD18's oracle: every per-family row count replayed from first
+    principles over the salted slice and slice-minus-deleted, gates
+    pinned true (they are invariants of the takedown contract, verified
+    structurally on the Spark side)."""
+    from ..operators.multimodal import DHASH_BANDS
+
+    cat = "||"  # both engines concatenate strings with ||
+    slice_sel = (
+        f"SELECT doc_id, text {cat} ' uq' {cat} CAST(doc_id AS STRING) "
+        f"{cat} 'x' AS text FROM documents "
+        f"WHERE doc_id < {DD18_DOCS} AND text IS NOT NULL"
+    )
+    return f"""
+WITH tslice AS ({slice_sel}),
+trem AS (SELECT * FROM tslice WHERE doc_id % {DD18_STRIDE} <> {DD18_RESIDUE}),
+{_sigs_over(dialect, "tslice", "kb_")},
+kb_bands AS ({_bands_sql(dialect, "kb_sigs")}),
+{_sigs_over(dialect, "trem", "ka_")},
+ka_bands AS ({_bands_sql(dialect, "ka_sigs")}),
+{_shingle_cte_over(dialect, "tslice", "gb_", 13)},
+{_shingle_cte_over(dialect, "trem", "ga_", 13)},
+semc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sem,
+         CAST(sum(CASE WHEN vec_id % {DD18_TWIN_STRIDE} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tw,
+         CAST(sum(CASE WHEN vec_id % {DD18_STRIDE} = {DD18_RESIDUE} THEN 1 ELSE 0 END) AS BIGINT) AS n_del,
+         CAST(sum(CASE WHEN vec_id % {DD18_TWIN_STRIDE} = 0
+                        AND vec_id % {DD18_STRIDE} = {DD18_RESIDUE} THEN 1 ELSE 0 END) AS BIGINT) AS n_twdel
+  FROM embeddings WHERE vec_id < {DD18_SEM}
+)
+SELECT 'bm25_df' AS family,
+       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM gb_tok_rows) AS n_rows_before,
+       (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM ga_tok_rows) AS n_rows_after,
+       true AS replay_zero, true AS serve_clean, true AS equals_rebuild
+UNION ALL
+SELECT 'bm25_tf',
+       (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT doc_id, tok FROM gb_tok_rows) x),
+       (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT doc_id, tok FROM ga_tok_rows) x),
+       true, true, true
+UNION ALL
+SELECT 'fingerprints',
+       (SELECT CAST({DHASH_BANDS} * count(*) AS BIGINT) FROM tslice),
+       (SELECT CAST({DHASH_BANDS} * count(*) AS BIGINT) FROM trem),
+       true, true, true
+UNION ALL
+SELECT 'sem_assigned', (SELECT n_sem + n_tw FROM semc),
+       (SELECT n_sem + n_tw - n_del FROM semc), true, true, true
+UNION ALL
+SELECT 'sem_pairs', (SELECT n_tw FROM semc),
+       (SELECT n_tw - n_twdel FROM semc), true, true, true
+UNION ALL
+SELECT 'shingles', (SELECT CAST(count(*) AS BIGINT) FROM gb_hashed),
+       (SELECT CAST(count(*) AS BIGINT) FROM ga_hashed), true, true, true
+UNION ALL
+SELECT 'signatures', (SELECT CAST(count(*) AS BIGINT) FROM kb_bands),
+       (SELECT CAST(count(*) AS BIGINT) FROM ka_bands), true, true, true
+ORDER BY family
+"""
+
+
+QUERIES["dd18_corpus_takedown"] = _dd18_corpus_takedown
+AUDIT_ORACLES["dd18_corpus_takedown"] = sql_corpus_takedown("duck")

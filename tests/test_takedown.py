@@ -1,0 +1,357 @@
+"""Crash-window and lifecycle tests for the corpus takedown sweep (dd18):
+the tombstone+purge contract applied to every persisted table family.
+The dd18 driver query pins the happy-path gates (replay-zero,
+serve-clean, equals-rebuild) end-to-end; these tests kill the purge
+inside each crash window and prove every interleaving converges to the
+rebuilt-from-scratch state — the same discipline
+tests/test_maintenance.py applies to upsert_parquet."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_stock_market_data_pipeline_spark import maintenance as mnt
+from real_time_stock_market_data_pipeline_spark.operators import takedown as td
+from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+    update_signature_table,
+)
+from real_time_stock_market_data_pipeline_spark.operators.text import (
+    BM25_TD_HWM_FILE,
+    _read_bm25_hwm,
+    bm25_tf_minus_tombstones,
+    purge_bm25_postings,
+    takedown_bm25_postings,
+    update_bm25_postings,
+)
+from real_time_stock_market_data_pipeline_spark.sources.readers import (
+    load_table,
+    read_parquet_if_exists,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def docs(spark):
+    return (
+        load_table(spark, SF, "documents")
+        .filter("doc_id < 80 AND text IS NOT NULL")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" uq"), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _dels(docs):
+    return docs.filter("doc_id % 7 = 3").select("doc_id")
+
+
+def _tables_equal(a, b) -> bool:
+    b = b.select(*a.columns)
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_flat_table_takedown_full_lifecycle(spark, docs, tmp_path):
+    """Tombstone → serve-clean → purge → equals-rebuild → tombstones
+    cleared → re-ingest of the purged docs is legal again (the emb21
+    re-entry rule, inherited by every family)."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        minhash_band_rows,
+    )
+
+    path = str(tmp_path / "sig")
+    update_signature_table(docs, path)
+    dels = _dels(docs)
+    m1 = td.tombstone_doc_keyed_table(spark, dels, path)
+    assert m1["n_new_tombstones"] > 0
+    assert td.tombstone_doc_keyed_table(spark, dels, path)[
+        "n_new_tombstones"
+    ] == 0
+    read = td.minus_tombstones(spark.read.parquet(path), spark, path)
+    assert read.join(dels, "doc_id", "left_semi").isEmpty()
+    # ingest replay of a tombstoned-but-unpurged doc appends nothing
+    # (rows physically present — consistent with emb21's pre-purge block)
+    assert update_signature_table(docs, path)["n_new_docs"] == 0
+    td.purge_doc_keyed_table(spark, path)
+    assert not os.path.exists(td.tombstone_path(path))
+    rem = docs.filter("doc_id % 7 <> 3")
+    assert _tables_equal(
+        spark.read.parquet(path), minhash_band_rows(rem, "doc_id", "text")
+    )
+    # purge replay is a no-op; deleted docs may now legitimately re-enter
+    assert td.purge_doc_keyed_table(spark, path) == {"n_purged": 0}
+    m = update_signature_table(docs, path)
+    assert m["n_new_docs"] == dels.count()
+
+
+def test_flat_table_all_rows_tombstoned_removes_table(spark, docs, tmp_path):
+    """Every row tombstoned → the table dir is removed outright (never a
+    staged swap to an empty dir, whose roll-forward would be the
+    zero-survivor bug class) and readers see table-absent."""
+    path = str(tmp_path / "sig")
+    update_signature_table(docs, path)
+    td.tombstone_doc_keyed_table(spark, docs.select("doc_id"), path)
+    td.purge_doc_keyed_table(spark, path)
+    assert not os.path.exists(path)
+    assert read_parquet_if_exists(spark, path) is None
+    assert [e for e in os.listdir(tmp_path) if e.startswith("sig__")] == []
+
+
+def test_flat_purge_crash_mid_swap_converges(spark, docs, tmp_path, monkeypatch):
+    """Kill the purge inside the staged swap (after the durability mark,
+    before the renames): tombstones still stand, heal rolls the staging
+    forward, and the re-run purge converges to the rebuilt state."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        minhash_band_rows,
+    )
+
+    path = str(tmp_path / "sig")
+    update_signature_table(docs, path)
+    td.tombstone_doc_keyed_table(spark, _dels(docs), path)
+
+    real_mark = mnt._mark_staging_complete
+
+    def mark_then_die(staging):
+        real_mark(staging)
+        raise RuntimeError("killed after durability mark")
+
+    monkeypatch.setattr(mnt, "_mark_staging_complete", mark_then_die)
+    with pytest.raises(RuntimeError, match="killed"):
+        td.purge_doc_keyed_table(spark, path)
+    monkeypatch.undo()
+    assert os.path.exists(td.tombstone_path(path))  # recovery signal stands
+    td.purge_doc_keyed_table(spark, path)  # heals, then no-ops or finishes
+    assert not os.path.exists(td.tombstone_path(path))
+    rem = docs.filter("doc_id % 7 <> 3")
+    assert _tables_equal(
+        spark.read.parquet(path), minhash_band_rows(rem, "doc_id", "text")
+    )
+
+
+def _bm25_rebuilt(spark, docs, tmp_path, name):
+    p2 = str(tmp_path / name)
+    update_bm25_postings(docs.filter("doc_id % 7 <> 3"), p2, 0)
+    return spark.read.parquet(f"{p2}/tf"), spark.read.parquet(f"{p2}/df")
+
+
+def test_bm25_takedown_lifecycle_and_df_decrement(spark, docs, tmp_path):
+    """The delete-maintained df merge: tombstone → tf serving excludes the
+    docs immediately → purge decrements df (per-doc unique salt tokens
+    reach df=0 and DROP — the row-removal path, not just decrements) and
+    both tables equal a from-scratch build on the remaining docs."""
+    path = str(tmp_path / "bm")
+    update_bm25_postings(docs, path, 0)
+    dels = _dels(docs)
+    n_del = dels.count()
+    m1 = takedown_bm25_postings(spark, dels, path)
+    assert m1["n_new_tombstones"] == n_del
+    assert takedown_bm25_postings(spark, dels, path)["n_new_tombstones"] == 0
+    served = bm25_tf_minus_tombstones(spark, path)
+    assert served.join(dels, "doc_id", "left_semi").isEmpty()
+    df_before = spark.read.parquet(f"{path}/df").count()
+    res = purge_bm25_postings(spark, path)
+    assert res["n_purged_tf"] > 0
+    assert res["n_df_decremented"] >= n_del  # each doc's salt token hits 0
+    assert spark.read.parquet(f"{path}/df").count() < df_before
+    tf2, df2 = _bm25_rebuilt(spark, docs, tmp_path, "bm2")
+    assert _tables_equal(spark.read.parquet(f"{path}/tf"), tf2)
+    assert _tables_equal(spark.read.parquet(f"{path}/df"), df2)
+    assert not os.path.exists(f"{path}/tombstones")
+    # td hwm committed with the swap; purge replay no-ops
+    assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 0
+    assert purge_bm25_postings(spark, path) == {
+        "n_purged_tf": 0, "n_df_decremented": 0,
+    }
+
+
+def test_bm25_purge_crash_between_df_swap_and_tf_rewrite(
+    spark, docs, tmp_path, monkeypatch
+):
+    """THE window the epoch hwm exists for: the df decrements are durable
+    (hwm committed atomically with the swap) but the tf rows of the
+    deleted docs are still physical.  A replayed purge must NOT apply
+    the decrements again (double-apply would under-count df) and must
+    finish the tf rewrite — converging exactly to the rebuilt state."""
+    path = str(tmp_path / "bm")
+    update_bm25_postings(docs, path, 0)
+    takedown_bm25_postings(spark, _dels(docs), path)
+
+    def die_on_tf_rewrite(p, merged):
+        raise RuntimeError("killed before tf rewrite")
+
+    monkeypatch.setattr(mnt, "_flat_swap", die_on_tf_rewrite)
+    with pytest.raises(RuntimeError, match="killed"):
+        purge_bm25_postings(spark, path)
+    monkeypatch.undo()
+    # df already decremented, tf rows still physical, tombstones standing
+    assert os.path.exists(f"{path}/tombstones")
+    assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 0
+    res = purge_bm25_postings(spark, path)
+    assert res["n_df_decremented"] == 0  # hwm gate: never re-applied
+    assert res["n_purged_tf"] > 0
+    tf2, df2 = _bm25_rebuilt(spark, docs, tmp_path, "bm2")
+    assert _tables_equal(spark.read.parquet(f"{path}/tf"), tf2)
+    assert _tables_equal(spark.read.parquet(f"{path}/df"), df2)
+
+
+def test_bm25_ingest_after_purge_preserves_td_hwm(spark, docs, tmp_path):
+    """update_bm25_postings' df swap must carry the takedown hwm across —
+    losing it would let a crashed purge replay re-decrement df."""
+    path = str(tmp_path / "bm")
+    batch1 = docs.filter("doc_id < 40")
+    update_bm25_postings(batch1, path, 0)
+    takedown_bm25_postings(spark, batch1.filter("doc_id % 7 = 3"), path)
+    purge_bm25_postings(spark, path)
+    assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 0
+    update_bm25_postings(docs.filter("doc_id >= 40"), path, 1)
+    assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 0  # survived
+    assert _read_bm25_hwm(f"{path}/df") == 1  # ingest hwm advanced
+    # a second takedown epoch continues past the preserved hwm
+    takedown_bm25_postings(spark, docs.filter("doc_id = 50"), path)
+    purge_bm25_postings(spark, path)
+    assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 1
+    p2 = str(tmp_path / "bm2")
+    update_bm25_postings(
+        docs.filter(
+            "NOT (doc_id < 40 AND doc_id % 7 = 3) AND doc_id <> 50"
+        ),
+        p2,
+        0,
+    )
+    assert _tables_equal(
+        spark.read.parquet(f"{path}/tf"), spark.read.parquet(f"{p2}/tf")
+    )
+    assert _tables_equal(
+        spark.read.parquet(f"{path}/df"), spark.read.parquet(f"{p2}/df")
+    )
+
+
+def test_semantic_purge_crash_between_assigned_and_pairs(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the semantic purge after the assigned swap but before the
+    pairs swap: tombstones stand, serving stays clean through the read
+    helpers, and the re-run converges to the rebuilt state."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_semantic_index,
+        update_semantic_index,
+    )
+
+    BASE = 1_000_000
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .filter("vec_id < 100")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+        )
+        .localCheckpoint()
+    )
+    corpus = emb.unionByName(
+        emb.filter("vec_id % 5 = 0").selectExpr(
+            f"vec_id + {BASE} AS vec_id",
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * "
+            "(CAST(1.0 AS DOUBLE) + CAST(0.001 AS DOUBLE) * "
+            "CAST(pmod(i + 1, 7) - 3 AS DOUBLE))) AS embedding",
+        )
+    ).localCheckpoint()
+    cents = kmeans_fit(emb, k=4, n_iter=1).localCheckpoint()
+    root = str(tmp_path / "sem")
+    init_semantic_index(cents, root)
+    update_semantic_index(spark, corpus, root, 0.95)
+    dels = corpus.filter("vec_id % 7 = 3 AND vec_id < 100").select("vec_id")
+    td.tombstone_semantic_index(spark, dels, root)
+
+    real_swap = mnt._flat_swap
+    calls = {"n": 0}
+
+    def swap_once_then_die(p, merged):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("killed before pairs swap")
+        real_swap(p, merged)
+
+    monkeypatch.setattr(mnt, "_flat_swap", swap_once_then_die)
+    with pytest.raises(RuntimeError, match="killed"):
+        td.purge_semantic_index(spark, root)
+    monkeypatch.undo()
+    assert os.path.exists(f"{root}/tombstones")
+    # serving stays clean in the half-purged state
+    pr = td.semantic_pairs_minus_tombstones(spark, root)
+    assert pr.join(
+        dels.withColumnRenamed("vec_id", "vec_a"), "vec_a", "left_semi"
+    ).isEmpty()
+    td.purge_semantic_index(spark, root)
+    root2 = str(tmp_path / "sem2")
+    init_semantic_index(cents, root2)
+    update_semantic_index(
+        spark, corpus.join(dels, "vec_id", "left_anti"), root2, 0.95
+    )
+    for sub in ("assigned", "pairs"):
+        assert _tables_equal(
+            spark.read.parquet(f"{root}/{sub}"),
+            spark.read.parquet(f"{root2}/{sub}"),
+        ), sub
+
+
+def test_takedown_umbrella_rejects_unknown_family(spark, docs, tmp_path):
+    with pytest.raises(ValueError, match="unknown takedown family"):
+        td.takedown(spark, docs.select("doc_id"), {"nope": str(tmp_path)})
+    with pytest.raises(ValueError, match="unknown takedown family"):
+        td.purge_takedown(spark, {"nope": str(tmp_path)})
+
+
+def test_gate_readers_are_tombstone_aware(spark, docs, tmp_path):
+    """The production check-time gates (contaminated_docs_from_table /
+    near_contaminated / candidate pairs / media fingerprints) must stop
+    matching a tombstoned doc IMMEDIATELY — before any purge runs."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        candidate_pairs_from_table,
+        contaminated_docs_from_table,
+        update_test_shingle_table,
+    )
+
+    p_sh = str(tmp_path / "sh")
+    # make doc 3 a verbatim leak: its own text re-enters "training"
+    update_test_shingle_table(docs, p_sh)
+    train = docs.filter("doc_id % 7 = 3").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    flagged = contaminated_docs_from_table(train, p_sh)
+    assert flagged.count() > 0  # leaks visible pre-takedown
+    td.tombstone_doc_keyed_table(
+        spark, docs.filter("doc_id % 7 = 3").select("doc_id"), p_sh
+    )
+    # the retired benchmark docs no longer gate anything
+    assert contaminated_docs_from_table(train, p_sh).isEmpty()
+    # dd9's pair reader likewise drops pairs touching tombstoned docs
+    p_sig = str(tmp_path / "sig")
+    dup = docs.unionByName(
+        docs.filter("doc_id % 7 = 3").select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    update_signature_table(dup, p_sig)
+    pairs0 = candidate_pairs_from_table(spark, p_sig)
+    assert pairs0.count() > 0
+    td.tombstone_doc_keyed_table(
+        spark, docs.filter("doc_id % 7 = 3").select("doc_id"), p_sig
+    )
+    pairs1 = candidate_pairs_from_table(spark, p_sig)
+    dels = docs.filter("doc_id % 7 = 3").select("doc_id")
+    assert pairs1.join(
+        dels.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+    ).isEmpty()
+    assert pairs1.join(
+        dels.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
+    ).isEmpty()
