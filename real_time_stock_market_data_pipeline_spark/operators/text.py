@@ -607,3 +607,43 @@ def purge_bm25_postings(spark, path: str, id_col: str = "doc_id") -> dict:
             )
     shutil.rmtree(t_path, ignore_errors=True)
     return {"n_purged_tf": int(n_tf), "n_df_decremented": int(n_dec)}
+
+
+def bm25_postings_sink(
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+    auto_compact_files: int | None = None,
+):
+    """``foreachBatch`` writer maintaining the BM25 posting tables from a
+    DOCUMENT STREAM — the streaming twin of txt23's batch API and the
+    first sink over a MERGE-maintained table, so its crash windows
+    differ from every insert-only ``*_table_sink``: the df rewrite and
+    its batch-id high-water mark commit atomically inside the staging
+    swap, and ``update_bm25_postings`` heals an interrupted swap at
+    entry — so a query killed BETWEEN the durability mark and the
+    renames restarts from the checkpoint, rolls the marked staging
+    forward, skips the already-durable df merge (hwm) and completes the
+    tf append (anti-join).  At-least-once redelivery therefore converges
+    to the batch-built ≡ one-shot state for every interleaving
+    (tests/test_streaming.py).  foreachBatch's per-checkpoint monotone
+    batch ids satisfy the hwm contract; a fresh-checkpoint replay
+    restarts ids at 0 ≤ hwm, correctly skipping df merges whose deltas
+    are already durable.
+
+    ``auto_compact_files`` schedules ``maintenance.maybe_compact_table``
+    on the insert-only tf table between batches (the df table is
+    rewritten per merge and never accretes files)."""
+    import os
+
+    from ..maintenance import AUTO_COMPACT_FILES, maybe_compact_table
+
+    bound = AUTO_COMPACT_FILES if auto_compact_files is None else auto_compact_files
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        update_bm25_postings(batch_df, path, batch_id, id_col, text)
+        maybe_compact_table(
+            batch_df.sparkSession, os.path.join(path, "tf"), id_col, bound
+        )
+
+    return write_batch

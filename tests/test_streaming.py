@@ -4,6 +4,7 @@ round-trip the tick schema."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -1319,3 +1320,90 @@ def test_latest_revisions_stream_matches_batch(spark, tmp_path):
 
     run_stream(str(tmp_path / "ck2"))  # full replay: nothing regresses
     assert norm(spark.read.parquet(table).collect()) == want
+
+
+def test_bm25_postings_stream_matches_batch_and_survives_midswap_kill(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """txt23's streaming twin (bm25_postings_sink): a two-micro-batch
+    document stream builds EXACTLY the batch-built AND one-shot posting
+    tables; a full fresh-checkpoint replay changes nothing (df merges
+    skip on the hwm, tf appends anti-join to zero); and a query KILLED
+    between the df staging's durability mark and its renames — the
+    merge-maintained table's own crash window — restarts from the same
+    checkpoint, heals the swap forward, and still converges."""
+    from real_time_stock_market_data_pipeline_spark import maintenance as mnt
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        bm25_postings_sink,
+        update_bm25_postings,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 120 AND text IS NOT NULL")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    src = tmp_path / "src"
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.parquet(str(src / "b1"))
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.parquet(str(src / "b2"))
+    table = str(tmp_path / "bm_stream")
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(bm25_postings_sink(table))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # --- kill inside batch 1's df swap: marked staging, renames pending
+    real_mark = mnt._mark_staging_complete
+    marks = {"n": 0}
+
+    def mark_then_die(staging):
+        real_mark(staging)
+        marks["n"] += 1
+        if marks["n"] >= 2:  # batch 0 commits clean; batch 1 dies mid-swap
+            raise RuntimeError("killed between mark and renames")
+
+    monkeypatch.setattr(mnt, "_mark_staging_complete", mark_then_die)
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.exceptions.base.StreamingQueryException):
+        run_stream(str(tmp_path / "ck1"))
+    monkeypatch.undo()
+    # the crash left a durability-marked staging beside the df table
+    parent = os.path.dirname(os.path.join(table, "df"))
+    assert any("__staging_" in e for e in os.listdir(parent))
+
+    # restart from the SAME checkpoint: redelivery heals + completes
+    run_stream(str(tmp_path / "ck1"))
+    assert not any("__staging_" in e for e in os.listdir(parent))
+
+    def rows(root):
+        tf = sorted(
+            map(tuple, spark.read.parquet(f"{root}/tf").collect())
+        )
+        df = sorted(map(tuple, spark.read.parquet(f"{root}/df").collect()))
+        return tf, df
+
+    got_tf, got_df = rows(table)
+    batch_tab = str(tmp_path / "bm_batch")
+    update_bm25_postings(docs.filter("doc_id % 2 = 0"), batch_tab, 0)
+    update_bm25_postings(docs.filter("doc_id % 2 = 1"), batch_tab, 1)
+    exp_tf, exp_df = rows(batch_tab)
+    oneshot_tab = str(tmp_path / "bm_oneshot")
+    update_bm25_postings(docs, oneshot_tab, 0)
+    one_tf, one_df = rows(oneshot_tab)
+    assert got_tf == exp_tf == one_tf and len(got_tf) > 0
+    assert got_df == exp_df == one_df and len(got_df) > 0
+
+    # full fresh-checkpoint replay: hwm skips df, anti-join skips tf
+    run_stream(str(tmp_path / "ck2"))
+    assert rows(table) == (got_tf, got_df)
