@@ -4315,3 +4315,193 @@ def _emb22_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb22_late_interaction"] = _emb22_late_interaction
 TEXT_ORACLES["emb22_late_interaction"] = sql_late_interaction("duck")
+
+
+# --- SP18: data-constrained mixture (multi-epoch repetition accounting) -------
+SP18_MAX_EPOCHS = 4
+# Geometric per-epoch value decay δ = 7/10, kept INTEGER by scaling every
+# slice value to 7^k · 10^(K-1-k): epoch 0..3 multipliers below.  This is
+# the engine's deterministic stand-in for Muennighoff et al. 2023's
+# diminishing value of repeated data (their exp(-R/R*) decay fitted with
+# R* ≈ 15 is a smooth version of the same monotone geometric discount);
+# any externally-fitted decay drops into the same integer-slice greedy
+# unchanged (swap the multipliers).
+SP18_DECAY_SCALED = (1000, 700, 490, 343)  # 7^k · 10^(3-k), k = 0..3
+# Per-epoch affine order mixers, the sp17/MinHash construction (4 epochs).
+SP18_MIX = (
+    (982451653, 12345), (689287573, 67890),
+    (413158511, 24680), (858599509, 13579),
+)
+assert len(SP18_MIX) == len(SP18_DECAY_SCALED) == SP18_MAX_EPOCHS
+SP18_BUDGET_NUM, SP18_BUDGET_DEN = 5, 2  # B = 5/2 × unique tokens
+
+
+def sql_data_constrained_mixture(dialect: str) -> str:
+    """SP18 — data-constrained mixture: multi-epoch repetition accounting
+    (Muennighoff et al. 2023, "Scaling Data-Constrained Language
+    Models").  sp16 materializes ONE pass over a reweighted corpus; a
+    token budget B larger than the unique corpus forces the question
+    that paper answers — WHICH domains to repeat, HOW MANY epochs each,
+    knowing repeated tokens are worth less than fresh ones.  This is
+    the decision layer above sp16 (weights) and sp17 (per-epoch
+    orders): the artifact is the ranked epoch-slice manifest a >1-epoch
+    training launch consumes.
+
+    Rule (integer-exact end-to-end, the sp6/sp16 discipline): the unit
+    of allocation is the (domain, epoch k) SLICE — one full pass over
+    domain d, costing U_d unique tokens, valued alloc_d · δ^k per token
+    with alloc_d sp14's DoReMi integer allocation (the quality signal)
+    and δ = 7/10 the repetition discount, SCALED to the exact BIGINT
+    alloc_d · 7^k · 10^(3−k) so the greedy order is a pure integer
+    total order (ties: epoch ASC, domain ASC).  Slices are taken in
+    value order until the budget B = ⌊5·U_tot/2⌋ is spent; the boundary
+    slice is PARTIAL — its domain's docs are consumed in the slice's
+    OWN EPOCH ORDER (sp17's per-epoch affine mix of the doc hash, so
+    the truncated pass is the prefix of exactly the permutation the
+    loader would run) with the boundary document head-truncated, sp16's
+    prefix rule.  Σ tokens_used = B exactly: full slices telescope to
+    their U_d and the partial contributes B − cum_before.
+
+    Scale shape: corpus-sized work is ONE token-count aggregate per doc
+    (shared with sp14's chain) and, for the single boundary domain, one
+    bucketed two-level cumsum (sp16's decomposition — no global window
+    over doc-sized input).  The greedy itself runs on K·domains slice
+    rows (~80 here; a few hundred at any real corpus) — window functions
+    over that table are the sp14 K-row exception, not a scale trap."""
+    alloc = sql_doremi(dialect)
+    idh = tok_hash(dialect, "'sp18:' || CAST(doc_id AS STRING)")
+    toks = split_ws(dialect, "text")
+    p = 1_000_000_007
+    k_max = SP18_MAX_EPOCHS
+    val = (
+        "CASE e "
+        + " ".join(
+            f"WHEN {k} THEN CAST({m} AS BIGINT) * a.alloc"
+            for k, m in enumerate(SP18_DECAY_SCALED)
+        )
+        + " END"
+    )
+    mix = (
+        "CASE b.epoch "
+        + " ".join(
+            f"WHEN {i} THEN ({a} * d.idh + {b_}) % {p}"
+            for i, (a, b_) in enumerate(SP18_MIX)
+        )
+        + " END"
+    )
+    sb_div = SP16_HKEY_MOD // SP16_SBUCKETS
+    if dialect == "spark":
+        epoch_join = (
+            f"LATERAL VIEW explode(sequence(0, {k_max - 1})) _ep AS e"
+        )
+    else:
+        epoch_join = (
+            "CROSS JOIN (SELECT unnest(generate_series(0, "
+            f"{k_max - 1})) AS e) _ep"
+        )
+    win = "ORDER BY value_scaled DESC, epoch ASC, domain ASC"
+    rows_all = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+WITH alloc AS ({alloc}),
+sdocs AS (
+  SELECT doc_id, source AS domain,
+         CAST({list_len(dialect, toks)} AS BIGINT) AS n_tokens,
+         ({idh}) AS idh
+  FROM documents WHERE text IS NOT NULL
+),
+sdocs1 AS (SELECT * FROM sdocs WHERE n_tokens >= 1),
+u AS (
+  SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS u_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM sdocs1 GROUP BY domain
+),
+bud AS (
+  SELECT {idiv(dialect, f"{SP18_BUDGET_NUM} * CAST(sum(u_tokens) AS BIGINT)",
+               str(SP18_BUDGET_DEN))} AS b
+  FROM u
+),
+slices AS (
+  SELECT a.domain, CAST(e AS BIGINT) AS epoch, u.u_tokens, u.n_docs,
+         CAST({val} AS BIGINT) AS value_scaled
+  FROM alloc a JOIN u ON a.domain = u.domain {epoch_join}
+),
+ordered AS (
+  SELECT *,
+         CAST(row_number() OVER ({win}) AS BIGINT) AS take_rank,
+         CAST(sum(u_tokens) OVER ({win} {rows_all}) AS BIGINT) AS cum_end
+  FROM slices
+),
+taken AS (
+  SELECT o.*, o.cum_end - o.u_tokens AS cum_before, bud.b,
+         o.cum_end > bud.b AS is_partial,
+         CASE WHEN o.cum_end > bud.b THEN bud.b - (o.cum_end - o.u_tokens)
+              ELSE o.u_tokens END AS tokens_used
+  FROM ordered o CROSS JOIN bud
+  WHERE o.cum_end - o.u_tokens < bud.b
+),
+bslice AS (
+  SELECT domain, epoch, tokens_used AS head_budget
+  FROM taken WHERE is_partial
+),
+bdocs AS (
+  SELECT d.doc_id, d.n_tokens, b.head_budget,
+         ({mix}) % {SP16_HKEY_MOD} AS hkey
+  FROM sdocs1 d JOIN bslice b ON d.domain = b.domain
+),
+bb AS (SELECT *, {idiv(dialect, "hkey", str(sb_div))} AS bucket FROM bdocs),
+bbc AS (
+  SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS btok
+  FROM bb GROUP BY bucket
+),
+bbo AS (
+  SELECT bucket,
+         CAST(sum(btok) OVER (ORDER BY bucket ASC {rows_all}) - btok
+              AS BIGINT) AS tok_off
+  FROM bbc
+),
+bcum AS (
+  SELECT bb.doc_id, bb.n_tokens, bb.head_budget,
+         bbo.tok_off + CAST(sum(bb.n_tokens) OVER (
+             PARTITION BY bb.bucket
+             ORDER BY bb.hkey ASC, bb.doc_id ASC {rows_all}
+           ) AS BIGINT) AS cum_end
+  FROM bb JOIN bbo ON bb.bucket = bbo.bucket
+),
+bstats AS (
+  SELECT
+    CAST(count(CASE WHEN cum_end <= head_budget THEN 1 END) AS BIGINT)
+      AS n_full,
+    CAST(max(CASE WHEN cum_end - n_tokens < head_budget
+                   AND head_budget < cum_end THEN doc_id END)
+         AS BIGINT) AS boundary_doc,
+    CAST(max(CASE WHEN cum_end - n_tokens < head_budget
+                   AND head_budget < cum_end
+              THEN head_budget - (cum_end - n_tokens) END)
+         AS BIGINT) AS head_tokens
+  FROM bcum
+)
+SELECT t.domain, t.epoch, t.take_rank, t.value_scaled,
+       t.u_tokens AS unique_tokens, t.tokens_used, t.is_partial,
+       CASE WHEN t.is_partial
+            THEN bs.n_full
+                 + CASE WHEN bs.boundary_doc IS NOT NULL THEN 1 ELSE 0 END
+            ELSE t.n_docs END AS n_docs_used,
+       CASE WHEN t.is_partial THEN bs.boundary_doc
+            ELSE CAST(NULL AS BIGINT) END AS boundary_doc,
+       CASE WHEN t.is_partial THEN COALESCE(bs.head_tokens, CAST(0 AS BIGINT))
+            ELSE CAST(0 AS BIGINT) END AS head_tokens
+FROM taken t CROSS JOIN bstats bs
+ORDER BY t.take_rank
+"""
+
+
+def _sp18_data_constrained_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP18, Spark side: the pure rendering — sp14's alloc chain plus a
+    token-count aggregate, an ~80-row integer greedy, and one bucketed
+    cumsum over the single boundary domain."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_data_constrained_mixture("spark"))
+
+
+QUERIES["sp18_data_constrained_mixture"] = _sp18_data_constrained_mixture
+TEXT_ORACLES["sp18_data_constrained_mixture"] = sql_data_constrained_mixture("duck")
