@@ -1896,3 +1896,193 @@ def _emb23_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb23_matryoshka_recall"] = _emb23_matryoshka_recall
 EMBEDDING_ORACLES["emb23_matryoshka_recall"] = sql_matryoshka_recall("duck")
+
+
+# --- EMB24: recall-vs-probes operating curve -----------------------------------
+EMB24_LISTS = 16
+EMB24_GRID = (1, 2, 4, 8, 16)
+EMB24_K = 10
+EMB24_QUERY_STRIDE = 29  # fixed query workload: vec_id % 29 == 0
+
+
+def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMB24 — the operating-point sweep for the IVF serving tier:
+    recall@10 and candidate volume at n_probes ∈ {1,2,4,8,16}, the
+    artifact that picks a production probe count.  dq4/dq5 monitor a
+    FIXED operating point for drift; this measures the curve itself.
+
+    One pass instead of |grid| searches: the probe ranking is computed
+    ONCE per query over the full codebook (posexplode of the ordered
+    top-n list — probe sets NEST by construction), the lists are scanned
+    once, and every grid level is a filter ``probe_rank <= p`` over the
+    same scored frame — the per-level top-k is a window partitioned by
+    (level, query).  The full-probe level doubles as the BRUTE-FORCE
+    ground truth (probing every list IS the exact scan), so the same
+    frame yields both the curve and its gates:
+
+    * recall_ge_prev   — nested candidate sets under exact scoring give
+      monotone recall (any candidate that displaces a true top-k member
+      must itself be a true top-k member);
+    * candidates_ge_prev — probe sets nest, so candidate volume grows;
+    * exact_at_max     — recall@10 at n_probes = n_lists equals 1
+      against brute force, which verifies INDEX COMPLETENESS (every
+      corpus vector present in the lists exactly once).
+
+    Like emb23 this audit is deliberately corpus×queries-exact — the
+    ground truth IS a brute-force pass; at real scale the query workload
+    is hash-sampled (fixed here: vec_id % 29 = 0) while the serving
+    path being characterized stays partition-pruned.  The measured
+    recall/candidate NUMBERS depend on the k-means clustering and stay
+    in-plan; the oracle pins the workload size, the grid, and the three
+    gates (the dq5 truth-table pattern)."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_fit
+    from ..operators.similarity import (
+        _collect_codebook,
+        build_ivf_index,
+        centroid_topn_pandas,
+        cosine_col,
+    )
+
+    corpus = (
+        load_table(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+        )
+        .localCheckpoint(eager=False)
+    )
+    cents_df = kmeans_fit(corpus, k=EMB24_LISTS, n_iter=1)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_emb24",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    build_ivf_index(corpus, cents_df, path)
+    cents = _collect_codebook(
+        spark.read.parquet(f"{path}/centroids"), "centroid_id", "embedding"
+    )
+    queries = corpus.filter(f"vec_id % {EMB24_QUERY_STRIDE} = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_queries = queries.count()
+    # probe RANK per (query, centroid): the ordered full-codebook ranking
+    probes = queries.select(
+        "query_id",
+        F.col("embedding").alias("__qvec"),
+        F.posexplode(
+            centroid_topn_pandas(cents, EMB24_LISTS)(F.col("embedding"))
+        ).alias("__pos", "centroid_id"),
+    ).select(
+        "query_id", "__qvec", "centroid_id",
+        (F.col("__pos") + 1).alias("probe_rank"),
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    scored = (
+        probes.join(lists, "centroid_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "probe_rank",
+            cosine_col(F.col("__qvec"), F.col("embedding")).alias("cos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    truth = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= EMB24_K)
+        .select("query_id", "vec_id")
+    )
+    grid = spark.createDataFrame(
+        [(int(p),) for p in EMB24_GRID], "n_probes bigint"
+    )
+    graded = scored.join(
+        F.broadcast(grid), F.col("probe_rank") <= F.col("n_probes")
+    )
+    topk = (
+        graded.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("n_probes", "query_id").orderBy(
+                    F.col("cos").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= EMB24_K)
+        .select("n_probes", "query_id", "vec_id")
+    )
+    overlap = (
+        topk.join(truth, ["query_id", "vec_id"], "left_semi")
+        .groupBy("n_probes")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sum_overlap"))
+    )
+    cands = graded.groupBy("n_probes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    curve = overlap.join(cands, "n_probes")
+    wp = Window.orderBy("n_probes")  # |grid| rows — not a scale window
+    full = F.lit(int(n_queries * EMB24_K)).cast("bigint")
+    exact_at_max = F.max(
+        F.when(F.col("n_probes") == EMB24_LISTS, F.col("sum_overlap"))
+    ).over(Window.partitionBy())
+    return (
+        curve.withColumn(
+            "recall_ge_prev",
+            F.coalesce(
+                F.col("sum_overlap") >= F.lag("sum_overlap").over(wp),
+                F.lit(True),
+            ),
+        )
+        .withColumn(
+            "candidates_ge_prev",
+            F.coalesce(
+                F.col("n_candidates") >= F.lag("n_candidates").over(wp),
+                F.lit(True),
+            ),
+        )
+        .withColumn("exact_at_max", exact_at_max == full)
+        .select(
+            "n_probes",
+            F.lit(int(n_queries)).cast("bigint").alias("n_queries"),
+            F.lit(EMB24_K).cast("bigint").alias("k"),
+            "recall_ge_prev",
+            "candidates_ge_prev",
+            "exact_at_max",
+        )
+        .orderBy("n_probes")
+    )
+
+
+def sql_probe_curve(dialect: str) -> str:
+    """EMB24's oracle — the deterministic truth table: the probe grid,
+    the fixed workload size, and the three gates pinned true."""
+    del dialect
+    rows = []
+    for p in EMB24_GRID:
+        rows.append(
+            f"SELECT CAST({p} AS BIGINT) AS n_probes, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM embeddings "
+            f" WHERE vec_id % {EMB24_QUERY_STRIDE} = 0) AS n_queries, "
+            f"CAST({EMB24_K} AS BIGINT) AS k, "
+            "true AS recall_ge_prev, true AS candidates_ge_prev, "
+            "true AS exact_at_max"
+        )
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY n_probes"
+
+
+QUERIES["emb24_probe_curve"] = _emb24_probe_curve
+EMBEDDING_ORACLES["emb24_probe_curve"] = sql_probe_curve("duck")
