@@ -744,7 +744,6 @@ def _emb19_filtered_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         _sq_l2,
         init_ivfpq_index,
-        ivfpq_fit,
         ivfpq_probes,
         search_ivfpq_index,
         update_ivfpq_index,
@@ -754,7 +753,11 @@ def _emb19_filtered_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    coarse, fine = ivfpq_fit(emb, n_iter=2)
+    # session-memoized league fixture (plans/fixtures): bit-identical to
+    # ivfpq_fit(emb, n_iter=2), trained once per session (r15 verdict #5)
+    from .fixtures import shared_ivfpq_build
+
+    coarse, fine, _ = shared_ivfpq_build(spark, sf_dir)
     path = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_ivfpq_filtered",
@@ -1649,7 +1652,6 @@ def _emb21_index_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
         delete_from_ivfpq_index,
         init_ivfpq_index,
-        ivfpq_fit,
         purge_ivfpq_tombstones,
         search_ivfpq_index,
         update_ivfpq_index,
@@ -1660,7 +1662,11 @@ def _emb21_index_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
-    coarse, fine = ivfpq_fit(emb, n_iter=2)
+    # session-memoized league fixture (plans/fixtures): bit-identical to
+    # ivfpq_fit(emb, n_iter=2), trained once per session (r15 verdict #5)
+    from .fixtures import shared_ivfpq_build
+
+    coarse, fine, _ = shared_ivfpq_build(spark, sf_dir)
     root = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_ivfpq_del",

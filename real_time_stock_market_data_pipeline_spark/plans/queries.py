@@ -2684,7 +2684,6 @@ def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import (
         _sq_l2,
-        ivfpq_build,
         ivfpq_probes,
         ivfpq_search,
     )
@@ -2700,7 +2699,13 @@ def emb13_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # COVERAGE (not the gate) and fine quality only has to keep true
     # neighbours inside a corpus/10 shortlist — a third Lloyd pass buys
     # nothing the gate can see, and each pass is a fixed-overhead job
-    coarse, fine, idx = ivfpq_build(emb, n_iter=2)
+    # trained via the session-memoized league fixture (plans/fixtures):
+    # identical (coarse, fine, idx) to ivfpq_build(emb, n_iter=2) — the
+    # fit is deterministic — but emb13/emb19/emb21 share ONE training
+    # pass per bench/driver session instead of three (r15 verdict #5)
+    from .fixtures import shared_ivfpq_build
+
+    coarse, fine, idx = shared_ivfpq_build(spark, sf_dir)
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
