@@ -1908,7 +1908,9 @@ EMBEDDING_ORACLES["emb23_matryoshka_recall"] = sql_matryoshka_recall("duck")
 EMB24_LISTS = 16
 EMB24_GRID = (1, 2, 4, 8, 16)
 EMB24_K = 10
-EMB24_QUERY_STRIDE = 29  # fixed query workload: vec_id % 29 == 0
+EMB24_QUERY_STRIDE = 29  # fixed query workload: vec_id % 29 == 0, bounded
+EMB24_MAX_QUERY_ID = 1500  # ...below this id (txt22 lesson: |Q| must not
+                           # grow with the corpus or the audit is |Q|x|N|)
 
 
 def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1935,9 +1937,10 @@ def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
       corpus vector present in the lists exactly once).
 
     Like emb23 this audit is deliberately corpus×queries-exact — the
-    ground truth IS a brute-force pass; at real scale the query workload
-    is hash-sampled (fixed here: vec_id % 29 = 0) while the serving
-    path being characterized stays partition-pruned.  The measured
+    ground truth IS a brute-force pass; the query workload is BOUNDED
+    (vec_id % 29 = 0 below a fixed id cap — txt22's lesson: |Q| must not
+    grow with the corpus) while the serving path being characterized
+    stays partition-pruned.  The measured
     recall/candidate NUMBERS depend on the k-means clustering and stay
     in-plan; the oracle pins the workload size, the grid, and the three
     gates (the dq5 truth-table pattern)."""
@@ -1975,9 +1978,9 @@ def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _collect_codebook(
         spark.read.parquet(f"{path}/centroids"), "centroid_id", "embedding"
     )
-    queries = corpus.filter(f"vec_id % {EMB24_QUERY_STRIDE} = 0").select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    queries = corpus.filter(
+        f"vec_id % {EMB24_QUERY_STRIDE} = 0 AND vec_id < {EMB24_MAX_QUERY_ID}"
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     n_queries = queries.count()
     # probe RANK per (query, centroid): the ordered full-codebook ranking
     probes = queries.select(
@@ -2082,7 +2085,8 @@ def sql_probe_curve(dialect: str) -> str:
         rows.append(
             f"SELECT CAST({p} AS BIGINT) AS n_probes, "
             f"(SELECT CAST(count(*) AS BIGINT) FROM embeddings "
-            f" WHERE vec_id % {EMB24_QUERY_STRIDE} = 0) AS n_queries, "
+            f" WHERE vec_id % {EMB24_QUERY_STRIDE} = 0"
+            f" AND vec_id < {EMB24_MAX_QUERY_ID}) AS n_queries, "
             f"CAST({EMB24_K} AS BIGINT) AS k, "
             "true AS recall_ge_prev, true AS candidates_ge_prev, "
             "true AS exact_at_max"
