@@ -374,3 +374,34 @@ def purge_takedown(
         else:
             raise ValueError(f"unknown takedown family {family!r}")
     return out
+
+
+def takedown_sink(
+    roots: dict[str, str],
+    id_col: str = "doc_id",
+    purge_every: int | None = None,
+):
+    """``foreachBatch`` writer applying a REMOVAL-REQUEST STREAM to every
+    persisted table family — the streaming twin of ``takedown``, closing
+    the same symmetry the ingest sinks have (every incremental table has
+    its ``*_sink``; removal requests arrive as a stream too: GDPR
+    queues, robots revocations).  At-least-once redelivery is idempotent
+    end-to-end: a replayed batch anti-joins standing tombstones and
+    appends nothing; after a purge the ids are gone from the tables, so
+    a late redelivery semi-joins to nothing and tombstones nothing —
+    the doc stays deleted either way and a later legitimate re-ingest
+    of a purged id is unaffected.
+
+    ``purge_every``: run ``purge_takedown`` after every N-th batch —
+    the amortization knob (purge is the compaction-shaped rewrite;
+    tombstone-aware reads keep serving correct between purges).  None =
+    never purge here; the owner purges out of band at compaction
+    cadence."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        takedown(spark, batch_df, roots, id_col)
+        if purge_every is not None and (batch_id + 1) % purge_every == 0:
+            purge_takedown(spark, roots, id_col)
+
+    return write_batch

@@ -504,3 +504,27 @@ def test_dq5_leg_operators_touch_no_session_global_state():
             f"session-global mutation {pat!r} entered operators/similarity.py "
             "— dq5's threaded legs share one SparkSession and would race"
         )
+
+
+def test_dd18_leg_operators_touch_no_session_global_state():
+    """dd18 runs its five family-takedown legs on concurrent driver
+    threads sharing one SparkSession (plans/audit_parity.py) — same
+    invariant as dq5's: no operator the legs call may mutate
+    session-global state.  The takedown module is the new surface the
+    legs share; pin it like operators/similarity.py."""
+    import inspect
+
+    import real_time_stock_market_data_pipeline_spark.operators.takedown as tdm
+
+    src = inspect.getsource(tdm)
+    for pat in (
+        "createOrReplaceTempView",
+        ".conf.set(",
+        "_scoped_conf",
+        "setLocalProperty",
+        "createGlobalTempView",
+    ):
+        assert pat not in src, (
+            f"session-global mutation {pat!r} entered operators/takedown.py "
+            "— dd18's threaded legs share one SparkSession and would race"
+        )

@@ -1407,3 +1407,80 @@ def test_bm25_postings_stream_matches_batch_and_survives_midswap_kill(
     # full fresh-checkpoint replay: hwm skips df, anti-join skips tf
     run_stream(str(tmp_path / "ck2"))
     assert rows(table) == (got_tf, got_df)
+
+
+def test_takedown_sink_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The removal-request STREAM (takedown_sink): two micro-batches of
+    deletions over prebuilt signature + bm25 tables, purge amortized via
+    purge_every, must land exactly the batch takedown+purge state — i.e.
+    ≡ tables rebuilt from scratch on corpus-minus-deleted — and a full
+    fresh-checkpoint replay of the request stream changes nothing (ids
+    already purged semi-join to nothing)."""
+    from real_time_stock_market_data_pipeline_spark.operators import takedown as td
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        minhash_band_rows,
+        update_signature_table,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        update_bm25_postings,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 100 AND text IS NOT NULL")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" uq"), F.col("doc_id").cast("string")
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    p_sig, p_bm = str(tmp_path / "sig"), str(tmp_path / "bm")
+    update_signature_table(docs, p_sig)
+    update_bm25_postings(docs, p_bm, 0)
+    dels = docs.filter("doc_id % 7 = 3").select("doc_id")
+    src = tmp_path / "src"
+    dels.filter("doc_id < 50").coalesce(1).write.parquet(str(src / "b1"))
+    dels.filter("doc_id >= 50").coalesce(1).write.parquet(str(src / "b2"))
+    roots = {"signatures": p_sig, "bm25": p_bm}
+
+    def run_stream(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(dels.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*/")
+            .writeStream.foreachBatch(td.takedown_sink(roots, purge_every=2))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream(str(tmp_path / "ck1"))
+    rem = docs.filter("doc_id % 7 <> 3")
+    sig_rows = sorted(map(tuple, spark.read.parquet(p_sig).collect()))
+    assert sig_rows == sorted(
+        map(tuple, minhash_band_rows(rem, "doc_id", "text").collect())
+    )
+    p2 = str(tmp_path / "bm2")
+    update_bm25_postings(rem, p2, 0)
+    bm_rows = {
+        sub: sorted(map(tuple, spark.read.parquet(f"{p_bm}/{sub}").collect()))
+        for sub in ("tf", "df")
+    }
+    for sub in ("tf", "df"):
+        assert bm_rows[sub] == sorted(
+            map(tuple, spark.read.parquet(f"{p2}/{sub}").collect())
+        ), sub
+    assert not os.path.exists(td.tombstone_path(p_sig))
+    assert not os.path.exists(f"{p_bm}/tombstones")
+    # fresh-checkpoint replay of the whole request stream: no-op
+    run_stream(str(tmp_path / "ck2"))
+    assert sorted(map(tuple, spark.read.parquet(p_sig).collect())) == sig_rows
+    for sub in ("tf", "df"):
+        assert (
+            sorted(map(tuple, spark.read.parquet(f"{p_bm}/{sub}").collect()))
+            == bm_rows[sub]
+        ), sub
