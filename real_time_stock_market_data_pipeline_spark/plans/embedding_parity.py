@@ -755,9 +755,9 @@ def _emb19_filtered_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # session-memoized league fixture (plans/fixtures): bit-identical to
     # ivfpq_fit(emb, n_iter=2), trained once per session (r15 verdict #5)
-    from .fixtures import shared_ivfpq_build
+    from .fixtures import shared_ivfpq_fit
 
-    coarse, fine, _ = shared_ivfpq_build(spark, sf_dir)
+    coarse, fine = shared_ivfpq_fit(spark, sf_dir)
     path = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_ivfpq_filtered",
@@ -1664,9 +1664,9 @@ def _emb21_index_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
     # session-memoized league fixture (plans/fixtures): bit-identical to
     # ivfpq_fit(emb, n_iter=2), trained once per session (r15 verdict #5)
-    from .fixtures import shared_ivfpq_build
+    from .fixtures import shared_ivfpq_fit
 
-    coarse, fine, _ = shared_ivfpq_build(spark, sf_dir)
+    coarse, fine = shared_ivfpq_fit(spark, sf_dir)
     root = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_ivfpq_del",

@@ -12,11 +12,14 @@ codebooks whether it hits or misses, queries stay independently runnable
 (a miss just trains as before), and no cross-query state can leak
 because the cache key pins both the session and the corpus.
 
-Cached at the ``ivfpq_build`` level (quantizers + the encoded index
-frame) rather than ``ivfpq_fit`` so emb13's index consumer shares the
-residual pass too; the index frame is localCheckpoint-materialized
-inside ``ivfpq_build`` and is corpus-row-sized (vec_id, list_id,
-pq_codes) — session-resident like the dd2 snapshot rule.
+Only the DRIVER-SIDE codebook pair is cached — never a DataFrame:
+bench.py unpersists every cached RDD between samples, which makes a
+session-held localCheckpoint'd frame irrecoverable (truncated lineage,
+blocks gone), so a cached index frame would crash its consumer on the
+next pass.  Consumers that need the encoded index (emb13) re-encode
+per call under the cached quantizers (deterministic, map-only) and
+hold their own per-execution checkpoint, which each query releases
+normally.
 
 dq4/dq5 keep their own fits ON PURPOSE: they train different quantizers
 (custom n_lists/m/k, different n_iter) on a fixture SEGMENT, not the
@@ -29,19 +32,19 @@ from pyspark.sql import SparkSession
 
 from ..sources.readers import load_table
 
-_IVFPQ_BUILD_CACHE: dict[tuple[str, str], tuple] = {}
+_IVFPQ_FIT_CACHE: dict[tuple[str, str], tuple] = {}
 
 
-def shared_ivfpq_build(spark: SparkSession, sf_dir: str):
-    """(coarse, fine, index) for the DEFAULT ``ivfpq_build(emb, n_iter=2)``
-    over the full embeddings table — trained at most once per Spark
-    application per sf_dir."""
-    from ..operators.similarity import ivfpq_build
+def shared_ivfpq_fit(spark: SparkSession, sf_dir: str):
+    """(coarse, fine) for the DEFAULT ``ivfpq_fit(emb, n_iter=2)`` over
+    the full embeddings table — trained at most once per Spark
+    application per sf_dir; both are bounded driver-side codebooks."""
+    from ..operators.similarity import ivfpq_fit
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    got = _IVFPQ_BUILD_CACHE.get(key)
+    got = _IVFPQ_FIT_CACHE.get(key)
     if got is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        got = ivfpq_build(emb, n_iter=2)
-        _IVFPQ_BUILD_CACHE[key] = got
+        got = ivfpq_fit(emb, n_iter=2)
+        _IVFPQ_FIT_CACHE[key] = got
     return got
