@@ -528,3 +528,46 @@ def test_dd18_leg_operators_touch_no_session_global_state():
             f"session-global mutation {pat!r} entered operators/takedown.py "
             "— dd18's threaded legs share one SparkSession and would race"
         )
+
+
+def test_sp18_doc_level_windows_are_bucket_partitioned(spark, sf_dir):
+    """sp18's greedy runs on the ~80-row slice table (the documented
+    sp14 K-row window exception), but its DOC-LEVEL stage — the boundary
+    domain's prefix cumsum over the epoch-mixed key — must use the
+    two-level decomposition: every windowspecdefinition ordering on the
+    mixed hkey leads with a partition column, never an ordering
+    expression (the single-partition corpus drag)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sp18_data_constrained_mixture")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    doc_specs = [sp for sp in specs if "hkey" in sp]
+    assert doc_specs, "expected the boundary-domain cumsum window"
+    for sp in doc_specs:
+        first = sp.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned doc-level window: windowspecdefinition({sp}"
+        )
+    assert "CartesianProduct" not in plan
+
+
+def test_emb24_grid_join_bounded_and_topk_windows_partitioned(spark, sf_dir):
+    """emb24's only non-equi join is the probe_rank <= n_probes grading
+    against the BROADCAST 5-row grid (bounded by construction — never a
+    corpus×corpus shape), and every per-level top-k window partitions by
+    (n_probes, query_id) before ordering."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "emb24_probe_curve")
+    assert "CartesianProduct" not in plan
+    # the grid join appears once per consumer of the graded frame (topk
+    # + candidate counts), each re-reading the CHECKPOINTED scored pass
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # the 5-row grid
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    topk = [sp for sp in specs if "cos" in sp]
+    assert topk, "expected the per-level top-k windows"
+    for sp in topk:
+        first = sp.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned top-k window: windowspecdefinition({sp}"
+        )
