@@ -4505,3 +4505,170 @@ def _sp18_data_constrained_mixture(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES["sp18_data_constrained_mixture"] = _sp18_data_constrained_mixture
 TEXT_ORACLES["sp18_data_constrained_mixture"] = sql_data_constrained_mixture("duck")
+
+
+# --- TXT24: Gopher quality rules ------------------------------------------------
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def sql_gopher_rules(dialect: str) -> str:
+    """TXT24 — the Gopher/MassiveWeb heuristic quality rules (Rae et al.
+    2021, appendix A1.1) — the standard pre-training document gate that
+    runs BEFORE the model-based filters (txt15 perplexity, txt18 trained
+    classifier, txt20 CCNet buckets): per document,
+
+      g1 word count ∈ [50, 100k]          g2 mean word length ∈ [3, 10]
+      g3 symbol-to-word ratio ≤ 0.1 ('#' + '…' as '...')
+      g4 ≥ 80% of words contain an alphabetic character
+      g5 ≥ 2 of 8 required stop words      g6 ≤ 90% of lines bullet-led
+      g7 ≤ 30% of lines ellipsis-ended
+
+    Output: one row per rule with the corpus-wide violation count, plus
+    the all-pass row — the filter-tuning report a curation run reads.
+
+    Planted fixture (the dq6 pattern): the synthetic corpus trips only
+    the word-count and stop-word rules on its own, so each rule gets a
+    plant class that flips it — stop-word salts (g5 pass / all-pass),
+    symbol salads (g3), bullet-led rewrites (g6), ellipsis-ended extra
+    lines (g7), numeric salads (g4), single-char salads (g2) — both
+    branches of every rule carry nonzero hash-compared evidence.
+
+    Integer-exact in both engines: every ratio test is cross-multiplied
+    (10·symbols > n_words; 5·n_alpha < 4·n_words; 3·n ≤ Σlen ≤ 10·n;
+    10·bullets > 9·lines; 10·ellipsis > 3·lines) so no float ever
+    forms.  Scale shape: one codegen'd map-only projection per doc + one
+    8-counter global aggregate (map-side partial) — the f1/txt2 shape;
+    no shuffle beyond the final rollup."""
+    from .dialect import regexp_count
+
+    toks = split_ws(dialect, "text")
+    n_words = list_len(dialect, "toks")
+    big0 = "CAST(0 AS BIGINT)"
+    sum_len = map_fold_sum(
+        dialect, "toks", "CAST(length(x) AS BIGINT)", init=big0
+    )
+    if dialect == "spark":
+        alpha = "size(filter(toks, x -> x rlike '[A-Za-z]'))"
+        contains = "array_contains"
+        lines = "split(text, chr(10))"
+        bullet = (
+            "size(filter(lns, l -> substring(l, 1, 1) = '-' "
+            "OR substring(l, 1, 1) = '*'))"
+        )
+        ell = "size(filter(lns, l -> l LIKE '%...'))"
+
+        def arr_join(a: str) -> str:
+            return f"array_join({a}, ' ')"
+    else:
+        alpha = "len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))"
+        contains = "list_contains"
+        lines = "string_split(text, chr(10))"
+        bullet = (
+            "len(list_filter(lns, l -> substring(l, 1, 1) = '-' "
+            "OR substring(l, 1, 1) = '*'))"
+        )
+        ell = "len(list_filter(lns, l -> l LIKE '%...'))"
+
+        def arr_join(a: str) -> str:
+            return f"array_to_string({a}, ' ')"
+
+    num_salad = arr_join(
+        transform(dialect, seq(dialect, "1", "60"), "CAST(i AS STRING)", var="i")
+    )
+    a_salad = arr_join(
+        transform(dialect, seq(dialect, "1", "200"), "'a'", var="i")
+    )
+    stop_hits = " + ".join(
+        f"CASE WHEN {contains}(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    symbols = (
+        f"{regexp_count(dialect, 'text', '#')}"
+        f" + {regexp_count(dialect, 'text', '[.][.][.]')}"
+    )
+    rules = {
+        "g1_word_count": (
+            f"n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS}"
+        ),
+        "g2_mean_word_len": "sum_len < 3 * n_words OR sum_len > 10 * n_words",
+        "g3_symbol_ratio": "10 * n_sym > n_words",
+        "g4_alpha_words": "5 * n_alpha < 4 * n_words",
+        "g5_stop_words": "n_stop < 2",
+        "g6_bullet_lines": "10 * n_bullet > 9 * n_lines",
+        "g7_ellipsis_lines": "10 * n_ell > 3 * n_lines",
+    }
+    viols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, cond in rules.items()
+    )
+    all_pass = " AND ".join(f"NOT ({cond})" for cond in rules.values())
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, {name} AS n_docs FROM agg"
+        for name in rules
+    )
+    return f"""
+WITH nat AS (
+  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+),
+plants AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         text || ' the of and that' AS text
+  FROM nat WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 20000000, text || ' ### ... ### ... ### ... ### ...'
+  FROM nat WHERE doc_id % 10 = 1
+  UNION ALL
+  SELECT doc_id + 30000000, '- ' || text FROM nat WHERE doc_id % 10 = 2
+  UNION ALL
+  SELECT doc_id + 40000000,
+         text || chr(10) || 'closing line ...' || chr(10) || 'also ends ...'
+  FROM nat WHERE doc_id % 10 = 3
+  UNION ALL
+  SELECT doc_id + 50000000, text || ' ' || {num_salad}
+  FROM nat WHERE doc_id % 10 = 4
+  UNION ALL
+  SELECT doc_id + 60000000, text || ' ' || {a_salad}
+  FROM nat WHERE doc_id % 10 = 5
+),
+docs AS (
+  SELECT doc_id, text, {toks} AS toks, {lines} AS lns
+  FROM (
+    SELECT doc_id, text FROM nat
+    UNION ALL SELECT doc_id, text FROM plants
+  ) u
+),
+m AS (
+  SELECT doc_id,
+         CAST({n_words} AS BIGINT) AS n_words,
+         CAST({sum_len} AS BIGINT) AS sum_len,
+         CAST({alpha} AS BIGINT) AS n_alpha,
+         CAST({stop_hits} AS BIGINT) AS n_stop,
+         CAST({symbols} AS BIGINT) AS n_sym,
+         CAST({list_len(dialect, "lns")} AS BIGINT) AS n_lines,
+         CAST({bullet} AS BIGINT) AS n_bullet,
+         CAST({ell} AS BIGINT) AS n_ell
+  FROM docs
+),
+agg AS (
+  SELECT {viols},
+       CAST(sum(CASE WHEN {all_pass} THEN 1 ELSE 0 END) AS BIGINT)
+         AS g8_all_pass
+  FROM m
+)
+{selects}
+UNION ALL
+SELECT 'g8_all_pass', g8_all_pass FROM agg
+ORDER BY rule
+"""
+
+
+def _txt24_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT24, Spark side: the pure rendering — one map-only projection +
+    one map-combinable global aggregate."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_gopher_rules("spark"))
+
+
+QUERIES["txt24_gopher_rules"] = _txt24_gopher_rules
+TEXT_ORACLES["txt24_gopher_rules"] = sql_gopher_rules("duck")
