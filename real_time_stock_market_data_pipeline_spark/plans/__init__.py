@@ -50,7 +50,7 @@ _PRIORITY = [
     "o6_sorted_rollup",
     # 2 — new this round (each displaces one r13 fill below)
     "dd18_corpus_takedown", "sp18_data_constrained_mixture",
-    "emb24_probe_curve", "txt24_gopher_rules",
+    "emb24_probe_curve", "txt24_gopher_rules", "dq7_dataset_card",
     # 3 — green in CORRECTNESS_r13, r13-window order; entries past
     #     slot 50 are FROZEN FOR R17
     "a1_grouped_max", "a2_global_max", "a6_hourly_counts",

@@ -758,3 +758,122 @@ ORDER BY family
 
 QUERIES["dd18_corpus_takedown"] = _dd18_corpus_takedown
 AUDIT_ORACLES["dd18_corpus_takedown"] = sql_corpus_takedown("duck")
+
+
+# --- DQ7 (r16): per-source dataset card ----------------------------------------
+Q7_MICRO = 1_000_000
+
+
+def sql_dataset_card(dialect: str) -> str:
+    """DQ7 — the per-source DATASET CARD (Gebru et al. 2021, "Datasheets
+    for Datasets"): the one-page per-domain summary a curation run
+    publishes with the corpus — composing four already-proven families
+    into the artifact their numbers actually ship in:
+
+      n_docs / n_tokens        — corpus accounting
+      n_exact_dup              — docs minus DISTINCT texts (dd1's rule)
+      n_gopher_clean           — docs passing all seven txt24 rules
+      mean_quality             — txt2's heuristic, per-doc rounded
+                                 half-up to integer MICRO-units first so
+                                 the per-source sum is an exact BIGINT
+                                 under any shuffle (one final division)
+      top_lang / top_lang_docs — modal txt3 predicted language
+                                 (tie-break lang ASC)
+
+    Scale shape: one map-only projection per doc, two map-combinable
+    per-source aggregates, and a per-(source, lang) rollup with a
+    WindowGroupLimit top-1 — sources are the parallelism unit; nothing
+    corpus-sized crosses a single partition."""
+    from .dialect import map_fold_sum
+    from .text_parity import EN_STOP, LANG_MARKERS, _gopher_metrics, docs_cte
+
+    metrics, rules, lines = _gopher_metrics(dialect)
+    metric_select = ",\n         ".join(
+        f"CAST({expr} AS BIGINT) AS {name}"
+        for name, expr in metrics.items()
+    )
+    all_pass = " AND ".join(f"NOT ({cond})" for cond in rules.values())
+    n = d(list_len(dialect, "toks"))
+    stops = map_fold_sum(
+        dialect, "toks",
+        f"CASE WHEN x IN {EN_STOP} THEN {d('1.0')} ELSE {d('0.0')} END",
+    )
+    quality = (
+        f"{d('0.5')} * least({d('1.0')}, {n} / {d('50.0')}) "
+        f"+ {d('0.5')} * least({d('1.0')}, (({stops}) / {n}) / {d('0.4')})"
+    )
+    q_micro = f"CAST(floor(({quality}) * {Q7_MICRO} + {d('0.5')}) AS BIGINT)"
+    hits = {
+        code: map_fold_sum(
+            dialect, "toks",
+            f"CASE WHEN x IN {markers} THEN CAST(1 AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END",
+            init="CAST(0 AS BIGINT)",
+        )
+        for code, markers in LANG_MARKERS.items()
+    }
+    best = ", ".join(f"{code}_hits" for code in LANG_MARKERS)
+    lang_case = f"""CASE
+         WHEN greatest({best}) = 0 THEN 'und'
+         WHEN en_hits = greatest({best}) THEN 'en'
+         WHEN es_hits = greatest({best}) THEN 'es'
+         WHEN de_hits = greatest({best}) THEN 'de'
+         ELSE 'fr'
+       END"""
+    hit_cols = ",\n         ".join(
+        f"{expr} AS {code}_hits" for code, expr in hits.items()
+    )
+    return f"""
+WITH {docs_cte(dialect)},
+t AS (
+  SELECT doc_id, source, text, toks, {lines} AS lns
+  FROM docs WHERE text IS NOT NULL
+),
+m AS (
+  SELECT doc_id, source, text,
+         {metric_select},
+         {q_micro} AS q_micro,
+         {hit_cols}
+  FROM t
+),
+lbl AS (SELECT *, {lang_case} AS predicted_lang FROM m),
+per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+         CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_exact_dup,
+         CAST(sum(CASE WHEN {all_pass} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_gopher_clean,
+         CAST(sum(q_micro) AS BIGINT) AS q_sum
+  FROM lbl GROUP BY source
+),
+langs AS (
+  SELECT source, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM lbl GROUP BY source, predicted_lang
+),
+toplang AS (
+  SELECT source, predicted_lang AS top_lang, n AS top_lang_docs
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source ORDER BY n DESC, predicted_lang ASC
+    ) AS rk
+    FROM langs
+  ) r WHERE rk = 1
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.n_exact_dup, p.n_gopher_clean,
+       {r6t(f"CAST(p.q_sum AS DOUBLE) / {d(str(float(Q7_MICRO)))} / CAST(p.n_docs AS DOUBLE)")}
+         AS mean_quality,
+       tl.top_lang, tl.top_lang_docs
+FROM per p JOIN toplang tl ON p.source = tl.source
+ORDER BY p.source
+"""
+
+
+def _dq7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ7, Spark side: the pure rendering."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_dataset_card("spark"))
+
+
+QUERIES["dq7_dataset_card"] = _dq7_dataset_card
+AUDIT_ORACLES["dq7_dataset_card"] = sql_dataset_card("duck")

@@ -4512,6 +4512,68 @@ GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def _gopher_metrics(dialect: str):
+    """The per-doc metric expressions + integer rule predicates shared by
+    txt24's corpus report and dq7's dataset card: returns
+    (metric_exprs over a (text, toks, lns) row, rules over the metric
+    ALIASES, the line-split expression)."""
+    from .dialect import regexp_count
+
+    n_words = list_len(dialect, "toks")
+    big0 = "CAST(0 AS BIGINT)"
+    sum_len = map_fold_sum(
+        dialect, "toks", "CAST(length(x) AS BIGINT)", init=big0
+    )
+    if dialect == "spark":
+        alpha = "size(filter(toks, x -> x rlike '[A-Za-z]'))"
+        contains = "array_contains"
+        lines = "split(text, chr(10))"
+        bullet = (
+            "size(filter(lns, l -> substring(l, 1, 1) = '-' "
+            "OR substring(l, 1, 1) = '*'))"
+        )
+        ell = "size(filter(lns, l -> l LIKE '%...'))"
+    else:
+        alpha = "len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))"
+        contains = "list_contains"
+        lines = "string_split(text, chr(10))"
+        bullet = (
+            "len(list_filter(lns, l -> substring(l, 1, 1) = '-' "
+            "OR substring(l, 1, 1) = '*'))"
+        )
+        ell = "len(list_filter(lns, l -> l LIKE '%...'))"
+    stop_hits = " + ".join(
+        f"CASE WHEN {contains}(toks, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    symbols = (
+        f"{regexp_count(dialect, 'text', '#')}"
+        f" + {regexp_count(dialect, 'text', '[.][.][.]')}"
+    )
+    metrics = {
+        "n_words": n_words,
+        "sum_len": sum_len,
+        "n_alpha": alpha,
+        "n_stop": stop_hits,
+        "n_sym": symbols,
+        "n_lines": list_len(dialect, "lns"),
+        "n_bullet": bullet,
+        "n_ell": ell,
+    }
+    rules = {
+        "g1_word_count": (
+            f"n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS}"
+        ),
+        "g2_mean_word_len": "sum_len < 3 * n_words OR sum_len > 10 * n_words",
+        "g3_symbol_ratio": "10 * n_sym > n_words",
+        "g4_alpha_words": "5 * n_alpha < 4 * n_words",
+        "g5_stop_words": "n_stop < 2",
+        "g6_bullet_lines": "10 * n_bullet > 9 * n_lines",
+        "g7_ellipsis_lines": "10 * n_ell > 3 * n_lines",
+    }
+    return metrics, rules, lines
+
+
 def sql_gopher_rules(dialect: str) -> str:
     """TXT24 — the Gopher/MassiveWeb heuristic quality rules (Rae et al.
     2021, appendix A1.1) — the standard pre-training document gate that
@@ -4540,36 +4602,11 @@ def sql_gopher_rules(dialect: str) -> str:
     forms.  Scale shape: one codegen'd map-only projection per doc + one
     8-counter global aggregate (map-side partial) — the f1/txt2 shape;
     no shuffle beyond the final rollup."""
-    from .dialect import regexp_count
-
-    toks = split_ws(dialect, "text")
-    n_words = list_len(dialect, "toks")
-    big0 = "CAST(0 AS BIGINT)"
-    sum_len = map_fold_sum(
-        dialect, "toks", "CAST(length(x) AS BIGINT)", init=big0
-    )
+    metrics, rules, lines = _gopher_metrics(dialect)
     if dialect == "spark":
-        alpha = "size(filter(toks, x -> x rlike '[A-Za-z]'))"
-        contains = "array_contains"
-        lines = "split(text, chr(10))"
-        bullet = (
-            "size(filter(lns, l -> substring(l, 1, 1) = '-' "
-            "OR substring(l, 1, 1) = '*'))"
-        )
-        ell = "size(filter(lns, l -> l LIKE '%...'))"
-
         def arr_join(a: str) -> str:
             return f"array_join({a}, ' ')"
     else:
-        alpha = "len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))"
-        contains = "list_contains"
-        lines = "string_split(text, chr(10))"
-        bullet = (
-            "len(list_filter(lns, l -> substring(l, 1, 1) = '-' "
-            "OR substring(l, 1, 1) = '*'))"
-        )
-        ell = "len(list_filter(lns, l -> l LIKE '%...'))"
-
         def arr_join(a: str) -> str:
             return f"array_to_string({a}, ' ')"
 
@@ -4579,25 +4616,10 @@ def sql_gopher_rules(dialect: str) -> str:
     a_salad = arr_join(
         transform(dialect, seq(dialect, "1", "200"), "'a'", var="i")
     )
-    stop_hits = " + ".join(
-        f"CASE WHEN {contains}(toks, '{w}') THEN 1 ELSE 0 END"
-        for w in GOPHER_STOPWORDS
+    metric_select = ",\n         ".join(
+        f"CAST({expr} AS BIGINT) AS {name}"
+        for name, expr in metrics.items()
     )
-    symbols = (
-        f"{regexp_count(dialect, 'text', '#')}"
-        f" + {regexp_count(dialect, 'text', '[.][.][.]')}"
-    )
-    rules = {
-        "g1_word_count": (
-            f"n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS}"
-        ),
-        "g2_mean_word_len": "sum_len < 3 * n_words OR sum_len > 10 * n_words",
-        "g3_symbol_ratio": "10 * n_sym > n_words",
-        "g4_alpha_words": "5 * n_alpha < 4 * n_words",
-        "g5_stop_words": "n_stop < 2",
-        "g6_bullet_lines": "10 * n_bullet > 9 * n_lines",
-        "g7_ellipsis_lines": "10 * n_ell > 3 * n_lines",
-    }
     viols = ",\n       ".join(
         f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
         for name, cond in rules.items()
@@ -4632,7 +4654,7 @@ plants AS (
   FROM nat WHERE doc_id % 10 = 5
 ),
 docs AS (
-  SELECT doc_id, text, {toks} AS toks, {lines} AS lns
+  SELECT doc_id, text, {split_ws(dialect, "text")} AS toks, {lines} AS lns
   FROM (
     SELECT doc_id, text FROM nat
     UNION ALL SELECT doc_id, text FROM plants
@@ -4640,14 +4662,7 @@ docs AS (
 ),
 m AS (
   SELECT doc_id,
-         CAST({n_words} AS BIGINT) AS n_words,
-         CAST({sum_len} AS BIGINT) AS sum_len,
-         CAST({alpha} AS BIGINT) AS n_alpha,
-         CAST({stop_hits} AS BIGINT) AS n_stop,
-         CAST({symbols} AS BIGINT) AS n_sym,
-         CAST({list_len(dialect, "lns")} AS BIGINT) AS n_lines,
-         CAST({bullet} AS BIGINT) AS n_bullet,
-         CAST({ell} AS BIGINT) AS n_ell
+         {metric_select}
   FROM docs
 ),
 agg AS (
