@@ -355,3 +355,48 @@ def test_gate_readers_are_tombstone_aware(spark, docs, tmp_path):
     assert pairs1.join(
         dels.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi"
     ).isEmpty()
+
+
+def test_umbrella_reaches_ivfpq_family(spark, tmp_path):
+    """takedown()/purge_takedown() must dispatch the ivfpq family through
+    the existing delete_from_ivfpq_index / purge_ivfpq_tombstones ops —
+    one removal call reaching the serving index with the same replay and
+    purge semantics the direct path has."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivfpq_index,
+        ivfpq_fit,
+        search_ivfpq_index,
+        update_ivfpq_index,
+    )
+
+    emb = (
+        load_table(spark, SF, "embeddings")
+        .filter("vec_id < 120")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+        )
+        .localCheckpoint()
+    )
+    path = str(tmp_path / "ivfpq")
+    coarse, fine = ivfpq_fit(emb.filter("vec_id < 60"), n_lists=4, n_iter=1)
+    init_ivfpq_index(spark, coarse, fine, path)
+    update_ivfpq_index(spark, emb, path)
+    n_all = spark.read.parquet(f"{path}/index").count()
+    dels = emb.filter("vec_id % 9 = 2").select("vec_id")
+    n_del = dels.count()
+    m1 = td.takedown(spark, dels, {"ivfpq": path}, id_col="vec_id")
+    assert m1["ivfpq"]["n_new_tombstones"] == n_del
+    m2 = td.takedown(spark, dels, {"ivfpq": path}, id_col="vec_id")
+    assert m2["ivfpq"]["n_new_tombstones"] == 0
+    q = emb.filter("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    served = search_ivfpq_index(spark, path, q, emb, k=5, n_probe=4)
+    assert served.join(dels, "vec_id", "left_semi").isEmpty()
+    pg = td.purge_takedown(spark, {"ivfpq": path}, id_col="vec_id")
+    assert pg["ivfpq"]["n_purged"] == n_del
+    assert not os.path.exists(f"{path}/tombstones")
+    assert spark.read.parquet(f"{path}/index").count() == n_all - n_del
