@@ -15,63 +15,44 @@ ORACLES.update(AUDIT_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# third round.  Round-16 rotation policy (executes the r15 "R16 WINDOW
-# PLAN" + the r15 verdict's item 1 exactly — CORRECTNESS_r15 was 50/50
-# green, freshness 50 r15 / 50 r14 / 50 r13 / 12 r12):
-#   1. the 12 r12-green entries displaced by the r15 leads (the named
-#      "FROZEN FOR R16" block — the oldest evidence in the registry,
-#      three rounds stale) lead;
-#   2. queries NEW this round follow (each displaces one r13 fill from
+# fourth round.  Round-17 rotation policy (executes the r16 "R17 WINDOW
+# PLAN" + the r16 verdict's item 1 exactly — CORRECTNESS_r16 was 50/50
+# green, freshness 50 r16 / 50 r15 / 50 r14 / 17 r13):
+#   1. the 17 r13-green entries displaced past slot 50 by the r16 window
+#      (the named "FROZEN FOR R17" block — the oldest evidence in the
+#      registry, three rounds stale) lead;
+#   2. queries NEW this round follow (each displaces one r14 fill from
 #      the tail of the window — legal because inside/outside evidence
-#      both bottom out at r13 once the r12 block is inside, so
+#      both bottom out at r14 once the r13 block is inside, so
 #      max(inside) <= min(outside) holds);
-#   3. the r13-green queries in their r13-window order, oldest evidence
+#   3. the r14-green queries in their r14-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
-#   FROZEN FOR R17 (named, deliberate): the r13-green tail entries past
+#   FROZEN FOR R18 (named, deliberate): the r14-green tail entries past
 #   slot 50 wait one round — each is pytest-parity-pinned at sf0.001
 #   every run.
-#   R17 WINDOW PLAN (committed r16): once CORRECTNESS_r16 lands, the
-#   freshest-evidence blocks are 50 r16 / 50 r15 / 50 r14 / 12+new r13
-#   (the displaced r13 tail).  At r17: lead with the displaced r13-green
-#   entries (oldest evidence in the registry), fill with the r14-green
-#   block in its r14-window order to exactly 50 (each NEW r17 query
-#   displaces one r14 fill); the r15-green then r16-green blocks form
+#   R18 WINDOW PLAN (committed r17): once CORRECTNESS_r17 lands, the
+#   freshest-evidence blocks are 50 r17 / 50 r16 / 50 r15 / 17+new r14
+#   (the displaced r14 tail).  At r18: lead with the displaced r14-green
+#   entries (oldest evidence in the registry), fill with the r15-green
+#   block in its r15-window order to exactly 50 (each NEW r18 query
+#   displaces one r15 fill); the r16-green then r17-green blocks form
 #   the tail in their window orders.  The whole registry stays covered
 #   every run by tests/test_parity.py at sf0.001 and the pre-commit
 #   parity harness at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — the 12 r12-green entries displaced by the r15 leads ("FROZEN
-    #     FOR R16"): oldest evidence in the registry, mandatory leads
-    "emb19_filtered_ivfpq", "txt19_incremental_span_dedup",
-    "sp12_curated_corpus", "p3_time_window_filter", "p4_recent_window",
-    "p5_equality_filter", "p6_flag_filter", "a7_dup_detection",
-    "o1_top_events", "o4_latest_row", "o5_price_history",
-    "o6_sorted_rollup",
-    # 2 — new this round (each displaces one r13 fill below)
-    "dd18_corpus_takedown", "sp18_data_constrained_mixture",
-    "emb24_probe_curve", "txt24_gopher_rules", "dq7_dataset_card",
-    # 3 — green in CORRECTNESS_r13, r13-window order; entries past
-    #     slot 50 are FROZEN FOR R17
-    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
-    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
-    "mm1_media_meta", "emb12_incremental_pq", "dq3_embedding_audit",
-    "emb13_ivfpq_recall", "txt14_doc_retrieval",
-    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
-    "dd13_compacted_table", "emb14_incremental_ivfpq",
-    "sp8_decontaminated_pipeline", "txt10_repetition",
-    "sp6_temperature_mixture", "sp7_corpus_pipeline", "a13_ohlc_candles",
-    "w11_vwap", "emb9_quantized_recall", "dd10_exact_decontamination",
-    "txt11_pii_redaction", "dd9_incremental_minhash",
-    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
-    "f1_scalar_suite", "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
+    # 1 — the 17 r13-green entries displaced past slot 50 by the r16
+    #     window ("FROZEN FOR R17"): oldest evidence in the registry,
+    #     mandatory leads, in r13-window order
     "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
     "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
     "emb20_d4_prototypes", "dd14_snapshot_dedup", "mm12_multimodal_packing",
     "dq4_index_recall_drift", "sp13_model_curated_corpus",
     "txt20_ccnet_buckets", "a3_active_series", "mm3_bmp_pixel_stats",
     "mm4_wav_stats", "mm5_avi_frame_stats",
-    # 4 — green in CORRECTNESS_r14 (zero failures), r14-window order
+    # 2 — new this round (each displaces one r14 fill below)
+    # 3 — green in CORRECTNESS_r14, r14-window order; entries past
+    #     slot 50 are FROZEN FOR R18
     "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
     "mm2_image_dims", "t6_alerts", "j3_alert_feed",
     "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
@@ -91,7 +72,7 @@ _PRIORITY = [
     "emb11_pq_recall", "w14_series_banded_neardup",
     "dq5_serving_drift_monitors", "txt21_dsir_resample",
     "txt22_bm25_retrieval", "dd15_paragraph_dedup",
-    # 5 — green in CORRECTNESS_r15 (zero failures), r15-window order
+    # 4 — green in CORRECTNESS_r15 (zero failures), r15-window order
     "sp14_doremi_mixture", "sp15_curriculum_shards",
     "dd16_semantic_decontamination", "mm13_image_text_alignment",
     "dd17_quality_survivors", "sp16_doremi_manifest",
@@ -112,6 +93,26 @@ _PRIORITY = [
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
     "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
     "sp11_domain_mixture",
+    # 5 — green in CORRECTNESS_r16 (zero failures), r16-window order
+    "emb19_filtered_ivfpq", "txt19_incremental_span_dedup",
+    "sp12_curated_corpus", "p3_time_window_filter", "p4_recent_window",
+    "p5_equality_filter", "p6_flag_filter", "a7_dup_detection",
+    "o1_top_events", "o4_latest_row", "o5_price_history",
+    "o6_sorted_rollup",
+    "dd18_corpus_takedown", "sp18_data_constrained_mixture",
+    "emb24_probe_curve", "txt24_gopher_rules", "dq7_dataset_card",
+    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+    "mm1_media_meta", "emb12_incremental_pq", "dq3_embedding_audit",
+    "emb13_ivfpq_recall", "txt14_doc_retrieval",
+    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
+    "dd13_compacted_table", "emb14_incremental_ivfpq",
+    "sp8_decontaminated_pipeline", "txt10_repetition",
+    "sp6_temperature_mixture", "sp7_corpus_pipeline", "a13_ohlc_candles",
+    "w11_vwap", "emb9_quantized_recall", "dd10_exact_decontamination",
+    "txt11_pii_redaction", "dd9_incremental_minhash",
+    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
+    "f1_scalar_suite", "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

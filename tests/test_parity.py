@@ -31,60 +31,63 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r16_driver_window_pinned():
+def test_r17_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 12
-    r12-green entries displaced by the r15 leads (the "FROZEN FOR R16"
-    block, oldest evidence in the registry) lead, new r16 queries
-    follow, and the r13-green rotations fill to exactly 50 in r13-window
-    order (oldest evidence first).  An accidental import-order or
-    registration change would silently spend the evidence budget on the
-    wrong queries — fail loudly instead."""
+    only, so the window IS part of the round's evidence plan: the 17
+    r13-green entries displaced past slot 50 by the r16 window (the
+    "FROZEN FOR R17" block, oldest evidence in the registry) lead, new
+    r17 queries follow, and the r14-green rotations fill to exactly 50
+    in r14-window order (oldest evidence first).  An accidental
+    import-order or registration change would silently spend the
+    evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
     leads = [
-        "emb19_filtered_ivfpq", "txt19_incremental_span_dedup",
-        "sp12_curated_corpus", "p3_time_window_filter", "p4_recent_window",
-        "p5_equality_filter", "p6_flag_filter", "a7_dup_detection",
-        "o1_top_events", "o4_latest_row", "o5_price_history",
-        "o6_sorted_rollup",
+        "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
+        "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
+        "emb20_d4_prototypes", "dd14_snapshot_dedup",
+        "mm12_multimodal_packing", "dq4_index_recall_drift",
+        "sp13_model_curated_corpus", "txt20_ccnet_buckets",
+        "a3_active_series", "mm3_bmp_pixel_stats",
+        "mm4_wav_stats", "mm5_avi_frame_stats",
     ]
-    assert names[:12] == leads
-    # new r16 queries sit directly after the displaced-r12 leads; each
-    # one displaces one r13 fill off the window tail
-    new_r16 = [n for n in names[12:50] if n not in _R13_WINDOW_ORDER]
-    n_new = len(new_r16)
-    assert names[12:12 + n_new] == new_r16  # new queries are contiguous
-    assert names[12 + n_new:50] == _R13_WINDOW_ORDER[: 38 - n_new]
-    # slot 50 boundary: the frozen-for-r17 block starts at index 50 with
-    # the first displaced r13 fill
-    assert names[50] == _R13_WINDOW_ORDER[38 - n_new]
+    assert names[:17] == leads
+    # new r17 queries sit directly after the displaced-r13 leads; each
+    # one displaces one r14 fill off the window tail
+    new_r17 = [n for n in names[17:50] if n not in _R14_WINDOW_ORDER]
+    n_new = len(new_r17)
+    assert names[17:17 + n_new] == new_r17  # new queries are contiguous
+    assert names[17 + n_new:50] == _R14_WINDOW_ORDER[: 33 - n_new]
+    # slot 50 boundary: the frozen-for-r18 block starts at index 50 with
+    # the first displaced r14 fill
+    assert names[50] == _R14_WINDOW_ORDER[33 - n_new]
 
 
-# the r13-window order the round-16 fills draw from (the full 50-entry
-# r13-green block): any slot of the 50 not taken by a displaced-r12 lead
-# or a new r16 query is filled from this list front-to-back, and
-# displaced entries head the frozen-for-r17 block.
-_R13_WINDOW_ORDER = [
-    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
-    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
-    "mm1_media_meta", "emb12_incremental_pq", "dq3_embedding_audit",
-    "emb13_ivfpq_recall", "txt14_doc_retrieval",
-    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
-    "dd13_compacted_table", "emb14_incremental_ivfpq",
-    "sp8_decontaminated_pipeline", "txt10_repetition",
-    "sp6_temperature_mixture", "sp7_corpus_pipeline", "a13_ohlc_candles",
-    "w11_vwap", "emb9_quantized_recall", "dd10_exact_decontamination",
-    "txt11_pii_redaction", "dd9_incremental_minhash",
-    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
-    "f1_scalar_suite", "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
-    "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
-    "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
-    "emb20_d4_prototypes", "dd14_snapshot_dedup", "mm12_multimodal_packing",
-    "dq4_index_recall_drift", "sp13_model_curated_corpus",
-    "txt20_ccnet_buckets", "a3_active_series", "mm3_bmp_pixel_stats",
-    "mm4_wav_stats", "mm5_avi_frame_stats",
+# the r14-window order the round-17 fills draw from (the full 50-entry
+# r14-green block): any slot of the 50 not taken by a displaced-r13 lead
+# or a new r17 query is filled from this list front-to-back, and
+# displaced entries head the frozen-for-r18 block.
+_R14_WINDOW_ORDER = [
+    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
+    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
+    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
+    "emb8_ivf_index_search", "a10_value_histogram", "a11_daily_type_pivot",
+    "a12_rollup_sets", "sp3_capped_per_group", "sp4_balanced_mixture",
+    "dq2_volume_anomalies", "emb15_semantic_dedup",
+    "emb16_semdedup_keep_policy", "mm11_triad_decontamination",
+    "sp9_dup_aware_split", "emb17_incremental_semdedup",
+    "txt15_perplexity_filter", "emb18_filtered_ann",
+    "txt16_duplicated_ngrams", "dd1_exact_dedup", "w2_sma", "w3_ema",
+    "txt1_token_stats", "txt4_fingerprint", "emb10_incremental_ivf",
+    "txt12_bigram_lm", "txt13_feature_hash", "mm7_dhash_pairs",
+    "w12_series_similarity", "w13_series_all_pairs",
+    "dd11_incremental_decontamination", "mm8_audio_pairs", "mm9_video_pairs",
+    "emb11_pq_recall", "w14_series_banded_neardup",
+    "dq5_serving_drift_monitors", "txt21_dsir_resample",
+    "txt22_bm25_retrieval", "dd15_paragraph_dedup",
 ]
 
 
