@@ -679,6 +679,20 @@ def search_ivf_index(
     # with a complete staging pending — roll it forward before serving
     heal_if_interrupted(path, for_read=True)
     heal_if_interrupted(f"{path}/lists", for_read=True)
+    from ..sources.readers import read_parquet_if_exists
+
+    all_lists = read_parquet_if_exists(spark, f"{path}/lists")
+    if all_lists is None:
+        # an index never populated, or one whose every vector a
+        # zero-survivor purge removed — absent-as-empty (module
+        # contract): no candidates, so no results.  Ids in this
+        # engine's stores are integral (documented bigint).
+        return (
+            queries.select(F.col(query_id)).limit(0)
+            .withColumn(vec_id, F.lit(None).cast("bigint"))
+            .withColumn("cosine_sim", F.lit(None).cast("double"))
+            .withColumn("rk", F.lit(None).cast("int"))
+        )
     cents = _collect_codebook(spark.read.parquet(f"{path}/centroids"), centroid_id, vec)
     probes = queries.select(
         F.col(query_id),
@@ -688,9 +702,16 @@ def search_ivf_index(
     probed_ids = sorted(
         r[0] for r in probes.select(centroid_id).distinct().collect()
     )
-    lists = spark.read.parquet(f"{path}/lists").filter(
-        F.col(centroid_id).isin(probed_ids)
-    )
+    lists = all_lists.filter(F.col(centroid_id).isin(probed_ids))
+    # tombstone-aware serving (delete_from_ivf_index): deleted vectors
+    # drop out before scoring, so results equal an index that never
+    # contained them (assignment is per-vector pure, so deletion
+    # commutes).  Deletion-sized broadcast; absent = zero plan change.
+    tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+    if tombs is not None:
+        lists = lists.join(
+            F.broadcast(tombs.select(vec_id).distinct()), vec_id, "left_anti"
+        )
     if where is not None:
         lists = lists.filter(where)
     scored = (
@@ -1203,6 +1224,22 @@ def update_pq_codes(
     finally:
         coded.unpersist()
     return {"n_batch": n_batch, "n_new": n_new}
+
+
+def read_pq_codes(spark, path: str, vec_id: str = "vec_id") -> DataFrame | None:
+    """The persisted (vec_id, pq_codes) table with tombstoned vectors
+    excluded — the serving read between ``takedown`` (family ``"pq"``,
+    which applies the generic flat doc-keyed contract to
+    ``{path}/codes``) and its purge.  None when no code table exists
+    (never built, or a zero-survivor purge removed it).  Zero plan
+    change while no tombstones exist."""
+    from ..sources.readers import read_parquet_if_exists
+    from .takedown import minus_tombstones
+
+    codes = read_parquet_if_exists(spark, f"{path}/codes")
+    if codes is None:
+        return None
+    return minus_tombstones(codes, spark, f"{path}/codes", vec_id)
 
 
 def pq_codes_sink(
@@ -1782,16 +1819,24 @@ def search_ivfpq_index(
     probed_ids = sorted(
         r[0] for r in probes.select("list_id").distinct().collect()
     )
-    index = spark.read.parquet(f"{path}/index").filter(
-        F.col("list_id").isin(probed_ids)
-    )
+    from ..sources.readers import read_parquet_if_exists
+
+    all_index = read_parquet_if_exists(spark, f"{path}/index")
+    if all_index is None:
+        # never populated, or every vector removed by a zero-survivor
+        # purge — absent-as-empty (module contract): no results
+        return (
+            queries.select(F.col(query_id)).limit(0)
+            .crossJoin(corpus.select(F.col(vec_id)).limit(0))
+            .withColumn("l2_dist", F.lit(None).cast("double"))
+            .withColumn("rk", F.lit(None).cast("int"))
+        )
+    index = all_index.filter(F.col("list_id").isin(probed_ids))
     # tombstone-aware serving (delete_from_ivfpq_index): deleted vectors
     # drop out BEFORE shortlist selection, so results equal an index that
     # never contained them (encoding is per-vector, so deletion commutes
     # — emb21's in-plan twin gate).  The table is deletion-sized and
     # broadcast; absent table = zero plan change.
-    from ..sources.readers import read_parquet_if_exists
-
     tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
     if tombs is not None:
         index = index.join(
@@ -1879,6 +1924,81 @@ def purge_ivfpq_tombstones(
     At 100 TB: deletion batches touch few lists (tombstone-sized
     driver collect of the touched list ids), so a purge reads and
     rewrites only those partitions — never the corpus."""
+    return _purge_partitioned_tombstones(
+        spark, path, f"{path}/index", vec_id, "list_id",
+        "purge_ivfpq_tombstones",
+    )
+
+
+def delete_from_ivf_index(
+    spark,
+    ids: DataFrame,
+    path: str,
+    vec_id: str = "vec_id",
+) -> dict[str, int]:
+    """Logically DELETE vectors from the persisted FLAT IVF index (the
+    float-list layout of ``update_ivf_index``) — the takedown arm the
+    r16 verdict flagged as the family's symmetry gap: the serving-tier
+    IVF-PQ index had deletion (``delete_from_ivfpq_index``) while the
+    flat rung did not.  Identical contract: ids present in the lists
+    tombstone into ``{path}/tombstones`` (semi-join, replay-idempotent
+    via the anti-join), ``search_ivf_index`` anti-joins them so a
+    deleted vector can never be served, ``purge_ivf_tombstones`` later
+    removes the rows physically.  Returns ``{"n_batch_ids",
+    "n_new_tombstones"}``."""
+    from ..maintenance import heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+    from .takedown import _append_new_tombstones
+
+    heal_if_interrupted(path)
+    heal_if_interrupted(f"{path}/lists")
+    batch = ids.select(vec_id).distinct()
+    n_batch = batch.count()
+    lists = read_parquet_if_exists(spark, f"{path}/lists")
+    if lists is None:
+        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+    present = batch.join(lists.select(vec_id), vec_id, "left_semi")
+    n_new = _append_new_tombstones(
+        spark, present, f"{path}/tombstones", vec_id
+    )
+    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+
+
+def purge_ivf_tombstones(
+    spark,
+    path: str,
+    vec_id: str = "vec_id",
+) -> dict[str, int]:
+    """Physically remove tombstoned vectors from the flat IVF index —
+    the same partition-pruned staged swap as ``purge_ivfpq_tombstones``
+    (both stores are hive-partitioned on their list column, so only the
+    ``centroid_id=`` directories holding tombstoned rows rewrite; a
+    fully-doomed list is removed outright, tombstones clear LAST as the
+    crash-recovery signal).  Under the index's fixed codebook the
+    result equals ``update_ivf_index`` ingest of corpus-minus-deleted —
+    assignment is a pure per-vector function, so deletion commutes
+    (dd18's gate)."""
+    return _purge_partitioned_tombstones(
+        spark, path, f"{path}/lists", vec_id, "centroid_id",
+        "purge_ivf_tombstones",
+    )
+
+
+def _purge_partitioned_tombstones(
+    spark,
+    root: str,
+    index_path: str,
+    vec_id: str,
+    part_col: str,
+    op_name: str,
+) -> dict[str, int]:
+    """Shared partition-pruned purge over a hive-partitioned index table
+    with a ``{root}/tombstones`` sibling — the body behind
+    ``purge_ivfpq_tombstones`` (partitioned on ``list_id``) and
+    ``purge_ivf_tombstones`` (partitioned on ``centroid_id``); both
+    stores are doc-keyed under a partition column, so the staged-
+    partition swap, the zero-survivor branch, and the clear-tombstones-
+    last recovery contract are identical."""
     import shutil as _shutil
     import uuid as _uuid
 
@@ -1890,27 +2010,31 @@ def purge_ivfpq_tombstones(
     )
     from ..sources.readers import read_parquet_if_exists
 
-    index_path = f"{path}/index"
-    _require_local_path(index_path, "purge_ivfpq_tombstones")
-    heal_if_interrupted(path)
+    _require_local_path(index_path, op_name)
+    heal_if_interrupted(root)
     heal_if_interrupted(index_path)
-    tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+    tombs = read_parquet_if_exists(spark, f"{root}/tombstones")
     if tombs is None:
         return {"n_purged": 0, "n_lists_rewritten": 0}
     t_ids = tombs.select(vec_id).distinct()
-    index = spark.read.parquet(index_path)
+    index = read_parquet_if_exists(spark, index_path)
+    if index is None:
+        # a prior zero-survivor purge removed the whole table; the
+        # standing tombstones are its recovery signal — clear them now
+        _shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
+        return {"n_purged": 0, "n_lists_rewritten": 0}
     doomed = index.join(t_ids, vec_id, "left_semi")
     touched = sorted(
-        r[0] for r in doomed.select("list_id").distinct().collect()
+        r[0] for r in doomed.select(part_col).distinct().collect()
     )
     n_purged = doomed.count()
     if touched:
         _require_no_orphans(index_path)
-        keep = index.filter(F.col("list_id").isin(touched)).join(
+        keep = index.filter(F.col(part_col).isin(touched)).join(
             t_ids, vec_id, "left_anti"
         )
         staging = f"{index_path}__staging_{_uuid.uuid4().hex}"
-        keep.write.mode("overwrite").partitionBy("list_id").parquet(staging)
+        keep.write.mode("overwrite").partitionBy(part_col).parquet(staging)
         from ..maintenance import _partition_entries
 
         if not _partition_entries(staging):
@@ -1928,15 +2052,19 @@ def purge_ivfpq_tombstones(
             _shutil.rmtree(staging, ignore_errors=True)
             for lid in touched:
                 _shutil.rmtree(
-                    os.path.join(index_path, f"list_id={lid}"),
+                    os.path.join(index_path, f"{part_col}={lid}"),
                     ignore_errors=True,
                 )
+            if not _partition_entries(index_path):
+                # every list was touched and doomed: nothing survives —
+                # remove the empty table dir so readers see absent-as-empty
+                _shutil.rmtree(index_path, ignore_errors=True)
         else:
             _mark_staging_complete(staging)
             trash = f"{index_path}__old_{_uuid.uuid4().hex}"
             os.makedirs(trash)
             for lid in touched:
-                entry = f"list_id={lid}"
+                entry = f"{part_col}={lid}"
                 dst = os.path.join(index_path, entry)
                 staged = os.path.join(staging, entry)
                 if os.path.exists(dst):
@@ -1947,7 +2075,7 @@ def purge_ivfpq_tombstones(
                 # else: every row of this list was deleted — dir stays removed
             _shutil.rmtree(trash, ignore_errors=True)
             _shutil.rmtree(staging, ignore_errors=True)
-    _shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    _shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
     return {"n_purged": int(n_purged), "n_lists_rewritten": len(touched)}
 
 

@@ -210,10 +210,16 @@ def tombstone_semantic_index(
 
 def semantic_assigned_minus_tombstones(
     spark: SparkSession, root: str, vec_id: str = "vec_id"
-) -> DataFrame:
+) -> DataFrame | None:
+    """The assigned table with tombstoned vectors excluded; None when no
+    assigned table exists — ``purge_semantic_index`` removes the dir
+    outright when every row is tombstoned, and the module contract says
+    readers treat the absent dir as an empty table (r16 ADVICE)."""
     from ..sources.readers import read_parquet_if_exists
 
-    assigned = spark.read.parquet(f"{root}/assigned")
+    assigned = read_parquet_if_exists(spark, f"{root}/assigned")
+    if assigned is None:
+        return None
     tombs = read_parquet_if_exists(spark, f"{root}/tombstones")
     if tombs is None:
         return assigned
@@ -308,7 +314,20 @@ def purge_semantic_index(
 
 # --- Umbrella: one removal request reaches every family ----------------------
 
-_FLAT_FAMILIES = ("signatures", "shingles", "fingerprints", "segmentations")
+# flat doc-keyed tables under the generic contract; ``latest_revisions``
+# is dd14's current-state table — physically the same flat shape, named
+# separately because its SEMANTICS differ: the store holds only the
+# per-key WINNING revision, so purging a winner leaves its key ABSENT
+# (the runner-up snapshots were never persisted and cannot be
+# resurrected from the store) until the next crawl re-ingests the key —
+# at which point ``upsert_latest_revisions``' order-robust merge
+# converges the store to keep-latest over snapshots-minus-deleted
+# (dd18's rev-family gate).  Erasure-now, convergence-at-next-crawl is
+# the honest GDPR contract for a current-state table.
+_FLAT_FAMILIES = (
+    "signatures", "shingles", "fingerprints", "segmentations",
+    "latest_revisions",
+)
 
 
 def takedown(
@@ -316,35 +335,55 @@ def takedown(
     ids: DataFrame,
     roots: dict[str, str],
     id_col: str = "doc_id",
+    id_cols: dict[str, str] | None = None,
 ) -> dict[str, dict]:
     """Apply one removal request to every persisted table family at once.
     ``roots`` maps family → store path; recognized families:
 
     * ``signatures`` / ``shingles`` / ``fingerprints`` /
-      ``segmentations`` — flat doc-keyed tables
-      (``tombstone_doc_keyed_table``)
+      ``segmentations`` / ``latest_revisions`` — flat doc-keyed tables
+      (``tombstone_doc_keyed_table``; see the ``latest_revisions``
+      semantics note above)
     * ``semantic`` — a semantic-dedup index root
       (``tombstone_semantic_index``; pairs retract on either end)
     * ``bm25`` — a BM25 posting root (``text.takedown_bm25_postings``;
       df decrements at purge through the epoch-hwm'd swap)
     * ``ivfpq`` — an IVF-PQ index root
       (``similarity.delete_from_ivfpq_index``)
+    * ``ivf`` — a flat IVF float-list index root
+      (``similarity.delete_from_ivf_index``)
+    * ``pq`` — a flat PQ code-table root (the generic flat contract
+      applied to ``{path}/codes``; serve through
+      ``similarity.read_pq_codes``)
 
-    Returns per-family counters; replaying the same ids appends zero
-    tombstones everywhere (each family's anti-join)."""
-    from .similarity import delete_from_ivfpq_index
+    ``id_cols`` optionally overrides the id column per family (a vector
+    index keyed ``vec_id`` and a revision table keyed ``snapshot_id``
+    can share one request).  Returns per-family counters; replaying the
+    same ids appends zero tombstones everywhere (each family's
+    anti-join)."""
+    from .similarity import delete_from_ivf_index, delete_from_ivfpq_index
     from .text import takedown_bm25_postings
 
     out: dict[str, dict] = {}
     for family, path in roots.items():
+        col = (id_cols or {}).get(family, id_col)
+        fam_ids = (
+            ids if col == id_col else ids.withColumnRenamed(id_col, col)
+        )
         if family in _FLAT_FAMILIES:
-            out[family] = tombstone_doc_keyed_table(spark, ids, path, id_col)
+            out[family] = tombstone_doc_keyed_table(spark, fam_ids, path, col)
         elif family == "semantic":
-            out[family] = tombstone_semantic_index(spark, ids, path, id_col)
+            out[family] = tombstone_semantic_index(spark, fam_ids, path, col)
         elif family == "bm25":
-            out[family] = takedown_bm25_postings(spark, ids, path, id_col)
+            out[family] = takedown_bm25_postings(spark, fam_ids, path, col)
         elif family == "ivfpq":
-            out[family] = delete_from_ivfpq_index(spark, ids, path, id_col)
+            out[family] = delete_from_ivfpq_index(spark, fam_ids, path, col)
+        elif family == "ivf":
+            out[family] = delete_from_ivf_index(spark, fam_ids, path, col)
+        elif family == "pq":
+            out[family] = tombstone_doc_keyed_table(
+                spark, fam_ids, f"{path}/codes", col
+            )
         else:
             raise ValueError(f"unknown takedown family {family!r}")
     return out
@@ -354,23 +393,29 @@ def purge_takedown(
     spark: SparkSession,
     roots: dict[str, str],
     id_col: str = "doc_id",
+    id_cols: dict[str, str] | None = None,
 ) -> dict[str, dict]:
     """Make every family's standing tombstones physically durable; same
     family keys as ``takedown``.  Idempotent per family (tombstones are
     each purge's recovery signal and are cleared last)."""
-    from .similarity import purge_ivfpq_tombstones
+    from .similarity import purge_ivf_tombstones, purge_ivfpq_tombstones
     from .text import purge_bm25_postings
 
     out: dict[str, dict] = {}
     for family, path in roots.items():
+        col = (id_cols or {}).get(family, id_col)
         if family in _FLAT_FAMILIES:
-            out[family] = purge_doc_keyed_table(spark, path, id_col)
+            out[family] = purge_doc_keyed_table(spark, path, col)
         elif family == "semantic":
-            out[family] = purge_semantic_index(spark, path, id_col)
+            out[family] = purge_semantic_index(spark, path, col)
         elif family == "bm25":
-            out[family] = purge_bm25_postings(spark, path, id_col)
+            out[family] = purge_bm25_postings(spark, path, col)
         elif family == "ivfpq":
-            out[family] = purge_ivfpq_tombstones(spark, path, id_col)
+            out[family] = purge_ivfpq_tombstones(spark, path, col)
+        elif family == "ivf":
+            out[family] = purge_ivf_tombstones(spark, path, col)
+        elif family == "pq":
+            out[family] = purge_doc_keyed_table(spark, f"{path}/codes", col)
         else:
             raise ValueError(f"unknown takedown family {family!r}")
     return out
@@ -389,8 +434,19 @@ def takedown_sink(
     end-to-end: a replayed batch anti-joins standing tombstones and
     appends nothing; after a purge the ids are gone from the tables, so
     a late redelivery semi-joins to nothing and tombstones nothing —
-    the doc stays deleted either way and a later legitimate re-ingest
-    of a purged id is unaffected.
+    the doc stays deleted either way, and a legitimate re-ingest of a
+    purged id is unaffected PROVIDED the redelivery lands before the
+    re-ingest.  Ordering caveat (r16 ADVICE): checkpointed redelivery
+    cannot arrive after a purge completes (the purge only runs once the
+    batch is checkpoint-committed), but a FRESH-CHECKPOINT replay of an
+    old request that lands AFTER a legitimate re-ingest of the purged
+    id re-tombstones and re-deletes the re-ingested doc — the id is
+    physically present again, so the semi-join admits it.  Replaying a
+    removal log from a new checkpoint is therefore only safe on stores
+    that have seen no post-purge re-ingest of the replayed ids; a
+    deployment that re-admits purged ids should gate replays with a
+    processed-request high-water mark (the bm25 ``_td_hwm``
+    construction at the request level).
 
     ``purge_every``: run ``purge_takedown`` after every N-th batch —
     the amortization knob (purge is the compaction-shaped rewrite;

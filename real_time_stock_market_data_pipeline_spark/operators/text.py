@@ -502,6 +502,23 @@ def bm25_tf_minus_tombstones(spark, path: str, id_col: str = "doc_id"):
     ).select(*tf.columns)
 
 
+def read_bm25_df(spark, path: str) -> DataFrame:
+    """The df table as a DataFrame, EMPTY (not an error) when it holds no
+    parquet — after a total-zero purge the ``{path}/df`` dir legally
+    contains only the hwm files and the commit marker (the hwm must
+    survive for replay gating), which ``spark.read.parquet`` rejects
+    but this read treats as an empty table (r16 ADVICE).  Every
+    serving-side df read should come through here."""
+    import os
+
+    from ..sources.readers import read_parquet_if_exists
+
+    df = read_parquet_if_exists(spark, os.path.join(path, "df"))
+    if df is None:
+        return spark.createDataFrame([], "tok string, df bigint")
+    return df
+
+
 def purge_bm25_postings(spark, path: str, id_col: str = "doc_id") -> dict:
     """Make BM25 takedowns physically durable.  Order of operations IS
     the crash-safety argument (mirror of ``update_bm25_postings``):
@@ -519,7 +536,13 @@ def purge_bm25_postings(spark, path: str, id_col: str = "doc_id") -> dict:
     3. tombstones cleared LAST — the standing recovery signal for every
        crash window above.
 
-    Returns ``{"n_purged_tf", "n_df_decremented"}``."""
+    Returns ``{"n_purged_tf", "n_df_rows_decremented",
+    "n_df_rows_dropped"}``: ``n_df_rows_decremented`` counts df rows
+    whose count DECREASED this purge (every token the deleted docs
+    carried that the table still holds), ``n_df_rows_dropped`` the
+    subset that reached ≤ 0 and left the table entirely (r16 ADVICE:
+    the old single counter reported only the dropped rows under a
+    misleading name)."""
     import os
     import shutil
 
@@ -539,15 +562,17 @@ def purge_bm25_postings(spark, path: str, id_col: str = "doc_id") -> dict:
     t_path = os.path.join(path, "tombstones")
     tombs = read_parquet_if_exists(spark, t_path)
     if tombs is None:
-        return {"n_purged_tf": 0, "n_df_decremented": 0}
+        return {"n_purged_tf": 0, "n_df_rows_decremented": 0,
+                "n_df_rows_dropped": 0}
     tf = read_parquet_if_exists(spark, tf_path)
     if tf is None:
         shutil.rmtree(t_path, ignore_errors=True)
-        return {"n_purged_tf": 0, "n_df_decremented": 0}
+        return {"n_purged_tf": 0, "n_df_rows_decremented": 0,
+                "n_df_rows_dropped": 0}
     t_ids = tombs.select(id_col).distinct()
     hwm = _read_bm25_hwm(df_path, BM25_TD_HWM_FILE)
     pending = tombs.filter(F.col("td_epoch") > hwm)
-    n_dec = 0
+    n_dec = n_drop = 0
     existing = read_parquet_if_exists(spark, df_path)
     if existing is not None and pending.first() is not None:
         import uuid
@@ -572,7 +597,8 @@ def purge_bm25_postings(spark, path: str, id_col: str = "doc_id") -> dict:
             .filter(F.col("df") > 0)
             .localCheckpoint(eager=False)
         )
-        n_dec = existing.count() - merged.count()
+        n_dec = deltas.join(existing, "tok", "left_semi").count()
+        n_drop = existing.count() - merged.count()
         new_hwm = int(tombs.agg(F.max("td_epoch")).first()[0])
         staging = f"{df_path}__staging_{uuid.uuid4().hex}"
         if merged.isEmpty():
@@ -606,7 +632,8 @@ def purge_bm25_postings(spark, path: str, id_col: str = "doc_id") -> dict:
                 ),
             )
     shutil.rmtree(t_path, ignore_errors=True)
-    return {"n_purged_tf": int(n_tf), "n_df_decremented": int(n_dec)}
+    return {"n_purged_tf": int(n_tf), "n_df_rows_decremented": int(n_dec),
+            "n_df_rows_dropped": int(n_drop)}
 
 
 def bm25_postings_sink(

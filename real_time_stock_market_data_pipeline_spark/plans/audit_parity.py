@@ -429,16 +429,18 @@ QUERIES["dq6_contamination_audit"] = _dq6_contamination_audit
 AUDIT_ORACLES["dq6_contamination_audit"] = sql_contamination_audit("duck")
 
 
-# --- DD18 (r16): corpus takedown sweep ---------------------------------------
+# --- DD18 (r16, extended r17): corpus takedown sweep --------------------------
 # emb21 built deletion for ONE persisted-table family (the IVF-PQ serving
 # index); a production removal request (GDPR erasure, robots revocation, a
 # retired benchmark) must reach ALL of them.  dd18 drives the umbrella
-# operator (operators/takedown.takedown / purge_takedown) across the five
+# operator (operators/takedown.takedown / purge_takedown) across the
 # remaining families in one lifecycle — MinHash signature table, 13-gram
 # shingle table, media fingerprint table, semantic-dedup index (assigned +
-# pairs, either-end retraction), and the BM25 posting tables (the engine's
-# first DELETE-maintained df merge, epoch-hwm'd like txt23's ingest) — and
-# pins emb21's three gates per family:
+# pairs, either-end retraction), the BM25 posting tables (the engine's
+# first DELETE-maintained df merge, epoch-hwm'd like txt23's ingest), and
+# (r17, closing the r16 verdict's symmetry edge) the flat IVF float-list
+# index, the flat PQ code table, and dd14's latest-revisions current-state
+# table — and pins emb21's three gates per family:
 #   replay_zero      — re-submitting the same removal appends no tombstones;
 #   serve_clean      — between tombstone and purge, every tombstone-aware
 #                      read excludes the deleted docs (for bm25 the serving
@@ -448,7 +450,13 @@ AUDIT_ORACLES["dq6_contamination_audit"] = sql_contamination_audit("duck")
 #                      from scratch on corpus-minus-deleted (the commute
 #                      argument: every row is a pure per-doc function —
 #                      per-PAIR for the semantic pair table — under fixed
-#                      params/codebook).
+#                      params/codebook).  EXCEPTION latest_revisions: the
+#                      store holds only per-key WINNERS, so purging a
+#                      winning revision leaves its key absent until the
+#                      next crawl — the gate there is purge + re-crawl
+#                      replay ≡ keep-latest over snapshots-minus-deleted
+#                      (upsert_latest_revisions' order-robust convergence;
+#                      erasure-now, convergence-at-next-crawl).
 # Fixture: documents doc_id < DD18_DOCS with a per-doc unique SALT token
 # appended (so deleted docs force df rows to 0 — the decrement-to-zero path
 # is exercised, not just decrements); embeddings vec_id < DD18_SEM with
@@ -470,23 +478,28 @@ DD18_TWIN_STRIDE = 5
 DD18_TWIN_BASE = 1_000_000
 DD18_K = 8
 DD18_TAU = 0.95
+DD18_URLS = 40  # url buckets for the latest-revisions leg
+DD18_PQ_M = 8   # PQ subspaces for the code-table leg (64-dim / 8)
+DD18_PQ_K = 16
 
 
 def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DD18, Spark side: build all five family tables over the slice,
-    take down id % 7 == 3 through the umbrella operator, verify the
+    """DD18, Spark side: build every family table over the slice, take
+    down id % 7 == 3 through the umbrella operator, verify the
     replay/serving gates, purge, and compare every purged table against
-    a from-scratch rebuild on the remaining corpus.
+    a from-scratch rebuild on the remaining corpus (for
+    latest_revisions: purge + re-crawl replay, see the module note).
 
-    The five family lifecycles are INDEPENDENT (separate stores, shared
-    read-only fixture checkpoints) and each is a chain of dozens of
-    tiny fixture-sized jobs whose cost is Spark's fixed per-job
-    overhead — so, exactly like dq5's monitor fleet, the legs run on
-    five driver threads (measured: ~24 s sequential → ~9 s threaded at
-    sf0.1; the wall floor is the semantic leg's serial chain).  No leg
-    operator mutates session-global state (the dq5 invariant — all file
-    ops target leg-private stores); each table comparison is ONE action
-    (symmetric exceptAll union)."""
+    The eight family lifecycles are INDEPENDENT (separate stores, shared
+    read-only fixture checkpoints — the kmeans codebook and PQ
+    codebooks are fit ONCE before the pool and only read inside legs)
+    and each is a chain of dozens of tiny fixture-sized jobs whose cost
+    is Spark's fixed per-job overhead — so, exactly like dq5's monitor
+    fleet, the legs run on driver threads (measured r16: ~24 s
+    sequential → ~9 s threaded at sf0.1; the wall floor is the semantic
+    leg's serial chain).  No leg operator mutates session-global state
+    (the dq5 invariant — all file ops target leg-private stores); each
+    table comparison is ONE action (symmetric exceptAll union)."""
     import atexit
     import os
     import shutil
@@ -496,13 +509,25 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.clustering import kmeans_fit
     from ..operators.dedup import (
+        keep_latest_dedup,
         minhash_band_rows,
         shingle_hashes,
         update_signature_table,
         update_test_shingle_table,
+        upsert_latest_revisions,
     )
     from ..operators.multimodal import image_dhash, update_media_fingerprint_table
-    from ..operators.similarity import init_semantic_index, update_semantic_index
+    from ..operators.similarity import (
+        init_ivf_index,
+        init_pq_index,
+        init_semantic_index,
+        pq_fit,
+        read_pq_codes,
+        search_ivf_index,
+        update_ivf_index,
+        update_pq_codes,
+        update_semantic_index,
+    )
     from ..operators.takedown import (
         minus_tombstones,
         purge_takedown,
@@ -576,9 +601,16 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = b.select(*a.columns)
         return a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
 
-    def disjoint(df: DataFrame, key: str, dels: DataFrame, dkey: str) -> bool:
+    def disjoint(df: DataFrame | None, key: str, dels: DataFrame, dkey: str) -> bool:
+        if df is None:  # absent table serves nothing (module contract)
+            return True
         d = dels.withColumnRenamed(dkey, key) if dkey != key else dels
         return df.join(d, key, "left_semi").isEmpty()
+
+    # quantizer fixtures shared across the vector legs: fit ONCE before
+    # the pool (deterministic; legs only READ them — the dq5 invariant)
+    cents = kmeans_fit(emb, k=DD18_K, n_iter=1).localCheckpoint(eager=False)
+    pq_cbs = pq_fit(emb, m=DD18_PQ_M, k=DD18_PQ_K, n_iter=1)
 
     def flat_leg(fam: str, sub: str, update, rebuilt_rows):
         p = os.path.join(root, sub)
@@ -626,7 +658,6 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     def leg_sem():
         p = os.path.join(root, "sem")
         p2 = os.path.join(root, "sem2")
-        cents = kmeans_fit(emb, k=DD18_K, n_iter=1).localCheckpoint(eager=False)
         init_semantic_index(cents, p)
         update_semantic_index(spark, sem_corpus, p, DD18_TAU)
         before_a, before_p = count(f"{p}/assigned"), count(f"{p}/pairs")
@@ -682,10 +713,96 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
 
-    with ThreadPoolExecutor(max_workers=5) as pool:
+    def leg_ivf():
+        """Flat IVF float-list index (emb10's layout) — the r16 verdict's
+        first symmetry gap: serving reads (search_ivf_index) anti-join
+        the tombstones, purge is the same partition-pruned staged swap
+        as ivfpq's (both hive-partitioned on their list column)."""
+        p = os.path.join(root, "ivf")
+        p2 = os.path.join(root, "ivf2")
+        init_ivf_index(cents, p)
+        update_ivf_index(spark, sem_corpus, p)
+        before = count(f"{p}/lists")
+        takedown(spark, vec_dels, {"ivf": p}, id_col="vec_id")
+        m2 = takedown(spark, vec_dels, {"ivf": p}, id_col="vec_id")
+        replay = m2["ivf"]["n_new_tombstones"] == 0
+        # serve through the REAL reader: query the index with the deleted
+        # vectors themselves, all lists probed — a still-served deleted
+        # vector would be its own (distance-0) top hit
+        dq = sem_corpus.join(vec_dels, "vec_id", "left_semi").selectExpr(
+            "vec_id AS query_id", "embedding"
+        )
+        hits = search_ivf_index(spark, p, dq, k=1, n_probe=DD18_K)
+        serve = disjoint(hits, "vec_id", vec_dels, "vec_id")
+        purge_takedown(spark, {"ivf": p}, id_col="vec_id")
+        init_ivf_index(cents, p2)
+        update_ivf_index(spark, rem_sem, p2)
+        return [(
+            "ivf_lists", before, count(f"{p}/lists"), replay, serve,
+            tbl_eq(f"{p}/lists", spark.read.parquet(f"{p2}/lists")),
+        )]
+
+    def leg_pq():
+        """Flat PQ code table (emb12's layout) — the generic flat
+        doc-keyed contract applied to {path}/codes; serving reads come
+        through similarity.read_pq_codes."""
+        p = os.path.join(root, "pq")
+        p2 = os.path.join(root, "pq2")
+        init_pq_index(spark, pq_cbs, p)
+        update_pq_codes(spark, sem_corpus, p)
+        before = count(f"{p}/codes")
+        takedown(spark, vec_dels, {"pq": p}, id_col="vec_id")
+        m2 = takedown(spark, vec_dels, {"pq": p}, id_col="vec_id")
+        replay = m2["pq"]["n_new_tombstones"] == 0
+        serve = disjoint(read_pq_codes(spark, p), "vec_id", vec_dels, "vec_id")
+        purge_takedown(spark, {"pq": p}, id_col="vec_id")
+        init_pq_index(spark, pq_cbs, p2)
+        update_pq_codes(spark, rem_sem, p2)
+        return [(
+            "pq_codes", before, count(f"{p}/codes"), replay, serve,
+            tbl_eq(f"{p}/codes", spark.read.parquet(f"{p2}/codes")),
+        )]
+
+    def leg_rev():
+        """dd14's latest-revisions current-state table.  The store holds
+        only per-key WINNERS, so the rebuild gate differs (module note):
+        n_rows_after counts the post-purge store (keys whose winner was
+        deleted go absent — erasure), then a re-crawl replay of
+        snapshots-minus-deleted must converge the store to keep-latest
+        over exactly that corpus (upsert_latest_revisions'
+        order-robustness)."""
+        p = os.path.join(root, "rev")
+        snaps = slice_df.select(
+            (F.col("doc_id") % DD18_URLS).alias("url"),
+            F.col("doc_id").cast("bigint").alias("ts"),
+            "doc_id",
+            "text",
+        ).localCheckpoint(eager=False)
+        upsert_latest_revisions(spark, snaps, p, ["url"], "ts", "doc_id")
+        before = count(p)
+        takedown(spark, doc_dels, {"latest_revisions": p})
+        m2 = takedown(spark, doc_dels, {"latest_revisions": p})
+        replay = m2["latest_revisions"]["n_new_tombstones"] == 0
+        serve = disjoint(
+            minus_tombstones(spark.read.parquet(p), spark, p),
+            "doc_id", doc_dels, "doc_id",
+        )
+        purge_takedown(spark, {"latest_revisions": p})
+        after = count(p)
+        recrawl = snaps.join(doc_dels, "doc_id", "left_anti")
+        upsert_latest_revisions(spark, recrawl, p, ["url"], "ts", "doc_id")
+        return [(
+            "latest_revisions", before, after, replay, serve,
+            tbl_eq(p, keep_latest_dedup(recrawl, ["url"], "ts", "doc_id")),
+        )]
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
         futures = [
             pool.submit(leg)
-            for leg in (leg_sig, leg_sh, leg_fp, leg_sem, leg_bm)
+            for leg in (
+                leg_sig, leg_sh, leg_fp, leg_sem, leg_bm,
+                leg_ivf, leg_pq, leg_rev,
+            )
         ]
         rows = [row for f in futures for row in f.result()]
     rows.sort(key=lambda r: r[0])
@@ -740,6 +857,20 @@ SELECT 'fingerprints',
        (SELECT CAST({DHASH_BANDS} * count(*) AS BIGINT) FROM tslice),
        (SELECT CAST({DHASH_BANDS} * count(*) AS BIGINT) FROM trem),
        true, true, true
+UNION ALL
+SELECT 'ivf_lists', (SELECT n_sem + n_tw FROM semc),
+       (SELECT n_sem + n_tw - n_del FROM semc), true, true, true
+UNION ALL
+SELECT 'latest_revisions',
+       (SELECT CAST(count(DISTINCT doc_id % {DD18_URLS}) AS BIGINT) FROM tslice),
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT doc_id % {DD18_URLS} AS url, max(doc_id) AS w
+          FROM tslice GROUP BY doc_id % {DD18_URLS}
+        ) x WHERE w % {DD18_STRIDE} <> {DD18_RESIDUE}),
+       true, true, true
+UNION ALL
+SELECT 'pq_codes', (SELECT n_sem + n_tw FROM semc),
+       (SELECT n_sem + n_tw - n_del FROM semc), true, true, true
 UNION ALL
 SELECT 'sem_assigned', (SELECT n_sem + n_tw FROM semc),
        (SELECT n_sem + n_tw - n_del FROM semc), true, true, true

@@ -3944,8 +3944,12 @@ def _bm25_scores_from_postings(spark: SparkSession, path: str) -> DataFrame:
     distinct (doc_id, dl) rows — BIGINT sum then one exact
     double-widening division, the identical op sequence as the one-shot
     stats CTE — and then the byte-identical scoring tail."""
+    from ..operators.text import read_bm25_df
+
     spark.read.parquet(f"{path}/tf").createOrReplaceTempView("__bm25_tf")
-    spark.read.parquet(f"{path}/df").createOrReplaceTempView("__bm25_df")
+    # read_bm25_df: a total-zero purge leaves {path}/df parquet-less
+    # (hwm files only) — absent-as-empty, not AnalysisException
+    read_bm25_df(spark, path).createOrReplaceTempView("__bm25_df")
     return spark.sql(f"""
 WITH tf AS (SELECT doc_id, tok, tf FROM __bm25_tf),
 doclen AS (SELECT DISTINCT doc_id, dl FROM __bm25_tf),

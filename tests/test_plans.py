@@ -507,7 +507,7 @@ def test_dq5_leg_operators_touch_no_session_global_state():
 
 
 def test_dd18_leg_operators_touch_no_session_global_state():
-    """dd18 runs its five family-takedown legs on concurrent driver
+    """dd18 runs its eight family-takedown legs on concurrent driver
     threads sharing one SparkSession (plans/audit_parity.py) — same
     invariant as dq5's: no operator the legs call may mutate
     session-global state.  The takedown module is the new surface the

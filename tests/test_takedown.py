@@ -158,7 +158,9 @@ def test_bm25_takedown_lifecycle_and_df_decrement(spark, docs, tmp_path):
     df_before = spark.read.parquet(f"{path}/df").count()
     res = purge_bm25_postings(spark, path)
     assert res["n_purged_tf"] > 0
-    assert res["n_df_decremented"] >= n_del  # each doc's salt token hits 0
+    assert res["n_df_rows_dropped"] >= n_del  # each doc's salt token hits 0
+    # every dropped row was decremented; common tokens decrement too
+    assert res["n_df_rows_decremented"] > res["n_df_rows_dropped"]
     assert spark.read.parquet(f"{path}/df").count() < df_before
     tf2, df2 = _bm25_rebuilt(spark, docs, tmp_path, "bm2")
     assert _tables_equal(spark.read.parquet(f"{path}/tf"), tf2)
@@ -167,7 +169,7 @@ def test_bm25_takedown_lifecycle_and_df_decrement(spark, docs, tmp_path):
     # td hwm committed with the swap; purge replay no-ops
     assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 0
     assert purge_bm25_postings(spark, path) == {
-        "n_purged_tf": 0, "n_df_decremented": 0,
+        "n_purged_tf": 0, "n_df_rows_decremented": 0, "n_df_rows_dropped": 0,
     }
 
 
@@ -194,7 +196,8 @@ def test_bm25_purge_crash_between_df_swap_and_tf_rewrite(
     assert os.path.exists(f"{path}/tombstones")
     assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 0
     res = purge_bm25_postings(spark, path)
-    assert res["n_df_decremented"] == 0  # hwm gate: never re-applied
+    assert res["n_df_rows_decremented"] == 0  # hwm gate: never re-applied
+    assert res["n_df_rows_dropped"] == 0
     assert res["n_purged_tf"] > 0
     tf2, df2 = _bm25_rebuilt(spark, docs, tmp_path, "bm2")
     assert _tables_equal(spark.read.parquet(f"{path}/tf"), tf2)
@@ -400,3 +403,206 @@ def test_umbrella_reaches_ivfpq_family(spark, tmp_path):
     assert pg["ivfpq"]["n_purged"] == n_del
     assert not os.path.exists(f"{path}/tombstones")
     assert spark.read.parquet(f"{path}/index").count() == n_all - n_del
+
+
+def _emb(spark, n=100):
+    return (
+        load_table(spark, SF, "embeddings")
+        .filter(f"vec_id < {n}")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+        )
+        .localCheckpoint()
+    )
+
+
+def test_umbrella_reaches_ivf_family(spark, tmp_path):
+    """The r16 verdict's symmetry edge #1: the flat IVF float-list index.
+    takedown()/purge_takedown() dispatch family "ivf" through
+    delete_from_ivf_index / purge_ivf_tombstones; search_ivf_index is
+    tombstone-aware between the two (gate-reader extension), and the
+    purged lists equal update_ivf_index ingest of corpus-minus-deleted
+    (fixed codebook ⇒ deletion commutes)."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivf_index,
+        search_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = _emb(spark)
+    cents = kmeans_fit(emb, k=4, n_iter=1).localCheckpoint()
+    path = str(tmp_path / "ivf")
+    init_ivf_index(cents, path)
+    update_ivf_index(spark, emb, path)
+    n_all = spark.read.parquet(f"{path}/lists").count()
+    dels = emb.filter("vec_id % 9 = 2").select("vec_id")
+    n_del = dels.count()
+    m1 = td.takedown(spark, dels, {"ivf": path}, id_col="vec_id")
+    assert m1["ivf"]["n_new_tombstones"] == n_del
+    m2 = td.takedown(spark, dels, {"ivf": path}, id_col="vec_id")
+    assert m2["ivf"]["n_new_tombstones"] == 0
+    # serve-clean through the REAL reader: each deleted vector queries
+    # the index with every list probed — if still served it would be its
+    # own distance-0 top hit
+    q = emb.join(dels, "vec_id", "left_semi").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    hits = search_ivf_index(spark, path, q, k=1, n_probe=4)
+    assert hits.join(dels, "vec_id", "left_semi").isEmpty()
+    pg = td.purge_takedown(spark, {"ivf": path}, id_col="vec_id")
+    assert pg["ivf"]["n_purged"] == n_del
+    assert not os.path.exists(f"{path}/tombstones")
+    assert spark.read.parquet(f"{path}/lists").count() == n_all - n_del
+    # equals-rebuild under the same codebook
+    p2 = str(tmp_path / "ivf2")
+    init_ivf_index(cents, p2)
+    update_ivf_index(spark, emb.join(dels, "vec_id", "left_anti"), p2)
+    assert _tables_equal(
+        spark.read.parquet(f"{path}/lists"), spark.read.parquet(f"{p2}/lists")
+    )
+
+
+def test_ivf_search_absent_lists_serves_empty(spark, tmp_path):
+    """A zero-survivor purge removes the whole lists table; the reader
+    contract says absent = empty, so search returns no rows instead of
+    raising (r16 ADVICE low, applied to the new family)."""
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivf_index,
+        search_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = _emb(spark, 30)
+    cents = kmeans_fit(emb, k=2, n_iter=1).localCheckpoint()
+    path = str(tmp_path / "ivf")
+    init_ivf_index(cents, path)
+    update_ivf_index(spark, emb, path)
+    td.takedown(spark, emb.select("vec_id"), {"ivf": path}, id_col="vec_id")
+    td.purge_takedown(spark, {"ivf": path}, id_col="vec_id")
+    assert read_parquet_if_exists(spark, f"{path}/lists") is None
+    q = emb.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    res = search_ivf_index(spark, path, q, k=3, n_probe=2)
+    assert res.count() == 0
+    assert set(res.columns) == {"query_id", "vec_id", "cosine_sim", "rk"}
+
+
+def test_umbrella_reaches_pq_family(spark, tmp_path):
+    """Symmetry edge #2: the flat PQ code table — the generic flat
+    doc-keyed contract applied to {path}/codes, served through the
+    tombstone-aware read_pq_codes."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_pq_index,
+        pq_fit,
+        read_pq_codes,
+        update_pq_codes,
+    )
+
+    emb = _emb(spark)
+    cbs = pq_fit(emb, m=8, k=8, n_iter=1)
+    path = str(tmp_path / "pq")
+    init_pq_index(spark, cbs, path)
+    update_pq_codes(spark, emb, path)
+    n_all = spark.read.parquet(f"{path}/codes").count()
+    dels = emb.filter("vec_id % 9 = 2").select("vec_id")
+    n_del = dels.count()
+    m1 = td.takedown(spark, dels, {"pq": path}, id_col="vec_id")
+    assert m1["pq"]["n_new_tombstones"] == n_del
+    assert (
+        td.takedown(spark, dels, {"pq": path}, id_col="vec_id")["pq"][
+            "n_new_tombstones"
+        ]
+        == 0
+    )
+    assert read_pq_codes(spark, path).join(dels, "vec_id", "left_semi").isEmpty()
+    pg = td.purge_takedown(spark, {"pq": path}, id_col="vec_id")
+    assert pg["pq"]["n_purged"] == n_del
+    assert not os.path.exists(f"{path}/codes__tombstones")
+    p2 = str(tmp_path / "pq2")
+    init_pq_index(spark, cbs, p2)
+    update_pq_codes(spark, emb.join(dels, "vec_id", "left_anti"), p2)
+    assert _tables_equal(
+        spark.read.parquet(f"{path}/codes"), spark.read.parquet(f"{p2}/codes")
+    )
+    # zero-survivor path: purge everything → codes table absent, reader None
+    td.takedown(spark, emb.select("vec_id"), {"pq": path}, id_col="vec_id")
+    td.purge_takedown(spark, {"pq": path}, id_col="vec_id")
+    assert read_pq_codes(spark, path) is None
+
+
+def test_umbrella_reaches_latest_revisions_family(spark, docs, tmp_path):
+    """Symmetry edge #3: dd14's current-state table.  Erasure-now
+    (tombstone excludes the winner immediately; purge removes it, its
+    key goes ABSENT), convergence-at-next-crawl (re-ingesting
+    snapshots-minus-deleted converges to keep-latest over exactly that
+    corpus — order-robust upsert)."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        keep_latest_dedup,
+        upsert_latest_revisions,
+    )
+
+    snaps = docs.select(
+        (F.col("doc_id") % 10).alias("url"),
+        F.col("doc_id").cast("bigint").alias("ts"),
+        "doc_id",
+        "text",
+    ).localCheckpoint()
+    path = str(tmp_path / "rev")
+    upsert_latest_revisions(spark, snaps, path, ["url"], "ts", "doc_id")
+    store = spark.read.parquet(path)
+    winners = [r[0] for r in store.select("doc_id").collect()]
+    dels = _dels(docs)
+    del_winners = [r[0] for r in dels.collect() if r[0] in winners]
+    m1 = td.takedown(spark, dels, {"latest_revisions": path})
+    # only ids PRESENT in the store tombstone (winners only)
+    assert m1["latest_revisions"]["n_new_tombstones"] == len(del_winners)
+    assert (
+        td.takedown(spark, dels, {"latest_revisions": path})[
+            "latest_revisions"
+        ]["n_new_tombstones"]
+        == 0
+    )
+    served = td.minus_tombstones(spark.read.parquet(path), spark, path)
+    assert served.join(dels, "doc_id", "left_semi").isEmpty()
+    pg = td.purge_takedown(spark, {"latest_revisions": path})
+    assert pg["latest_revisions"]["n_purged"] == len(del_winners)
+    assert spark.read.parquet(path).count() == len(winners) - len(del_winners)
+    # next crawl: replay everything except the erased snapshots, in a
+    # scrambled batch order — the order-robust merge converges
+    recrawl = snaps.join(dels, "doc_id", "left_anti")
+    for part in (recrawl.filter("ts % 2 = 1"), recrawl.filter("ts % 2 = 0")):
+        upsert_latest_revisions(spark, part, path, ["url"], "ts", "doc_id")
+    assert _tables_equal(
+        spark.read.parquet(path),
+        keep_latest_dedup(recrawl, ["url"], "ts", "doc_id"),
+    )
+
+
+def test_bm25_total_zero_purge_leaves_readable_df(spark, tmp_path):
+    """After a purge that zeroes EVERY df row the df dir legally holds
+    only hwm files; read_bm25_df treats it as an empty table and the
+    posting-table scorer keeps working (r16 ADVICE low)."""
+    from real_time_stock_market_data_pipeline_spark.operators.text import (
+        read_bm25_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha bravo"), (2, "charlie delta")], "doc_id int, text string"
+    )
+    path = str(tmp_path / "bm")
+    update_bm25_postings(docs, path, 0)
+    takedown_bm25_postings(spark, docs.select("doc_id"), path)
+    res = purge_bm25_postings(spark, path)
+    assert res["n_df_rows_dropped"] == res["n_df_rows_decremented"]
+    assert read_parquet_if_exists(spark, f"{path}/df") is None
+    assert os.path.exists(f"{path}/df")  # hwm files survive for replay gating
+    assert _read_bm25_hwm(f"{path}/df", BM25_TD_HWM_FILE) == 0
+    empty = read_bm25_df(spark, path)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"tok", "df"}
