@@ -4511,6 +4511,230 @@ QUERIES["sp18_data_constrained_mixture"] = _sp18_data_constrained_mixture
 TEXT_ORACLES["sp18_data_constrained_mixture"] = sql_data_constrained_mixture("duck")
 
 
+# --- SP19: the unified training-launch manifest --------------------------------
+def _sp18_epoch_mix(epoch_col: str, idh_col: str) -> str:
+    """The sp17/MinHash per-epoch affine order mixer as a CASE over an
+    epoch COLUMN (sp18 inlines it for the single boundary slice; sp19
+    needs it per taken slice)."""
+    p = 1_000_000_007
+    return (
+        f"CASE {epoch_col} "
+        + " ".join(
+            f"WHEN {i} THEN ({a} * {idh_col} + {b_}) % {p}"
+            for i, (a, b_) in enumerate(SP18_MIX)
+        )
+        + " END"
+    )
+
+
+def sql_launch_manifest(dialect: str) -> str:
+    """SP19 — the UNIFIED training-launch manifest: one artifact a real
+    multi-epoch run reads, composing the whole sp launch layer end to
+    end (the sp7/sp12 composition pattern applied at the launch layer):
+
+      budget → slices   sp18's data-constrained greedy (Muennighoff et
+                        al. 2023): B = ⌊5·U_tot/2⌋ tokens spent on
+                        (domain, epoch) slices in scaled-integer value
+                        order, boundary slice partial;
+      slice → order     sp17's epoch-specific affine permutation of the
+                        doc hash — within every taken slice the docs
+                        stream in exactly the order that slice's epoch
+                        loader would run, and the partial slice's
+                        prefix/head-truncation (sp16's boundary rule)
+                        is a prefix OF THAT PERMUTATION;
+      stream → shards   sp15's two-level global rank over the launch
+                        stream (slices in take_rank order, docs in
+                        epoch order inside each) cut into SP15_SHARDS
+                        contiguous ±1-equal-count shards, each manifest
+                        row carrying doc/token counts, the slice span
+                        it covers, and sp17's position-weighted integer
+                        checksum Σ (rank % M)·(id_hash % M) — two
+                        orders over the same membership hash apart.
+
+    The phase key at this layer is take_rank — the VALUE curriculum
+    (fresh high-value slices first, deeper repetition epochs later),
+    exactly the consumption order sp18's greedy commits to; sp15's
+    difficulty curriculum drops in by swapping the slice order key.
+
+    Integer-exactness: every count, cumsum, rank, shard id and checksum
+    is BIGINT end-to-end (sp14 alloc → sp18 greedy → sp16 prefix rule →
+    sp15 rank arithmetic), so Σ n_tokens over the manifest = B exactly
+    — full slices telescope to U_d, the partial contributes
+    B − cum_before (pinned by test).
+
+    Scale shape: corpus-sized work is ONE doc stats pass (shared with
+    sp18's chain), the ~K·domains slice explode, and per-doc windows
+    that ALL partition by (take_rank, bucket) / (bucket) under the
+    sp15/sp16 two-level decomposition — the only unpartitioned windows
+    run over the slice×bucket rollup (≤ slices·256 rows, corpus-
+    independent).  No single-partition rank touches doc-sized input
+    (plan-pinned)."""
+    alloc = sql_doremi(dialect)
+    idh = tok_hash(dialect, "'sp18:' || CAST(doc_id AS STRING)")
+    toks = split_ws(dialect, "text")
+    k_max = SP18_MAX_EPOCHS
+    val = (
+        "CASE e "
+        + " ".join(
+            f"WHEN {k} THEN CAST({m} AS BIGINT) * a.alloc"
+            for k, m in enumerate(SP18_DECAY_SCALED)
+        )
+        + " END"
+    )
+    mix_full = _sp18_epoch_mix("t.epoch", "d.idh")
+    mix_part = _sp18_epoch_mix("b.epoch", "d.idh")
+    sb_div = SP16_HKEY_MOD // SP16_SBUCKETS
+    s, m = SP15_SHARDS, SP17_CK_MOD
+    if dialect == "spark":
+        epoch_join = (
+            f"LATERAL VIEW explode(sequence(0, {k_max - 1})) _ep AS e"
+        )
+    else:
+        epoch_join = (
+            "CROSS JOIN (SELECT unnest(generate_series(0, "
+            f"{k_max - 1})) AS e) _ep"
+        )
+    win = "ORDER BY value_scaled DESC, epoch ASC, domain ASC"
+    rows_all = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+WITH alloc AS ({alloc}),
+sdocs AS (
+  SELECT doc_id, source AS domain,
+         CAST({list_len(dialect, toks)} AS BIGINT) AS n_tokens,
+         ({idh}) AS idh
+  FROM documents WHERE text IS NOT NULL
+),
+sdocs1 AS (SELECT * FROM sdocs WHERE n_tokens >= 1),
+u AS (
+  SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS u_tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM sdocs1 GROUP BY domain
+),
+bud AS (
+  SELECT {idiv(dialect, f"{SP18_BUDGET_NUM} * CAST(sum(u_tokens) AS BIGINT)",
+               str(SP18_BUDGET_DEN))} AS b
+  FROM u
+),
+slices AS (
+  SELECT a.domain, CAST(e AS BIGINT) AS epoch, u.u_tokens, u.n_docs,
+         CAST({val} AS BIGINT) AS value_scaled
+  FROM alloc a JOIN u ON a.domain = u.domain {epoch_join}
+),
+ordered AS (
+  SELECT *,
+         CAST(row_number() OVER ({win}) AS BIGINT) AS take_rank,
+         CAST(sum(u_tokens) OVER ({win} {rows_all}) AS BIGINT) AS cum_end
+  FROM slices
+),
+taken AS (
+  SELECT o.*, o.cum_end - o.u_tokens AS cum_before, bud.b,
+         o.cum_end > bud.b AS is_partial,
+         CASE WHEN o.cum_end > bud.b THEN bud.b - (o.cum_end - o.u_tokens)
+              ELSE o.u_tokens END AS tokens_used
+  FROM ordered o CROSS JOIN bud
+  WHERE o.cum_end - o.u_tokens < bud.b
+),
+sfull AS (
+  SELECT t.take_rank, d.doc_id, d.idh,
+         d.n_tokens AS used_tokens,
+         ({mix_full}) % {SP16_HKEY_MOD} AS hkey
+  FROM taken t JOIN sdocs1 d ON t.domain = d.domain
+  WHERE NOT t.is_partial
+),
+bslice AS (
+  SELECT take_rank, domain, epoch, tokens_used AS head_budget
+  FROM taken WHERE is_partial
+),
+bdocs AS (
+  SELECT b.take_rank, d.doc_id, d.idh, d.n_tokens, b.head_budget,
+         ({mix_part}) % {SP16_HKEY_MOD} AS hkey
+  FROM sdocs1 d JOIN bslice b ON d.domain = b.domain
+),
+bb AS (SELECT *, {idiv(dialect, "hkey", str(sb_div))} AS bucket FROM bdocs),
+bbc AS (
+  SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS btok
+  FROM bb GROUP BY bucket
+),
+bbo AS (
+  SELECT bucket,
+         CAST(sum(btok) OVER (ORDER BY bucket ASC {rows_all}) - btok
+              AS BIGINT) AS tok_off
+  FROM bbc
+),
+bcum AS (
+  SELECT bb.take_rank, bb.doc_id, bb.idh, bb.n_tokens, bb.head_budget,
+         bb.hkey,
+         bbo.tok_off + CAST(sum(bb.n_tokens) OVER (
+             PARTITION BY bb.bucket
+             ORDER BY bb.hkey ASC, bb.doc_id ASC {rows_all}
+           ) AS BIGINT) AS cum_end
+  FROM bb JOIN bbo ON bb.bucket = bbo.bucket
+),
+spart AS (
+  SELECT take_rank, doc_id, idh,
+         CASE WHEN cum_end <= head_budget THEN n_tokens
+              ELSE head_budget - (cum_end - n_tokens) END AS used_tokens,
+         hkey
+  FROM bcum WHERE cum_end - n_tokens < head_budget
+),
+stream AS (
+  SELECT * FROM sfull UNION ALL SELECT * FROM spart
+),
+kb AS (SELECT *, {idiv(dialect, "hkey", str(sb_div))} AS bucket FROM stream),
+kbc AS (
+  SELECT take_rank, bucket, CAST(count(*) AS BIGINT) AS n
+  FROM kb GROUP BY take_rank, bucket
+),
+kbo AS (
+  SELECT take_rank, bucket,
+         CAST(sum(n) OVER (ORDER BY take_rank ASC, bucket ASC {rows_all})
+              - n AS BIGINT) AS offset_0,
+         CAST(sum(n) OVER () AS BIGINT) AS n_total
+  FROM kbc
+),
+granked AS (
+  SELECT w.take_rank, w.doc_id, w.idh, w.used_tokens,
+         CAST(o.offset_0 + w.wrk AS BIGINT) AS grank, o.n_total
+  FROM (
+    SELECT *, CAST(row_number() OVER (
+      PARTITION BY take_rank, bucket ORDER BY hkey ASC, doc_id ASC
+    ) AS BIGINT) AS wrk
+    FROM kb
+  ) w
+  JOIN kbo o ON w.take_rank = o.take_rank AND w.bucket = o.bucket
+),
+sharded AS (
+  SELECT *,
+         CAST({idiv(dialect, f"{s} * (grank - 1)", "n_total")} AS BIGINT)
+           AS shard_id
+  FROM granked
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(used_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(take_rank) AS BIGINT) AS slice_lo,
+       CAST(max(take_rank) AS BIGINT) AS slice_hi,
+       CAST(min(grank) AS BIGINT) AS rank_lo,
+       CAST(max(grank) AS BIGINT) AS rank_hi,
+       CAST(sum((grank % {m}) * (idh % {m})) AS BIGINT) AS order_checksum
+FROM sharded
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def _sp19_launch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP19, Spark side: the pure rendering — sp18's greedy chain, the
+    per-slice epoch-mixed stream, and sp15's bucketed rank/shard/
+    checksum tail, all one SQL plan."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_launch_manifest("spark"))
+
+
+QUERIES["sp19_launch_manifest"] = _sp19_launch_manifest
+TEXT_ORACLES["sp19_launch_manifest"] = sql_launch_manifest("duck")
+
+
 # --- TXT24: Gopher quality rules ------------------------------------------------
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

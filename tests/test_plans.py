@@ -551,6 +551,66 @@ def test_sp18_doc_level_windows_are_bucket_partitioned(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_sp19_doc_level_windows_are_bucket_partitioned(spark, sf_dir):
+    """sp19 composes sp18's greedy with a LAUNCH-STREAM global rank over
+    every taken slice's docs — the rank that would be the classic
+    single-partition trap.  Pin the sp15/sp16 two-level fix across the
+    whole composition: every windowspecdefinition ordering on the mixed
+    hkey must lead with a partition column; the only unpartitioned
+    windows may run over the slice×bucket rollups (corpus-independent
+    size)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sp19_launch_manifest")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    doc_specs = [sp for sp in specs if "hkey" in sp]
+    assert doc_specs, "expected the stream-rank / boundary-cumsum windows"
+    for sp in doc_specs:
+        first = sp.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned doc-level window: windowspecdefinition({sp}"
+        )
+    assert "CartesianProduct" not in plan
+
+
+def test_sp19_token_sum_equals_budget(spark, sf_dir):
+    """The launch manifest's budget identity: Σ n_tokens over the shard
+    rows = ⌊5·U_tot/2⌋ EXACTLY (full slices telescope to U_d, the
+    partial slice contributes B − cum_before) — the Muennighoff budget
+    spent to the token, integer end-to-end."""
+    from pyspark.sql import functions as F
+
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+    from real_time_stock_market_data_pipeline_spark.plans.dialect import split_ws
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        SP18_BUDGET_DEN,
+        SP18_BUDGET_NUM,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    manifest = QUERIES["sp19_launch_manifest"](spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    u_tot = (
+        docs.select(
+            F.expr(f"CAST(size({split_ws('spark', 'text')}) AS BIGINT)").alias("n")
+        )
+        .filter("n >= 1")
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    budget = SP18_BUDGET_NUM * int(u_tot) // SP18_BUDGET_DEN
+    assert int(manifest["n_tokens"].sum()) == budget
+    # contiguity of the stream cut: shard rank ranges tile 1..N
+    m = manifest.sort_values("shard_id")
+    assert int(m["rank_lo"].iloc[0]) == 1
+    assert (m["rank_lo"].values[1:] == m["rank_hi"].values[:-1] + 1).all()
+    # the slice spans are monotone: later shards never cover earlier
+    # slices than their predecessors ended in (take_rank order preserved)
+    assert (m["slice_lo"].values[1:] >= m["slice_lo"].values[:-1]).all()
+
+
 def test_emb24_grid_join_bounded_and_topk_windows_partitioned(spark, sf_dir):
     """emb24's only non-equi join is the probe_rank <= n_probes grading
     against the BROADCAST 5-row grid (bounded by construction — never a
