@@ -891,6 +891,7 @@ QUERIES["dd18_corpus_takedown"] = _dd18_corpus_takedown
 AUDIT_ORACLES["dd18_corpus_takedown"] = sql_corpus_takedown("duck")
 
 
+
 # --- DQ7 (r16): per-source dataset card ----------------------------------------
 Q7_MICRO = 1_000_000
 
@@ -1008,3 +1009,337 @@ def _dq7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dq7_dataset_card"] = _dq7_dataset_card
 AUDIT_ORACLES["dq7_dataset_card"] = sql_dataset_card("duck")
+
+
+# --- DQ8 (r17): the corpus-level RELEASE CARD ---------------------------------
+# dq7 is the PER-SOURCE datasheet; the artifact a model release actually
+# publishes is corpus-level (Gebru et al. 2021 §3.2's aggregate view;
+# what LLaMA/Pile-style dataset sections of model cards report): one
+# table rolling up the per-source cards WITH the safety numbers —
+# contamination verdict counts per gate class (dq6), dedup survival
+# (dd7), and the post-rebalancing mixture concentration (sp11).
+#
+# The composition rule that makes the card trustworthy: every number
+# derives ONLY from the SOURCE QUERIES' OWN OUTPUT FRAMES — the Spark
+# side literally calls _dq7/_dq6/_dd7/_sp11 and aggregates their
+# results in-plan, so a card number can never drift from the query that
+# published it (the r16 verdict's "pinned against its source query
+# in-plan" bar), and the oracle nests the four source SQLs wholesale as
+# CTEs (the dd17 pattern) and aggregates identically.
+#
+# Float discipline: the only float inputs are dq7's r6-rounded
+# per-source means and sp11's r6-rounded shares; cross-source sums
+# convert the means back to exact integer micro-units FIRST
+# (floor(x·1e6 + 0.5) — exact because r6 guarantees 6 decimals), so
+# every sum in the card is BIGINT under any partitioning and the final
+# division is one r6-rounded op.  Counts cast to DOUBLE exactly
+# (≪ 2^53).
+#
+# Output: (section, metric, value_num, value_str) long-format rows —
+#   accounting/*      dq7 rollup: sources, docs, tokens, exact dups,
+#                     gopher-clean, doc-weighted mean quality, and the
+#                     dominant language (argmax of Σ n_docs over the
+#                     sources' modal langs, tie lang ASC)
+#   contamination/*   dq6: total flagged, per-gate totals, and one
+#                     'class:<leak_class>' row per verdict class
+#   dedup/*           dd7 rollup: docs/kept/dropped/chars_dropped and
+#                     the r6 survival rate
+#   mixture/*         sp11: domain count and the post-sampling top
+#                     domain with its share
+#
+# Scale shape: the four source plans (each already scale-audited) plus
+# rollups over their OUTPUTS — frames bounded by sources × langs ×
+# domains × flagged docs, never corpus-sized; the argmax windows run
+# over those bounded frames.
+
+
+def sql_release_card(dialect: str) -> str:
+    """DQ8's oracle: the four source SQLs nested wholesale as CTEs, then
+    the identical rollups — value-checking the whole composition."""
+    from .text_parity import sql_dedup_summary, sql_domain_mixture
+
+    card = sql_dataset_card(dialect)
+    flags = sql_contamination_audit(dialect)
+    ddup = sql_dedup_summary(dialect)
+    mix = sql_domain_mixture(dialect)
+    q_w = (
+        f"CAST(floor(mean_quality * {d(str(float(Q7_MICRO)))} + {d('0.5')}) "
+        "AS BIGINT) * n_docs"
+    )
+    mean_q = r6t(
+        f"CAST(q_sum AS DOUBLE) / {d(str(float(Q7_MICRO)))} "
+        "/ CAST(n_docs AS DOUBLE)"
+    )
+    surv = r6t("CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)")
+    ns = "CAST(NULL AS STRING)"
+    return f"""
+WITH card AS ({card}),
+flags AS ({flags}),
+ddup AS ({ddup}),
+mix AS ({mix}),
+acc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+         CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(n_exact_dup) AS BIGINT) AS n_exact_dup,
+         CAST(sum(n_gopher_clean) AS BIGINT) AS n_gopher_clean,
+         CAST(sum({q_w}) AS BIGINT) AS q_sum
+  FROM card
+),
+dlang AS (
+  SELECT top_lang, CAST(sum(n_docs) AS BIGINT) AS n
+  FROM card GROUP BY top_lang
+),
+dlang1 AS (
+  SELECT top_lang, n FROM (
+    SELECT *, row_number() OVER (ORDER BY n DESC, top_lang ASC) AS rk
+    FROM dlang
+  ) t WHERE rk = 1
+),
+con AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+         CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+         CAST(sum(CASE WHEN banded_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_banded,
+         CAST(sum(CASE WHEN semantic_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_semantic,
+         CAST(sum(CASE WHEN perceptual_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_perceptual
+  FROM flags
+),
+cls AS (
+  SELECT leak_class, CAST(count(*) AS BIGINT) AS n
+  FROM flags GROUP BY leak_class
+),
+dd AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         CAST(sum(n_kept) AS BIGINT) AS n_kept,
+         CAST(sum(n_dropped) AS BIGINT) AS n_dropped,
+         CAST(sum(chars_dropped) AS BIGINT) AS chars_dropped
+  FROM ddup
+),
+mx AS (SELECT CAST(count(*) AS BIGINT) AS n_domains FROM mix),
+mx1 AS (
+  SELECT domain, share_after FROM (
+    SELECT *, row_number() OVER (
+      ORDER BY share_after DESC, domain ASC
+    ) AS rk FROM mix
+  ) t WHERE rk = 1
+)
+SELECT section, metric, value_num, value_str FROM (
+  SELECT 'accounting' AS section, 'n_sources' AS metric,
+         CAST(n_sources AS DOUBLE) AS value_num, {ns} AS value_str FROM acc
+  UNION ALL
+  SELECT 'accounting', 'n_docs', CAST(n_docs AS DOUBLE), {ns} FROM acc
+  UNION ALL
+  SELECT 'accounting', 'n_tokens', CAST(n_tokens AS DOUBLE), {ns} FROM acc
+  UNION ALL
+  SELECT 'accounting', 'n_exact_dup', CAST(n_exact_dup AS DOUBLE), {ns}
+  FROM acc
+  UNION ALL
+  SELECT 'accounting', 'n_gopher_clean', CAST(n_gopher_clean AS DOUBLE),
+         {ns} FROM acc
+  UNION ALL
+  SELECT 'accounting', 'mean_quality', {mean_q}, {ns} FROM acc
+  UNION ALL
+  SELECT 'accounting', 'dominant_lang', CAST(n AS DOUBLE), top_lang
+  FROM dlang1
+  UNION ALL
+  SELECT 'contamination', 'n_flagged', CAST(n_flagged AS DOUBLE), {ns}
+  FROM con
+  UNION ALL
+  SELECT 'contamination', 'n_exact', CAST(n_exact AS DOUBLE), {ns} FROM con
+  UNION ALL
+  SELECT 'contamination', 'n_banded', CAST(n_banded AS DOUBLE), {ns} FROM con
+  UNION ALL
+  SELECT 'contamination', 'n_semantic', CAST(n_semantic AS DOUBLE), {ns}
+  FROM con
+  UNION ALL
+  SELECT 'contamination', 'n_perceptual', CAST(n_perceptual AS DOUBLE), {ns}
+  FROM con
+  UNION ALL
+  SELECT 'contamination', 'class:' || leak_class, CAST(n AS DOUBLE), {ns}
+  FROM cls
+  UNION ALL
+  SELECT 'dedup', 'n_docs', CAST(n_docs AS DOUBLE), {ns} FROM dd
+  UNION ALL
+  SELECT 'dedup', 'n_kept', CAST(n_kept AS DOUBLE), {ns} FROM dd
+  UNION ALL
+  SELECT 'dedup', 'n_dropped', CAST(n_dropped AS DOUBLE), {ns} FROM dd
+  UNION ALL
+  SELECT 'dedup', 'chars_dropped', CAST(chars_dropped AS DOUBLE), {ns}
+  FROM dd
+  UNION ALL
+  SELECT 'dedup', 'survival_rate', {surv}, {ns} FROM dd
+  UNION ALL
+  SELECT 'mixture', 'n_domains', CAST(n_domains AS DOUBLE), {ns} FROM mx
+  UNION ALL
+  SELECT 'mixture', 'top_domain', share_after, domain FROM mx1
+) rows_out
+ORDER BY section, metric
+"""
+
+
+def _dq8_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ8, Spark side: call the four source queries and aggregate their
+    OUTPUT frames in-plan (each snapshotted once — it feeds several card
+    rows).  No new computation anywhere: a card number IS its source
+    query's number."""
+    from ..functions.scalars import r6
+    from .text_parity import _dd7_dedup_summary, _sp11_domain_mixture
+
+    card = _dq7_dataset_card(spark, sf_dir).localCheckpoint(eager=False)
+    flags = _dq6_contamination_audit(spark, sf_dir).localCheckpoint(eager=False)
+    ddup = _dd7_dedup_summary(spark, sf_dir).localCheckpoint(eager=False)
+    mix = _sp11_domain_mixture(spark, sf_dir).localCheckpoint(eager=False)
+
+    ns = F.lit(None).cast("string")
+
+    def rows(df: DataFrame, section: str, metrics: list[tuple]) -> DataFrame:
+        out = None
+        for metric, num, s in metrics:
+            r = df.select(
+                F.lit(section).alias("section"),
+                F.lit(metric).alias("metric"),
+                num.cast("double").alias("value_num"),
+                (ns if s is None else s).alias("value_str"),
+            )
+            out = r if out is None else out.unionByName(r)
+        return out
+
+    q_w = F.expr(
+        f"CAST(floor(mean_quality * {float(Q7_MICRO)} + 0.5) AS BIGINT) "
+        "* n_docs"
+    )
+    acc = card.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_exact_dup").cast("bigint").alias("n_exact_dup"),
+        F.sum("n_gopher_clean").cast("bigint").alias("n_gopher_clean"),
+        F.sum(q_w).cast("bigint").alias("q_sum"),
+    )
+    acc_rows = rows(
+        acc,
+        "accounting",
+        [
+            ("n_sources", F.col("n_sources"), None),
+            ("n_docs", F.col("n_docs"), None),
+            ("n_tokens", F.col("n_tokens"), None),
+            ("n_exact_dup", F.col("n_exact_dup"), None),
+            ("n_gopher_clean", F.col("n_gopher_clean"), None),
+            (
+                "mean_quality",
+                r6(
+                    F.col("q_sum").cast("double")
+                    / F.lit(float(Q7_MICRO))
+                    / F.col("n_docs").cast("double")
+                ),
+                None,
+            ),
+        ],
+    )
+    from pyspark.sql import Window
+
+    dlang = card.groupBy("top_lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n")
+    )
+    # bounded argmax: the window runs over ≤ n_languages rows
+    dlang1 = (
+        dlang.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(F.desc("n"), F.asc("top_lang"))
+            ),
+        )
+        .filter("rk = 1")
+    )
+    lang_row = rows(
+        dlang1, "accounting", [("dominant_lang", F.col("n"), F.col("top_lang"))]
+    )
+    con = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged"),
+        F.sum(F.col("exact_hit").cast("int")).cast("bigint").alias("n_exact"),
+        F.sum(F.col("banded_hit").cast("int")).cast("bigint").alias("n_banded"),
+        F.sum(F.col("semantic_hit").cast("int"))
+        .cast("bigint")
+        .alias("n_semantic"),
+        F.sum(F.col("perceptual_hit").cast("int"))
+        .cast("bigint")
+        .alias("n_perceptual"),
+    )
+    con_rows = rows(
+        con,
+        "contamination",
+        [
+            ("n_flagged", F.col("n_flagged"), None),
+            ("n_exact", F.col("n_exact"), None),
+            ("n_banded", F.col("n_banded"), None),
+            ("n_semantic", F.col("n_semantic"), None),
+            ("n_perceptual", F.col("n_perceptual"), None),
+        ],
+    )
+    cls_rows = (
+        flags.groupBy("leak_class")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("contamination").alias("section"),
+            F.concat(F.lit("class:"), F.col("leak_class")).alias("metric"),
+            F.col("n").cast("double").alias("value_num"),
+            ns.alias("value_str"),
+        )
+    )
+    dd = ddup.agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_kept").cast("bigint").alias("n_kept"),
+        F.sum("n_dropped").cast("bigint").alias("n_dropped"),
+        F.sum("chars_dropped").cast("bigint").alias("chars_dropped"),
+    )
+    dd_rows = rows(
+        dd,
+        "dedup",
+        [
+            ("n_docs", F.col("n_docs"), None),
+            ("n_kept", F.col("n_kept"), None),
+            ("n_dropped", F.col("n_dropped"), None),
+            ("chars_dropped", F.col("chars_dropped"), None),
+            (
+                "survival_rate",
+                r6(F.col("n_kept").cast("double") / F.col("n_docs").cast("double")),
+                None,
+            ),
+        ],
+    )
+    mx_rows = rows(
+        mix.agg(F.count(F.lit(1)).cast("bigint").alias("n_domains")),
+        "mixture",
+        [("n_domains", F.col("n_domains"), None)],
+    )
+    mx1 = (
+        mix.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.desc("share_after"), F.asc("domain")
+                )
+            ),
+        )
+        .filter("rk = 1")
+    )
+    top_row = rows(
+        mx1, "mixture", [("top_domain", F.col("share_after"), F.col("domain"))]
+    )
+    return (
+        acc_rows.unionByName(lang_row)
+        .unionByName(con_rows)
+        .unionByName(cls_rows)
+        .unionByName(dd_rows)
+        .unionByName(mx_rows)
+        .unionByName(top_row)
+        .orderBy("section", "metric")
+    )
+
+
+QUERIES["dq8_release_card"] = _dq8_release_card
+AUDIT_ORACLES["dq8_release_card"] = sql_release_card("duck")
