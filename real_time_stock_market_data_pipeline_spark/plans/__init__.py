@@ -51,7 +51,7 @@ _PRIORITY = [
     "txt20_ccnet_buckets", "a3_active_series", "mm3_bmp_pixel_stats",
     "mm4_wav_stats", "mm5_avi_frame_stats",
     # 2 — new this round (each displaces one r14 fill below)
-    "sp19_launch_manifest", "dq8_release_card",
+    "sp19_launch_manifest", "dq8_release_card", "txt25_retrieval_eval",
     # 3 — green in CORRECTNESS_r14, r14-window order; entries past
     #     slot 50 are FROZEN FOR R18
     "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",

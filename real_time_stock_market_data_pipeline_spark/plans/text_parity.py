@@ -4915,3 +4915,153 @@ def _txt24_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt24_gopher_rules"] = _txt24_gopher_rules
 TEXT_ORACLES["txt24_gopher_rules"] = sql_gopher_rules("duck")
+
+
+# --- TXT25: retrieval-quality evaluation (MRR / recall@k) ---------------------
+TXT25_STRIDE = 89          # every 89th doc seeds a query (fixed workload)
+TXT25_PERTURB = 7          # every 7th token replaced with doc-unique noise
+TXT25_MRR_LCM = 2520       # LCM(1..10): 2520/rank is an exact integer
+TXT25_KS = (1, 5, 10)
+
+
+def sql_retrieval_eval(dialect: str) -> str:
+    """TXT25 — the EVALUATION harness for the lexical retrieval family:
+    recall@k and MRR@k of txt22's BM25 scorer against a deterministic
+    planted ground truth.  Every retrieval component the engine ships
+    (txt14 doc-similarity, txt22/txt23 BM25, emb22 late interaction)
+    ranks SOMETHING; a curation pipeline decides between them with
+    exactly this harness — perturbed-copy queries whose source document
+    is the known relevant answer (the standard synthetic-relevance
+    protocol: a query is its source doc with every
+    ``TXT25_PERTURB``-th token replaced by doc-unique noise, so lexical
+    overlap stays high but the query is not a verbatim copy).
+
+    Metrics, integer-exact (the emb24/sp18 discipline): per query the
+    truth rank comes from the BM25 integer total order (score_micro
+    DESC, match_doc ASC — organic duplicates may legitimately outrank
+    the source; both engines agree deterministically); per k-level the
+    report row carries n_hits (rank ≤ k) and the MRR numerator as the
+    exact BIGINT Σ 2520/rank (2520 = LCM(1..10), so the division is
+    exact integer arithmetic for every rank ≤ 10); recall and MRR are
+    one r6-rounded division each at the very end.
+
+    Scale shape: identical to txt22 — the corpus side is the tf/df
+    token aggregate with one shuffle on the term key; the query side is
+    a FIXED workload (stride + id cap, the |Q|·N lesson) and broadcasts;
+    the grading joins are query-workload-sized.  The k-level table is
+    three literal rows."""
+    tok_rows = explode_from(dialect, "docs", "toks", "tok", "doc_id")
+    lcm = TXT25_MRR_LCM
+    if dialect == "spark":
+        perturb = (
+            "transform(toks, (t, i) -> CASE WHEN (i + 1) % "
+            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
+            "'x' || CAST(i AS STRING) ELSE t END)"
+        )
+    else:
+        perturb = (
+            "list_transform(toks, (t, i) -> CASE WHEN i % "
+            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
+            "'x' || CAST(i AS STRING) ELSE t END)"
+        )
+    qtoks = explode_from(dialect, "qdocs", "qtoks", "tok", "query_doc")
+    k1 = d(BM25_K1)
+    bb = d(BM25_B)
+    idf = (
+        "ln(1 + (CAST(n_docs - df AS DOUBLE) + {h}) / "
+        "(CAST(df AS DOUBLE) + {h}))"
+    ).format(h=d("0.5"))
+    tfnorm = (
+        f"(CAST(tf AS DOUBLE) * ({k1} + {d('1.0')})) / "
+        f"(CAST(tf AS DOUBLE) + {k1} * ({d('1.0')} - {bb} + {bb} * "
+        f"CAST(dl AS DOUBLE) / avgdl))"
+    )
+    klev = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k" for k in TXT25_KS
+    )
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok_rows GROUP BY doc_id, tok
+),
+doclen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok_rows GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM doclen
+),
+df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+qdocs AS (
+  SELECT doc_id AS query_doc, {perturb} AS qtoks
+  FROM docs
+  WHERE text IS NOT NULL AND doc_id % {TXT25_STRIDE} = 0
+    AND doc_id < {BM25_MAX_QUERY_ID}
+),
+qterms AS (
+  SELECT DISTINCT query_doc, tok FROM ({qtoks}) x
+),
+contrib AS (
+  SELECT q.query_doc, c.doc_id AS match_doc,
+         CAST(floor(({idf}) * ({tfnorm}) * {d('1000000.0')} + {d('0.5')})
+              AS BIGINT) AS w_micro
+  FROM qterms q
+  JOIN tf c ON c.tok = q.tok
+  JOIN df ON df.tok = q.tok
+  JOIN doclen ON doclen.doc_id = c.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT query_doc, match_doc, CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_doc, match_doc
+),
+ranked AS (
+  SELECT query_doc, match_doc,
+         CAST(row_number() OVER (
+           PARTITION BY query_doc
+           ORDER BY score_micro DESC, match_doc ASC
+         ) AS BIGINT) AS rnk
+  FROM scored
+),
+rt AS (
+  SELECT q.query_doc, r.rnk AS rank_truth
+  FROM qdocs q
+  LEFT JOIN ranked r
+    ON r.query_doc = q.query_doc AND r.match_doc = q.query_doc
+),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qdocs),
+klev AS ({klev}),
+graded AS (
+  SELECT k.k,
+         CAST(sum(CASE WHEN rt.rank_truth <= k.k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(sum(CASE WHEN rt.rank_truth <= k.k
+                  THEN {idiv(dialect, str(lcm), "rt.rank_truth")}
+                  ELSE 0 END) AS BIGINT) AS mrr_scaled
+  FROM klev k CROSS JOIN rt GROUP BY k.k
+)
+SELECT g.k, nq.n_queries, g.n_hits,
+       {r6t("CAST(g.n_hits AS DOUBLE) / CAST(nq.n_queries AS DOUBLE)")}
+         AS recall_at_k,
+       g.mrr_scaled,
+       {r6t(f"CAST(g.mrr_scaled AS DOUBLE) / ({d(str(float(TXT25_MRR_LCM)))} * CAST(nq.n_queries AS DOUBLE))")}
+         AS mrr_at_k
+FROM graded g CROSS JOIN nq
+ORDER BY g.k
+"""
+
+
+def _txt25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT25, Spark side: the pure rendering — txt22's corpus aggregates,
+    the broadcast fixed query workload, and a 3-row grading rollup."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_retrieval_eval("spark"))
+
+
+QUERIES["txt25_retrieval_eval"] = _txt25_retrieval_eval
+TEXT_ORACLES["txt25_retrieval_eval"] = sql_retrieval_eval("duck")

@@ -611,6 +611,45 @@ def test_sp19_token_sum_equals_budget(spark, sf_dir):
     assert (m["slice_lo"].values[1:] >= m["slice_lo"].values[:-1]).all()
 
 
+def test_txt25_ranking_window_partitioned_and_no_cartesian(spark, sf_dir):
+    """txt25's only wide ops are txt22's term-key shuffle and the
+    per-query ranking window — which must partition by query_doc (the
+    single-partition rank trap); the CROSS JOINs in the plan are the
+    1-row stats/n_queries scalars and the 3-row k-level grid, bounded
+    by construction."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "txt25_retrieval_eval")
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    rank_specs = [sp for sp in specs if "score_micro" in sp]
+    assert rank_specs, "expected the per-query ranking window"
+    for sp in rank_specs:
+        assert sp.split(",")[0].strip().startswith("query_doc"), sp
+
+
+def test_txt25_metrics_are_consistent(spark, sf_dir):
+    """Structural identities of the eval report: recall monotone in k,
+    MRR ≤ recall at every k (each hit contributes ≤ 1 to both sums),
+    MRR monotone in k, and the exact-integer relationship
+    mrr_at_k = mrr_scaled / (2520 · n_queries)."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["txt25_retrieval_eval"](spark, sf_dir)
+        .orderBy("k")
+        .collect()
+    )
+    assert [r.k for r in rows] == [1, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_hits <= b.n_hits
+        assert a.mrr_scaled <= b.mrr_scaled
+    for r in rows:
+        assert r.n_hits <= r.n_queries
+        assert r.mrr_at_k <= r.recall_at_k + 1e-9
+        assert abs(r.mrr_at_k - r.mrr_scaled / (2520.0 * r.n_queries)) < 1e-6
+
+
 def test_emb24_grid_join_bounded_and_topk_windows_partitioned(spark, sf_dir):
     """emb24's only non-equi join is the probe_rank <= n_probes grading
     against the BROADCAST 5-row grid (bounded by construction — never a
