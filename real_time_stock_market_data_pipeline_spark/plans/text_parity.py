@@ -5065,3 +5065,148 @@ def _txt25_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["txt25_retrieval_eval"] = _txt25_retrieval_eval
 TEXT_ORACLES["txt25_retrieval_eval"] = sql_retrieval_eval("duck")
+
+
+# --- DD19: MinHash-LSH band/row operating curve -------------------------------
+DD19_DOCS = 400            # bounded calibration sample (see scale note)
+DD19_STRIDE = 5            # near twins from residue 0, far twins residue 1
+DD19_NEAR_BASE = 2_000_000
+DD19_FAR_BASE = 3_000_000
+DD19_NEAR_K = 12           # near twin: every 12th token replaced (dd12's J)
+DD19_FAR_K = 4             # far twin: every 4th token replaced (J ≈ 0.15)
+DD19_BAND_SIZES = (1, 2, 4, 8)
+
+
+def _dd19_perturb(dialect: str, k: int, base: int) -> str:
+    """Every k-th token replaced with a doc-unique noise token — the dd12
+    perturbation parameterized by k (Spark lambda index 0-based, DuckDB
+    1-based, the dq6 convention)."""
+    # the noise token embeds the 1-BASED position in both engines (Spark
+    # lambda indexes are 0-based, DuckDB's 1-based — the token text must
+    # be byte-identical or the shingle hashes diverge)
+    if dialect == "spark":
+        noise = (
+            f"'n{base}q' || CAST(doc_id AS STRING) || 'x' "
+            "|| CAST(i + 1 AS STRING)"
+        )
+        return (
+            f"array_join(transform(toks, (t, i) -> CASE WHEN (i + 1) % {k} "
+            f"= 0 THEN {noise} ELSE t END), ' ')"
+        )
+    noise = (
+        f"'n{base}q' || CAST(doc_id AS STRING) || 'x' || CAST(i AS STRING)"
+    )
+    return (
+        f"array_to_string(list_transform(toks, (t, i) -> CASE WHEN i % {k} "
+        f"= 0 THEN {noise} ELSE t END), ' ')"
+    )
+
+
+def sql_lsh_operating_curve(dialect: str) -> str:
+    """DD19 — the (bands × rows) OPERATING CURVE for MinHash LSH: emb24
+    picked the ANN serving operating point (probe count) from one
+    measured sweep; dd19 does the same for the dedup family's banding
+    choice.  The engine ships three fixed operating points today (dd4's
+    4×4, dd12's recall-tuned 8×2, dd6's clustering on dd4's bands); the
+    harness that JUSTIFIES such a choice is this sweep — the Leskovec
+    et al. S-curve P(candidate) = 1 − (1 − J^r)^b measured, not
+    assumed, on a planted two-class fixture:
+
+      near twins (residue-0 docs, every 12th token replaced, shingle
+      Jaccard ≈ 0.6) must survive permissive AND mid bandings;
+      far twins (residue-1 docs, every 4th token replaced, J ≈ 0.15)
+      must be caught ONLY by the permissive end — the curve's whole
+      point is that r acts as a Jaccard threshold knob.
+
+    Per band_size r ∈ {1, 2, 4, 8} over the SAME 16 signature hashes
+    (one signature pass feeds every grid level — emb24's one-scored-pass
+    rule): the distinct colliding pair count and each class's planted
+    recall, every number deterministic (fixed hash series; the oracle
+    replays the identical arithmetic).
+
+    Scale note: the sweep itself runs on a BOUNDED calibration sample
+    (DD19_DOCS docs — r=1 single-hash bands are the degenerate
+    permissive end whose buckets approach all-pairs, included for curve
+    shape; sweeping on the full corpus would be the dd2 viral-shingle
+    trap).  The chosen (b, r) then drives dd4/dd12 at corpus scale,
+    where banding cost is the familiar one-shuffle bucket join."""
+    toks = split_ws(dialect, "text")
+    near = _dd19_perturb(dialect, DD19_NEAR_K, DD19_NEAR_BASE)
+    far = _dd19_perturb(dialect, DD19_FAR_K, DD19_FAR_BASE)
+    per_r = []
+    for r in DD19_BAND_SIZES:
+        bands = _bands_sql(dialect, "c_sigs", r)
+        per_r.append(f"""bands_{r} AS ({bands}),
+pairs_{r} AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands_{r} a
+  JOIN bands_{r} b
+    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+   AND a.doc_id < b.doc_id
+)""")
+    selects = []
+    for r in DD19_BAND_SIZES:
+        selects.append(f"""SELECT CAST({r} AS BIGINT) AS band_size,
+       CAST({N_HASHES // r} AS BIGINT) AS n_bands,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs_{r}) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM near_src) AS n_near_planted,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs_{r} p
+         JOIN near_src s ON p.da = s.doc_id
+                        AND p.db = s.doc_id + {DD19_NEAR_BASE})
+         AS n_near_found,
+       (SELECT CAST(count(*) AS BIGINT) FROM far_src) AS n_far_planted,
+       (SELECT CAST(count(*) AS BIGINT) FROM pairs_{r} p
+         JOIN far_src s ON p.da = s.doc_id
+                       AND p.db = s.doc_id + {DD19_FAR_BASE})
+         AS n_far_found""")
+    body = "\nUNION ALL\n".join(selects)
+    per_r_joined = ",\n".join(per_r)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id < {DD19_DOCS} AND text IS NOT NULL
+),
+near_src AS (
+  SELECT doc_id FROM base WHERE doc_id % {DD19_STRIDE} = 0
+),
+far_src AS (
+  SELECT doc_id FROM base WHERE doc_id % {DD19_STRIDE} = 1
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {DD19_NEAR_BASE} AS doc_id, {near} AS text
+  FROM (SELECT doc_id, {toks} AS toks FROM base
+        WHERE doc_id % {DD19_STRIDE} = 0) s
+  UNION ALL
+  SELECT doc_id + {DD19_FAR_BASE} AS doc_id, {far} AS text
+  FROM (SELECT doc_id, {toks} AS toks FROM base
+        WHERE doc_id % {DD19_STRIDE} = 1) s
+),
+{_sigs_over(dialect, "corpus", "c_")},
+{per_r_joined},
+curve AS (
+{body}
+)
+SELECT band_size, n_bands, n_candidates,
+       n_near_planted, n_near_found,
+       {r6t("CAST(n_near_found AS DOUBLE) / CAST(n_near_planted AS DOUBLE)")}
+         AS near_recall,
+       n_far_planted, n_far_found,
+       {r6t("CAST(n_far_found AS DOUBLE) / CAST(n_far_planted AS DOUBLE)")}
+         AS far_recall
+FROM curve
+ORDER BY band_size
+"""
+
+
+def _dd19_lsh_operating_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DD19, Spark side: the pure rendering — one shingle→signature pass
+    over the bounded fixture, four band explosions off the SAME
+    signature rows, four bucket self-joins."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_lsh_operating_curve("spark"))
+
+
+QUERIES["dd19_lsh_operating_curve"] = _dd19_lsh_operating_curve
+TEXT_ORACLES["dd19_lsh_operating_curve"] = sql_lsh_operating_curve("duck")

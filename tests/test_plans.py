@@ -650,6 +650,41 @@ def test_txt25_metrics_are_consistent(spark, sf_dir):
         assert abs(r.mrr_at_k - r.mrr_scaled / (2520.0 * r.n_queries)) < 1e-6
 
 
+def test_dd19_curve_is_monotone_and_threshold_shaped(spark, sf_dir):
+    """The S-curve facts dd19 exists to measure: growing the band size r
+    (stricter collisions) can only SHRINK the candidate set and each
+    class's recall; and at every operating point the high-Jaccard near
+    twins recall at least as well as the low-Jaccard far twins — r is a
+    Jaccard-threshold knob, which is the whole design argument for
+    dd4's 4x4 vs dd12's recall-tuned 8x2."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    rows = (
+        QUERIES["dd19_lsh_operating_curve"](spark, sf_dir)
+        .orderBy("band_size")
+        .collect()
+    )
+    assert [r.band_size for r in rows] == [1, 2, 4, 8]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_candidates >= b.n_candidates
+        assert a.n_near_found >= b.n_near_found
+        assert a.n_far_found >= b.n_far_found
+    for r in rows:
+        assert r.near_recall >= r.far_recall - 1e-9
+        assert r.n_near_found <= r.n_near_planted
+        assert r.n_far_found <= r.n_far_planted
+
+
+def test_dd19_band_joins_are_equi_joins(spark, sf_dir):
+    """Every pair stage must be the banded bucket equi-join on
+    (band_id, band_sig) — never a cross product (the curve sweeps four
+    configs off ONE signature pass; a Cartesian anywhere would be the
+    all-pairs trap the banding exists to avoid)."""
+    plan = plan_of(spark, sf_dir, "dd19_lsh_operating_curve")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_emb24_grid_join_bounded_and_topk_windows_partitioned(spark, sf_dir):
     """emb24's only non-equi join is the probe_rank <= n_probes grading
     against the BROADCAST 5-row grid (bounded by construction — never a
