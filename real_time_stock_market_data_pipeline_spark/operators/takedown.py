@@ -421,6 +421,132 @@ def purge_takedown(
     return out
 
 
+def _family_frames(
+    spark: SparkSession, family: str, path: str, id_col: str
+) -> tuple[DataFrame | None, DataFrame | None, DataFrame | None]:
+    """(raw, tombstones, serving) frames for one takedown family — the
+    read-side map the compliance audit walks.  ``raw`` is the physical
+    table (purge target), ``serving`` the tombstone-aware read a query
+    actually sees; any absent table is None (absent-as-empty)."""
+    from ..sources.readers import read_parquet_if_exists
+
+    if family in _FLAT_FAMILIES:
+        raw = read_parquet_if_exists(spark, path)
+        tombs = read_parquet_if_exists(spark, tombstone_path(path))
+        serving = None if raw is None else minus_tombstones(raw, spark, path, id_col)
+        return raw, tombs, serving
+    if family == "semantic":
+        raw = read_parquet_if_exists(spark, f"{path}/assigned")
+        tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+        return raw, tombs, semantic_assigned_minus_tombstones(spark, path, id_col)
+    if family == "bm25":
+        import os as _os
+
+        from .text import bm25_tf_minus_tombstones
+
+        raw = read_parquet_if_exists(spark, _os.path.join(path, "tf"))
+        tombs = read_parquet_if_exists(spark, _os.path.join(path, "tombstones"))
+        return raw, tombs, bm25_tf_minus_tombstones(spark, path, id_col)
+    if family in ("ivfpq", "ivf"):
+        sub = "index" if family == "ivfpq" else "lists"
+        raw = read_parquet_if_exists(spark, f"{path}/{sub}")
+        tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+        if raw is None:
+            return None, tombs, None
+        serving = raw
+        if tombs is not None:
+            serving = raw.join(
+                F.broadcast(tombs.select(id_col).distinct()),
+                id_col,
+                "left_anti",
+            )
+        return raw, tombs, serving
+    if family == "pq":
+        from .similarity import read_pq_codes
+
+        raw = read_parquet_if_exists(spark, f"{path}/codes")
+        tombs = read_parquet_if_exists(
+            spark, tombstone_path(f"{path}/codes")
+        )
+        return raw, tombs, read_pq_codes(spark, path, id_col)
+    raise ValueError(f"unknown takedown family {family!r}")
+
+
+def takedown_compliance(
+    spark: SparkSession,
+    ids: DataFrame,
+    roots: dict[str, str],
+    id_col: str = "doc_id",
+    id_cols: dict[str, str] | None = None,
+) -> DataFrame:
+    """The CHECK-time compliance report for a removal request — what a
+    GDPR/robots audit actually reads: per family, how far the request
+    has progressed and whether anything is still reachable.
+
+      n_requested                  distinct ids in the request
+      n_tombstoned_standing        requested ids with a standing
+                                   tombstone (purge not yet durable)
+      n_physical_docs_remaining    requested ids still physically in
+                                   the table (distinct, doc-level)
+      serving_clean                no tombstone-aware read returns a
+                                   requested id
+      status                       'at_risk'        served AND physical
+                                                    (a missed takedown —
+                                                    the failure mode the
+                                                    audit exists for)
+                                   'pending_purge'  tombstoned, serving
+                                                    clean, rows physical
+                                   'clean'          nothing requested is
+                                                    physical (purged, or
+                                                    never ingested)
+
+    Every per-family check is one or two request-sized broadcast joins
+    plus single-row count aggregates (the bounded-collect contract);
+    nothing corpus-sized reaches the driver.  Same ``roots``/``id_cols``
+    conventions as ``takedown``/``purge_takedown``."""
+    req = ids.select(id_col).distinct().localCheckpoint(eager=False)
+    n_req = req.count()
+    rows = []
+    for family in sorted(roots):
+        col = (id_cols or {}).get(family, id_col)
+        fam_ids = (
+            req if col == id_col else req.withColumnRenamed(id_col, col)
+        )
+        raw, tombs, serving = _family_frames(spark, family, roots[family], col)
+        n_tomb = (
+            0
+            if tombs is None
+            else tombs.select(col)
+            .distinct()
+            .join(F.broadcast(fam_ids), col, "left_semi")
+            .count()
+        )
+        n_phys = (
+            0
+            if raw is None
+            else raw.select(col)
+            .distinct()
+            .join(F.broadcast(fam_ids), col, "left_semi")
+            .count()
+        )
+        clean = serving is None or serving.join(
+            F.broadcast(fam_ids), col, "left_semi"
+        ).isEmpty()
+        if n_phys > 0 and not clean:
+            status = "at_risk"
+        elif n_tomb > 0:
+            status = "pending_purge"
+        else:
+            status = "clean"
+        rows.append((family, n_req, n_tomb, n_phys, clean, status))
+    return spark.createDataFrame(
+        rows,
+        "family string, n_requested bigint, n_tombstoned_standing bigint, "
+        "n_physical_docs_remaining bigint, serving_clean boolean, "
+        "status string",
+    )
+
+
 def takedown_sink(
     roots: dict[str, str],
     id_col: str = "doc_id",

@@ -52,7 +52,7 @@ _PRIORITY = [
     "mm4_wav_stats", "mm5_avi_frame_stats",
     # 2 — new this round (each displaces one r14 fill below)
     "sp19_launch_manifest", "dq8_release_card", "txt25_retrieval_eval",
-    "dd19_lsh_operating_curve",
+    "dd19_lsh_operating_curve", "dq9_takedown_compliance",
     # 3 — green in CORRECTNESS_r14, r14-window order; entries past
     #     slot 50 are FROZEN FOR R18
     "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",

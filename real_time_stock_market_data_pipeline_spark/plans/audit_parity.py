@@ -1343,3 +1343,145 @@ def _dq8_release_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dq8_release_card"] = _dq8_release_card
 AUDIT_ORACLES["dq8_release_card"] = sql_release_card("duck")
+
+
+# --- DQ9 (r17): takedown COMPLIANCE audit -------------------------------------
+DQ9_DOCS = 200
+DQ9_STRIDE = 6
+DQ9_RESIDUE = 1
+DQ9_GHOSTS = (9_000_001, 9_000_002, 9_000_003)  # requested, never ingested
+
+
+def sql_takedown_compliance(dialect: str) -> str:
+    """DQ9's oracle: every counter replayed arithmetically from the
+    fixture construction — a table family holds a doc iff the doc
+    clears that family's shingle width (3-gram signatures need ≥ 3
+    tokens, 13-gram shingle tables ≥ 13), so presence counts are pure
+    token-count predicates over the slice; the four family states are
+    the fixture's four constructions."""
+    toks = split_ws(dialect, "text")
+    n = list_len(dialect, toks)
+    base = (
+        f"SELECT doc_id, {n} AS n_tokens FROM documents "
+        f"WHERE doc_id < {DQ9_DOCS} AND text IS NOT NULL"
+    )
+    return f"""
+WITH slice_docs AS ({base}),
+req AS (
+  SELECT CAST(count(*) + {len(DQ9_GHOSTS)} AS BIGINT) AS n_requested
+  FROM slice_docs WHERE doc_id % {DQ9_STRIDE} = {DQ9_RESIDUE}
+),
+p3 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM slice_docs
+  WHERE doc_id % {DQ9_STRIDE} = {DQ9_RESIDUE} AND n_tokens >= 3
+),
+p13 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM slice_docs
+  WHERE doc_id % {DQ9_STRIDE} = {DQ9_RESIDUE} AND n_tokens >= 13
+)
+SELECT 'fingerprints' AS family, req.n_requested,
+       CAST(0 AS BIGINT) AS n_tombstoned_standing,
+       CAST(0 AS BIGINT) AS n_physical_docs_remaining,
+       true AS serving_clean, 'clean' AS status
+FROM req
+UNION ALL
+SELECT 'segmentations', req.n_requested, CAST(0 AS BIGINT), p13.n,
+       p13.n = 0, CASE WHEN p13.n = 0 THEN 'clean' ELSE 'at_risk' END
+FROM req CROSS JOIN p13
+UNION ALL
+SELECT 'shingles', req.n_requested, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       true, 'clean'
+FROM req
+UNION ALL
+SELECT 'signatures', req.n_requested, p3.n, p3.n,
+       true, CASE WHEN p3.n = 0 THEN 'clean' ELSE 'pending_purge' END
+FROM req CROSS JOIN p3
+ORDER BY family
+"""
+
+
+def _dq9_takedown_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ9, Spark side: drive ``operators.takedown.takedown_compliance``
+    — the check-time report a GDPR/robots audit reads — over a fixture
+    that realizes all three statuses the report can emit:
+
+      signatures     takedown applied, purge NOT run → ``pending_purge``
+                     (tombstones standing, rows physical, serving clean)
+      shingles       takedown + purge → ``clean``
+      fingerprints   request ids never ingested → ``clean``
+                     (present-only tombstoning had nothing to do)
+      segmentations  store built but the removal request NEVER applied →
+                     ``at_risk`` — requested docs still SERVED, the
+                     missed-takedown failure mode the audit exists to
+                     catch.
+
+    dd18 proves each family's lifecycle; dq9 is the operational
+    monitoring layer above it (dq4/dq5's monitor-vs-lifecycle split,
+    applied to deletion).  Every check is request-sized broadcast
+    joins + single-row aggregates."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.dedup import (
+        update_signature_table,
+        update_test_shingle_table,
+    )
+    from ..operators.multimodal import image_dhash, update_media_fingerprint_table
+    from ..operators.takedown import purge_takedown, takedown, takedown_compliance
+    from .queries import _synthetic_bmp_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    slice_df = (
+        docs.filter((F.col("doc_id") < DQ9_DOCS) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    requested = slice_df.filter(
+        F.col("doc_id") % DQ9_STRIDE == DQ9_RESIDUE
+    ).select("doc_id")
+    ghosts = spark.createDataFrame(
+        [(g,) for g in DQ9_GHOSTS], "doc_id long"
+    )
+    request = requested.unionByName(ghosts).localCheckpoint(eager=False)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_compliance",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    p_sig = os.path.join(root, "sig")
+    p_sh = os.path.join(root, "sh")
+    p_fp = os.path.join(root, "fp")
+    p_seg = os.path.join(root, "seg")
+    update_signature_table(slice_df, p_sig)
+    update_test_shingle_table(slice_df, p_sh)
+    media = image_dhash(
+        _synthetic_bmp_media(
+            slice_df.join(request, "doc_id", "left_anti").select("doc_id"),
+            "doc_id",
+        )
+    ).select("doc_id", "dhash")
+    update_media_fingerprint_table(media, p_fp)
+    update_test_shingle_table(slice_df, p_seg)
+    # signatures: tombstone only; shingles: tombstone + purge;
+    # fingerprints: request never ingested; segmentations: request
+    # never applied at all
+    takedown(spark, request, {"signatures": p_sig, "shingles": p_sh,
+                              "fingerprints": p_fp})
+    purge_takedown(spark, {"shingles": p_sh})
+    roots = {
+        "signatures": p_sig,
+        "shingles": p_sh,
+        "fingerprints": p_fp,
+        "segmentations": p_seg,
+    }
+    return takedown_compliance(spark, request, roots).orderBy("family")
+
+
+QUERIES["dq9_takedown_compliance"] = _dq9_takedown_compliance
+AUDIT_ORACLES["dq9_takedown_compliance"] = sql_takedown_compliance("duck")

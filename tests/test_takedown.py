@@ -606,3 +606,70 @@ def test_bm25_total_zero_purge_leaves_readable_df(spark, tmp_path):
     empty = read_bm25_df(spark, path)
     assert empty.count() == 0
     assert set(empty.columns) == {"tok", "df"}
+
+
+def test_ivf_purge_crash_mid_partition_renames_converges(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the flat-IVF purge inside the staged-partition swap (after
+    the durability mark, mid-renames): tombstones still stand (cleared
+    LAST), serving stays clean through the tombstone-aware reader, and
+    the re-run purge heals the displaced partitions and converges to
+    the rebuilt state — the shared _purge_partitioned_tombstones
+    contract under the centroid_id= layout."""
+    from real_time_stock_market_data_pipeline_spark.operators import (
+        similarity as sim,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        init_ivf_index,
+        search_ivf_index,
+        update_ivf_index,
+    )
+
+    emb = _emb(spark)
+    cents = kmeans_fit(emb, k=4, n_iter=1).localCheckpoint()
+    path = str(tmp_path / "ivf")
+    init_ivf_index(cents, path)
+    update_ivf_index(spark, emb, path)
+    n_all = spark.read.parquet(f"{path}/lists").count()
+    dels = emb.filter("vec_id % 9 = 2").select("vec_id")
+    n_del = dels.count()
+    td.takedown(spark, dels, {"ivf": path}, id_col="vec_id")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def die_on_second_rename(src, dst):
+        if "centroid_id=" in str(src) or "centroid_id=" in str(dst):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise RuntimeError("killed mid-partition renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(sim.os, "rename", die_on_second_rename)
+    with pytest.raises(RuntimeError, match="killed"):
+        td.purge_takedown(spark, {"ivf": path}, id_col="vec_id")
+    monkeypatch.undo()
+    # tombstones are the standing recovery signal, and serving stays
+    # clean in the half-swapped state (heal-before-read + anti-join)
+    assert os.path.exists(f"{path}/tombstones")
+    q = emb.join(dels, "vec_id", "left_semi").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    hits = search_ivf_index(spark, path, q, k=1, n_probe=4)
+    assert hits.join(dels, "vec_id", "left_semi").isEmpty()
+    # the re-run purge converges; a second replay is a no-op
+    td.purge_takedown(spark, {"ivf": path}, id_col="vec_id")
+    assert not os.path.exists(f"{path}/tombstones")
+    lists = spark.read.parquet(f"{path}/lists")
+    assert lists.count() == n_all - n_del
+    assert lists.join(dels, "vec_id", "left_semi").isEmpty()
+    assert [
+        e for e in os.listdir(path) if "__staging_" in e or "__old_" in e
+    ] == []
+    assert td.purge_takedown(spark, {"ivf": path}, id_col="vec_id")["ivf"] == {
+        "n_purged": 0, "n_lists_rewritten": 0,
+    }
