@@ -1458,16 +1458,31 @@ def _dq9_takedown_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_sh = os.path.join(root, "sh")
     p_fp = os.path.join(root, "fp")
     p_seg = os.path.join(root, "seg")
-    update_signature_table(slice_df, p_sig)
-    update_test_shingle_table(slice_df, p_sh)
-    media = image_dhash(
-        _synthetic_bmp_media(
-            slice_df.join(request, "doc_id", "left_anti").select("doc_id"),
-            "doc_id",
-        )
-    ).select("doc_id", "dhash")
-    update_media_fingerprint_table(media, p_fp)
-    update_test_shingle_table(slice_df, p_seg)
+
+    def build_fp():
+        media = image_dhash(
+            _synthetic_bmp_media(
+                slice_df.join(request, "doc_id", "left_anti").select("doc_id"),
+                "doc_id",
+            )
+        ).select("doc_id", "dhash")
+        update_media_fingerprint_table(media, p_fp)
+
+    # the four store builds are independent leg-private file ops (no
+    # session-global state — the dd18/dq5 thread invariant holds), and
+    # each is a chain of tiny fixed-overhead jobs: build them on driver
+    # threads (measured 10.4 → 7.2 s solo-warm at sf0.1)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(update_signature_table, slice_df, p_sig),
+            pool.submit(update_test_shingle_table, slice_df, p_sh),
+            pool.submit(build_fp),
+            pool.submit(update_test_shingle_table, slice_df, p_seg),
+        ]
+        for f in futures:
+            f.result()
     # signatures: tombstone only; shingles: tombstone + purge;
     # fingerprints: request never ingested; segmentations: request
     # never applied at all
