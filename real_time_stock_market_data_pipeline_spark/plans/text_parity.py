@@ -3568,9 +3568,29 @@ def sql_curriculum_shards(dialect: str) -> str:
     this rank defines."""
     h = tok_hash(dialect, "'s' || CAST(doc_id AS STRING)")
     s, m = SP15_SHARDS, SP15_CKSUM_MOD
-    grank = "boff.offset_0 + w.wrk"
     return f"""
-WITH scores AS ({sql_bigram_lm(dialect)}),
+WITH {_sp15_sharded_ctes(dialect)}
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(ppl) AS ppl_min,
+       max(ppl) AS ppl_max,
+       CAST(sum(({h}) % {m}) AS BIGINT) AS checksum
+FROM sharded
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def _sp15_sharded_ctes(dialect: str) -> str:
+    """sp15's shared CTE chain up to the DOC-LEVEL ``sharded`` frame
+    (doc_id, ppl, n_tokens, shard_id) — the manifest rollup AND the
+    physical shard write both read it (write_curriculum_shards), so
+    the written layout can never drift from the published manifest.
+    Byte-inert factoring of sql_curriculum_shards (md5-checked)."""
+    s = SP15_SHARDS
+    grank = "boff.offset_0 + w.wrk"
+    return f"""scores AS ({sql_bigram_lm(dialect)}),
 scored AS (
   SELECT doc_id, perplexity AS ppl,
          CAST(n_bigrams + 1 AS BIGINT) AS n_tokens,
@@ -3604,17 +3624,25 @@ sharded AS (
   SELECT doc_id, ppl, n_tokens,
          {idiv(dialect, f"{s} * (grank - 1)", "n_total")} AS shard_id
   FROM ranked
-)
-SELECT CAST(shard_id AS BIGINT) AS shard_id,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-       min(ppl) AS ppl_min,
-       max(ppl) AS ppl_max,
-       CAST(sum(({h}) % {m}) AS BIGINT) AS checksum
-FROM sharded
-GROUP BY shard_id
-ORDER BY shard_id
-"""
+)"""
+
+
+def write_curriculum_shards(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Materialize sp15's curriculum as the PHYSICAL layout its manifest
+    describes: the doc-level ``sharded`` frame written hive-partitioned
+    on ``shard_id`` — the range-partition the two-level rank defines
+    (the sp15 docstring's claim, now a real write).  A training loader
+    reads one ``shard_id=`` directory per phase (directory-level
+    pruning, scan-metric-tested in tests/test_sinks.py), and the
+    written files re-aggregate EXACTLY to the published manifest —
+    write and manifest read the same CTE chain, so they cannot drift."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    df = spark.sql(
+        f"WITH {_sp15_sharded_ctes('spark')} "
+        "SELECT doc_id, ppl, n_tokens, CAST(shard_id AS BIGINT) AS shard_id "
+        "FROM sharded"
+    )
+    df.write.mode("overwrite").partitionBy("shard_id").parquet(path)
 
 
 def _sp15_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

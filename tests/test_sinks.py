@@ -130,3 +130,61 @@ def test_zordered_layout_skips_on_both_columns(spark, tmp_path):
     _, v_read_other = read_rows(str(tmp_path / "v"), "user_id >= 100 AND user_id < 160")
     assert v_read_own <= 0.3 * n
     assert v_read_other == n
+
+
+def test_curriculum_shard_write_matches_manifest_and_prunes(
+    spark, sf_dir, tmp_path
+):
+    """sp15's docstring claims the physical shard write IS the
+    range-partition its rank defines — pin it: write_curriculum_shards
+    materializes the doc-level frame hive-partitioned on shard_id, the
+    written files re-aggregate EXACTLY to the published manifest (docs,
+    tokens, ppl band, content checksum — write and manifest read the
+    same CTE chain), and a one-shard read (the loader's per-phase
+    access) prunes at the scan."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+    from real_time_stock_market_data_pipeline_spark.plans.dialect import tok_hash
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        SP15_CKSUM_MOD,
+        write_curriculum_shards,
+    )
+
+    path = str(tmp_path / "shards")
+    write_curriculum_shards(spark, sf_dir, path)
+    parts = sorted(d for d in os.listdir(path) if d.startswith("shard_id="))
+    manifest = {
+        r.shard_id: r
+        for r in QUERIES["sp15_curriculum_shards"](spark, sf_dir).collect()
+    }
+    assert len(parts) == len(manifest)
+    back = spark.read.parquet(path)
+    h = tok_hash("spark", "'s' || CAST(doc_id AS STRING)")
+    agg = {
+        r.shard_id: r
+        for r in back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+            F.sum(F.expr(f"({h}) % {SP15_CKSUM_MOD}"))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .collect()
+    }
+    assert set(agg) == set(manifest)
+    for sid, m in manifest.items():
+        a = agg[sid]
+        assert (a.n_docs, a.n_tokens, a.checksum) == (
+            m.n_docs, m.n_tokens, m.checksum,
+        ), sid
+        assert a.ppl_min == m.ppl_min and a.ppl_max == m.ppl_max, sid
+    # the loader's per-phase read prunes to one shard directory
+    one = int(parts[0].split("=", 1)[1])
+    q = back.filter(F.col("shard_id") == one)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.find("FileScan"):]
+    assert "PartitionFilters" in scan
+    assert "shard_id" in scan.split("PartitionFilters")[1][:200]
+    assert q.count() == manifest[one].n_docs
