@@ -15,57 +15,36 @@ ORACLES.update(AUDIT_ORACLES)
 # CORRECTNESS file records rows for the FIRST 50 registrations only, so
 # ordering is part of the correctness-evidence budget.  The window is
 # ROTATED each round so every query gets a fresh driver row at least every
-# fourth round.  Round-17 rotation policy (executes the r16 "R17 WINDOW
-# PLAN" + the r16 verdict's item 1 exactly — CORRECTNESS_r16 was 50/50
-# green, freshness 50 r16 / 50 r15 / 50 r14 / 17 r13):
-#   1. the 17 r13-green entries displaced past slot 50 by the r16 window
-#      (the named "FROZEN FOR R17" block — the oldest evidence in the
-#      registry, three rounds stale) lead;
-#   2. queries NEW this round follow (each displaces one r14 fill from
+# fourth round.  Round-18 rotation policy (executes the r17 "R18 WINDOW
+# PLAN" + the r17 verdict's item 1 exactly — CORRECTNESS_r17 was 50/50
+# green, freshness 50 r17 / 50 r16 / 50 r15 / 22 r14):
+#   1. the 22 r14-green entries displaced past slot 50 by the r17 window
+#      (the named "FROZEN FOR R18" block — the oldest evidence in the
+#      registry, four rounds stale) lead, in r14-window order;
+#   2. queries NEW this round follow (each displaces one r15 fill from
 #      the tail of the window — legal because inside/outside evidence
-#      both bottom out at r14 once the r13 block is inside, so
+#      both bottom out at r15 once the r14 block is inside, so
 #      max(inside) <= min(outside) holds);
-#   3. the r14-green queries in their r14-window order, oldest evidence
+#   3. the r15-green queries in their r15-window order, oldest evidence
 #      first, fill the remaining slots to exactly 50.
-#   FROZEN FOR R18 (named, deliberate): the r14-green tail entries past
+#   FROZEN FOR R19 (named, deliberate): the r15-green tail entries past
 #   slot 50 wait one round — each is pytest-parity-pinned at sf0.001
 #   every run.
-#   R18 WINDOW PLAN (committed r17): once CORRECTNESS_r17 lands, the
-#   freshest-evidence blocks are 50 r17 / 50 r16 / 50 r15 / 17+new r14
-#   (the displaced r14 tail).  At r18: lead with the displaced r14-green
-#   entries (oldest evidence in the registry), fill with the r15-green
-#   block in its r15-window order to exactly 50 (each NEW r18 query
-#   displaces one r15 fill); the r16-green then r17-green blocks form
+#   R19 WINDOW PLAN (committed r18): once CORRECTNESS_r18 lands, the
+#   freshest-evidence blocks are 50 r18 / 50 r17 / 50 r16 / 22+new r15
+#   (the displaced r15 tail).  At r19: lead with the displaced r15-green
+#   entries (oldest evidence in the registry), fill with the r16-green
+#   block in its r16-window order to exactly 50 (each NEW r19 query
+#   displaces one r16 fill); the r17-green then r18-green blocks form
 #   the tail in their window orders.  The whole registry stays covered
 #   every run by tests/test_parity.py at sf0.001 and the pre-commit
 #   parity harness at sf0.01.
 # ---------------------------------------------------------------------------
 _PRIORITY = [
-    # 1 — the 17 r13-green entries displaced past slot 50 by the r16
-    #     window ("FROZEN FOR R17"): oldest evidence in the registry,
-    #     mandatory leads, in r13-window order
-    "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
-    "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
-    "emb20_d4_prototypes", "dd14_snapshot_dedup", "mm12_multimodal_packing",
-    "dq4_index_recall_drift", "sp13_model_curated_corpus",
-    "txt20_ccnet_buckets", "a3_active_series", "mm3_bmp_pixel_stats",
-    "mm4_wav_stats", "mm5_avi_frame_stats",
-    # 2 — new this round (each displaces one r14 fill below)
-    "sp19_launch_manifest", "dq8_release_card", "txt25_retrieval_eval",
-    "dd19_lsh_operating_curve", "dq9_takedown_compliance",
-    # 3 — green in CORRECTNESS_r14, r14-window order; entries past
-    #     slot 50 are FROZEN FOR R18
-    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
-    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
-    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
-    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
-    "emb8_ivf_index_search", "a10_value_histogram", "a11_daily_type_pivot",
-    "a12_rollup_sets", "sp3_capped_per_group", "sp4_balanced_mixture",
-    "dq2_volume_anomalies", "emb15_semantic_dedup",
-    "emb16_semdedup_keep_policy", "mm11_triad_decontamination",
-    "sp9_dup_aware_split", "emb17_incremental_semdedup",
-    "txt15_perplexity_filter", "emb18_filtered_ann",
+    # 1 — the 22 r14-green entries displaced past slot 50 by the r17
+    #     window ("FROZEN FOR R18"): oldest evidence in the registry,
+    #     mandatory leads, in r14-window order
+    "emb18_filtered_ann",
     "txt16_duplicated_ngrams", "dd1_exact_dedup", "w2_sma", "w3_ema",
     "txt1_token_stats", "txt4_fingerprint", "emb10_incremental_ivf",
     "txt12_bigram_lm", "txt13_feature_hash", "mm7_dhash_pairs",
@@ -74,7 +53,9 @@ _PRIORITY = [
     "emb11_pq_recall", "w14_series_banded_neardup",
     "dq5_serving_drift_monitors", "txt21_dsir_resample",
     "txt22_bm25_retrieval", "dd15_paragraph_dedup",
-    # 4 — green in CORRECTNESS_r15 (zero failures), r15-window order
+    # 2 — new this round (each displaces one r15 fill below)
+    # 3 — green in CORRECTNESS_r15, r15-window order; entries past
+    #     slot 50 are FROZEN FOR R19
     "sp14_doremi_mixture", "sp15_curriculum_shards",
     "dd16_semantic_decontamination", "mm13_image_text_alignment",
     "dd17_quality_survivors", "sp16_doremi_manifest",
@@ -95,7 +76,7 @@ _PRIORITY = [
     "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
     "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
     "sp11_domain_mixture",
-    # 5 — green in CORRECTNESS_r16 (zero failures), r16-window order
+    # 4 — green in CORRECTNESS_r16 (zero failures), r16-window order
     "emb19_filtered_ivfpq", "txt19_incremental_span_dedup",
     "sp12_curated_corpus", "p3_time_window_filter", "p4_recent_window",
     "p5_equality_filter", "p6_flag_filter", "a7_dup_detection",
@@ -115,6 +96,26 @@ _PRIORITY = [
     "txt11_pii_redaction", "dd9_incremental_minhash",
     "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
     "f1_scalar_suite", "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
+    # 5 — green in CORRECTNESS_r17 (zero failures), r17-window order
+    "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
+    "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
+    "emb20_d4_prototypes", "dd14_snapshot_dedup", "mm12_multimodal_packing",
+    "dq4_index_recall_drift", "sp13_model_curated_corpus",
+    "txt20_ccnet_buckets", "a3_active_series", "mm3_bmp_pixel_stats",
+    "mm4_wav_stats", "mm5_avi_frame_stats",
+    "sp19_launch_manifest", "dq8_release_card", "txt25_retrieval_eval",
+    "dd19_lsh_operating_curve", "dq9_takedown_compliance",
+    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
+    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
+    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
+    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
+    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
+    "emb8_ivf_index_search", "a10_value_histogram", "a11_daily_type_pivot",
+    "a12_rollup_sets", "sp3_capped_per_group", "sp4_balanced_mixture",
+    "dq2_volume_anomalies", "emb15_semantic_dedup",
+    "emb16_semdedup_keep_policy", "mm11_triad_decontamination",
+    "sp9_dup_aware_split", "emb17_incremental_semdedup",
+    "txt15_perplexity_filter",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

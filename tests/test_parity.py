@@ -31,63 +31,66 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r17_driver_window_pinned():
+def test_r18_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 17
-    r13-green entries displaced past slot 50 by the r16 window (the
-    "FROZEN FOR R17" block, oldest evidence in the registry) lead, new
-    r17 queries follow, and the r14-green rotations fill to exactly 50
-    in r14-window order (oldest evidence first).  An accidental
+    only, so the window IS part of the round's evidence plan: the 22
+    r14-green entries displaced past slot 50 by the r17 window (the
+    "FROZEN FOR R18" block, oldest evidence in the registry) lead, new
+    r18 queries follow, and the r15-green rotations fill to exactly 50
+    in r15-window order (oldest evidence first).  An accidental
     import-order or registration change would silently spend the
     evidence budget on the wrong queries — fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
     leads = [
-        "w8_price_change", "w9_ml_features", "txt2_quality", "txt3_langid",
-        "w10_throttled_volatility", "p8_extreme_filter", "j5_dim_lookup",
-        "emb20_d4_prototypes", "dd14_snapshot_dedup",
-        "mm12_multimodal_packing", "dq4_index_recall_drift",
-        "sp13_model_curated_corpus", "txt20_ccnet_buckets",
-        "a3_active_series", "mm3_bmp_pixel_stats",
-        "mm4_wav_stats", "mm5_avi_frame_stats",
+        "emb18_filtered_ann",
+        "txt16_duplicated_ngrams", "dd1_exact_dedup", "w2_sma", "w3_ema",
+        "txt1_token_stats", "txt4_fingerprint", "emb10_incremental_ivf",
+        "txt12_bigram_lm", "txt13_feature_hash", "mm7_dhash_pairs",
+        "w12_series_similarity", "w13_series_all_pairs",
+        "dd11_incremental_decontamination", "mm8_audio_pairs",
+        "mm9_video_pairs", "emb11_pq_recall", "w14_series_banded_neardup",
+        "dq5_serving_drift_monitors", "txt21_dsir_resample",
+        "txt22_bm25_retrieval", "dd15_paragraph_dedup",
     ]
-    assert names[:17] == leads
-    # new r17 queries sit directly after the displaced-r13 leads; each
-    # one displaces one r14 fill off the window tail
-    new_r17 = [n for n in names[17:50] if n not in _R14_WINDOW_ORDER]
-    n_new = len(new_r17)
-    assert names[17:17 + n_new] == new_r17  # new queries are contiguous
-    assert names[17 + n_new:50] == _R14_WINDOW_ORDER[: 33 - n_new]
-    # slot 50 boundary: the frozen-for-r18 block starts at index 50 with
-    # the first displaced r14 fill
-    assert names[50] == _R14_WINDOW_ORDER[33 - n_new]
+    assert names[:22] == leads
+    # new r18 queries sit directly after the displaced-r14 leads; each
+    # one displaces one r15 fill off the window tail
+    new_r18 = [n for n in names[22:50] if n not in _R15_WINDOW_ORDER]
+    n_new = len(new_r18)
+    assert names[22:22 + n_new] == new_r18  # new queries are contiguous
+    assert names[22 + n_new:50] == _R15_WINDOW_ORDER[: 28 - n_new]
+    # slot 50 boundary: the frozen-for-r19 block starts at index 50 with
+    # the first displaced r15 fill
+    assert names[50] == _R15_WINDOW_ORDER[28 - n_new]
 
 
-# the r14-window order the round-17 fills draw from (the full 50-entry
-# r14-green block): any slot of the 50 not taken by a displaced-r13 lead
-# or a new r17 query is filled from this list front-to-back, and
-# displaced entries head the frozen-for-r18 block.
-_R14_WINDOW_ORDER = [
-    "mm6_png_roundtrip_stats", "flagship", "s14_arima_registry",
-    "mm2_image_dims", "t6_alerts", "j3_alert_feed",
-    "emb4_ivf_topk", "emb5_ivf_trained_recall", "s9_analytics_upsert",
-    "sp1_hash_split", "dq1_expectations", "a9_sketch_rollup",
-    "dd8_contamination", "txt6_vocab", "txt7_bpe_merges",
-    "emb8_ivf_index_search", "a10_value_histogram", "a11_daily_type_pivot",
-    "a12_rollup_sets", "sp3_capped_per_group", "sp4_balanced_mixture",
-    "dq2_volume_anomalies", "emb15_semantic_dedup",
-    "emb16_semdedup_keep_policy", "mm11_triad_decontamination",
-    "sp9_dup_aware_split", "emb17_incremental_semdedup",
-    "txt15_perplexity_filter", "emb18_filtered_ann",
-    "txt16_duplicated_ngrams", "dd1_exact_dedup", "w2_sma", "w3_ema",
-    "txt1_token_stats", "txt4_fingerprint", "emb10_incremental_ivf",
-    "txt12_bigram_lm", "txt13_feature_hash", "mm7_dhash_pairs",
-    "w12_series_similarity", "w13_series_all_pairs",
-    "dd11_incremental_decontamination", "mm8_audio_pairs", "mm9_video_pairs",
-    "emb11_pq_recall", "w14_series_banded_neardup",
-    "dq5_serving_drift_monitors", "txt21_dsir_resample",
-    "txt22_bm25_retrieval", "dd15_paragraph_dedup",
+# the r15-window order the round-18 fills draw from (the full 50-entry
+# r15-green block): any slot of the 50 not taken by a displaced-r14 lead
+# or a new r18 query is filled from this list front-to-back, and
+# displaced entries head the frozen-for-r19 block.
+_R15_WINDOW_ORDER = [
+    "sp14_doremi_mixture", "sp15_curriculum_shards",
+    "dd16_semantic_decontamination", "mm13_image_text_alignment",
+    "dd17_quality_survivors", "sp16_doremi_manifest",
+    "dq6_contamination_audit", "txt23_incremental_bm25",
+    "emb21_index_deletion", "sp17_epoch_shuffle",
+    "emb22_late_interaction", "emb23_matryoshka_recall",
+    "sp2_stratified_sample", "dd3_minhash_signatures",
+    "dd4_minhash_candidates", "dd5_simhash", "emb1_knn_cosine",
+    "emb2_label_centroids", "emb3_lsh_near_dup", "emb6_centered_lsh",
+    "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
+    "p7_validated_ticks", "p9_dedup_ticks", "j6_region_revenue",
+    "j7_orders_without_big_lineitems", "j8_industry_rollup",
+    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+    "o3_training_fetch", "sk1_salted_daily_summary", "q1_pricing_summary",
+    "t9_session_windows", "j10_asof_quote", "s13_model_roundtrip",
+    "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
+    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
+    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+    "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
+    "sp11_domain_mixture",
 ]
 
 
