@@ -1812,15 +1812,12 @@ def search_ivfpq_index(
     # not-yet-marked staging (readers never destroy in-progress work)
     heal_if_interrupted(path, for_read=True)
     heal_if_interrupted(f"{path}/index", for_read=True)
-    coarse, fine = load_ivfpq_quantizers(spark, path)
-    probes = ivfpq_probes(
-        queries, coarse, n_probe=n_probe, query_id=query_id, vec=vec
-    )
-    probed_ids = sorted(
-        r[0] for r in probes.select("list_id").distinct().collect()
-    )
     from ..sources.readers import read_parquet_if_exists
 
+    # absent-index check FIRST (as search_ivf_index does for lists): a
+    # never-initialized or fully-purged index must take the
+    # absent-as-empty branch before the quantizer load (which would
+    # raise on an uninitialized root) and before paying the probe pass
     all_index = read_parquet_if_exists(spark, f"{path}/index")
     if all_index is None:
         # never populated, or every vector removed by a zero-survivor
@@ -1831,6 +1828,13 @@ def search_ivfpq_index(
             .withColumn("l2_dist", F.lit(None).cast("double"))
             .withColumn("rk", F.lit(None).cast("int"))
         )
+    coarse, fine = load_ivfpq_quantizers(spark, path)
+    probes = ivfpq_probes(
+        queries, coarse, n_probe=n_probe, query_id=query_id, vec=vec
+    )
+    probed_ids = sorted(
+        r[0] for r in probes.select("list_id").distinct().collect()
+    )
     index = all_index.filter(F.col("list_id").isin(probed_ids))
     # tombstone-aware serving (delete_from_ivfpq_index): deleted vectors
     # drop out BEFORE shortlist selection, so results equal an index that
@@ -1870,7 +1874,11 @@ def delete_from_ivfpq_index(
     ``_update_doc_keyed_table`` discipline applied to deletions.
     A tombstoned id stays deleted until purge; re-ingest before purge
     is blocked by the ingest anti-join (the row is still physically
-    present), after purge the id may legitimately re-enter.
+    present), after purge the id may legitimately re-enter.  An ABSENT
+    index table (never populated, or every list removed by a
+    zero-survivor purge) deletes nothing — absent-as-empty, so a
+    replayed takedown on a fully-purged index stays idempotent instead
+    of raising (mirrors ``delete_from_ivf_index``).
     Returns ``{"n_batch_ids", "n_new_tombstones"}``.
 
     Scale shape: one semi-join against the (column-pruned) index id
@@ -1879,27 +1887,19 @@ def delete_from_ivfpq_index(
     purge's (amortized, partition-pruned) job."""
     from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
+    from .takedown import _append_new_tombstones
 
     heal_if_interrupted(path)
     heal_if_interrupted(f"{path}/index")
-    t_path = f"{path}/tombstones"
     batch = ids.select(vec_id).distinct()
     n_batch = batch.count()
-    index_ids = spark.read.parquet(f"{path}/index").select(vec_id)
-    present = batch.join(index_ids, vec_id, "left_semi")
-    standing = read_parquet_if_exists(spark, t_path)
-    new = (
-        present
-        if standing is None
-        else present.join(standing.select(vec_id).distinct(), vec_id, "left_anti")
+    index = read_parquet_if_exists(spark, f"{path}/index")
+    if index is None:
+        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+    present = batch.join(index.select(vec_id), vec_id, "left_semi")
+    n_new = _append_new_tombstones(
+        spark, present, f"{path}/tombstones", vec_id
     )
-    new = new.persist()
-    try:
-        n_new = new.count()
-        if n_new:
-            new.write.mode("append").parquet(t_path)
-    finally:
-        new.unpersist()
     return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
 
 

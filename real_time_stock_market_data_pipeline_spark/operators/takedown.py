@@ -89,6 +89,28 @@ def _append_new_tombstones(
     return n_new
 
 
+def _rename_request_ids(ids: DataFrame, id_col: str, col: str) -> DataFrame:
+    """Re-key a removal-request frame for a family keyed differently,
+    failing LOUDLY at the rename site: ``withColumnRenamed`` silently
+    no-ops when ``id_col`` is absent and silently duplicates the name
+    when ``col`` already exists — both surface later as a wrong-key
+    semi-join or an ambiguous-column error far from the cause
+    (r17 ADVICE)."""
+    if col == id_col:
+        return ids
+    if id_col not in ids.columns:
+        raise ValueError(
+            f"takedown request frame has no column {id_col!r} to rename to "
+            f"{col!r}; columns: {list(ids.columns)}"
+        )
+    if col in ids.columns:
+        raise ValueError(
+            f"takedown request frame already has a column {col!r}; renaming "
+            f"{id_col!r} onto it would create a duplicate name"
+        )
+    return ids.withColumnRenamed(id_col, col)
+
+
 def tombstone_doc_keyed_table(
     spark: SparkSession,
     ids: DataFrame,
@@ -367,9 +389,7 @@ def takedown(
     out: dict[str, dict] = {}
     for family, path in roots.items():
         col = (id_cols or {}).get(family, id_col)
-        fam_ids = (
-            ids if col == id_col else ids.withColumnRenamed(id_col, col)
-        )
+        fam_ids = _rename_request_ids(ids, id_col, col)
         if family in _FLAT_FAMILIES:
             out[family] = tombstone_doc_keyed_table(spark, fam_ids, path, col)
         elif family == "semantic":
@@ -448,7 +468,15 @@ def _family_frames(
         tombs = read_parquet_if_exists(spark, _os.path.join(path, "tombstones"))
         return raw, tombs, bm25_tf_minus_tombstones(spark, path, id_col)
     if family in ("ivfpq", "ivf"):
+        from ..maintenance import heal_if_interrupted
+
         sub = "index" if family == "ivfpq" else "lists"
+        # heal-before-read, as the real serving readers (search_ivf_index /
+        # search_ivfpq_index) do: an audit run against a purge crashed
+        # mid-partition-swap must see the healed layout those readers
+        # would serve, not the half-swapped physical one (r17 ADVICE)
+        heal_if_interrupted(path, for_read=True)
+        heal_if_interrupted(f"{path}/{sub}", for_read=True)
         raw = read_parquet_if_exists(spark, f"{path}/{sub}")
         tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
         if raw is None:
@@ -509,9 +537,7 @@ def takedown_compliance(
     rows = []
     for family in sorted(roots):
         col = (id_cols or {}).get(family, id_col)
-        fam_ids = (
-            req if col == id_col else req.withColumnRenamed(id_col, col)
-        )
+        fam_ids = _rename_request_ids(req, id_col, col)
         raw, tombs, serving = _family_frames(spark, family, roots[family], col)
         n_tomb = (
             0

@@ -4981,10 +4981,14 @@ def sql_retrieval_eval(dialect: str) -> str:
     tok_rows = explode_from(dialect, "docs", "toks", "tok", "doc_id")
     lcm = TXT25_MRR_LCM
     if dialect == "spark":
+        # noise token embeds the 1-BASED position (dd19's convention:
+        # Spark lambda indexes are 0-based, DuckDB's 1-based) so the
+        # token text is byte-identical across engines — inert here
+        # (noise never matches corpus tokens) but kept convention-true
         perturb = (
             "transform(toks, (t, i) -> CASE WHEN (i + 1) % "
             f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
-            "'x' || CAST(i AS STRING) ELSE t END)"
+            "'x' || CAST(i + 1 AS STRING) ELSE t END)"
         )
     else:
         perturb = (

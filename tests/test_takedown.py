@@ -493,6 +493,84 @@ def test_ivf_search_absent_lists_serves_empty(spark, tmp_path):
     assert set(res.columns) == {"query_id", "vec_id", "cosine_sim", "rk"}
 
 
+def test_ivfpq_delete_and_search_after_zero_survivor_purge(spark, tmp_path):
+    """A zero-survivor purge removes the whole ivfpq index table; the
+    module contract says absent = empty, so a REPLAYED takedown must
+    return n_new_tombstones=0 instead of raising (replay-idempotence
+    through the umbrella — r17 ADVICE medium) and search must serve
+    empty before ever loading quantizers or paying the probe pass
+    (r17 ADVICE low)."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        delete_from_ivfpq_index,
+        init_ivfpq_index,
+        ivfpq_fit,
+        search_ivfpq_index,
+        update_ivfpq_index,
+    )
+
+    emb = _emb(spark, 30)
+    coarse, fine = ivfpq_fit(emb, n_lists=2, n_iter=1)
+    path = str(tmp_path / "ivfpq")
+    init_ivfpq_index(spark, coarse, fine, path)
+    update_ivfpq_index(spark, emb, path)
+    td.takedown(spark, emb.select("vec_id"), {"ivfpq": path}, id_col="vec_id")
+    td.purge_takedown(spark, {"ivfpq": path}, id_col="vec_id")
+    assert read_parquet_if_exists(spark, f"{path}/index") is None
+    # replayed takedown on the fully-purged index: absent-as-empty,
+    # zero new tombstones, no raise
+    m = td.takedown(
+        spark, emb.select("vec_id"), {"ivfpq": path}, id_col="vec_id"
+    )
+    assert m["ivfpq"]["n_new_tombstones"] == 0
+    m2 = delete_from_ivfpq_index(spark, emb.select("vec_id"), path)
+    assert m2["n_new_tombstones"] == 0
+    # search takes the absent-as-empty branch (quantizers still on disk)
+    q = emb.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    res = search_ivfpq_index(spark, path, q, emb, k=3, n_probe=2)
+    assert res.count() == 0
+    assert set(res.columns) == {"query_id", "vec_id", "l2_dist", "rk"}
+    # and the audit sees the family as clean, not crashed
+    rep = td.takedown_compliance(
+        spark, emb.select("vec_id"), {"ivfpq": path}, id_col="vec_id"
+    ).collect()[0]
+    assert rep.status == "clean" and rep.serving_clean
+
+
+def test_ivfpq_search_never_initialized_root_serves_empty(spark, tmp_path):
+    """search_ivfpq_index on a root that was never initialized must take
+    the absent-as-empty branch, not raise from the quantizer load
+    (the moved-check ordering, r17 ADVICE low)."""
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        search_ivfpq_index,
+    )
+
+    emb = _emb(spark, 10)
+    q = emb.limit(2).selectExpr("vec_id AS query_id", "embedding")
+    res = search_ivfpq_index(
+        spark, str(tmp_path / "never_init"), q, emb, k=3, n_probe=2
+    )
+    assert res.count() == 0
+
+
+def test_takedown_rename_validation_fails_loudly(spark, tmp_path):
+    """id_cols re-keying validates the request frame up front: a missing
+    source column or a pre-existing target column raises at the rename
+    site instead of surfacing as a silent no-op semi-join or an
+    ambiguous-column error downstream (r17 ADVICE low)."""
+    ids = spark.createDataFrame([(1, 2)], "doc_id long, vec_id long")
+    with pytest.raises(ValueError, match="already has a column"):
+        td.takedown(
+            spark, ids, {"signatures": str(tmp_path / "sig")},
+            id_col="doc_id", id_cols={"signatures": "vec_id"},
+        )
+    renamed_away = spark.createDataFrame([(1,)], "other long")
+    with pytest.raises(ValueError, match="no column"):
+        td.takedown(
+            spark, renamed_away, {"signatures": str(tmp_path / "sig")},
+            id_col="doc_id", id_cols={"signatures": "vec_id"},
+        )
+
+
 def test_umbrella_reaches_pq_family(spark, tmp_path):
     """Symmetry edge #2: the flat PQ code table — the generic flat
     doc-keyed contract applied to {path}/codes, served through the
