@@ -4597,6 +4597,32 @@ def sql_launch_manifest(dialect: str) -> str:
     run over the slice×bucket rollup (≤ slices·256 rows, corpus-
     independent).  No single-partition rank touches doc-sized input
     (plan-pinned)."""
+    m = SP17_CK_MOD
+    return f"""
+WITH {_sp19_stream_ctes(dialect)}
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(used_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(take_rank) AS BIGINT) AS slice_lo,
+       CAST(max(take_rank) AS BIGINT) AS slice_hi,
+       CAST(min(grank) AS BIGINT) AS rank_lo,
+       CAST(max(grank) AS BIGINT) AS rank_hi,
+       CAST(sum((grank % {m}) * (idh % {m})) AS BIGINT) AS order_checksum
+FROM sharded
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def _sp19_stream_ctes(dialect: str) -> str:
+    """The sp19 LAUNCH-STREAM CTE chain (budget → greedy slice take →
+    per-slice epoch-mixed order → bucketed global rank → shard cut),
+    shared verbatim by ``sql_launch_manifest`` (the shard rollup) and
+    ``sql_resume_manifest`` (sp20's per-worker suffix report): returns
+    the text between ``WITH`` and the consumer's SELECT, exposing the
+    per-doc ``sharded`` stream (shard_id, take_rank, grank, idh,
+    used_tokens, n_total) and the slice table ``taken`` (take_rank →
+    domain, epoch)."""
     alloc = sql_doremi(dialect)
     idh = tok_hash(dialect, "'sp18:' || CAST(doc_id AS STRING)")
     toks = split_ws(dialect, "text")
@@ -4624,8 +4650,7 @@ def sql_launch_manifest(dialect: str) -> str:
         )
     win = "ORDER BY value_scaled DESC, epoch ASC, domain ASC"
     rows_all = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-    return f"""
-WITH alloc AS ({alloc}),
+    return f"""alloc AS ({alloc}),
 sdocs AS (
   SELECT doc_id, source AS domain,
          CAST({list_len(dialect, toks)} AS BIGINT) AS n_tokens,
@@ -4736,19 +4761,7 @@ sharded AS (
          CAST({idiv(dialect, f"{s} * (grank - 1)", "n_total")} AS BIGINT)
            AS shard_id
   FROM granked
-)
-SELECT shard_id,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(used_tokens) AS BIGINT) AS n_tokens,
-       CAST(min(take_rank) AS BIGINT) AS slice_lo,
-       CAST(max(take_rank) AS BIGINT) AS slice_hi,
-       CAST(min(grank) AS BIGINT) AS rank_lo,
-       CAST(max(grank) AS BIGINT) AS rank_hi,
-       CAST(sum((grank % {m}) * (idh % {m})) AS BIGINT) AS order_checksum
-FROM sharded
-GROUP BY shard_id
-ORDER BY shard_id
-"""
+)"""
 
 
 def _sp19_launch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4761,6 +4774,123 @@ def _sp19_launch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sp19_launch_manifest"] = _sp19_launch_manifest
 TEXT_ORACLES["sp19_launch_manifest"] = sql_launch_manifest("duck")
+
+
+# --- SP20: dataloader RESUME manifest -------------------------------------------
+SP20_CONS_A = 1009   # per-slot consumed-docs affine mix (deterministic
+SP20_CONS_B = 353    # stand-in for "how far each worker got")
+
+
+def sql_resume_manifest(dialect: str) -> str:
+    """SP20 — the dataloader RESUME manifest: sp19 is the LAUNCH-time
+    artifact; a real multi-epoch run also needs the RESTART artifact.
+    Checkpoint state is (worker slot, docs consumed) — the only thing a
+    crashed dataloader group durably knows — and the manifest answers,
+    per slot, exactly what remains to stream (the sp7/sp12 composition
+    pattern applied to resumption):
+
+      n_docs / n_consumed /     the slot's full size, the checkpointed
+      n_remaining               progress, and the remainder (telescopes:
+                                consumed + remaining = total, pinned)
+      tokens_remaining          the token budget left in the slot
+      resume_rank               the GLOBAL launch-stream rank the worker
+                                restarts at (sp19's grank; NULL for an
+                                exhausted slot — the finished-worker row)
+      resume_take_rank /        the sp18 slice that rank sits in, joined
+      resume_epoch /            back through sp19's ``taken`` table —
+      resume_domain             which (domain, epoch) pass the worker
+                                resumes inside
+      slice_lo / slice_hi       the remaining slice span (sp19's spans,
+                                restricted to the suffix)
+      suffix_checksum           sp17's position-weighted integer checksum
+                                Σ (rank % M)·(id_hash % M) over the
+                                REMAINING docs only — the replay-
+                                exactness pin: two suffixes with the same
+                                membership but different order hash apart,
+                                so oracle agreement certifies the resumed
+                                stream doc-for-doc, position-for-position
+
+    Worker slots ARE sp19's contiguous shard cut (the sp17 slot rule
+    applied to the launch stream's global rank).  The checkpoint fixture
+    is deterministic: slot 0 cold (nothing consumed), the LAST slot
+    exhausted (exercises the NULL/finished branch in both engines),
+    middle slots the affine mix (A·slot + B) mod n_docs — every branch
+    of the resume truth table realized at any sf.
+
+    Integer-exactness: counts, ranks, token sums, and the checksum are
+    BIGINT end-to-end (sp19's discipline carried through the suffix
+    aggregates).
+
+    Scale shape: the corpus-sized work is exactly sp19's shared CTE
+    chain (one doc-stats pass + the two-level bucketed rank — every
+    per-doc window partition-led, plan-pinned); everything sp20 ADDS is
+    slot-sized: an S-row checkpoint table joined (broadcast) against the
+    stream, one group-by suffix rollup on the shard key, and slice
+    lookups against the ≤slices-row ``taken`` table.  No new window
+    touches doc-sized input."""
+    m = SP17_CK_MOD
+    w_last = SP15_SHARDS - 1
+    return f"""
+WITH {_sp19_stream_ctes(dialect)},
+base AS (
+  SELECT shard_id AS slot,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(min(grank) AS BIGINT) AS rank_lo
+  FROM sharded GROUP BY shard_id
+),
+ckpt AS (
+  SELECT slot, n_docs, rank_lo,
+         CASE WHEN slot = 0 THEN CAST(0 AS BIGINT)
+              WHEN slot = {w_last} THEN n_docs
+              ELSE ({SP20_CONS_A} * slot + {SP20_CONS_B}) % n_docs
+         END AS n_consumed
+  FROM base
+),
+rem AS (
+  SELECT c.slot,
+         CAST(count(*) AS BIGINT) AS n_remaining,
+         CAST(sum(s.used_tokens) AS BIGINT) AS tokens_remaining,
+         CAST(min(s.grank) AS BIGINT) AS resume_rank,
+         CAST(min(s.take_rank) AS BIGINT) AS slice_lo,
+         CAST(max(s.take_rank) AS BIGINT) AS slice_hi,
+         CAST(sum((s.grank % {m}) * (s.idh % {m})) AS BIGINT)
+           AS suffix_checksum
+  FROM ckpt c JOIN sharded s ON s.shard_id = c.slot
+  WHERE s.grank >= c.rank_lo + c.n_consumed
+  GROUP BY c.slot
+),
+rdoc AS (
+  SELECT r.slot, CAST(s.take_rank AS BIGINT) AS resume_take_rank
+  FROM rem r JOIN sharded s
+    ON s.shard_id = r.slot AND s.grank = r.resume_rank
+),
+rslice AS (
+  SELECT rd.slot, rd.resume_take_rank, t.epoch AS resume_epoch,
+         t.domain AS resume_domain
+  FROM rdoc rd JOIN taken t ON t.take_rank = rd.resume_take_rank
+)
+SELECT c.slot, c.n_docs, c.n_consumed,
+       COALESCE(r.n_remaining, CAST(0 AS BIGINT)) AS n_remaining,
+       COALESCE(r.tokens_remaining, CAST(0 AS BIGINT)) AS tokens_remaining,
+       r.resume_rank, r.slice_lo, r.slice_hi,
+       rs.resume_take_rank, rs.resume_epoch, rs.resume_domain,
+       COALESCE(r.suffix_checksum, CAST(0 AS BIGINT)) AS suffix_checksum
+FROM ckpt c
+LEFT JOIN rem r ON r.slot = c.slot
+LEFT JOIN rslice rs ON rs.slot = c.slot
+ORDER BY c.slot
+"""
+
+
+def _sp20_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP20, Spark side: sp19's shared stream CTEs + the slot-sized
+    checkpoint/suffix tail, one SQL plan."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_resume_manifest("spark"))
+
+
+QUERIES["sp20_resume_manifest"] = _sp20_resume_manifest
+TEXT_ORACLES["sp20_resume_manifest"] = sql_resume_manifest("duck")
 
 
 # --- TXT24: Gopher quality rules ------------------------------------------------

@@ -611,6 +611,81 @@ def test_sp19_token_sum_equals_budget(spark, sf_dir):
     assert (m["slice_lo"].values[1:] >= m["slice_lo"].values[:-1]).all()
 
 
+def test_sp20_doc_level_windows_are_bucket_partitioned(spark, sf_dir):
+    """sp20 rides sp19's shared stream CTEs; everything it adds is
+    slot-sized (checkpoint join + suffix rollup).  Pin that the
+    composition introduces no new unpartitioned doc-level window — every
+    windowspecdefinition ordering on the mixed hkey must lead with a
+    partition column — and no Cartesian product."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sp20_resume_manifest")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    doc_specs = [sp for sp in specs if "hkey" in sp]
+    assert doc_specs, "expected the stream-rank / boundary-cumsum windows"
+    for sp in doc_specs:
+        first = sp.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned doc-level window: windowspecdefinition({sp}"
+        )
+    assert "CartesianProduct" not in plan
+
+
+def test_sp20_resume_consistent_with_sp19_launch(spark, sf_dir):
+    """The resume manifest must agree with the launch manifest it
+    resumes: the cold slot's suffix IS the full shard (identical counts,
+    token sum, resume rank, slice span, and — position-for-position —
+    order checksum); the exhausted slot reports zero remaining with NULL
+    resume columns; every slot telescopes consumed + remaining = total;
+    and the resume slice is the slice the resume rank sits in."""
+    import pandas as pd
+
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+
+    launch = (
+        QUERIES["sp19_launch_manifest"](spark, sf_dir)
+        .toPandas()
+        .sort_values("shard_id")
+        .reset_index(drop=True)
+    )
+    resume = (
+        QUERIES["sp20_resume_manifest"](spark, sf_dir)
+        .toPandas()
+        .sort_values("slot")
+        .reset_index(drop=True)
+    )
+    assert len(resume) == len(launch)
+    assert (
+        resume["n_consumed"] + resume["n_remaining"] == resume["n_docs"]
+    ).all()
+    assert (resume["n_docs"].values == launch["n_docs"].values).all()
+    # cold slot 0: the suffix is the whole shard, checksum and all
+    r0, l0 = resume.iloc[0], launch.iloc[0]
+    assert r0["n_consumed"] == 0
+    assert r0["n_remaining"] == l0["n_docs"]
+    assert r0["tokens_remaining"] == l0["n_tokens"]
+    assert r0["resume_rank"] == l0["rank_lo"]
+    assert r0["slice_lo"] == l0["slice_lo"]
+    assert r0["slice_hi"] == l0["slice_hi"]
+    assert r0["suffix_checksum"] == l0["order_checksum"]
+    # exhausted last slot: finished-worker row
+    rl = resume.iloc[-1]
+    assert rl["n_consumed"] == rl["n_docs"] and rl["n_remaining"] == 0
+    assert rl["tokens_remaining"] == 0 and rl["suffix_checksum"] == 0
+    for col in ("resume_rank", "resume_take_rank", "resume_epoch",
+                "resume_domain", "slice_lo", "slice_hi"):
+        assert pd.isna(rl[col])
+    # mid slots: partial progress, resume rank inside the shard's span,
+    # resume slice = first remaining slice
+    for i in range(1, len(resume) - 1):
+        r, l = resume.iloc[i], launch.iloc[i]
+        assert 0 < r["n_consumed"] < r["n_docs"]
+        assert r["resume_rank"] == l["rank_lo"] + r["n_consumed"]
+        assert l["rank_lo"] <= r["resume_rank"] <= l["rank_hi"]
+        assert r["resume_take_rank"] == r["slice_lo"]
+        assert l["slice_lo"] <= r["slice_lo"] <= r["slice_hi"] <= l["slice_hi"]
+
+
 def test_txt25_ranking_window_partitioned_and_no_cartesian(spark, sf_dir):
     """txt25's only wide ops are txt22's term-key shuffle and the
     per-query ranking window — which must partition by query_doc (the
