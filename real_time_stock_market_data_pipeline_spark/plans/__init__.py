@@ -54,7 +54,7 @@ _PRIORITY = [
     "dq5_serving_drift_monitors", "txt21_dsir_resample",
     "txt22_bm25_retrieval", "dd15_paragraph_dedup",
     # 2 — new this round (each displaces one r15 fill below)
-    "sp20_resume_manifest",
+    "sp20_resume_manifest", "txt26_retrieval_leaderboard",
     # 3 — green in CORRECTNESS_r15, r15-window order; entries past
     #     slot 50 are FROZEN FOR R19
     "sp14_doremi_mixture", "sp15_curriculum_shards",

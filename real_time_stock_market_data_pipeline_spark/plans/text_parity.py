@@ -5229,6 +5229,284 @@ QUERIES["txt25_retrieval_eval"] = _txt25_retrieval_eval
 TEXT_ORACLES["txt25_retrieval_eval"] = sql_retrieval_eval("duck")
 
 
+# --- TXT26: cross-family retrieval leaderboard --------------------------------
+TXT26_DIM = 16             # txt13's feature-hash dim (the dense encoder)
+
+
+def sql_retrieval_leaderboard(dialect: str) -> str:
+    """TXT26 — the cross-family retrieval LEADERBOARD: txt25 evaluates
+    BM25 alone; the decision txt25 exists for is BM25 (txt22) vs dense
+    single-vector (emb1's brute cosine over txt13's feature-hash
+    embeddings — the deterministic in-engine encoder, so the dense arm
+    is oracle-exact; swap in a trained encoder and the plan is
+    unchanged) vs late-interaction (emb22's chunked MaxSim) on the SAME
+    planted relevance.  One query, one report: per (engine, k) —
+    n_hits, recall@k, the exact-integer MRR numerator, MRR@k — the
+    table a curation pipeline reads to pick its retrieval stack.
+
+    Shared protocol (txt25's): every ``TXT25_STRIDE``-th doc seeds a
+    query — its text with every ``TXT25_PERTURB``-th token replaced by
+    doc-unique noise — and the source doc is the planted truth.  All
+    three engines rank the identical query token streams against the
+    identical corpus; denominators are identical (n_queries counts the
+    workload, a truth the engine never retrieves grades as a miss), so
+    the rows are directly comparable.
+
+    Per-engine exactness (the emb22/txt25 discipline): BM25 ranks on
+    the micro-unit integer total order; the dense arm's cosine is
+    BIGINT dot / (sqrt·sqrt) of integer bucket sums rounded HALF-UP to
+    micro BIGINTs before ranking; the late arm is emb22's integer
+    MaxSim sum.  Ties break on match_doc ASC everywhere; the MRR
+    numerator is the exact BIGINT Σ 2520/rank.
+
+    Scale shape: each arm is corpus-LINEAR under the fixed workload —
+    BM25 is txt22's term-key shuffle; the dense arm is |Q|·N dim-16
+    integer dots with the query side broadcast (emb1's shape — at
+    100 TB the corpus side would be pre-cut by emb8's IVF front, same
+    rerank); the late arm is |Q_chunks|·corpus_chunks with the
+    query side broadcast (emb22's shape).  Every ranking window
+    partitions by query_doc; the grading joins are workload-sized."""
+    dim = TXT26_DIM
+    lcm = TXT25_MRR_LCM
+    tok_rows = explode_from(dialect, "docs", "toks", "tok", "doc_id")
+    if dialect == "spark":
+        perturb = (
+            "transform(toks, (t, i) -> CASE WHEN (i + 1) % "
+            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
+            "'x' || CAST(i + 1 AS STRING) ELSE t END)"
+        )
+    else:
+        perturb = (
+            "list_transform(toks, (t, i) -> CASE WHEN i % "
+            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
+            "'x' || CAST(i AS STRING) ELSE t END)"
+        )
+    qtok_rows = explode_from(dialect, "qdocs", "qtoks", "tok", "query_doc")
+    qtok_pos = explode_with_pos(
+        dialect, "qdocs", "qtoks", "pos", "tok", "query_doc"
+    )
+    dtok_pos = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    # BM25 fragments (txt22/txt25)
+    k1 = d(BM25_K1)
+    bb = d(BM25_B)
+    idf = (
+        "ln(1 + (CAST(n_docs - df AS DOUBLE) + {h}) / "
+        "(CAST(df AS DOUBLE) + {h}))"
+    ).format(h=d("0.5"))
+    tfnorm = (
+        f"(CAST(tf AS DOUBLE) * ({k1} + {d('1.0')})) / "
+        f"(CAST(tf AS DOUBLE) + {k1} * ({d('1.0')} - {bb} + {bb} * "
+        f"CAST(dl AS DOUBLE) / avgdl))"
+    )
+    # feature-hash fragments (txt13/emb22)
+    sgn = (
+        f"CASE WHEN (CAST(floor(h / {dim}) AS BIGINT)) % 2 = 0 "
+        "THEN 1 ELSE -1 END"
+    )
+    sums = ",\n       ".join(
+        f"CAST(sum(CASE WHEN h % {dim} = {j} THEN {sgn} ELSE 0 END) AS BIGINT)"
+        f" AS b{j}"
+        for j in range(dim)
+    )
+    norm2 = " + ".join(f"b{j} * b{j}" for j in range(dim))
+    dot = " + ".join(f"q.b{j} * c.b{j}" for j in range(dim))
+    cos = (
+        f"CAST(({dot}) AS DOUBLE) / "
+        f"(sqrt(CAST(q.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))"
+    )
+    w_micro = (
+        f"CAST(floor(({cos}) * {d('1000000.0')} + {d('0.5')}) AS BIGINT)"
+    )
+    rank_win = (
+        "row_number() OVER (PARTITION BY query_doc "
+        "ORDER BY score_micro DESC, match_doc ASC)"
+    )
+    klev = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k" for k in TXT25_KS
+    )
+    return f"""
+WITH {docs_cte(dialect)},
+tok_rows AS ({tok_rows}),
+qdocs AS (
+  SELECT doc_id AS query_doc, {perturb} AS qtoks
+  FROM docs
+  WHERE text IS NOT NULL AND doc_id % {TXT25_STRIDE} = 0
+    AND doc_id < {BM25_MAX_QUERY_ID}
+),
+nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qdocs),
+klev AS ({klev}),
+tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok_rows GROUP BY doc_id, tok
+),
+doclen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok_rows GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+  FROM doclen
+),
+df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+qterms AS (
+  SELECT DISTINCT query_doc, tok FROM ({qtok_rows}) x
+),
+contrib AS (
+  SELECT q.query_doc, c.doc_id AS match_doc,
+         CAST(floor(({idf}) * ({tfnorm}) * {d('1000000.0')} + {d('0.5')})
+              AS BIGINT) AS w_micro
+  FROM qterms q
+  JOIN tf c ON c.tok = q.tok
+  JOIN df ON df.tok = q.tok
+  JOIN doclen ON doclen.doc_id = c.doc_id
+  CROSS JOIN stats
+),
+scored_bm AS (
+  SELECT query_doc, match_doc, CAST(sum(w_micro) AS BIGINT) AS score_micro
+  FROM contrib GROUP BY query_doc, match_doc
+),
+ranked_bm AS (
+  SELECT query_doc, match_doc, CAST({rank_win} AS BIGINT) AS rnk
+  FROM scored_bm
+),
+dh AS (SELECT doc_id, {tok_hash(dialect, "tok")} AS h FROM tok_rows),
+dvec0 AS (
+  SELECT doc_id,
+       {sums}
+  FROM dh GROUP BY doc_id
+),
+dvec AS (
+  SELECT *, CAST({norm2} AS BIGINT) AS norm2 FROM dvec0
+),
+dvecn AS (SELECT * FROM dvec WHERE norm2 > 0),
+qh AS (
+  SELECT query_doc, {tok_hash(dialect, "tok")} AS h FROM ({qtok_rows}) x
+),
+qvec0 AS (
+  SELECT query_doc,
+       {sums}
+  FROM qh GROUP BY query_doc
+),
+qvec AS (
+  SELECT *, CAST({norm2} AS BIGINT) AS norm2 FROM qvec0
+),
+qvecn AS (SELECT * FROM qvec WHERE norm2 > 0),
+scored_dn AS (
+  SELECT q.query_doc, c.doc_id AS match_doc, {w_micro} AS score_micro
+  FROM qvecn q CROSS JOIN dvecn c
+),
+ranked_dn AS (
+  SELECT query_doc, match_doc, CAST({rank_win} AS BIGINT) AS rnk
+  FROM scored_dn
+),
+dpos AS ({dtok_pos}),
+dordered AS (
+  SELECT doc_id, tok,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC)
+              - 1 AS BIGINT) AS rn
+  FROM dpos
+),
+dchunk_rows AS (
+  SELECT doc_id, {idiv(dialect, "rn", str(EMB22_CHUNK))} AS chunk,
+         {tok_hash(dialect, "tok")} AS h
+  FROM dordered
+  WHERE rn < {EMB22_CHUNK * EMB22_DOC_CHUNKS}
+),
+dcvec0 AS (
+  SELECT doc_id, chunk,
+       {sums}
+  FROM dchunk_rows GROUP BY doc_id, chunk
+),
+dcvec AS (
+  SELECT *, CAST({norm2} AS BIGINT) AS norm2 FROM dcvec0
+),
+dchunks AS (SELECT * FROM dcvec WHERE norm2 > 0),
+qpos AS ({qtok_pos}),
+qordered AS (
+  SELECT query_doc, tok,
+         CAST(row_number() OVER (PARTITION BY query_doc ORDER BY pos ASC)
+              - 1 AS BIGINT) AS rn
+  FROM qpos
+),
+qchunk_rows AS (
+  SELECT query_doc, {idiv(dialect, "rn", str(EMB22_CHUNK))} AS chunk,
+         {tok_hash(dialect, "tok")} AS h
+  FROM qordered
+  WHERE rn < {EMB22_CHUNK * EMB22_Q_CHUNKS}
+),
+qcvec0 AS (
+  SELECT query_doc, chunk,
+       {sums}
+  FROM qchunk_rows GROUP BY query_doc, chunk
+),
+qcvec AS (
+  SELECT *, CAST({norm2} AS BIGINT) AS norm2 FROM qcvec0
+),
+qchunks AS (SELECT * FROM qcvec WHERE norm2 > 0),
+pairsim AS (
+  SELECT q.query_doc, q.chunk AS qchunk, c.doc_id AS match_doc,
+         {w_micro} AS w_micro
+  FROM qchunks q CROSS JOIN dchunks c
+),
+maxsim AS (
+  SELECT query_doc, qchunk, match_doc, CAST(max(w_micro) AS BIGINT) AS mx
+  FROM pairsim GROUP BY query_doc, qchunk, match_doc
+),
+scored_li AS (
+  SELECT query_doc, match_doc, CAST(sum(mx) AS BIGINT) AS score_micro
+  FROM maxsim GROUP BY query_doc, match_doc
+),
+ranked_li AS (
+  SELECT query_doc, match_doc, CAST({rank_win} AS BIGINT) AS rnk
+  FROM scored_li
+),
+rt_all AS (
+  SELECT 'bm25' AS engine, q.query_doc, r.rnk AS rank_truth
+  FROM qdocs q LEFT JOIN ranked_bm r
+    ON r.query_doc = q.query_doc AND r.match_doc = q.query_doc
+  UNION ALL
+  SELECT 'dense', q.query_doc, r.rnk
+  FROM qdocs q LEFT JOIN ranked_dn r
+    ON r.query_doc = q.query_doc AND r.match_doc = q.query_doc
+  UNION ALL
+  SELECT 'late', q.query_doc, r.rnk
+  FROM qdocs q LEFT JOIN ranked_li r
+    ON r.query_doc = q.query_doc AND r.match_doc = q.query_doc
+),
+graded AS (
+  SELECT rt.engine, k.k,
+         CAST(sum(CASE WHEN rt.rank_truth <= k.k THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+         CAST(sum(CASE WHEN rt.rank_truth <= k.k
+                  THEN {idiv(dialect, str(lcm), "rt.rank_truth")}
+                  ELSE 0 END) AS BIGINT) AS mrr_scaled
+  FROM klev k CROSS JOIN rt_all rt GROUP BY rt.engine, k.k
+)
+SELECT g.engine, g.k, nq.n_queries, g.n_hits,
+       {r6t("CAST(g.n_hits AS DOUBLE) / CAST(nq.n_queries AS DOUBLE)")}
+         AS recall_at_k,
+       g.mrr_scaled,
+       {r6t(f"CAST(g.mrr_scaled AS DOUBLE) / ({d(str(float(TXT25_MRR_LCM)))} * CAST(nq.n_queries AS DOUBLE))")}
+         AS mrr_at_k
+FROM graded g CROSS JOIN nq
+ORDER BY g.engine, g.k
+"""
+
+
+def _txt26_retrieval_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT26, Spark side: the pure rendering — three broadcast-workload
+    ranking arms over shared corpus aggregates, one 9-row grading
+    rollup."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(sql_retrieval_leaderboard("spark"))
+
+
+QUERIES["txt26_retrieval_leaderboard"] = _txt26_retrieval_leaderboard
+TEXT_ORACLES["txt26_retrieval_leaderboard"] = sql_retrieval_leaderboard("duck")
+
+
 # --- DD19: MinHash-LSH band/row operating curve -------------------------------
 DD19_DOCS = 400            # bounded calibration sample (see scale note)
 DD19_STRIDE = 5            # near twins from residue 0, far twins residue 1

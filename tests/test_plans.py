@@ -686,6 +686,53 @@ def test_sp20_resume_consistent_with_sp19_launch(spark, sf_dir):
         assert l["slice_lo"] <= r["slice_lo"] <= r["slice_hi"] <= l["slice_hi"]
 
 
+def test_txt26_ranking_windows_partitioned(spark, sf_dir):
+    """txt26 runs three ranking arms; every ranking window (and the
+    chunk-position windows) must partition — by query_doc for ranks,
+    by the doc/query key for chunk positions (the single-partition rank
+    trap).  The brute-force arms' |Q|·N joins are broadcast by the
+    fixed-workload construction; no CartesianProduct may appear."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "txt26_retrieval_leaderboard")
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected ranking/chunk windows"
+    for sp in specs:
+        first = sp.split(",")[0].strip()
+        assert first.startswith(("query_doc", "doc_id")), sp
+
+
+def test_txt26_leaderboard_decision_pinned(spark, sf_dir):
+    """The planted-winner ordering the leaderboard exists to reveal:
+    on this corpus (built for the dedup family, so organic duplicates
+    of the truth doc exist) the multi-vector arms beat pure lexical
+    ranking — BM25's doclen normalization lets a duplicate outrank the
+    planted source, while the hash-embedding arms tie or win on it —
+    so by exact-integer MRR@10: late >= dense >= bm25, strictly above
+    bm25 at the top.  Plus the structural identities every arm obeys
+    (recall/MRR monotone in k, shared denominators, hit bounds)."""
+    from real_time_stock_market_data_pipeline_spark.plans import QUERIES
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        TXT25_KS,
+        TXT25_MRR_LCM,
+    )
+
+    df = QUERIES["txt26_retrieval_leaderboard"](spark, sf_dir).toPandas()
+    assert len(df) == 3 * len(TXT25_KS)
+    assert set(df["engine"]) == {"bm25", "dense", "late"}
+    assert df["n_queries"].nunique() == 1 and df["n_queries"].iloc[0] > 0
+    for _, grp in df.groupby("engine"):
+        g = grp.sort_values("k")
+        assert (g["n_hits"].diff().dropna() >= 0).all()
+        assert (g["mrr_scaled"].diff().dropna() >= 0).all()
+        assert (g["n_hits"] <= g["n_queries"]).all()
+        assert (g["mrr_scaled"] <= g["n_hits"] * TXT25_MRR_LCM).all()
+    at10 = df[df["k"] == 10].set_index("engine")["mrr_scaled"]
+    assert at10["late"] >= at10["dense"] >= at10["bm25"]
+    assert max(at10["late"], at10["dense"]) > at10["bm25"]
+
+
 def test_txt25_ranking_window_partitioned_and_no_cartesian(spark, sf_dir):
     """txt25's only wide ops are txt22's term-key shuffle and the
     per-query ranking window — which must partition by query_doc (the
