@@ -21,9 +21,15 @@ per call under the cached quantizers (deterministic, map-only) and
 hold their own per-execution checkpoint, which each query releases
 normally.
 
-dq4/dq5 keep their own fits ON PURPOSE: they train different quantizers
-(custom n_lists/m/k, different n_iter) on a fixture SEGMENT, not the
-full table — nothing to share.
+dq4/dq5 keep their own fit PARAMETERS on purpose (custom n_lists/m/k on
+a fixture SEGMENT, not the full table) — nothing to share with the
+league cache above.  But dq5's pre-drift-era fit is still a pure
+deterministic function of (sf_dir, params) — the planted fixture SQL
+derives from the embeddings table alone — so it gets its OWN memo under
+the identical (applicationId, sf_dir) contract (r17 verdict item 4):
+a bench session re-enters dq5 per pass and re-trained the same
+quantizers every time (~7 s, the ivfpq leg's serial-chain floor).
+Same value-invisibility argument, same driver-side-only rule.
 """
 
 from __future__ import annotations
@@ -47,4 +53,29 @@ def shared_ivfpq_fit(spark: SparkSession, sf_dir: str):
         emb = load_table(spark, sf_dir, "embeddings")
         got = ivfpq_fit(emb, n_iter=2)
         _IVFPQ_FIT_CACHE[key] = got
+    return got
+
+
+_DQ5_FIT_CACHE: dict[tuple, tuple] = {}
+
+
+def dq5_fixture_ivfpq_fit(
+    spark: SparkSession, sf_dir: str, old, n_lists: int, m: int, k: int,
+    n_iter: int,
+):
+    """dq5's pre-drift-era ``ivfpq_fit(old, n_lists, m, k, n_iter)``,
+    memoized per (Spark application, sf_dir, params): ``old`` is the
+    dq4 planted fixture — a pure deterministic rendering of sf_dir's
+    embeddings table — so every consumer receives bit-identical
+    codebooks whether it hits or misses (a miss just trains as
+    before), and the cache key pins session + corpus + quantizer
+    shape.  Only the driver-side (coarse, fine) codebook pair is
+    cached, per the module rule."""
+    from ..operators.similarity import ivfpq_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir, n_lists, m, k, n_iter)
+    got = _DQ5_FIT_CACHE.get(key)
+    if got is None:
+        got = ivfpq_fit(old, n_lists=n_lists, m=m, k=k, n_iter=n_iter)
+        _DQ5_FIT_CACHE[key] = got
     return got

@@ -491,19 +491,22 @@ def test_dq5_leg_operators_touch_no_session_global_state():
     import inspect
 
     import real_time_stock_market_data_pipeline_spark.operators.similarity as sim
+    import real_time_stock_market_data_pipeline_spark.plans.fixtures as fx
 
-    src = inspect.getsource(sim)
-    for pat in (
-        "createOrReplaceTempView",
-        ".conf.set(",
-        "_scoped_conf",
-        "setLocalProperty",
-        "createGlobalTempView",
-    ):
-        assert pat not in src, (
-            f"session-global mutation {pat!r} entered operators/similarity.py "
-            "— dq5's threaded legs share one SparkSession and would race"
-        )
+    for mod, where in ((sim, "operators/similarity.py"),
+                       (fx, "plans/fixtures.py")):
+        src = inspect.getsource(mod)
+        for pat in (
+            "createOrReplaceTempView",
+            ".conf.set(",
+            "_scoped_conf",
+            "setLocalProperty",
+            "createGlobalTempView",
+        ):
+            assert pat not in src, (
+                f"session-global mutation {pat!r} entered {where} "
+                "— dq5's threaded legs share one SparkSession and would race"
+            )
 
 
 def test_dd18_leg_operators_touch_no_session_global_state():
