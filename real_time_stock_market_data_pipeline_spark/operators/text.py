@@ -674,3 +674,365 @@ def bm25_postings_sink(
         )
 
     return write_batch
+
+# --- Curriculum shard store (sp15's physical layout, merge-maintained) -------
+# sp15's write_curriculum_shards is a one-shot overwrite: a growing corpus
+# shifts perplexity buckets and re-ranks everything.  This family is the
+# incremental form under the engine's established contracts:
+#
+# * The difficulty MODEL (txt12's add-one-smoothed bigram LM) freezes at
+#   init — the dq4/dq5 "quantizer frozen at init" contract.  Scoring a new
+#   batch under the frozen model is a pure per-doc function, so ingest
+#   commutes with the one-shot shard build over the same scores (the
+#   emb10/emb14 commute argument); a drift monitor decides WHEN to
+#   rebuild, exactly as for the ANN codebooks.  OOV mass is what add-one
+#   smoothing exists for: an unseen bigram scores ln(1/(C(w1·)+V)), an
+#   unseen context ln(1/V).
+# * Ingest is insert-only and replay-idempotent (anti-join on standing
+#   doc ids — the _update_doc_keyed_table discipline).
+# * Only buckets the batch TOUCHED re-rank: within-bucket rank (wrk) is
+#   stored per doc, and a bucket's old-doc membership (hence its relative
+#   order) is unchanged when the batch adds nothing to it — so untouched
+#   buckets reuse stored ranks, the bucket-offset cumsum recomputes over
+#   the bucket TABLE (corpus-independent size), and the new global rank /
+#   shard id is pure integer arithmetic per row.
+# * Only shard partitions whose CONTENT changed rewrite, through the
+#   upsert_parquet staged-partition swap (staging + commit marker +
+#   per-entry renames); recover_upsert / heal_if_interrupted repair every
+#   crash window.
+#
+# Reference analogue: none — the reference never re-ranks persisted state
+# (producer/producer.py only inserts); this is the sp15 launch layer's own
+# maintenance completeness bar (r17 verdict item 5).
+
+CURRICULUM_SHARDS = 8
+CURRICULUM_CKSUM_MOD = 1_000_000_007
+
+
+def _curriculum_bigrams(
+    docs: DataFrame, id_col: str, text: str
+) -> DataFrame:
+    """(doc_id, w1, w2) bigram rows (txt12's posexplode + lead layout)."""
+    from pyspark.sql import Window
+
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    return (
+        tok_rows.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+    )
+
+
+def train_curriculum_model(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """txt12's corpus bigram LM as persistable tables: (bc, uc, v) —
+    bigram counts, context counts, vocabulary size."""
+    bigp = _curriculum_bigrams(docs, id_col, text)
+    bc = bigp.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    uc = bigp.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    v = (
+        docs.select(F.explode(tokens_col(text)).alias("tok"))
+        .select("tok")
+        .distinct()
+        .count()
+    )
+    return bc, uc, v
+
+
+def score_under_curriculum_model(
+    docs: DataFrame,
+    bc: DataFrame,
+    uc: DataFrame,
+    v: int,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, ppl, n_tokens, bucket) under the FROZEN model — left
+    joins + add-one smoothing, so OOV bigrams/contexts score exactly the
+    smoothed floor; on the training corpus itself this equals txt12's
+    inner-join scoring (every corpus bigram is in bc by construction).
+    ppl is the shared r6-rounded perplexity; bucket its integer floor
+    (sp15's coarse rank key)."""
+    from ..functions.scalars import r6
+
+    bigp = _curriculum_bigrams(docs, id_col, text)
+    lp = F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(1.0))
+        / (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(float(v)))
+    )
+    scored = (
+        bigp.join(bc, ["w1", "w2"], "left")
+        .join(uc, ["w1"], "left")
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lp").alias("slp"),
+        )
+        .select(
+            "doc_id",
+            r6(F.exp(-(F.col("slp") / F.col("n_bigrams").cast("double"))))
+            .alias("ppl"),
+            (F.col("n_bigrams") + F.lit(1)).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.withColumn("bucket", F.floor("ppl").cast("bigint"))
+
+
+def _with_wrk(scored: DataFrame) -> DataFrame:
+    """Within-bucket rank (ppl ASC, doc_id ASC) — PARTITION BY bucket,
+    never single-partition."""
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("bucket").orderBy(
+        F.col("ppl").asc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("wrk", F.row_number().over(wb).cast("bigint"))
+
+
+def _with_shards(rows: DataFrame, n_shards: int) -> DataFrame:
+    """sp15's two-level global rank tail over rows that already carry
+    (bucket, wrk): the bucket-offset cumsum runs over the
+    corpus-independent bucket table; shard assignment is pure integer
+    arithmetic per row."""
+    from pyspark.sql import Window
+
+    bcounts = rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wo = Window.orderBy(F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    boffsets = bcounts.select(
+        "bucket",
+        (F.sum("n").over(wo) - F.col("n")).cast("bigint").alias("offset_0"),
+        F.sum("n").over(wall).cast("bigint").alias("n_total"),
+    )
+    return (
+        rows.join(F.broadcast(boffsets), "bucket")
+        .withColumn("grank", (F.col("offset_0") + F.col("wrk")).cast("bigint"))
+        .withColumn(
+            "shard_id",
+            F.expr(f"CAST(({n_shards} * (grank - 1)) DIV n_total AS BIGINT)"),
+        )
+    )
+
+
+_CURRICULUM_DOC_COLS = ["doc_id", "ppl", "n_tokens", "bucket", "wrk"]
+
+
+def init_curriculum_store(
+    spark,
+    docs: DataFrame,
+    path: str,
+    n_shards: int = CURRICULUM_SHARDS,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> dict[str, int]:
+    """Create the merge-maintained curriculum store: train the bigram LM
+    on ``docs`` (FROZEN thereafter — the module-note contract), score,
+    rank, and write the doc table hive-partitioned on ``shard_id``:
+
+      {path}/model/{bc,uc,meta}                                (frozen)
+      {path}/docs/shard_id=K/   (doc_id, ppl, n_tokens, bucket, wrk)
+    """
+    import os as _os
+
+    from ..maintenance import _require_local_path
+
+    _require_local_path(_os.path.join(path, "docs"), "init_curriculum_store")
+    base = docs.filter(F.col(text).isNotNull())
+    bc, uc, v = train_curriculum_model(base, id_col, text)
+    bc.write.mode("overwrite").parquet(f"{path}/model/bc")
+    uc.write.mode("overwrite").parquet(f"{path}/model/uc")
+    spark.createDataFrame([(int(v),)], "v bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/model/meta")
+    bc = spark.read.parquet(f"{path}/model/bc")
+    uc = spark.read.parquet(f"{path}/model/uc")
+    sharded = _with_shards(
+        _with_wrk(score_under_curriculum_model(base, bc, uc, v, id_col, text)),
+        n_shards,
+    )
+    sharded.select(*_CURRICULUM_DOC_COLS, "shard_id").write.mode(
+        "overwrite"
+    ).partitionBy("shard_id").parquet(f"{path}/docs")
+    n_docs = spark.read.parquet(f"{path}/docs").count()
+    return {"n_docs": n_docs, "n_shards": n_shards, "vocab": int(v)}
+
+
+def load_curriculum_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    bc = spark.read.parquet(f"{path}/model/bc")
+    uc = spark.read.parquet(f"{path}/model/uc")
+    v = spark.read.parquet(f"{path}/model/meta").first()[0]
+    return bc, uc, int(v)
+
+
+def curriculum_manifest(spark, path: str) -> DataFrame:
+    """sp15's manifest rollup read FROM the store (one row per shard:
+    counts, difficulty band, order-independent content checksum) — the
+    published artifact a resume or re-shard verifies against; reading
+    the same doc table the loader scans, the manifest can never drift
+    from the physical layout."""
+    from ..maintenance import heal_if_interrupted
+
+    heal_if_interrupted(f"{path}/docs", for_read=True)
+    docs = spark.read.parquet(f"{path}/docs")
+    h = F.expr(
+        "aggregate(transform(sequence(1, length('s' || CAST(doc_id AS STRING))), "
+        "i -> ascii(substr('s' || CAST(doc_id AS STRING), CAST(i AS INT), 1))), "
+        f"CAST(7 AS BIGINT), (acc, x) -> (acc * 131 + x) % {P_MOD})"
+    )
+    return (
+        docs.groupBy(F.col("shard_id").cast("bigint").alias("shard_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+            F.sum(h % CURRICULUM_CKSUM_MOD).cast("bigint").alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def update_curriculum_shards(
+    spark,
+    batch: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> dict[str, int]:
+    """Apply one document batch to the curriculum store (module note):
+    score NEW docs under the frozen model, re-rank ONLY the buckets the
+    batch touched (untouched buckets reuse their stored within-bucket
+    ranks — membership unchanged means relative order unchanged),
+    recompute the bucket-offset cumsum over the bucket table, and
+    rewrite ONLY the ``shard_id=`` partitions whose content changed,
+    through the staged-partition swap (commit marker + per-entry
+    renames; ``heal_if_interrupted``/``recover_upsert`` repair every
+    crash window — tombstone-free: a partially-moved swap is completed
+    forward, never mixed).  Replay is idempotent: the standing-id
+    anti-join admits nothing and no partition rewrites.
+
+    Scale shape: scoring ∝ the batch; the re-rank window runs over
+    touched-bucket rows only; the offset cumsum is bucket-table-sized;
+    shard reassignment is one narrow map over the store (NO join — the
+    stored partition value is the old shard); the rewrite reads and
+    writes only changed partitions.  No single-partition window over
+    doc-sized input at any size."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        heal_if_interrupted,
+    )
+    from ..sources.readers import read_parquet_if_exists
+
+    docs_path = _os.path.join(path, "docs")
+    _require_local_path(docs_path, "update_curriculum_shards")
+    heal_if_interrupted(docs_path)
+    n_shards = CURRICULUM_SHARDS
+    batch = batch.filter(F.col(text).isNotNull())
+    n_batch = batch.select(id_col).distinct().count()
+    standing = read_parquet_if_exists(spark, docs_path)
+    if standing is None:
+        raise ValueError(
+            f"no curriculum store at {path!r}; run init_curriculum_store"
+        )
+    new_docs = batch.join(
+        standing.select(F.col("doc_id").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    bc, uc, v = load_curriculum_model(spark, path)
+    scored_new = score_under_curriculum_model(
+        new_docs, bc, uc, v, id_col, text
+    ).localCheckpoint()
+    n_new = scored_new.count()
+    if n_new == 0:
+        return {
+            "n_batch_ids": n_batch, "n_new_docs": 0,
+            "n_buckets_touched": 0, "n_shards_rewritten": 0,
+        }
+    touched = sorted(
+        r[0] for r in scored_new.select("bucket").distinct().collect()
+    )
+    old = standing.select(
+        *_CURRICULUM_DOC_COLS,
+        F.col("shard_id").cast("bigint").alias("old_shard"),
+    )
+    untouched = old.filter(~F.col("bucket").isin(touched))
+    reranked = _with_wrk(
+        old.filter(F.col("bucket").isin(touched))
+        .select("doc_id", "ppl", "n_tokens", "bucket", "old_shard")
+        .unionByName(
+            scored_new.select(
+                "doc_id", "ppl", "n_tokens", "bucket",
+                F.lit(None).cast("bigint").alias("old_shard"),
+            )
+        )
+    )
+    allrows = _with_shards(
+        untouched.unionByName(reranked.select(*untouched.columns)), n_shards
+    ).localCheckpoint(eager=False)
+    # a shard's content changed iff it gains or loses any row: every new
+    # doc's shard, every moved doc's old AND new shard, and every
+    # touched-bucket shard (stored wrk may shift there)
+    changed = allrows.filter(
+        F.col("old_shard").isNull()
+        | (F.col("shard_id") != F.col("old_shard"))
+        | F.col("bucket").isin(touched)
+    )
+    rewrite = sorted(
+        {
+            int(r[0])
+            for r in changed.select("shard_id").distinct().collect()
+        }
+        | {
+            int(r[0])
+            for r in changed.filter(F.col("old_shard").isNotNull())
+            .select("old_shard")
+            .distinct()
+            .collect()
+        }
+    )
+    out = allrows.filter(F.col("shard_id").isin(rewrite)).select(
+        *_CURRICULUM_DOC_COLS, "shard_id"
+    )
+    staging = f"{docs_path}__staging_{_uuid.uuid4().hex}"
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(staging)
+    _mark_staging_complete(staging)
+    trash = f"{docs_path}__old_{_uuid.uuid4().hex}"
+    _os.makedirs(trash)
+    for entry in _os.listdir(staging):
+        if not entry.startswith("shard_id="):
+            continue
+        dst = _os.path.join(docs_path, entry)
+        if _os.path.exists(dst):
+            _os.rename(dst, _os.path.join(trash, entry))
+        _os.rename(_os.path.join(staging, entry), dst)
+    _shutil.rmtree(trash, ignore_errors=True)
+    _shutil.rmtree(staging, ignore_errors=True)
+    return {
+        "n_batch_ids": n_batch,
+        "n_new_docs": n_new,
+        "n_buckets_touched": len(touched),
+        "n_shards_rewritten": len(rewrite),
+    }

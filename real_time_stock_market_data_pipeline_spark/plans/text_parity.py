@@ -4893,6 +4893,145 @@ QUERIES["sp20_resume_manifest"] = _sp20_resume_manifest
 TEXT_ORACLES["sp20_resume_manifest"] = sql_resume_manifest("duck")
 
 
+# --- SP21: incremental curriculum-shard maintenance ---------------------------
+def sql_incremental_curriculum(dialect: str) -> str:
+    """SP21's oracle — the one-shot equivalent the incremental store must
+    equal (operators/text.py curriculum-store module note): train the
+    bigram LM on the INIT era only (doc_id % 5 <> 4 — the frozen-model
+    contract), score the WHOLE corpus under it (left joins + add-one
+    smoothing, so the ingest era's OOV mass lands on the smoothed
+    floor), run sp15's two-level rank, and roll up the per-shard
+    manifest.  The Spark side is the real store lifecycle (init on the
+    era, one batch ingest replaying the era + the new docs, manifest
+    read from the physical partitions); agreement certifies
+    ingest ∘ init ≡ one-shot over the union — content, order, and
+    partition layout (the manifest reads the layout).
+
+    Scale note: the oracle is a one-shot recompute by construction; the
+    OPERATOR's incremental cost shape (batch-sized scoring,
+    touched-bucket re-rank, changed-partition rewrite) is what the
+    pytest contract pins."""
+    toks = split_ws(dialect, "text")
+    h = tok_hash(dialect, "'s' || CAST(doc_id AS STRING)")
+    s, m = SP15_SHARDS, SP15_CKSUM_MOD
+    lp = (
+        f"ln(({d('COALESCE(bc.cb, 0) + 1')}) / "
+        f"({d('COALESCE(uc.cu, 0)')} + {d('v.v')}))"
+    )
+    tok_all = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {toks} AS toks FROM documents WHERE text IS NOT NULL
+),
+tok_all AS ({tok_all}),
+big_all AS (
+  SELECT doc_id, tok AS w1,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos ASC) AS w2
+  FROM tok_all
+),
+bigp_all AS (SELECT doc_id, w1, w2 FROM big_all WHERE w2 IS NOT NULL),
+bigp_era AS (SELECT * FROM bigp_all WHERE doc_id % 5 <> 4),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+  FROM bigp_era GROUP BY w1, w2
+),
+uc AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM bigp_era GROUP BY w1
+),
+vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM tok_all WHERE doc_id % 5 <> 4
+),
+scored AS (
+  SELECT b.doc_id,
+         CAST(count(*) + 1 AS BIGINT) AS n_tokens,
+         {r6t(f"exp(-(sum({lp}) / count(*)))")} AS ppl
+  FROM bigp_all b
+  LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  LEFT JOIN uc ON b.w1 = uc.w1
+  CROSS JOIN vocab v
+  GROUP BY b.doc_id
+),
+bucketed AS (
+  SELECT doc_id, ppl, n_tokens, CAST(floor(ppl) AS BIGINT) AS bucket
+  FROM scored
+),
+bcounts AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM bucketed GROUP BY bucket
+),
+boffsets AS (
+  SELECT bucket,
+         CAST(sum(n) OVER (ORDER BY bucket ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n AS BIGINT) AS offset_0,
+         CAST(sum(n) OVER () AS BIGINT) AS n_total
+  FROM bcounts
+),
+ranked AS (
+  SELECT w.doc_id, w.ppl, w.n_tokens,
+         CAST(boff.offset_0 + w.wrk AS BIGINT) AS grank, boff.n_total
+  FROM (
+    SELECT doc_id, ppl, n_tokens, bucket,
+           CAST(row_number() OVER (
+             PARTITION BY bucket ORDER BY ppl ASC, doc_id ASC
+           ) AS BIGINT) AS wrk
+    FROM bucketed
+  ) w
+  JOIN boffsets boff ON w.bucket = boff.bucket
+),
+sharded AS (
+  SELECT doc_id, ppl, n_tokens,
+         {idiv(dialect, f"{s} * (grank - 1)", "n_total")} AS shard_id
+  FROM ranked
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(ppl) AS ppl_min,
+       max(ppl) AS ppl_max,
+       CAST(sum(({h}) % {m}) AS BIGINT) AS checksum
+FROM sharded
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
+def _sp21_incremental_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP21, Spark side: the REAL store lifecycle — init on the era-A
+    corpus slice (freezing the difficulty model), one batch ingest of
+    the full corpus (replaying era A exercises the anti-join
+    idempotence; era B is the genuinely-new mass), manifest read from
+    the physical shard partitions."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.text import (
+        curriculum_manifest,
+        init_curriculum_store,
+        update_curriculum_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("text IS NOT NULL")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_sp21",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    init_curriculum_store(spark, docs.filter("doc_id % 5 <> 4"), root)
+    update_curriculum_shards(spark, docs, root)
+    return curriculum_manifest(spark, root)
+
+
+QUERIES["sp21_incremental_curriculum"] = _sp21_incremental_curriculum
+TEXT_ORACLES["sp21_incremental_curriculum"] = sql_incremental_curriculum(
+    "duck"
+)
+
+
 # --- TXT24: Gopher quality rules ------------------------------------------------
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -1736,3 +1736,139 @@ def test_emb22_maxsim_finds_passage_local_match_single_vector_dilutes(spark):
         math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
     )
     assert cos < 0.75, cos  # filler dilutes the single-vector signal
+
+
+# --- Curriculum shard store (sp21): the incremental-maintenance contract ----
+def _tables_equal_cur(a, b) -> bool:
+    cols = sorted(a.columns)
+    a, b = a.select(*cols), b.select(*cols)
+    return a.exceptAll(b).unionAll(b.exceptAll(a)).isEmpty()
+
+
+def _cur_partition_files(path):
+    import os
+
+    out = {}
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("shard_id="):
+            out[entry] = sorted(
+                f for f in os.listdir(os.path.join(path, entry))
+                if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_curriculum_incremental_equals_oneshot(spark, sf_dir, docs, tmp_path):
+    """ingest ∘ init ≡ one-shot shard build over the union under the
+    FROZEN init model — content, ranks, AND partition assignment (the
+    dd13/txt23 equivalence pattern); replay ingests nothing and
+    rewrites nothing."""
+    base = docs.filter("text IS NOT NULL")
+    era_a = base.filter("doc_id % 5 <> 4")
+    root = str(tmp_path / "cur")
+    m0 = text.init_curriculum_store(spark, era_a, root)
+    assert m0["n_docs"] == era_a.count()
+    m1 = text.update_curriculum_shards(spark, base, root)
+    assert m1["n_new_docs"] == base.count() - era_a.count()
+    assert m1["n_shards_rewritten"] >= 1
+    # one-shot reference: score the union under the frozen model, rank,
+    # shard — the exact store the incremental path must have produced
+    bc, uc, v = text.load_curriculum_model(spark, root)
+    ref = text._with_shards(
+        text._with_wrk(text.score_under_curriculum_model(base, bc, uc, v)),
+        text.CURRICULUM_SHARDS,
+    ).select("doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id")
+    got = spark.read.parquet(f"{root}/docs").select(*ref.columns)
+    assert _tables_equal_cur(got, ref)
+    # replay: anti-join admits nothing, no partitions rewritten
+    before = _cur_partition_files(f"{root}/docs")
+    m2 = text.update_curriculum_shards(spark, base, root)
+    assert m2 == {
+        "n_batch_ids": m1["n_batch_ids"], "n_new_docs": 0,
+        "n_buckets_touched": 0, "n_shards_rewritten": 0,
+    }
+    assert _cur_partition_files(f"{root}/docs") == before
+
+
+def test_curriculum_update_rewrites_only_changed_partitions(
+    spark, sf_dir, docs, tmp_path
+):
+    """The partition-pruned rewrite, pinned mechanically: after an
+    ingest, every ``shard_id=`` directory NOT in the rewritten set kept
+    its exact parquet file names (never rewritten), the counter equals
+    the number of directories whose file sets changed, and unchanged
+    directories hold unchanged content."""
+    base = docs.filter("text IS NOT NULL")
+    era_a = base.filter("doc_id % 5 <> 4")
+    root = str(tmp_path / "cur2")
+    text.init_curriculum_store(spark, era_a, root)
+    before = _cur_partition_files(f"{root}/docs")
+    m = text.update_curriculum_shards(spark, base, root)
+    after = _cur_partition_files(f"{root}/docs")
+    changed = {e for e in after if before.get(e) != after[e]}
+    assert len(changed) == m["n_shards_rewritten"]
+    # an unchanged file set means the partition was genuinely skipped
+    for e in set(after) - changed:
+        assert before[e] == after[e]
+
+
+def test_curriculum_update_crash_window_heals(
+    spark, sf_dir, docs, tmp_path, monkeypatch
+):
+    """Kill the per-partition swap mid-loop (after one rename): the
+    marked staging rolls FORWARD on the next heal — the store ends
+    exactly the fully-ingested state, never a mix, and a replayed
+    update ingests nothing (the txt23/upsert_parquet crash contract)."""
+    import os as _os
+
+    from real_time_stock_market_data_pipeline_spark.maintenance import (
+        heal_if_interrupted,
+    )
+
+    base = docs.filter("text IS NOT NULL")
+    era_a = base.filter("doc_id % 5 <> 4")
+    root = str(tmp_path / "cur3")
+    text.init_curriculum_store(spark, era_a, root)
+    # reference final state from an uncrashed twin
+    root_ok = str(tmp_path / "cur3ok")
+    text.init_curriculum_store(spark, era_a, root_ok)
+    text.update_curriculum_shards(spark, base, root_ok)
+    want = spark.read.parquet(f"{root_ok}/docs")
+
+    real = _os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError("simulated crash between renames")
+        real(src, dst)
+
+    import os
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated crash"):
+        text.update_curriculum_shards(spark, base, root)
+    monkeypatch.undo()
+    orphans = [
+        e for e in os.listdir(root) if e.startswith("docs__")
+    ]
+    assert orphans, "expected a mid-swap staging/old orphan"
+    heal_if_interrupted(f"{root}/docs")
+    got = spark.read.parquet(f"{root}/docs")
+    assert _tables_equal_cur(
+        got.select("doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id"),
+        want.select("doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id"),
+    )
+    assert [e for e in os.listdir(root) if e.startswith("docs__")] == []
+    m = text.update_curriculum_shards(spark, base, root)
+    assert m["n_new_docs"] == 0 and m["n_shards_rewritten"] == 0
+
+
+def test_curriculum_update_requires_init(spark, tmp_path):
+    with pytest.raises(ValueError, match="no curriculum store"):
+        text.update_curriculum_shards(
+            spark,
+            spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+            str(tmp_path / "missing"),
+        )
