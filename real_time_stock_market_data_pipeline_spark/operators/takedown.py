@@ -377,6 +377,9 @@ def takedown(
     * ``pq`` — a flat PQ code-table root (the generic flat contract
       applied to ``{path}/codes``; serve through
       ``similarity.read_pq_codes``)
+    * ``curriculum`` — a curriculum-shard store root
+      (``text.takedown_curriculum_store``; the purge is rank-REPAIRING
+      — the one family where removal shifts other rows' derived state)
 
     ``id_cols`` optionally overrides the id column per family (a vector
     index keyed ``vec_id`` and a revision table keyed ``snapshot_id``
@@ -384,7 +387,7 @@ def takedown(
     same ids appends zero tombstones everywhere (each family's
     anti-join)."""
     from .similarity import delete_from_ivf_index, delete_from_ivfpq_index
-    from .text import takedown_bm25_postings
+    from .text import takedown_bm25_postings, takedown_curriculum_store
 
     out: dict[str, dict] = {}
     for family, path in roots.items():
@@ -404,6 +407,8 @@ def takedown(
             out[family] = tombstone_doc_keyed_table(
                 spark, fam_ids, f"{path}/codes", col
             )
+        elif family == "curriculum":
+            out[family] = takedown_curriculum_store(spark, fam_ids, path, col)
         else:
             raise ValueError(f"unknown takedown family {family!r}")
     return out
@@ -419,7 +424,7 @@ def purge_takedown(
     family keys as ``takedown``.  Idempotent per family (tombstones are
     each purge's recovery signal and are cleared last)."""
     from .similarity import purge_ivf_tombstones, purge_ivfpq_tombstones
-    from .text import purge_bm25_postings
+    from .text import purge_bm25_postings, purge_curriculum_tombstones
 
     out: dict[str, dict] = {}
     for family, path in roots.items():
@@ -436,6 +441,8 @@ def purge_takedown(
             out[family] = purge_ivf_tombstones(spark, path, col)
         elif family == "pq":
             out[family] = purge_doc_keyed_table(spark, f"{path}/codes", col)
+        elif family == "curriculum":
+            out[family] = purge_curriculum_tombstones(spark, path)
         else:
             raise ValueError(f"unknown takedown family {family!r}")
     return out
@@ -497,6 +504,30 @@ def _family_frames(
             spark, tombstone_path(f"{path}/codes")
         )
         return raw, tombs, read_pq_codes(spark, path, id_col)
+    if family == "curriculum":
+        from ..maintenance import heal_if_interrupted
+
+        heal_if_interrupted(f"{path}/docs", for_read=True)
+        raw = read_parquet_if_exists(spark, f"{path}/docs")
+        tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+        # the store is doc_id-keyed by construction; realign to the
+        # audit's id column so the request joins resolve
+        if id_col != "doc_id":
+            raw = None if raw is None else raw.withColumnRenamed("doc_id", id_col)
+            tombs = (
+                None if tombs is None
+                else tombs.withColumnRenamed("doc_id", id_col)
+            )
+        if raw is None:
+            return None, tombs, None
+        serving = raw
+        if tombs is not None:
+            serving = raw.join(
+                F.broadcast(tombs.select(id_col).distinct()),
+                id_col,
+                "left_anti",
+            )
+        return raw, tombs, serving
     raise ValueError(f"unknown takedown family {family!r}")
 
 

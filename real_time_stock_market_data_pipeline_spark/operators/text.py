@@ -881,16 +881,37 @@ def load_curriculum_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     return bc, uc, int(v)
 
 
+def read_curriculum_docs(spark, path: str) -> DataFrame:
+    """Tombstone-aware doc-level read of the curriculum store — what a
+    training loader scans (one ``shard_id=`` directory per phase,
+    directory-pruned): heal-before-read, then the broadcast anti-join
+    against standing tombstones (zero plan change while none exist)."""
+    from ..maintenance import heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    heal_if_interrupted(f"{path}/docs", for_read=True)
+    docs = spark.read.parquet(f"{path}/docs")
+    tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+    if tombs is not None:
+        docs = docs.join(
+            F.broadcast(tombs.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    return docs
+
+
 def curriculum_manifest(spark, path: str) -> DataFrame:
     """sp15's manifest rollup read FROM the store (one row per shard:
     counts, difficulty band, order-independent content checksum) — the
     published artifact a resume or re-shard verifies against; reading
     the same doc table the loader scans, the manifest can never drift
     from the physical layout."""
-    from ..maintenance import heal_if_interrupted
-
-    heal_if_interrupted(f"{path}/docs", for_read=True)
-    docs = spark.read.parquet(f"{path}/docs")
+    # tombstone-aware serving (takedown_curriculum_store): a deleted doc
+    # drops out of counts/bands/checksum immediately; surviving docs keep
+    # their standing shard/rank until purge re-ranks (documented contract
+    # — the checksum is membership-only, so it is already purge-exact)
+    docs = read_curriculum_docs(spark, path)
     h = F.expr(
         "aggregate(transform(sequence(1, length('s' || CAST(doc_id AS STRING))), "
         "i -> ascii(substr('s' || CAST(doc_id AS STRING), CAST(i AS INT), 1))), "
@@ -989,6 +1010,42 @@ def update_curriculum_shards(
             )
         )
     )
+    n_rewritten = _curriculum_reshard_swap(
+        docs_path, untouched, reranked, touched, n_shards
+    )
+    return {
+        "n_batch_ids": n_batch,
+        "n_new_docs": n_new,
+        "n_buckets_touched": len(touched),
+        "n_shards_rewritten": n_rewritten,
+    }
+
+
+def _curriculum_reshard_swap(
+    docs_path: str,
+    untouched: DataFrame,
+    reranked: DataFrame,
+    touched: list,
+    n_shards: int,
+    extra_changed_shards: set[int] | None = None,
+) -> int:
+    """Shared reshard + staged-partition-swap tail for the curriculum
+    store's ingest (``update_curriculum_shards``) and purge
+    (``purge_curriculum_tombstones``): given the untouched rows (stored
+    wrk kept), the re-ranked touched-bucket rows, and the touched
+    buckets, recompute offsets/shards, detect the changed partitions
+    (plus ``extra_changed_shards`` — the purge passes the DELETED rows'
+    shards, which lose rows without any row moving in), and swap only
+    those through staging + commit marker + per-entry renames.  A
+    rewrite shard with no surviving rows has its store directory
+    displaced without replacement (zero-survivor branch).  Returns the
+    number of partitions rewritten."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ..maintenance import _mark_staging_complete
+
     allrows = _with_shards(
         untouched.unionByName(reranked.select(*untouched.columns)), n_shards
     ).localCheckpoint(eager=False)
@@ -1012,6 +1069,7 @@ def update_curriculum_shards(
             .distinct()
             .collect()
         }
+        | set(extra_changed_shards or ())
     )
     out = allrows.filter(F.col("shard_id").isin(rewrite)).select(
         *_CURRICULUM_DOC_COLS, "shard_id"
@@ -1021,18 +1079,117 @@ def update_curriculum_shards(
     _mark_staging_complete(staging)
     trash = f"{docs_path}__old_{_uuid.uuid4().hex}"
     _os.makedirs(trash)
-    for entry in _os.listdir(staging):
-        if not entry.startswith("shard_id="):
-            continue
+    staged = {
+        e for e in _os.listdir(staging) if e.startswith("shard_id=")
+    }
+    for shard in rewrite:
+        entry = f"shard_id={shard}"
         dst = _os.path.join(docs_path, entry)
         if _os.path.exists(dst):
             _os.rename(dst, _os.path.join(trash, entry))
-        _os.rename(_os.path.join(staging, entry), dst)
+        if entry in staged:
+            _os.rename(_os.path.join(staging, entry), dst)
     _shutil.rmtree(trash, ignore_errors=True)
     _shutil.rmtree(staging, ignore_errors=True)
-    return {
-        "n_batch_ids": n_batch,
-        "n_new_docs": n_new,
-        "n_buckets_touched": len(touched),
-        "n_shards_rewritten": len(rewrite),
+    return len(rewrite)
+
+
+def takedown_curriculum_store(
+    spark,
+    ids: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Logically DELETE documents from the curriculum store — the
+    takedown arm the launch layer needs for symmetry with every other
+    persisted family (operators.takedown module note).  Ids present in
+    the doc table tombstone into ``{path}/tombstones`` (semi-join,
+    replay-idempotent via the standing anti-join);
+    ``curriculum_manifest`` and any loader read exclude them
+    immediately via the broadcast anti-join, and
+    ``purge_curriculum_tombstones`` later removes the rows physically
+    AND repairs the global rank.  Returns ``{"n_batch_ids",
+    "n_new_tombstones"}``."""
+    import os as _os
+
+    from ..maintenance import heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+    from .takedown import _append_new_tombstones
+
+    docs_path = _os.path.join(path, "docs")
+    heal_if_interrupted(docs_path)
+    batch = ids.select(id_col).distinct()
+    n_batch = batch.count()
+    docs = read_parquet_if_exists(spark, docs_path)
+    if docs is None:
+        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+    present = batch.join(
+        docs.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("doc_id"))
+    n_new = _append_new_tombstones(
+        spark, present, _os.path.join(path, "tombstones"), "doc_id"
+    )
+    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+
+
+def purge_curriculum_tombstones(spark, path: str) -> dict[str, int]:
+    """Make curriculum deletions physically durable AND rank-exact: the
+    one takedown purge in the engine where removal does NOT commute
+    row-wise — deleting a doc shifts every later doc's global rank — so
+    the purge is the ingest machinery pointed the other way: the
+    deleted docs' buckets re-rank (remaining members only), untouched
+    buckets keep their stored within-bucket ranks, the offset cumsum
+    recomputes over the bucket table, and every partition whose content
+    changed (including shards that only LOSE rows) rewrites through the
+    staged swap.  Tombstones clear LAST (the crash-recovery signal —
+    an interrupted purge replays idempotently: already-removed ids
+    semi-join to nothing on the next takedown, standing tombstones
+    drive the next purge).  Post-purge the store equals a one-shot
+    shard build over corpus-minus-deleted under the frozen model
+    (pinned by test).  Returns ``{"n_purged", "n_shards_rewritten"}``."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..maintenance import _require_local_path, heal_if_interrupted
+    from ..sources.readers import read_parquet_if_exists
+
+    docs_path = _os.path.join(path, "docs")
+    t_path = _os.path.join(path, "tombstones")
+    _require_local_path(docs_path, "purge_curriculum_tombstones")
+    heal_if_interrupted(docs_path)
+    tombs = read_parquet_if_exists(spark, t_path)
+    if tombs is None:
+        return {"n_purged": 0, "n_shards_rewritten": 0}
+    docs = read_parquet_if_exists(spark, docs_path)
+    if docs is None:
+        _shutil.rmtree(t_path, ignore_errors=True)
+        return {"n_purged": 0, "n_shards_rewritten": 0}
+    t_ids = tombs.select("doc_id").distinct()
+    doomed = docs.join(F.broadcast(t_ids), "doc_id", "left_semi").select(
+        "doc_id", "bucket", F.col("shard_id").cast("bigint").alias("shard_id")
+    ).localCheckpoint()
+    n_purged = doomed.count()
+    if n_purged == 0:
+        # stale tombstones whose rows are already gone — drop them
+        _shutil.rmtree(t_path, ignore_errors=True)
+        return {"n_purged": 0, "n_shards_rewritten": 0}
+    touched = sorted(r[0] for r in doomed.select("bucket").distinct().collect())
+    doomed_shards = {
+        int(r[0]) for r in doomed.select("shard_id").distinct().collect()
     }
+    remaining = docs.join(F.broadcast(t_ids), "doc_id", "left_anti").select(
+        *_CURRICULUM_DOC_COLS,
+        F.col("shard_id").cast("bigint").alias("old_shard"),
+    )
+    untouched = remaining.filter(~F.col("bucket").isin(touched))
+    reranked = _with_wrk(
+        remaining.filter(F.col("bucket").isin(touched)).select(
+            "doc_id", "ppl", "n_tokens", "bucket", "old_shard"
+        )
+    )
+    n_rewritten = _curriculum_reshard_swap(
+        docs_path, untouched, reranked, touched, CURRICULUM_SHARDS,
+        extra_changed_shards=doomed_shards,
+    )
+    _shutil.rmtree(t_path, ignore_errors=True)
+    return {"n_purged": n_purged, "n_shards_rewritten": n_rewritten}

@@ -796,12 +796,50 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             tbl_eq(p, keep_latest_dedup(recrawl, ["url"], "ts", "doc_id")),
         )]
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    def leg_cur():
+        """Curriculum-shard store (sp21's layout) — the r18 symmetry
+        closure: tombstones hide docs from the manifest/loader read
+        immediately; the purge is RANK-REPAIRING, so equals-rebuild
+        compares against a re-shard of the remaining docs under the
+        store's FROZEN model (the commute gate is model-conditional —
+        retraining on the remainder would be a different curriculum by
+        design)."""
+        from ..operators.text import (
+            CURRICULUM_SHARDS,
+            _with_shards,
+            _with_wrk,
+            init_curriculum_store,
+            load_curriculum_model,
+            read_curriculum_docs,
+            score_under_curriculum_model,
+        )
+
+        p = os.path.join(root, "cur")
+        init_curriculum_store(spark, slice_df, p)
+        before = count(f"{p}/docs")
+        takedown(spark, doc_dels, {"curriculum": p})
+        m2 = takedown(spark, doc_dels, {"curriculum": p})
+        replay = m2["curriculum"]["n_new_tombstones"] == 0
+        serve = disjoint(
+            read_curriculum_docs(spark, p), "doc_id", doc_dels, "doc_id"
+        )
+        purge_takedown(spark, {"curriculum": p})
+        bc, uc, v = load_curriculum_model(spark, p)
+        rebuilt = _with_shards(
+            _with_wrk(score_under_curriculum_model(rem_docs, bc, uc, v)),
+            CURRICULUM_SHARDS,
+        ).select("doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id")
+        return [(
+            "curriculum", before, count(f"{p}/docs"), replay, serve,
+            tbl_eq(f"{p}/docs", rebuilt),
+        )]
+
+    with ThreadPoolExecutor(max_workers=9) as pool:
         futures = [
             pool.submit(leg)
             for leg in (
                 leg_sig, leg_sh, leg_fp, leg_sem, leg_bm,
-                leg_ivf, leg_pq, leg_rev,
+                leg_ivf, leg_pq, leg_rev, leg_cur,
             )
         ]
         rows = [row for f in futures for row in f.result()]
@@ -851,6 +889,13 @@ UNION ALL
 SELECT 'bm25_tf',
        (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT doc_id, tok FROM gb_tok_rows) x),
        (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT doc_id, tok FROM ga_tok_rows) x),
+       true, true, true
+UNION ALL
+SELECT 'curriculum',
+       (SELECT CAST(count(*) AS BIGINT) FROM tslice
+        WHERE {list_len(dialect, split_ws(dialect, "text"))} >= 2),
+       (SELECT CAST(count(*) AS BIGINT) FROM trem
+        WHERE {list_len(dialect, split_ws(dialect, "text"))} >= 2),
        true, true, true
 UNION ALL
 SELECT 'fingerprints',

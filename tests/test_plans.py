@@ -518,8 +518,9 @@ def test_dd18_leg_operators_touch_no_session_global_state():
     import inspect
 
     import real_time_stock_market_data_pipeline_spark.operators.takedown as tdm
+    import real_time_stock_market_data_pipeline_spark.operators.text as txtm
 
-    src = inspect.getsource(tdm)
+    src = inspect.getsource(tdm) + inspect.getsource(txtm)
     for pat in (
         "createOrReplaceTempView",
         ".conf.set(",

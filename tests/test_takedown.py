@@ -751,3 +751,58 @@ def test_ivf_purge_crash_mid_partition_renames_converges(
     assert td.purge_takedown(spark, {"ivf": path}, id_col="vec_id")["ivf"] == {
         "n_purged": 0, "n_lists_rewritten": 0,
     }
+
+
+def test_umbrella_reaches_curriculum_family(spark, tmp_path):
+    """The curriculum store joins the takedown umbrella (r18): tombstones
+    hide deleted docs from the manifest immediately (membership-exact —
+    counts/bands/checksum drop, standing ranks stay until purge), replay
+    appends nothing, the compliance audit walks the family, and the
+    purge is RANK-REPAIRING: post-purge the store equals a one-shot
+    shard build over corpus-minus-deleted under the frozen model (the
+    one family where removal shifts other rows' derived state)."""
+    from real_time_stock_market_data_pipeline_spark.operators import text as txt
+
+    docs = load_table(spark, SF, "documents").filter("text IS NOT NULL")
+    root = str(tmp_path / "cur")
+    txt.init_curriculum_store(spark, docs, root)
+    n_all = spark.read.parquet(f"{root}/docs").count()
+    dels = docs.filter("doc_id % 7 = 3").select("doc_id")
+    # only docs actually IN the store count (sub-2-token docs never enter)
+    n_del = (
+        spark.read.parquet(f"{root}/docs")
+        .join(dels, "doc_id", "left_semi")
+        .count()
+    )
+    assert n_del > 0
+    m1 = td.takedown(spark, dels, {"curriculum": root})
+    assert m1["curriculum"] == {
+        "n_batch_ids": dels.count(), "n_new_tombstones": n_del,
+    }
+    m2 = td.takedown(spark, dels, {"curriculum": root})
+    assert m2["curriculum"]["n_new_tombstones"] == 0
+    # serving (manifest) excludes deleted docs while rows are physical
+    man = txt.curriculum_manifest(spark, root).toPandas()
+    assert int(man["n_docs"].sum()) == n_all - n_del
+    rep = td.takedown_compliance(spark, dels, {"curriculum": root}).collect()[0]
+    assert rep.status == "pending_purge" and rep.serving_clean
+    assert rep.n_physical_docs_remaining == n_del
+    # purge: physical removal + rank repair
+    pg = td.purge_takedown(spark, {"curriculum": root})
+    assert pg["curriculum"]["n_purged"] == n_del
+    assert not os.path.exists(f"{root}/tombstones")
+    got = spark.read.parquet(f"{root}/docs")
+    assert got.count() == n_all - n_del
+    bc, uc, v = txt.load_curriculum_model(spark, root)
+    remaining = docs.join(dels, "doc_id", "left_anti")
+    ref = txt._with_shards(
+        txt._with_wrk(txt.score_under_curriculum_model(remaining, bc, uc, v)),
+        txt.CURRICULUM_SHARDS,
+    ).select("doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id")
+    assert _tables_equal(got.select(*ref.columns), ref)
+    rep2 = td.takedown_compliance(spark, dels, {"curriculum": root}).collect()[0]
+    assert rep2.status == "clean" and rep2.n_physical_docs_remaining == 0
+    # replayed purge with no standing tombstones: clean no-op
+    assert td.purge_takedown(spark, {"curriculum": root})["curriculum"] == {
+        "n_purged": 0, "n_shards_rewritten": 0,
+    }
