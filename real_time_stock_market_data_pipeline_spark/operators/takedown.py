@@ -507,6 +507,7 @@ def _family_frames(
     if family == "curriculum":
         from ..maintenance import heal_if_interrupted
 
+        heal_if_interrupted(path, for_read=True)  # rebuild swaps the root
         heal_if_interrupted(f"{path}/docs", for_read=True)
         raw = read_parquet_if_exists(spark, f"{path}/docs")
         tombs = read_parquet_if_exists(spark, f"{path}/tombstones")

@@ -875,6 +875,9 @@ def init_curriculum_store(
 
 
 def load_curriculum_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
+    from ..maintenance import heal_if_interrupted
+
+    heal_if_interrupted(path, for_read=True)  # rebuild swaps the root
     bc = spark.read.parquet(f"{path}/model/bc")
     uc = spark.read.parquet(f"{path}/model/uc")
     v = spark.read.parquet(f"{path}/model/meta").first()[0]
@@ -889,6 +892,10 @@ def read_curriculum_docs(spark, path: str) -> DataFrame:
     from ..maintenance import heal_if_interrupted
     from ..sources.readers import read_parquet_if_exists
 
+    # root heal FIRST: rebuild_curriculum_store swaps the whole
+    # model+docs tree at the root, so a mid-swap crash leaves the root
+    # absent with a marked root staging pending
+    heal_if_interrupted(path, for_read=True)
     heal_if_interrupted(f"{path}/docs", for_read=True)
     docs = spark.read.parquet(f"{path}/docs")
     tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
@@ -968,6 +975,7 @@ def update_curriculum_shards(
 
     docs_path = _os.path.join(path, "docs")
     _require_local_path(docs_path, "update_curriculum_shards")
+    heal_if_interrupted(path)  # rebuild swaps the root
     heal_if_interrupted(docs_path)
     n_shards = CURRICULUM_SHARDS
     batch = batch.filter(F.col(text).isNotNull())
@@ -1117,6 +1125,7 @@ def takedown_curriculum_store(
     from .takedown import _append_new_tombstones
 
     docs_path = _os.path.join(path, "docs")
+    heal_if_interrupted(path)  # rebuild swaps the root
     heal_if_interrupted(docs_path)
     batch = ids.select(id_col).distinct()
     n_batch = batch.count()
@@ -1156,6 +1165,7 @@ def purge_curriculum_tombstones(spark, path: str) -> dict[str, int]:
     docs_path = _os.path.join(path, "docs")
     t_path = _os.path.join(path, "tombstones")
     _require_local_path(docs_path, "purge_curriculum_tombstones")
+    heal_if_interrupted(path)  # rebuild swaps the root
     heal_if_interrupted(docs_path)
     tombs = read_parquet_if_exists(spark, t_path)
     if tombs is None:
@@ -1193,3 +1203,119 @@ def purge_curriculum_tombstones(spark, path: str) -> dict[str, int]:
     )
     _shutil.rmtree(t_path, ignore_errors=True)
     return {"n_purged": n_purged, "n_shards_rewritten": n_rewritten}
+
+
+def curriculum_oov_share(
+    docs: DataFrame,
+    bc: DataFrame,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """(doc_id, oov_share) — the fraction of a doc's bigrams the frozen
+    model has NEVER seen, the curriculum family's drift signal (dq10):
+    the corpus this engine ships has a tiny closed vocabulary, so raw
+    perplexity barely separates eras (drifted ppl ≈ V sits inside the
+    self-trained band); OOV share is exactly 0 on the training era and
+    exactly 1 on an unseen-domain era at ANY corpus size — the sharp,
+    tuning-free gate.  One left join against the bigram table + one
+    per-doc mean; r6-rounded."""
+    from ..functions.scalars import r6
+
+    bigp = _curriculum_bigrams(docs, id_col, text)
+    return (
+        bigp.join(bc, ["w1", "w2"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("cb").isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+            .alias("oov"),
+        )
+        .groupBy("doc_id")
+        .agg(r6(F.avg("oov")).alias("oov_share"))
+    )
+
+
+def rebuild_curriculum_store(
+    spark,
+    corpus: DataFrame,
+    path: str,
+    n_shards: int = CURRICULUM_SHARDS,
+    id_col: str = "doc_id",
+    text: str = "text",
+) -> dict[str, int]:
+    """Retrain the curriculum's frozen difficulty model on the
+    ACCUMULATED corpus and swap the whole model+docs tree in atomically
+    (root staging + commit marker + two renames — rebuild_ivfpq_index's
+    protocol; healed by ``heal_if_interrupted`` at every read path).
+    The store keeps scores, not text, so the caller passes the corpus
+    the ingest batches came from; the rebuild re-scores exactly the
+    doc_ids the store accumulated MINUS standing tombstones (a rebuild
+    makes deletion durable — the tombstone table clears with the swap),
+    failing loudly if the corpus does not cover them.  Post-rebuild the
+    store equals ``init_curriculum_store`` on the accumulated corpus
+    (pinned by test — same model, same scores, same layout).  Returns
+    ``{"n_docs", "vocab"}``."""
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from ..maintenance import (
+        _mark_staging_complete,
+        _require_local_path,
+        _sibling_dirs,
+        heal_if_interrupted,
+    )
+    from ..sources.readers import read_parquet_if_exists
+
+    _require_local_path(path, "rebuild_curriculum_store")
+    heal_if_interrupted(path)
+    leftovers = _sibling_dirs(path, "staging") + _sibling_dirs(path, "old")
+    if leftovers:
+        raise RuntimeError(
+            f"orphaned staging/old directories {leftovers} survive healing; "
+            "resolve manually before rebuilding"
+        )
+    heal_if_interrupted(f"{path}/docs")
+    standing = spark.read.parquet(f"{path}/docs").select("doc_id")
+    tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
+    if tombs is not None:
+        standing = standing.join(
+            F.broadcast(tombs.select("doc_id").distinct()),
+            "doc_id",
+            "left_anti",
+        )
+    n_standing = standing.count()
+    acc = (
+        corpus.filter(F.col(text).isNotNull())
+        .join(
+            standing.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_acc = acc.select(id_col).distinct().count()
+    if n_acc != n_standing:
+        raise ValueError(
+            f"rebuild corpus covers {n_acc} of the store's {n_standing} "
+            "docs — every accumulated doc_id must be re-scorable"
+        )
+    bc, uc, v = train_curriculum_model(acc, id_col, text)
+    staging = f"{path}__staging_{_uuid.uuid4().hex}"
+    bc.write.mode("overwrite").parquet(f"{staging}/model/bc")
+    uc.write.mode("overwrite").parquet(f"{staging}/model/uc")
+    spark.createDataFrame([(int(v),)], "v bigint").write.mode(
+        "overwrite"
+    ).parquet(f"{staging}/model/meta")
+    bc = spark.read.parquet(f"{staging}/model/bc")
+    uc = spark.read.parquet(f"{staging}/model/uc")
+    sharded = _with_shards(
+        _with_wrk(score_under_curriculum_model(acc, bc, uc, v, id_col, text)),
+        n_shards,
+    )
+    sharded.select(*_CURRICULUM_DOC_COLS, "shard_id").write.mode(
+        "overwrite"
+    ).partitionBy("shard_id").parquet(f"{staging}/docs")
+    _mark_staging_complete(staging)
+    old = f"{path}__old_{_uuid.uuid4().hex}"
+    _os.rename(path, old)
+    _os.rename(staging, path)
+    _shutil.rmtree(old)
+    return {"n_docs": int(n_acc), "vocab": int(v)}

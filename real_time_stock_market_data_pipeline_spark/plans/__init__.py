@@ -55,7 +55,7 @@ _PRIORITY = [
     "txt22_bm25_retrieval", "dd15_paragraph_dedup",
     # 2 — new this round (each displaces one r15 fill below)
     "sp20_resume_manifest", "txt26_retrieval_leaderboard",
-    "sp21_incremental_curriculum",
+    "sp21_incremental_curriculum", "dq10_curriculum_drift",
     # 3 — green in CORRECTNESS_r15, r15-window order; entries past
     #     slot 50 are FROZEN FOR R19
     "sp14_doremi_mixture", "sp15_curriculum_shards",

@@ -1545,3 +1545,125 @@ def _dq9_takedown_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dq9_takedown_compliance"] = _dq9_takedown_compliance
 AUDIT_ORACLES["dq9_takedown_compliance"] = sql_takedown_compliance("duck")
+
+
+# --- DQ10 (r18): curriculum-store drift monitor + rebuild lifecycle -----------
+DQ10_PLANT_BASE = 10_000_000
+DQ10_OOV_CAP = 0.5          # gate: segment-mean OOV-bigram share under the
+DQ10_SALAD_LEN = 40         # store's frozen model (0 on-era / 1 off-era)
+DQ10_SALAD = "array('qa','qb','qc','qd','qe')"
+
+
+def _dq10_curriculum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ10 — the dq4/dq5 WHEN-to-rebuild monitor for the curriculum
+    family, completing its lifecycle (init sp21 / ingest / takedown+
+    purge r18 / monitor+rebuild here): the difficulty model freezes at
+    init, so a domain shift degrades the curriculum silently — new-era
+    docs all score unseen-mass perplexity and pile into the top
+    buckets.  The drift signal is the OOV-BIGRAM SHARE under the frozen
+    model (operators/text.curriculum_oov_share): exactly 0 on the
+    training era, exactly 1 on an unseen-domain era at any corpus size
+    — this corpus's closed 31-token vocabulary makes raw perplexity
+    nearly blind to the same shift (drifted ppl ≈ V lands INSIDE the
+    self-trained band; measured sf0.001/0.01), which is itself the
+    design lesson the monitor encodes.
+
+    Fixture: era A = the documents table (the init corpus); era B =
+    one deterministic 5-token rotating word-salad doc per source doc
+    (disjoint vocabulary, ingested through the REAL
+    update_curriculum_shards path).  Truth table: gate holds pre-drift,
+    FAILS on the drifted segment standing, clears on both segments
+    after ``rebuild_curriculum_store`` retrains and swaps the
+    model+docs tree (rebuild_ivfpq_index's root-staging protocol).
+    Output: (phase, segment, n_docs, gate_ok), one row each."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..operators.text import (
+        curriculum_oov_share,
+        init_curriculum_store,
+        load_curriculum_model,
+        rebuild_curriculum_store,
+        update_curriculum_shards,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    salad_text = (
+        f"array_join(transform(sequence(0, {DQ10_SALAD_LEN - 1}), "
+        f"i -> element_at({DQ10_SALAD}, "
+        "CAST((i + doc_id % 5) % 5 AS INT) + 1)), ' ')"
+    )
+    salad = docs.select(
+        (F.col("doc_id") + F.lit(DQ10_PLANT_BASE)).alias("doc_id"),
+        F.expr(salad_text).alias("text"),
+    ).localCheckpoint(eager=False)
+    union = docs.unionByName(salad).localCheckpoint(eager=False)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "real_time_stock_market_data_pipeline_spark_dq10",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{uuid.uuid4().hex}",
+    )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    init_curriculum_store(spark, docs, root)
+    update_curriculum_shards(spark, salad, root)
+    seg = F.when(
+        F.col("doc_id") >= DQ10_PLANT_BASE, F.lit("post_drift")
+    ).otherwise(F.lit("pre_drift"))
+
+    def gates(phase: str) -> DataFrame:
+        # EAGER: the standing gates must pin to the store state they
+        # measured — the rebuild swaps the model files this plan reads
+        bc, _uc, _v = load_curriculum_model(spark, root)
+        return (
+            curriculum_oov_share(union, bc)
+            .withColumn("segment", seg)
+            .groupBy("segment")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                (F.avg("oov_share") <= F.lit(DQ10_OOV_CAP)).alias("gate_ok"),
+            )
+            .select(F.lit(phase).alias("phase"), "segment", "n_docs", "gate_ok")
+            .localCheckpoint()
+        )
+
+    standing = gates("standing")
+    rebuild_curriculum_store(spark, union, root)
+    rebuilt = gates("rebuilt")
+    return standing.unionByName(rebuilt).orderBy("phase", "segment")
+
+
+def sql_curriculum_drift(dialect: str) -> str:
+    """DQ10's oracle — the deterministic truth table (the dq5 pattern):
+    the gate holds pre-drift, fails on the drifted segment standing,
+    clears on both after the rebuild.  n_docs replays store membership
+    from first principles: era A = docs with ≥ 2 whitespace tokens
+    (a doc needs ≥ 1 bigram to be scorable), era B = one fixed-length
+    salad per non-null source doc."""
+    n_pre = (
+        "SELECT CAST(count(*) AS BIGINT) FROM documents "
+        f"WHERE text IS NOT NULL AND {list_len(dialect, split_ws(dialect, 'text'))} >= 2"
+    )
+    n_post = (
+        "SELECT CAST(count(*) AS BIGINT) FROM documents WHERE text IS NOT NULL"
+    )
+    rows = []
+    for phase in ("rebuilt", "standing"):
+        for segment, n_sql in (("post_drift", n_post), ("pre_drift", n_pre)):
+            ok = not (phase == "standing" and segment == "post_drift")
+            rows.append(
+                f"SELECT '{phase}' AS phase, '{segment}' AS segment, "
+                f"({n_sql}) AS n_docs, {str(ok).lower()} AS gate_ok"
+            )
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY phase, segment"
+
+
+QUERIES["dq10_curriculum_drift"] = _dq10_curriculum_drift
+AUDIT_ORACLES["dq10_curriculum_drift"] = sql_curriculum_drift("duck")

@@ -72,6 +72,8 @@ DOC_QUERIES = [
     "dd17_quality_survivors", "sp16_doremi_manifest",
     "dq6_contamination_audit", "txt23_incremental_bm25",
     "sp17_epoch_shuffle", "emb22_late_interaction",
+    "sp20_resume_manifest", "txt26_retrieval_leaderboard",
+    "sp21_incremental_curriculum",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so

@@ -1872,3 +1872,80 @@ def test_curriculum_update_requires_init(spark, tmp_path):
             spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
             str(tmp_path / "missing"),
         )
+
+
+def test_curriculum_rebuild_equals_init_and_folds_tombstones(
+    spark, sf_dir, docs, tmp_path
+):
+    """rebuild_curriculum_store retrains on the accumulated corpus and
+    swaps the whole model+docs tree: the result must equal
+    init_curriculum_store on that corpus exactly (same model → same
+    scores, ranks, layout), and standing tombstones fold in (a rebuild
+    makes deletion durable; the tombstone table clears with the swap)."""
+    import os
+
+    base = docs.filter("text IS NOT NULL")
+    era_a = base.filter("doc_id % 5 <> 4")
+    root = str(tmp_path / "cur")
+    text.init_curriculum_store(spark, era_a, root)
+    text.update_curriculum_shards(spark, base, root)
+    dels = base.filter("doc_id % 11 = 5").select("doc_id")
+    text.takedown_curriculum_store(spark, dels, root)
+    m = text.rebuild_curriculum_store(spark, base, root)
+    remaining = base.join(dels, "doc_id", "left_anti")
+    # store-membership docs only (≥ 2 tokens); rebuild reports that count
+    ref_root = str(tmp_path / "ref")
+    m_ref = text.init_curriculum_store(spark, remaining, ref_root)
+    assert m["n_docs"] == spark.read.parquet(f"{root}/docs").count()
+    assert m["vocab"] == m_ref["vocab"]
+    assert not os.path.exists(f"{root}/tombstones")
+    cols = ["doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id"]
+    assert _tables_equal_cur(
+        spark.read.parquet(f"{root}/docs").select(*cols),
+        spark.read.parquet(f"{ref_root}/docs").select(*cols),
+    )
+    for sub in ("bc", "uc", "meta"):
+        assert _tables_equal_cur(
+            spark.read.parquet(f"{root}/model/{sub}"),
+            spark.read.parquet(f"{ref_root}/model/{sub}"),
+        )
+
+
+def test_curriculum_rebuild_crash_between_renames_heals(
+    spark, sf_dir, docs, tmp_path, monkeypatch
+):
+    """Kill the rebuild's root swap between the two renames (store
+    displaced, staging marked): heal installs the staged tree — readers
+    see the fully-rebuilt store, never a mix or an absent root."""
+    import os
+
+    base = docs.filter("text IS NOT NULL")
+    root = str(tmp_path / "cur")
+    text.init_curriculum_store(spark, base.filter("doc_id % 5 <> 4"), root)
+    text.update_curriculum_shards(spark, base, root)
+    ref_root = str(tmp_path / "ref")
+    text.init_curriculum_store(spark, base, ref_root)
+
+    real = os.rename
+    calls = {"n": 0}
+
+    def flaky(src, dst):
+        calls["n"] += 1
+        if calls["n"] > 1:
+            raise OSError("simulated crash between renames")
+        real(src, dst)
+
+    monkeypatch.setattr(os, "rename", flaky)
+    with pytest.raises(OSError, match="simulated crash"):
+        text.rebuild_curriculum_store(spark, base, root)
+    monkeypatch.undo()
+    assert not os.path.exists(root)  # mid-swap: root displaced
+    got = text.read_curriculum_docs(spark, root)  # heal-before-read
+    cols = ["doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id"]
+    assert _tables_equal_cur(
+        got.select(*cols),
+        spark.read.parquet(f"{ref_root}/docs").select(*cols),
+    )
+    assert [
+        e for e in os.listdir(tmp_path) if e.startswith("cur__")
+    ] == []
