@@ -73,7 +73,7 @@ DOC_QUERIES = [
     "dq6_contamination_audit", "txt23_incremental_bm25",
     "sp17_epoch_shuffle", "emb22_late_interaction",
     "sp20_resume_manifest", "txt26_retrieval_leaderboard",
-    "sp21_incremental_curriculum",
+    "sp21_incremental_curriculum", "dq10_curriculum_drift",
 ]
 # w12/w13 need MULTI-DAY per-symbol series (≥ 10 shared trading days); the
 # standard ×10 events probe packs its 1 M rows into ~3 hours of one day, so
