@@ -4828,15 +4828,30 @@ def sql_resume_manifest(dialect: str) -> str:
     stream, one group-by suffix rollup on the shard key, and slice
     lookups against the ≤slices-row ``taken`` table.  No new window
     touches doc-sized input."""
-    m = SP17_CK_MOD
-    w_last = SP15_SHARDS - 1
     return f"""
 WITH {_sp19_stream_ctes(dialect)},
-base AS (
+{_sp20_tail(dialect)}
+"""
+
+
+def _sp20_tail(
+    dialect: str, sharded: str = "sharded", taken: str = "taken"
+) -> str:
+    """sp20's slot-sized CTE tail + final SELECT over the launch stream
+    (``sharded``, referenced three times) and the slice table
+    (``taken``).  Parameterizing the source names lets the registered
+    Spark plan read localCheckpoint SNAPSHOTS instead — Spark inlines
+    CTEs, so the inline form re-executes the whole sp19 chain once per
+    reference (~4× the chain; measured 22 s vs ~7 s at sf0.1) — while
+    the DuckDB oracle keeps the inline text (DuckDB materializes
+    multi-reference CTEs itself; the dd2/t6/txt12 snapshot pattern)."""
+    m = SP17_CK_MOD
+    w_last = SP15_SHARDS - 1
+    return f"""base AS (
   SELECT shard_id AS slot,
          CAST(count(*) AS BIGINT) AS n_docs,
          CAST(min(grank) AS BIGINT) AS rank_lo
-  FROM sharded GROUP BY shard_id
+  FROM {sharded} GROUP BY shard_id
 ),
 ckpt AS (
   SELECT slot, n_docs, rank_lo,
@@ -4855,19 +4870,19 @@ rem AS (
          CAST(max(s.take_rank) AS BIGINT) AS slice_hi,
          CAST(sum((s.grank % {m}) * (s.idh % {m})) AS BIGINT)
            AS suffix_checksum
-  FROM ckpt c JOIN sharded s ON s.shard_id = c.slot
+  FROM ckpt c JOIN {sharded} s ON s.shard_id = c.slot
   WHERE s.grank >= c.rank_lo + c.n_consumed
   GROUP BY c.slot
 ),
 rdoc AS (
   SELECT r.slot, CAST(s.take_rank AS BIGINT) AS resume_take_rank
-  FROM rem r JOIN sharded s
+  FROM rem r JOIN {sharded} s
     ON s.shard_id = r.slot AND s.grank = r.resume_rank
 ),
 rslice AS (
   SELECT rd.slot, rd.resume_take_rank, t.epoch AS resume_epoch,
          t.domain AS resume_domain
-  FROM rdoc rd JOIN taken t ON t.take_rank = rd.resume_take_rank
+  FROM rdoc rd JOIN {taken} t ON t.take_rank = rd.resume_take_rank
 )
 SELECT c.slot, c.n_docs, c.n_consumed,
        COALESCE(r.n_remaining, CAST(0 AS BIGINT)) AS n_remaining,
@@ -4878,15 +4893,28 @@ SELECT c.slot, c.n_docs, c.n_consumed,
 FROM ckpt c
 LEFT JOIN rem r ON r.slot = c.slot
 LEFT JOIN rslice rs ON rs.slot = c.slot
-ORDER BY c.slot
-"""
+ORDER BY c.slot"""
 
 
 def _sp20_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SP20, Spark side: sp19's shared stream CTEs + the slot-sized
-    checkpoint/suffix tail, one SQL plan."""
+    """SP20, Spark side: the launch stream and the slice table are
+    snapshotted ONCE (lazy localCheckpoints — Spark would otherwise
+    re-execute the inlined sp19 chain per CTE reference, ~4×), then the
+    slot-sized tail runs over the snapshots.  Value-identical to the
+    oracle's inline form."""
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(sql_resume_manifest("spark"))
+    ctes = _sp19_stream_ctes("spark")
+    sharded = spark.sql(
+        f"WITH {ctes} SELECT * FROM sharded"
+    ).localCheckpoint(eager=False)
+    taken = spark.sql(
+        f"WITH {ctes} SELECT take_rank, domain, epoch FROM taken"
+    ).localCheckpoint(eager=False)
+    sharded.createOrReplaceTempView("sp20_sharded")
+    taken.createOrReplaceTempView("sp20_taken")
+    return spark.sql(
+        f"WITH {_sp20_tail('spark', 'sp20_sharded', 'sp20_taken')}"
+    )
 
 
 QUERIES["sp20_resume_manifest"] = _sp20_resume_manifest
