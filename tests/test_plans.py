@@ -617,14 +617,25 @@ def test_sp19_token_sum_equals_budget(spark, sf_dir):
 
 def test_sp20_doc_level_windows_are_bucket_partitioned(spark, sf_dir):
     """sp20 rides sp19's shared stream CTEs; everything it adds is
-    slot-sized (checkpoint join + suffix rollup).  Pin that the
-    composition introduces no new unpartitioned doc-level window — every
-    windowspecdefinition ordering on the mixed hkey must lead with a
-    partition column — and no Cartesian product."""
+    slot-sized (checkpoint join + suffix rollup).  The registered query
+    reads lazy SNAPSHOTS of the stream (the CTE-inlining fix), so the
+    corpus-sized windows live in the snapshot plan: pin them there —
+    every windowspecdefinition ordering on the mixed hkey must lead
+    with a partition column — and pin the registered tail itself free
+    of Cartesian products and of any unpartitioned doc-level window."""
     import re
 
-    plan = plan_of(spark, sf_dir, "sp20_resume_manifest")
-    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        _sp19_stream_ctes,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import load_table
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    stream_plan = (
+        spark.sql(f"WITH {_sp19_stream_ctes('spark')} SELECT * FROM sharded")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", stream_plan)
     doc_specs = [sp for sp in specs if "hkey" in sp]
     assert doc_specs, "expected the stream-rank / boundary-cumsum windows"
     for sp in doc_specs:
@@ -632,7 +643,10 @@ def test_sp20_doc_level_windows_are_bucket_partitioned(spark, sf_dir):
         assert " ASC" not in first and " DESC" not in first, (
             f"unpartitioned doc-level window: windowspecdefinition({sp}"
         )
-    assert "CartesianProduct" not in plan
+    tail_plan = plan_of(spark, sf_dir, "sp20_resume_manifest")
+    assert "CartesianProduct" not in tail_plan
+    tail_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", tail_plan)
+    assert all("hkey" not in sp for sp in tail_specs)
 
 
 def test_sp20_resume_consistent_with_sp19_launch(spark, sf_dir):
