@@ -1425,11 +1425,21 @@ p13 AS (
   SELECT CAST(count(*) AS BIGINT) AS n
   FROM slice_docs
   WHERE doc_id % {DQ9_STRIDE} = {DQ9_RESIDUE} AND n_tokens >= 13
+),
+p2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n
+  FROM slice_docs
+  WHERE doc_id % {DQ9_STRIDE} = {DQ9_RESIDUE} AND n_tokens >= 2
 )
-SELECT 'fingerprints' AS family, req.n_requested,
-       CAST(0 AS BIGINT) AS n_tombstoned_standing,
-       CAST(0 AS BIGINT) AS n_physical_docs_remaining,
-       true AS serving_clean, 'clean' AS status
+SELECT 'curriculum' AS family, req.n_requested,
+       p2.n AS n_tombstoned_standing,
+       p2.n AS n_physical_docs_remaining,
+       true AS serving_clean,
+       CASE WHEN p2.n = 0 THEN 'clean' ELSE 'pending_purge' END AS status
+FROM req CROSS JOIN p2
+UNION ALL
+SELECT 'fingerprints', req.n_requested,
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), true, 'clean'
 FROM req
 UNION ALL
 SELECT 'segmentations', req.n_requested, CAST(0 AS BIGINT), p13.n,
@@ -1461,6 +1471,10 @@ def _dq9_takedown_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ``at_risk`` — requested docs still SERVED, the
                      missed-takedown failure mode the audit exists to
                      catch.
+      curriculum     the r18 rank-maintained store, takedown applied,
+                     purge NOT run → ``pending_purge`` — pins that the
+                     audit walks the new family's doc-level read
+                     (store membership = docs with ≥ 2 tokens).
 
     dd18 proves each family's lifecycle; dq9 is the operational
     monitoring layer above it (dq4/dq5's monitor-vs-lifecycle split,
@@ -1503,6 +1517,7 @@ def _dq9_takedown_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_sh = os.path.join(root, "sh")
     p_fp = os.path.join(root, "fp")
     p_seg = os.path.join(root, "seg")
+    p_cur = os.path.join(root, "cur")
 
     def build_fp():
         media = image_dhash(
@@ -1513,32 +1528,40 @@ def _dq9_takedown_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_id", "dhash")
         update_media_fingerprint_table(media, p_fp)
 
-    # the four store builds are independent leg-private file ops (no
+    def build_cur():
+        from ..operators.text import init_curriculum_store
+
+        init_curriculum_store(spark, slice_df, p_cur)
+
+    # the five store builds are independent leg-private file ops (no
     # session-global state — the dd18/dq5 thread invariant holds), and
     # each is a chain of tiny fixed-overhead jobs: build them on driver
-    # threads (measured 10.4 → 7.2 s solo-warm at sf0.1)
+    # threads (measured 10.4 → 7.2 s solo-warm at sf0.1 with four)
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futures = [
             pool.submit(update_signature_table, slice_df, p_sig),
             pool.submit(update_test_shingle_table, slice_df, p_sh),
             pool.submit(build_fp),
             pool.submit(update_test_shingle_table, slice_df, p_seg),
+            pool.submit(build_cur),
         ]
         for f in futures:
             f.result()
     # signatures: tombstone only; shingles: tombstone + purge;
     # fingerprints: request never ingested; segmentations: request
-    # never applied at all
+    # never applied at all; curriculum: tombstone only (pending_purge
+    # through the rank-maintained family's doc-level read)
     takedown(spark, request, {"signatures": p_sig, "shingles": p_sh,
-                              "fingerprints": p_fp})
+                              "fingerprints": p_fp, "curriculum": p_cur})
     purge_takedown(spark, {"shingles": p_sh})
     roots = {
         "signatures": p_sig,
         "shingles": p_sh,
         "fingerprints": p_fp,
         "segmentations": p_seg,
+        "curriculum": p_cur,
     }
     return takedown_compliance(spark, request, roots).orderBy("family")
 
