@@ -535,13 +535,13 @@ def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ..operators.clustering import kmeans_fit
     from ..operators.similarity import (
         init_semantic_index,
         semantic_dedup_pairs,
         semdedup_k,
         update_semantic_index,
     )
+    from .fixtures import fixture_kmeans_fit
 
     corpus = planted_semantic_corpus(spark, sf_dir).localCheckpoint(
         eager=False
@@ -551,9 +551,13 @@ def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_iter=1: the planted oracle holds for ANY clustering (see
     # _emb15_semantic_dedup) and the gate compares against a one-shot
     # built from the SAME codebook, so extra Lloyd passes buy nothing
-    # this row can see — the driver row pays for ingest, not fit quality
+    # this row can see — the driver row pays for ingest, not fit quality.
+    # The fit is session-memoized (plans/fixtures, r18 optimization):
+    # originals is a pure planted rendering of sf_dir's embeddings table.
     k = semdedup_k(corpus.count())
-    cents_df = kmeans_fit(originals, k=k, n_iter=1)
+    cents_df = fixture_kmeans_fit(
+        spark, sf_dir, "semdedup_originals", originals, k=k, n_iter=1
+    )
     cents = [
         (int(r.centroid_id), [float(x) for x in r.embedding])
         for r in cents_df.collect()
@@ -645,18 +649,20 @@ def _emb18_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from ..operators.clustering import kmeans_fit
     from ..operators.similarity import (
         build_ivf_index,
         ivf_topk,
         search_ivf_index,
     )
+    from .fixtures import shared_kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    cents = kmeans_fit(emb, k=8, n_iter=1)
+    # session-memoized league fit (plans/fixtures, r18 optimization) —
+    # bit-identical to kmeans_fit(emb, k=8, n_iter=1)
+    cents = shared_kmeans_fit(spark, sf_dir, k=8, n_iter=1)
     path = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_ivf_filtered",
@@ -1023,7 +1029,6 @@ def _dq4_index_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from ..operators.clustering import kmeans_fit
     from ..operators.similarity import (
         cosine_col,
         init_ivf_index,
@@ -1031,6 +1036,7 @@ def _dq4_index_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         search_ivf_index,
         update_ivf_index,
     )
+    from .fixtures import fixture_kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
     max_id = emb.agg(F.max("vec_id")).first()[0]
@@ -1055,7 +1061,15 @@ def _dq4_index_recall_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     path = os.path.join(root, "index")
-    init_ivf_index(kmeans_fit(old, k=DQ4_GROUPS, n_iter=3), path)
+    # pre-drift-era fit memoized per (application, sf_dir, params) — the
+    # dq5_fixture_ivfpq_fit contract on the SAME planted rendering
+    # (r18 optimization): bit-identical to kmeans_fit(old, DQ4_GROUPS, 3)
+    init_ivf_index(
+        fixture_kmeans_fit(
+            spark, sf_dir, "dq4_old", old, k=DQ4_GROUPS, n_iter=3
+        ),
+        path,
+    )
     update_ivf_index(spark, old, path)
     update_ivf_index(spark, new, path)
 
@@ -1195,14 +1209,12 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from ..operators.clustering import kmeans_fit
     from ..operators.similarity import (
         _sq_l2,
         init_ivfpq_index,
         init_pq_index,
         init_semantic_index,
         load_pq_codebooks,
-        pq_fit,
         pq_self_distortion,
         rebuild_ivfpq_index,
         rebuild_pq_codes,
@@ -1338,9 +1350,19 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- family 2: flat PQ code table (mean reconstruction error) --------
     def leg_pq() -> list[DataFrame]:
+        from .fixtures import fixture_pq_fit
+
         pqp = os.path.join(root, "pq")
+        # pre-drift-era fit memoized (the dq5_fixture_ivfpq_fit contract
+        # on the same planted rendering, r18 optimization) — bit-identical
+        # to pq_fit(old, DQ5_PQ_M, DQ5_PQ_K, n_iter=2)
         init_pq_index(
-            spark, pq_fit(old, m=DQ5_PQ_M, k=DQ5_PQ_K, n_iter=2), pqp
+            spark,
+            fixture_pq_fit(
+                spark, sf_dir, "dq4_old", old,
+                m=DQ5_PQ_M, k=DQ5_PQ_K, n_iter=2,
+            ),
+            pqp,
         )
         update_pq_codes(spark, corpus, pqp)
 
@@ -1361,8 +1383,17 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- family 3: semantic index (planted-pair coverage) ----------------
     def leg_sem() -> list[DataFrame]:
+        from .fixtures import fixture_kmeans_fit
+
         semp = os.path.join(root, "sem")
-        init_semantic_index(kmeans_fit(old, k=DQ4_GROUPS, n_iter=2), semp)
+        # pre-drift-era fit memoized (same contract as leg_ivfpq/leg_pq)
+        # — bit-identical to kmeans_fit(old, k=DQ4_GROUPS, n_iter=2)
+        init_semantic_index(
+            fixture_kmeans_fit(
+                spark, sf_dir, "dq4_old", old, k=DQ4_GROUPS, n_iter=2
+            ),
+            semp,
+        )
         update_semantic_index(spark, corpus, semp, threshold=DQ5_SEM_THRESHOLD)
         grp = lambda side: (F.col(f"{side}.vec_id") / 100).cast("int")  # noqa: E731
         truth = (
@@ -1956,13 +1987,13 @@ def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from ..operators.clustering import kmeans_fit
     from ..operators.similarity import (
         _collect_codebook,
         build_ivf_index,
         centroid_topn_pandas,
         cosine_col,
     )
+    from .fixtures import fixture_kmeans_fit
 
     corpus = (
         load_table(spark, sf_dir, "embeddings")
@@ -1971,7 +2002,12 @@ def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    cents_df = kmeans_fit(corpus, k=EMB24_LISTS, n_iter=1)
+    # session-memoized fit on the cast-to-double rendering (its own tag —
+    # a float→double cast can change the fit input, so this must NOT share
+    # the raw-table league entry); bit-identical to kmeans_fit(corpus, …)
+    cents_df = fixture_kmeans_fit(
+        spark, sf_dir, "embeddings_double", corpus, k=EMB24_LISTS, n_iter=1
+    )
     path = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_emb24",

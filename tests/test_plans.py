@@ -845,3 +845,62 @@ def test_emb24_grid_join_bounded_and_topk_windows_partitioned(spark, sf_dir):
         assert " ASC" not in first and " DESC" not in first, (
             f"unpartitioned top-k window: windowspecdefinition({sp}"
         )
+
+
+def test_dq8_source_builders_register_only_identical_views(spark, sf_dir):
+    """dq8 runs its four source builders on CONCURRENT driver threads
+    (r18 optimization) — safe only while the builders' sole session-
+    global mutation is re-registering temp views with byte-identical
+    pure-table definitions: a builder that registered "documents" (or
+    "embeddings") with anything but the plain load_table rendering
+    would race its siblings' spark.sql analysis.  Run each builder and
+    pin the catalog's analyzed view plan to the pure load_table plan
+    after every one."""
+    from real_time_stock_market_data_pipeline_spark.plans.audit_parity import (
+        _dq6_contamination_audit,
+        _dq7_dataset_card,
+    )
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        _dd7_dedup_summary,
+        _sp11_domain_mixture,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    import re
+
+    def analyzed(df):
+        # expression ids (#123) differ per instantiation, spark.table()
+        # wraps the definition in a View node, and child indentation
+        # shifts with it — normalize all three so the comparison sees
+        # only the definition itself
+        text = re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
+        lines = [
+            ln.lstrip(" +-:")
+            for ln in text.splitlines()
+            if not ln.lstrip(" +-:").startswith(("View (", "SubqueryAlias "))
+        ]
+        return "\n".join(ln for ln in lines if ln)
+
+    pure = {
+        name: analyzed(load_table(spark, sf_dir, name))
+        for name in ("documents", "embeddings")
+    }
+    for builder in (
+        _dq7_dataset_card,
+        _dq6_contamination_audit,
+        _dd7_dedup_summary,
+        _sp11_domain_mixture,
+    ):
+        builder(spark, sf_dir)
+        for name, want in pure.items():
+            if not spark.catalog.tableExists(name):
+                continue  # builder never registered it — nothing to race
+            got = analyzed(spark.table(name))
+            assert got == want, (
+                f"{builder.__name__} left view {name!r} with a non-pure "
+                "definition — dq8's threaded source builders would race:\n"
+                f"{got}"
+            )
+            spark.catalog.dropTempView(name)
