@@ -352,6 +352,28 @@ _FLAT_FAMILIES = (
 )
 
 
+def _per_family(fn, roots: dict[str, str]) -> dict[str, dict]:
+    """Run ``fn(family, path)`` for every requested family, returning
+    results keyed in ``roots`` iteration order.  Families are DISJOINT
+    stores — every helper touches only its own root and no session-global
+    state (the dd18/dq5 thread invariant, pinned by
+    tests/test_takedown.py::test_umbrella_threaded_equals_sequential) —
+    so multi-family requests run on driver threads (r18 optimization:
+    each family is a chain of tiny fixed-overhead jobs; serializing them
+    made the umbrella ≈ Σ families).  Errors re-raise in deterministic
+    family order."""
+    items = list(roots.items())
+    if len(items) <= 1:
+        return {family: fn(family, path) for family, path in items}
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        futures = [
+            (family, pool.submit(fn, family, path)) for family, path in items
+        ]
+        return {family: f.result() for family, f in futures}
+
+
 def takedown(
     spark: SparkSession,
     ids: DataFrame,
@@ -389,29 +411,26 @@ def takedown(
     from .similarity import delete_from_ivf_index, delete_from_ivfpq_index
     from .text import takedown_bm25_postings, takedown_curriculum_store
 
-    out: dict[str, dict] = {}
-    for family, path in roots.items():
+    def one(family: str, path: str) -> dict:
         col = (id_cols or {}).get(family, id_col)
         fam_ids = _rename_request_ids(ids, id_col, col)
         if family in _FLAT_FAMILIES:
-            out[family] = tombstone_doc_keyed_table(spark, fam_ids, path, col)
-        elif family == "semantic":
-            out[family] = tombstone_semantic_index(spark, fam_ids, path, col)
-        elif family == "bm25":
-            out[family] = takedown_bm25_postings(spark, fam_ids, path, col)
-        elif family == "ivfpq":
-            out[family] = delete_from_ivfpq_index(spark, fam_ids, path, col)
-        elif family == "ivf":
-            out[family] = delete_from_ivf_index(spark, fam_ids, path, col)
-        elif family == "pq":
-            out[family] = tombstone_doc_keyed_table(
-                spark, fam_ids, f"{path}/codes", col
-            )
-        elif family == "curriculum":
-            out[family] = takedown_curriculum_store(spark, fam_ids, path, col)
-        else:
-            raise ValueError(f"unknown takedown family {family!r}")
-    return out
+            return tombstone_doc_keyed_table(spark, fam_ids, path, col)
+        if family == "semantic":
+            return tombstone_semantic_index(spark, fam_ids, path, col)
+        if family == "bm25":
+            return takedown_bm25_postings(spark, fam_ids, path, col)
+        if family == "ivfpq":
+            return delete_from_ivfpq_index(spark, fam_ids, path, col)
+        if family == "ivf":
+            return delete_from_ivf_index(spark, fam_ids, path, col)
+        if family == "pq":
+            return tombstone_doc_keyed_table(spark, fam_ids, f"{path}/codes", col)
+        if family == "curriculum":
+            return takedown_curriculum_store(spark, fam_ids, path, col)
+        raise ValueError(f"unknown takedown family {family!r}")
+
+    return _per_family(one, roots)
 
 
 def purge_takedown(
@@ -426,26 +445,25 @@ def purge_takedown(
     from .similarity import purge_ivf_tombstones, purge_ivfpq_tombstones
     from .text import purge_bm25_postings, purge_curriculum_tombstones
 
-    out: dict[str, dict] = {}
-    for family, path in roots.items():
+    def one(family: str, path: str) -> dict:
         col = (id_cols or {}).get(family, id_col)
         if family in _FLAT_FAMILIES:
-            out[family] = purge_doc_keyed_table(spark, path, col)
-        elif family == "semantic":
-            out[family] = purge_semantic_index(spark, path, col)
-        elif family == "bm25":
-            out[family] = purge_bm25_postings(spark, path, col)
-        elif family == "ivfpq":
-            out[family] = purge_ivfpq_tombstones(spark, path, col)
-        elif family == "ivf":
-            out[family] = purge_ivf_tombstones(spark, path, col)
-        elif family == "pq":
-            out[family] = purge_doc_keyed_table(spark, f"{path}/codes", col)
-        elif family == "curriculum":
-            out[family] = purge_curriculum_tombstones(spark, path)
-        else:
-            raise ValueError(f"unknown takedown family {family!r}")
-    return out
+            return purge_doc_keyed_table(spark, path, col)
+        if family == "semantic":
+            return purge_semantic_index(spark, path, col)
+        if family == "bm25":
+            return purge_bm25_postings(spark, path, col)
+        if family == "ivfpq":
+            return purge_ivfpq_tombstones(spark, path, col)
+        if family == "ivf":
+            return purge_ivf_tombstones(spark, path, col)
+        if family == "pq":
+            return purge_doc_keyed_table(spark, f"{path}/codes", col)
+        if family == "curriculum":
+            return purge_curriculum_tombstones(spark, path)
+        raise ValueError(f"unknown takedown family {family!r}")
+
+    return _per_family(one, roots)
 
 
 def _family_frames(
@@ -566,11 +584,11 @@ def takedown_compliance(
     conventions as ``takedown``/``purge_takedown``."""
     req = ids.select(id_col).distinct().localCheckpoint(eager=False)
     n_req = req.count()
-    rows = []
-    for family in sorted(roots):
+
+    def one(family: str, path: str) -> tuple:
         col = (id_cols or {}).get(family, id_col)
         fam_ids = _rename_request_ids(req, id_col, col)
-        raw, tombs, serving = _family_frames(spark, family, roots[family], col)
+        raw, tombs, serving = _family_frames(spark, family, path, col)
         n_tomb = (
             0
             if tombs is None
@@ -596,7 +614,12 @@ def takedown_compliance(
             status = "pending_purge"
         else:
             status = "clean"
-        rows.append((family, n_req, n_tomb, n_phys, clean, status))
+        return (family, n_req, n_tomb, n_phys, clean, status)
+
+    # audited families run on driver threads (read-only per-family checks
+    # on disjoint stores — see _per_family); output order stays sorted
+    per_fam = _per_family(one, {f: roots[f] for f in sorted(roots)})
+    rows = [per_fam[f] for f in sorted(roots)]
     return spark.createDataFrame(
         rows,
         "family string, n_requested bigint, n_tombstoned_standing bigint, "

@@ -806,3 +806,57 @@ def test_umbrella_reaches_curriculum_family(spark, tmp_path):
     assert td.purge_takedown(spark, {"curriculum": root})["curriculum"] == {
         "n_purged": 0, "n_shards_rewritten": 0,
     }
+
+
+def test_umbrella_threaded_equals_sequential(spark, docs, tmp_path):
+    """r18 optimization pin: multi-family umbrella requests run their
+    per-family helpers on driver threads (takedown._per_family) — safe
+    only while every helper touches nothing but its own store root.
+    Build two identical three-family store sets and prove the threaded
+    umbrella (takedown / compliance / purge over 3 families at once)
+    returns exactly the counters, compliance rows, and physical table
+    contents of per-family sequential calls (the len==1 short-circuit
+    path _per_family keeps)."""
+    from real_time_stock_market_data_pipeline_spark.operators.dedup import (
+        update_test_shingle_table,
+    )
+
+    dels = _dels(docs).localCheckpoint()
+    stores: dict[str, dict[str, str]] = {}
+    for tag in ("thr", "seq"):
+        paths = {
+            "signatures": str(tmp_path / f"sig_{tag}"),
+            "shingles": str(tmp_path / f"sh_{tag}"),
+            "segmentations": str(tmp_path / f"seg_{tag}"),
+        }
+        update_signature_table(docs, paths["signatures"])
+        update_test_shingle_table(docs, paths["shingles"])
+        update_test_shingle_table(docs, paths["segmentations"])
+        stores[tag] = paths
+
+    m_thr = td.takedown(spark, dels, stores["thr"])
+    m_seq = {
+        fam: td.takedown(spark, dels, {fam: path})[fam]
+        for fam, path in stores["seq"].items()
+    }
+    assert m_thr == m_seq
+
+    c_thr = td.takedown_compliance(spark, dels, stores["thr"]).collect()
+    c_seq = [
+        td.takedown_compliance(spark, dels, {fam: path}).collect()[0]
+        for fam, path in sorted(stores["seq"].items())
+    ]
+    assert c_thr == c_seq
+    assert all(r.status == "pending_purge" for r in c_thr)
+
+    p_thr = td.purge_takedown(spark, stores["thr"])
+    p_seq = {
+        fam: td.purge_takedown(spark, {fam: path})[fam]
+        for fam, path in stores["seq"].items()
+    }
+    assert p_thr == p_seq
+    for fam in stores["thr"]:
+        assert _tables_equal(
+            spark.read.parquet(stores["thr"][fam]),
+            spark.read.parquet(stores["seq"][fam]),
+        )
