@@ -305,11 +305,14 @@ def update_segmentation_table(
     segmentation work proportional to NEW words only — the steady-state
     cost of tokenizing a growing corpus approaches the join-back alone.
     """
-    from ..maintenance import heal_if_interrupted
+    from ..maintenance import heal_if_interrupted, overlapped_count
     from ..sources.readers import read_parquet_if_exists
 
     spark = df.sparkSession
     wc = word_counts(df, text).select("word")
+    # the batch-word metric count is independent of the segment/append
+    # chain — run it on a driver thread overlapping the chain (§2.6)
+    n_batch_of = overlapped_count(wc)
     heal_if_interrupted(path)  # repair an interrupted compaction pre-read
     table = read_parquet_if_exists(spark, path)  # None on first batch
     existing = None if table is None else table.select("word")
@@ -323,7 +326,7 @@ def update_segmentation_table(
             seg.write.mode("append").parquet(path)
     finally:
         seg.unpersist()
-    return {"n_batch_words": wc.count(), "n_new_segmented": n_new}
+    return {"n_batch_words": n_batch_of(), "n_new_segmented": n_new}
 
 
 def segmentation_table_sink(

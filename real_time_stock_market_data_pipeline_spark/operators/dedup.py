@@ -99,9 +99,12 @@ def upsert_latest_revisions(
     ``upsert_parquet`` staging/commit-marker swap for the winners only —
     a batch with no winners never rewrites the store.  Returns
     ``{"n_batch", "n_winners"}``."""
-    from ..maintenance import heal_if_interrupted, upsert_parquet
+    from ..maintenance import heal_if_interrupted, overlapped_count, upsert_parquet
     from ..sources.readers import read_parquet_if_exists
 
+    # the batch metric count is independent of the winner/upsert chain —
+    # run it on a driver thread overlapping the chain (§2.6)
+    n_batch_of = overlapped_count(batch)
     winners = keep_latest_dedup(batch, key_cols, ts_col, id_col)
     heal_if_interrupted(path)
     store = read_parquet_if_exists(spark, path)
@@ -131,7 +134,7 @@ def upsert_latest_revisions(
         # so the plain key-merge (update takes the full payload) IS the
         # max-compare merge here
         upsert_parquet(spark, winners, path, key_cols)
-    return {"n_batch": batch.count(), "n_winners": int(n_winners)}
+    return {"n_batch": n_batch_of(), "n_winners": int(n_winners)}
 
 
 def latest_revisions_sink(
@@ -744,11 +747,14 @@ def _update_doc_keyed_table(df, path: str, id_col: str, derive) -> dict[str, int
     "n_new_docs"}``; the second counts docs whose derivation actually ran
     (docs deriving zero rows re-check as "new" each batch but append
     nothing, so idempotence holds for them too)."""
-    from ..maintenance import heal_if_interrupted
+    from ..maintenance import heal_if_interrupted, overlapped_count
     from ..sources.readers import read_parquet_if_exists
 
     spark = df.sparkSession
     ids = df.select(id_col).distinct()
+    # the batch-id metric count is independent of the derive/append
+    # chain — run it on a driver thread overlapping the chain (§2.6)
+    n_batch_of = overlapped_count(ids)
     # heal BEFORE reading: a compaction killed mid-swap leaves the store
     # momentarily absent — reading through that window would rebuild the
     # table from one batch and break replay idempotence (maintenance note)
@@ -765,7 +771,7 @@ def _update_doc_keyed_table(df, path: str, id_col: str, derive) -> dict[str, int
             rows.write.mode("append").parquet(path)
     finally:
         rows.unpersist()
-    return {"n_batch_docs": ids.count(), "n_new_docs": n_new}
+    return {"n_batch_docs": n_batch_of(), "n_new_docs": n_new}
 
 
 def update_signature_table(

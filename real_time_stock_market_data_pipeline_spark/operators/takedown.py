@@ -121,20 +121,21 @@ def tombstone_doc_keyed_table(
     (signature / shingle / fingerprint / segmentation stores): ids
     present in the table enter the sibling tombstone table; readers
     exclude them immediately via ``minus_tombstones``."""
-    from ..maintenance import heal_if_interrupted
+    from ..maintenance import heal_if_interrupted, overlapped_count
     from ..sources.readers import read_parquet_if_exists
 
     heal_if_interrupted(table_path)
     batch = ids.select(id_col).distinct()
-    n_batch = batch.count()
+    # metric count overlaps the semi-join/append chain (§2.6)
+    n_batch_of = overlapped_count(batch)
     table = read_parquet_if_exists(spark, table_path)
     if table is None:
-        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+        return {"n_batch_ids": n_batch_of(), "n_new_tombstones": 0}
     present = batch.join(table.select(id_col), id_col, "left_semi")
     n_new = _append_new_tombstones(
         spark, present, tombstone_path(table_path), id_col
     )
-    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+    return {"n_batch_ids": n_batch_of(), "n_new_tombstones": n_new}
 
 
 def minus_tombstones(
@@ -215,19 +216,20 @@ def tombstone_semantic_index(
     ``{root}/pairs``): tombstoned ids leave serving immediately —
     ``semantic_pairs_minus_tombstones`` retracts every pair touching a
     deleted id on EITHER end (a pair is a function of both docs)."""
-    from ..maintenance import heal_if_interrupted
+    from ..maintenance import heal_if_interrupted, overlapped_count
     from ..sources.readers import read_parquet_if_exists
 
     heal_if_interrupted(root)
     heal_if_interrupted(f"{root}/assigned")
     batch = ids.select(vec_id).distinct()
-    n_batch = batch.count()
+    # metric count overlaps the semi-join/append chain (§2.6)
+    n_batch_of = overlapped_count(batch)
     assigned = read_parquet_if_exists(spark, f"{root}/assigned")
     if assigned is None:
-        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+        return {"n_batch_ids": n_batch_of(), "n_new_tombstones": 0}
     present = batch.join(assigned.select(vec_id), vec_id, "left_semi")
     n_new = _append_new_tombstones(spark, present, f"{root}/tombstones", vec_id)
-    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+    return {"n_batch_ids": n_batch_of(), "n_new_tombstones": n_new}
 
 
 def semantic_assigned_minus_tombstones(

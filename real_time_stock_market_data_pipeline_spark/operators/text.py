@@ -357,7 +357,11 @@ def update_bm25_postings(
     _require_local_path(tf_path, "update_bm25_postings")
     heal_if_interrupted(tf_path)
     heal_if_interrupted(df_path)
-    n_batch = batch_df.select(id_col).distinct().count()
+    # the batch-doc metric count is independent of the tf/df chain —
+    # run it on a driver thread overlapping the chain (§2.6)
+    from ..maintenance import overlapped_count
+
+    n_batch_of = overlapped_count(batch_df.select(id_col).distinct())
     standing = read_parquet_if_exists(spark, tf_path)
     new = (
         batch_df
@@ -414,7 +418,11 @@ def update_bm25_postings(
             shutil.rmtree(old)
     if n_new:
         tf_rows.write.mode("append").parquet(tf_path)
-    return {"n_batch_docs": n_batch, "n_new_docs": n_new, "df_applied": df_applied}
+    return {
+        "n_batch_docs": n_batch_of(),
+        "n_new_docs": n_new,
+        "df_applied": df_applied,
+    }
 
 
 def takedown_bm25_postings(
@@ -444,7 +452,11 @@ def takedown_bm25_postings(
     "n_new_tombstones"}``."""
     import os
 
-    from ..maintenance import _require_local_path, heal_if_interrupted
+    from ..maintenance import (
+        _require_local_path,
+        heal_if_interrupted,
+        overlapped_count,
+    )
     from ..sources.readers import read_parquet_if_exists
 
     tf_path = os.path.join(path, "tf")
@@ -454,10 +466,11 @@ def takedown_bm25_postings(
     heal_if_interrupted(df_path)
     t_path = os.path.join(path, "tombstones")
     batch = ids.select(id_col).distinct()
-    n_batch = batch.count()
+    # metric count overlaps the semi-join/epoch/append chain (§2.6)
+    n_batch_of = overlapped_count(batch)
     tf = read_parquet_if_exists(spark, tf_path)
     if tf is None:
-        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+        return {"n_batch_ids": n_batch_of(), "n_new_tombstones": 0}
     present = batch.join(tf.select(id_col), id_col, "left_semi")
     standing = read_parquet_if_exists(spark, t_path)
     epoch = _read_bm25_hwm(df_path, BM25_TD_HWM_FILE)
@@ -475,7 +488,7 @@ def takedown_bm25_postings(
             new.write.mode("append").parquet(t_path)
     finally:
         new.unpersist()
-    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+    return {"n_batch_ids": n_batch_of(), "n_new_tombstones": n_new}
 
 
 def bm25_tf_minus_tombstones(spark, path: str, id_col: str = "doc_id"):
@@ -730,22 +743,47 @@ def _curriculum_bigrams(
     )
 
 
+def _train_curriculum_model_shared(
+    docs: DataFrame, id_col: str = "doc_id", text: str = "text"
+) -> tuple[DataFrame, DataFrame, int, DataFrame]:
+    """(bc, uc, v, bigp) — ``train_curriculum_model`` exposing its
+    checkpointed bigram frame so init/rebuild can score the SAME corpus
+    without re-running the tokenize+window explosion.  The plain form
+    paid that explosion once per consumer (bc, uc, and v each re-derived
+    it — three full passes per train; a fourth for the score): the lazy
+    localCheckpoints below compute tok_rows and bigp once and every
+    consumer reads the pinned partitions.  Same expressions, same
+    values."""
+    from pyspark.sql import Window
+
+    tok_rows = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text)).alias("pos", "tok"),
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("doc_id").orderBy(F.col("pos").asc())
+    bigp = (
+        tok_rows.select(
+            "doc_id",
+            F.col("tok").alias("w1"),
+            F.lead("tok", 1).over(w).alias("w2"),
+        )
+        .filter(F.col("w2").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    bc = bigp.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cb")
+    )
+    uc = bigp.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
+    v = tok_rows.select("tok").distinct().count()
+    return bc, uc, v, bigp
+
+
 def train_curriculum_model(
     docs: DataFrame, id_col: str = "doc_id", text: str = "text"
 ) -> tuple[DataFrame, DataFrame, int]:
     """txt12's corpus bigram LM as persistable tables: (bc, uc, v) —
     bigram counts, context counts, vocabulary size."""
-    bigp = _curriculum_bigrams(docs, id_col, text)
-    bc = bigp.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cb")
-    )
-    uc = bigp.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("cu"))
-    v = (
-        docs.select(F.explode(tokens_col(text)).alias("tok"))
-        .select("tok")
-        .distinct()
-        .count()
-    )
+    bc, uc, v, _ = _train_curriculum_model_shared(docs, id_col, text)
     return bc, uc, v
 
 
@@ -756,16 +794,21 @@ def score_under_curriculum_model(
     v: int,
     id_col: str = "doc_id",
     text: str = "text",
+    bigp: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, ppl, n_tokens, bucket) under the FROZEN model — left
     joins + add-one smoothing, so OOV bigrams/contexts score exactly the
     smoothed floor; on the training corpus itself this equals txt12's
     inner-join scoring (every corpus bigram is in bc by construction).
     ppl is the shared r6-rounded perplexity; bucket its integer floor
-    (sp15's coarse rank key)."""
+    (sp15's coarse rank key).  ``bigp`` lets init/rebuild pass the
+    checkpointed bigram frame their train pass already computed over
+    the SAME docs (``_train_curriculum_model_shared``) instead of
+    re-deriving it."""
     from ..functions.scalars import r6
 
-    bigp = _curriculum_bigrams(docs, id_col, text)
+    if bigp is None:
+        bigp = _curriculum_bigrams(docs, id_col, text)
     lp = F.log(
         (F.coalesce(F.col("cb"), F.lit(0)).cast("double") + F.lit(1.0))
         / (F.coalesce(F.col("cu"), F.lit(0)).cast("double") + F.lit(float(v)))
@@ -855,7 +898,7 @@ def init_curriculum_store(
 
     _require_local_path(_os.path.join(path, "docs"), "init_curriculum_store")
     base = docs.filter(F.col(text).isNotNull())
-    bc, uc, v = train_curriculum_model(base, id_col, text)
+    bc, uc, v, bigp = _train_curriculum_model_shared(base, id_col, text)
     bc.write.mode("overwrite").parquet(f"{path}/model/bc")
     uc.write.mode("overwrite").parquet(f"{path}/model/uc")
     spark.createDataFrame([(int(v),)], "v bigint").write.mode(
@@ -864,14 +907,21 @@ def init_curriculum_store(
     bc = spark.read.parquet(f"{path}/model/bc")
     uc = spark.read.parquet(f"{path}/model/uc")
     sharded = _with_shards(
-        _with_wrk(score_under_curriculum_model(base, bc, uc, v, id_col, text)),
+        _with_wrk(
+            score_under_curriculum_model(
+                base, bc, uc, v, id_col, text, bigp=bigp
+            )
+        ),
         n_shards,
     )
-    sharded.select(*_CURRICULUM_DOC_COLS, "shard_id").write.mode(
-        "overwrite"
-    ).partitionBy("shard_id").parquet(f"{path}/docs")
-    n_docs = spark.read.parquet(f"{path}/docs").count()
-    return {"n_docs": n_docs, "n_shards": n_shards, "vocab": int(v)}
+    # n_docs rides the write action (no re-read-and-count pass)
+    from .similarity import _observed_count
+
+    out, n_docs_of = _observed_count(
+        sharded.select(*_CURRICULUM_DOC_COLS, "shard_id")
+    )
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(f"{path}/docs")
+    return {"n_docs": n_docs_of(), "n_shards": n_shards, "vocab": int(v)}
 
 
 def load_curriculum_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
@@ -880,7 +930,16 @@ def load_curriculum_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     heal_if_interrupted(path, for_read=True)  # rebuild swaps the root
     bc = spark.read.parquet(f"{path}/model/bc")
     uc = spark.read.parquet(f"{path}/model/uc")
-    v = spark.read.parquet(f"{path}/model/meta").first()[0]
+    # the scalar meta row is fixed for the model's life (rebuild swaps
+    # the directory) — memoize the one-row collect per (app, path,
+    # fs-token) like every persisted-codebook read
+    from .similarity import _memo_store_read
+
+    v = _memo_store_read(
+        spark,
+        f"{path}/model/meta",
+        lambda: int(spark.read.parquet(f"{path}/model/meta").first()[0]),
+    )
     return bc, uc, int(v)
 
 
@@ -979,7 +1038,10 @@ def update_curriculum_shards(
     heal_if_interrupted(docs_path)
     n_shards = CURRICULUM_SHARDS
     batch = batch.filter(F.col(text).isNotNull())
-    n_batch = batch.select(id_col).distinct().count()
+    # metric count overlaps the score/reshard chain (§2.6)
+    from ..maintenance import overlapped_count
+
+    n_batch_of = overlapped_count(batch.select(id_col).distinct())
     standing = read_parquet_if_exists(spark, docs_path)
     if standing is None:
         raise ValueError(
@@ -997,7 +1059,7 @@ def update_curriculum_shards(
     n_new = scored_new.count()
     if n_new == 0:
         return {
-            "n_batch_ids": n_batch, "n_new_docs": 0,
+            "n_batch_ids": n_batch_of(), "n_new_docs": 0,
             "n_buckets_touched": 0, "n_shards_rewritten": 0,
         }
     touched = sorted(
@@ -1022,7 +1084,7 @@ def update_curriculum_shards(
         docs_path, untouched, reranked, touched, n_shards
     )
     return {
-        "n_batch_ids": n_batch,
+        "n_batch_ids": n_batch_of(),
         "n_new_docs": n_new,
         "n_buckets_touched": len(touched),
         "n_shards_rewritten": n_rewritten,
@@ -1065,15 +1127,17 @@ def _curriculum_reshard_swap(
         | (F.col("shard_id") != F.col("old_shard"))
         | F.col("bucket").isin(touched)
     )
+    # one collect for both id sets (new/current shard + vacated old
+    # shard) instead of two driver round-trips over the same frame
     rewrite = sorted(
         {
             int(r[0])
-            for r in changed.select("shard_id").distinct().collect()
-        }
-        | {
-            int(r[0])
-            for r in changed.filter(F.col("old_shard").isNotNull())
-            .select("old_shard")
+            for r in changed.select("shard_id")
+            .unionByName(
+                changed.filter(F.col("old_shard").isNotNull()).select(
+                    F.col("old_shard").alias("shard_id")
+                )
+            )
             .distinct()
             .collect()
         }
@@ -1128,17 +1192,20 @@ def takedown_curriculum_store(
     heal_if_interrupted(path)  # rebuild swaps the root
     heal_if_interrupted(docs_path)
     batch = ids.select(id_col).distinct()
-    n_batch = batch.count()
+    # metric count overlaps the semi-join/append chain (§2.6)
+    from ..maintenance import overlapped_count
+
+    n_batch_of = overlapped_count(batch)
     docs = read_parquet_if_exists(spark, docs_path)
     if docs is None:
-        return {"n_batch_ids": n_batch, "n_new_tombstones": 0}
+        return {"n_batch_ids": n_batch_of(), "n_new_tombstones": 0}
     present = batch.join(
         docs.select(F.col("doc_id").alias(id_col)), id_col, "left_semi"
     ).select(F.col(id_col).alias("doc_id"))
     n_new = _append_new_tombstones(
         spark, present, _os.path.join(path, "tombstones"), "doc_id"
     )
-    return {"n_batch_ids": n_batch, "n_new_tombstones": n_new}
+    return {"n_batch_ids": n_batch_of(), "n_new_tombstones": n_new}
 
 
 def purge_curriculum_tombstones(spark, path: str) -> dict[str, int]:
@@ -1297,7 +1364,7 @@ def rebuild_curriculum_store(
             f"rebuild corpus covers {n_acc} of the store's {n_standing} "
             "docs — every accumulated doc_id must be re-scorable"
         )
-    bc, uc, v = train_curriculum_model(acc, id_col, text)
+    bc, uc, v, bigp = _train_curriculum_model_shared(acc, id_col, text)
     staging = f"{path}__staging_{_uuid.uuid4().hex}"
     bc.write.mode("overwrite").parquet(f"{staging}/model/bc")
     uc.write.mode("overwrite").parquet(f"{staging}/model/uc")
@@ -1307,7 +1374,11 @@ def rebuild_curriculum_store(
     bc = spark.read.parquet(f"{staging}/model/bc")
     uc = spark.read.parquet(f"{staging}/model/uc")
     sharded = _with_shards(
-        _with_wrk(score_under_curriculum_model(acc, bc, uc, v, id_col, text)),
+        _with_wrk(
+            score_under_curriculum_model(
+                acc, bc, uc, v, id_col, text, bigp=bigp
+            )
+        ),
         n_shards,
     )
     sharded.select(*_CURRICULUM_DOC_COLS, "shard_id").write.mode(
