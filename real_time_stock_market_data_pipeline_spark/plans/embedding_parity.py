@@ -541,7 +541,7 @@ def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         semdedup_k,
         update_semantic_index,
     )
-    from .fixtures import fixture_kmeans_fit
+    from .fixtures import fixture_kmeans_fit_rows
 
     corpus = planted_semantic_corpus(spark, sf_dir).localCheckpoint(
         eager=False
@@ -555,13 +555,12 @@ def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fit is session-memoized (plans/fixtures, r18 optimization):
     # originals is a pure planted rendering of sf_dir's embeddings table.
     k = semdedup_k(corpus.count())
-    cents_df = fixture_kmeans_fit(
+    cents = fixture_kmeans_fit_rows(
         spark, sf_dir, "semdedup_originals", originals, k=k, n_iter=1
     )
-    cents = [
-        (int(r.centroid_id), [float(x) for x in r.embedding])
-        for r in cents_df.collect()
-    ]
+    cents_df = spark.createDataFrame(
+        cents, "centroid_id int, embedding array<double>"
+    )
     root = os.path.join(
         tempfile.gettempdir(),
         "real_time_stock_market_data_pipeline_spark_semidx",
@@ -569,18 +568,29 @@ def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     path = os.path.join(root, "index")
-    init_semantic_index(cents_df, path)
-    update_semantic_index(spark, originals, path, SEMDEDUP_THRESHOLD)
-    update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
-    m3 = update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
+    # the one-shot gate twin depends only on (corpus, cents) — never on
+    # the store — so it materializes on a driver thread overlapping the
+    # three sequential ingest batches (guide §2.6, emb21's twin pattern)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_oneshot():
+        spark.sparkContext.setJobGroup("emb17:oneshot", "one-shot gate twin")
+        return semantic_dedup_pairs(
+            corpus, cents, threshold=SEMDEDUP_THRESHOLD
+        ).select("vec_a", "vec_b").localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        oneshot_fut = pool.submit(_build_oneshot)
+        init_semantic_index(cents_df, path)
+        update_semantic_index(spark, originals, path, SEMDEDUP_THRESHOLD)
+        update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
+        m3 = update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
+        oneshot = oneshot_fut.result()
     acc = (
         spark.read.parquet(f"{path}/pairs")
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=False)
     )
-    oneshot = semantic_dedup_pairs(
-        corpus, cents, threshold=SEMDEDUP_THRESHOLD
-    ).select("vec_a", "vec_b")
     row = (
         acc.withColumn("__a", F.lit(1))
         .join(
@@ -1709,23 +1719,39 @@ def _emb21_index_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     atexit.register(shutil.rmtree, root, ignore_errors=True)
     path = os.path.join(root, "main")
-    init_ivfpq_index(spark, coarse, fine, path)
-    ing = update_ivfpq_index(spark, emb, path)
-    m1 = delete_from_ivfpq_index(spark, dels, path)
-    m2 = delete_from_ivfpq_index(spark, dels, path)  # at-least-once replay
-    post = search_ivfpq_index(spark, path, queries, emb, k=10).select(
-        "query_id", "vec_id", "rk"
-    ).localCheckpoint(eager=False)
-    # gate A: no deleted id is ever served (one action)
-    n_served_deleted = post.join(dels, "vec_id", "left_semi").count()
-    # gate B: tombstone-aware serving ≡ the deletion twin (same
-    # quantizers, corpus minus deleted) — full outer join, one action
+    # The deletion twin (gate B's reference index) touches ONLY its own
+    # store root — independent of the main chain until the gate join —
+    # so it builds on a driver thread overlapping ingest/delete/serve
+    # (guide §2.6, the dd18/dq5 fleet pattern); its serving result is
+    # pinned eagerly in-thread so gate B reads a snapshot.
+    from concurrent.futures import ThreadPoolExecutor
+
     twin_path = os.path.join(root, "twin")
-    init_ivfpq_index(spark, coarse, fine, twin_path)
-    update_ivfpq_index(spark, emb.join(dels, "vec_id", "left_anti"), twin_path)
-    twin = search_ivfpq_index(spark, twin_path, queries, emb, k=10).select(
-        "query_id", "vec_id", "rk"
-    )
+
+    def _build_twin():
+        spark.sparkContext.setJobGroup("emb21:twin", "deletion twin build")
+        init_ivfpq_index(spark, coarse, fine, twin_path)
+        update_ivfpq_index(
+            spark, emb.join(dels, "vec_id", "left_anti"), twin_path
+        )
+        return search_ivfpq_index(spark, twin_path, queries, emb, k=10).select(
+            "query_id", "vec_id", "rk"
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        twin_fut = pool.submit(_build_twin)
+        init_ivfpq_index(spark, coarse, fine, path)
+        ing = update_ivfpq_index(spark, emb, path)
+        m1 = delete_from_ivfpq_index(spark, dels, path)
+        m2 = delete_from_ivfpq_index(spark, dels, path)  # at-least-once replay
+        post = search_ivfpq_index(spark, path, queries, emb, k=10).select(
+            "query_id", "vec_id", "rk"
+        ).localCheckpoint(eager=False)
+        # gate A: no deleted id is ever served (one action)
+        n_served_deleted = post.join(dels, "vec_id", "left_semi").count()
+        # gate B: tombstone-aware serving ≡ the deletion twin (same
+        # quantizers, corpus minus deleted) — full outer join, one action
+        twin = twin_fut.result()
     diff_row = (
         post.withColumn("__t", F.lit(1))
         .join(

@@ -41,17 +41,20 @@ from ..sources.readers import load_table
 _IVFPQ_FIT_CACHE: dict[tuple[str, str], tuple] = {}
 
 
-def shared_ivfpq_fit(spark: SparkSession, sf_dir: str):
-    """(coarse, fine) for the DEFAULT ``ivfpq_fit(emb, n_iter=2)`` over
-    the full embeddings table — trained at most once per Spark
-    application per sf_dir; both are bounded driver-side codebooks."""
+def shared_ivfpq_fit(spark: SparkSession, sf_dir: str, n_iter: int = 2):
+    """(coarse, fine) for ``ivfpq_fit(emb, n_iter)`` over the full
+    embeddings table — trained at most once per Spark application per
+    (sf_dir, n_iter); both are bounded driver-side codebooks.  The
+    default n_iter=2 pair is the emb13/emb19/emb21 league fit; n_iter=0
+    is emb14's seed-only pair (its gate checks accumulated ≡ one-shot
+    under the SAME quantizers, so codebook quality is irrelevant to it)."""
     from ..operators.similarity import ivfpq_fit
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, n_iter)
     got = _IVFPQ_FIT_CACHE.get(key)
     if got is None:
         emb = load_table(spark, sf_dir, "embeddings")
-        got = ivfpq_fit(emb, n_iter=2)
+        got = ivfpq_fit(emb, n_iter=n_iter)
         _IVFPQ_FIT_CACHE[key] = got
     return got
 
@@ -99,6 +102,32 @@ _KMEANS_FIT_CACHE: dict[tuple, list] = {}
 _PQ_FIT_CACHE: dict[tuple, list] = {}
 
 
+def fixture_kmeans_fit_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    df,
+    k: int,
+    n_iter: int,
+) -> list[tuple[int, list[float]]]:
+    """``fixture_kmeans_fit`` returning the cached driver-side
+    (centroid_id, embedding) ROWS — for consumers that need the codebook
+    as Python values (emb17's assignment closure): collecting the
+    rebuilt DataFrame back would pay a needless round-trip job for the
+    exact list this cache already holds."""
+    from ..operators.clustering import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir, tag, k, n_iter)
+    rows = _KMEANS_FIT_CACHE.get(key)
+    if rows is None:
+        rows = [
+            (int(r.centroid_id), [float(x) for x in r.embedding])
+            for r in kmeans_fit(df, k=k, n_iter=n_iter).collect()
+        ]
+        _KMEANS_FIT_CACHE[key] = rows
+    return rows
+
+
 def fixture_kmeans_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -113,16 +142,7 @@ def fixture_kmeans_fit(
     it is what makes the memo value-invisible).  Returns the same tiny
     (centroid_id, embedding) DataFrame as ``kmeans_fit``, rebuilt from
     the cached k·d doubles."""
-    from ..operators.clustering import kmeans_fit
-
-    key = (spark.sparkContext.applicationId, sf_dir, tag, k, n_iter)
-    rows = _KMEANS_FIT_CACHE.get(key)
-    if rows is None:
-        rows = [
-            (int(r.centroid_id), [float(x) for x in r.embedding])
-            for r in kmeans_fit(df, k=k, n_iter=n_iter).collect()
-        ]
-        _KMEANS_FIT_CACHE[key] = rows
+    rows = fixture_kmeans_fit_rows(spark, sf_dir, tag, df, k, n_iter)
     return spark.createDataFrame(rows, "centroid_id int, embedding array<double>")
 
 

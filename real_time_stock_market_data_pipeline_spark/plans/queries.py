@@ -2326,9 +2326,10 @@ def emb14_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.similarity import (
         init_ivfpq_index,
-        ivfpq_build,
+        ivfpq_encode,
         update_ivfpq_index,
     )
+    from .fixtures import shared_ivfpq_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
     b1 = emb.filter("vec_id % 2 = 0")
@@ -2343,8 +2344,13 @@ def emb14_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under the SAME quantizers, so codebook QUALITY is irrelevant to
     # what it checks (recall quality is emb13's gate) — every Lloyd pass
     # here is a fixed-cost job buying nothing the gate can see, and the
-    # stride-by-rank seeds are already valid codebooks
-    coarse, fine, oneshot = ivfpq_build(emb, n_iter=0)
+    # stride-by-rank seeds are already valid codebooks.  The seed fit is
+    # session-memoized (plans/fixtures contract: bit-identical to
+    # ivfpq_fit(emb, n_iter=0), trained once per application); the
+    # one-shot twin re-encodes per call under those quantizers —
+    # deterministic map-only work, identical to ivfpq_build's index.
+    coarse, fine = shared_ivfpq_fit(spark, sf_dir, n_iter=0)
+    oneshot = ivfpq_encode(emb, coarse, fine).localCheckpoint(eager=False)
     init_ivfpq_index(spark, coarse, fine, path)
     m1 = update_ivfpq_index(spark, b1, path)
     m2 = update_ivfpq_index(spark, b2, path)
