@@ -919,6 +919,233 @@ QUERIES["t6_alerts"] = _t6_materialized
 QUERIES["j3_alert_feed"] = _j3_materialized
 
 
+# --- Spark-side w12/w13/w14: snapshot the shared daily→stats→z chain --------
+# The t6/j3 trick applied to the series-similarity family: Spark INLINES
+# multi-referenced CTEs, so the one-SQL forms re-execute the whole
+# events→ticks→daily(window)→stats→z subplan once per reference — 3× in
+# w12 (qsym, z1, z2), 4× in w13 (z twice inside pairs, pairs twice inside
+# mirrored), ~7× in w14 (z feeds sketches/za/zb, daily additionally feeds
+# refdates, and the bands self-join doubles the sketches subtree).  DuckDB
+# materializes multi-reference CTEs, so the ORACLE text is unchanged —
+# values are compared, not plans.  Each stage below is the SAME expression
+# text as the corresponding CTE body in sql_series_* (pinned by
+# tests/test_plans.py::test_series_staged_text_in_sync), evaluated over a
+# lazy localCheckpoint of the previous stage.
+
+
+def _series_view(spark: SparkSession, df: DataFrame) -> str:
+    """Unique temp view over a lazy localCheckpoint of ``df`` (the
+    _sql_over_snap contract: unique name so concurrent builds never
+    clobber each other; caller drops the view after analysis)."""
+    import uuid
+
+    name = f"__series_snap_{uuid.uuid4().hex}"
+    df.localCheckpoint(eager=False).createOrReplaceTempView(name)
+    return name
+
+
+def _series_daily_body() -> str:
+    """daily CTE body — deterministic last tick per (symbol, day).  The
+    text also appears verbatim inside every ``sql_series_*`` one-SQL
+    oracle (test_series_staged_text_in_sync)."""
+    return """SELECT company_id, CAST(trade_datetime AS DATE) AS d,
+         current_price AS close
+  FROM (
+    SELECT company_id, trade_datetime, tick_id, current_price,
+           row_number() OVER (PARTITION BY company_id, CAST(trade_datetime AS DATE)
+                              ORDER BY trade_datetime DESC, tick_id DESC) AS rn
+    FROM ticks
+  ) t WHERE rn = 1"""
+
+
+def _series_daily_sql(dialect: str) -> str:
+    return f"""WITH {ticks_cte(dialect)}
+{_series_daily_body()}"""
+
+
+def _series_z_sql(daily_src: str) -> str:
+    """stats+z text over ``daily_src`` — the z CTE body of
+    sql_series_similarity / sql_series_all_pairs (= z0 in
+    sql_series_banded_neardup)."""
+    return f"""WITH stats AS (
+  SELECT company_id, avg(close) AS mu, stddev_pop(close) AS sd,
+         count(*) AS n
+  FROM {daily_src} GROUP BY company_id
+)
+SELECT d.company_id, d.d, ({_d("close")} - {_d("s.mu")}) / {_d("s.sd")} AS z
+  FROM {daily_src} d JOIN stats s ON d.company_id = s.company_id
+  WHERE s.sd > {_d("0.0")} AND s.n >= 10"""
+
+
+def _series_z_snap(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(daily_view, z_view) — both lazy-checkpointed, computed ONCE per
+    call no matter how many times the downstream SQL references them."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    dv = _series_view(spark, spark.sql(_series_daily_sql("spark")))
+    zv = _series_view(spark, spark.sql(_series_z_sql(dv)))
+    return dv, zv
+
+
+def _w12_tail_sql(zv: str) -> str:
+    """qsym/pairs/final text of sql_series_similarity over z-source
+    ``zv`` (rendered with zv="z" it is a verbatim fragment of the
+    one-SQL oracle — test_series_staged_text_in_sync)."""
+    zdiff = "(z1.z - z2.z)"
+    return f"""WITH qsym AS (SELECT min(company_id) AS qid FROM {zv}),
+pairs AS (
+  SELECT z2.company_id,
+         CAST(count(*) AS BIGINT) AS n_common,
+         sum({zdiff} * {zdiff}) AS ssd
+  FROM {zv} z1
+  JOIN qsym q ON z1.company_id = q.qid
+  JOIN {zv} z2 ON z2.d = z1.d AND z2.company_id <> q.qid
+  GROUP BY z2.company_id
+  HAVING count(*) >= 10
+)
+SELECT company_id, n_common,
+       {r6t(f"ssd / {_d('n_common')}")} AS mean_sq_dist
+FROM pairs
+ORDER BY {r6t(f"ssd / {_d('n_common')}")} ASC, company_id ASC
+LIMIT 10
+"""
+
+
+def _w12_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dv, zv = _series_z_snap(spark, sf_dir)
+    try:
+        return spark.sql(_w12_tail_sql(zv))
+    finally:
+        spark.catalog.dropTempView(zv)
+        spark.catalog.dropTempView(dv)
+
+
+def _w13_pair_sql(zv: str) -> str:
+    """pairs CTE body of sql_series_all_pairs over z-source ``zv``."""
+    zdiff = "(z1.z - z2.z)"
+    return f"""SELECT z1.company_id AS a, z2.company_id AS b,
+         CAST(count(*) AS BIGINT) AS n_common,
+         sum({zdiff} * {zdiff}) AS ssd
+  FROM {zv} z1
+  JOIN {zv} z2 ON z2.d = z1.d AND z1.company_id < z2.company_id
+  GROUP BY z1.company_id, z2.company_id
+  HAVING count(*) >= 10"""
+
+
+def _w13_pair_stage(spark: SparkSession, zv: str) -> DataFrame:
+    """w13's date-bucketed all-pairs moment aggregation — the stage the
+    equi-join plan pin checks (test_w13_all_pairs_equi_join_on_date)."""
+    return spark.sql(_w13_pair_sql(zv))
+
+
+def _w13_tail_sql(pv: str) -> str:
+    """mirrored/ranked/final text of sql_series_all_pairs over pair
+    source ``pv``."""
+    msd = r6t(f"ssd / {_d('n_common')}")
+    return f"""WITH mirrored AS (
+  SELECT a AS company_id, b AS neighbor_id, n_common, ssd FROM {pv}
+  UNION ALL
+  SELECT b AS company_id, a AS neighbor_id, n_common, ssd FROM {pv}
+),
+ranked AS (
+  SELECT company_id, neighbor_id, n_common,
+         {msd} AS mean_sq_dist,
+         row_number() OVER (PARTITION BY company_id
+                            ORDER BY {msd} ASC, neighbor_id ASC) AS rnk
+  FROM mirrored
+)
+SELECT company_id, neighbor_id, n_common, mean_sq_dist,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+
+def _w13_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dv, zv = _series_z_snap(spark, sf_dir)
+    pv = _series_view(spark, _w13_pair_stage(spark, zv))
+    try:
+        return spark.sql(_w13_tail_sql(pv))
+    finally:
+        spark.catalog.dropTempView(pv)
+        spark.catalog.dropTempView(zv)
+        spark.catalog.dropTempView(dv)
+
+
+def _w14_twin_sql(z0v: str) -> str:
+    """z CTE body of sql_series_banded_neardup (planted-twin union) over
+    z0-source ``z0v``."""
+    return f"""SELECT company_id, d, z FROM {z0v}
+  UNION ALL
+  SELECT company_id + {W14_TWIN_OFFSET}, d, z FROM {z0v}"""
+
+
+def _w14_sketch_sql(zv: str, dv: str) -> str:
+    """refdates+sketches text of sql_series_banded_neardup over z-source
+    ``zv`` and daily source ``dv``."""
+    p2 = "CAST(power(2.0, rd.i) AS BIGINT)"
+    return f"""WITH refdates AS (
+  SELECT d, row_number() OVER (ORDER BY d DESC) - 1 AS i
+  FROM (SELECT DISTINCT d FROM {dv}) dd
+  ORDER BY d DESC LIMIT {W14_SKETCH_BITS}
+)
+SELECT z.company_id,
+         CAST(sum(CASE WHEN z.z > {_d("0.0")} THEN {p2} ELSE 0 END) AS BIGINT)
+           AS sketch
+  FROM {zv} z JOIN refdates rd ON z.d = rd.d
+  GROUP BY z.company_id"""
+
+
+def _w14_tail_sql(sv: str, zv: str) -> str:
+    """bands/near/verified/final text of sql_series_banded_neardup over
+    sketch source ``sv`` and z-source ``zv``."""
+    ham = f"CAST(bit_count({bxor('spark', 's1.sketch', 's2.sketch')}) AS BIGINT)"
+    msd = r6t(f"ssd / {_d('n_common')}")
+    return f"""WITH bands AS (
+  SELECT company_id, sketch, bid,
+         CAST(floor(sketch / power(64.0, bid)) AS BIGINT) % 64 AS bv
+  FROM ({explode_from("spark", sv, "array(0, 1, 2, 3)", "bid", "company_id, sketch")})
+),
+near AS (
+  SELECT DISTINCT s1.company_id AS a, s2.company_id AS b, {ham} AS hamming
+  FROM bands s1
+  JOIN bands s2 ON s1.bid = s2.bid AND s1.bv = s2.bv
+               AND s1.company_id < s2.company_id
+  WHERE {ham} <= {W14_BANDS - 1}
+),
+verified AS (
+  SELECT c.a, c.b, c.hamming,
+         CAST(count(*) AS BIGINT) AS n_common,
+         sum((za.z - zb.z) * (za.z - zb.z)) AS ssd
+  FROM near c
+  JOIN {zv} za ON za.company_id = c.a
+  JOIN {zv} zb ON zb.company_id = c.b AND zb.d = za.d
+  GROUP BY c.a, c.b, c.hamming
+  HAVING count(*) >= 10
+)
+SELECT a AS sym_a, b AS sym_b, hamming, n_common,
+       {msd} AS mean_sq_dist
+FROM verified
+WHERE {msd} <= {_d("0.0")}
+"""
+
+
+def _w14_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dv, z0v = _series_z_snap(spark, sf_dir)
+    zv = _series_view(spark, spark.sql(_w14_twin_sql(z0v)))
+    sv = _series_view(spark, spark.sql(_w14_sketch_sql(zv, dv)))
+    try:
+        return spark.sql(_w14_tail_sql(sv, zv))
+    finally:
+        spark.catalog.dropTempView(sv)
+        spark.catalog.dropTempView(zv)
+        spark.catalog.dropTempView(z0v)
+        spark.catalog.dropTempView(dv)
+
+
+QUERIES["w12_series_similarity"] = _w12_staged
+QUERIES["w13_series_all_pairs"] = _w13_staged
+QUERIES["w14_series_banded_neardup"] = _w14_staged
+
+
 # --- T10: greedy cooldown throttle, batch twin (streaming/throttle.py) ------
 
 _T10_COOLDOWN_S = 172_800.0  # 48 h — ~half the >50-price alerts suppressed

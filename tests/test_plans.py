@@ -274,11 +274,36 @@ def test_w13_all_pairs_equi_join_on_date(spark, sf_dir):
     a CartesianProduct or BroadcastNestedLoopJoin means the date bucket
     key got lost and the pair stage degenerated to a global cross
     product (the all-pairs failure mode the bucketing exists to
-    prevent)."""
+    prevent).  Since the r18 staging the join lives in the PAIR STAGE
+    (the snapshot of the z chain hides it from the top-level plan), so
+    the pin targets that stage's own plan; the final plan keeps the
+    no-cross-product assertions."""
+    from real_time_stock_market_data_pipeline_spark.plans.indicator_parity import (
+        _series_z_snap,
+        _w13_pair_stage,
+    )
+
+    dv, zv = _series_z_snap(spark, sf_dir)
+    try:
+        pair_plan = (
+            _w13_pair_stage(spark, zv)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.catalog.dropTempView(zv)
+        spark.catalog.dropTempView(dv)
+    assert "CartesianProduct" not in pair_plan
+    assert "BroadcastNestedLoopJoin" not in pair_plan
+    assert (
+        "SortMergeJoin" in pair_plan
+        or "ShuffledHashJoin" in pair_plan
+        or "BroadcastHashJoin" in pair_plan
+    )
     plan = plan_of(spark, sf_dir, "w13_series_all_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_w14_banded_join_never_nested_loop(spark, sf_dir):
@@ -904,3 +929,58 @@ def test_dq8_source_builders_register_only_identical_views(spark, sf_dir):
                 f"{got}"
             )
             spark.catalog.dropTempView(name)
+
+
+def test_series_staged_text_in_sync():
+    """The staged Spark forms of w12/w13/w14 (indicator_parity's
+    _w12_staged/_w13_staged/_w14_staged) evaluate the SAME SQL text as
+    the one-SQL oracles, stage by stage — each stage helper, rendered
+    with the oracle's own CTE names, must be a verbatim (whitespace-
+    normalized) fragment of sql_series_*("spark").  An edit to either
+    side without the other trips this before the sf0.001 parity run
+    does."""
+    from real_time_stock_market_data_pipeline_spark.plans.indicator_parity import (
+        _series_daily_body,
+        _series_z_sql,
+        _w12_tail_sql,
+        _w13_pair_sql,
+        _w13_tail_sql,
+        _w14_sketch_sql,
+        _w14_tail_sql,
+        _w14_twin_sql,
+        sql_series_all_pairs,
+        sql_series_banded_neardup,
+        sql_series_similarity,
+    )
+
+    def norm(s: str) -> str:
+        return " ".join(s.split())
+
+    full12 = norm(sql_series_similarity("spark"))
+    full13 = norm(sql_series_all_pairs("spark"))
+    full14 = norm(sql_series_banded_neardup("spark"))
+
+    # stats body / z body of the shared z stage, rendered over "daily"
+    z_parts = _series_z_sql("daily").split("\n)\n")
+    assert len(z_parts) == 2, "unexpected _series_z_sql layout"
+    stats_frag = norm(z_parts[0]).removeprefix("WITH ")
+    z_frag = norm(z_parts[1])
+
+    daily_frag = norm(_series_daily_body())
+    for full in (full12, full13, full14):
+        assert daily_frag in full
+        assert stats_frag in full
+        assert z_frag in full
+
+    assert norm(_w12_tail_sql("z")).removeprefix("WITH ") in full12
+    assert norm(_w13_pair_sql("z")) in full13
+    assert norm(_w13_tail_sql("pairs")).removeprefix("WITH ") in full13
+    assert norm(_w14_twin_sql("z0")) in full14
+    # the staged sketch stage aliases its z view as `z`; rendered with
+    # the oracle's CTE name the alias collapses ("FROM z z" → "FROM z")
+    sketch = norm(_w14_sketch_sql("z", "daily")).replace("FROM z z ", "FROM z ")
+    s_parts = sketch.split(" ) SELECT ", 1)
+    assert len(s_parts) == 2, "unexpected _w14_sketch_sql layout"
+    assert s_parts[0].removeprefix("WITH ") in full14
+    assert "SELECT " + s_parts[1] in full14
+    assert norm(_w14_tail_sql("sketches", "z")).removeprefix("WITH ") in full14
