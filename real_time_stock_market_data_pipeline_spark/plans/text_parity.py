@@ -4234,7 +4234,47 @@ EMB22_DIM = 16
 EMB22_TOPK = 10
 
 
-def sql_late_interaction(dialect: str) -> str:
+def _emb22_dvecs_cte(dialect: str) -> str:
+    """docs→…→dvecs CTE list (no trailing comma) — the chunk-vector
+    pipeline ``sql_late_interaction`` uses for BOTH sides of the MaxSim
+    join; the Spark staged form snapshots its result once (r18
+    optimization, the t6/j3 pattern)."""
+    dim = EMB22_DIM
+    toks = split_ws(dialect, "text")
+    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    sgn = f"CASE WHEN (CAST(floor(h / {dim}) AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END"
+    sums = ",\n       ".join(
+        f"CAST(sum(CASE WHEN h % {dim} = {j} THEN {sgn} ELSE 0 END) AS BIGINT)"
+        f" AS b{j}"
+        for j in range(dim)
+    )
+    norm2 = " + ".join(f"b{j} * b{j}" for j in range(dim))
+    return f"""docs AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok_rows AS ({tok_rows}),
+ordered AS (
+  SELECT doc_id, tok,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC)
+              - 1 AS BIGINT) AS rn
+  FROM tok_rows
+),
+chunk_rows AS (
+  SELECT doc_id, {idiv(dialect, "rn", str(EMB22_CHUNK))} AS chunk,
+         {tok_hash(dialect, "tok")} AS h
+  FROM ordered
+  WHERE rn < {EMB22_CHUNK * EMB22_DOC_CHUNKS}
+),
+cvecs AS (
+  SELECT doc_id, chunk,
+       {sums}
+  FROM chunk_rows GROUP BY doc_id, chunk
+),
+valid AS (
+  SELECT *, CAST({norm2} AS BIGINT) AS norm2 FROM cvecs
+),
+dvecs AS (SELECT * FROM valid WHERE norm2 > 0)"""
+
+
+def sql_late_interaction(dialect: str, dvecs_src: str | None = None) -> str:
     """EMB22 — late-interaction retrieval (Khattab & Zaharia 2020,
     ColBERT): documents and queries are MULTI-vector — one embedding
     per 20-token chunk (txt13's hashing-trick vectors, the in-engine
@@ -4260,17 +4300,14 @@ def sql_late_interaction(dialect: str) -> str:
     dot products with the query side broadcast, never corpus×corpus.
     The chunk budgets are the standard late-interaction truncations; at
     100 TB the doc-chunk side would be pre-cut by an ANN front (emb8's
-    IVF over chunk vectors) feeding the same exact MaxSim rerank."""
+    IVF over chunk vectors) feeding the same exact MaxSim rerank.
+
+    ``dvecs_src``: the Spark staged form passes a snapshot VIEW of the
+    docs→dvecs chunk pipeline (computed once; Spark inlines the
+    dvecs CTE into both its qvecs and pairsim references, re-running
+    the whole tokenize/chunk/aggregate chain — DuckDB materializes it,
+    so the oracle text stays the plain CTE form, byte-identical)."""
     dim = EMB22_DIM
-    toks = split_ws(dialect, "text")
-    tok_rows = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
-    sgn = f"CASE WHEN (CAST(floor(h / {dim}) AS BIGINT)) % 2 = 0 THEN 1 ELSE -1 END"
-    sums = ",\n       ".join(
-        f"CAST(sum(CASE WHEN h % {dim} = {j} THEN {sgn} ELSE 0 END) AS BIGINT)"
-        f" AS b{j}"
-        for j in range(dim)
-    )
-    norm2 = " + ".join(f"b{j} * b{j}" for j in range(dim))
     dot = " + ".join(f"q.b{j} * c.b{j}" for j in range(dim))
     cos = (
         f"CAST(({dot}) AS DOUBLE) / "
@@ -4279,32 +4316,11 @@ def sql_late_interaction(dialect: str) -> str:
     w_micro = (
         f"CAST(floor(({cos}) * {d('1000000.0')} + {d('0.5')}) AS BIGINT)"
     )
+    nd = dvecs_src or "dvecs"
+    lead = "" if dvecs_src else f"{_emb22_dvecs_cte(dialect)},\n"
     return f"""
-WITH docs AS (SELECT doc_id, {toks} AS toks FROM documents),
-tok_rows AS ({tok_rows}),
-ordered AS (
-  SELECT doc_id, tok,
-         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos ASC)
-              - 1 AS BIGINT) AS rn
-  FROM tok_rows
-),
-chunk_rows AS (
-  SELECT doc_id, {idiv(dialect, "rn", str(EMB22_CHUNK))} AS chunk,
-         {tok_hash(dialect, "tok")} AS h
-  FROM ordered
-  WHERE rn < {EMB22_CHUNK * EMB22_DOC_CHUNKS}
-),
-cvecs AS (
-  SELECT doc_id, chunk,
-       {sums}
-  FROM chunk_rows GROUP BY doc_id, chunk
-),
-valid AS (
-  SELECT *, CAST({norm2} AS BIGINT) AS norm2 FROM cvecs
-),
-dvecs AS (SELECT * FROM valid WHERE norm2 > 0),
-qvecs AS (
-  SELECT * FROM dvecs
+WITH {lead}qvecs AS (
+  SELECT * FROM {nd}
   WHERE doc_id % {EMB22_Q_STRIDE} = 0 AND doc_id < {EMB22_MAXQ}
     AND chunk < {EMB22_Q_CHUNKS}
 ),
@@ -4312,7 +4328,7 @@ pairsim AS (
   SELECT q.doc_id AS query_doc, q.chunk AS qchunk,
          c.doc_id AS match_doc,
          {w_micro} AS w_micro
-  FROM qvecs q JOIN dvecs c ON c.doc_id <> q.doc_id
+  FROM qvecs q JOIN {nd} c ON c.doc_id <> q.doc_id
 ),
 maxsim AS (
   SELECT query_doc, qchunk, match_doc, CAST(max(w_micro) AS BIGINT) AS mx
@@ -4339,10 +4355,23 @@ FROM ranked WHERE rnk <= {EMB22_TOPK}
 
 
 def _emb22_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EMB22, Spark side: the pure rendering (one narrow chunk/hash pass,
-    one integer aggregate per chunk, the broadcast-q MaxSim join)."""
+    """EMB22, Spark side: the chunk-vector pipeline is SNAPSHOT once (a
+    lazy localCheckpoint behind a unique temp view — Spark would inline
+    the dvecs CTE into both its qvecs and pairsim references and re-run
+    the tokenize/chunk/aggregate chain per reference; DuckDB
+    materializes it, so the oracle keeps the plain CTE text), then the
+    broadcast-q MaxSim join reads the pinned chunk vectors twice."""
+    import uuid
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(sql_late_interaction("spark"))
+    name = f"__emb22_dvecs_{uuid.uuid4().hex}"
+    spark.sql(
+        f"WITH {_emb22_dvecs_cte('spark')} SELECT * FROM dvecs"
+    ).localCheckpoint(eager=False).createOrReplaceTempView(name)
+    try:
+        return spark.sql(sql_late_interaction("spark", dvecs_src=name))
+    finally:
+        spark.catalog.dropTempView(name)
 
 
 QUERIES["emb22_late_interaction"] = _emb22_late_interaction
@@ -5400,7 +5429,35 @@ TEXT_ORACLES["txt25_retrieval_eval"] = sql_retrieval_eval("duck")
 TXT26_DIM = 16             # txt13's feature-hash dim (the dense encoder)
 
 
-def sql_retrieval_leaderboard(dialect: str) -> str:
+def _txt26_qdocs_body(dialect: str, docs: str) -> str:
+    """qdocs CTE body (the txt25 perturbation workload) over doc source
+    ``docs`` — shared between the one-SQL oracle and the Spark staged
+    form of sql_retrieval_leaderboard."""
+    if dialect == "spark":
+        perturb = (
+            "transform(toks, (t, i) -> CASE WHEN (i + 1) % "
+            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
+            "'x' || CAST(i + 1 AS STRING) ELSE t END)"
+        )
+    else:
+        perturb = (
+            "list_transform(toks, (t, i) -> CASE WHEN i % "
+            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
+            "'x' || CAST(i AS STRING) ELSE t END)"
+        )
+    return f"""  SELECT doc_id AS query_doc, {perturb} AS qtoks
+  FROM {docs}
+  WHERE text IS NOT NULL AND doc_id % {TXT25_STRIDE} = 0
+    AND doc_id < {BM25_MAX_QUERY_ID}"""
+
+
+def _txt26_tf_body(tok_rows: str) -> str:
+    """tf CTE body over token source ``tok_rows`` (dialect-neutral)."""
+    return f"""  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM {tok_rows} GROUP BY doc_id, tok"""
+
+
+def sql_retrieval_leaderboard(dialect: str, srcs: dict | None = None) -> str:
     """TXT26 — the cross-family retrieval LEADERBOARD: txt25 evaluates
     BM25 alone; the decision txt25 exists for is BM25 (txt22) vs dense
     single-vector (emb1's brute cosine over txt13's feature-hash
@@ -5432,27 +5489,43 @@ def sql_retrieval_leaderboard(dialect: str) -> str:
     100 TB the corpus side would be pre-cut by emb8's IVF front, same
     rerank); the late arm is |Q_chunks|·corpus_chunks with the
     query side broadcast (emb22's shape).  Every ranking window
-    partitions by query_doc; the grading joins are workload-sized."""
+    partitions by query_doc; the grading joins are workload-sized.
+
+    ``srcs``: the Spark staged form passes snapshot VIEW names for the
+    multi-referenced shared stages {{docs, tok_rows, qdocs, qtok_rows,
+    tf}} — Spark inlines multi-reference CTEs (26 corpus scans in the
+    plain rendering), DuckDB materializes them, so the oracle keeps the
+    plain CTE text, byte-identical; both renderings share the SAME stage
+    body text (one source of truth — the w12/w13/w14 discipline)."""
+    staged = srcs is not None
+    n = {
+        "docs": "docs", "tok_rows": "tok_rows", "qdocs": "qdocs",
+        "qtok_rows": None, "tf": "tf",
+    }
+    if srcs:
+        n.update(srcs)
     dim = TXT26_DIM
     lcm = TXT25_MRR_LCM
-    tok_rows = explode_from(dialect, "docs", "toks", "tok", "doc_id")
-    if dialect == "spark":
-        perturb = (
-            "transform(toks, (t, i) -> CASE WHEN (i + 1) % "
-            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
-            "'x' || CAST(i + 1 AS STRING) ELSE t END)"
-        )
-    else:
-        perturb = (
-            "list_transform(toks, (t, i) -> CASE WHEN i % "
-            f"{TXT25_PERTURB} = 0 THEN 'zq' || CAST(doc_id AS STRING) || "
-            "'x' || CAST(i AS STRING) ELSE t END)"
-        )
-    qtok_rows = explode_from(dialect, "qdocs", "qtoks", "tok", "query_doc")
-    qtok_pos = explode_with_pos(
-        dialect, "qdocs", "qtoks", "pos", "tok", "query_doc"
+    tok_rows = explode_from(dialect, n["docs"], "toks", "tok", "doc_id")
+    qtok_rows = explode_from(
+        dialect, n["qdocs"], "qtoks", "tok", "query_doc"
     )
-    dtok_pos = explode_with_pos(dialect, "docs", "toks", "pos", "tok", "doc_id")
+    # qterms/qh read the query token stream; the plain form inlines the
+    # explode as a subquery, the staged form reads the snapshot view
+    qtok_sub = f"{n['qtok_rows']} x" if staged else f"({qtok_rows}) x"
+    qtok_pos = explode_with_pos(
+        dialect, n["qdocs"], "qtoks", "pos", "tok", "query_doc"
+    )
+    dtok_pos = explode_with_pos(
+        dialect, n["docs"], "toks", "pos", "tok", "doc_id"
+    )
+    cte_docs = "" if staged else f"{docs_cte(dialect)},\n"
+    cte_tok = "" if staged else f"tok_rows AS ({tok_rows}),\n"
+    cte_qdocs = (
+        "" if staged
+        else f"qdocs AS (\n{_txt26_qdocs_body(dialect, n['docs'])}\n),\n"
+    )
+    cte_tf = "" if staged else f"tf AS (\n{_txt26_tf_body(n['tok_rows'])}\n),\n"
     # BM25 fragments (txt22/txt25)
     k1 = d(BM25_K1)
     bb = d(BM25_B)
@@ -5492,22 +5565,10 @@ def sql_retrieval_leaderboard(dialect: str) -> str:
         f"SELECT CAST({k} AS BIGINT) AS k" for k in TXT25_KS
     )
     return f"""
-WITH {docs_cte(dialect)},
-tok_rows AS ({tok_rows}),
-qdocs AS (
-  SELECT doc_id AS query_doc, {perturb} AS qtoks
-  FROM docs
-  WHERE text IS NOT NULL AND doc_id % {TXT25_STRIDE} = 0
-    AND doc_id < {BM25_MAX_QUERY_ID}
-),
-nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qdocs),
+WITH {cte_docs}{cte_tok}{cte_qdocs}nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM {n['qdocs']}),
 klev AS ({klev}),
-tf AS (
-  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-  FROM tok_rows GROUP BY doc_id, tok
-),
-doclen AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok_rows GROUP BY doc_id
+{cte_tf}doclen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM {n['tok_rows']} GROUP BY doc_id
 ),
 stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -5515,17 +5576,17 @@ stats AS (
   FROM doclen
 ),
 df AS (
-  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM {n['tf']} GROUP BY tok
 ),
 qterms AS (
-  SELECT DISTINCT query_doc, tok FROM ({qtok_rows}) x
+  SELECT DISTINCT query_doc, tok FROM {qtok_sub}
 ),
 contrib AS (
   SELECT q.query_doc, c.doc_id AS match_doc,
          CAST(floor(({idf}) * ({tfnorm}) * {d('1000000.0')} + {d('0.5')})
               AS BIGINT) AS w_micro
   FROM qterms q
-  JOIN tf c ON c.tok = q.tok
+  JOIN {n['tf']} c ON c.tok = q.tok
   JOIN df ON df.tok = q.tok
   JOIN doclen ON doclen.doc_id = c.doc_id
   CROSS JOIN stats
@@ -5538,7 +5599,7 @@ ranked_bm AS (
   SELECT query_doc, match_doc, CAST({rank_win} AS BIGINT) AS rnk
   FROM scored_bm
 ),
-dh AS (SELECT doc_id, {tok_hash(dialect, "tok")} AS h FROM tok_rows),
+dh AS (SELECT doc_id, {tok_hash(dialect, "tok")} AS h FROM {n['tok_rows']}),
 dvec0 AS (
   SELECT doc_id,
        {sums}
@@ -5549,7 +5610,7 @@ dvec AS (
 ),
 dvecn AS (SELECT * FROM dvec WHERE norm2 > 0),
 qh AS (
-  SELECT query_doc, {tok_hash(dialect, "tok")} AS h FROM ({qtok_rows}) x
+  SELECT query_doc, {tok_hash(dialect, "tok")} AS h FROM {qtok_sub}
 ),
 qvec0 AS (
   SELECT query_doc,
@@ -5631,15 +5692,15 @@ ranked_li AS (
 ),
 rt_all AS (
   SELECT 'bm25' AS engine, q.query_doc, r.rnk AS rank_truth
-  FROM qdocs q LEFT JOIN ranked_bm r
+  FROM {n['qdocs']} q LEFT JOIN ranked_bm r
     ON r.query_doc = q.query_doc AND r.match_doc = q.query_doc
   UNION ALL
   SELECT 'dense', q.query_doc, r.rnk
-  FROM qdocs q LEFT JOIN ranked_dn r
+  FROM {n['qdocs']} q LEFT JOIN ranked_dn r
     ON r.query_doc = q.query_doc AND r.match_doc = q.query_doc
   UNION ALL
   SELECT 'late', q.query_doc, r.rnk
-  FROM qdocs q LEFT JOIN ranked_li r
+  FROM {n['qdocs']} q LEFT JOIN ranked_li r
     ON r.query_doc = q.query_doc AND r.match_doc = q.query_doc
 ),
 graded AS (
@@ -5663,11 +5724,47 @@ ORDER BY g.engine, g.k
 
 
 def _txt26_retrieval_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TXT26, Spark side: the pure rendering — three broadcast-workload
-    ranking arms over shared corpus aggregates, one 9-row grading
-    rollup."""
+    """TXT26, Spark side: the five multi-referenced shared stages (docs,
+    corpus/query token streams, tf) are SNAPSHOT once each behind unique
+    temp views (lazy localCheckpoints — the t6/j3/w12 pattern); the
+    plain rendering inlined them per reference, re-tokenizing the corpus
+    into 26 parquet scans / 60 exchanges.  Same stage text, same values;
+    the DuckDB oracle (which materializes multi-reference CTEs natively)
+    is byte-identical to before."""
+    import uuid
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(sql_retrieval_leaderboard("spark"))
+    views: list[str] = []
+
+    def snap(sql: str, tag: str) -> str:
+        nm = f"__txt26_{tag}_{uuid.uuid4().hex}"
+        spark.sql(sql).localCheckpoint(eager=False).createOrReplaceTempView(nm)
+        views.append(nm)
+        return nm
+
+    docs_v = snap(f"WITH {docs_cte('spark')} SELECT * FROM docs", "docs")
+    tok_v = snap(explode_from("spark", docs_v, "toks", "tok", "doc_id"), "tok")
+    qdocs_v = snap(_txt26_qdocs_body("spark", docs_v), "qdocs")
+    qtok_v = snap(
+        explode_from("spark", qdocs_v, "qtoks", "tok", "query_doc"), "qtok"
+    )
+    tf_v = snap(_txt26_tf_body(tok_v), "tf")
+    try:
+        return spark.sql(
+            sql_retrieval_leaderboard(
+                "spark",
+                srcs={
+                    "docs": docs_v,
+                    "tok_rows": tok_v,
+                    "qdocs": qdocs_v,
+                    "qtok_rows": qtok_v,
+                    "tf": tf_v,
+                },
+            )
+        )
+    finally:
+        for nm in views:
+            spark.catalog.dropTempView(nm)
 
 
 QUERIES["txt26_retrieval_leaderboard"] = _txt26_retrieval_leaderboard
