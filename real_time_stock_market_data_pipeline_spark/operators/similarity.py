@@ -663,6 +663,7 @@ def rebuild_ivf_index(
         _require_local_path,
         _sibling_dirs,
         heal_if_interrupted,
+        overlapped_count,
     )
     from .clustering import kmeans_fit
 
@@ -678,9 +679,11 @@ def rebuild_ivf_index(
     lists = spark.read.parquet(f"{path}/lists")
     meta = [c for c in lists.columns if c not in (vec_id, vec, centroid_id)]
     acc = lists.select(vec_id, vec, *meta).localCheckpoint(eager=False)
-    n_vectors = acc.count()
+    # the metric count is a pure read: overlap it with the fit unless
+    # the √n rescale needs it up front (guide §2.6)
+    n_vectors_of = overlapped_count(acc)
     if k is None:
-        k = ivf_lists_for(n_vectors)
+        k = ivf_lists_for(n_vectors_of())
     cents_df = kmeans_fit(
         acc.select(vec_id, vec), k=int(k), n_iter=n_iter,
         vec_id=vec_id, vec=vec,
@@ -711,7 +714,7 @@ def rebuild_ivf_index(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
-    return {"n_vectors": int(n_vectors), "k": int(k)}
+    return {"n_vectors": int(n_vectors_of()), "k": int(k)}
 
 
 def search_ivf_index(
@@ -1373,6 +1376,7 @@ def rebuild_pq_codes(
         _require_local_path,
         _sibling_dirs,
         heal_if_interrupted,
+        overlapped_count,
     )
 
     _require_local_path(path, "rebuild_pq_codes")
@@ -1386,18 +1390,25 @@ def rebuild_pq_codes(
     heal_if_interrupted(f"{path}/codes")
     old_cbs = load_pq_codebooks(spark, path)
     ids = spark.read.parquet(f"{path}/codes").select(vec_id)
-    n_codes = ids.count()
+    # coverage-validation counts overlap the fit (guide §2.6, the
+    # rebuild_ivfpq_index discipline): pure reads, validated before any
+    # write — same exception on failure, no fs mutation either way
+    n_codes_of = overlapped_count(ids)
     acc = corpus.join(ids, vec_id, "left_semi").localCheckpoint(eager=False)
-    n_acc = acc.count()
+    n_acc_of = overlapped_count(acc)
+    cbs = pq_fit(
+        acc, m=m or len(old_cbs), k=k or len(old_cbs[0]),
+        vec_id=vec_id, vec=vec, n_iter=n_iter,
+        # dim is fixed by the standing codebooks (m · d_sub) — saves the
+        # size-probe job over the corpus
+        dim=len(old_cbs) * len(old_cbs[0][0]),
+    )
+    n_acc, n_codes = n_acc_of(), n_codes_of()
     if n_acc != n_codes:
         raise ValueError(
             f"rebuild corpus covers {n_acc} of the code table's {n_codes} "
             f"vectors — every accumulated vec_id must be re-encodable"
         )
-    cbs = pq_fit(
-        acc, m=m or len(old_cbs), k=k or len(old_cbs[0]),
-        vec_id=vec_id, vec=vec, n_iter=n_iter,
-    )
     staging = f"{path}__staging_{_uuid.uuid4().hex}"
     init_pq_index(spark, cbs, staging)
     (
@@ -1671,9 +1682,18 @@ def ivfpq_search(
 def init_ivfpq_index(spark, coarse, fine, path: str) -> None:
     """Persist both quantizer levels — the empty-index form
     ``update_ivfpq_index`` appends into.  Reuses the PQ codebook store
-    for each level (coarse IS a one-subspace codebook)."""
-    init_pq_index(spark, coarse, f"{path}/coarse")
-    init_pq_index(spark, fine, f"{path}/fine")
+    for each level (coarse IS a one-subspace codebook).  The two writes
+    target disjoint subdirectories of a not-yet-served root and carry
+    no session-global state, so they run on driver threads (guide §2.6
+    — two tiny fixed-overhead jobs overlap instead of serializing)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for fut in [
+            pool.submit(init_pq_index, spark, coarse, f"{path}/coarse"),
+            pool.submit(init_pq_index, spark, fine, f"{path}/fine"),
+        ]:
+            fut.result()
 
 
 def load_ivfpq_quantizers(spark, path: str):
@@ -1795,6 +1815,7 @@ def rebuild_ivfpq_index(
         _require_local_path,
         _sibling_dirs,
         heal_if_interrupted,
+        overlapped_count,
     )
 
     _require_local_path(path, "rebuild_ivfpq_index")
@@ -1817,33 +1838,52 @@ def rebuild_ivfpq_index(
             "search would break; pass a corpus with the full columns"
         )
     ids = index.select(vec_id)
-    n_index = ids.count()
+    # the coverage-validation counts are pure reads independent of the
+    # retrain: overlap them with the quantizer fits (guide §2.6) and
+    # validate before anything is written — same exception, no fs
+    # mutation either way, and the success path stops serializing two
+    # full count jobs in front of the fit
+    n_index_of = overlapped_count(ids)
     acc = corpus.join(ids, vec_id, "left_semi").localCheckpoint(eager=False)
-    n_acc = acc.count()
-    if n_acc != n_index:
-        raise ValueError(
-            f"rebuild corpus covers {n_acc} of the index's {n_index} "
-            f"vectors — every accumulated vec_id must be re-encodable"
-        )
+    n_acc_of = overlapped_count(acc)
     if n_lists is None:
-        n_lists = ivf_lists_for(n_acc)
-    coarse, fine = ivfpq_fit(
-        acc,
-        n_lists=n_lists,
+        # the √n rescale needs the accumulated count before the fit
+        n_lists = ivf_lists_for(n_acc_of())
+    # dim is fixed by the standing codebooks (m · d_sub) — deriving it
+    # here saves pq_fit's size-probe job over the corpus
+    dim = len(old_fine) * len(old_fine[0][0])
+    # fit and encode share ONE residual pass (the ivfpq_build contract):
+    # ivfpq_fit + ivfpq_encode would re-run the coarse assignment over
+    # the full corpus a second time just to rebuild the residual frame
+    # the fine fit already materialized (guide §1.2 — at 100 TB that is
+    # an entire extra corpus pass)
+    coarse = pq_fit(
+        acc, m=1, k=n_lists, vec_id=vec_id, vec=vec, n_iter=n_iter, dim=dim
+    )
+    res = _with_residual(acc, coarse, vec_id=vec_id, vec=vec).localCheckpoint(
+        eager=False
+    )
+    fine = pq_fit(
+        res.select(F.col(vec_id), F.col("residual").alias(vec)),
         m=m or len(old_fine),
         k=k or len(old_fine[0]),
         vec_id=vec_id,
         vec=vec,
         n_iter=n_iter,
+        dim=dim,
     )
-    staging = f"{path}__staging_{_uuid.uuid4().hex}"
-    init_pq_index(spark, coarse, f"{staging}/coarse")
-    init_pq_index(spark, fine, f"{staging}/fine")
-    (
-        ivfpq_encode(
-            acc, coarse, fine, vec_id=vec_id, vec=vec, arrow=True,
-            meta_cols=meta,
+    n_acc, n_index = n_acc_of(), n_index_of()
+    if n_acc != n_index:
+        raise ValueError(
+            f"rebuild corpus covers {n_acc} of the index's {n_index} "
+            f"vectors — every accumulated vec_id must be re-encodable"
         )
+    staging = f"{path}__staging_{_uuid.uuid4().hex}"
+    init_ivfpq_index(spark, coarse, fine, staging)  # threaded level writes
+    (
+        pq_encode(res, fine, vec="residual", arrow=True)
+        .select(F.col(vec_id), F.col("list_id"), F.col("pq_codes"),
+                *[F.col(c) for c in meta])
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(f"{staging}/index")
@@ -2807,6 +2847,7 @@ def rebuild_semantic_index(
         _require_local_path,
         _sibling_dirs,
         heal_if_interrupted,
+        overlapped_count,
     )
     from .clustering import kmeans_fit
 
@@ -2825,9 +2866,11 @@ def rebuild_semantic_index(
         .select(vec_id, vec)
         .localCheckpoint(eager=False)
     )
-    n_vectors = acc.count()
+    # pure-read metric count overlaps the fit unless the rescale rule
+    # needs it up front (guide §2.6, the rebuild_ivf_index discipline)
+    n_vectors_of = overlapped_count(acc)
     if k is None:
-        k = semdedup_k(n_vectors, target_cluster_size)
+        k = semdedup_k(n_vectors_of(), target_cluster_size)
     cents_df = kmeans_fit(acc, k=int(k), n_iter=n_iter, vec_id=vec_id, vec=vec)
     cents = [
         (int(r["centroid_id"]), [float(x) for x in r[vec]])
@@ -2857,7 +2900,9 @@ def rebuild_semantic_index(
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
-    return {"n_vectors": int(n_vectors), "k": int(k), "n_pairs": int(n_pairs)}
+    return {
+        "n_vectors": int(n_vectors_of()), "k": int(k), "n_pairs": int(n_pairs)
+    }
 
 
 def semantic_index_sink(

@@ -1277,6 +1277,7 @@ def curriculum_oov_share(
     bc: DataFrame,
     id_col: str = "doc_id",
     text: str = "text",
+    bigp: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, oov_share) — the fraction of a doc's bigrams the frozen
     model has NEVER seen, the curriculum family's drift signal (dq10):
@@ -1285,10 +1286,17 @@ def curriculum_oov_share(
     self-trained band); OOV share is exactly 0 on the training era and
     exactly 1 on an unseen-domain era at ANY corpus size — the sharp,
     tuning-free gate.  One left join against the bigram table + one
-    per-doc mean; r6-rounded."""
+    per-doc mean; r6-rounded.  ``bigp`` lets a monitor that gates the
+    SAME docs against several model states (dq10's standing + rebuilt
+    phases) pass a checkpointed bigram frame instead of re-running the
+    tokenize+window explosion per gate — the
+    ``score_under_curriculum_model`` contract (guide §1.2: the
+    explosion is model-independent, so per-gate re-derivation computes
+    the identical frame just to throw it away)."""
     from ..functions.scalars import r6
 
-    bigp = _curriculum_bigrams(docs, id_col, text)
+    if bigp is None:
+        bigp = _curriculum_bigrams(docs, id_col, text)
     return (
         bigp.join(bc, ["w1", "w2"], "left")
         .select(
@@ -1350,7 +1358,13 @@ def rebuild_curriculum_store(
             "doc_id",
             "left_anti",
         )
-    n_standing = standing.count()
+    from ..maintenance import overlapped_count
+
+    # coverage-validation counts are pure reads independent of the
+    # retrain: overlap them with the train (guide §2.6, the
+    # rebuild_ivfpq_index discipline) and validate before any write —
+    # same exception on failure, no fs mutation either way
+    n_standing_of = overlapped_count(standing)
     acc = (
         corpus.filter(F.col(text).isNotNull())
         .join(
@@ -1358,13 +1372,14 @@ def rebuild_curriculum_store(
         )
         .localCheckpoint(eager=False)
     )
-    n_acc = acc.select(id_col).distinct().count()
+    n_acc_of = overlapped_count(acc.select(id_col).distinct())
+    bc, uc, v, bigp = _train_curriculum_model_shared(acc, id_col, text)
+    n_acc, n_standing = n_acc_of(), n_standing_of()
     if n_acc != n_standing:
         raise ValueError(
             f"rebuild corpus covers {n_acc} of the store's {n_standing} "
             "docs — every accumulated doc_id must be re-scorable"
         )
-    bc, uc, v, bigp = _train_curriculum_model_shared(acc, id_col, text)
     staging = f"{path}__staging_{_uuid.uuid4().hex}"
     bc.write.mode("overwrite").parquet(f"{staging}/model/bc")
     uc.write.mode("overwrite").parquet(f"{staging}/model/uc")

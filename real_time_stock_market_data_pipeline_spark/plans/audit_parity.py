@@ -1689,13 +1689,23 @@ def _dq10_curriculum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = F.when(
         F.col("doc_id") >= DQ10_PLANT_BASE, F.lit("post_drift")
     ).otherwise(F.lit("pre_drift"))
+    # the gate's tokenize+window explosion depends only on the (fixed)
+    # union, never the model — compute it once behind a lazy
+    # localCheckpoint and hand it to BOTH gates (guide §1.2; the
+    # curriculum_oov_share bigp contract), instead of re-deriving the
+    # identical frame per phase
+    from ..operators.text import _curriculum_bigrams
+
+    union_bigp = _curriculum_bigrams(union, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
 
     def gates(phase: str) -> DataFrame:
         # EAGER: the standing gates must pin to the store state they
         # measured — the rebuild swaps the model files this plan reads
         bc, _uc, _v = load_curriculum_model(spark, root)
         return (
-            curriculum_oov_share(union, bc)
+            curriculum_oov_share(union, bc, bigp=union_bigp)
             .withColumn("segment", seg)
             .groupBy("segment")
             .agg(
