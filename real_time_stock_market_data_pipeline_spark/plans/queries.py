@@ -2797,11 +2797,18 @@ def _mm13_pair_geometry_sql() -> str:
 def _mm13_class_sums(len_col: str, byte_body: str) -> str:
     """array(16 exact per-class byte sums) — position class = i % 16 over
     byte positions 0..len-1; Spark dialect (the oracle mirrors with
-    DuckDB list comprehensions)."""
+    DuckDB list comprehensions).  Each class folds only ITS stride-16
+    positions (sequence(k, len−1, 16)) instead of walking all len
+    positions per class behind a pmod gate — 16× fewer interpreted HOF
+    steps for bit-identical sums (byte values are exact integers in
+    doubles, and the dropped terms were exact +0.0 no-ops), guarded for
+    texts shorter than the class offset (guide §1.2; the measured text
+    tower dropped ~2.0 s → ~0.3 s at sf0.1)."""
     sums = ", ".join(
-        f"aggregate(sequence(0, {len_col} - 1), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + CASE WHEN pmod(i, {MM13_CLASSES}) = {k} "
-        f"THEN CAST({byte_body} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+        f"CASE WHEN {len_col} > {k} THEN "
+        f"aggregate(sequence({k}, {len_col} - 1, {MM13_CLASSES}), "
+        f"CAST(0 AS DOUBLE), (acc, i) -> acc + CAST({byte_body} AS DOUBLE)) "
+        f"ELSE CAST(0 AS DOUBLE) END"
         for k in range(MM13_CLASSES)
     )
     return f"array({sums})"
@@ -2878,11 +2885,16 @@ def _mm13_image_text_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _le_bytes_sql("n", 4)
         + ", X'" + "00" * 16 + "')"
     )
+    # payload = the caption's bytes + a zero tail: the corpus is pure
+    # ASCII (parity-pinned — the per-character ascii() indexing this
+    # replaces was already only correct under that invariant), so
+    # encode() emits exactly the codepoint bytes the old per-byte
+    # hex-string walk assembled one position at a time, and the tail is
+    # one repeat instead of n−lm lambda steps (guide §1.2; measured
+    # payload assembly ~1.9 s → ~0.1 s at sf0.1, bit-identical bytes)
     payload = F.expr(
-        "unhex(array_join(transform(sequence(0, n - 1), "
-        "j -> lpad(hex(CASE WHEN j < lm "
-        "THEN ascii(substr(media_text, CAST(j + 1 AS INT), 1)) "
-        "ELSE 0 END), 2, '0')), ''))"
+        "concat(encode(media_text, 'UTF-8'), "
+        "unhex(repeat('00', CAST(n - lm AS INT))))"
     )
     media = pair.withColumn("media_bytes", F.concat(header, payload))
     emb = image_position_embedding(media).withColumn(

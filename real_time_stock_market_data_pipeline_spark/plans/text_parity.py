@@ -4626,10 +4626,17 @@ def sql_launch_manifest(dialect: str) -> str:
     run over the slice×bucket rollup (≤ slices·256 rows, corpus-
     independent).  No single-partition rank touches doc-sized input
     (plan-pinned)."""
-    m = SP17_CK_MOD
     return f"""
 WITH {_sp19_stream_ctes(dialect)}
-SELECT shard_id,
+{_sp19_rollup_sql()}"""
+
+
+def _sp19_rollup_sql() -> str:
+    """sp19's final shard rollup SELECT (dialect-free) — ONE definition
+    shared by the oracle's one-SQL form and the Spark snapshot form so
+    the two can never drift."""
+    m = SP17_CK_MOD
+    return f"""SELECT shard_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(used_tokens) AS BIGINT) AS n_tokens,
        CAST(min(take_rank) AS BIGINT) AS slice_lo,
@@ -4643,18 +4650,28 @@ ORDER BY shard_id
 """
 
 
-def _sp19_stream_ctes(dialect: str) -> str:
-    """The sp19 LAUNCH-STREAM CTE chain (budget → greedy slice take →
-    per-slice epoch-mixed order → bucketed global rank → shard cut),
-    shared verbatim by ``sql_launch_manifest`` (the shard rollup) and
-    ``sql_resume_manifest`` (sp20's per-worker suffix report): returns
-    the text between ``WITH`` and the consumer's SELECT, exposing the
-    per-doc ``sharded`` stream (shard_id, take_rank, grank, idh,
-    used_tokens, n_total) and the slice table ``taken`` (take_rank →
-    domain, epoch)."""
+def _sp19_sdocs_ctes(dialect: str) -> str:
+    """alloc + the tokenized doc-stats CTEs (sdocs/sdocs1) — the chain
+    prefix whose per-doc tokenize+hash pass every downstream reference
+    re-pays when Spark inlines it (sdocs1 is referenced by u, sfull AND
+    bdocs — three copies in the one-SQL plan)."""
     alloc = sql_doremi(dialect)
     idh = tok_hash(dialect, "'sp18:' || CAST(doc_id AS STRING)")
     toks = split_ws(dialect, "text")
+    return f"""alloc AS ({alloc}),
+sdocs AS (
+  SELECT doc_id, source AS domain,
+         CAST({list_len(dialect, toks)} AS BIGINT) AS n_tokens,
+         ({idh}) AS idh
+  FROM documents WHERE text IS NOT NULL
+),
+sdocs1 AS (SELECT * FROM sdocs WHERE n_tokens >= 1)"""
+
+
+def _sp19_taken_ctes(dialect: str, sd: str = "sdocs1") -> str:
+    """budget → greedy slice take over doc-stats source ``sd`` (rendered
+    with the default name it is a verbatim fragment of the one-SQL
+    oracle; the Spark plan renders it over the sdocs1 snapshot view)."""
     k_max = SP18_MAX_EPOCHS
     val = (
         "CASE e "
@@ -4664,10 +4681,6 @@ def _sp19_stream_ctes(dialect: str) -> str:
         )
         + " END"
     )
-    mix_full = _sp18_epoch_mix("t.epoch", "d.idh")
-    mix_part = _sp18_epoch_mix("b.epoch", "d.idh")
-    sb_div = SP16_HKEY_MOD // SP16_SBUCKETS
-    s, m = SP15_SHARDS, SP17_CK_MOD
     if dialect == "spark":
         epoch_join = (
             f"LATERAL VIEW explode(sequence(0, {k_max - 1})) _ep AS e"
@@ -4679,18 +4692,10 @@ def _sp19_stream_ctes(dialect: str) -> str:
         )
     win = "ORDER BY value_scaled DESC, epoch ASC, domain ASC"
     rows_all = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-    return f"""alloc AS ({alloc}),
-sdocs AS (
-  SELECT doc_id, source AS domain,
-         CAST({list_len(dialect, toks)} AS BIGINT) AS n_tokens,
-         ({idh}) AS idh
-  FROM documents WHERE text IS NOT NULL
-),
-sdocs1 AS (SELECT * FROM sdocs WHERE n_tokens >= 1),
-u AS (
+    return f"""u AS (
   SELECT domain, CAST(sum(n_tokens) AS BIGINT) AS u_tokens,
          CAST(count(*) AS BIGINT) AS n_docs
-  FROM sdocs1 GROUP BY domain
+  FROM {sd} GROUP BY domain
 ),
 bud AS (
   SELECT {idiv(dialect, f"{SP18_BUDGET_NUM} * CAST(sum(u_tokens) AS BIGINT)",
@@ -4715,22 +4720,33 @@ taken AS (
               ELSE o.u_tokens END AS tokens_used
   FROM ordered o CROSS JOIN bud
   WHERE o.cum_end - o.u_tokens < bud.b
-),
-sfull AS (
+)"""
+
+
+def _sp19_shard_ctes(dialect: str, tk: str = "taken", sd: str = "sdocs1") -> str:
+    """per-slice epoch-mixed stream → bucketed global rank → shard cut,
+    over slice source ``tk`` and doc-stats source ``sd`` (default names
+    = verbatim oracle fragment; the Spark plan renders over snapshots)."""
+    mix_full = _sp18_epoch_mix("t.epoch", "d.idh")
+    mix_part = _sp18_epoch_mix("b.epoch", "d.idh")
+    sb_div = SP16_HKEY_MOD // SP16_SBUCKETS
+    s, m = SP15_SHARDS, SP17_CK_MOD
+    rows_all = "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""sfull AS (
   SELECT t.take_rank, d.doc_id, d.idh,
          d.n_tokens AS used_tokens,
          ({mix_full}) % {SP16_HKEY_MOD} AS hkey
-  FROM taken t JOIN sdocs1 d ON t.domain = d.domain
+  FROM {tk} t JOIN {sd} d ON t.domain = d.domain
   WHERE NOT t.is_partial
 ),
 bslice AS (
   SELECT take_rank, domain, epoch, tokens_used AS head_budget
-  FROM taken WHERE is_partial
+  FROM {tk} WHERE is_partial
 ),
 bdocs AS (
   SELECT b.take_rank, d.doc_id, d.idh, d.n_tokens, b.head_budget,
          ({mix_part}) % {SP16_HKEY_MOD} AS hkey
-  FROM sdocs1 d JOIN bslice b ON d.domain = b.domain
+  FROM {sd} d JOIN bslice b ON d.domain = b.domain
 ),
 bb AS (SELECT *, {idiv(dialect, "hkey", str(sb_div))} AS bucket FROM bdocs),
 bbc AS (
@@ -4793,12 +4809,59 @@ sharded AS (
 )"""
 
 
-def _sp19_launch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SP19, Spark side: the pure rendering — sp18's greedy chain, the
-    per-slice epoch-mixed stream, and sp15's bucketed rank/shard/
-    checksum tail, all one SQL plan."""
+def _sp19_stream_ctes(dialect: str) -> str:
+    """The sp19 LAUNCH-STREAM CTE chain (budget → greedy slice take →
+    per-slice epoch-mixed order → bucketed global rank → shard cut),
+    shared verbatim by ``sql_launch_manifest`` (the shard rollup) and
+    ``sql_resume_manifest`` (sp20's per-worker suffix report): returns
+    the text between ``WITH`` and the consumer's SELECT, exposing the
+    per-doc ``sharded`` stream (shard_id, take_rank, grank, idh,
+    used_tokens, n_total) and the slice table ``taken`` (take_rank →
+    domain, epoch).  Composed of the three stage renderers below with
+    their default source names — the Spark plans render the SAME stage
+    text over localCheckpoint snapshot views instead (Spark inlines
+    multi-referenced CTEs: the one-SQL form re-tokenizes sdocs1 three
+    times and sp20 re-ran the whole chain per consumer; DuckDB
+    materializes multi-reference CTEs, so the oracle keeps the one-SQL
+    text — the w12/txt26 snapshot pattern)."""
+    return (
+        f"{_sp19_sdocs_ctes(dialect)},\n"
+        f"{_sp19_taken_ctes(dialect)},\n"
+        f"{_sp19_shard_ctes(dialect)}"
+    )
+
+
+def _sp19_snap_views(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """(sdocs1_view, taken_view) — the sp19 chain prefix evaluated ONCE
+    behind lazy localCheckpoints: the tokenize+hash doc-stats pass and
+    the greedy slice take are pinned, so every downstream reference
+    (u/sfull/bdocs in one consumer, or sp20's second consumer) reads
+    the snapshot instead of re-running the subplan."""
+    import uuid
+
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    return spark.sql(sql_launch_manifest("spark"))
+    sdv = f"__sp19_sdocs1_{uuid.uuid4().hex}"
+    spark.sql(
+        f"WITH {_sp19_sdocs_ctes('spark')} SELECT * FROM sdocs1"
+    ).localCheckpoint(eager=False).createOrReplaceTempView(sdv)
+    tv = f"__sp19_taken_{uuid.uuid4().hex}"
+    alloc = sql_doremi("spark")
+    spark.sql(
+        f"WITH alloc AS ({alloc}),\n{_sp19_taken_ctes('spark', sdv)} "
+        "SELECT * FROM taken"
+    ).localCheckpoint(eager=False).createOrReplaceTempView(tv)
+    return sdv, tv
+
+
+def _sp19_launch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SP19, Spark side: sp18's greedy chain and the doc-stats pass are
+    snapshotted once (``_sp19_snap_views``), then sp15's bucketed
+    rank/shard/checksum tail — the same stage text the oracle inlines —
+    runs over the snapshots.  Value-identical to the one-SQL form."""
+    sdv, tv = _sp19_snap_views(spark, sf_dir)
+    return spark.sql(f"""
+WITH {_sp19_shard_ctes('spark', tv, sdv)}
+{_sp19_rollup_sql()}""")
 
 
 QUERIES["sp19_launch_manifest"] = _sp19_launch_manifest
@@ -4926,24 +4989,21 @@ ORDER BY c.slot"""
 
 
 def _sp20_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SP20, Spark side: the launch stream and the slice table are
-    snapshotted ONCE (lazy localCheckpoints — Spark would otherwise
-    re-execute the inlined sp19 chain per CTE reference, ~4×), then the
-    slot-sized tail runs over the snapshots.  Value-identical to the
-    oracle's inline form."""
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    ctes = _sp19_stream_ctes("spark")
-    sharded = spark.sql(
-        f"WITH {ctes} SELECT * FROM sharded"
-    ).localCheckpoint(eager=False)
-    taken = spark.sql(
-        f"WITH {ctes} SELECT take_rank, domain, epoch FROM taken"
-    ).localCheckpoint(eager=False)
-    sharded.createOrReplaceTempView("sp20_sharded")
-    taken.createOrReplaceTempView("sp20_taken")
-    return spark.sql(
-        f"WITH {_sp20_tail('spark', 'sp20_sharded', 'sp20_taken')}"
-    )
+    """SP20, Spark side: the doc-stats pass, the slice table AND the
+    launch stream snapshot once each (``_sp19_snap_views`` + one shard
+    stage over them — previously the whole sp19 chain re-ran per
+    consumer: once under the sharded snapshot and AGAIN under the taken
+    snapshot, ~2× the chain incl. the DoReMi fit), then the slot-sized
+    tail runs over the snapshots.  Value-identical to the oracle's
+    inline form."""
+    import uuid
+
+    sdv, tv = _sp19_snap_views(spark, sf_dir)
+    shv = f"__sp20_sharded_{uuid.uuid4().hex}"
+    spark.sql(
+        f"WITH {_sp19_shard_ctes('spark', tv, sdv)} SELECT * FROM sharded"
+    ).localCheckpoint(eager=False).createOrReplaceTempView(shv)
+    return spark.sql(f"WITH {_sp20_tail('spark', shv, tv)}")
 
 
 QUERIES["sp20_resume_manifest"] = _sp20_resume_manifest

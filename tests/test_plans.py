@@ -984,3 +984,34 @@ def test_series_staged_text_in_sync():
     assert s_parts[0].removeprefix("WITH ") in full14
     assert "SELECT " + s_parts[1] in full14
     assert norm(_w14_tail_sql("sketches", "z")).removeprefix("WITH ") in full14
+
+
+def test_sp19_staged_text_in_sync():
+    """The staged Spark forms of sp19/sp20 evaluate the SAME SQL text as
+    the one-SQL oracles, stage by stage: _sp19_stream_ctes must be the
+    exact composition of the three stage renderers with their default
+    source names (what the oracle inlines), and the rollup/tail SELECTs
+    must appear verbatim in the oracle text.  An edit to either side
+    without the other trips this before the sf0.001 parity run does."""
+    from real_time_stock_market_data_pipeline_spark.plans.text_parity import (
+        _sp19_rollup_sql,
+        _sp19_sdocs_ctes,
+        _sp19_shard_ctes,
+        _sp19_stream_ctes,
+        _sp19_taken_ctes,
+        _sp20_tail,
+        sql_launch_manifest,
+        sql_resume_manifest,
+    )
+
+    for dialect in ("spark", "duck"):
+        composed = (
+            f"{_sp19_sdocs_ctes(dialect)},\n"
+            f"{_sp19_taken_ctes(dialect)},\n"
+            f"{_sp19_shard_ctes(dialect)}"
+        )
+        assert _sp19_stream_ctes(dialect) == composed
+        assert _sp19_stream_ctes(dialect) in sql_launch_manifest(dialect)
+        assert _sp19_stream_ctes(dialect) in sql_resume_manifest(dialect)
+        assert _sp19_rollup_sql() in sql_launch_manifest(dialect)
+        assert _sp20_tail(dialect) in sql_resume_manifest(dialect)
