@@ -2468,6 +2468,7 @@ def semantic_dedup(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     arrow: bool | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Full SemDeDup (Abbas et al. 2023): k-means the corpus coarsely
     (``clustering.kmeans_fit`` — deterministic stride seeds, Arrow
@@ -2495,19 +2496,35 @@ def semantic_dedup(
         codebook + a row_number window partitioned by dup set over ONLY
         the dup-set members (pairs exist ⇒ the frame is far smaller than
         the corpus; singletons never enter the window).
-    Both policies agree on singleton components by construction."""
+    Both policies agree on singleton components by construction.
+
+    ``centroids`` lets a caller hand in the (cid, vector) codebook —
+    e.g. a session-memoized fit over a deterministic fixture corpus
+    (plans/fixtures) — instead of retraining per call; it must be
+    exactly what ``kmeans_fit(df, k, n_iter)`` would return for the
+    memo to be value-invisible (the caller owns that invariant), and a
+    length/k mismatch fails loudly."""
     from .clustering import kmeans_fit
     from .dedup import dup_clusters
 
     spark = df.sparkSession
     if k is None:
         k = semdedup_k(df.count(), target_cluster_size)
-    cents = [
-        (int(r["centroid_id"]), [float(x) for x in r[vec]])
-        for r in kmeans_fit(
-            df, k=k, n_iter=n_iter, vec_id=vec_id, vec=vec
-        ).collect()
-    ]
+    if centroids is None:
+        cents = [
+            (int(r["centroid_id"]), [float(x) for x in r[vec]])
+            for r in kmeans_fit(
+                df, k=k, n_iter=n_iter, vec_id=vec_id, vec=vec
+            ).collect()
+        ]
+    else:
+        if len(centroids) != k:
+            raise ValueError(
+                f"centroids has {len(centroids)} entries but the derived "
+                f"k is {k} — pass the codebook kmeans_fit(df, k={k}, "
+                f"n_iter={n_iter}) would produce"
+            )
+        cents = [(int(c), [float(x) for x in v]) for c, v in centroids]
     if arrow is None:
         arrow = len(cents) >= SEMDEDUP_AUTO_ARROW_K
     assigned = semantic_assignment(df, cents, vec_id, vec, arrow)

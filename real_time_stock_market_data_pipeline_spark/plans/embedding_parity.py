@@ -423,10 +423,16 @@ def _emb15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle this holds for ANY clustering the trainer converges to —
     which is what frees the driver row to run the real scale path."""
     from ..operators.similarity import semantic_dedup
+    from .fixtures import planted_semdedup_fit
 
     corpus = planted_semantic_corpus(spark, sf_dir)
+    # session-memoized fixture fit (plans/fixtures, r18 optimization) —
+    # bit-identical to the in-operator kmeans_fit over this corpus
+    k, cents = planted_semdedup_fit(spark, sf_dir, corpus)
     return (
-        semantic_dedup(corpus, threshold=SEMDEDUP_THRESHOLD)
+        semantic_dedup(
+            corpus, k=k, threshold=SEMDEDUP_THRESHOLD, centroids=cents
+        )
         .select("vec_id", "dup_group", "keep")
     )
 
@@ -467,10 +473,14 @@ def _emb16_semdedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins the policy itself (the survivor is the argmin
     centroid-cosine member; both policies agree on singletons)."""
     from ..operators.similarity import semantic_dedup
+    from .fixtures import planted_semdedup_fit
 
     corpus = planted_semantic_corpus(spark, sf_dir)
+    # same memoized fixture fit as emb15 (identical corpus + params)
+    k, cents = planted_semdedup_fit(spark, sf_dir, corpus)
     res = semantic_dedup(
-        corpus, threshold=SEMDEDUP_THRESHOLD, keep_policy="farthest"
+        corpus, k=k, threshold=SEMDEDUP_THRESHOLD, keep_policy="farthest",
+        centroids=cents,
     )
     per_group = res.groupBy("dup_group").agg(
         F.count(F.lit(1)).alias("n_members"),

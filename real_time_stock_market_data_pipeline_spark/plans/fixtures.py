@@ -100,6 +100,28 @@ def dq5_fixture_ivfpq_fit(
 
 _KMEANS_FIT_CACHE: dict[tuple, list] = {}
 _PQ_FIT_CACHE: dict[tuple, list] = {}
+_FIXTURE_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def planted_semdedup_fit(
+    spark: SparkSession, sf_dir: str, corpus
+) -> tuple[int, list[tuple[int, list[float]]]]:
+    """(k, centroid rows) for ``semantic_dedup`` over emb15/emb16's
+    planted corpus — the same memo contract as the other fixture fits:
+    the corpus is a pure deterministic rendering of sf_dir's embeddings
+    table, so its count (→ ``semdedup_k``) and the n_iter=2 k-means fit
+    are trained at most once per application and both consumers receive
+    bit-identical values whether they hit or miss."""
+    from ..operators.similarity import semdedup_k
+
+    ckey = (spark.sparkContext.applicationId, sf_dir, "semplant_n")
+    n = _FIXTURE_COUNT_CACHE.get(ckey)
+    if n is None:
+        n = corpus.count()
+        _FIXTURE_COUNT_CACHE[ckey] = n
+    k = semdedup_k(n)
+    rows = fixture_kmeans_fit_rows(spark, sf_dir, "semplant", corpus, k, 2)
+    return k, rows
 
 
 def fixture_kmeans_fit_rows(

@@ -111,3 +111,51 @@ def test_curriculum_shared_train_scores_identically(spark):
     a = sorted(map(tuple, with_bigp.collect()))
     b = sorted(map(tuple, without.collect()))
     assert a == b
+
+
+def test_semantic_dedup_centroids_param_identical(spark):
+    """semantic_dedup(centroids=...) with the exact kmeans_fit rows must
+    equal the in-operator fit path row-for-row (the emb15/emb16 memo's
+    value-invisibility), for BOTH keep policies; a k-mismatched codebook
+    fails loudly."""
+    import pytest as _pytest
+
+    from real_time_stock_market_data_pipeline_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from real_time_stock_market_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+        semdedup_k,
+    )
+    from real_time_stock_market_data_pipeline_spark.sources.readers import (
+        load_table,
+    )
+
+    corpus = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .selectExpr(
+            "vec_id",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+        )
+        .localCheckpoint()
+    )
+    k = semdedup_k(corpus.count())
+    rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["embedding"]])
+        for r in kmeans_fit(corpus, k=k, n_iter=2).collect()
+    ]
+    for policy in ("min_id", "farthest"):
+        plain = sorted(
+            map(tuple, semantic_dedup(corpus, keep_policy=policy).collect())
+        )
+        with_cents = sorted(
+            map(
+                tuple,
+                semantic_dedup(
+                    corpus, k=k, keep_policy=policy, centroids=rows
+                ).collect(),
+            )
+        )
+        assert plain == with_cents, policy
+    with _pytest.raises(ValueError, match="centroids has"):
+        semantic_dedup(corpus, k=k, centroids=rows[:-1])
