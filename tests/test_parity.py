@@ -31,66 +31,64 @@ def test_every_query_has_oracle_or_is_documented():
     assert rows_only == allowed, f"missing oracles: {rows_only - allowed}"
 
 
-def test_r18_driver_window_pinned():
+def test_r19_driver_window_pinned():
     """The driver records correctness rows for the FIRST 50 registrations
-    only, so the window IS part of the round's evidence plan: the 22
-    r14-green entries displaced past slot 50 by the r17 window (the
-    "FROZEN FOR R18" block, oldest evidence in the registry) lead, new
-    r18 queries follow, and the r15-green rotations fill to exactly 50
-    in r15-window order (oldest evidence first).  An accidental
-    import-order or registration change would silently spend the
-    evidence budget on the wrong queries — fail loudly instead."""
+    only, so the window IS part of the round's evidence plan: the 26
+    r15-green entries displaced past slot 50 by the r18 window (the
+    "FROZEN FOR R19" block, oldest evidence in the registry) lead in
+    r15-window order, and — round 19 registering no new queries — the
+    r16-green block fills to exactly 50 in r16-window order (oldest
+    evidence first).  An accidental import-order or registration change
+    would silently spend the evidence budget on the wrong queries —
+    fail loudly instead."""
     from real_time_stock_market_data_pipeline_spark.plans import QUERIES
 
     names = list(QUERIES)
     leads = [
-        "emb18_filtered_ann",
-        "txt16_duplicated_ngrams", "dd1_exact_dedup", "w2_sma", "w3_ema",
-        "txt1_token_stats", "txt4_fingerprint", "emb10_incremental_ivf",
-        "txt12_bigram_lm", "txt13_feature_hash", "mm7_dhash_pairs",
-        "w12_series_similarity", "w13_series_all_pairs",
-        "dd11_incremental_decontamination", "mm8_audio_pairs",
-        "mm9_video_pairs", "emb11_pq_recall", "w14_series_banded_neardup",
-        "dq5_serving_drift_monitors", "txt21_dsir_resample",
-        "txt22_bm25_retrieval", "dd15_paragraph_dedup",
+        "p9_dedup_ticks", "j6_region_revenue",
+        "j7_orders_without_big_lineitems", "j8_industry_rollup",
+        "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
+        "o3_training_fetch", "sk1_salted_daily_summary", "q1_pricing_summary",
+        "t9_session_windows", "j10_asof_quote", "s13_model_roundtrip",
+        "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
+        "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
+        "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
+        "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
+        "sp11_domain_mixture",
     ]
-    assert names[:22] == leads
-    # new r18 queries sit directly after the displaced-r14 leads; each
-    # one displaces one r15 fill off the window tail
-    new_r18 = [n for n in names[22:50] if n not in _R15_WINDOW_ORDER]
-    n_new = len(new_r18)
-    assert names[22:22 + n_new] == new_r18  # new queries are contiguous
-    assert names[22 + n_new:50] == _R15_WINDOW_ORDER[: 28 - n_new]
-    # slot 50 boundary: the frozen-for-r19 block starts at index 50 with
-    # the first displaced r15 fill
-    assert names[50] == _R15_WINDOW_ORDER[28 - n_new]
+    assert names[:26] == leads
+    # no new queries this round: the remaining 24 window slots are the
+    # first 24 entries of the r16-green block, in r16-window order
+    assert names[26:50] == _R16_WINDOW_ORDER[:24]
+    # slot 50 boundary: the frozen-for-r20 block starts at index 50 with
+    # the first displaced r16 fill
+    assert names[50] == _R16_WINDOW_ORDER[24]
 
 
-# the r15-window order the round-18 fills draw from (the full 50-entry
-# r15-green block): any slot of the 50 not taken by a displaced-r14 lead
-# or a new r18 query is filled from this list front-to-back, and
-# displaced entries head the frozen-for-r19 block.
-_R15_WINDOW_ORDER = [
-    "sp14_doremi_mixture", "sp15_curriculum_shards",
-    "dd16_semantic_decontamination", "mm13_image_text_alignment",
-    "dd17_quality_survivors", "sp16_doremi_manifest",
-    "dq6_contamination_audit", "txt23_incremental_bm25",
-    "emb21_index_deletion", "sp17_epoch_shuffle",
-    "emb22_late_interaction", "emb23_matryoshka_recall",
-    "sp2_stratified_sample", "dd3_minhash_signatures",
-    "dd4_minhash_candidates", "dd5_simhash", "emb1_knn_cosine",
-    "emb2_label_centroids", "emb3_lsh_near_dup", "emb6_centered_lsh",
-    "j2_analytics_dashboard", "j4_prediction_dashboard", "j11_range_join",
-    "p7_validated_ticks", "p9_dedup_ticks", "j6_region_revenue",
-    "j7_orders_without_big_lineitems", "j8_industry_rollup",
-    "a4_daily_summary", "w1_latest_per_day", "w_all_indicators",
-    "o3_training_fetch", "sk1_salted_daily_summary", "q1_pricing_summary",
-    "t9_session_windows", "j10_asof_quote", "s13_model_roundtrip",
-    "u2_arima_forecast", "u3_linreg_metrics", "u4_linreg_predictions",
-    "txt8_bpe_tokenize", "txt9_bpe_incremental", "t10_throttle",
-    "sp5_sequence_packing", "dd6_dup_clusters", "dd7_dedup_summary",
-    "txt17_span_dedup", "txt18_quality_classifier", "sp10_domain_caps",
-    "sp11_domain_mixture",
+# the r16-window order the round-19 fills draw from (the full 50-entry
+# r16-green block): any window slot not taken by a displaced-r15 lead is
+# filled from this list front-to-back, and displaced entries head the
+# frozen-for-r20 block.
+_R16_WINDOW_ORDER = [
+    "emb19_filtered_ivfpq", "txt19_incremental_span_dedup",
+    "sp12_curated_corpus", "p3_time_window_filter", "p4_recent_window",
+    "p5_equality_filter", "p6_flag_filter", "a7_dup_detection",
+    "o1_top_events", "o4_latest_row", "o5_price_history",
+    "o6_sorted_rollup",
+    "dd18_corpus_takedown", "sp18_data_constrained_mixture",
+    "emb24_probe_curve", "txt24_gopher_rules", "dq7_dataset_card",
+    "a1_grouped_max", "a2_global_max", "a6_hourly_counts",
+    "d1_distinct_event_types", "su1_set_ops", "j1_tick_dashboard",
+    "mm1_media_meta", "emb12_incremental_pq", "dq3_embedding_audit",
+    "emb13_ivfpq_recall", "txt14_doc_retrieval",
+    "dd12_neardup_decontamination", "mm10_crossmodal_decontamination",
+    "dd13_compacted_table", "emb14_incremental_ivfpq",
+    "sp8_decontaminated_pipeline", "txt10_repetition",
+    "sp6_temperature_mixture", "sp7_corpus_pipeline", "a13_ohlc_candles",
+    "w11_vwap", "emb9_quantized_recall", "dd10_exact_decontamination",
+    "txt11_pii_redaction", "dd9_incremental_minhash",
+    "emb7_embedding_clusters", "dd2_ngram_jaccard", "txt5_bpe_tokens",
+    "f1_scalar_suite", "w4_rsi", "w5_bollinger", "w6_macd", "w7_volatility",
 ]
 
 
