@@ -29,6 +29,7 @@ from contextlib import contextmanager
 
 from .functions.scalars import dsum, r6
 from .operators.relational import latest_per_group
+from .sources.readers import read_parquet_cached_schema as _read_pq
 
 
 @contextmanager
@@ -96,7 +97,7 @@ def refresh_daily_summary_incremental(
             F.to_date("trade_datetime").alias("d")
         ).distinct().collect()
     ]
-    store = spark.read.parquet(tick_store_path)
+    store = _read_pq(spark, tick_store_path)
     affected = store.filter(F.col("trade_date").isin(days))
     with _scoped_conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         (
@@ -445,7 +446,7 @@ def compact_parquet(
         need = _need(path, files)
         if len(files) <= need:
             return {}
-        _flat_swap(path, spark.read.parquet(path).coalesce(need))
+        _flat_swap(path, _read_pq(spark, path).coalesce(need))
         return {".": (len(files), len(_data_files(path)))}
 
     plan: list[tuple[str, int, int]] = []
@@ -462,7 +463,7 @@ def compact_parquet(
     for e, need, n_before in plan:
         # partition-dir files carry no partition column, and are written
         # back the same way — the dir name IS the column value
-        part = spark.read.parquet(os.path.join(path, e)).coalesce(need)
+        part = _read_pq(spark, os.path.join(path, e)).coalesce(need)
         part.write.mode("overwrite").parquet(os.path.join(staging, e))
         summary[e] = (n_before, len(_data_files(os.path.join(staging, e))))
     _mark_staging_complete(staging)
@@ -516,7 +517,7 @@ def compact_doc_keyed_table(
         return {}
     _flat_swap(
         path,
-        spark.read.parquet(path)
+        _read_pq(spark, path)
         .repartitionByRange(need, F.col(id_col))
         .sortWithinPartitions(id_col),
     )

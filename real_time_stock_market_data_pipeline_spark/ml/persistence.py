@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .regression import WINDOW_SIZE, _ols_fit, _windows, grouped_map_input
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 MODEL_TYPE = "LinearRegression"
 
@@ -171,7 +172,7 @@ def save_models(models: DataFrame, path: str) -> None:
 
 
 def load_models(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    return _read_pq(spark, path)
 
 
 def score_latest(

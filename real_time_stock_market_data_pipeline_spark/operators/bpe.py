@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import tokens_col
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 
 def word_counts(df: DataFrame, text: str = "text") -> DataFrame:
@@ -378,7 +379,7 @@ def tokenize_docs(df: DataFrame, path: str, text: str = "text") -> DataFrame:
     Python in the hot path.  One shuffle on the word key + one on the doc
     id; rows are doc-sized, never corpus-sized, in the aggregate."""
     spark = df.sparkSession
-    mapping = spark.read.parquet(path).select("word", "tokens")
+    mapping = _read_pq(spark, path).select("word", "tokens")
     id_col = df.columns[0]
     words = df.select(
         F.col(id_col), F.posexplode(tokens_col(text)).alias("pos", "word")
@@ -417,7 +418,7 @@ def token_vocab(spark, path: str) -> DataFrame:
     from pyspark.sql import Window
 
     toks = (
-        spark.read.parquet(path)
+        _read_pq(spark, path)
         .select(F.explode("tokens").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))

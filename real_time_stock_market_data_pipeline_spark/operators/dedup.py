@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import P_MOD, tokens_col
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 # Deterministic MinHash parameters — same series as plans/text_parity.
 N_HASHES = 16
@@ -424,7 +425,7 @@ def span_dedup_from_table(
     from ..maintenance import heal_if_interrupted
 
     heal_if_interrupted(path)
-    table = spark.read.parquet(path).select(id_col, "sh")
+    table = _read_pq(spark, path).select(id_col, "sh")
     # the positioned-starts frame feeds BOTH the cleanup tail and the
     # batch's own (id, sh) df-contribution — snapshot it or the whole
     # explode+window chain executes twice (the span_dedup materialize
@@ -838,7 +839,7 @@ def candidate_pairs_from_table(
     from .takedown import minus_tombstones
 
     bands = minus_tombstones(
-        spark.read.parquet(path), spark, path, id_col
+        _read_pq(spark, path), spark, path, id_col
     ).select(id_col, "band_id", "band_sig")
     return _band_self_join(bands, id_col)
 
@@ -856,7 +857,7 @@ def incremental_candidate_pairs(
     from .takedown import minus_tombstones
 
     bands = minus_tombstones(
-        spark.read.parquet(path), spark, path, id_col
+        _read_pq(spark, path), spark, path, id_col
     ).select(id_col, "band_id", "band_sig")
     new_bands = bands.join(new_ids.select(id_col), id_col, "left_semi")
     a, b = new_bands.alias("a"), bands.alias("b")
@@ -956,7 +957,7 @@ def contaminated_docs_from_table(
 
     spark = train_df.sparkSession
     test_sh = (
-        minus_tombstones(spark.read.parquet(path), spark, path, id_col)
+        minus_tombstones(_read_pq(spark, path), spark, path, id_col)
         .select("sh")
         .distinct()
     )
@@ -1026,7 +1027,7 @@ def near_contaminated_docs_from_table(
 
     spark = train_df.sparkSession
     test_bands = minus_tombstones(
-        spark.read.parquet(path), spark, path, id_col
+        _read_pq(spark, path), spark, path, id_col
     ).select(F.col(id_col).alias("__test_id"), "band_id", "band_sig")
     top_band = test_bands.agg(F.max("band_id")).first()[0]
     if top_band is not None and top_band + 1 != N_HASHES // band_size:

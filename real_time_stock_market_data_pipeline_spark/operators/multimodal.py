@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -1236,7 +1237,7 @@ def media_contamination_pairs_from_table(
 
     spark = train_df.sparkSession
     table = minus_tombstones(
-        spark.read.parquet(path), spark, path, id_col
+        _read_pq(spark, path), spark, path, id_col
     ).select(F.col(id_col).alias("test_id"), "fp", "band_id", "band_val")
     hashed = train_df.select(F.col(id_col), F.col(hash_col)).filter(
         F.col(hash_col).isNotNull()

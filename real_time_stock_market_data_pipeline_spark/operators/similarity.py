@@ -27,6 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 
 def dot_col(a: Column, b: Column) -> Column:
@@ -390,6 +391,41 @@ def _memo_store_read(spark, dir_path: str, read):
     return val
 
 
+def _prime_pq_codebook_memo(spark, dir_path: str, codebooks) -> None:
+    """Install just-WRITTEN PQ codebooks into the persisted-read memo so
+    the first load after an init/rebuild skips its collect job (r19
+    optimization; guide §1.2 — every init→update and rebuild→search
+    chain paid one driver collect per quantizer level to re-read values
+    the writer held in hand).  Value-invisible by construction, PQ
+    codebooks ONLY: ``load_pq_codebooks`` reconstructs by
+    (sub_id, centroid_id) INDEXING — collect order cannot matter — and
+    parquet round-trips doubles exactly, so the primed value is
+    bit-identical to what the next read would return (pinned by
+    tests/test_r19_opt_internals.py).  The IVF/semantic centroid stores
+    are NOT primed: ``_collect_codebook`` returns rows in collect order,
+    which Spark's file-split scheduling does not promise to match write
+    order.  The fs-token is computed AFTER the write, so any later
+    rewrite still invalidates exactly as for a collected entry."""
+    token = _store_dir_token(dir_path)
+    if token is None:
+        return
+    key = (spark.sparkContext.applicationId, os.path.abspath(dir_path))
+    # deep-copy: the memo value must stay immutable even if the caller
+    # mutates its own nested lists afterwards
+    val = [[[float(x) for x in c] for c in cb] for cb in codebooks]
+    _STORE_CODEBOOK_CACHE[key] = (token, val)
+
+
+def _drop_pq_codebook_memo(spark, dir_path: str) -> None:
+    """Discard a memo entry for a path that no longer exists (a rebuild's
+    renamed-away staging dir) — bounded-cache hygiene, not correctness:
+    a stale entry can never be served (its path has no files, so
+    ``_store_dir_token`` returns None and reads bypass the memo)."""
+    _STORE_CODEBOOK_CACHE.pop(
+        (spark.sparkContext.applicationId, os.path.abspath(dir_path)), None
+    )
+
+
 def _collect_store_centroids(
     spark, store_dir: str, centroid_id: str = "centroid_id",
     vec: str = "embedding",
@@ -399,7 +435,7 @@ def _collect_store_centroids(
     return _memo_store_read(
         spark, store_dir,
         lambda: _collect_codebook(
-            spark.read.parquet(store_dir), centroid_id, vec
+            _read_pq(spark, store_dir), centroid_id, vec
         ),
     )
 
@@ -676,7 +712,7 @@ def rebuild_ivf_index(
             "resolve manually before rebuilding"
         )
     heal_if_interrupted(f"{path}/lists")  # a mid-swap compaction crash
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = _read_pq(spark, f"{path}/lists")
     meta = [c for c in lists.columns if c not in (vec_id, vec, centroid_id)]
     acc = lists.select(vec_id, vec, *meta).localCheckpoint(eager=False)
     # the metric count is a pure read: overlap it with the fit unless
@@ -985,7 +1021,21 @@ def _pq_argmin_pandas(codebooks: list[list[list[float]]]):
     @F.pandas_udf("int")
     def assign(sub_id: pd.Series, subvec: pd.Series) -> pd.Series:
         sids = sub_id.to_numpy()
-        x = np.stack(subvec.to_numpy())           # (n, d_sub)
+        try:
+            x = np.stack(subvec.to_numpy())       # (n, d_sub)
+        except ValueError as e:  # ragged subvectors: dim ≠ m·d_sub
+            raise ValueError(
+                "pq_fit: corpus subvectors have inconsistent lengths — "
+                "the corpus dim does not match the requested m·d_sub "
+                "(a dim-changing rebuild requires a fresh init)"
+            ) from e
+        if x.shape[1] != cb.shape[2]:
+            raise ValueError(
+                f"pq_fit: subvectors have dim {x.shape[1]} but the "
+                f"codebook expects d_sub = {cb.shape[2]} — corpus dim "
+                "!= m*d_sub (a dim-changing rebuild requires a fresh "
+                "init)"
+            )
         c = cb[sids]                              # (n, k, d_sub)
         d = ((c - x[:, None, :]) ** 2).sum(axis=2)
         return pd.Series(d.argmin(axis=1).astype("int32"))
@@ -1041,6 +1091,14 @@ def pq_encode(
                 pdf = pdf.copy()
                 if len(pdf):
                     x = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+                    if x.shape[1] != m * d_sub:
+                        raise ValueError(
+                            f"pq_encode: corpus vectors have dim "
+                            f"{x.shape[1]} but the codebooks expect "
+                            f"m*d_sub = {m * d_sub}; a dim-changing "
+                            "rebuild requires a fresh init (re-train "
+                            "with pq_fit on the new corpus)"
+                        )
                     sub = x.reshape(len(pdf), m, d_sub)
                     diff = sub[:, :, None, :] - cbarr[None, :, :, :]
                     sq = diff * diff
@@ -1237,6 +1295,10 @@ def init_pq_index(
     spark.createDataFrame(
         rows, "sub_id int, centroid_id int, centroid array<double>"
     ).write.mode("overwrite").parquet(f"{path}/codebooks")
+    # the first load after init (every update_*'s quantizer read) skips
+    # its collect job — see _prime_pq_codebook_memo for the
+    # value-invisibility argument
+    _prime_pq_codebook_memo(spark, f"{path}/codebooks", codebooks)
 
 
 def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
@@ -1245,7 +1307,7 @@ def load_pq_codebooks(spark, path: str) -> list[list[list[float]]]:
     per (application, path, fs-token) — see _STORE_CODEBOOK_CACHE."""
 
     def read() -> list[list[list[float]]]:
-        rows = spark.read.parquet(f"{path}/codebooks").collect()
+        rows = _read_pq(spark, f"{path}/codebooks").collect()
         m = 1 + max(r.sub_id for r in rows)
         k = 1 + max(r.centroid_id for r in rows)
         cbs: list[list[list[float]]] = [[None] * k for _ in range(m)]
@@ -1389,20 +1451,31 @@ def rebuild_pq_codes(
         )
     heal_if_interrupted(f"{path}/codes")
     old_cbs = load_pq_codebooks(spark, path)
-    ids = spark.read.parquet(f"{path}/codes").select(vec_id)
+    ids = _read_pq(spark, f"{path}/codes").select(vec_id)
     # coverage-validation counts overlap the fit (guide §2.6, the
     # rebuild_ivfpq_index discipline): pure reads, validated before any
-    # write — same exception on failure, no fs mutation either way
+    # write — no fs mutation on any failure path (the exception may be
+    # the fit's own rather than the coverage message)
     n_codes_of = overlapped_count(ids)
     acc = corpus.join(ids, vec_id, "left_semi").localCheckpoint(eager=False)
     n_acc_of = overlapped_count(acc)
-    cbs = pq_fit(
-        acc, m=m or len(old_cbs), k=k or len(old_cbs[0]),
-        vec_id=vec_id, vec=vec, n_iter=n_iter,
-        # dim is fixed by the standing codebooks (m · d_sub) — saves the
-        # size-probe job over the corpus
-        dim=len(old_cbs) * len(old_cbs[0][0]),
-    )
+    try:
+        cbs = pq_fit(
+            acc, m=m or len(old_cbs), k=k or len(old_cbs[0]),
+            vec_id=vec_id, vec=vec, n_iter=n_iter,
+            # dim is fixed by the standing codebooks (m · d_sub) — saves
+            # the size-probe job over the corpus
+            dim=len(old_cbs) * len(old_cbs[0][0]),
+        )
+    except BaseException:
+        # best-effort join of the overlapped count jobs so the error
+        # path leaves no unjoined background work (r18 ADVICE)
+        for _thunk in (n_acc_of, n_codes_of):
+            try:
+                _thunk()
+            except Exception:
+                pass
+        raise
     n_acc, n_codes = n_acc_of(), n_codes_of()
     if n_acc != n_codes:
         raise ValueError(
@@ -1410,18 +1483,31 @@ def rebuild_pq_codes(
             f"vectors — every accumulated vec_id must be re-encodable"
         )
     staging = f"{path}__staging_{_uuid.uuid4().hex}"
-    init_pq_index(spark, cbs, staging)
-    (
-        pq_encode(acc, cbs, vec=vec, arrow=True)
-        .select(F.col(vec_id), F.col("pq_codes"))
-        .write.mode("overwrite")
-        .parquet(f"{staging}/codes")
-    )
+    # the tiny staged codebook write is independent of the corpus-sized
+    # encode write (disjoint staging subdirs of a not-yet-served root):
+    # overlap them on a driver thread (guide §2.6); the durability marker
+    # still lands strictly after BOTH writes return
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=1) as _pool:
+        _init_fut = _pool.submit(init_pq_index, spark, cbs, staging)
+        (
+            pq_encode(acc, cbs, vec=vec, arrow=True)
+            .select(F.col(vec_id), F.col("pq_codes"))
+            .write.mode("overwrite")
+            .parquet(f"{staging}/codes")
+        )
+        _init_fut.result()
     _mark_staging_complete(staging)
     old = f"{path}__old_{_uuid.uuid4().hex}"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+    # repoint the codebook memo at the installed path (the staging-path
+    # entry init_pq_index primed was renamed away): the rebuilt index's
+    # first search/update skips its re-collect job
+    _drop_pq_codebook_memo(spark, f"{staging}/codebooks")
+    _prime_pq_codebook_memo(spark, f"{path}/codebooks", cbs)
     return {"n_vectors": int(n_acc), "m": int(m or len(old_cbs))}
 
 
@@ -1828,7 +1914,7 @@ def rebuild_ivfpq_index(
         )
     heal_if_interrupted(f"{path}/index")
     _, old_fine = load_ivfpq_quantizers(spark, path)
-    index = spark.read.parquet(f"{path}/index")
+    index = _read_pq(spark, f"{path}/index")
     meta = [c for c in index.columns if c not in (vec_id, "list_id", "pq_codes")]
     missing_meta = set(meta) - set(corpus.columns)
     if missing_meta:
@@ -1839,9 +1925,10 @@ def rebuild_ivfpq_index(
         )
     ids = index.select(vec_id)
     # the coverage-validation counts are pure reads independent of the
-    # retrain: overlap them with the quantizer fits (guide §2.6) and
-    # validate before anything is written — same exception, no fs
-    # mutation either way, and the success path stops serializing two
+    # retrain: overlap them with the coarse fit (guide §2.6) and
+    # validate before anything is written — no fs mutation on any
+    # failure path (the exception may be the fit's own rather than the
+    # coverage message), and the success path stops serializing two
     # full count jobs in front of the fit
     n_index_of = overlapped_count(ids)
     acc = corpus.join(ids, vec_id, "left_semi").localCheckpoint(eager=False)
@@ -1857,42 +1944,73 @@ def rebuild_ivfpq_index(
     # the full corpus a second time just to rebuild the residual frame
     # the fine fit already materialized (guide §1.2 — at 100 TB that is
     # an entire extra corpus pass)
-    coarse = pq_fit(
-        acc, m=1, k=n_lists, vec_id=vec_id, vec=vec, n_iter=n_iter, dim=dim
-    )
-    res = _with_residual(acc, coarse, vec_id=vec_id, vec=vec).localCheckpoint(
-        eager=False
-    )
-    fine = pq_fit(
-        res.select(F.col(vec_id), F.col("residual").alias(vec)),
-        m=m or len(old_fine),
-        k=k or len(old_fine[0]),
-        vec_id=vec_id,
-        vec=vec,
-        n_iter=n_iter,
-        dim=dim,
-    )
-    n_acc, n_index = n_acc_of(), n_index_of()
-    if n_acc != n_index:
-        raise ValueError(
-            f"rebuild corpus covers {n_acc} of the index's {n_index} "
-            f"vectors — every accumulated vec_id must be re-encodable"
+    try:
+        coarse = pq_fit(
+            acc, m=1, k=n_lists, vec_id=vec_id, vec=vec, n_iter=n_iter, dim=dim
         )
+        # coverage validated BETWEEN the coarse and fine fits (r19: the
+        # r18 verdict's "failure paths got more expensive" item): the
+        # overlapped counts have had the entire coarse fit to land, so
+        # joining here is ~free on the success path, while a doomed
+        # rebuild no longer pays the full fine retrain before failing.
+        # Still strictly before any write — no fs mutation either way.
+        n_acc, n_index = n_acc_of(), n_index_of()
+        if n_acc != n_index:
+            raise ValueError(
+                f"rebuild corpus covers {n_acc} of the index's {n_index} "
+                f"vectors — every accumulated vec_id must be re-encodable"
+            )
+        res = _with_residual(acc, coarse, vec_id=vec_id, vec=vec).localCheckpoint(
+            eager=False
+        )
+        fine = pq_fit(
+            res.select(F.col(vec_id), F.col("residual").alias(vec)),
+            m=m or len(old_fine),
+            k=k or len(old_fine[0]),
+            vec_id=vec_id,
+            vec=vec,
+            n_iter=n_iter,
+            dim=dim,
+        )
+    except BaseException:
+        # best-effort join of the overlapped count jobs so the error
+        # path leaves no unjoined background work (r18 ADVICE); the
+        # original exception — which may be the fit's own, not the
+        # coverage message — propagates unchanged
+        for _thunk in (n_acc_of, n_index_of):
+            try:
+                _thunk()
+            except Exception:
+                pass
+        raise
     staging = f"{path}__staging_{_uuid.uuid4().hex}"
-    init_ivfpq_index(spark, coarse, fine, staging)  # threaded level writes
-    (
-        pq_encode(res, fine, vec="residual", arrow=True)
-        .select(F.col(vec_id), F.col("list_id"), F.col("pq_codes"),
-                *[F.col(c) for c in meta])
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(f"{staging}/index")
-    )
+    # the two tiny quantizer-level writes are independent of the
+    # corpus-sized encode write (disjoint staging subdirs): overlap them
+    # (guide §2.6); the durability marker lands after ALL writes return
+    from concurrent.futures import ThreadPoolExecutor as _TPE
+
+    with _TPE(max_workers=1) as _pool:
+        _init_fut = _pool.submit(init_ivfpq_index, spark, coarse, fine, staging)
+        (
+            pq_encode(res, fine, vec="residual", arrow=True)
+            .select(F.col(vec_id), F.col("list_id"), F.col("pq_codes"),
+                    *[F.col(c) for c in meta])
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(f"{staging}/index")
+        )
+        _init_fut.result()
     _mark_staging_complete(staging)
     old = f"{path}__old_{_uuid.uuid4().hex}"
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
+    # repoint the codebook memos at the installed path: the rebuilt
+    # index's first search (the dq5/dq4 rebuilt gate, emb14's post-
+    # rebuild serve) skips two re-collect jobs
+    for _lvl, _cbs in (("coarse", coarse), ("fine", fine)):
+        _drop_pq_codebook_memo(spark, f"{staging}/{_lvl}/codebooks")
+        _prime_pq_codebook_memo(spark, f"{path}/{_lvl}/codebooks", _cbs)
     return {"n_vectors": int(n_acc), "n_lists": int(n_lists)}
 
 
@@ -2147,10 +2265,15 @@ def _purge_partitioned_tombstones(
         _shutil.rmtree(f"{root}/tombstones", ignore_errors=True)
         return {"n_purged": 0, "n_lists_rewritten": 0}
     doomed = index.join(t_ids, vec_id, "left_semi")
-    touched = sorted(
-        r[0] for r in doomed.select(part_col).distinct().collect()
-    )
-    n_purged = doomed.count()
+    # touched partitions AND the purge metric in ONE job (guide §1.2,
+    # r19): the per-partition counts sum to exactly doomed.count() and
+    # their keys are exactly the distinct partition values — the old
+    # collect + count pair scanned the index twice
+    per_part = doomed.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    ).collect()
+    touched = sorted(r[0] for r in per_part)
+    n_purged = sum(r["__n"] for r in per_part)
     if touched:
         _require_no_orphans(index_path)
         keep = index.filter(F.col(part_col).isin(touched)).join(
@@ -2879,7 +3002,7 @@ def rebuild_semantic_index(
     heal_if_interrupted(f"{path}/assigned")
     heal_if_interrupted(f"{path}/pairs")
     acc = (
-        spark.read.parquet(f"{path}/assigned")
+        _read_pq(spark, f"{path}/assigned")
         .select(vec_id, vec)
         .localCheckpoint(eager=False)
     )

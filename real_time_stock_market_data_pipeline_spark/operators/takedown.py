@@ -186,8 +186,16 @@ def purge_doc_keyed_table(
         shutil.rmtree(t_path, ignore_errors=True)
         return {"n_purged": 0}
     t_ids = tombs.select(id_col).distinct()
-    n_total = table.count()
-    n_purged = table.join(t_ids, id_col, "left_semi").count()
+    # both counts in ONE table scan (guide §1.2, r19): t_ids is distinct,
+    # so the broadcast left join is row-preserving — count(*) is the
+    # table total and count(__t) counts exactly the semi-join's rows
+    row = table.join(
+        F.broadcast(t_ids.withColumn("__t", F.lit(1))), id_col, "left"
+    ).agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        F.count("__t").alias("__n_purged"),
+    ).first()
+    n_total, n_purged = row["__n_total"], row["__n_purged"]
     if n_purged:
         if n_purged == n_total:
             shutil.rmtree(table_path, ignore_errors=True)
@@ -303,10 +311,17 @@ def purge_semantic_index(
     n_assigned = 0
     assigned = read_parquet_if_exists(spark, f"{root}/assigned")
     if assigned is not None:
-        doomed = assigned.join(t, vec_id, "left_semi")
-        n_assigned = doomed.count()
+        # doomed + total counts in ONE assigned scan (guide §1.2, r19):
+        # t is distinct, so the broadcast left join is row-preserving
+        row = assigned.join(
+            F.broadcast(t.withColumn("__t", F.lit(1))), vec_id, "left"
+        ).agg(
+            F.count(F.lit(1)).alias("__n_total"),
+            F.count("__t").alias("__n_doomed"),
+        ).first()
+        n_assigned = row["__n_doomed"]
         if n_assigned:
-            if n_assigned == assigned.count():
+            if n_assigned == row["__n_total"]:
                 shutil.rmtree(f"{root}/assigned", ignore_errors=True)
             else:
                 _flat_swap(
@@ -318,19 +333,57 @@ def purge_semantic_index(
     n_pairs = 0
     pairs = read_parquet_if_exists(spark, f"{root}/pairs")
     if pairs is not None:
-        ta = t.withColumnRenamed(vec_id, "vec_a")
-        tb = t.withColumnRenamed(vec_id, "vec_b")
-        keep = (
-            pairs.join(F.broadcast(ta), "vec_a", "left_anti")
-            .join(F.broadcast(tb), "vec_b", "left_anti")
-            .select(*pairs.columns)
+        # keep/purged counts in ONE pairs scan (was keep.count() +
+        # pairs.count()): a pair survives iff NEITHER end is tombstoned
+        row = (
+            pairs.join(
+                F.broadcast(
+                    t.withColumnRenamed(vec_id, "vec_a").withColumn(
+                        "__ta", F.lit(1)
+                    )
+                ),
+                "vec_a",
+                "left",
+            )
+            .join(
+                F.broadcast(
+                    t.withColumnRenamed(vec_id, "vec_b").withColumn(
+                        "__tb", F.lit(1)
+                    )
+                ),
+                "vec_b",
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("__n_total"),
+                F.count(
+                    F.when(
+                        F.col("__ta").isNull() & F.col("__tb").isNull(),
+                        F.lit(1),
+                    )
+                ).alias("__n_keep"),
+            )
+            .first()
         )
-        n_keep = keep.count()
-        n_pairs = pairs.count() - n_keep
+        n_keep = row["__n_keep"]
+        n_pairs = row["__n_total"] - n_keep
         if n_pairs:
             if n_keep == 0:
                 shutil.rmtree(f"{root}/pairs", ignore_errors=True)
             else:
+                keep = (
+                    pairs.join(
+                        F.broadcast(t.withColumnRenamed(vec_id, "vec_a")),
+                        "vec_a",
+                        "left_anti",
+                    )
+                    .join(
+                        F.broadcast(t.withColumnRenamed(vec_id, "vec_b")),
+                        "vec_b",
+                        "left_anti",
+                    )
+                    .select(*pairs.columns)
+                )
                 _flat_swap(f"{root}/pairs", keep)
     shutil.rmtree(t_path, ignore_errors=True)
     return {"n_purged_assigned": int(n_assigned), "n_purged_pairs": int(n_pairs)}

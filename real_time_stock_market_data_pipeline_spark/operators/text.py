@@ -18,6 +18,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 P_MOD = 1_000_000_007
 
@@ -904,8 +905,8 @@ def init_curriculum_store(
     spark.createDataFrame([(int(v),)], "v bigint").write.mode(
         "overwrite"
     ).parquet(f"{path}/model/meta")
-    bc = spark.read.parquet(f"{path}/model/bc")
-    uc = spark.read.parquet(f"{path}/model/uc")
+    bc = _read_pq(spark, f"{path}/model/bc")
+    uc = _read_pq(spark, f"{path}/model/uc")
     sharded = _with_shards(
         _with_wrk(
             score_under_curriculum_model(
@@ -928,8 +929,8 @@ def load_curriculum_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     from ..maintenance import heal_if_interrupted
 
     heal_if_interrupted(path, for_read=True)  # rebuild swaps the root
-    bc = spark.read.parquet(f"{path}/model/bc")
-    uc = spark.read.parquet(f"{path}/model/uc")
+    bc = _read_pq(spark, f"{path}/model/bc")
+    uc = _read_pq(spark, f"{path}/model/uc")
     # the scalar meta row is fixed for the model's life (rebuild swaps
     # the directory) — memoize the one-row collect per (app, path,
     # fs-token) like every persisted-codebook read
@@ -938,7 +939,7 @@ def load_curriculum_model(spark, path: str) -> tuple[DataFrame, DataFrame, int]:
     v = _memo_store_read(
         spark,
         f"{path}/model/meta",
-        lambda: int(spark.read.parquet(f"{path}/model/meta").first()[0]),
+        lambda: int(_read_pq(spark, f"{path}/model/meta").first()[0]),
     )
     return bc, uc, int(v)
 
@@ -956,7 +957,7 @@ def read_curriculum_docs(spark, path: str) -> DataFrame:
     # absent with a marked root staging pending
     heal_if_interrupted(path, for_read=True)
     heal_if_interrupted(f"{path}/docs", for_read=True)
-    docs = spark.read.parquet(f"{path}/docs")
+    docs = _read_pq(spark, f"{path}/docs")
     tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
     if tombs is not None:
         docs = docs.join(
@@ -1243,17 +1244,21 @@ def purge_curriculum_tombstones(spark, path: str) -> dict[str, int]:
         return {"n_purged": 0, "n_shards_rewritten": 0}
     t_ids = tombs.select("doc_id").distinct()
     doomed = docs.join(F.broadcast(t_ids), "doc_id", "left_semi").select(
-        "doc_id", "bucket", F.col("shard_id").cast("bigint").alias("shard_id")
-    ).localCheckpoint()
-    n_purged = doomed.count()
+        "bucket", F.col("shard_id").cast("bigint").alias("shard_id")
+    )
+    # the purge metric, touched buckets AND doomed shards in ONE job
+    # (guide §1.2, r19): the old checkpoint + count + two distinct
+    # collects scanned the doomed frame four times
+    per_bs = doomed.groupBy("bucket", "shard_id").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).collect()
+    n_purged = sum(r["__n"] for r in per_bs)
     if n_purged == 0:
         # stale tombstones whose rows are already gone — drop them
         _shutil.rmtree(t_path, ignore_errors=True)
         return {"n_purged": 0, "n_shards_rewritten": 0}
-    touched = sorted(r[0] for r in doomed.select("bucket").distinct().collect())
-    doomed_shards = {
-        int(r[0]) for r in doomed.select("shard_id").distinct().collect()
-    }
+    touched = sorted({r["bucket"] for r in per_bs})
+    doomed_shards = {int(r["shard_id"]) for r in per_bs}
     remaining = docs.join(F.broadcast(t_ids), "doc_id", "left_anti").select(
         *_CURRICULUM_DOC_COLS,
         F.col("shard_id").cast("bigint").alias("old_shard"),
@@ -1350,7 +1355,7 @@ def rebuild_curriculum_store(
             "resolve manually before rebuilding"
         )
     heal_if_interrupted(f"{path}/docs")
-    standing = spark.read.parquet(f"{path}/docs").select("doc_id")
+    standing = _read_pq(spark, f"{path}/docs").select("doc_id")
     tombs = read_parquet_if_exists(spark, f"{path}/tombstones")
     if tombs is not None:
         standing = standing.join(
@@ -1386,8 +1391,8 @@ def rebuild_curriculum_store(
     spark.createDataFrame([(int(v),)], "v bigint").write.mode(
         "overwrite"
     ).parquet(f"{staging}/model/meta")
-    bc = spark.read.parquet(f"{staging}/model/bc")
-    uc = spark.read.parquet(f"{staging}/model/uc")
+    bc = _read_pq(spark, f"{staging}/model/bc")
+    uc = _read_pq(spark, f"{staging}/model/uc")
     sharded = _with_shards(
         _with_wrk(
             score_under_curriculum_model(

@@ -73,6 +73,7 @@ from .embedding_parity import (
 )
 from .queries import QUERIES
 from .text_parity import _bands_sql, _shingle_cte_over, _sigs_over
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 AUDIT_ORACLES: dict[str, str] = {}
 
@@ -610,6 +611,18 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = read_parquet_if_exists(spark, path)
         return 0 if t is None else t.count()
 
+    def count_overlapped(path: str):
+        """Pre-takedown row count submitted on a driver thread (guide
+        §2.6): the tombstone appends the takedown chain performs land in
+        SIBLING dirs, never the counted table's files, so the count is a
+        pure read of state the chain does not touch.  Callers join the
+        thunk strictly BEFORE their purge (which does rewrite the
+        table)."""
+        from ..maintenance import overlapped_count
+
+        t = read_parquet_if_exists(spark, path)
+        return (lambda: 0) if t is None else overlapped_count(t)
+
     def tbl_eq(a_path: str, b: DataFrame) -> bool:
         a = read_parquet_if_exists(spark, a_path)
         if a is None:
@@ -637,18 +650,33 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "dd18_emb", emb, m=DD18_PQ_M, k=DD18_PQ_K, n_iter=1
     )
 
-    def flat_leg(fam: str, sub: str, update, rebuilt_rows):
+    def flat_leg(fam: str, sub: str, update, rebuilt_rows, prebuild=None):
+        """One flat-family lifecycle.  r19 overlaps (guide §2.6): the
+        pre-takedown count rides a driver thread under the two takedown
+        calls and the serve gate (joined before the purge rewrites the
+        table), and ``prebuild`` — a rebuild-store construction that
+        depends only on the fixture frames, never on ``p``'s lifecycle —
+        runs on its own sub-thread and is joined before ``rebuilt_rows``
+        reads it."""
         p = os.path.join(root, sub)
         update(p)
-        before = count(p)
+        pre_fut = None
+        if prebuild is not None:
+            pre_pool = ThreadPoolExecutor(max_workers=1)
+            pre_fut = pre_pool.submit(prebuild)
+            pre_pool.shutdown(wait=False)
+        before_of = count_overlapped(p)
         takedown(spark, doc_dels, {fam: p})
         m2 = takedown(spark, doc_dels, {fam: p})
         replay = m2[fam]["n_new_tombstones"] == 0
         serve = disjoint(
-            minus_tombstones(spark.read.parquet(p), spark, p),
+            minus_tombstones(_read_pq(spark, p), spark, p),
             "doc_id", doc_dels, "doc_id",
         )
+        before = before_of()  # strictly before the purge's rewrite
         purge_takedown(spark, {fam: p})
+        if pre_fut is not None:
+            pre_fut.result()
         return [(fam, before, count(p), replay, serve, tbl_eq(p, rebuilt_rows()))]
 
     def leg_sig():
@@ -668,24 +696,39 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
     def leg_fp():
         p2 = os.path.join(root, "fp2")
 
-        def rebuilt():
+        def prebuild():
+            # the comparison store depends only on the fixture frames —
+            # build it under the takedown chain instead of after it
             update_media_fingerprint_table(
                 media.join(doc_dels, "doc_id", "left_anti"), p2
             )
-            return spark.read.parquet(p2)
 
         return flat_leg(
             "fingerprints", "fp",
             lambda p: update_media_fingerprint_table(media, p),
-            rebuilt,
+            lambda: _read_pq(spark, p2),
+            prebuild=prebuild,
         )
 
     def leg_sem():
         p = os.path.join(root, "sem")
         p2 = os.path.join(root, "sem2")
+
+        def prebuild():
+            # the comparison store depends only on the fixture frames —
+            # never on p's lifecycle — so it builds on a sub-thread
+            # under the takedown chain (guide §2.6, r19) instead of
+            # serializing after the purge
+            init_semantic_index(cents, p2)
+            update_semantic_index(spark, rem_sem, p2, DD18_TAU)
+
+        pre_pool = ThreadPoolExecutor(max_workers=1)
+        pre_fut = pre_pool.submit(prebuild)
+        pre_pool.shutdown(wait=False)
         init_semantic_index(cents, p)
         update_semantic_index(spark, sem_corpus, p, DD18_TAU)
-        before_a, before_p = count(f"{p}/assigned"), count(f"{p}/pairs")
+        before_a_of = count_overlapped(f"{p}/assigned")
+        before_p_of = count_overlapped(f"{p}/pairs")
         takedown(spark, vec_dels, {"semantic": p}, id_col="vec_id")
         m2 = takedown(spark, vec_dels, {"semantic": p}, id_col="vec_id")
         replay = m2["semantic"]["n_new_tombstones"] == 0
@@ -697,26 +740,34 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         serve_p = disjoint(sp, "vec_a", vec_dels, "vec_id") and disjoint(
             sp, "vec_b", vec_dels, "vec_id"
         )
+        before_a, before_p = before_a_of(), before_p_of()  # pre-purge
         purge_takedown(spark, {"semantic": p}, id_col="vec_id")
-        init_semantic_index(cents, p2)
-        update_semantic_index(spark, rem_sem, p2, DD18_TAU)
+        pre_fut.result()
         return [
             (
                 "sem_assigned", before_a, count(f"{p}/assigned"), replay,
                 serve_a,
-                tbl_eq(f"{p}/assigned", spark.read.parquet(f"{p2}/assigned")),
+                tbl_eq(f"{p}/assigned", _read_pq(spark, f"{p2}/assigned")),
             ),
             (
                 "sem_pairs", before_p, count(f"{p}/pairs"), replay, serve_p,
-                tbl_eq(f"{p}/pairs", spark.read.parquet(f"{p2}/pairs")),
+                tbl_eq(f"{p}/pairs", _read_pq(spark, f"{p2}/pairs")),
             ),
         ]
 
     def leg_bm():
         p = os.path.join(root, "bm")
         p2 = os.path.join(root, "bm2")
+
+        def prebuild():
+            update_bm25_postings(rem_docs, p2, 0)
+
+        pre_pool = ThreadPoolExecutor(max_workers=1)
+        pre_fut = pre_pool.submit(prebuild)
+        pre_pool.shutdown(wait=False)
         update_bm25_postings(slice_df, p, 0)
-        before_tf, before_df = count(f"{p}/tf"), count(f"{p}/df")
+        before_tf_of = count_overlapped(f"{p}/tf")
+        before_df_of = count_overlapped(f"{p}/df")
         takedown(spark, doc_dels, {"bm25": p})
         m2 = takedown(spark, doc_dels, {"bm25": p})
         replay = m2["bm25"]["n_new_tombstones"] == 0
@@ -725,16 +776,17 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         serve = disjoint(
             bm25_tf_minus_tombstones(spark, p), "doc_id", doc_dels, "doc_id"
         )
+        before_tf, before_df = before_tf_of(), before_df_of()  # pre-purge
         purge_takedown(spark, {"bm25": p})
-        update_bm25_postings(rem_docs, p2, 0)
+        pre_fut.result()
         return [
             (
                 "bm25_tf", before_tf, count(f"{p}/tf"), replay, serve,
-                tbl_eq(f"{p}/tf", spark.read.parquet(f"{p2}/tf")),
+                tbl_eq(f"{p}/tf", _read_pq(spark, f"{p2}/tf")),
             ),
             (
                 "bm25_df", before_df, count(f"{p}/df"), replay, serve,
-                tbl_eq(f"{p}/df", spark.read.parquet(f"{p2}/df")),
+                tbl_eq(f"{p}/df", _read_pq(spark, f"{p2}/df")),
             ),
         ]
 
@@ -745,9 +797,17 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         as ivfpq's (both hive-partitioned on their list column)."""
         p = os.path.join(root, "ivf")
         p2 = os.path.join(root, "ivf2")
+
+        def prebuild():
+            init_ivf_index(cents, p2)
+            update_ivf_index(spark, rem_sem, p2)
+
+        pre_pool = ThreadPoolExecutor(max_workers=1)
+        pre_fut = pre_pool.submit(prebuild)
+        pre_pool.shutdown(wait=False)
         init_ivf_index(cents, p)
         update_ivf_index(spark, sem_corpus, p)
-        before = count(f"{p}/lists")
+        before_of = count_overlapped(f"{p}/lists")
         takedown(spark, vec_dels, {"ivf": p}, id_col="vec_id")
         m2 = takedown(spark, vec_dels, {"ivf": p}, id_col="vec_id")
         replay = m2["ivf"]["n_new_tombstones"] == 0
@@ -759,12 +819,12 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         hits = search_ivf_index(spark, p, dq, k=1, n_probe=DD18_K)
         serve = disjoint(hits, "vec_id", vec_dels, "vec_id")
+        before = before_of()  # pre-purge
         purge_takedown(spark, {"ivf": p}, id_col="vec_id")
-        init_ivf_index(cents, p2)
-        update_ivf_index(spark, rem_sem, p2)
+        pre_fut.result()
         return [(
             "ivf_lists", before, count(f"{p}/lists"), replay, serve,
-            tbl_eq(f"{p}/lists", spark.read.parquet(f"{p2}/lists")),
+            tbl_eq(f"{p}/lists", _read_pq(spark, f"{p2}/lists")),
         )]
 
     def leg_pq():
@@ -773,19 +833,27 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
         through similarity.read_pq_codes."""
         p = os.path.join(root, "pq")
         p2 = os.path.join(root, "pq2")
+
+        def prebuild():
+            init_pq_index(spark, pq_cbs, p2)
+            update_pq_codes(spark, rem_sem, p2)
+
+        pre_pool = ThreadPoolExecutor(max_workers=1)
+        pre_fut = pre_pool.submit(prebuild)
+        pre_pool.shutdown(wait=False)
         init_pq_index(spark, pq_cbs, p)
         update_pq_codes(spark, sem_corpus, p)
-        before = count(f"{p}/codes")
+        before_of = count_overlapped(f"{p}/codes")
         takedown(spark, vec_dels, {"pq": p}, id_col="vec_id")
         m2 = takedown(spark, vec_dels, {"pq": p}, id_col="vec_id")
         replay = m2["pq"]["n_new_tombstones"] == 0
         serve = disjoint(read_pq_codes(spark, p), "vec_id", vec_dels, "vec_id")
+        before = before_of()  # pre-purge
         purge_takedown(spark, {"pq": p}, id_col="vec_id")
-        init_pq_index(spark, pq_cbs, p2)
-        update_pq_codes(spark, rem_sem, p2)
+        pre_fut.result()
         return [(
             "pq_codes", before, count(f"{p}/codes"), replay, serve,
-            tbl_eq(f"{p}/codes", spark.read.parquet(f"{p2}/codes")),
+            tbl_eq(f"{p}/codes", _read_pq(spark, f"{p2}/codes")),
         )]
 
     def leg_rev():
@@ -804,14 +872,15 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text",
         ).localCheckpoint(eager=False)
         upsert_latest_revisions(spark, snaps, p, ["url"], "ts", "doc_id")
-        before = count(p)
+        before_of = count_overlapped(p)
         takedown(spark, doc_dels, {"latest_revisions": p})
         m2 = takedown(spark, doc_dels, {"latest_revisions": p})
         replay = m2["latest_revisions"]["n_new_tombstones"] == 0
         serve = disjoint(
-            minus_tombstones(spark.read.parquet(p), spark, p),
+            minus_tombstones(_read_pq(spark, p), spark, p),
             "doc_id", doc_dels, "doc_id",
         )
+        before = before_of()  # pre-purge
         purge_takedown(spark, {"latest_revisions": p})
         after = count(p)
         recrawl = snaps.join(doc_dels, "doc_id", "left_anti")
@@ -841,33 +910,73 @@ def _dd18_corpus_takedown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         p = os.path.join(root, "cur")
         init_curriculum_store(spark, slice_df, p)
-        before = count(f"{p}/docs")
+
+        def prebuild():
+            # the comparison frame depends only on the FROZEN model
+            # (written at init, untouched by takedown/purge — the store's
+            # module contract) and the fixture docs: materialize it on a
+            # sub-thread under the takedown chain (guide §2.6, r19)
+            # instead of serializing the whole score pass after the purge
+            bc, uc, v = load_curriculum_model(spark, p)
+            return _with_shards(
+                _with_wrk(score_under_curriculum_model(rem_docs, bc, uc, v)),
+                CURRICULUM_SHARDS,
+            ).select(
+                "doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id"
+            ).localCheckpoint()
+
+        pre_pool = ThreadPoolExecutor(max_workers=1)
+        rebuilt_fut = pre_pool.submit(prebuild)
+        pre_pool.shutdown(wait=False)
+        before_of = count_overlapped(f"{p}/docs")
         takedown(spark, doc_dels, {"curriculum": p})
         m2 = takedown(spark, doc_dels, {"curriculum": p})
         replay = m2["curriculum"]["n_new_tombstones"] == 0
         serve = disjoint(
             read_curriculum_docs(spark, p), "doc_id", doc_dels, "doc_id"
         )
+        before = before_of()  # pre-purge
         purge_takedown(spark, {"curriculum": p})
-        bc, uc, v = load_curriculum_model(spark, p)
-        rebuilt = _with_shards(
-            _with_wrk(score_under_curriculum_model(rem_docs, bc, uc, v)),
-            CURRICULUM_SHARDS,
-        ).select("doc_id", "ppl", "n_tokens", "bucket", "wrk", "shard_id")
+        rebuilt = rebuilt_fut.result()
         return [(
             "curriculum", before, count(f"{p}/docs"), replay, serve,
             tbl_eq(f"{p}/docs", rebuilt),
         )]
 
+    # measurement hook (guide §1.5): per-leg wall times to stderr when
+    # $SPARK_GRAFT_DD18_LEG_TIMING is set — names the floor leg the
+    # threaded umbrella's wall clock sits on; zero effect otherwise
+    import json as _json
+    import sys as _sys
+    import time as _time
+
+    _leg_s: dict[str, float] = {}
+
+    def _timed(leg):
+        if not os.environ.get("SPARK_GRAFT_DD18_LEG_TIMING"):
+            return leg
+
+        def run():
+            spark.sparkContext.setJobGroup(f"dd18:{leg.__name__}", leg.__name__)
+            t0 = _time.perf_counter()
+            try:
+                return leg()
+            finally:
+                _leg_s[leg.__name__] = round(_time.perf_counter() - t0, 3)
+
+        return run
+
     with ThreadPoolExecutor(max_workers=9) as pool:
         futures = [
-            pool.submit(leg)
+            pool.submit(_timed(leg))
             for leg in (
                 leg_sig, leg_sh, leg_fp, leg_sem, leg_bm,
                 leg_ivf, leg_pq, leg_rev, leg_cur,
             )
         ]
         rows = [row for f in futures for row in f.result()]
+    if _leg_s:
+        print(_json.dumps({"dd18_leg_s": _leg_s}), file=_sys.stderr, flush=True)
     rows.sort(key=lambda r: r[0])
     return spark.createDataFrame(
         rows,

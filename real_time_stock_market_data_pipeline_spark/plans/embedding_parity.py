@@ -31,6 +31,7 @@ from .dialect import (
     transform,
 )
 from .queries import QUERIES
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 N_QUERY_VECS = 5
 TOP_K = 10
@@ -597,7 +598,7 @@ def _emb17_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         m3 = update_semantic_index(spark, twins, path, SEMDEDUP_THRESHOLD)
         oneshot = oneshot_fut.result()
     acc = (
-        spark.read.parquet(f"{path}/pairs")
+        _read_pq(spark, f"{path}/pairs")
         .select("vec_a", "vec_b")
         .localCheckpoint(eager=False)
     )
@@ -808,7 +809,7 @@ def _emb19_filtered_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lists (read back from the index so probe membership is the store's)
     probes = ivfpq_probes(queries_df, coarse, n_probe=7)
     pe = (
-        spark.read.parquet(f"{path}/index")
+        _read_pq(spark, f"{path}/index")
         .filter(F.col("label") == FILTER_LABEL)
         .select("vec_id", "list_id")
         .join(F.broadcast(probes.select("query_id", "list_id")), "list_id")
@@ -1245,26 +1246,44 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         update_semantic_index,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = load_table(spark, sf_dir, "embeddings")
-    max_id = emb.agg(F.max("vec_id")).first()[0]
-    if max_id is not None and max_id >= DQ4_PLANT_BASE:
-        raise ValueError(
-            f"dq5 fixture: corpus vec_ids reach {max_id} >= the planted-id "
-            f"offset {DQ4_PLANT_BASE}"
-        )
     emb.createOrReplaceTempView("embeddings")
     # EAGER checkpoints: three fit pipelines + three rebuilds + two
     # searches re-enter these frames ~30 times; at this fixture size the
     # cost is Spark's fixed per-job overhead, and a lazy checkpoint adds
     # one full fixture re-derivation to each leg's first action
-    # (measured: ivfpq_fit first-run 7.5 s lazy vs 4.1 s eager)
-    old = spark.sql(
-        _dq4_planted_groups(0, DQ4_GROUPS - 1, DQ4_PLANT_BASE)
-    ).localCheckpoint()
-    new = spark.sql(
-        _dq4_planted_groups(DQ4_GROUPS, 2 * DQ4_GROUPS - 1, 2 * DQ4_PLANT_BASE)
-    ).localCheckpoint()
-    corpus = old.unionByName(new).localCheckpoint()
+    # (measured: ivfpq_fit first-run 7.5 s lazy vs 4.1 s eager).
+    # r19: the max-id guard and the two era derivations are independent
+    # reads of the embeddings view — three serial fixture jobs become
+    # three overlapped ones (guide §2.6), and corpus stays a LAZY union
+    # of the two pinned frames (its own eager checkpoint was a third
+    # serial fixture pass that re-wrote bytes both inputs already hold).
+    with ThreadPoolExecutor(max_workers=3) as fixture_pool:
+        max_id_fut = fixture_pool.submit(
+            lambda: emb.agg(F.max("vec_id")).first()[0]
+        )
+        old_fut = fixture_pool.submit(
+            lambda: spark.sql(
+                _dq4_planted_groups(0, DQ4_GROUPS - 1, DQ4_PLANT_BASE)
+            ).localCheckpoint()
+        )
+        new_fut = fixture_pool.submit(
+            lambda: spark.sql(
+                _dq4_planted_groups(
+                    DQ4_GROUPS, 2 * DQ4_GROUPS - 1, 2 * DQ4_PLANT_BASE
+                )
+            ).localCheckpoint()
+        )
+        max_id = max_id_fut.result()
+        if max_id is not None and max_id >= DQ4_PLANT_BASE:
+            raise ValueError(
+                f"dq5 fixture: corpus vec_ids reach {max_id} >= the "
+                f"planted-id offset {DQ4_PLANT_BASE}"
+            )
+        old, new = old_fut.result(), new_fut.result()
+    corpus = old.unionByName(new)
 
     root = os.path.join(
         tempfile.gettempdir(),
@@ -1307,36 +1326,54 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .fixtures import dq5_fixture_ivfpq_fit
 
         ivfp = os.path.join(root, "ivfpq")
-        # memoized per (applicationId, sf_dir, params) — the planted
-        # fixture fit is deterministic, so warm bench passes skip the
-        # ivfpq leg's ~7 s serial-chain fit (r17 verdict item 4)
-        coarse, fine = dq5_fixture_ivfpq_fit(
-            spark, sf_dir, old, DQ4_GROUPS, DQ5_PQ_M, DQ5_PQ_K, 2
-        )
-        init_ivfpq_index(spark, coarse, fine, ivfp)
-        # one-shot ingest: the two-batch anti-join ingest contract is dq4's
-        # and emb14's already-rowed surface — dq5 pays for the MONITORS, so
-        # the fixture ingests once (the accumulated state is identical)
-        update_ivfpq_index(spark, corpus, ivfp)
         queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("l2").asc(), F.col("vec_id").asc()
         )
-        exact = (
-            queries.alias("q")
-            .join(corpus.alias("c"), F.col("q.query_id") != F.col("c.vec_id"))
-            .select(
-                "q.query_id",
-                "c.vec_id",
-                _sq_l2(F.col("q.embedding"), F.col("c.embedding")).alias("l2"),
+
+        def _build_exact() -> DataFrame:
+            # the exact top-10 reference depends only on the fixture
+            # corpus — never the store — so it materializes on a driver
+            # thread overlapping the fit/init/ingest chain (guide §2.6)
+            # instead of riding the standing gate's first action (r19)
+            spark.sparkContext.setJobGroup(
+                "dq5:exact", "ivfpq exact top-10 reference"
             )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 10)
-            .select("query_id", "vec_id")
-            .localCheckpoint(eager=False)
-        )
+            return (
+                queries.alias("q")
+                .join(
+                    corpus.alias("c"), F.col("q.query_id") != F.col("c.vec_id")
+                )
+                .select(
+                    "q.query_id",
+                    "c.vec_id",
+                    _sq_l2(
+                        F.col("q.embedding"), F.col("c.embedding")
+                    ).alias("l2"),
+                )
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 10)
+                .select("query_id", "vec_id")
+                .localCheckpoint()
+            )
+
+        with ThreadPoolExecutor(max_workers=1) as exact_pool:
+            exact_fut = exact_pool.submit(_build_exact)
+            # memoized per (applicationId, sf_dir, params) — the planted
+            # fixture fit is deterministic, so warm bench passes skip the
+            # ivfpq leg's ~7 s serial-chain fit (r17 verdict item 4)
+            coarse, fine = dq5_fixture_ivfpq_fit(
+                spark, sf_dir, old, DQ4_GROUPS, DQ5_PQ_M, DQ5_PQ_K, 2
+            )
+            init_ivfpq_index(spark, coarse, fine, ivfp)
+            # one-shot ingest: the two-batch anti-join ingest contract is
+            # dq4's and emb14's already-rowed surface — dq5 pays for the
+            # MONITORS, so the fixture ingests once (the accumulated
+            # state is identical)
+            update_ivfpq_index(spark, corpus, ivfp)
+            exact = exact_fut.result()
 
         def ivfpq_recall(phase: str) -> DataFrame:
             got = search_ivfpq_index(
@@ -1389,7 +1426,7 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         def pq_health(phase: str) -> DataFrame:
             per_v = pq_self_distortion(
                 corpus,
-                spark.read.parquet(f"{pqp}/codes"),
+                _read_pq(spark, f"{pqp}/codes"),
                 load_pq_codebooks(spark, pqp),
             )
             return gate_rows(
@@ -1430,7 +1467,7 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def sem_coverage(phase: str) -> DataFrame:
-            got = spark.read.parquet(f"{semp}/pairs").select(
+            got = _read_pq(spark, f"{semp}/pairs").select(
                 "vec_a", "vec_b", F.lit(1.0).alias("__found")
             )
             per_pair = truth.join(got, ["vec_a", "vec_b"], "left").select(
@@ -1466,11 +1503,35 @@ def _dq5_serving_drift_monitors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mutate session-global state (fixed-name temp views, conf.set /
     # _scoped_conf) — the legs share one SparkSession; pinned by
     # tests/test_plans.py::test_dq5_leg_operators_touch_no_session_global_state.
-    from concurrent.futures import ThreadPoolExecutor
+    # Measurement hook (guide §1.5): per-leg wall times to stderr when
+    # $SPARK_GRAFT_DQ5_LEG_TIMING is set; zero effect otherwise.
+    import json as _json
+    import sys as _sys
+    import time as _time
+
+    _leg_s: dict[str, float] = {}
+
+    def _timed(leg):
+        if not os.environ.get("SPARK_GRAFT_DQ5_LEG_TIMING"):
+            return leg
+
+        def run():
+            spark.sparkContext.setJobGroup(f"dq5:{leg.__name__}", leg.__name__)
+            t0 = _time.perf_counter()
+            try:
+                return leg()
+            finally:
+                _leg_s[leg.__name__] = round(_time.perf_counter() - t0, 3)
+
+        return run
 
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futures = [pool.submit(leg) for leg in (leg_ivfpq, leg_pq, leg_sem)]
+        futures = [
+            pool.submit(_timed(leg)) for leg in (leg_ivfpq, leg_pq, leg_sem)
+        ]
         legs = [f.result() for f in futures]
+    if _leg_s:
+        print(_json.dumps({"dq5_leg_s": _leg_s}), file=_sys.stderr, flush=True)
 
     out = [df for leg in legs for df in leg]
     res = out[0]
@@ -1779,9 +1840,9 @@ def _emb21_index_deletion(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin_ok = (diff_row.n_diff or 0) == 0
     # purge, then gates C/D: results unchanged, physical count dropped,
     # tombstones gone
-    n_before = spark.read.parquet(f"{path}/index").count()
+    n_before = _read_pq(spark, f"{path}/index").count()
     pg = purge_ivfpq_tombstones(spark, path)
-    n_after = spark.read.parquet(f"{path}/index").count()
+    n_after = _read_pq(spark, f"{path}/index").count()
     post2 = search_ivfpq_index(spark, path, queries, emb, k=10).select(
         "query_id", "vec_id", "rk"
     )
@@ -2052,7 +2113,7 @@ def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     build_ivf_index(corpus, cents_df, path)
     cents = _collect_codebook(
-        spark.read.parquet(f"{path}/centroids"), "centroid_id", "embedding"
+        _read_pq(spark, f"{path}/centroids"), "centroid_id", "embedding"
     )
     queries = corpus.filter(
         f"vec_id % {EMB24_QUERY_STRIDE} = 0 AND vec_id < {EMB24_MAX_QUERY_ID}"
@@ -2069,7 +2130,7 @@ def _emb24_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "__qvec", "centroid_id",
         (F.col("__pos") + 1).alias("probe_rank"),
     )
-    lists = spark.read.parquet(f"{path}/lists")
+    lists = _read_pq(spark, f"{path}/lists")
     scored = (
         probes.join(lists, "centroid_id")
         .select(

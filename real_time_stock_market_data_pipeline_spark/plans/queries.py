@@ -31,6 +31,7 @@ from ..operators.relational import (
     valid_tick_predicate,
 )
 from ..sources.readers import load_table, ticks_from_events
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
@@ -2357,7 +2358,7 @@ def emb14_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = update_ivfpq_index(spark, b1, path)  # replay: must append nothing
     codes_str = F.concat_ws(",", F.transform("pq_codes", lambda c: c.cast("string")))
     t = (
-        spark.read.parquet(f"{path}/index")
+        _read_pq(spark, f"{path}/index")
         .select("vec_id", "list_id", codes_str.alias("cs"))
         .withColumn("__t", F.lit(1))
     )
@@ -2431,7 +2432,7 @@ def dd13_compacted_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fingerprint() -> tuple:
         row = (
-            spark.read.parquet(path)
+            _read_pq(spark, path)
             .agg(
                 F.count(F.lit(1)),
                 F.sum(F.xxhash64("doc_id", "sh").cast("decimal(38,0)")),
@@ -2646,7 +2647,7 @@ def emb12_incremental_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = update_pq_codes(spark, b1, path)  # replay: must append nothing
     codes_str = F.concat_ws(",", F.transform("pq_codes", lambda c: c.cast("string")))
     t = (
-        spark.read.parquet(f"{path}/codes")
+        _read_pq(spark, f"{path}/codes")
         .select("vec_id", codes_str.alias("cs"))
         .withColumn("__t", F.lit(1))
     )

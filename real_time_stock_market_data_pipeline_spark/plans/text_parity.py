@@ -42,6 +42,7 @@ from .dialect import (
     transform,
 )
 from .queries import QUERIES
+from ..sources.readers import read_parquet_cached_schema as _read_pq
 
 P_MOD = 1_000_000_007
 
@@ -3974,7 +3975,7 @@ def _bm25_scores_from_postings(spark: SparkSession, path: str) -> DataFrame:
     stats CTE — and then the byte-identical scoring tail."""
     from ..operators.text import read_bm25_df
 
-    spark.read.parquet(f"{path}/tf").createOrReplaceTempView("__bm25_tf")
+    _read_pq(spark, f"{path}/tf").createOrReplaceTempView("__bm25_tf")
     # read_bm25_df: a total-zero purge leaves {path}/df parquet-less
     # (hwm files only) — absent-as-empty, not AnalysisException
     read_bm25_df(spark, path).createOrReplaceTempView("__bm25_df")
@@ -4859,9 +4860,16 @@ def _sp19_launch_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank/shard/checksum tail — the same stage text the oracle inlines —
     runs over the snapshots.  Value-identical to the one-SQL form."""
     sdv, tv = _sp19_snap_views(spark, sf_dir)
-    return spark.sql(f"""
+    df = spark.sql(f"""
 WITH {_sp19_shard_ctes('spark', tv, sdv)}
 {_sp19_rollup_sql()}""")
+    # the uuid-named snapshot views are resolved into df's analyzed plan
+    # at spark.sql() time; drop them so repeated invocations in one
+    # session do not leak catalog entries that pin the checkpointed
+    # RDDs past the consuming action (r18 ADVICE)
+    for v in (sdv, tv):
+        spark.catalog.dropTempView(v)
+    return df
 
 
 QUERIES["sp19_launch_manifest"] = _sp19_launch_manifest
@@ -5003,7 +5011,13 @@ def _sp20_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(
         f"WITH {_sp19_shard_ctes('spark', tv, sdv)} SELECT * FROM sharded"
     ).localCheckpoint(eager=False).createOrReplaceTempView(shv)
-    return spark.sql(f"WITH {_sp20_tail('spark', shv, tv)}")
+    df = spark.sql(f"WITH {_sp20_tail('spark', shv, tv)}")
+    # snapshot views are resolved into df's analyzed plan at spark.sql()
+    # time; drop them so repeated invocations in one session do not leak
+    # catalog entries pinning the checkpointed RDDs (r18 ADVICE)
+    for v in (sdv, tv, shv):
+        spark.catalog.dropTempView(v)
+    return df
 
 
 QUERIES["sp20_resume_manifest"] = _sp20_resume_manifest

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .readers import read_parquet_cached_schema as _read_pq
 
 
 def write_ticks_partitioned(
@@ -49,7 +50,7 @@ def write_ticks_partitioned(
 def read_ticks_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the partitioned store; date predicates become partition pruning
     (check PartitionFilters in the scan — tests/test_sinks.py pins this)."""
-    return spark.read.parquet(path)
+    return _read_pq(spark, path)
 
 
 def write_bucketed(
