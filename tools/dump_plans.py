@@ -1,5 +1,5 @@
 """Dump ``.explain("formatted")`` for named queries (default: all) into
-plans/r18/<query>_<tag>.txt — the judge-checkable evidence files behind
+plans/<round>/<query>_<tag>.txt (round via $SPARK_GRAFT_PLAN_ROUND, default r19) — the judge-checkable evidence files behind
 OPTIMIZATION_r18.md's plan claims.
 
 Usage: python tools/dump_plans.py <tag> [query ...]
@@ -26,7 +26,8 @@ def main() -> None:
     names = sys.argv[2:] or list(QUERIES)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r18"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans",
+        os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r19")
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("dump_plans")
